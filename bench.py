@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed once after a warm-up action so the JVM/codegen
+warm-up isn't billed to the first query. Timing covers plan + execution
+to a count/collect action (results are not shipped to the driver except
+for small aggregates, mirroring how the driver consumes them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship + the most scale-relevant operator families.
+# Falls back gracefully if a name isn't registered yet.
+HEADLINE = [
+    "q1_pricing_summary",
+    "project_filter_glob",
+    "sort_limit_topk",
+    "distinct_sorted",
+    "set_operations",
+    "join_revenue_by_region",
+    "window_topk_per_group",
+    "agg_rollup_daily",
+    "events_tumbling_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "text_stats",
+]
+
+
+def main() -> None:
+    from gluettalax_spark import registry
+    from gluettalax_spark.session import get_spark
+
+    spark = get_spark("gluettalax-bench")
+    specs = registry.all_queries()
+    names = [n for n in HEADLINE if n in specs] or sorted(specs)
+
+    sf = None
+    try:
+        base = os.path.basename(SF_DIR.rstrip("/"))
+        if base.startswith("sf"):
+            sf = float(base[2:])
+    except ValueError:
+        pass
+
+    # Warm up the session (JVM, codegen, parquet footer reads).
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        builder = specs[name].builder
+        t0 = time.perf_counter()
+        df = builder(spark, SF_DIR)
+        # count() executes the full plan without shipping rows to the driver.
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

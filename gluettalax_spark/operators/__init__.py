@@ -1,0 +1,9 @@
+"""Data-plane operator library.
+
+Importing this package imports every operator module for its
+``@register`` side effects — the registry in
+:mod:`gluettalax_spark.registry` is the single source of truth the
+driver contract (``__spark_entry__.py``) exposes.
+"""
+
+from gluettalax_spark.operators import relational  # noqa: F401

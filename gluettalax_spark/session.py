@@ -1,0 +1,55 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference caches one boto3 Glue client per process
+(``gluettalax.py:170-181``); our analog is one shared SparkSession.
+
+Local testing runs ``local[N]`` (single JVM), but every config below is
+chosen to also be the right default on a real multi-executor cluster:
+AQE for runtime re-planning (coalescing post-shuffle partitions, skew-join
+splitting), Arrow for the Python boundary, UTC session time so results are
+reproducible against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partitions: ~cores locally; on a real cluster AQE coalesces the
+# post-shuffle side, so a higher static number is safe there.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "gluettalax_spark", cpus: str | None = None) -> SparkSession:
+    """Build (or fetch) the shared session.
+
+    Settings rationale (all apply at cluster scale, not just local):
+
+    * ``spark.sql.adaptive.*`` — AQE re-plans at runtime: coalesces tiny
+      post-shuffle partitions, converts sort-merge joins to broadcast when
+      the built side turns out small, and splits skewed partitions.
+    * ``spark.sql.shuffle.partitions`` — sized to the local core count;
+      AQE coalescing makes the exact value non-critical.
+    * ``spark.sql.session.timeZone=UTC`` — deterministic timestamps
+      (parquet fixtures are UTC; the DuckDB oracle is TZ-naive).
+    * Arrow enabled — vectorized transfer for every Pandas UDF /
+      ``applyInPandas`` path (the sanctioned slow path).
+    """
+    cpus = cpus or _DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,39 @@
+"""Fixture-table loading (the TPC-H-ish star schema in TESTDATA.md).
+
+Central place so every operator reads via ``spark.read.parquet`` with
+column pruning + predicate pushdown left to Catalyst (no caching by
+default — at 100 TB you want the parquet scan, not a driver-side cache).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables — always broadcast-join candidates. At 100 TB the
+# fact tables (lineitem/orders/events/documents) grow; these stay tiny.
+SMALL_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for the SQL-flavored ops)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,48 @@
+"""Every registered query vs its DuckDB oracle — the driver's t2 gate, locally.
+
+Parametrized over the registry so a newly-registered operator is
+automatically under test. Queries without an oracle get a rows-only smoke.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gluettalax_spark import registry
+from tests.harness import compare, exact_hash_compare
+
+SPECS = registry.all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
+    spec = SPECS[name]
+    spark_df = spec.builder(spark, sf_dir)
+    if spec.oracle is None:
+        n = spark_df.count()
+        assert n >= 0
+        return
+    oracle_pdf = oracle_con.execute(spec.oracle).df()
+    compare(spark_df, oracle_pdf)
+    # Also report (not assert) strict equality — what a hashing driver sees.
+    assert exact_hash_compare(spec.builder(spark, sf_dir), oracle_pdf), (
+        f"{name}: values match within tolerance but NOT bit-exact — driver hash may fail"
+    )
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"l_returnflag", "l_linestatus", "sum_qty", "count_order"}
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert qs, "no queries registered"
+    assert set(os_) <= set(qs)
