@@ -6,4 +6,10 @@ Importing this package imports every operator module for its
 driver contract (``__spark_entry__.py``) exposes.
 """
 
-from gluettalax_spark.operators import relational  # noqa: F401
+from gluettalax_spark.operators import (  # noqa: F401
+    aggregates,
+    joins,
+    relational,
+    scalars,
+    windows,
+)

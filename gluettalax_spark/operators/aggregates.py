@@ -1,0 +1,252 @@
+"""Aggregation operators: grouped aggs, rollup/cube, distinct counts,
+percentiles, and the reference's max-display-width aggregate (D10,
+gluettalax.py:385,391).
+
+All hash aggregations get a map-side partial aggregate from Catalyst, so
+only one row per (group × partition) shuffles — the shape that survives a
+100× scale-up. Double-typed sums are rounded identically on both engines
+(see relational.py note on ulp drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gluettalax_spark.registry import register
+from gluettalax_spark.tables import load
+
+# --------------------------------------------------------------------------
+# Grouped aggregation with mixed agg functions
+# --------------------------------------------------------------------------
+
+_AGG_GROUP_ORACLE = """
+SELECT
+  o_orderpriority,
+  count(*)                                  AS n_orders,
+  round(sum(o_totalprice), 2)               AS sum_price,
+  round(avg(o_totalprice), 4)               AS avg_price,
+  round(min(o_totalprice), 2)               AS min_price,
+  round(max(o_totalprice), 2)               AS max_price,
+  count(DISTINCT o_custkey)                 AS n_customers,
+  strftime(min(o_orderdate), '%Y-%m-%d')    AS first_order_day
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("agg_group", _AGG_GROUP_ORACLE, doc="groupBy + mixed aggregate functions")
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order_day"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP / CUBE (grouping sets)
+# --------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT
+  CAST(year(o_orderdate) AS INTEGER)  AS order_year,
+  CAST(month(o_orderdate) AS INTEGER) AS order_month,
+  count(*)                            AS n_orders,
+  round(sum(o_totalprice), 2)         AS sum_price
+FROM orders
+GROUP BY ROLLUP (order_year, order_month)
+ORDER BY order_year NULLS FIRST, order_month NULLS FIRST
+"""
+
+
+@register("agg_rollup_daily", _ROLLUP_ORACLE, doc="ROLLUP over (year, month)")
+def agg_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals: (year, month) → (year) → (). One shuffle;
+    Catalyst expands the grouping sets before the exchange."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .withColumn("order_month", F.month("o_orderdate"))
+        .rollup("order_year", "order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy(F.col("order_year").asc_nulls_first(), F.col("order_month").asc_nulls_first())
+    )
+
+
+_CUBE_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  count(*)                    AS n_items,
+  round(sum(l_quantity), 2)   AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register("agg_cube", _CUBE_ORACLE, doc="CUBE over (returnflag, linestatus)")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact and approximate distinct counts
+# --------------------------------------------------------------------------
+
+_DISTINCT_COUNTS_ORACLE = """
+SELECT
+  count(DISTINCT l_partkey) AS n_parts,
+  count(DISTINCT l_suppkey) AS n_suppliers,
+  count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+"""
+
+
+@register("agg_count_distinct", _DISTINCT_COUNTS_ORACLE, doc="exact multi-column COUNT DISTINCT")
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst plans multi-distinct via expand + two-phase aggregation —
+    each distinct column shuffles once on its own hash, no cross-product."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    None,  # HLL sketches are engine-specific — rows-only check by design.
+    doc="approx_count_distinct (HyperLogLog++); the 100 TB path for distincts",
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB an exact distinct over a high-cardinality key shuffles the
+    full key set; the HLL sketch is constant-size per partition and merges
+    on the driver. rsd=0.01 keeps the estimate within ~1%."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_n_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_n_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Percentiles / statistical aggregates
+# --------------------------------------------------------------------------
+
+_PERCENTILE_ORACLE = """
+WITH ranked AS (
+  SELECT
+    l_returnflag,
+    l_extendedprice,
+    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+    count(*)    OVER (PARTITION BY l_returnflag) AS cnt
+  FROM lineitem
+)
+SELECT
+  l_returnflag,
+  round(max(CASE WHEN rn = ceil(cnt * 0.5)  THEN l_extendedprice END), 2) AS median_price,
+  round(max(CASE WHEN rn = ceil(cnt * 0.95) THEN l_extendedprice END), 2) AS p95_price,
+  round(stddev_samp(l_extendedprice), 2)                                  AS std_price
+FROM ranked
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_percentiles", _PERCENTILE_ORACLE, doc="discrete percentiles (row_number) + stddev")
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles: value at rank ceil(p·n) in sorted order.
+
+    Deliberately NOT linear interpolation — the midpoint of two 2-decimal
+    prices is routinely an exact .xx5, where Spark's and DuckDB's
+    interpolation differ in the last ulp and round() diverges. Picking an
+    actual data value is cross-engine exact. At 100 TB prefer
+    `percentile_approx` (see agg_percentiles_approx)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    wc = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rn") == F.ceil(F.col("cnt") * 0.5), F.col("l_extendedprice"))), 2
+            ).alias("median_price"),
+            F.round(
+                F.max(F.when(F.col("rn") == F.ceil(F.col("cnt") * 0.95), F.col("l_extendedprice"))), 2
+            ).alias("p95_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_percentiles_approx",
+    None,  # t-digest/GK sketch — engine-specific, rows-only check.
+    doc="percentile_approx — the mergeable-sketch percentile for 100 TB",
+)
+def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("approx_pcts"))
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# D10: per-column max display width (the reference's formatting aggregate)
+# --------------------------------------------------------------------------
+
+_WIDTH_ORACLE = """
+SELECT
+  max(length(CAST(n_nationkey AS VARCHAR))) AS w_nationkey,
+  max(length(n_name))                       AS w_name,
+  max(length(CAST(n_regionkey AS VARCHAR))) AS w_regionkey
+FROM nation
+"""
+
+
+@register("agg_max_width", _WIDTH_ORACLE, doc="per-column max display width (D10)")
+def agg_max_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference: running max of len(str(v)) per column while iterating
+    pages (gluettalax.py:385,391). One-pass aggregate, no shuffle of data
+    rows — just one max per column per partition."""
+    nation = load(spark, sf_dir, "nation")
+    # Spark length() yields int32, DuckDB bigint — cast long for schema parity.
+    return nation.agg(
+        F.max(F.length(F.col("n_nationkey").cast("string"))).cast("long").alias("w_nationkey"),
+        F.max(F.length("n_name")).cast("long").alias("w_name"),
+        F.max(F.length(F.col("n_regionkey").cast("string"))).cast("long").alias("w_regionkey"),
+    )

@@ -1,0 +1,266 @@
+"""Join operators: equi (inner/left/semi/anti), broadcast star joins,
+non-equi range joins, and an as-of join built shuffle-free via a union +
+window rather than a cross product.
+
+The reference joins nothing client-side — joins live in users' Glue job
+scripts (arbitrary PySpark launched at gluettalax.py:256); this module is
+that surface made first-class (SURVEY.md §2.F).
+
+Scale notes baked into each builder:
+* dimension tables (region/nation/customer/supplier/part) are broadcast —
+  the fact side never shuffles for them;
+* fact-to-fact joins (lineitem ⋈ orders) shuffle on the join key once and
+  AQE handles skew;
+* the as-of join is O(n log n) per key via a window, not O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gluettalax_spark.registry import register
+from gluettalax_spark.tables import load
+
+# --------------------------------------------------------------------------
+# Star join with broadcast dimensions (TPC-H Q5 shape)
+# --------------------------------------------------------------------------
+
+_REVENUE_BY_REGION_ORACLE = """
+SELECT
+  r_name                                                AS region,
+  round(sum(l_extendedprice * (1 - l_discount)), 2)     AS revenue,
+  count(*)                                              AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY r_name
+ORDER BY revenue DESC, region
+"""
+
+
+@register("join_revenue_by_region", _REVENUE_BY_REGION_ORACLE, doc="4-way star join, broadcast dims (Q5 shape)")
+def join_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders shuffles once on orderkey; customer/nation/region
+    are broadcast so the big side streams through map-side hash joins.
+    At 100 TB only the lineitem⋈orders exchange remains, and AQE splits
+    any skewed orderkey partitions."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("region"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Left outer join preserving unmatched rows
+# --------------------------------------------------------------------------
+
+_LEFT_JOIN_ORACLE = """
+SELECT
+  c_custkey,
+  c_name,
+  count(o_orderkey)                           AS n_orders,
+  round(coalesce(sum(o_totalprice), 0.0), 2)  AS total_spent
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY c_custkey
+"""
+
+
+@register("join_left_outer", _LEFT_JOIN_ORACLE, doc="left outer join + per-customer aggregate")
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with zero orders survive (count(o_orderkey)=0). The
+    aggregate is on the join key, so Catalyst reuses the join's hash
+    partitioning — no second shuffle."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS)
+# --------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
+"""
+
+
+@register("join_semi", _SEMI_ORACLE, doc="left-semi join (EXISTS)")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join ships only the distinct key set of the filtered side —
+    at scale, far cheaper than join+distinct."""
+    customer = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
+"""
+
+
+@register("join_anti", _ANTI_ORACLE, doc="left-anti join (NOT EXISTS)")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no urgent order (non-empty at every SF — an anti
+    join against all orders matches nobody, which tests nothing)."""
+    customer = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Non-equi (range) join
+# --------------------------------------------------------------------------
+
+_RANGE_JOIN_ORACLE = """
+SELECT
+  p_brand,
+  count(*)                  AS n_matches,
+  round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+         AND l_quantity BETWEEN p_size * 0.5 AND p_size
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@register("join_range", _RANGE_JOIN_ORACLE, doc="mixed equi + range join condition")
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The equi part (partkey) drives the join strategy — the range
+    predicate evaluates as a post-join filter inside the hash join, so
+    this stays O(n) rather than a banded cross join. part is broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    cond = (
+        (li.l_partkey == part.p_partkey)
+        & (li.l_quantity >= part.p_size * 0.5)
+        & (li.l_quantity <= part.p_size)
+    )
+    return (
+        li.join(F.broadcast(part), cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join (most recent prior event), shuffle-once via union + window
+# --------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH errors AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'error'
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT
+  p.event_id,
+  p.user_id,
+  round(p.value, 2) AS value,
+  strftime(max(e.ts), '%Y-%m-%d %H:%M:%S') AS last_error_ts
+FROM purchases p
+LEFT JOIN errors e ON e.user_id = p.user_id AND e.ts <= p.ts
+GROUP BY p.event_id, p.user_id, p.value
+ORDER BY p.event_id
+"""
+
+
+@register("join_asof", _ASOF_ORACLE, doc="as-of join: latest error before each purchase")
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join without a range cross-join: tag both streams, union,
+    sort per user by time, and carry the last-seen error timestamp
+    forward with last(ignorenulls) — one shuffle on user_id, O(n log n)
+    per key. (The oracle's LEFT JOIN + max() is O(n·m) per key — fine for
+    DuckDB at sf0.01, exactly what we avoid at 100 TB.)
+
+    Spark mapping of the reference-world "merge_asof" need (SURVEY.md
+    §2.F joins row).
+    """
+    events = load(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+        F.col("ts").alias("error_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lit(None).cast("timestamp").alias("error_ts"),
+    )
+    # Errors sort before purchases at identical ts so `<=` semantics hold.
+    merged = errors.withColumn("is_purchase", F.lit(0)).unionByName(
+        purchases.withColumn("is_purchase", F.lit(1))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("last_error", F.last("error_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.date_format("last_error", "yyyy-MM-dd HH:mm:ss").alias("last_error_ts"),
+        )
+        .orderBy("event_id")
+    )

@@ -9,28 +9,12 @@ the reference's fetch-all-then-filter loops.
 
 from __future__ import annotations
 
-import fnmatch
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gluettalax_spark.functions.scalars import glob_to_rlike
 from gluettalax_spark.registry import register
 from gluettalax_spark.tables import load
-
-
-def glob_to_rlike(pattern: str) -> str:
-    """fnmatch glob → anchored Java regex (reference semantics, D1–D4).
-
-    The reference filters rows client-side with ``fnmatch.fnmatch``
-    (gluettalax.py:654). We translate the glob once on the driver and let
-    Catalyst evaluate it JVM-side (and push it into the scan where possible).
-    """
-    # fnmatch.translate emits a Python regex like '(?s:...)\\Z'; strip the
-    # Python-only wrapper for Java's regex engine and anchor explicitly.
-    translated = fnmatch.translate(pattern)
-    if translated.startswith("(?s:") and translated.endswith(r")\Z"):
-        translated = translated[len("(?s:") : -len(r")\Z")]
-    return f"^{translated}$"
 
 
 # --------------------------------------------------------------------------

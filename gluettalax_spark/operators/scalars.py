@@ -1,0 +1,164 @@
+"""Scalar-function surface as queries: string/date/math expressions,
+JSON extraction from ``events.props``, and array ops over
+``embeddings.embedding``.
+
+The reference's scalar layer is tiny (duration format gluettalax.py:91-119,
+isoformat :350, split :424, args-map flatten :351); its real scalar surface
+lives inside Glue job scripts. Everything here is built-in
+``pyspark.sql.functions`` — JVM-side, codegen'd, no Python in the row loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gluettalax_spark.registry import register
+from gluettalax_spark.tables import load
+
+# --------------------------------------------------------------------------
+# String / date / math scalar expressions
+# --------------------------------------------------------------------------
+
+_SCALARS_ORACLE = """
+SELECT
+  o_orderkey,
+  upper(o_orderpriority)                                  AS priority_upper,
+  substr(o_orderpriority, 1, 1)                           AS priority_code,
+  concat(o_orderstatus, '/', o_orderpriority)             AS status_priority,
+  length(o_orderpriority)                                 AS priority_len,
+  CAST(year(o_orderdate) AS INTEGER)                      AS order_year,
+  CAST(month(o_orderdate) AS INTEGER)                     AS order_month,
+  CAST(dayofmonth(o_orderdate) AS INTEGER)                AS order_day,
+  strftime(o_orderdate, '%Y-%m-%d')                       AS order_date_str,
+  date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
+  round(sqrt(o_totalprice), 4)                            AS price_sqrt,
+  round(ln(o_totalprice), 4)                              AS price_ln,
+  CAST(round(o_totalprice) AS BIGINT) % 7                 AS price_mod7,
+  abs(o_totalprice - 50000)                               AS price_dist_50k
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+"""
+
+
+@register("scalar_string_date_math", _SCALARS_ORACLE, doc="string/date/math scalar functions")
+def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure projection — narrow scan (4 columns), predicate pushed to
+    parquet, zero shuffles; whole-stage codegen evaluates every expression
+    in one pass."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return orders.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("priority_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+        F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        F.length("o_orderpriority").cast("long").alias("priority_len"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_y2k"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        F.round(F.log("o_totalprice"), 4).alias("price_ln"),
+        (F.round("o_totalprice").cast("long") % 7).alias("price_mod7"),
+        F.abs(F.col("o_totalprice") - 50000).alias("price_dist_50k"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# JSON extraction from events.props (§2.F array/map/json row)
+# --------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT
+  event_type,
+  count(*)                                                       AS n_events,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)       AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("json_extract_props", _JSON_ORACLE, doc="JSON extraction + aggregate over events.props")
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``get_json_object`` parses in the JVM per row; for repeated keys at
+    scale, ``from_json`` with an explicit schema (one parse, many fields)
+    is the bulk path — both stay out of Python."""
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MAP_ORACLE = """
+SELECT
+  event_id,
+  event_type,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+  CAST(len(json_keys(props)) AS INTEGER)            AS n_keys
+FROM events
+WHERE event_id <= 100
+ORDER BY event_id
+"""
+
+
+@register("json_to_map", _MAP_ORACLE, doc="from_json → MapType + map functions")
+def json_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props JSON → MapType(String,String): one parse yields all keys
+    (map_keys/size/element access) — the fan-out-friendly shape."""
+    events = load(spark, sf_dir, "events").filter(F.col("event_id") <= 100)
+    m = F.from_json("props", "map<string,string>")
+    return events.select(
+        "event_id",
+        "event_type",
+        m.getItem("k").cast("long").alias("prop_k"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Array ops over embeddings.embedding (array<float>, 64-dim)
+# --------------------------------------------------------------------------
+
+_ARRAY_ORACLE = """
+SELECT
+  vec_id,
+  CAST(len(embedding) AS INTEGER)  AS dim,
+  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+  round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
+  round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_val
+FROM embeddings
+WHERE vec_id <= 100
+ORDER BY vec_id
+"""
+
+
+@register("array_ops_embeddings", _ARRAY_ORACLE, doc="higher-order array functions on embeddings")
+def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm via aggregate() (higher-order fold) — stays in the JVM,
+    no UDF; this is the primitive the similarity operators build on."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 100)
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 4).alias("min_val"),
+    ).orderBy("vec_id")

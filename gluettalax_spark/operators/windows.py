@@ -1,0 +1,176 @@
+"""Window-function operators: per-group top-N (the reference's D7,
+gluettalax.py:343-345), rank/lag/lead, and running/range frames.
+
+Every window here partitions on a real key (custkey/suppkey/user_id) so
+state is bounded per key and the sort is local to each hash partition —
+the layout that scales horizontally. Orderings always include a unique
+tiebreaker column: a window over a non-unique ordering gives
+nondeterministic frames, which breaks both reproducibility and the
+oracle compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gluettalax_spark.registry import register
+from gluettalax_spark.tables import load
+
+# --------------------------------------------------------------------------
+# D7: per-group last-N / top-N
+# --------------------------------------------------------------------------
+
+_TOPK_PER_GROUP_ORACLE = """
+SELECT c_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT
+    o_custkey AS c_custkey,
+    o_orderkey,
+    o_totalprice,
+    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+ORDER BY c_custkey, rn
+"""
+
+
+@register("window_topk_per_group", _TOPK_PER_GROUP_ORACLE, doc="top-3 orders per customer (D7)")
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference D7: show last-N runs per job (gluettalax.py:343-345) —
+    the same row_number()<=N shape over (customer, price). One shuffle on
+    the partition key; the rn<=3 filter prunes before any downstream op.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_custkey", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# rank / dense_rank / lag / lead
+# --------------------------------------------------------------------------
+
+_RANK_LAG_ORACLE = """
+SELECT
+  l_suppkey,
+  l_orderkey,
+  l_linenumber,
+  CAST(rank()       OVER w AS BIGINT)         AS price_rank,
+  CAST(dense_rank() OVER w AS BIGINT)         AS price_dense_rank,
+  round(lag(l_extendedprice)  OVER w2, 2)     AS prev_price,
+  round(lead(l_extendedprice) OVER w2, 2)     AS next_price
+FROM lineitem
+WHERE l_suppkey <= 3
+WINDOW
+  w  AS (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber),
+  w2 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+ORDER BY l_suppkey, l_orderkey, l_linenumber
+"""
+
+
+@register("window_rank_lag", _RANK_LAG_ORACLE, doc="rank/dense_rank/lag/lead with tiebreaks")
+def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 3)
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    w2 = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.rank().over(w).cast("long").alias("price_rank"),
+            F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+            F.round(F.lag("l_extendedprice").over(w2), 2).alias("prev_price"),
+            F.round(F.lead("l_extendedprice").over(w2), 2).alias("next_price"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# Running frame (rows between) — cumulative spend per customer
+# --------------------------------------------------------------------------
+
+_RUNNING_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  round(sum(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ), 2) AS running_spend,
+  CAST(count(*) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS order_seq
+FROM orders
+ORDER BY o_custkey, order_seq
+"""
+
+
+@register("window_running_frame", _RUNNING_ORACLE, doc="cumulative sum over ROWS frame")
+def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+            F.count(F.lit(1)).over(w).cast("long").alias("order_seq"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+# --------------------------------------------------------------------------
+# RANGE frame over a numeric ordering
+# --------------------------------------------------------------------------
+
+_RANGE_FRAME_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  o_totalprice,
+  CAST(count(*) OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice
+    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS n_similar_cheaper
+FROM orders
+ORDER BY o_custkey, o_totalprice, o_orderkey
+"""
+
+
+@register("window_range_frame", _RANGE_FRAME_ORACLE, doc="RANGE frame: peers within a price band")
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames aggregate over a *value* interval (price within
+    10000 below current), not a row count — frame contents are
+    order-insensitive among ties, so no tiebreak needed for correctness."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-10000, Window.currentRow)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_similar_cheaper"),
+        )
+        .orderBy("o_custkey", "o_totalprice", "o_orderkey")
+    )

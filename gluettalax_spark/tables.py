@@ -30,7 +30,24 @@ SMALL_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects
+    (PARQUET_TYPE_ILLEGAL). Read it as a raw int64 via the legacy conf and
+    truncate ns → µs ourselves (integer DIV — float division would lose
+    ~256 ns of precision at 2024 epoch magnitudes).
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
