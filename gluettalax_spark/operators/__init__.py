@@ -8,8 +8,13 @@ driver contract (``__spark_entry__.py``) exposes.
 
 from gluettalax_spark.operators import (  # noqa: F401
     aggregates,
+    dedup,
     joins,
+    multimodal,
     relational,
     scalars,
+    similarity,
+    text,
     windows,
 )
+from gluettalax_spark import streaming  # noqa: F401

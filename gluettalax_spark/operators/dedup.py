@@ -1,0 +1,411 @@
+"""Deduplication operators over ``documents`` — exact, MinHash+LSH,
+SimHash, and blocked n-gram Jaccard (BASELINE.json north-star set).
+
+Design for 100 TB:
+
+* every pipeline is shuffle-bounded: shingle explode → hash-partitioned
+  aggregate → band-bucket equi-join → verify only candidate pairs.
+  Nothing ever compares all-pairs.
+* hashes are md5 **by construction** so the DuckDB oracle can replay the
+  identical signatures (cross-engine determinism). At production scale
+  swap md5 → xxhash64 (same plan, ~5× cheaper); the plan shape is the
+  thing under test.
+
+MinHash/LSH parameters: k=16 hashes, 4 bands × 4 rows. P(candidate) =
+1-(1-j^4)^4 — ~50% at j≈0.66, >97% at j≈0.85 — tuned for the near-dup
+threshold 0.5 used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gluettalax_spark.registry import register
+from gluettalax_spark.tables import load
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+JACCARD_THRESHOLD = 0.5
+
+# --------------------------------------------------------------------------
+# Exact dedup (hash-groupBy on normalized-content fingerprint)
+# --------------------------------------------------------------------------
+
+_EXACT_ORACLE = r"""
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT
+  fingerprint,
+  CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+  count(*)                    AS n_copies
+FROM fp
+GROUP BY fingerprint
+ORDER BY fingerprint
+"""
+
+
+@register("dedup_exact", _EXACT_ORACLE, doc="exact dedup: min-doc_id keeper per content hash")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup = groupBy(content_hash) keeping min(doc_id). One
+    shuffle on the 16-byte hash (not the document text!) — the payload
+    per row is constant regardless of document size, which is what makes
+    this viable at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("fingerprint")
+    )
+
+
+# --------------------------------------------------------------------------
+# Shared shingling (word 3-grams over normalized tokens)
+# --------------------------------------------------------------------------
+
+def _tokens_col() -> Column:
+    """Non-empty lowercase whitespace tokens."""
+    return F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles: array<string>) — distinct word 3-gram shingles;
+    docs with <3 tokens are dropped (no shingle support)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens_col().alias("tokens")).filter(F.size("tokens") >= 3)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("tokens") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("tokens"), i),
+                F.element_at(F.col("tokens"), i + 1),
+                F.element_at(F.col("tokens"), i + 2),
+            ),
+        )
+    )
+    return toks.select("doc_id", sh.alias("shingles"))
+
+
+# The same shingling in DuckDB SQL (list_transform over 1-based indexes).
+_SHINGLES_CTE = r"""
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(tokens) - 1),
+           i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+         )) AS shingles
+  FROM toks
+  WHERE len(tokens) >= 3
+)
+"""
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding near-dup
+# --------------------------------------------------------------------------
+
+
+def _minhash_sig_aggs() -> list[Column]:
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"s{i}") for i in range(N_HASHES)
+    ]
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n    ".join(f"min(md5('{i}:' || s)) AS s{i}" for i in range(N_HASHES))
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_val FROM sigs".format(
+            b=b,
+            concat=" || ".join(f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sigs AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT
+    c.doc_a,
+    c.doc_b,
+    round(
+      CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))),
+      4
+    ) AS jaccard
+  FROM cand c
+  JOIN sh x ON c.doc_a = x.doc_id
+  JOIN sh y ON c.doc_b = y.doc_id
+)
+SELECT doc_a, doc_b, jaccard
+FROM verified
+WHERE jaccard >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_oracle(), doc="MinHash(16) + LSH(4×4) near-dup pairs, Jaccard-verified")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shingle → 16 min-hash aggs (ONE groupBy — all 16 signatures in a
+    single shuffle) → 4 band keys → explode → self-join on band key →
+    verify candidates with exact Jaccard on shingle sets.
+
+    At 100 TB: candidates per band-bucket ≈ true near-dups + hash
+    collisions; the verify join touches only those pairs. The band join
+    key is a 16-byte md5, so the shuffle is narrow. Skewed buckets
+    (boilerplate docs) are AQE-split.
+    """
+    sh = shingles_df(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sigs = ex.groupBy("doc_id").agg(*_minhash_sig_aggs())
+
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat(*[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])).alias(
+                    "band_val"
+                ),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_cols).alias("band")).select(
+        "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_val").alias("band_val")
+    )
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (16-bit) near-dup
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+HAMMING_MAX = 2
+
+
+def _nibble_exprs_spark() -> list[str]:
+    """SQL expressions n0..n3: the first 4 hex nibbles of md5(token)."""
+    return [
+        f"(instr('0123456789abcdef', substr(md5(s), {p + 1}, 1)) - 1) AS n{p}" for p in range(4)
+    ]
+
+
+def _bit_sum_exprs(div_op: str) -> list[str]:
+    """16 per-bit contribution sums: bit b lives in nibble b//4, position
+    b%4; contribution is +1 when set, −1 when clear."""
+    out = []
+    for bit in range(SIMHASH_BITS):
+        nib, pos = divmod(bit, 4)
+        out.append(f"sum(2 * (({{n}}{nib} {div_op} {2 ** pos}) % 2) - 1) AS b{bit}".format(n="n"))
+    return out
+
+
+def _simhash_value_expr() -> str:
+    terms = " + ".join(f"(CASE WHEN b{bit} >= 0 THEN {2 ** bit} ELSE 0 END)" for bit in range(SIMHASH_BITS))
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _simhash_oracle() -> str:
+    nibbles = ",\n    ".join(
+        f"(strpos('0123456789abcdef', substr(md5(s), {p + 1}, 1)) - 1) AS n{p}" for p in range(4)
+    )
+    bit_sums = ",\n    ".join(_bit_sum_exprs("//"))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+ex AS (
+  SELECT DISTINCT doc_id, unnest(tokens) AS s FROM toks WHERE len(tokens) >= 1
+),
+nib AS (
+  SELECT doc_id, s,
+    {nibbles}
+  FROM ex
+),
+bitsum AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM nib GROUP BY doc_id
+)
+SELECT doc_id, {_simhash_value_expr()} AS simhash
+FROM bitsum
+ORDER BY doc_id
+"""
+
+
+@register("dedup_simhash", _simhash_oracle(), doc="16-bit SimHash per document")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: each distinct token votes ±1 per bit (from its md5 bits);
+    the sign vector packs into one integer. Near-dups then reduce to
+    small-Hamming-distance pairs (see dedup_simhash_pairs). Single
+    explode + single groupBy — one shuffle, 16 small int sums as state.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens_col().alias("tokens")).filter(F.size("tokens") >= 1)
+    ex = toks.select("doc_id", F.explode("tokens").alias("s")).distinct()
+    nib = ex.selectExpr("doc_id", "s", *_nibble_exprs_spark())
+    bitsum = nib.groupBy("doc_id").agg(
+        *[F.expr(e.split(" AS ")[0]).alias(e.split(" AS ")[1]) for e in _bit_sum_exprs("div")]
+    )
+    return bitsum.selectExpr("doc_id", f"{_simhash_value_expr()} AS simhash").orderBy("doc_id")
+
+
+def _simhash_pairs_oracle() -> str:
+    base = _simhash_oracle().strip().removesuffix("ORDER BY doc_id").rstrip()
+    return f"""
+WITH hashes AS (
+{base}
+)
+SELECT
+  a.doc_id AS doc_a,
+  b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM hashes a
+JOIN hashes b
+  ON a.doc_id < b.doc_id
+ AND (a.simhash // 256 = b.simhash // 256 OR a.simhash % 256 = b.simhash % 256)
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    _simhash_pairs_oracle(),
+    doc=f"SimHash pairs with Hamming ≤ {HAMMING_MAX} via half-band blocking",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole blocking: Hamming ≤ 2 on 16 bits ⇒ at most 2 differing
+    bits ⇒ at least one 8-bit half is identical — so candidates come from
+    two equi-joins (high half, low half), never a cross join. The same
+    trick scales to 64-bit simhash with 4×16-bit bands at 100 TB.
+    """
+    hashes = dedup_simhash(spark, sf_dir)
+    a = hashes.selectExpr("doc_id AS doc_a", "simhash AS sh_a")
+    b = hashes.selectExpr("doc_id AS doc_b", "simhash AS sh_b")
+    # Two equi-join passes (banding); union then distinct.
+    hi = a.join(b, (F.expr("sh_a div 256") == F.expr("sh_b div 256")) & (F.col("doc_a") < F.col("doc_b")))
+    lo = a.join(b, (F.expr("sh_a % 256") == F.expr("sh_b % 256")) & (F.col("doc_a") < F.col("doc_b")))
+    cand = hi.unionByName(lo).distinct()
+    return (
+        cand.withColumn("hamming", F.expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Blocked n-gram Jaccard (no sketching — exact, with prefix blocking)
+# --------------------------------------------------------------------------
+
+_NGRAM_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+blocks AS (
+  SELECT doc_id, shingles,
+         md5(array_to_string(list_slice(list_sort(shingles), 1, 3), '|')) AS block_key
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shingles AS sh_a, b.shingles AS sh_b
+  FROM blocks a
+  JOIN blocks b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT
+    doc_a,
+    doc_b,
+    round(
+      CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+      / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))),
+      4
+    ) AS jaccard
+  FROM cand
+)
+SELECT doc_a, doc_b, jaccard
+FROM scored
+WHERE jaccard >= 0.3
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_ORACLE, doc="exact n-gram Jaccard with sorted-shingle blocking")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking key = hash of the 3 lexicographically-smallest shingles —
+    near-dup docs share their rarest-prefix shingles with high
+    probability. One equi-join on the block key; exact Jaccard only
+    inside blocks."""
+    sh = shingles_df(spark, sf_dir)
+    blocks = sh.withColumn(
+        "block_key",
+        F.md5(F.array_join(F.slice(F.array_sort("shingles"), 1, 3), "|")),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "block_key"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "block_key"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(inter.cast("double") / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+        .orderBy("doc_a", "doc_b")
+    )

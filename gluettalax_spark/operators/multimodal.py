@@ -1,0 +1,152 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata,
+decode/feature-extract as Arrow-batched Pandas UDFs over mapInPandas.
+
+The image/audio codec libraries are not in this container, so the decode
+step is STUBBED (deterministic fake features behind a clearly marked
+guard); everything Spark-side — binary columns, schemas, batch iteration,
+partition behavior — is real and tested. Swapping the stub for
+PIL/torchaudio changes one function body, not the plan.
+
+The fixture has no binary tables, so payloads are the documents' UTF-8
+bytes — structurally identical to an image blob column at 100 TB: the
+bytes never leave the executor, only fixed-width metadata shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gluettalax_spark.registry import register
+from gluettalax_spark.tables import load
+
+_HAVE_CODECS = False
+try:  # pragma: no cover - codec libs absent in this container by design
+    import PIL.Image  # noqa: F401
+
+    _HAVE_CODECS = True
+except ImportError:
+    pass
+
+
+# --------------------------------------------------------------------------
+# Binary metadata (pure built-ins — oracle-checkable)
+# --------------------------------------------------------------------------
+
+_META_ORACLE = """
+SELECT
+  doc_id,
+  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+  sha256(text)                                     AS content_sha256,
+  substr(sha256(text), 1, 4)                       AS shard
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_binary_meta", _META_ORACLE, doc="binary payload metadata (size, sha256, shard key)")
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata extraction never decodes: byte length + content hash +
+    shard prefix are computed JVM-side in one projection. At 100 TB this
+    is the scan that routes blobs to decode partitions."""
+    docs = load(spark, sf_dir, "documents")
+    blob = F.encode("text", "UTF-8")
+    sha = F.sha2(blob, 256)
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).cast("long").alias("n_bytes"),
+        sha.alias("content_sha256"),
+        F.substring(sha, 1, 4).alias("shard"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Decode / feature-extract via mapInPandas (stubbed codec, real plumbing)
+# --------------------------------------------------------------------------
+
+DECODED_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, n_channels int, mean_luma double"
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """Deterministic stand-in for an image decoder.
+
+    Derives plausible (width, height, channels, mean_luma) purely from the
+    payload bytes so tests are reproducible. Replace with a real codec
+    when PIL/ffmpeg are available (see _HAVE_CODECS gate in decode_batch).
+    """
+    h = sum(payload[:64])
+    width = 64 + (h % 7) * 32
+    height = 64 + (h % 5) * 32
+    channels = 3
+    mean_luma = round((sum(payload) % 25600) / 100.0, 2)
+    return width, height, channels, mean_luma
+
+
+def make_decode_batch(have_codecs: bool = _HAVE_CODECS):
+    """Build the mapInPandas kernel as a CLOSURE.
+
+    The kernel must not reference this module's globals: Spark workers in
+    the grading driver's process do not have ``gluettalax_spark`` on their
+    import path, and cloudpickle serializes module-level functions by
+    reference (→ ModuleNotFoundError on the worker). A closure with
+    inlined logic pickles by value and runs anywhere.
+    """
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def fake_decode(payload: bytes):
+            h = sum(payload[:64])
+            return (
+                64 + (h % 7) * 32,
+                64 + (h % 5) * 32,
+                3,
+                round((sum(payload) % 25600) / 100.0, 2),
+            )
+
+        for pdf in batches:
+            if have_codecs:  # pragma: no cover - not available in container
+                raise NotImplementedError("real codec path not wired: plug PIL decode here")
+            feats = [fake_decode(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_channels": [f[2] for f in feats],
+                    "mean_luma": [f[3] for f in feats],
+                }
+            )
+
+    return decode_batch
+
+
+@register("multimodal_decode_features", None, doc="stubbed decode → features via mapInPandas (rows-only)")
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary → feature columns through the Arrow batch path. No SQL
+    oracle (the decode is procedural); the driver records a rows-only
+    check and unit tests pin the deterministic fake features."""
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(make_decode_batch(), DECODED_SCHEMA).orderBy("doc_id")
+
+
+@register("multimodal_feature_rollup", None, doc="decode features → per-shape rollup (rows-only)")
+def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typical downstream shape: decode once, aggregate features.
+    Decode (Python, Arrow-batched) feeds a JVM-side hash aggregate."""
+    decoded = multimodal_decode_features(spark, sf_dir)
+    return (
+        decoded.groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+        )
+        .orderBy("width", "height")
+    )

@@ -1,0 +1,255 @@
+"""Similarity search over ``embeddings`` (array<float>, 64-dim):
+brute-force cosine top-k (the correctness baseline), sign-LSH bucketed
+near-dup (the scale path), and embedding-cosine near-duplicate pairs.
+
+Scale design: brute force is O(Q·N) — fine when Q is small or N fits a
+broadcast; the LSH variant buckets vectors by deterministic hyperplane
+signs so candidate generation is an equi-join on an 8-bit bucket key.
+Hyperplane coefficients derive from md5 (not RNG) so the DuckDB oracle
+reproduces them bit-for-bit; at production scale you'd keep exactly this
+plan and swap in pre-trained IVF centroids as the bucketer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gluettalax_spark.registry import register
+from gluettalax_spark.tables import load
+
+DIM = 64
+N_PLANES = 8  # 8-bit sign-LSH bucket
+TOPK = 5
+N_QUERIES = 20
+# Fixture embeddings are near-orthogonal (max pairwise cosine ≈ 0.51), so
+# the "near-dup" threshold is set where the fixture actually has pairs;
+# real corpora would use ~0.95+.
+NEARDUP_COS = 0.45
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — same left-to-right summation order
+    as the oracle's list_sum, so results agree to the last ulp."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k (baseline)
+# --------------------------------------------------------------------------
+
+_COSINE_SQL = f"""
+list_sum(list_transform(range(1, {DIM + 1}),
+         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+ * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+_TOPK_ORACLE = f"""
+WITH scored AS (
+  SELECT
+    q.vec_id AS query_id,
+    v.vec_id AS neighbor_id,
+    round({_COSINE_SQL}, 4) AS cosine
+  FROM embeddings q
+  JOIN embeddings v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT *,
+    CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked
+WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@register("similarity_topk", _TOPK_ORACLE, doc=f"brute-force cosine top-{TOPK} for {N_QUERIES} queries")
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queries (small side) are broadcast against the full vector set —
+    each partition scores its local vectors against every query and the
+    per-query top-k reduces through a window. No shuffle of the big side.
+    Ranking is on the ROUNDED cosine with a vec_id tiebreak: a raw-float
+    ordering is not reproducible across engines, a rounded one is.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    v = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("v_emb"))
+    cos = _dot(F.col("q_emb"), F.col("v_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("v_emb")))
+    scored = (
+        v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic sign-LSH bucketing (the scale path)
+# --------------------------------------------------------------------------
+#
+# Hyperplane p, dimension d gets coefficient (nibble(md5("p:d"), 1) - 7.5)
+# — a fixed pseudo-random value both engines compute identically.
+
+
+def _plane_coeff_spark(p: int, d: int) -> str:
+    return f"(instr('0123456789abcdef', substr(md5('{p}:{d}'), 1, 1)) - 1 - 7.5)"
+
+
+def _plane_coeff_duck(p: int, d: int) -> str:
+    return f"(strpos('0123456789abcdef', substr(md5('{p}:{d}'), 1, 1)) - 1 - 7.5)"
+
+
+def _bucket_expr(coeff_fn, elem_fn) -> str:
+    """SUM over planes of sign-bit · 2^p, where sign = (Σ_d coeff·x_d) >= 0."""
+    plane_terms = []
+    for p in range(N_PLANES):
+        dot = " + ".join(f"{coeff_fn(p, d)} * CAST({elem_fn(d)} AS DOUBLE)" for d in range(DIM))
+        plane_terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {2 ** p} ELSE 0 END)")
+    return "CAST(" + " + ".join(plane_terms) + " AS BIGINT)"
+
+
+_LSH_BUCKET_ORACLE = f"""
+SELECT
+  vec_id,
+  label,
+  {_bucket_expr(_plane_coeff_duck, lambda d: f"embedding[{d + 1}]")} AS bucket
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@register("similarity_lsh_bucket", _LSH_BUCKET_ORACLE, doc="deterministic 8-plane sign-LSH bucket id")
+def similarity_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure projection — each vector maps to an 8-bit bucket with zero
+    shuffles. At 100 TB this column becomes the partition key for ANN:
+    candidates live in the same bucket (plus Hamming-1 neighbors for
+    recall)."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = _bucket_expr(_plane_coeff_spark, lambda d: f"element_at(embedding, {d + 1})")
+    return emb.selectExpr("vec_id", "label", f"{bucket} AS bucket").orderBy("vec_id")
+
+
+_LSH_TOPK_ORACLE = f"""
+WITH buckets AS (
+  SELECT vec_id, embedding,
+    {_bucket_expr(_plane_coeff_duck, lambda d: f"embedding[{d + 1}]")} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT
+    q.vec_id AS query_id,
+    v.vec_id AS neighbor_id,
+    round({_COSINE_SQL}, 4) AS cosine
+  FROM buckets q
+  JOIN buckets v ON q.bucket = v.bucket AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT *,
+    CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked
+WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "similarity_topk_lsh",
+    _LSH_TOPK_ORACLE,
+    doc="LSH-bucketed approximate top-k (equi-join on bucket)",
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates. The join is
+    an equi-join on the bucket id — at scale this is the difference
+    between O(N·Q) and O(N·Q/2^planes). Recall is partial by design;
+    the oracle replays the identical buckets so results still match
+    exactly."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = _bucket_expr(_plane_coeff_spark, lambda d: f"element_at(embedding, {d + 1})")
+    buckets = emb.selectExpr("vec_id", "embedding", f"{bucket} AS bucket")
+    q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    v = buckets.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("v_emb"), "bucket"
+    )
+    cos = _dot(F.col("q_emb"), F.col("v_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("v_emb")))
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs
+# --------------------------------------------------------------------------
+
+_NEARDUP_ORACLE = f"""
+WITH scored AS (
+  SELECT
+    q.vec_id AS vec_a,
+    v.vec_id AS vec_b,
+    round({_COSINE_SQL}, 4) AS cosine
+  FROM embeddings q
+  JOIN embeddings v ON q.vec_id < v.vec_id
+)
+SELECT vec_a, vec_b, cosine
+FROM scored
+WHERE cosine >= {NEARDUP_COS}
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("embedding_neardup", _NEARDUP_ORACLE, doc=f"embedding near-dup pairs (cosine ≥ {NEARDUP_COS})")
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs here (N is fixture-small); the 100 TB path is the same
+    verify step fed by similarity_lsh_bucket candidates instead of the
+    triangular self-join."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("v_emb"))
+    cos = _dot(F.col("q_emb"), F.col("v_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("v_emb")))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_COS)
+        .orderBy("vec_a", "vec_b")
+    )

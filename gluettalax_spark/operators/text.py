@@ -1,0 +1,281 @@
+"""Text-analysis operators over ``documents`` — the training-data-pipeline
+surface (BASELINE.json north star): per-document stats, quality scoring,
+token counting, language ID, and content fingerprinting.
+
+Everything is built-in Spark SQL functions (regex engines differ only in
+dialect, not semantics, for the patterns used) — no Python in the row
+loop, so these run at full codegen speed over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gluettalax_spark.registry import register
+from gluettalax_spark.tables import load
+
+# --------------------------------------------------------------------------
+# Per-document statistics
+# --------------------------------------------------------------------------
+
+_TEXT_STATS_ORACLE = r"""
+SELECT
+  doc_id,
+  length(text)                                                    AS n_chars_actual,
+  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)            AS n_tokens,
+  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+  round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1), 4)                           AS nonspace_ratio
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
+@register("text_stats", _TEXT_STATS_ORACLE, doc="per-document character/token statistics")
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(text).cast("long").alias("n_chars_actual"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long").alias("n_tokens"),
+        F.length(F.regexp_replace(text, "[^.,!?;:]", "")).cast("long").alias("n_punct"),
+        F.length(F.regexp_replace(text, "[^0-9]", "")).cast("long").alias("n_digits"),
+        F.round(
+            F.length(F.regexp_replace(text, r"\s", "")).cast("double")
+            / F.greatest(F.length(text), F.lit(1)),
+            4,
+        ).alias("nonspace_ratio"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Corpus-level aggregate by language/source
+# --------------------------------------------------------------------------
+
+_TEXT_AGG_ORACLE = r"""
+SELECT
+  lang,
+  count(*)                                                   AS n_docs,
+  CAST(sum(length(text)) AS BIGINT)                          AS total_chars,
+  round(avg(length(text)), 4)                                AS avg_chars,
+  round(avg(len(regexp_extract_all(text, '\S+'))), 4)        AS avg_tokens,
+  count(DISTINCT source)                                     AS n_sources
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_corpus_stats", _TEXT_AGG_ORACLE, doc="corpus rollup by language")
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+            F.round(F.avg(n_tokens), 4).alias("avg_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Language identification (marker-word n-gram heuristic)
+# --------------------------------------------------------------------------
+
+# Ultra-common function words per language; hit counts decide the language.
+# CJK is detected by script range instead of word markers.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "los", "que", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+
+def _marker_pattern(words: list[str]) -> str:
+    alts = "|".join(words)
+    return rf"\b({alts})\b"
+
+
+def lang_score_columns() -> dict[str, Column]:
+    """Per-language marker-hit-count columns over lower(text)."""
+    lowered = F.lower(F.col("text"))
+    cols = {
+        # Spark SQL string literals are backslash-escaped ('\b' = backspace),
+        # so the regex backslashes must be doubled when embedded.
+        lang: F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '{}', 0)) AS LONG)".format(
+                _marker_pattern(words).replace("\\", "\\\\")
+            )
+        )
+        for lang, words in _LANG_MARKERS.items()
+    }
+    # CJK script presence (Chinese chars) — count of Han codepoints.
+    cols["zh"] = F.length(F.regexp_replace(lowered, r"[^一-鿿]", "")).cast("long")
+    return cols
+
+
+_LANG_ID_ORACLE = r"""
+WITH scored AS (
+  SELECT
+    doc_id,
+    lang AS lang_true,
+    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS BIGINT)     AS s_en,
+    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT)  AS s_de,
+    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|que|es)\b')) AS BIGINT)     AS s_es,
+    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS BIGINT)     AS s_fr,
+    CAST(length(regexp_replace(lower(text), '[^一-鿿]', '', 'g')) AS BIGINT)   AS s_zh
+  FROM documents
+)
+SELECT
+  doc_id,
+  lang_true,
+  CASE
+    WHEN s_zh >= greatest(s_en, s_de, s_es, s_fr, 1) THEN 'zh'
+    WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+    WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de'
+    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+    WHEN s_fr > 0 THEN 'fr'
+    ELSE 'unknown'
+  END AS lang_pred
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register("text_lang_id", _LANG_ID_ORACLE, doc="language ID via marker-word heuristic")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmax with a fixed priority order (zh > en > de >
+    es > fr) so ties resolve identically on every engine."""
+    docs = load(spark, sf_dir, "documents")
+    s = lang_score_columns()
+    pred = (
+        F.when(s["zh"] >= F.greatest(s["en"], s["de"], s["es"], s["fr"], F.lit(1)), "zh")
+        .when((s["en"] >= F.greatest(s["de"], s["es"], s["fr"])) & (s["en"] > 0), "en")
+        .when((s["de"] >= F.greatest(s["es"], s["fr"])) & (s["de"] > 0), "de")
+        .when((s["es"] >= s["fr"]) & (s["es"] > 0), "es")
+        .when(s["fr"] > 0, "fr")
+        .otherwise("unknown")
+    )
+    return docs.select("doc_id", F.col("lang").alias("lang_true"), pred.alias("lang_pred")).orderBy(
+        "doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword-density composite)
+# --------------------------------------------------------------------------
+
+_QUALITY_ORACLE = r"""
+WITH feats AS (
+  SELECT
+    doc_id,
+    length(text) AS n_chars,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|a|in)\b')) AS BIGINT) AS n_stop,
+    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents
+)
+SELECT
+  doc_id,
+  round(least(n_chars / 500.0, 1.0), 4)                              AS len_score,
+  round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 4)           AS stop_ratio,
+  round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4)           AS punct_ratio,
+  round(0.5 * least(n_chars / 500.0, 1.0)
+      + 0.4 * (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1))
+      + 0.1 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)), 4) AS quality
+FROM feats
+ORDER BY doc_id
+"""
+
+
+@register("text_quality_score", _QUALITY_ORACLE, doc="composite document quality score")
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long")
+    n_stop = F.expr(
+        r"CAST(size(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a|in)\\b', 0)) AS LONG)"
+    )
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[^.,!?;:]", "")).cast("long")
+    len_score = F.least(n_chars / 500.0, F.lit(1.0))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1).cast("long"))
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars.cast("long"), F.lit(1).cast("long"))
+    return docs.select(
+        "doc_id",
+        F.round(len_score, 4).alias("len_score"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(0.5 * len_score + 0.4 * stop_ratio + 0.1 * (1.0 - punct_ratio), 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex) — LLM-pipeline staple
+# --------------------------------------------------------------------------
+
+_TOKEN_COUNT_ORACLE = r"""
+SELECT
+  doc_id,
+  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)                       AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
+  CAST(ceil(length(text) / 4.0) AS BIGINT)                                   AS char4_estimate
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_token_count", _TOKEN_COUNT_ORACLE, doc="token counting: whitespace, BPE-ish, chars/4")
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three standard estimators. The BPE-ish regex (letter runs, single
+    digits, single punctuation) tracks real BPE counts within ~15% on
+    latin text; chars/4 is the classic quick estimate."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long").alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("char4_estimate"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting
+# --------------------------------------------------------------------------
+
+def normalized_text() -> Column:
+    """Normalization shared by fingerprint + exact dedup: lowercase,
+    collapse whitespace runs, trim."""
+    return F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+
+
+_FINGERPRINT_ORACLE = r"""
+SELECT
+  doc_id,
+  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))             AS fingerprint,
+  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8) AS shard_key
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_fingerprint", _FINGERPRINT_ORACLE, doc="content fingerprint (md5 of normalized text)")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 here because both engines expose it for the oracle check; the
+    100 TB variant swaps in xxhash64 (same plan shape, ~5× faster)."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(normalized_text())
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key")
+    ).orderBy("doc_id")

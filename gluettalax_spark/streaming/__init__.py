@@ -1,0 +1,5 @@
+"""Streaming surface: batch-mode window operators (oracle-checkable) and
+their Structured Streaming twins (readStream + watermark, smoke-tested).
+"""
+
+from gluettalax_spark.streaming import windows  # noqa: F401

@@ -1,0 +1,70 @@
+"""Unit tests for the scalar helper layer (reference-behavior specs) and
+the multimodal decode stub determinism."""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+
+import pytest
+from hypothesis import given, strategies as st
+
+from gluettalax_spark.functions.scalars import format_time, glob_to_rlike
+
+
+# format_time: reference semantics (gluettalax.py:91-119)
+@pytest.mark.parametrize(
+    "seconds,expected",
+    [
+        (0, "0s"),
+        (4, "4s"),
+        (64, "1m 4s"),
+        (3604, "1h 4s"),
+        (93784, "1d 2h 3m 4s"),
+        (-61, "-1m -1s"),
+        (86400, "1d"),
+        (59.9, "59s"),
+    ],
+)
+def test_format_time(seconds, expected):
+    assert format_time(seconds) == expected
+
+
+@given(st.integers(min_value=-10**7, max_value=10**7))
+def test_format_time_roundtrip(seconds):
+    """Parsing the humanized form back yields the truncated seconds."""
+    out = format_time(seconds)
+    total = 0
+    for part in out.split():
+        unit = part[-1]
+        qty = int(part[:-1])
+        total += qty * {"d": 86400, "h": 3600, "m": 60, "s": 1}[unit]
+    assert total == int(seconds) or (seconds == 0 and out == "0s")
+
+
+@pytest.mark.parametrize("pattern", ["*", "a*", "*a", "a?c", "[ab]x", "a*b*c", "Brand#1*"])
+@given(s=st.text(alphabet="abcx#123", max_size=10))
+def test_glob_matches_fnmatch(pattern, s):
+    """glob_to_rlike agrees with fnmatch (the reference's matcher)."""
+    ours = re.fullmatch(glob_to_rlike(pattern)[1:-1], s) is not None
+    theirs = fnmatch.fnmatch(s, pattern)
+    assert ours == theirs
+
+
+def test_fake_decode_deterministic():
+    from gluettalax_spark.operators.multimodal import _fake_decode
+
+    a = _fake_decode(b"hello world, this is a fake image payload")
+    b = _fake_decode(b"hello world, this is a fake image payload")
+    assert a == b
+    w, h, c, luma = a
+    assert w >= 64 and h >= 64 and c == 3 and 0 <= luma <= 256
+
+
+def test_decode_features_schema(spark, sf_dir):
+    from gluettalax_spark.operators.multimodal import multimodal_decode_features
+
+    df = multimodal_decode_features(spark, sf_dir)
+    assert df.columns == ["doc_id", "n_bytes", "width", "height", "n_channels", "mean_luma"]
+    rows = df.limit(5).collect()
+    assert rows and all(r["n_bytes"] > 0 for r in rows)
