@@ -1,0 +1,77 @@
+"""Format readers/writers (SURVEY.md §2.F scans/sinks rows).
+
+The reference's data layer is "whatever InputFormat says" — opaque to the
+tool (gluettalax.py:408-410 reads formats but never data). Our engine
+makes the formats first-class through the Spark datasource API:
+parquet/orc (columnar, predicate pushdown, the 100 TB default), csv/json
+(schema'd in production — inference costs a full extra pass).
+
+Delta/Iceberg/Hudi would slot in via the same API but need their jars;
+gated behind availability checks (not in this container).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read a table from ``path``.
+
+    Schema-on-read: pass ``schema`` (DDL string) for text formats in
+    anything but exploration — ``inferSchema`` reads the data twice.
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {FORMATS}")
+    reader = spark.read.format(fmt).options(**(options or {}))
+    if fmt == "csv":
+        # Our csv writer always emits a header; inference only when no schema.
+        reader = reader.option("header", "true")
+        if schema is None:
+            reader = reader.option("inferSchema", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    options: dict[str, str] | None = None,
+) -> None:
+    writer = df.write.format(fmt).mode(mode).options(**(options or {}))
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-layout partitioned write (``k=v/`` dirs) — the sink that
+    feeds the partition-DDL control plane.
+
+    Scale notes: callers should repartition by the partition columns
+    first when the frame is wide-shuffled (one file per partition-value
+    per task otherwise — the small-files problem);
+    ``maxRecordsPerFile`` caps file size for downstream scan parallelism.
+    """
+    writer = df.write.format(fmt).mode(mode).partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.save(path)

@@ -1,0 +1,43 @@
+"""Round-trip tests for the format readers/writers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gluettalax_spark.sources.io import read_table, write_partitioned, write_table
+from gluettalax_spark.tables import load
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+def test_roundtrip(spark, sf_dir, tmp_path, fmt):
+    src = load(spark, sf_dir, "nation")
+    path = str(tmp_path / f"nation_{fmt}")
+    write_table(src, path, fmt=fmt)
+    back = read_table(spark, path, fmt=fmt, schema="n_nationkey INT, n_name STRING, n_regionkey INT")
+    assert back.count() == src.count()
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+
+
+def test_bad_format(spark):
+    with pytest.raises(ValueError):
+        read_table(spark, "/tmp/x", fmt="avro")
+
+
+def test_partitioned_write_layout(spark, sf_dir, tmp_path):
+    docs = load(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"], max_records_per_file=100)
+    # Hive layout on disk
+    import os
+
+    subdirs = {d for d in os.listdir(path) if d.startswith("lang=")}
+    assert subdirs, "expected lang=... partition dirs"
+    back = read_table(spark, path)
+    assert back.count() == docs.count()
+    # Partition pruning reaches the scan: the physical plan carries a
+    # PartitionFilters entry on lang (no full-table read).
+    one = back.filter(F.col("lang") == "en")
+    assert one.count() == docs.filter(F.col("lang") == "en").count()
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
