@@ -73,23 +73,39 @@ def _tokens_col() -> Column:
     return F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
 
 
-def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles: array<string>) — distinct word 3-gram shingles;
-    docs with <3 tokens are dropped (no shingle support)."""
+def shingles_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) — distinct word 3-gram shingles, one row each; docs
+    with <3 tokens are dropped (no shingle support).
+
+    Built with posexplode + lead() windows rather than
+    ``transform(sequence, element_at...)``: higher-order array lambdas run
+    interpreted (no codegen) and measured ~5× slower; the window shape is
+    also the one that scales — one shuffle on doc_id, sorted locally.
+    """
+    from pyspark.sql.window import Window
+
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _tokens_col().alias("tokens")).filter(F.size("tokens") >= 3)
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("tokens") - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("tokens"), i),
-                F.element_at(F.col("tokens"), i + 1),
-                F.element_at(F.col("tokens"), i + 2),
-            ),
-        )
+    pe = toks.select("doc_id", F.posexplode("tokens").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    return (
+        pe.select("doc_id", F.concat_ws(" ", "tok", t1, t2).alias("s"), t2.alias("guard"))
+        .filter(F.col("guard").isNotNull())
+        .select("doc_id", "s")
+        .distinct()
     )
-    return toks.select("doc_id", sh.alias("shingles"))
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles: array<string>) — the array form of
+    :func:`shingles_exploded` (element order unspecified; consumers sort
+    or treat as a set)."""
+    return (
+        shingles_exploded(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("shingles"))
+    )
 
 
 # The same shingling in DuckDB SQL (list_transform over 1-based indexes).
@@ -115,28 +131,51 @@ sh AS (
 # --------------------------------------------------------------------------
 
 
+# One md5 per shingle; the 16 MinHash functions are g_i = h1 + i·h2 with
+# h1/h2 the two 32-bit halves of the digest's first 16 hex chars
+# (Kirsch-Mitzenmacher double hashing). 16× fewer digests than salted
+# md5s, and the signatures shuffle as longs instead of 32-char strings.
+
+
 def _minhash_sig_aggs() -> list[Column]:
-    return [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"s{i}") for i in range(N_HASHES)
+    """min(h1 + i·h2) per hash — h1/h2 must already be plain columns
+    (computing them inside each of the 16 aggregates would re-run the
+    md5/substr/conv chain 16× per row)."""
+    return [F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"s{i}") for i in range(N_HASHES)]
+
+
+def _duck_hex_int(start: int) -> str:
+    """DuckDB int value of md5 hex chars [start, start+8) (no conv() there)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(m, {start + k}, 1)) - 1) * {16 ** (7 - k)}"
+        for k in range(8)
     ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def _minhash_oracle() -> str:
-    sig_cols = ",\n    ".join(f"min(md5('{i}:' || s)) AS s{i}" for i in range(N_HASHES))
+    sig_cols = ",\n    ".join(f"min(h1 + {i} * h2) AS s{i}" for i in range(N_HASHES))
     band_rows = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_val FROM sigs".format(
             b=b,
-            concat=" || ".join(f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+            concat=" || ',' || ".join(f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
         )
         for b in range(N_BANDS)
     )
     return f"""
 WITH {_SHINGLES_CTE},
 ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hashed AS (SELECT doc_id, md5(s) AS m FROM ex),
+ints AS (
+  SELECT doc_id,
+    {_duck_hex_int(1)} AS h1,
+    {_duck_hex_int(9)} AS h2
+  FROM hashed
+),
 sigs AS (
   SELECT doc_id,
     {sig_cols}
-  FROM ex GROUP BY doc_id
+  FROM ints GROUP BY doc_id
 ),
 bands AS (
 {band_rows}
@@ -178,17 +217,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     key is a 16-byte md5, so the shuffle is narrow. Skewed buckets
     (boilerplate docs) are AQE-split.
     """
-    sh = shingles_df(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sigs = ex.groupBy("doc_id").agg(*_minhash_sig_aggs())
+    ex = (
+        shingles_exploded(spark, sf_dir)
+        .withColumn("m", F.md5("s"))
+        .select(
+            "doc_id",
+            "s",
+            F.expr("CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT)").alias("h1"),
+            F.expr("CAST(conv(substr(m, 9, 8), 16, 10) AS BIGINT)").alias("h2"),
+        )
+    )
+    # ONE shuffle: signatures and the shingle sets for the verify step
+    # come out of the same aggregation (recomputing the shingle arrays
+    # for each verify join would triple the scan+tokenize work).
+    sigs = ex.groupBy("doc_id").agg(
+        *_minhash_sig_aggs(), F.collect_set("s").alias("shingles")
+    )
+    # The signature table feeds three consumers (band explode + both sides
+    # of the verify join); materialize it once instead of recomputing the
+    # tokenize→shingle→hash chain per consumer. At cluster scale this is
+    # "write the signature table to storage, then join against it".
+    sigs = sigs.localCheckpoint(eager=True)
 
     band_cols = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.md5(F.concat(*[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])).alias(
-                    "band_val"
-                ),
+                F.md5(
+                    F.concat_ws(",", *[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+                ).alias("band_val"),
             )
             for b in range(N_BANDS)
         ]
@@ -210,8 +267,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    x = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
