@@ -12,9 +12,12 @@ from gluettalax_spark.operators import (  # noqa: F401
     joins,
     multimodal,
     relational,
+    reshape,
     scalars,
     similarity,
+    skew,
     text,
+    tpch,
     windows,
 )
 from gluettalax_spark import streaming  # noqa: F401

@@ -1,0 +1,79 @@
+"""Custom stateful streaming: applyInPandasWithState + foreachBatch.
+
+The reference's only "state" is polling loops; this is the engine-native
+stateful surface (SURVEY.md §2.F streaming row): arbitrary per-key state
+maintained across micro-batches, with timeouts bounding its lifetime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from gluettalax_spark.streaming.windows import read_events_stream
+
+RUNNING_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
+_STATE_SCHEMA = "n long, total double"
+
+
+def _make_running_totals_fn():
+    """Closure-built state function (workers can't import this package —
+    same constraint as the multimodal kernel)."""
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return update
+
+
+def streaming_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running (count, sum) via applyInPandasWithState — the
+    custom-stateful-operator shape: state is a tuple per user, updated per
+    micro-batch, emitted in update mode. At 100 TB the state store is
+    RocksDB-backed and the watermark/timeout evicts idle users."""
+    stream = read_events_stream(spark, sf_dir).select("user_id", "value")
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _make_running_totals_fn(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_foreach_batch_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
+    """foreachBatch sink: each micro-batch lands as parquet with the batch
+    id — the exactly-once-by-idempotent-overwrite pattern. Returns the
+    number of batches processed."""
+    from pyspark.sql import functions as F
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    batches: list[int] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        batches.append(batch_id)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return len(batches)

@@ -1,0 +1,38 @@
+"""Stateful streaming smoke: applyInPandasWithState running totals match
+the batch ground truth; foreachBatch lands parquet per micro-batch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gluettalax_spark.streaming.stateful import (
+    run_foreach_batch_to_parquet,
+    streaming_user_running_totals,
+)
+from gluettalax_spark.streaming.windows import run_stream_to_memory
+from gluettalax_spark.tables import load
+
+
+def test_running_totals_match_batch(spark, sf_dir):
+    stream_df = streaming_user_running_totals(spark, sf_dir)
+    assert stream_df.isStreaming
+    result = run_stream_to_memory(spark, stream_df, "state_smoke", output_mode="update")
+    # Update mode: take the LAST emission per user (final state).
+    final = {r.user_id: (r.n_events, r.total_value) for r in result.collect()}
+    truth = {
+        r.user_id: (r.n, r.t)
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    }
+    assert final == truth
+
+
+def test_foreach_batch_sink(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "fb")
+    n_batches = run_foreach_batch_to_parquet(spark, sf_dir, out)
+    assert n_batches >= 1
+    back = spark.read.parquet(f"{out}/batch={n_batches - 1}")
+    truth = load(spark, sf_dir, "events").groupBy("event_type").count()
+    assert back.count() == truth.count()
