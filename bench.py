@@ -25,18 +25,31 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Falls back gracefully if a name isn't registered yet.
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q18_large_orders",
     "project_filter_glob",
     "sort_limit_topk",
     "distinct_sorted",
     "set_operations",
     "join_revenue_by_region",
+    "join_asof",
     "window_topk_per_group",
     "agg_rollup_daily",
+    "agg_percentiles",
     "events_tumbling_window",
+    "events_session_window",
+    "json_extract_props",
+    "pivot_status",
+    "pandas_udf_scalar",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "similarity_topk",
+    "similarity_topk_lsh",
     "text_stats",
+    "text_lang_id",
+    "text_token_count",
 ]
 
 

@@ -55,6 +55,30 @@ def write_table(
     writer.save(path)
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    table: str,
+    fmt: str = "parquet",  # noqa: ARG001 - table format fixed at creation
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leaving the rest untouched (Glue-style per-partition reload —
+    the incremental-sink pattern; a static overwrite would drop the whole
+    table).
+
+    ``insertInto`` ignores per-writer options, so the
+    ``partitionOverwriteMode=dynamic`` conf is set on the session for the
+    duration of the write and restored after.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

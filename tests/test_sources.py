@@ -41,3 +41,27 @@ def test_partitioned_write_layout(spark, sf_dir, tmp_path):
     assert one.count() == docs.filter(F.col("lang") == "en").count()
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "lang" in plan
+
+
+def test_overwrite_partitions_dynamic(spark, sf_dir, tmp_path):
+    """Dynamic overwrite replaces only the partitions present in the frame."""
+    import uuid as _uuid
+
+    from gluettalax_spark.sources.io import overwrite_partitions
+
+    db = f"owdb_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE `{db}` LOCATION '{tmp_path / db}'")
+    try:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+        docs.write.partitionBy("lang").saveAsTable(f"`{db}`.docs_p")
+        before_en = spark.table(f"`{db}`.docs_p").filter("lang = 'en'").count()
+        before_total = spark.table(f"`{db}`.docs_p").count()
+        # Replace ONLY lang=en with a single synthetic row.
+        repl = spark.createDataFrame([(99999, 1, "en")], "doc_id long, n_chars long, lang string")
+        overwrite_partitions(repl, f"`{db}`.docs_p")
+        after = spark.table(f"`{db}`.docs_p")
+        assert after.filter("lang = 'en'").count() == 1
+        assert after.count() == before_total - before_en + 1
+        assert after.filter("lang = 'de'").count() == docs.filter("lang = 'de'").count()
+    finally:
+        spark.sql(f"DROP DATABASE `{db}` CASCADE")
