@@ -18,6 +18,7 @@ from gluettalax_spark.operators import (  # noqa: F401
     skew,
     text,
     tpch,
+    tpch_ext,
     windows,
 )
 from gluettalax_spark import streaming  # noqa: F401
