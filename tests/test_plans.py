@@ -1,0 +1,115 @@
+"""Plan-quality regression tests — the 100 TB design assertions.
+
+Correctness says a query returns the right rows; these tests pin the
+*physical plan* properties that keep it fast at 1000× the data:
+
+* predicate pushdown reaches the parquet scan (``PushedFilters``);
+* column pruning reaches the scan (``ReadSchema`` carries only used cols);
+* dimension joins broadcast (no shuffle of the fact side for dims);
+* top-k is ``TakeOrderedAndProject`` (no global sort);
+* single-aggregation pipelines shuffle exactly once.
+
+If a refactor regresses one of these, correctness tests stay green while
+the 100 TB plan silently rots — this file is what catches it.
+"""
+
+from __future__ import annotations
+
+import re
+
+from gluettalax_spark.registry import queries
+
+
+def formatted_plan(df) -> str:
+    """Full formatted explain (untruncated, unlike executedPlan().toString())."""
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jqe.explainString(mode)
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    df = queries()["q6_forecast_revenue"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # Every predicate reaches the parquet reader...
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    # ...and the scan reads ONLY the four referenced columns.
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_dir):
+    df = queries()["q5_local_supplier_volume"](spark, sf_dir)
+    plan = physical_plan(df)
+    # customer, supplier, nation, region (and at this SF orders) broadcast:
+    # the lineitem fact side is never hash-repartitioned for a dim join.
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    # The only hash exchange allowed is the final groupBy(n_name).
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_q3_no_global_sort_for_topk(spark, sf_dir):
+    df = queries()["q3_shipping_priority"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_sort_limit_topk_take_ordered(spark, sf_dir):
+    df = queries()["sort_limit_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dedup_exact_single_shuffle(spark, sf_dir):
+    df = queries()["dedup_exact"](spark, sf_dir)
+    plan = physical_plan(df)
+    # groupBy(fingerprint) = exactly one hash exchange; the orderBy adds a
+    # range exchange but no second hash shuffle. Scan reads only doc_id+text.
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)", physical_plan(df))
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) <= {"doc_id", "text"}
+
+
+def test_q18_broadcasts_having_output(spark, sf_dir):
+    """Q18: the post-HAVING aggregate (few rows) must be on the BUILD side
+    of a broadcast join — orders must not shuffle against it."""
+    df = queries()["q18_large_orders"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q4_semi_join_physical(spark, sf_dir):
+    df = queries()["q4_order_priority"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan
+
+
+def test_q22_anti_join_physical(spark, sf_dir):
+    df = queries()["q22_dormant_customers"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan, plan
+
+
+def test_partition_pruning_on_partitioned_table(spark, sf_dir, tmp_path):
+    """A filter on the partition column becomes a PartitionFilter (pruned
+    listing), not a post-scan filter."""
+    from gluettalax_spark.sources.io import write_partitioned
+    from gluettalax_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    path = str(tmp_path / "docs_p")
+    write_partitioned(docs, path, ["lang"])
+    df = spark.read.parquet(path).filter("lang = 'en'").select("doc_id")
+    plan = formatted_plan(df)
+    assert re.search(r"PartitionFilters: \[.*lang.*\]", plan), plan
+    # Non-partition predicate must NOT appear as a partition filter;
+    # projection prunes to the two physical columns involved.
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {"doc_id"}
