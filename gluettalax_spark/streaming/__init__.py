@@ -2,4 +2,4 @@
 their Structured Streaming twins (readStream + watermark, smoke-tested).
 """
 
-from gluettalax_spark.streaming import stateful, windows  # noqa: F401
+from gluettalax_spark.streaming import joins, stateful, windows  # noqa: F401

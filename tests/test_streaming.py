@@ -48,3 +48,32 @@ def test_streaming_session_counts_runs(spark, sf_dir):
     rows = result.collect()
     # Sessions exist and have sane shapes.
     assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_stream_static_join_enrichment(spark, sf_dir):
+    from gluettalax_spark.streaming.joins import streaming_enriched_events, user_tier_dim
+
+    stream_df = streaming_enriched_events(spark, sf_dir)
+    assert stream_df.isStreaming
+    result = run_stream_to_memory(spark, stream_df, "enrich_smoke")
+    from gluettalax_spark.tables import load
+
+    events = load(spark, sf_dir, "events")
+    assert result.count() == events.count(), "enrichment must be 1:1 (left join on unique dim key)"
+    # Every emitted tier agrees with the static dim.
+    dim = {r.user_id: r.tier for r in user_tier_dim(spark, sf_dir).collect()}
+    sample = result.limit(200).collect()
+    assert sample and all(r.tier == dim.get(r.user_id, "bronze") for r in sample)
+
+
+def test_streaming_dedup_events(spark, sf_dir):
+    from gluettalax_spark.streaming.joins import streaming_dedup_events
+
+    stream_df = streaming_dedup_events(spark, sf_dir)
+    assert stream_df.isStreaming
+    result = run_stream_to_memory(spark, stream_df, "dedup_smoke")
+    from gluettalax_spark.tables import load
+
+    n_distinct = load(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert result.count() == n_distinct
+    assert result.select("event_id").distinct().count() == n_distinct
