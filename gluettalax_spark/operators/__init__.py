@@ -8,8 +8,10 @@ driver contract (``__spark_entry__.py``) exposes.
 
 from gluettalax_spark.operators import (  # noqa: F401
     aggregates,
+    ann,
     dedup,
     graph,
+    interval,
     joins,
     multimodal,
     relational,
@@ -17,6 +19,7 @@ from gluettalax_spark.operators import (  # noqa: F401
     scalars,
     similarity,
     skew,
+    stats,
     text,
     tpch,
     tpch_ext,

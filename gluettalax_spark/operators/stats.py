@@ -1,0 +1,65 @@
+"""Statistical aggregates: dispersion and correlation moments.
+
+All of these are single-pass distributed aggregates in Spark (partial
+moments per partition, merged exactly — Welford/Chan style under the
+hood), so one shuffle regardless of data size. Skewness/kurtosis are NOT
+oracle-compared: Spark computes population (g1/g2) moments while DuckDB
+computes sample-corrected (G1/G2) — definitionally different numbers;
+they're covered by a unit test against numpy instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gluettalax_spark.registry import register
+from gluettalax_spark.tables import load
+
+_MOMENTS_ORACLE = """
+SELECT
+  l_returnflag,
+  round(avg(l_quantity), 4)                          AS mean_qty,
+  round(stddev_samp(l_quantity), 4)                  AS sd_qty,
+  round(var_samp(l_quantity), 4)                     AS var_qty,
+  round(stddev_pop(l_quantity), 4)                   AS sd_pop_qty,
+  round(corr(l_quantity, l_extendedprice), 4)        AS corr_qty_price,
+  round(covar_samp(l_quantity, l_extendedprice), 2)  AS covar_qty_price,
+  round(covar_pop(l_quantity, l_extendedprice), 2)   AS covar_pop_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_stats_moments", _MOMENTS_ORACLE, doc="stddev/variance/corr/covar per group, one pass")
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.stddev_pop("l_quantity"), 4).alias("sd_pop_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_pop_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness/kurtosis per return flag (population moments, Spark
+    definition) — unit-tested against numpy, not the SQL oracle (see
+    module docstring)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.skewness("l_quantity").alias("skew_qty"),
+            F.kurtosis("l_quantity").alias("kurt_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

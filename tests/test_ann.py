@@ -1,0 +1,58 @@
+"""IVF ANN: structural checks + recall against the brute-force truth,
+and higher-moment aggregates vs numpy (the non-oracle-checkable pieces).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gluettalax_spark.operators.ann import NPROBE, TOPK, similarity_topk_ivf
+from gluettalax_spark.operators.similarity import similarity_topk
+
+
+def test_ivf_topk_shape_and_recall(spark, sf_dir):
+    ivf = similarity_topk_ivf(spark, sf_dir).collect()
+    assert ivf, "IVF returned nothing"
+    # Structural: ranks are 1..k per query, cosine non-increasing.
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        ranks = [r.rank for r in sorted(rows, key=lambda r: r.rank)]
+        assert ranks == list(range(1, len(ranks) + 1))
+        cosines = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert all(a >= b for a, b in zip(cosines, cosines[1:]))
+    # Recall@k vs brute force. Near-orthogonal fixture vectors are a
+    # worst case for IVF (no cluster structure), so the bar is modest —
+    # the assertion is that probing NPROBE/NLIST of the corpus still
+    # recovers a usable fraction of true neighbors, not chance (~k/N).
+    truth = similarity_topk(spark, sf_dir).collect()
+    truth_sets = {}
+    for r in truth:
+        truth_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for q, t in truth_sets.items():
+        got = {r.neighbor_id for r in by_q.get(q, [])}
+        hits += len(got & t)
+        total += len(t)
+    recall = hits / total
+    assert recall >= 0.15, f"recall@{TOPK}={recall:.2f} — below even the lax bar"
+
+
+def test_higher_moments_vs_numpy(spark, sf_dir):
+    from gluettalax_spark.operators.stats import higher_moments
+    from gluettalax_spark.tables import load
+
+    got = {r.l_returnflag: (r.skew_qty, r.kurt_qty) for r in higher_moments(spark, sf_dir).collect()}
+    pdf = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity").toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        x = grp["l_quantity"].to_numpy(dtype=np.float64)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        m3 = ((x - m) ** 3).mean()
+        m4 = ((x - m) ** 4).mean()
+        skew = m3 / m2**1.5
+        kurt = m4 / m2**2 - 3.0  # excess
+        s_got, k_got = got[flag]
+        assert abs(s_got - skew) < 1e-6, (flag, s_got, skew)
+        assert abs(k_got - kurt) < 1e-6, (flag, k_got, kurt)
