@@ -74,8 +74,10 @@ def _tokens_col() -> Column:
 
 
 def shingles_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s) — distinct word 3-gram shingles, one row each; docs
-    with <3 tokens are dropped (no shingle support).
+    """(doc_id, s) — word 3-gram shingles, one row each (NOT deduplicated:
+    every consumer is duplicate-invariant — ``min`` for MinHash,
+    ``collect_set`` for shingle sets — so a distinct() here would be a
+    pure extra full-width shuffle); docs with <3 tokens are dropped.
 
     Built with posexplode + lead() windows rather than
     ``transform(sequence, element_at...)``: higher-order array lambdas run
@@ -93,7 +95,6 @@ def shingles_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
         pe.select("doc_id", F.concat_ws(" ", "tok", t1, t2).alias("s"), t2.alias("guard"))
         .filter(F.col("guard").isNotNull())
         .select("doc_id", "s")
-        .distinct()
     )
 
 

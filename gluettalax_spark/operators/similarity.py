@@ -196,7 +196,10 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     bucket = _bucket_expr(_plane_coeff_spark, lambda d: f"element_at(embedding, {d + 1})")
-    buckets = emb.selectExpr("vec_id", "embedding", f"{bucket} AS bucket")
+    # Bucketing feeds both join sides; materialize it once (cluster analog:
+    # persist the bucket-keyed index table) instead of recomputing the
+    # 8×64-term projection per consumer — measured ~2× on the full query.
+    buckets = emb.selectExpr("vec_id", "embedding", f"{bucket} AS bucket").localCheckpoint(eager=True)
     q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
     )
