@@ -174,3 +174,39 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_totalprice", "o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution windows: ntile / percent_rank / cume_dist
+# --------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+SELECT
+  c_custkey,
+  CAST(ntile(4)       OVER w AS BIGINT) AS quartile,
+  round(percent_rank() OVER w, 4)       AS pct_rank,
+  round(cume_dist()    OVER w, 4)       AS cdist
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@register("window_ntile_distribution", _NTILE_ORACLE, doc="ntile/percent_rank/cume_dist over one window")
+def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One global window (no PARTITION BY) — the worst case for
+    parallelism, kept deliberately: Spark funnels it through a single
+    task, which is exactly why production windows should carry a
+    partition key (see window_topk_per_group). The deterministic
+    c_custkey tiebreak makes ntile assignment reproducible."""
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cdist"),
+        )
+        .orderBy("c_custkey")
+    )
