@@ -23,6 +23,7 @@ from gluettalax_spark.operators import (  # noqa: F401
     text,
     tpch,
     tpch_ext,
+    tpch_ext2,
     windows,
 )
 from gluettalax_spark import streaming  # noqa: F401
