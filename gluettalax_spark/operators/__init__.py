@@ -24,6 +24,7 @@ from gluettalax_spark.operators import (  # noqa: F401
     tpch,
     tpch_ext,
     tpch_ext2,
+    tpch_ext3,
     windows,
 )
 from gluettalax_spark import streaming  # noqa: F401
