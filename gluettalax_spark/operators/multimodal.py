@@ -150,3 +150,85 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width", "height")
     )
+
+
+# --------------------------------------------------------------------------
+# Resize (1→1, binary in / binary out) and frame sampling (1→N explode)
+# --------------------------------------------------------------------------
+
+RESIZED_SCHEMA = "doc_id long, thumb_w int, thumb_h int, thumb binary"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame binary"
+
+THUMB_SIZE = 32
+FRAME_BYTES = 256  # stub "frame" stride in the payload
+FRAME_EVERY = 4  # keep every 4th frame
+FRAME_MS = 40  # 25 fps
+
+
+def make_resize_batch(have_codecs: bool = _HAVE_CODECS):
+    """1→1 binary transform kernel (see make_decode_batch for why this is
+    a closure). The stub 'resize' takes a deterministic byte stride so
+    output size is fixed at THUMB_SIZE² regardless of input size — the
+    real property a thumbnail pipeline relies on (bounded row width)."""
+
+    def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        target = THUMB_SIZE * THUMB_SIZE
+        for pdf in batches:
+            if have_codecs:  # pragma: no cover - not available in container
+                raise NotImplementedError("real codec path not wired: plug PIL resize here")
+            thumbs = []
+            for p in pdf["payload"]:
+                stride = max(1, len(p) // target)
+                thumbs.append(bytes(p[::stride][:target]))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb_w": THUMB_SIZE,
+                    "thumb_h": THUMB_SIZE,
+                    "thumb": thumbs,
+                }
+            )
+
+    return resize_batch
+
+
+def make_frame_sample_batch(have_codecs: bool = _HAVE_CODECS):
+    """1→N kernel: each payload ('video') explodes into every
+    FRAME_EVERY-th FRAME_BYTES-sized chunk with a synthetic timestamp —
+    the mapInPandas shape for frame sampling (output rows ≠ input rows)."""
+
+    def frame_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            if have_codecs:  # pragma: no cover - not available in container
+                raise NotImplementedError("real codec path not wired: plug ffmpeg here")
+            out = {"doc_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, len(p) // FRAME_BYTES)
+                for i in range(0, n_frames, FRAME_EVERY):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * FRAME_MS)
+                    out["frame"].append(bytes(p[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]))
+            yield _pd.DataFrame(out)
+
+    return frame_batch
+
+
+@register("multimodal_resize", None, doc="stubbed resize → fixed-size thumbnails via mapInPandas (rows-only)")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(make_resize_batch(), RESIZED_SCHEMA).orderBy("doc_id")
+
+
+@register("multimodal_frame_sample", None, doc="stubbed frame sampling (1→N explode) via mapInPandas (rows-only)")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(make_frame_sample_batch(), FRAMES_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )

@@ -68,3 +68,40 @@ def test_decode_features_schema(spark, sf_dir):
     assert df.columns == ["doc_id", "n_bytes", "width", "height", "n_channels", "mean_luma"]
     rows = df.limit(5).collect()
     assert rows and all(r["n_bytes"] > 0 for r in rows)
+
+
+def test_multimodal_resize_bounded_width(spark, sf_dir):
+    """Thumbnails are fixed-size regardless of input payload size — the
+    bounded-row-width property a 100 TB thumbnail pipeline relies on."""
+    from gluettalax_spark.operators.multimodal import THUMB_SIZE, multimodal_resize
+    from gluettalax_spark.tables import load
+
+    rows = multimodal_resize(spark, sf_dir).collect()
+    assert len(rows) == load(spark, sf_dir, "documents").count()
+    target = THUMB_SIZE * THUMB_SIZE
+    assert all(r.thumb_w == THUMB_SIZE and len(r.thumb) <= target for r in rows)
+
+
+def test_multimodal_frame_sample_explodes(spark, sf_dir):
+    """Frame sampling is a 1→N mapInPandas: every FRAME_EVERY-th chunk,
+    monotone synthetic timestamps, deterministic across runs."""
+    from gluettalax_spark.operators.multimodal import (
+        FRAME_EVERY,
+        FRAME_MS,
+        multimodal_frame_sample,
+    )
+
+    rows = multimodal_frame_sample(spark, sf_dir).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, frames in by_doc.items():
+        idxs = [f.frame_idx for f in frames]
+        assert idxs == sorted(idxs)
+        assert all(i % FRAME_EVERY == 0 for i in idxs)
+        assert all(f.ts_ms == f.frame_idx * FRAME_MS for f in frames)
+    rows2 = multimodal_frame_sample(spark, sf_dir).collect()
+    assert [(r.doc_id, r.frame_idx, bytes(r.frame)) for r in rows] == [
+        (r.doc_id, r.frame_idx, bytes(r.frame)) for r in rows2
+    ]

@@ -77,3 +77,70 @@ def test_streaming_dedup_events(spark, sf_dir):
     n_distinct = load(spark, sf_dir, "events").select("event_id").distinct().count()
     assert result.count() == n_distinct
     assert result.select("event_id").distinct().count() == n_distinct
+
+
+def test_watermark_survives_restart_and_drops_late_rows(spark, tmp_path):
+    """Two availableNow runs over one checkpoint: run 1 ingests a batch
+    and closes windows; run 2 ingests a file containing one event LATE
+    beyond the recovered watermark plus fresh on-time events. The closed
+    window's count must not change (late row dropped, no re-emission) —
+    i.e. the watermark persisted across the restart via the checkpoint.
+    """
+    import datetime as dt
+
+    src = str(tmp_path / "stream_in")
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "ts timestamp, user_id long")
+
+    # file 1: one event per minute 10:00..12:00 inclusive.
+    mk([(base + dt.timedelta(minutes=m), 1) for m in range(121)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long")
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("w_start"), "n")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = {r.w_start: r.n for r in spark.read.parquet(out).collect()}
+    w0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    # Watermark after run 1 = 12:00 − 1h = 11:00 ⇒ windows through 10:50 closed.
+    assert first.get(w0) == 10, first
+
+    # file 2: ONE late event into the already-closed 10:00 window, plus
+    # fresh events 12:01..13:30 that advance the watermark to 12:30.
+    mk(
+        [(base + dt.timedelta(minutes=5), 99)]
+        + [(base + dt.timedelta(minutes=121 + m), 1) for m in range(90)]
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    final = {}
+    for r in spark.read.parquet(out).collect():
+        assert not (r.w_start in final and r.w_start == w0), "closed window re-emitted"
+        final.setdefault(r.w_start, 0)
+        final[r.w_start] += r.n
+    # The late row was dropped: the 10:00 window still counts 10.
+    assert final[w0] == 10
+    # And run 2 did close new windows (11:00..12:20 starts).
+    assert dt.datetime(2024, 1, 1, 11, 30, 0) in final
+    assert len(final) > len(first)
