@@ -14,6 +14,7 @@ from gluettalax_spark.operators import (  # noqa: F401
     interval,
     joins,
     multimodal,
+    pipeline,
     relational,
     reshape,
     scalars,

@@ -1,0 +1,129 @@
+"""Pipeline-analytics operators: event funnels and n-gram vocabulary
+stats — the rollups a training-data/product pipeline runs daily.
+
+Both are single-shuffle aggregates by construction (conditional min /
+explode + count), which is what keeps them linear at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gluettalax_spark.registry import register
+from gluettalax_spark.tables import load
+
+# --------------------------------------------------------------------------
+# Conversion funnel: signup → view → click → purchase (ordered steps)
+# --------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH per_user AS (
+  SELECT
+    user_id,
+    min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+    min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+    min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT
+  count(*) AS n_users,
+  count(t_signup) AS n_signup,
+  count(CASE WHEN t_view > t_signup THEN 1 END) AS n_then_view,
+  count(CASE WHEN t_click > t_view AND t_view > t_signup THEN 1 END) AS n_then_click,
+  count(CASE WHEN t_purchase > t_click AND t_click > t_view AND t_view > t_signup THEN 1 END)
+    AS n_full_funnel
+FROM per_user
+"""
+
+
+@register("events_funnel", _FUNNEL_ORACLE, doc="ordered conversion funnel via conditional-min pivot")
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel pivots each user's first time per step in ONE aggregate
+    (conditional mins), then counts step-order predicates — never a
+    self-join per step (the naive k-step funnel is k−1 joins; this is one
+    shuffle regardless of k)."""
+    events = load(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = events.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    step = lambda c: F.count(F.when(c, F.lit(1)))  # noqa: E731
+    in_order2 = F.col("t_view") > F.col("t_signup")
+    in_order3 = (F.col("t_click") > F.col("t_view")) & in_order2
+    in_order4 = (F.col("t_purchase") > F.col("t_click")) & in_order3
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        step(in_order2).alias("n_then_view"),
+        step(in_order3).alias("n_then_click"),
+        step(in_order4).alias("n_full_funnel"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram vocabulary: top-5 bigrams per language
+# --------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+pairs AS (
+  SELECT lang,
+         tokens[i] || ' ' || tokens[i+1] AS bigram
+  FROM toks, unnest(range(1, len(tokens))) AS r(i)
+  WHERE len(tokens) >= 2
+),
+counts AS (
+  SELECT lang, bigram, count(*) AS n FROM pairs GROUP BY lang, bigram
+),
+ranked AS (
+  SELECT lang, bigram, n,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS BIGINT) AS rnk
+  FROM counts
+)
+SELECT lang, bigram, n, rnk
+FROM ranked
+WHERE rnk <= 5
+ORDER BY lang, rnk
+"""
+
+
+@register("text_top_bigrams", _BIGRAM_ORACLE, doc="top-5 bigram frequency per language")
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary/n-gram stats: explode bigrams (posexplode + lead, same
+    codegen-friendly shape as shingling), count per (lang, bigram) — one
+    shuffle — then a per-language top-5 window. At 100 TB the count
+    aggregate map-side-combines, so the shuffle carries (lang, bigram,
+    partial_count), not raw token streams."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "").alias("tokens"),
+    ).filter(F.size("tokens") >= 2)
+    pe = toks.select("doc_id", "lang", F.posexplode("tokens").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("tok", 1).over(w)
+    pairs = (
+        pe.select("lang", F.concat_ws(" ", "tok", nxt).alias("bigram"), nxt.alias("guard"))
+        .filter(F.col("guard").isNotNull())
+        .select("lang", "bigram")
+    )
+    counts = pairs.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    rw = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "bigram", "n", "rnk")
+        .orderBy("lang", "rnk")
+    )
