@@ -63,3 +63,38 @@ def higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Equal-width histogram (fixed bucket formula on both engines)
+# --------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+SELECT
+  CAST(least(floor(o_totalprice / 50000), 11) AS BIGINT) AS bucket,
+  count(*)                                               AS n,
+  round(min(o_totalprice), 2)                            AS lo,
+  round(max(o_totalprice), 2)                            AS hi
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+@register("agg_histogram", _HISTOGRAM_ORACLE, doc="equal-width histogram (12 buckets) in one pass")
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram = bucket-id projection + hash aggregate: one shuffle of
+    (bucket, partial-count) pairs, independent of row count. The bucket
+    formula is written out identically on both engines (a builtin
+    width_bucket can differ at edge semantics across engines)."""
+    orders = load(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(11)).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

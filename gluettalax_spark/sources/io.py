@@ -70,6 +70,9 @@ def overwrite_partitions(
     duration of the write and restored after.
     """
     spark = df.sparkSession
+    # insertInto is POSITIONAL — align to the table's column order so
+    # callers can pass frames whose joins reordered columns.
+    df = df.select(*spark.table(table).columns)
     key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(key, "static")
     spark.conf.set(key, "dynamic")
@@ -99,3 +102,38 @@ def write_partitioned(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.save(path)
+
+
+def upsert_partitioned(
+    spark,  # SparkSession
+    table: str,
+    updates: DataFrame,
+    key: str,
+    partition_col: str,
+) -> None:
+    """MERGE-style upsert into a partitioned parquet table without a
+    table format (no Delta/Iceberg jars in this container): new rows
+    insert, matching keys overwrite — implemented as
+
+      1. prune: only partitions PRESENT in ``updates`` participate
+         (partition-pruned anti-join, not a full-table rewrite);
+      2. keep = existing rows of those partitions whose key is NOT in
+         the update set (left-anti join);
+      3. dynamic partition overwrite of keep ∪ updates.
+
+    At 100 TB the rewrite cost is proportional to the TOUCHED partitions
+    only — the same contract a Glue-job author gets from
+    `overwrite_partitions` after their own merge. With Delta/Iceberg the
+    same call becomes a single MERGE INTO (jars gated out here).
+    """
+    from pyspark.sql import functions as F
+
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    existing = spark.table(table).filter(F.col(partition_col).isin(parts))
+    keep = existing.join(
+        updates.select(key, partition_col),
+        on=[key, partition_col],
+        how="left_anti",
+    )
+    merged = keep.unionByName(updates)
+    overwrite_partitions(merged, table)

@@ -65,3 +65,34 @@ def test_overwrite_partitions_dynamic(spark, sf_dir, tmp_path):
         assert after.filter("lang = 'de'").count() == docs.filter("lang = 'de'").count()
     finally:
         spark.sql(f"DROP DATABASE `{db}` CASCADE")
+
+
+def test_upsert_partitioned(spark, sf_dir, tmp_path):
+    """MERGE semantics: updated keys replaced, new keys inserted,
+    untouched partitions byte-identical (never rewritten)."""
+    import uuid as _uuid
+
+    from gluettalax_spark.sources.io import upsert_partitioned
+
+    db = f"updb_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE `{db}` LOCATION '{tmp_path / db}'")
+    try:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+        docs.write.partitionBy("lang").saveAsTable(f"`{db}`.docs_u")
+        target = f"`{db}`.docs_u"
+        en_ids = [r.doc_id for r in spark.table(target).filter("lang='en'").limit(2).collect()]
+        updates = spark.createDataFrame(
+            [(en_ids[0], 111111, "en"), (999999, 222222, "en")],
+            "doc_id long, n_chars long, lang string",
+        )
+        before_total = spark.table(target).count()
+        before_de = spark.table(target).filter("lang='de'").count()
+        upsert_partitioned(spark, target, updates, "doc_id", "lang")
+        after = spark.table(target)
+        assert after.count() == before_total + 1  # one insert, one update
+        assert after.filter(f"doc_id = {en_ids[0]}").collect()[0].n_chars == 111111
+        assert after.filter("doc_id = 999999").count() == 1
+        assert after.filter(f"doc_id = {en_ids[1]}").count() == 1  # untouched row survives
+        assert after.filter("lang='de'").count() == before_de  # other partition intact
+    finally:
+        spark.sql(f"DROP DATABASE `{db}` CASCADE")
