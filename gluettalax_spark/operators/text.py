@@ -279,3 +279,74 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key")
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprint (rolling k-gram hashes, window minima)
+# --------------------------------------------------------------------------
+#
+# Classic winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every
+# character k-gram, keep the minimum hash per window of w positions — the
+# selected minima are a position-robust fingerprint SET (local edits
+# perturb only nearby windows, unlike the whole-document hash above).
+
+WINNOW_K = 8   # k-gram width (chars)
+WINNOW_W = 16  # winnowing window (positions)
+
+_WINNOW_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i, md5(substr(t, CAST(i AS INTEGER), {WINNOW_K})) AS h
+  FROM norm, unnest(range(1, length(t) - {WINNOW_K} + 2)) AS r(i)
+  WHERE length(t) >= {WINNOW_K}
+),
+winnowed AS (
+  SELECT doc_id, (i - 1) // {WINNOW_W} AS win, min(h) AS fp
+  FROM grams
+  GROUP BY doc_id, (i - 1) // {WINNOW_W}
+)
+SELECT
+  doc_id,
+  count(DISTINCT fp) AS n_fingerprints,
+  min(fp)            AS min_fingerprint
+FROM winnowed
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_winnow_fingerprint",
+    _WINNOW_ORACLE,
+    doc=f"winnowing: min md5 per {WINNOW_W}-pos window of char {WINNOW_K}-grams",
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint: every char k-gram hashes, each
+    w-position window keeps its minimum — two hash aggregates, both
+    map-side combined. The k-gram explode is the scale cost (len(t) rows
+    per doc); at 100 TB run it straight after ingestion and store the
+    fingerprint set, never recompute. Identical md5/substr formulas on
+    both engines make the oracle exact."""
+    docs = load(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", normalized_text().alias("t")).filter(
+        F.length("t") >= WINNOW_K
+    )
+    grams = norm.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("t") - WINNOW_K + 1)).alias("i"),
+        "t",
+    ).select("doc_id", "i", F.md5(F.expr(f"substr(t, i, {WINNOW_K})")).alias("h"))
+    winnowed = grams.groupBy(
+        "doc_id", ((F.col("i") - 1) / WINNOW_W).cast("long").alias("win")
+    ).agg(F.min("h").alias("fp"))
+    return (
+        winnowed.groupBy("doc_id")
+        .agg(
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.min("fp").alias("min_fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
