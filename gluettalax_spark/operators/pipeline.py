@@ -127,3 +127,49 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "bigram", "n", "rnk")
         .orderBy("lang", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash sampling / train-test split
+# --------------------------------------------------------------------------
+
+_SAMPLE_ORACLE = """
+WITH tagged AS (
+  SELECT
+    doc_id, lang,
+    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS h
+  FROM documents
+)
+SELECT
+  lang,
+  count(*)                                   AS n_docs,
+  count(CASE WHEN h < 26 THEN 1 END)         AS n_sampled,
+  count(CASE WHEN h >= 230 THEN 1 END)       AS n_holdout
+FROM tagged
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("sample_hash_split", _SAMPLE_ORACLE, doc="deterministic ~10% sample + holdout via content hash")
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sampling WITHOUT an RNG: bucket = first byte of
+    md5(doc_id) → h < 26 is a ~10% sample, h ≥ 230 a ~10% holdout. Unlike
+    `df.sample(seed=...)` this is stable across engines, partitionings,
+    and reruns — the property a training pipeline needs so a document
+    never migrates between train and eval. Pure projection + one
+    aggregate; zero extra shuffles at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    hexpos = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("doc_id").cast("string")), i, 1)) - 1  # noqa: E731
+    h = hexpos(1) * 16 + hexpos(2)
+    return (
+        docs.withColumn("h", h)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("h") < 26, 1)).alias("n_sampled"),
+            F.count(F.when(F.col("h") >= 230, 1)).alias("n_holdout"),
+        )
+        .orderBy("lang")
+    )
