@@ -1,0 +1,99 @@
+"""Edge-case totality: reusable operators must handle empty and
+degenerate inputs without crashing — the states a 100 TB pipeline WILL
+hit (empty partitions after a filter, blank documents, single-node
+graphs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_connected_components_empty_and_singleton(spark):
+    from gluettalax_spark.operators.graph import connected_components
+
+    empty = spark.createDataFrame([], "u long, v long")
+    assert connected_components(empty).count() == 0
+
+    one_edge = spark.createDataFrame([(7, 3)], "u long, v long")
+    got = {(r.node, r.component) for r in connected_components(one_edge).collect()}
+    assert got == {(3, 3), (7, 3)}
+
+    self_loop = spark.createDataFrame([(5, 5)], "u long, v long")
+    got = {(r.node, r.component) for r in connected_components(self_loop).collect()}
+    assert got == {(5, 5)}
+
+
+def test_connected_components_chain_beyond_one_round(spark):
+    """A path graph 0-1-2-...-9 needs multiple propagation rounds — the
+    loop must actually iterate to the fixpoint, not stop after one."""
+    from gluettalax_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(9)], "u long, v long")
+    labels = connected_components(edges).collect()
+    assert len(labels) == 10
+    assert all(r.component == 0 for r in labels)
+
+
+def test_banded_interval_join_empty_sides(spark):
+    from gluettalax_spark.operators.interval import banded_interval_join
+
+    probe = spark.createDataFrame([], "event_id long, ts timestamp")
+    build = spark.createDataFrame([], "err_id long, err_ts timestamp")
+    assert banded_interval_join(probe, build, "ts", "err_ts", 600).count() == 0
+
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    probe2 = spark.createDataFrame([(1, t)], "event_id long, ts timestamp")
+    # Build row exactly AT the band edge (600s away) must match (<=).
+    build2 = spark.createDataFrame(
+        [(10, t + dt.timedelta(seconds=600)), (11, t + dt.timedelta(seconds=601))],
+        "err_id long, err_ts timestamp",
+    )
+    got = {r.err_id for r in banded_interval_join(probe2, build2, "ts", "err_ts", 600).collect()}
+    assert got == {10}
+
+
+def test_shingles_skip_short_and_blank_docs(spark, tmp_path):
+    """Documents with <3 tokens (including blank/whitespace-only) are
+    dropped by shingling, not crashed on."""
+    from gluettalax_spark.operators.dedup import shingles_df
+
+    df = spark.createDataFrame(
+        [
+            (1, "", "en", "s", 0),
+            (2, "   ", "en", "s", 3),
+            (3, "two tokens", "en", "s", 10),
+            (4, "three token doc", "en", "s", 15),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "docs")
+    df.write.parquet(f"{out}/documents.parquet")
+    sh = {r.doc_id: r.shingles for r in shingles_df(spark, out).collect()}
+    assert set(sh) == {4}
+    assert sh[4] == ["three token doc"]
+
+
+def test_format_time_extremes():
+    from gluettalax_spark.functions.scalars import format_time
+
+    assert format_time(0) == "0s"
+    assert format_time(0.9) == "0s"  # truncates like the reference
+    assert format_time(86400 + 2 * 3600 + 3 * 60 + 4) == "1d 2h 3m 4s"
+    assert format_time(-61) == "-1m -1s"
+    assert format_time(59.99) == "59s"
+
+
+def test_glob_to_rlike_special_chars(spark):
+    """Glob translation survives regex metacharacters in table names."""
+    from gluettalax_spark.functions.scalars import glob_to_rlike
+
+    df = spark.createDataFrame(
+        [("a.b-c",), ("axb-c",), ("usage_2020",), ("usage",)], "name string"
+    )
+    # '.' in the glob is literal, not regex-any.
+    got = {r.name for r in df.filter(F.col("name").rlike(glob_to_rlike("a.b*"))).collect()}
+    assert got == {"a.b-c"}
+    got = {r.name for r in df.filter(F.col("name").rlike(glob_to_rlike("usage*"))).collect()}
+    assert got == {"usage", "usage_2020"}
