@@ -210,6 +210,7 @@ def cmd_list_crawlers(argv):
 @usage("[pattern] [--noheaders]")
 def cmd_list_jobs(argv):
     "List jobs"
+    import gluettalax_spark.builtin_jobs  # noqa: F401 - registers defaults
     from gluettalax_spark.jobs import default_registry
 
     pattern, kargs = parse_args(argv, cmd_list_jobs.usage, dict(_NOH))
@@ -246,6 +247,7 @@ def cmd_run_crawler(argv):
 @usage("[job_name] [--lines=num] [--nosucceeded] [--noheaders]")
 def cmd_list_runs(argv):
     "List job runs (newest first; all jobs when no name given)"
+    import gluettalax_spark.builtin_jobs  # noqa: F401 - registers defaults
     from gluettalax_spark.jobs import default_registry
 
     name, kargs = parse_args(
@@ -291,6 +293,7 @@ def cmd_list_runs(argv):
 @usage("<job_name> [--async] [--timeout=seconds] [--param=value...]")
 def cmd_run_job(argv):
     "Run a registered job (extra --key=value args pass through to it)"
+    import gluettalax_spark.builtin_jobs  # noqa: F401 - registers defaults
     from gluettalax_spark.jobs import default_registry
 
     name, kargs = parse_args(argv, cmd_run_job.usage, {"op_async": False, "timeout": None})

@@ -98,3 +98,33 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# HLL sketch columns (mergeable pre-aggregation, the 100 TB distinct path)
+# --------------------------------------------------------------------------
+
+
+@register("agg_hll_sketch_union", None, doc="per-month HLL sketches, unioned to a global estimate (rows-only)")
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-column pattern: build an HLL sketch of distinct
+    customers PER MONTH (cheap, mergeable, constant-size state), then
+    union the sketches for the global estimate — never re-scanning raw
+    data. At 100 TB the monthly sketch table is what you persist;
+    arbitrary date-range distinct counts become sketch unions, each a
+    few KB per group. Driver-side binary sketches aren't SQL-comparable,
+    so this is rows-only; tests/test_ann.py bounds the estimate error
+    against the exact count."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.hll_sketch_agg("o_custkey").alias("sketch"))
+    )
+    per_month = monthly.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        F.hll_sketch_estimate("sketch").alias("est_distinct_custs"),
+    )
+    total = monthly.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct_custs")
+    ).select(F.lit("TOTAL").alias("month"), "est_distinct_custs")
+    return per_month.unionByName(total).orderBy("month")

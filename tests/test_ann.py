@@ -56,3 +56,20 @@ def test_higher_moments_vs_numpy(spark, sf_dir):
         s_got, k_got = got[flag]
         assert abs(s_got - skew) < 1e-6, (flag, s_got, skew)
         assert abs(k_got - kurt) < 1e-6, (flag, k_got, kurt)
+
+
+def test_hll_sketch_union_accuracy(spark, sf_dir):
+    """Unioned monthly sketches estimate the global distinct count within
+    HLL error bounds (lgK=12 default → ~1.6% stddev; allow 5%)."""
+    from pyspark.sql import functions as F
+
+    from gluettalax_spark.operators.stats import agg_hll_sketch_union
+    from gluettalax_spark.tables import load
+
+    rows = {r.month: r.est_distinct_custs for r in agg_hll_sketch_union(spark, sf_dir).collect()}
+    exact = load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    assert "TOTAL" in rows
+    assert abs(rows["TOTAL"] - exact) / exact < 0.05, (rows["TOTAL"], exact)
+    # Monthly estimates sum to >= total (overlapping customers across months).
+    monthly_sum = sum(v for k, v in rows.items() if k != "TOTAL")
+    assert monthly_sum >= rows["TOTAL"]

@@ -260,3 +260,19 @@ def test_job_async_and_window_report(spark, registry):
     # D6: limit.
     assert len(registry.list_runs(spark, "a_job", lines=1)) == 1
     assert registry.list_jobs() == ["a_job", "b_job"]
+
+
+def test_builtin_jobs_run_via_cli_registry(spark):
+    """The shipped jobs are registered and runnable with reference-style
+    string args (README: runj nightly_etl --THE_DATE=...)."""
+    import gluettalax_spark.builtin_jobs as bj
+    from gluettalax_spark.jobs import default_registry
+
+    bj.register_builtin_jobs()
+    assert {"nightly_etl", "dedup_report", "corpus_stats"} <= set(default_registry.list_jobs())
+    df = bj.nightly_etl(spark, THE_DATE="19970101")
+    rows = df.collect()
+    assert rows and set(df.columns) == {
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "count_order",
+    }
+    assert default_registry.run(spark, "corpus_stats") is True
