@@ -105,3 +105,35 @@ def test_multimodal_frame_sample_explodes(spark, sf_dir):
     assert [(r.doc_id, r.frame_idx, bytes(r.frame)) for r in rows] == [
         (r.doc_id, r.frame_idx, bytes(r.frame)) for r in rows2
     ]
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """HLL++ estimates at rsd=0.01 land within 3% of exact counts."""
+    from gluettalax_spark.operators.aggregates import (
+        agg_approx_count_distinct,
+        agg_count_distinct,
+    )
+
+    approx = agg_approx_count_distinct(spark, sf_dir).collect()[0]
+    exact = agg_count_distinct(spark, sf_dir).collect()[0]
+    assert abs(approx.approx_n_orders - exact.n_orders) / exact.n_orders < 0.03
+    assert abs(approx.approx_n_parts - exact.n_parts) / exact.n_parts < 0.03
+
+
+def test_percentile_approx_accuracy(spark, sf_dir):
+    """percentile_approx(accuracy=10000) tracks the exact discrete
+    percentiles within 1% relative value error per group."""
+    from gluettalax_spark.operators.aggregates import (
+        agg_percentiles,
+        agg_percentiles_approx,
+    )
+
+    approx = {r.l_returnflag: r.approx_pcts for r in agg_percentiles_approx(spark, sf_dir).collect()}
+    exact = {
+        r.l_returnflag: (r.median_price, r.p95_price)
+        for r in agg_percentiles(spark, sf_dir).collect()
+    }
+    for flag, (median, p95) in exact.items():
+        a50, a95 = approx[flag]
+        assert abs(a50 - median) / median < 0.01, (flag, a50, median)
+        assert abs(a95 - p95) / p95 < 0.01, (flag, a95, p95)
