@@ -256,3 +256,65 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+# --------------------------------------------------------------------------
+# Gap filling: dense time spine × event types, zeros where no data
+# --------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH bounds AS (
+  SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
+         time_bucket(INTERVAL '1 hour', max(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+actual AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT
+  strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+  t.event_type AS event_type,
+  coalesce(a.n, 0) AS n_events
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN actual a ON a.bucket = s.bucket AND a.event_type = t.event_type
+ORDER BY bucket, t.event_type
+"""
+
+
+@register("events_gapfill", _GAPFILL_ORACLE, doc="dense hourly spine × event types, zero-filled gaps")
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling = generate the dense bucket spine (sequence + explode
+    from a 1-row bounds aggregate — no driver loop), cross the small type
+    dimension, left-join the actual counts. The spine is tiny (hours ×
+    types) and broadcasts; the only real shuffle is the counts aggregate.
+    This is the continuous-aggregate/hypertable-rollup completion step:
+    downstream consumers (charts, anomaly detection) need explicit
+    zeros, not absent rows."""
+    events = load(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    types = events.select("event_type").distinct()
+    actual = events.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(types)
+        .join(F.broadcast(actual), ["bucket", "event_type"], "left")
+        .select(
+            F.date_format("bucket", _TS_FMT).alias("bucket"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("bucket", "event_type")
+    )
