@@ -173,3 +173,85 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# CDC latest-snapshot: newest record per key
+# --------------------------------------------------------------------------
+
+_LATEST_ORACLE = """
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_type AS last_event_type,
+       round(value, 2) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@register("latest_snapshot", _LATEST_ORACLE, doc="CDC compaction: newest record per key via window")
+def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log → current-state compaction: one window shuffle on the
+    key, rank-1 filter (with event_id tiebreak for same-ts updates). The
+    standard pattern for compacting an append-only CDC log into a
+    snapshot table — at 100 TB this runs per partition-of-key-range and
+    feeds `upsert_partitioned`."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Ordered array aggregation (deterministic collect)
+# --------------------------------------------------------------------------
+
+_COLLECT_ORACLE = """
+SELECT
+  o_custkey,
+  array_to_string(list(strftime(o_orderdate, '%Y-%m-%d') ORDER BY o_orderdate, o_orderkey), ',')
+    AS order_dates,
+  count(*) AS n_orders
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+@register("agg_collect_ordered", _COLLECT_ORACLE, doc="deterministic ordered collect_list per key")
+def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list order is nondeterministic under parallel merge; the
+    deterministic form collects (sort_key, value) structs and sorts the
+    array AFTER aggregation — stable at any partitioning. (DuckDB's
+    `list(... ORDER BY)` states the same contract declaratively.)"""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    pair = F.struct(
+        F.col("o_orderdate").alias("d"), F.col("o_orderkey").alias("k"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("v"),
+    )
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            # Emitted as a joined string: array-typed result cells hash
+            # differently across pandas bridges (ndarray vs list).
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["v"]), ","
+            ).alias("order_dates"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
