@@ -57,3 +57,30 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Generic deterministic salted equi-join (the pattern of
+    ``join_salted``, reusable): probe rows get salt = xxhash64(all
+    columns) % n, the build side replicates n× — each hot key spreads
+    over n reducers. Result is identical to ``probe.join(build, key)``
+    (asserted in tests/test_skew.py); only the shuffle distribution
+    changes."""
+    salted_probe = probe.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(n_salts))
+    )
+    salts = probe.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+    replicated = build.withColumnRenamed(key, "__bkey").crossJoin(F.broadcast(salts))
+    return (
+        salted_probe.join(
+            replicated,
+            (salted_probe[key] == replicated["__bkey"]) & (salted_probe["__salt"] == replicated["__salt"]),
+        )
+        .drop("__salt")
+        .drop("__bkey")
+    )

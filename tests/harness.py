@@ -30,6 +30,8 @@ def _norm_cell(v):
         return tuple(_norm_cell(x) for x in v)
     if isinstance(v, bytes):
         return v.hex()
+    if hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0:  # numpy array cell
+        return tuple(_norm_cell(x) for x in v.tolist())
     if hasattr(v, "item"):  # numpy scalar
         return _norm_cell(v.item())
     return v
