@@ -276,3 +276,28 @@ def test_builtin_jobs_run_via_cli_registry(spark):
         "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "count_order",
     }
     assert default_registry.run(spark, "corpus_stats") is True
+
+
+def test_csv_external_catalog_table(spark, db, sf_dir, tmp_path):
+    """Non-parquet formats register as catalog tables too (SURVEY §2.F
+    scans row: 'csv/json/orc via same API; registered as catalog
+    tables') — schema-on-read, queryable via SQL."""
+    from gluettalax_spark.plans.catalog import create_external_table
+    from gluettalax_spark.sources.io import write_table
+    from gluettalax_spark.tables import load
+
+    nation = load(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_csv")
+    write_table(nation, path, fmt="csv")
+    create_external_table(
+        spark, db, "nation_csv", path, fmt="csv",
+        schema="n_nationkey INT, n_name STRING, n_regionkey INT",
+        options={"header": "true"},
+    )
+    got = spark.sql(f"SELECT count(*) AS n FROM `{db}`.nation_csv").collect()[0].n
+    assert got == nation.count()
+    top = spark.sql(
+        f"SELECT n_name FROM `{db}`.nation_csv WHERE n_regionkey = 0 ORDER BY n_nationkey"
+    ).collect()
+    want = [r.n_name for r in nation.filter("n_regionkey = 0").orderBy("n_nationkey").collect()]
+    assert [r.n_name for r in top] == want

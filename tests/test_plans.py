@@ -113,3 +113,13 @@ def test_partition_pruning_on_partitioned_table(spark, sf_dir, tmp_path):
     # projection prunes to the two physical columns involved.
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {"doc_id"}
+
+
+def test_interval_join_no_nested_loop(spark, sf_dir):
+    """The banded pure-range join must plan as an equi join on the bucket
+    key — never BroadcastNestedLoopJoin (the O(N·M) fallback Spark picks
+    for a bare range predicate)."""
+    df = queries()["join_interval_banded"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
