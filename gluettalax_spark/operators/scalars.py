@@ -162,3 +162,30 @@ def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max("embedding").cast("double"), 4).alias("max_val"),
         F.round(F.array_min("embedding").cast("double"), 4).alias("min_val"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# JSON key histogram (schema discovery over semi-structured columns)
+# --------------------------------------------------------------------------
+
+_JSON_KEYS_ORACLE = """
+SELECT k AS prop_key, count(*) AS n_events
+FROM (SELECT unnest(json_keys(props)) AS k FROM events)
+GROUP BY k
+ORDER BY n_events DESC, prop_key
+"""
+
+
+@register("json_keys_histogram", _JSON_KEYS_ORACLE, doc="key-frequency histogram over JSON props")
+def json_keys_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema discovery for semi-structured data: which keys exist, how
+    often — the first query anyone runs on a JSON column before designing
+    extraction. json_object_keys is JVM-side; explode + count is one
+    map-side-combined shuffle of (key, partial_count)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select(F.explode(F.json_object_keys("props")).alias("prop_key"))
+        .groupBy("prop_key")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("prop_key"))
+    )
