@@ -264,3 +264,67 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join with tolerance (merge_asof(..., tolerance=1h) semantics)
+# --------------------------------------------------------------------------
+
+_ASOF_TOL_ORACLE = """
+WITH errors AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'error'
+),
+purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT
+  p.event_id,
+  p.user_id,
+  strftime(max(e.ts), '%Y-%m-%d %H:%M:%S') AS recent_error_ts
+FROM purchases p
+LEFT JOIN errors e
+  ON e.user_id = p.user_id
+ AND e.ts <= p.ts
+ AND e.ts >= p.ts - INTERVAL 1 HOUR
+GROUP BY p.event_id, p.user_id
+ORDER BY p.event_id
+"""
+
+
+@register("join_asof_tolerance", _ASOF_TOL_ORACLE, doc="as-of join with 1h tolerance (bounded lookback)")
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of: same union+window carry-forward as
+    join_asof, then matches older than the tolerance null out — the
+    `merge_asof(tolerance=...)` contract. The tolerance ALSO bounds
+    state: in the streaming version it becomes the watermark horizon."""
+    events = load(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("error_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("error_ts")
+    )
+    merged = errors.withColumn("is_purchase", F.lit(0)).unionByName(
+        purchases.withColumn("is_purchase", F.lit(1))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn("last_error", F.last("error_ts", ignorenulls=True).over(w))
+    in_tolerance = F.col("last_error") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return (
+        carried.filter(F.col("is_purchase") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format(
+                F.when(in_tolerance, F.col("last_error")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("recent_error_ts"),
+        )
+        .orderBy("event_id")
+    )

@@ -255,3 +255,45 @@ def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Co-occurrence (market basket): part pairs ordered together
+# --------------------------------------------------------------------------
+
+_COOCCUR_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, count(*) AS n_orders
+FROM pairs
+GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@register("part_cooccurrence", _COOCCUR_ORACLE, doc="top part pairs co-ordered (market basket)")
+def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence mining: distinct (order, part), self-join WITHIN the
+    order key (an equi-join — pair fanout is bounded by basket size²,
+    never corpus²), count pairs, top-k. At 100 TB baskets are small and
+    the order key distributes evenly, so the join is shuffle-balanced;
+    the classic skew danger (one giant basket) is exactly what AQE
+    skew-split + salting (skew.py) exist for."""
+    items = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )

@@ -210,3 +210,46 @@ def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Value window functions: first/last/nth over explicit frames
+# --------------------------------------------------------------------------
+
+_VALUE_FNS_ORACLE = """
+SELECT
+  o_orderkey,
+  round(o_totalprice, 2) AS totalprice,
+  round(first_value(o_totalprice) OVER w, 2)   AS cust_first,
+  round(last_value(o_totalprice)  OVER w_full, 2) AS cust_last,
+  round(nth_value(o_totalprice, 2) OVER w_full, 2) AS cust_second
+FROM orders
+WINDOW
+  w      AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+  w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_orderkey
+LIMIT 500
+"""
+
+
+@register("window_value_functions", _VALUE_FNS_ORACLE, doc="first/last/nth_value with explicit frames")
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last_value/nth_value need the FULL frame spelled out — the default
+    frame ends at CURRENT ROW, where last_value degenerates to the
+    current value (the classic window-function trap; both engines share
+    it, which is exactly what the oracle pins)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round(F.first("o_totalprice").over(w), 2).alias("cust_first"),
+            F.round(F.last("o_totalprice").over(w_full), 2).alias("cust_last"),
+            F.round(F.nth_value("o_totalprice", 2).over(w_full), 2).alias("cust_second"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
