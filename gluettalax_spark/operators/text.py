@@ -350,3 +350,60 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Quality FILTERING with reject reasons (the actionable form of scoring)
+# --------------------------------------------------------------------------
+
+_FILTER_REPORT_ORACLE = r"""
+WITH feats AS (
+  SELECT
+    doc_id, lang,
+    length(text) AS n_chars,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents
+),
+judged AS (
+  SELECT lang,
+    CASE
+      WHEN n_chars < 100 THEN 'too_short'
+      WHEN n_tokens < 20 THEN 'too_few_tokens'
+      WHEN CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) > 0.1 THEN 'too_much_punct'
+      ELSE 'kept'
+    END AS verdict
+  FROM feats
+)
+SELECT lang, verdict, count(*) AS n_docs
+FROM judged
+GROUP BY lang, verdict
+ORDER BY lang, verdict
+"""
+
+
+@register("text_filter_report", _FILTER_REPORT_ORACLE, doc="quality filter with per-reason reject counts")
+def text_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable form of quality scoring: each document gets a
+    verdict (first failing rule wins — rule ORDER is part of the
+    contract), aggregated per language. A production filter keeps the
+    'kept' branch and writes the verdict breakdown as the audit metric:
+    monitoring WHAT was dropped and WHY is how corpus regressions get
+    caught. One projection + one aggregate, no extra scans."""
+    docs = load(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long")
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[^.,!?;:]", "")).cast("long")
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars.cast("long"), F.lit(1).cast("long"))
+    verdict = (
+        F.when(n_chars < 100, "too_short")
+        .when(n_tokens < 20, "too_few_tokens")
+        .when(punct_ratio > 0.1, "too_much_punct")
+        .otherwise("kept")
+    )
+    return (
+        docs.select("lang", verdict.alias("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "verdict")
+    )
