@@ -297,3 +297,97 @@ def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users by signup month × months since
+# --------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, time_bucket(INTERVAL '1 month', min(ts)) AS cohort_month
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         f.cohort_month,
+         CAST(datediff('month', f.cohort_month, time_bucket(INTERVAL '1 month', e.ts)) AS BIGINT)
+           AS months_since
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT
+  strftime(cohort_month, '%Y-%m') AS cohort,
+  months_since,
+  count(*) AS n_active_users
+FROM activity
+GROUP BY cohort_month, months_since
+ORDER BY cohort, months_since
+"""
+
+
+@register("events_cohort_retention", _COHORT_ORACLE, doc="signup-cohort × months-since retention matrix")
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: first-activity month per user (one aggregate),
+    joined back to activity — the cohort table is per-USER (small), so it
+    broadcasts against the event stream; distinct (user, cohort, month)
+    then counts. Two shuffles total at any scale."""
+    events = load(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort_month")
+    )
+    activity = (
+        events.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_month",
+            (
+                (F.year(F.date_trunc("month", "ts")) - F.year("cohort_month")) * 12
+                + (F.month(F.date_trunc("month", "ts")) - F.month("cohort_month"))
+            ).cast("long").alias("months_since"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.date_format("cohort_month", "yyyy-MM").alias("cohort"), "months_since"
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort", "months_since")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding centroids (class prototypes for similarity search)
+# --------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+SELECT
+  label,
+  CAST(i - 1 AS INTEGER) AS dim,
+  round(avg(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)), 5) AS centroid_val,
+  count(*) AS n_vectors
+FROM embeddings, unnest(range(1, 9)) AS r(i)
+GROUP BY label, i
+ORDER BY label, dim
+"""
+
+
+@register("embedding_label_centroids", _CENTROID_ORACLE, doc="per-label mean embedding (first 8 dims)")
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class prototypes: posexplode the vector, average per (label, dim).
+    Output is (label, dim, value) rows, not arrays — narrow, hashable,
+    and the shuffle carries scalars. At full dim count this is the
+    centroid step of KMeans/IVF expressed declaratively; truncated to 8
+    dims here purely to keep the oracle result compact."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "val")).filter(
+        F.col("dim") < 8
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 5).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )
