@@ -250,3 +250,40 @@ def agg_max_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.length("n_name")).cast("long").alias("w_name"),
         F.max(F.length(F.col("n_regionkey").cast("string"))).cast("long").alias("w_regionkey"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic mode (most frequent value per group, ties broken by value)
+# --------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+ranked AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+  FROM counts
+)
+SELECT user_id, event_type AS mode_event, n AS n_occurrences
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@register("agg_mode_deterministic", _MODE_ORACLE, doc="per-group mode with deterministic tie-break")
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in `mode()` is tie-arbitrary (worthless for reproducible
+    pipelines); the deterministic form is count + rank-1 window with a
+    value tie-break. Two shuffles — the count's map-side combine means
+    the window only sees (group, value, n) triples, not raw rows."""
+    events = load(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), F.col("n").alias("n_occurrences"))
+        .orderBy("user_id")
+    )

@@ -407,3 +407,61 @@ def text_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "verdict")
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy prefix matching (blocked Levenshtein — typo-level near-titles)
+# --------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH prefixes AS (
+  SELECT doc_id, lang,
+         substr(lower(text), 1, 24) AS pfx,
+         CAST(n_chars // 200 AS BIGINT) AS size_block
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+  FROM prefixes a
+  JOIN prefixes b
+    ON a.lang = b.lang AND a.size_block = b.size_block AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, edit_dist
+FROM pairs
+WHERE edit_dist <= 6
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("text_fuzzy_prefix_pairs", _FUZZY_ORACLE, doc="blocked Levenshtein on 24-char prefixes")
+def text_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-matching with BLOCKING (same language + same
+    size bucket) so the quadratic Levenshtein only runs inside blocks —
+    the classic fuzzy-join discipline: candidate generation must be an
+    equi-join, the expensive metric only verifies. Both engines share one
+    Levenshtein definition (unit insert/delete/substitute)."""
+    docs = load(spark, sf_dir, "documents")
+    prefixes = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(F.lower(F.col("text")), 1, 24).alias("pfx"),
+        (F.col("n_chars") / 200).cast("long").alias("size_block"),
+    )
+    a = prefixes.select(
+        F.col("doc_id").alias("doc_a"), "lang", "size_block", F.col("pfx").alias("pfx_a")
+    )
+    b = prefixes.select(
+        F.col("doc_id").alias("doc_b"), "lang", "size_block", F.col("pfx").alias("pfx_b")
+    )
+    return (
+        a.join(b, ["lang", "size_block"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pfx_a", "pfx_b").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 6)
+        .orderBy("doc_a", "doc_b")
+    )
