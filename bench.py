@@ -26,7 +26,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q9_profit_by_nation",
     "q18_large_orders",
     "project_filter_glob",
     "sort_limit_topk",
@@ -50,6 +52,9 @@ HEADLINE = [
     "text_stats",
     "text_lang_id",
     "text_token_count",
+    "events_funnel",
+    "sample_hash_split",
+    "latest_snapshot",
 ]
 
 

@@ -128,3 +128,48 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct_custs")
     ).select(F.lit("TOTAL").alias("month"), "est_distinct_custs")
     return per_month.unionByName(total).orderBy("month")
+
+
+# --------------------------------------------------------------------------
+# Outlier counts (3σ rule per group — the monitoring aggregate)
+# --------------------------------------------------------------------------
+
+_OUTLIER_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         avg(value) AS mu,
+         stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT
+  e.event_type,
+  count(*) AS n_events,
+  count(CASE WHEN abs(e.value - s.mu) > 3 * s.sigma THEN 1 END) AS n_outliers
+FROM events e JOIN stats s ON e.event_type = s.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+@register("events_outlier_counts", _OUTLIER_ORACLE, doc="3-sigma outlier counts per event type")
+def events_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass outlier detection: per-group moments (tiny — broadcast),
+    re-join the stream, count |v−μ| > 3σ. The stats side is group-count
+    sized regardless of data scale; the second pass is a map-side filter.
+    (The single-pass alternative — windowed μ/σ — shuffles all rows; the
+    broadcast re-join only shuffles the aggregate.)"""
+    events = load(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(
+                F.when(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"), 1)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
