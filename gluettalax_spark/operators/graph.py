@@ -129,3 +129,75 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Large-star / small-star connected components (Kiveris et al., the
+# provably-few-rounds variant promised in SCALING.md)
+# --------------------------------------------------------------------------
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node points its LARGER neighbors at the
+    minimum of its neighborhood (incl. itself)."""
+    sym = edges.unionByName(edges.selectExpr("v AS u", "u AS v")).distinct()
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("nbr_min"))
+        .select("u", F.least(F.col("nbr_min"), F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge large→small, then every node
+    rewires its smaller neighbors (and itself) to the minimum."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = oriented.join(m, "u")
+    rewired = nbrs.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_edges = m.select("u", F.col("m").alias("v"))
+    return rewired.unionByName(self_edges).distinct()
+
+
+def connected_components_star(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """(node, component) via alternating large-star/small-star rounds —
+    O(log² n) rounds with bounded per-node fanout, versus graph-DIAMETER
+    rounds for plain min-label propagation (`connected_components`). Same
+    fixpoint; tests assert equivalence. Use this variant for deep/chained
+    graphs; the min-label one for shallow near-dup clusters."""
+    e = (
+        edges.selectExpr(f"{src} AS u", f"{dst} AS v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    singletons = edges.selectExpr(f"{src} AS n").unionByName(
+        edges.selectExpr(f"{dst} AS n")
+    ).distinct()
+    if e.rdd.isEmpty():
+        return singletons.select(F.col("n").alias("node"), F.col("n").alias("component"))
+    for _ in range(_MAX_ROUNDS):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # Converged when the edge set is unchanged (both are distinct sets).
+        if e2.count() == e.count() and e2.exceptAll(e).rdd.isEmpty():
+            e = e2
+            break
+        e = e2
+    # After convergence every edge points node → its component root.
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    covered = labels.unionByName(roots)
+    isolated = singletons.join(
+        covered.select(F.col("node").alias("n")).distinct(), "n", "left_anti"
+    ).select(F.col("n").alias("node"), F.col("n").alias("component"))
+    return covered.unionByName(isolated).distinct()

@@ -97,3 +97,25 @@ def test_glob_to_rlike_special_chars(spark):
     assert got == {"a.b-c"}
     got = {r.name for r in df.filter(F.col("name").rlike(glob_to_rlike("usage*"))).collect()}
     assert got == {"usage", "usage_2020"}
+
+
+def test_star_cc_matches_min_label(spark):
+    """Large-star/small-star and min-label propagation reach the same
+    fixpoint on chains (worst case for min-label), forests, and cliques."""
+    from gluettalax_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = [
+        [(i, i + 1) for i in range(12)],                      # one long chain
+        [(0, 1), (2, 3), (3, 4), (10, 11), (11, 10)],         # forest + dup edge
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]   # clique
+        + [(20, 21)],
+        [(7, 7), (1, 2)],                                     # self-loop
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "u long, v long")
+        a = {(r.node, r.component) for r in connected_components(df).collect()}
+        b = {(r.node, r.component) for r in connected_components_star(df).collect()}
+        assert a == b, (edges, a ^ b)
