@@ -137,3 +137,29 @@ def upsert_partitioned(
     )
     merged = keep.unionByName(updates)
     overwrite_partitions(merged, table)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    n_files: int = 8,
+    fmt: str = "parquet",
+) -> None:
+    """Range-partition + sort-within-partitions before writing — the
+    data-layout lever for scan pruning: each output file covers a
+    disjoint range of ``order_col``, so parquet footer min/max statistics
+    let a filtered scan skip whole files/row-groups (poor-man's
+    Z-ordering for a single dimension).
+
+    At 100 TB this is the difference between a time-range query touching
+    one file per day and touching every file; tests verify the disjoint-
+    range property directly from the parquet footers.
+    """
+    (
+        df.repartitionByRange(n_files, order_col)
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

@@ -96,3 +96,39 @@ def test_upsert_partitioned(spark, sf_dir, tmp_path):
         assert after.filter("lang='de'").count() == before_de  # other partition intact
     finally:
         spark.sql(f"DROP DATABASE `{db}` CASCADE")
+
+
+def test_range_sorted_write_clusters_minmax(spark, sf_dir, tmp_path):
+    """write_range_sorted produces files with (near-)disjoint value
+    ranges — verified from the parquet footers, which is exactly the
+    metadata a pruning scan consults."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from gluettalax_spark.sources.io import write_range_sorted
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_quantity")
+    out = str(tmp_path / "li_ranged")
+    write_range_sorted(li, out, "l_shipdate", n_files=6)
+
+    ranges = []
+    for f in _glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_shipdate"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    overlaps = sum(1 for (a, b) in zip(ranges, ranges[1:]) if a[1] > b[0])
+    # Range boundaries may share a single value; whole-range overlaps may not.
+    assert overlaps == 0, ranges
+    # And the data still round-trips completely.
+    assert spark.read.parquet(out).count() == li.count()
