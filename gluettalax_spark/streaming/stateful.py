@@ -55,6 +55,7 @@ def run_foreach_batch_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str)
     id — the exactly-once-by-idempotent-overwrite pattern. Returns the
     number of batches processed."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     stream = read_events_stream(spark, sf_dir)
     agg = stream.groupBy("event_type").agg(
@@ -77,3 +78,52 @@ def run_foreach_batch_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str)
     finally:
         q.stop()
     return len(batches)
+
+
+def run_stream_upsert_to_table(spark, sf_dir: str, table: str, checkpoint: str) -> int:
+    """Streaming MERGE: each micro-batch compacts to latest-per-user and
+    upserts into a partitioned snapshot table via foreachBatch +
+    ``upsert_partitioned`` — the streaming CDC sink (idempotent per key:
+    replaying a batch overwrites the same rows, so foreachBatch's
+    at-least-once delivery still yields exactly-once TABLE STATE).
+
+    Returns the number of micro-batches processed.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from gluettalax_spark.sources.io import upsert_partitioned
+    from gluettalax_spark.streaming.windows import read_events_stream
+
+    n_batches = {"n": 0}
+
+    def sink(batch_df, batch_id):  # noqa: ARG001
+        latest = (
+            batch_df.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window
+                    .partitionBy("user_id")
+                    .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_type").alias("last_event_type"),
+                F.round("value", 2).alias("last_value"),
+                (F.col("user_id") % 8).cast("string").alias("bucket"),
+            )
+        )
+        upsert_partitioned(spark, table, latest, "user_id", "bucket")
+        n_batches["n"] += 1
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

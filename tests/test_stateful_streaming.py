@@ -4,6 +4,7 @@ the batch ground truth; foreachBatch lands parquet per micro-batch."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from gluettalax_spark.streaming.stateful import (
     run_foreach_batch_to_parquet,
@@ -36,3 +37,41 @@ def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     back = spark.read.parquet(f"{out}/batch={n_batches - 1}")
     truth = load(spark, sf_dir, "events").groupBy("event_type").count()
     assert back.count() == truth.count()
+
+
+def test_stream_upsert_snapshot(spark, sf_dir, tmp_path):
+    """foreachBatch + upsert_partitioned = streaming CDC snapshot: after
+    the stream drains, the table holds exactly latest-per-user."""
+    import uuid as _uuid
+
+    from gluettalax_spark.streaming.stateful import run_stream_upsert_to_table
+
+    db = f"snap_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE `{db}` LOCATION '{tmp_path / db}'")
+    try:
+        empty = spark.createDataFrame(
+            [], "user_id long, last_event_type string, last_value double, bucket string"
+        )
+        empty.write.partitionBy("bucket").saveAsTable(f"`{db}`.user_snapshot")
+        n = run_stream_upsert_to_table(
+            spark, sf_dir, f"`{db}`.user_snapshot", str(tmp_path / "ckpt")
+        )
+        assert n >= 1
+        snap = spark.table(f"`{db}`.user_snapshot")
+        events = load(spark, sf_dir, "events")
+        assert snap.count() == events.select("user_id").distinct().count()
+        # Spot-check: the stored row per user is the event with max ts.
+        w_truth = {
+            r.user_id: r.last_event_type
+            for r in events.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window
+                    .partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+                ),
+            ).filter("rn = 1").select("user_id", F.col("event_type").alias("last_event_type")).collect()
+        }
+        got = {r.user_id: r.last_event_type for r in snap.collect()}
+        assert got == w_truth
+    finally:
+        spark.sql(f"DROP DATABASE `{db}` CASCADE")
