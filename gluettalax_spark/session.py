@@ -46,6 +46,10 @@ def get_spark(app_name: str = "gluettalax_spark", cpus: str | None = None) -> Sp
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bound every Pandas-UDF/mapInPandas batch: with multimodal binary
+        # payloads in flight, batch size × row width is the Python worker's
+        # peak memory — keep it explicit rather than inherited.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -127,3 +127,64 @@ def run_stream_upsert_to_table(spark, sf_dir: str, table: str, checkpoint: str) 
     )
     q.awaitTermination()
     return n_batches["n"]
+
+
+# --------------------------------------------------------------------------
+# Timeout-closed sessionization (state TTL — the eviction half of state)
+# --------------------------------------------------------------------------
+
+SESSIONS_SCHEMA = "user_id long, n_events long, session_value double, closed_by string"
+_SESSION_STATE_SCHEMA = "n long, total double"
+
+
+def _make_sessionize_fn():
+    """Per-user session accumulator with a processing-time timeout: state
+    that stops receiving events gets CLOSED BY THE TIMEOUT — the half of
+    stateful streaming that prevents unbounded state, demonstrated
+    explicitly (running totals above never evict)."""
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "session_value": [round(total, 2)],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(500)  # ms of processing-time inactivity
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "session_value": [round(total, 2)],
+                "closed_by": ["open"],
+            }
+        )
+
+    return update
+
+
+def streaming_sessionize_with_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState with ProcessingTimeTimeout: sessions close
+    (and state evicts) after inactivity — run with multiple triggers so a
+    later empty batch fires the timeouts."""
+    stream = read_events_stream(spark, sf_dir).select("user_id", "value")
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _make_sessionize_fn(),
+        outputStructType=SESSIONS_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

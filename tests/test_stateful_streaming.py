@@ -75,3 +75,52 @@ def test_stream_upsert_snapshot(spark, sf_dir, tmp_path):
         assert got == w_truth
     finally:
         spark.sql(f"DROP DATABASE `{db}` CASCADE")
+
+
+def test_sessionize_timeout_closes_state(spark, sf_dir, tmp_path):
+    """ProcessingTimeTimeout: after the file source drains, an extra empty
+    micro-batch fires the per-user timeouts — every open session must be
+    closed by eviction, with totals matching the batch truth."""
+    import time
+
+    from gluettalax_spark.streaming.stateful import streaming_sessionize_with_timeout
+
+    df = streaming_sessionize_with_timeout(spark, sf_dir)
+    assert df.isStreaming
+    q = (
+        df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_timeout")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        closed = 0
+        while time.time() < deadline:
+            closed = (
+                spark.sql("SELECT count(*) AS n FROM sess_timeout WHERE closed_by = 'timeout'")
+                .collect()[0]
+                .n
+            )
+            if closed > 0:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    truth = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert closed == truth, f"expected all {truth} sessions timeout-closed, got {closed}"
+    # Totals at close match the batch ground truth.
+    final = {
+        r.user_id: (r.n_events, r.session_value)
+        for r in spark.sql("SELECT * FROM sess_timeout WHERE closed_by = 'timeout'").collect()
+    }
+    expect = {
+        r.user_id: (r.n, r.t)
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    }
+    assert final == expect
