@@ -253,3 +253,92 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(500)
     )
+
+
+# --------------------------------------------------------------------------
+# Ratio-to-report (windowed share of total)
+# --------------------------------------------------------------------------
+
+_RATIO_ORACLE = """
+WITH rev AS (
+  SELECT n_name, round(sum(s_acctbal), 2) AS nation_bal
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT
+  n_name,
+  nation_bal,
+  round(nation_bal / sum(nation_bal) OVER (), 4) AS share_of_total
+FROM rev
+ORDER BY n_name
+"""
+
+
+@register("window_ratio_to_report", _RATIO_ORACLE, doc="share-of-total via window aggregate")
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: a windowed sum with NO partition — computed over
+    the (small) aggregate, not the raw rows, so the single-task global
+    window touches group-count rows only. Never ratio-to-report raw data;
+    aggregate first."""
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    rev = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("nation_bal"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        "nation_bal",
+        F.round(F.col("nation_bal") / F.sum("nation_bal").over(w), 4).alias("share_of_total"),
+    ).orderBy("n_name")
+
+
+# --------------------------------------------------------------------------
+# Inter-event gaps (lag diff + per-key aggregate)
+# --------------------------------------------------------------------------
+
+_GAP_ORACLE = """
+WITH gaps AS (
+  SELECT
+    o_custkey,
+    CAST(datediff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS BIGINT) AS gap_days
+  FROM orders
+)
+SELECT
+  o_custkey,
+  count(gap_days)                 AS n_gaps,
+  CAST(min(gap_days) AS BIGINT)   AS min_gap,
+  CAST(max(gap_days) AS BIGINT)   AS max_gap,
+  round(avg(gap_days), 2)         AS avg_gap
+FROM gaps
+GROUP BY o_custkey
+HAVING count(gap_days) > 0
+ORDER BY o_custkey
+"""
+
+
+@register("window_order_gaps", _GAP_ORACLE, doc="inter-order day gaps per customer (lag + agg)")
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event intervals: lag over the per-key timeline, then a plain
+    aggregate over the diffs. The window and the groupBy share the same
+    key, so Catalyst reuses one hash exchange for both."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("long").alias("gap_days"),
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            F.min("gap_days").alias("min_gap"),
+            F.max("gap_days").alias("max_gap"),
+            F.round(F.avg("gap_days"), 2).alias("avg_gap"),
+        )
+        .filter(F.col("n_gaps") > 0)
+        .orderBy("o_custkey")
+    )
