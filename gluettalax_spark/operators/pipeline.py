@@ -391,3 +391,55 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quartiles)
+# --------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT
+    o_custkey,
+    CAST(datediff('day', max(o_orderdate), TIMESTAMP '2002-01-01 00:00:00') AS BIGINT)
+      AS recency_days,
+    count(*) AS frequency,
+    round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT
+  o_custkey,
+  recency_days, frequency, monetary,
+  CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT)          AS r_quartile,
+  CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)        AS f_quartile,
+  CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT)         AS m_quartile
+FROM base
+ORDER BY o_custkey
+"""
+
+
+@register("customer_rfm_segments", _RFM_ORACLE, doc="RFM quartile segmentation per customer")
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM: one aggregate builds all three metrics, three ntile windows
+    score them (deterministic via custkey tiebreaks; fixed anchor date so
+    recency is reproducible). The windows run over the per-customer
+    AGGREGATE — row count = customers, not orders."""
+    orders = load(spark, sf_dir, "orders")
+    anchor = F.lit("2002-01-01 00:00:00").cast("timestamp")
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(anchor, F.max("o_orderdate")).cast("long").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).cast("long").alias("r_quartile"),
+        F.ntile(4).over(wf).cast("long").alias("f_quartile"),
+        F.ntile(4).over(wm).cast("long").alias("m_quartile"),
+    ).orderBy("o_custkey")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from gluettalax_spark.registry import register
 from gluettalax_spark.tables import load
@@ -172,4 +173,28 @@ def events_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
         .orderBy("event_type")
+    )
+
+
+@register("events_wau_hll", None, doc="rolling 7-day distinct users via windowed HLL union (rows-only)")
+def events_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window distinct (WAU): per-day HLL sketches, unioned over a
+    7-day ROWS frame — rolling COUNT DISTINCT without re-scanning seven
+    days of raw events per day. The window operates on day-level rows
+    (365/year), so the frame merge is sketch-sized work regardless of
+    event volume. Engine-specific sketch bytes ⇒ rows-only; accuracy is
+    bounded in tests/test_ann.py."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.countDistinct("user_id").alias("dau_exact"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau_exact",
+            F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w)).alias("wau_estimate"),
+        )
+        .orderBy("day")
     )

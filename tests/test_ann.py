@@ -73,3 +73,28 @@ def test_hll_sketch_union_accuracy(spark, sf_dir):
     # Monthly estimates sum to >= total (overlapping customers across months).
     monthly_sum = sum(v for k, v in rows.items() if k != "TOTAL")
     assert monthly_sum >= rows["TOTAL"]
+
+
+def test_wau_hll_rolling_accuracy(spark, sf_dir):
+    """Windowed HLL union tracks the exact rolling 7-day distinct count
+    within 5% on every day."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from gluettalax_spark.operators.stats import events_wau_hll
+    from gluettalax_spark.tables import load
+
+    rows = events_wau_hll(spark, sf_dir).collect()
+    assert rows
+    events = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    days = [dt.datetime.strptime(r.day, "%Y-%m-%d") for r in rows]
+    for r, day in zip(rows, days):
+        lo = day - dt.timedelta(days=6)
+        exact = (
+            events.filter((F.col("day") >= lo) & (F.col("day") <= day))
+            .select("user_id").distinct().count()
+        )
+        assert abs(r.wau_estimate - exact) / exact < 0.05, (r.day, r.wau_estimate, exact)
