@@ -443,3 +443,64 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(wf).cast("long").alias("f_quartile"),
         F.ntile(4).over(wm).cast("long").alias("m_quartile"),
     ).orderBy("o_custkey")
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 history: validity intervals from a change log
+# --------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH changes AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_id
+  FROM events
+),
+transitions AS (
+  SELECT user_id, ts, event_type, event_id
+  FROM changes
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT
+  user_id,
+  event_type AS state,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+  coalesce(
+    strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S'),
+    '9999-12-31 00:00:00'
+  ) AS valid_to,
+  CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       THEN TRUE ELSE FALSE END AS is_current
+FROM transitions
+ORDER BY user_id, valid_from
+"""
+
+
+@register("scd2_user_history", _SCD2_ORACLE, doc="SCD Type-2 validity intervals from a change log")
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change log → Type-2 dimension history: collapse consecutive equal
+    states (lag filter), then each surviving transition's valid_to is the
+    NEXT transition's start (lead), open intervals marked current. Both
+    windows share one (user_id) exchange. This is the dimension-table
+    half of CDC; latest_snapshot is the Type-1 half."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    transitions = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "ts", "event_type", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return (
+        transitions.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.coalesce(
+                F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"), F.lit("9999-12-31 00:00:00")
+            ).alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
