@@ -504,3 +504,100 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+# --------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov counts)
+# --------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT
+  event_type AS from_type,
+  next_type  AS to_type,
+  count(*)   AS n_transitions,
+  round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type), 4) AS p_transition
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY from_type, to_type
+"""
+
+
+@register("events_transition_matrix", _TRANSITIONS_ORACLE, doc="first-order event transition counts + probabilities")
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: lead() pairs consecutive events per
+    user (one keyed shuffle), counts aggregate per (from, to), and the
+    row-normalizing probability is a window sum over the tiny matrix —
+    type² rows — not the event stream."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n_transitions"))
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(wrow), 4
+        ).alias("p_transition"),
+    ).orderBy("from_type", "to_type")
+
+
+# --------------------------------------------------------------------------
+# Pareto (cumulative-share) analysis: how concentrated is revenue?
+# --------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, total,
+         CAST(row_number() OVER (ORDER BY total DESC, o_custkey) AS BIGINT) AS rnk,
+         sum(total) OVER (ORDER BY total DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+         sum(total) OVER () AS grand
+  FROM spend
+)
+SELECT rnk, o_custkey, round(total, 2) AS total, round(running / grand, 4) AS cum_share
+FROM ranked
+WHERE rnk <= 50
+ORDER BY rnk
+"""
+
+
+@register("customer_pareto", _PARETO_ORACLE, doc="cumulative revenue share (80/20 curve), top 50")
+def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto curve: running share over the per-customer AGGREGATE sorted
+    descending. Decimal summands make per-customer totals exact, so the
+    running/grand ratio is ulp-stable cross-engine. The global-order
+    window runs over customers, not orders."""
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+    w = Window.orderBy(F.col("total").desc(), F.col("o_custkey"))
+    return (
+        spend.select(
+            F.row_number().over(w).cast("long").alias("rnk"),
+            "o_custkey",
+            F.round("total", 2).alias("total"),
+            F.round(
+                F.sum("total").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                / F.sum("total").over(Window.partitionBy()),
+                4,
+            ).alias("cum_share"),
+        )
+        .filter(F.col("rnk") <= 50)
+        .orderBy("rnk")
+    )

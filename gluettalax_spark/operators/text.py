@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from gluettalax_spark.registry import register
 from gluettalax_spark.tables import load
@@ -464,4 +465,79 @@ def text_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 6)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction (top terms per document)
+# --------------------------------------------------------------------------
+
+_TFIDF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) >= 3) AS tokens
+  FROM documents
+),
+n_docs AS (SELECT count(*) AS n FROM toks),
+tf AS (
+  SELECT doc_id, unnest(tokens) AS term FROM toks
+),
+tf_counts AS (
+  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf_counts GROUP BY term
+),
+scored AS (
+  SELECT
+    t.doc_id, t.term,
+    round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 4) AS tfidf
+  FROM tf_counts t
+  JOIN df d ON t.term = d.term
+  CROSS JOIN n_docs n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
+@register("text_tfidf_keywords", _TFIDF_ORACLE, doc="TF-IDF top-3 keywords per document")
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF from first principles in three aggregates: term counts per
+    doc (one shuffle), document frequency per term (one shuffle of the
+    already-small tf table), broadcast both the DF table and the 1-row
+    corpus size back in. Ranking on ROUNDED scores with a term tiebreak —
+    the raw ln() product differs in the last ulp across engines."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: F.length(t) >= 3
+        ).alias("tokens"),
+    )
+    n_docs = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tf = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 4).alias("tfidf"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("doc_id", "rnk")
     )
