@@ -189,3 +189,61 @@ def json_keys_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy(F.col("n_events").desc(), F.col("prop_key"))
     )
+
+
+# --------------------------------------------------------------------------
+# Null-semantics gallery (coalesce / nullif / null-aware counts)
+# --------------------------------------------------------------------------
+
+_NULLS_ORACLE = """
+WITH base AS (
+  SELECT
+    o_orderpriority,
+    nullif(o_orderstatus, 'P') AS status_or_null,
+    o_totalprice
+  FROM orders
+)
+SELECT
+  o_orderpriority,
+  count(*)                            AS n_rows,
+  count(status_or_null)               AS n_nonnull,
+  count(*) - count(status_or_null)    AS n_nulls,
+  count(DISTINCT status_or_null)      AS n_distinct_nonnull,
+  round(sum(CASE WHEN status_or_null IS NULL THEN o_totalprice ELSE 0 END), 2)
+                                      AS nulled_price,
+  coalesce(min(status_or_null), '-')  AS min_status
+FROM base
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("scalar_null_semantics", _NULLS_ORACLE, doc="nullif/coalesce/null-aware aggregate semantics")
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics pinned cross-engine: count(col) skips nulls,
+    count(*) doesn't, DISTINCT ignores nulls, min/max skip them, coalesce
+    backstops — the exact rules every aggregate in this engine relies on,
+    stated once as a checkable query."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+        "o_totalprice",
+    )
+    return (
+        base.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("status_or_null").alias("n_nonnull"),
+            (F.count(F.lit(1)) - F.count("status_or_null")).alias("n_nulls"),
+            F.countDistinct("status_or_null").alias("n_distinct_nonnull"),
+            F.round(
+                F.sum(
+                    F.when(F.col("status_or_null").isNull(), F.col("o_totalprice")).otherwise(0.0)
+                ),
+                2,
+            ).alias("nulled_price"),
+            F.coalesce(F.min("status_or_null"), F.lit("-")).alias("min_status"),
+        )
+        .orderBy("o_orderpriority")
+    )

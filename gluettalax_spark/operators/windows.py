@@ -342,3 +342,46 @@ def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_gaps") > 0)
         .orderBy("o_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Month-over-month growth (lag on the aggregate timeline)
+# --------------------------------------------------------------------------
+
+_MOM_ORACLE = """
+WITH monthly AS (
+  SELECT time_bucket(INTERVAL '1 month', o_orderdate) AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT
+  strftime(month, '%Y-%m') AS month,
+  round(revenue, 2) AS revenue,
+  round(
+    (revenue - lag(revenue) OVER (ORDER BY month))
+      / lag(revenue) OVER (ORDER BY month), 4) AS mom_growth
+FROM monthly
+ORDER BY month
+"""
+
+
+@register("revenue_mom_growth", _MOM_ORACLE, doc="month-over-month revenue growth via lag")
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth: lag over the MONTHLY aggregate (tens of
+    rows), not raw orders — the global-order window is trivial at any
+    scale because aggregation came first. Decimal summands keep the
+    growth ratios ulp-stable cross-engine."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return (
+        monthly.select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            F.round("revenue", 2).alias("revenue"),
+            F.round((F.col("revenue") - prev) / prev, 4).alias("mom_growth"),
+        )
+        .orderBy("month")
+    )
