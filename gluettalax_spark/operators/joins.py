@@ -328,3 +328,57 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Reconciliation: header totals vs line-level sums (data-quality join)
+# --------------------------------------------------------------------------
+
+_RECON_ORACLE = """
+WITH line_sums AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS lines_total
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT
+  o_orderstatus,
+  count(*) AS n_orders,
+  count(CASE WHEN lines_total IS NULL THEN 1 END) AS n_headless,
+  count(CASE WHEN lines_total IS NOT NULL
+              AND abs(lines_total - o_totalprice) / o_totalprice > 0.5 THEN 1 END)
+    AS n_large_discrepancy,
+  round(CAST(avg(abs(lines_total - o_totalprice)) AS DOUBLE), 2) AS avg_abs_diff
+FROM orders
+LEFT JOIN line_sums ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("orders_reconciliation", _RECON_ORACLE, doc="header-vs-lines total reconciliation report")
+def orders_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-sink reconciliation — the data-quality join every ETL
+    runs after a load: line-level sums (decimal-exact) outer-joined to
+    header totals, counting missing and out-of-tolerance rows per status.
+    One aggregate + one keyed join; the report is group-count sized."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    line_sums = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("lines_total")
+    )
+    joined = orders.join(line_sums, orders.o_orderkey == line_sums.l_orderkey, "left")
+    rel_diff = F.abs(F.col("lines_total") - F.col("o_totalprice")) / F.col("o_totalprice")
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("lines_total").isNull(), 1)).alias("n_headless"),
+            F.count(F.when(F.col("lines_total").isNotNull() & (rel_diff > 0.5), 1)).alias(
+                "n_large_discrepancy"
+            ),
+            F.round(F.avg(F.abs(F.col("lines_total") - F.col("o_totalprice"))), 2).alias(
+                "avg_abs_diff"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -541,3 +541,51 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("doc_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# PII-style redaction stats (scrubbing pass with audit counts)
+# --------------------------------------------------------------------------
+
+_REDACT_ORACLE = r"""
+WITH scrubbed AS (
+  SELECT
+    doc_id, lang,
+    CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_hits,
+    md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g'))       AS redacted_fp
+  FROM documents
+)
+SELECT
+  lang,
+  count(*)                                   AS n_docs,
+  count(CASE WHEN n_hits > 0 THEN 1 END)     AS docs_redacted,
+  CAST(sum(n_hits) AS BIGINT)                AS total_redactions,
+  count(DISTINCT redacted_fp)                AS distinct_redacted
+FROM scrubbed
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_redact_stats", _REDACT_ORACLE, doc="redaction pass (digit runs → <NUM>) with audit counts")
+def text_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrubbing-pass shape every training pipeline needs for PII:
+    regexp-replace the sensitive class, and AUDIT the pass — how many
+    documents were touched, how many spans, did redaction collapse
+    distinct documents together (distinct fingerprint count). All
+    JVM-side regex; the real PII patterns (emails, phones, SSNs) drop
+    into the same plan as alternations."""
+    docs = load(spark, sf_dir, "documents")
+    n_hits = F.size(F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")).cast("long")
+    redacted_fp = F.md5(F.regexp_replace(F.col("text"), "[0-9]+", "<NUM>"))
+    return (
+        docs.select("lang", n_hits.alias("n_hits"), redacted_fp.alias("redacted_fp"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("n_hits") > 0, 1)).alias("docs_redacted"),
+            F.sum("n_hits").alias("total_redactions"),
+            F.countDistinct("redacted_fp").alias("distinct_redacted"),
+        )
+        .orderBy("lang")
+    )
