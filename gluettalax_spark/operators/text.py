@@ -589,3 +589,64 @@ def text_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-language vocabulary overlap (corpus-level Jaccard)
+# --------------------------------------------------------------------------
+
+_VOCAB_ORACLE = r"""
+WITH vocab AS (
+  SELECT lang,
+         list_distinct(flatten(list(
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) >= 3)
+         ))) AS terms
+  FROM documents
+  GROUP BY lang
+)
+SELECT
+  a.lang AS lang_a,
+  b.lang AS lang_b,
+  CAST(len(a.terms) AS BIGINT) AS vocab_a,
+  CAST(len(b.terms) AS BIGINT) AS vocab_b,
+  round(
+    CAST(len(list_intersect(a.terms, b.terms)) AS DOUBLE)
+    / (len(a.terms) + len(b.terms) - len(list_intersect(a.terms, b.terms))), 4) AS jaccard
+FROM vocab a
+JOIN vocab b ON a.lang < b.lang
+ORDER BY lang_a, lang_b
+"""
+
+
+@register("text_vocab_overlap", _VOCAB_ORACLE, doc="pairwise language vocabulary Jaccard")
+def text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level contamination metric: per-language distinct vocabulary
+    (explode + collect_set — the heavy lift, one shuffle), then Jaccard
+    over the few language pairs. The pair join touches language-count
+    rows; at 100 TB only the vocabulary aggregate scales with data, and
+    it map-side combines."""
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: F.length(t) >= 3
+            )
+        ).alias("term"),
+    )
+    vocab = terms.groupBy("lang").agg(F.collect_set("term").alias("terms"))
+    a = vocab.select(F.col("lang").alias("lang_a"), F.col("terms").alias("terms_a"))
+    b = vocab.select(F.col("lang").alias("lang_b"), F.col("terms").alias("terms_b"))
+    inter = F.size(F.array_intersect("terms_a", "terms_b"))
+    union = F.size("terms_a") + F.size("terms_b") - inter
+    return (
+        a.join(b, F.col("lang_a") < F.col("lang_b"))
+        .select(
+            "lang_a",
+            "lang_b",
+            F.size("terms_a").cast("long").alias("vocab_a"),
+            F.size("terms_b").cast("long").alias("vocab_b"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
