@@ -318,3 +318,62 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Hypertable rollup: hour/day/month continuous aggregates in ONE pass
+# --------------------------------------------------------------------------
+
+_HYPERTABLE_ORACLE = """
+WITH b AS (
+  SELECT event_type, value,
+         time_bucket(INTERVAL '1 hour', ts)  AS h,
+         time_bucket(INTERVAL '1 day', ts)   AS d,
+         time_bucket(INTERVAL '1 month', ts) AS m
+  FROM events
+)
+SELECT
+  CASE WHEN GROUPING(h) = 0 THEN 'hour'
+       WHEN GROUPING(d) = 0 THEN 'day'
+       ELSE 'month' END AS grain,
+  strftime(coalesce(h, d, m), '%Y-%m-%d %H:%M:%S') AS bucket,
+  event_type,
+  count(*)             AS n_events,
+  round(sum(value), 2) AS sum_value
+FROM b
+GROUP BY GROUPING SETS ((h, event_type), (d, event_type), (m, event_type))
+ORDER BY grain, bucket, event_type
+"""
+
+
+@register("events_hypertable_rollup", _HYPERTABLE_ORACLE, doc="hour/day/month rollup in one GROUPING SETS pass")
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable/continuous-aggregate pattern: maintain EVERY
+    retention grain (hour → day → month) in one scan via GROUPING SETS —
+    Spark's Expand emits one row per grain per input row, and the single
+    hash aggregate produces all three materializations at once. At
+    100 TB this replaces three separate rollup jobs with one, and the
+    coarse grains come for the shuffle price of the finest."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("_ht_events")
+    return spark.sql(
+        """
+        WITH b AS (
+          SELECT event_type, value,
+                 date_trunc('hour', ts)  AS h,
+                 date_trunc('day', ts)   AS d,
+                 date_trunc('month', ts) AS m
+          FROM _ht_events
+        )
+        SELECT
+          CASE WHEN grouping(h) = 0 THEN 'hour'
+               WHEN grouping(d) = 0 THEN 'day'
+               ELSE 'month' END AS grain,
+          date_format(coalesce(h, d, m), 'yyyy-MM-dd HH:mm:ss') AS bucket,
+          event_type,
+          count(*)             AS n_events,
+          round(sum(value), 2) AS sum_value
+        FROM b
+        GROUP BY GROUPING SETS ((h, event_type), (d, event_type), (m, event_type))
+        ORDER BY grain, bucket, event_type
+        """
+    )
