@@ -188,3 +188,90 @@ def streaming_sessionize_with_timeout(spark: SparkSession, sf_dir: str) -> DataF
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Event-time sessionization (watermark-driven eviction, not wall clock)
+# --------------------------------------------------------------------------
+
+
+def _make_event_time_sessionize_fn(gap_ms: int):
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "session_value": [round(total, 2)],
+                    "closed_by": ["watermark"],
+                }
+            )
+            return
+        if key[0] is not None and key[0] < 0:
+            # Watermark-advancing sentinel: contributes its ts to the
+            # watermark upstream but opens no session. (A pre-groupBy filter
+            # would be pushed BELOW the EventTimeWatermark node by Catalyst —
+            # the predicate doesn't reference ts — silencing the sentinel.)
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        last_ms = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last_ms = max(last_ms, int(_pd.Timestamp(pdf["ts"].max()).value // 1_000_000))
+        state.update((n, total))
+        # Fires when the WATERMARK passes last-event + gap. Spark rejects a
+        # timestamp at/behind the current watermark, hence the clamp.
+        state.setTimeoutTimestamp(max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1))
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "session_value": [round(total, 2)],
+                "closed_by": ["open"],
+            }
+        )
+
+    return update
+
+
+def streaming_sessionize_event_time(
+    spark: SparkSession,
+    src_dir: str,
+    *,
+    delay: str = "10 seconds",
+    gap_ms: int = 60_000,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """applyInPandasWithState with EventTimeTimeout: a session closes when
+    the watermark passes its last event + ``gap_ms`` — deterministic w.r.t.
+    the DATA's timeline, unlike ProcessingTimeTimeout which depends on wall
+    clock. This is the replayable flavor: rerunning the same input closes
+    the same sessions at the same points, which matters for backfills over
+    100 TB of history where "inactivity" must mean event-time gaps.
+
+    ``src_dir`` is a directory of parquet files with schema
+    ``user_id long, value double, ts timestamp``; rows with user_id < 0 are
+    watermark-advancing sentinels — they flow through the watermark node
+    and are ignored inside the stateful function (no session state).
+    """
+    stream = (
+        spark.readStream.schema("user_id long, value double, ts timestamp")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_event_time_sessionize_fn(gap_ms),
+            outputStructType=SESSIONS_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

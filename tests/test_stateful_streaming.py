@@ -77,6 +77,107 @@ def test_stream_upsert_snapshot(spark, sf_dir, tmp_path):
         spark.sql(f"DROP DATABASE `{db}` CASCADE")
 
 
+def test_event_time_timeout_sessionize(spark, sf_dir, tmp_path):
+    """EventTimeTimeout: sessions close when the WATERMARK passes last
+    event + gap. The gap exceeds the fixture's whole time span, so nothing
+    closes until a far-future sentinel file advances the watermark — then
+    every session must close exactly once, with batch-truth totals."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gluettalax_spark.streaming.stateful import streaming_sessionize_event_time
+
+    events = load(spark, sf_dir, "events").select("user_id", "value", "ts")
+    pdf = events.orderBy("ts").toPandas()
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    span_ms = int((pdf["ts"].max() - pdf["ts"].min()).total_seconds() * 1000)
+    gap_ms = span_ms + 60_000
+
+    src = tmp_path / "src"
+    src.mkdir()
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    paths = []
+    for i in range(3):
+        p = src / f"part-{i}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[cuts[i] : cuts[i + 1]], preserve_index=False),
+            p,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        paths.append(p)
+    sentinel = pd.DataFrame(
+        {
+            "user_id": [-1],
+            "value": [0.0],
+            "ts": [pdf["ts"].max() + pd.Timedelta(milliseconds=gap_ms) + pd.Timedelta(hours=2)],
+        }
+    )
+    p = src / "part-9-sentinel.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(sentinel, preserve_index=False),
+        p,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    paths.append(p)
+    # The file source orders by modification time; pin it so the time-split
+    # chunks arrive in order and the watermark advances monotonically.
+    for i, path in enumerate(paths):
+        os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    df = streaming_sessionize_event_time(spark, str(src), gap_ms=gap_ms)
+    assert df.isStreaming
+    q = (
+        df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_evt_timeout")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    truth_users = int(pdf["user_id"].nunique())
+    try:
+        deadline = time.time() + 90
+        closed = 0
+        while time.time() < deadline:
+            closed = (
+                spark.sql(
+                    "SELECT count(*) AS n FROM sess_evt_timeout WHERE closed_by = 'watermark'"
+                )
+                .collect()[0]
+                .n
+            )
+            if closed >= truth_users:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert closed == truth_users, f"expected {truth_users} watermark-closed sessions, got {closed}"
+    final = {
+        (r.user_id): (r.n_events, r.session_value)
+        for r in spark.sql(
+            "SELECT * FROM sess_evt_timeout WHERE closed_by = 'watermark'"
+        ).collect()
+    }
+    g = pdf.groupby("user_id")["value"]
+    expect = {
+        int(u): (int(c), round(float(s), 2))
+        for u, c, s in zip(g.count().index, g.count().values, g.sum().values)
+    }
+    assert set(final) == set(expect)
+    for u, (n_ev, tot) in expect.items():
+        assert final[u][0] == n_ev
+        # Per-micro-batch accumulation reassociates the float sum; allow ulp
+        # drift across the round(…, 2) boundary.
+        assert abs(final[u][1] - tot) < 0.02, (u, final[u], (n_ev, tot))
+
+
 def test_sessionize_timeout_closes_state(spark, sf_dir, tmp_path):
     """ProcessingTimeTimeout: after the file source drains, an extra empty
     micro-batch fires the per-user timeouts — every open session must be
