@@ -191,6 +191,89 @@ def streaming_sessionize_with_timeout(spark: SparkSession, sf_dir: str) -> DataF
 
 
 # --------------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 arbitrary-state v2 API
+# --------------------------------------------------------------------------
+
+TWS_PROFILE_SCHEMA = "user_id long, n_events long, total_value double, n_event_types long"
+
+
+def _make_user_profile_processor():
+    """StatefulProcessor with TYPED state: a ValueState tuple for running
+    totals plus a MapState of per-event-type counts. Unlike the v1
+    applyInPandasWithState blob, each state var is a separate RocksDB
+    column family — at 100 TB the MapState updates touch only the keys in
+    the batch instead of rewriting one serialized state value per user."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class UserProfileProcessor(StatefulProcessor):
+        def init(self, handle):
+            self.totals = handle.getValueState("totals", "n long, total double")
+            self.type_counts = handle.getMapState(
+                "type_counts", "event_type string", "c long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ARG002
+            import pandas as _pd
+
+            n, total = self.totals.get() or (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                for t, c in pdf["event_type"].value_counts().items():
+                    prev = self.type_counts.getValue((t,))
+                    self.type_counts.updateValue((t,), ((prev[0] if prev else 0) + int(c),))
+            self.totals.update((n, total))
+            n_types = sum(1 for _ in self.type_counts.keys())
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "n_event_types": [n_types],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return UserProfileProcessor()
+
+
+def streaming_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user profile via ``transformWithStateInPandas`` (Spark 4 v2
+    stateful API): running event count/value total (ValueState) and the
+    number of distinct event types seen (MapState). Requires the RocksDB
+    state store provider — which is also the 100 TB answer: state lives
+    off-heap on local SSD with changelog checkpointing, not in executor
+    memory.
+
+    Environment-gated: Spark's transform_with_state driver worker speaks
+    protobuf to the JVM; without ``google.protobuf`` the query crashes at
+    init, so fail fast with a clear error instead. The v1
+    ``applyInPandasWithState`` operators above cover the same semantics
+    where protobuf is unavailable."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(not installed in this environment); use "
+            "streaming_user_running_totals / streaming_sessionize_* instead"
+        ) from exc
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = read_events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        _make_user_profile_processor(),
+        outputStructType=TWS_PROFILE_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+# --------------------------------------------------------------------------
 # Event-time sessionization (watermark-driven eviction, not wall clock)
 # --------------------------------------------------------------------------
 

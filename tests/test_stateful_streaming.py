@@ -30,6 +30,57 @@ def test_running_totals_match_batch(spark, sf_dir):
     assert final == truth
 
 
+def _protobuf_available() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_tws_gate_without_protobuf(spark, sf_dir):
+    """Without protobuf the v2 builder must fail fast with a clear error,
+    not crash the streaming driver worker at query init."""
+    import pytest
+
+    from gluettalax_spark.streaming.stateful import streaming_user_profile_tws
+
+    if _protobuf_available():
+        pytest.skip("protobuf present - gate not exercised")
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        streaming_user_profile_tws(spark, sf_dir)
+
+
+def test_tws_user_profile_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas (v2 API): final per-user emission must
+    equal the batch ground truth for count, total, and distinct types."""
+    import pytest
+
+    from gluettalax_spark.streaming.stateful import streaming_user_profile_tws
+
+    if not _protobuf_available():
+        pytest.skip("transformWithStateInPandas needs google.protobuf (not in container)")
+    stream_df = streaming_user_profile_tws(spark, sf_dir)
+    assert stream_df.isStreaming
+    result = run_stream_to_memory(spark, stream_df, "tws_smoke", output_mode="update")
+    final = {
+        r.user_id: (r.n_events, r.total_value, r.n_event_types) for r in result.collect()
+    }
+    truth = {
+        r.user_id: (r.n, r.t, r.k)
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("t"),
+            F.countDistinct("event_type").alias("k"),
+        )
+        .collect()
+    }
+    assert final == truth
+
+
 def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     out = str(tmp_path / "fb")
     n_batches = run_foreach_batch_to_parquet(spark, sf_dir, out)
