@@ -650,3 +650,122 @@ def text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus preparation pipeline (the north-star composition)
+# --------------------------------------------------------------------------
+
+_CORPUS_PREP_ORACLE = r"""
+WITH feats AS (
+  SELECT
+    doc_id,
+    text,
+    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS BIGINT)    AS s_en,
+    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS s_de,
+    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|que|es)\b')) AS BIGINT)    AS s_es,
+    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS BIGINT)    AS s_fr,
+    CAST(length(regexp_replace(lower(text), '[^一-鿿]', '', 'g')) AS BIGINT)            AS s_zh,
+    length(text)                                                         AS n_chars,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)                 AS n_tokens,
+    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|a|in)\b')) AS BIGINT) AS n_stop,
+    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)   AS n_punct
+  FROM documents
+),
+labeled AS (
+  SELECT
+    doc_id, text, n_tokens,
+    CASE
+      WHEN s_zh >= greatest(s_en, s_de, s_es, s_fr, 1) THEN 'zh'
+      WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+      WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de'
+      WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+      WHEN s_fr > 0 THEN 'fr'
+      ELSE 'unknown'
+    END AS lang_pred,
+    round(0.5 * least(n_chars / 500.0, 1.0)
+        + 0.4 * (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1))
+        + 0.1 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)), 4) AS quality
+  FROM feats
+),
+kept AS (
+  SELECT * FROM labeled WHERE lang_pred <> 'unknown' AND quality >= 0.5
+),
+ranked AS (
+  SELECT doc_id, lang_pred, quality, n_tokens,
+         row_number() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           ORDER BY doc_id
+         ) AS rn
+  FROM kept
+)
+SELECT doc_id, lang_pred, quality, n_tokens AS ws_tokens
+FROM ranked
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register(
+    "corpus_prep_pipeline",
+    _CORPUS_PREP_ORACLE,
+    doc="lang-ID -> quality filter -> exact dedup, composed end-to-end",
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star training-data flow as ONE composed plan: language-ID
+    (marker heuristic), quality gate (>= 0.5 composite), then exact dedup
+    keeping the min-doc_id copy — emitting the surviving corpus with its
+    whitespace token counts.
+
+    Plan shape: the scoring stage is a single codegen'd projection (zero
+    shuffles); the quality/lang filter runs BEFORE the dedup window, so
+    the only wide exchange — hash-partitioning by content fingerprint —
+    moves already-filtered, already-projected rows (doc_id, 16-byte hash,
+    3 small columns; never the text). At 100 TB the filter typically
+    drops 30-60% of raw crawl before anything shuffles, which is the
+    difference between a viable dedup and an impossible one.
+    """
+    docs = load(spark, sf_dir, "documents")
+    s = lang_score_columns()
+    lang_pred = (
+        F.when(s["zh"] >= F.greatest(s["en"], s["de"], s["es"], s["fr"], F.lit(1)), "zh")
+        .when((s["en"] >= F.greatest(s["de"], s["es"], s["fr"])) & (s["en"] > 0), "en")
+        .when((s["de"] >= F.greatest(s["es"], s["fr"])) & (s["de"] > 0), "de")
+        .when((s["es"] >= s["fr"]) & (s["es"] > 0), "es")
+        .when(s["fr"] > 0, "fr")
+        .otherwise("unknown")
+    )
+    n_chars = F.length("text")
+    n_tokens = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long")
+    n_stop = F.expr(
+        r"CAST(size(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a|in)\\b', 0)) AS LONG)"
+    )
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[^.,!?;:]", "")).cast("long")
+    quality = F.round(
+        0.5 * F.least(n_chars / 500.0, F.lit(1.0))
+        + 0.4 * (n_stop.cast("double") / F.greatest(n_tokens, F.lit(1).cast("long")))
+        + 0.1
+        * (
+            F.lit(1.0)
+            - n_punct.cast("double") / F.greatest(n_chars.cast("long"), F.lit(1).cast("long"))
+        ),
+        4,
+    )
+    fingerprint = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    kept = (
+        docs.select(
+            "doc_id",
+            lang_pred.alias("lang_pred"),
+            quality.alias("quality"),
+            n_tokens.alias("ws_tokens"),
+            fingerprint.alias("fingerprint"),
+        )
+        .filter((F.col("lang_pred") != "unknown") & (F.col("quality") >= 0.5))
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang_pred", "quality", "ws_tokens")
+        .orderBy("doc_id")
+    )
