@@ -769,3 +769,152 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang_pred", "quality", "ws_tokens")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (train-vs-eval n-gram collisions)
+# --------------------------------------------------------------------------
+
+_DECONTAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(tokens) - 1),
+           i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+         )) AS shingles
+  FROM toks
+  WHERE len(tokens) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+eval_sh AS (
+  SELECT DISTINCT s FROM ex JOIN documents USING (doc_id) WHERE source = 'src0'
+),
+train AS (
+  SELECT ex.doc_id, s FROM ex JOIN documents d USING (doc_id) WHERE d.source <> 'src0'
+),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
+hit AS (SELECT doc_id, count(*) AS n_hits FROM train JOIN eval_sh USING (s) GROUP BY doc_id)
+SELECT
+  t.doc_id,
+  t.n_shingles,
+  h.n_hits,
+  round(CAST(h.n_hits AS DOUBLE) / t.n_shingles, 4) AS contamination
+FROM tot t JOIN hit h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "decontaminate_eval_overlap",
+    _DECONTAM_ORACLE,
+    doc="train-vs-eval shingle collisions: per-doc contamination ratio",
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs from source 'src0' play the eval
+    set; every other doc is scored by how many of its distinct word
+    3-gram shingles collide with the eval set (production pipelines use
+    the same shape with 8-13-grams).
+
+    Scale design: the eval side is benchmarks — thousands of docs against
+    a 100 TB corpus — so its distinct-shingle set is BROADCAST and the
+    corpus never shuffles for the probe; the only wide exchanges are the
+    per-doc count aggregates, which carry (doc_id, long) rows.
+    """
+    from gluettalax_spark.operators.dedup import shingles_exploded
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sh = shingles_exploded(spark, sf_dir)
+    eval_sh = (
+        sh.join(docs.filter(F.col("source") == "src0"), "doc_id").select("s").distinct()
+    )
+    train = (
+        sh.join(docs.filter(F.col("source") != "src0"), "doc_id")
+        .dropDuplicates(["doc_id", "s"])
+        .select("doc_id", "s")
+    )
+    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = (
+        train.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        tot.join(hit, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / F.col("n_shingles"), 4).alias(
+                "contamination"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-size token chunking (training-sequence construction)
+# --------------------------------------------------------------------------
+
+_CHUNK_SIZE = 32
+
+_CHUNK_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+chunks AS (
+  SELECT
+    doc_id,
+    i AS chunk_idx,
+    least((i + 1) * {_CHUNK_SIZE}, len(tokens)) - i * {_CHUNK_SIZE} AS chunk_len,
+    array_to_string(
+      tokens[i * {_CHUNK_SIZE} + 1 : least((i + 1) * {_CHUNK_SIZE}, len(tokens))], ' '
+    ) AS chunk_text
+  FROM toks, UNNEST(range(0, CAST(ceil(len(tokens) / {_CHUNK_SIZE}.0) AS BIGINT))) AS t(i)
+  WHERE len(tokens) > 0
+)
+SELECT doc_id, chunk_idx, CAST(chunk_len AS BIGINT) AS chunk_len, chunk_text
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@register(
+    "doc_token_chunks",
+    _CHUNK_ORACLE,
+    doc=f"split documents into {_CHUNK_SIZE}-token training chunks",
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence construction: split each document's normalized
+    token stream into fixed {CHUNK}-token chunks (the pre-packing step of
+    an LLM data pipeline; production uses 512-8k windows).
+
+    The chunk index comes from ``sequence`` + ``explode`` and the chunk
+    itself from ``slice`` — all codegen'd array ops on an already-loaded
+    row, so the operator is a zero-shuffle narrow map; output order is the
+    only exchange. Chunks inherit the doc's partition, which is what lets
+    a downstream ``repartition(n_sequences)`` pack uniformly."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    C = _CHUNK_SIZE
+    toks = docs.select("doc_id", tokens.alias("tokens")).filter(F.size("tokens") > 0)
+    n_chunks = F.ceil(F.size("tokens") / F.lit(float(C))).cast("int")
+    exploded = toks.select(
+        "doc_id", "tokens", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    )
+    chunk_len = F.least(F.lit(C), F.size("tokens") - F.col("chunk_idx") * C)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        chunk_len.cast("long").alias("chunk_len"),
+        F.concat_ws(
+            " ", F.slice("tokens", F.col("chunk_idx") * C + F.lit(1), chunk_len)
+        ).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
