@@ -601,3 +601,149 @@ def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 50)
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted source mixing (per-source deterministic sampling rates)
+# --------------------------------------------------------------------------
+
+_MIXTURE_ORACLE = """
+WITH tagged AS (
+  SELECT
+    doc_id, source,
+    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS h,
+    CASE
+      WHEN source IN ('src0','src1','src2','src3','src4') THEN 256
+      WHEN source IN ('src15','src16','src17','src18','src19') THEN 32
+      ELSE 128
+    END AS cutoff,
+    CASE
+      WHEN source IN ('src0','src1','src2','src3','src4') THEN 'high'
+      WHEN source IN ('src15','src16','src17','src18','src19') THEN 'low'
+      ELSE 'mid'
+    END AS tier
+  FROM documents
+)
+SELECT
+  source,
+  tier,
+  count(*)                                  AS n_docs,
+  count(CASE WHEN h < cutoff THEN 1 END)    AS n_kept,
+  round(CAST(count(CASE WHEN h < cutoff THEN 1 END) AS DOUBLE) / count(*), 4) AS actual_rate
+FROM tagged
+GROUP BY source, tier
+ORDER BY source
+"""
+
+_HIGH_SRC = ["src0", "src1", "src2", "src3", "src4"]
+_LOW_SRC = ["src15", "src16", "src17", "src18", "src19"]
+
+
+@register(
+    "mixture_weighted_sample",
+    _MIXTURE_ORACLE,
+    doc="per-source mixing weights via deterministic hash sampling",
+)
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing with per-source weights: high-tier sources keep 100%,
+    mid 50%, low 12.5%, decided by the doc's content-stable hash byte —
+    reruns, engine swaps, and repartitions never move a document in or
+    out of the mix (df.sample cannot promise that). The tier CASE is a
+    projection; the whole op is one map + one aggregate, no extra
+    shuffle at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    hexpos = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("doc_id").cast("string")), i, 1)) - 1  # noqa: E731
+    h = hexpos(1) * 16 + hexpos(2)
+    cutoff = (
+        F.when(F.col("source").isin(_HIGH_SRC), 256)
+        .when(F.col("source").isin(_LOW_SRC), 32)
+        .otherwise(128)
+    )
+    tier = (
+        F.when(F.col("source").isin(_HIGH_SRC), "high")
+        .when(F.col("source").isin(_LOW_SRC), "low")
+        .otherwise("mid")
+    )
+    kept = F.count(F.when(F.col("h") < F.col("cutoff"), 1))
+    return (
+        docs.select("doc_id", "source", h.alias("h"), cutoff.alias("cutoff"), tier.alias("tier"))
+        .groupBy("source", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            kept.alias("n_kept"),
+            F.round(kept.cast("double") / F.count(F.lit(1)), 4).alias("actual_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-stream token budgets per source shard)
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+_PACK_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+offsets AS (
+  SELECT *,
+         sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS start_offset
+  FROM sized
+),
+packed AS (
+  SELECT source,
+         CAST(floor(start_offset / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+         n_tokens
+  FROM offsets
+)
+SELECT source, pack_id,
+       count(*)                          AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)     AS n_tokens,
+       round(sum(n_tokens) / {_PACK_BUDGET}.0, 4) AS fill_ratio
+FROM packed
+GROUP BY source, pack_id
+ORDER BY source, pack_id
+"""
+
+
+@register(
+    "sequence_pack_budget",
+    _PACK_ORACLE,
+    doc=f"concat-stream packing into {_PACK_BUDGET}-token sequences per source",
+)
+def sequence_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing, the standard LLM pretraining
+    layout: within each source shard, documents are concatenated in
+    doc_id order and the stream is cut into {budget}-token sequences; a
+    document belongs to the pack where its first token lands.
+
+    The running offset is a window partitioned BY SOURCE — each shard's
+    prefix sum runs independently, so parallelism = number of shards (at
+    100 TB a pipeline sub-shards: partition by (source, doc_id % k) and
+    re-base each sub-shard's offsets with broadcast per-shard totals —
+    same plan shape, no global single-partition window anywhere)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long")
+    sized = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        sized.withColumn("pack_id", F.floor(start / F.lit(float(_PACK_BUDGET))).cast("long"))
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.sum("n_tokens") / F.lit(float(_PACK_BUDGET)), 4).alias("fill_ratio"),
+        )
+        .orderBy("source", "pack_id")
+    )
