@@ -123,3 +123,51 @@ def test_interval_join_no_nested_loop(spark, sf_dir):
     plan = physical_plan(df)
     assert "NestedLoop" not in plan, plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+
+
+def test_corpus_prep_pipeline_plan(spark, sf_dir):
+    """Filter before the dedup shuffle; map-side WindowGroupLimit prunes
+    to the keeper row pre-exchange; scan reads only (doc_id, text)."""
+    df = queries()["corpus_prep_pipeline"](spark, sf_dir)
+    plan = formatted_plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    assert {c.split(":")[0] for c in m.group(1).split(",")} == {"doc_id", "text"}
+    phys = physical_plan(df)
+    # Partial (map-side) + Final WindowGroupLimit around the one exchange.
+    assert phys.count("WindowGroupLimit") == 2, phys
+    # Exactly two exchanges: fingerprint hash + output range sort.
+    assert phys.count("Exchange") == 2, phys
+
+
+def test_decontaminate_broadcasts_eval_set(spark, sf_dir):
+    """The eval shingle set must broadcast — the 100 TB corpus side never
+    shuffles for the contamination probe."""
+    df = queries()["decontaminate_eval_overlap"](spark, sf_dir)
+    phys = physical_plan(df)
+    assert "BroadcastHashJoin" in phys, phys
+
+
+def test_doc_token_chunks_zero_shuffle_map(spark, sf_dir):
+    """Chunking is a narrow map: the only exchange is the output sort."""
+    df = queries()["doc_token_chunks"](spark, sf_dir)
+    phys = physical_plan(df)
+    assert phys.count("Exchange") == 1, phys
+
+
+def test_mixture_sample_single_aggregate(spark, sf_dir):
+    """Hash-tagged mixing is one map + one aggregate: at most the agg
+    exchange plus the output sort, never a shuffle of document text."""
+    df = queries()["mixture_weighted_sample"](spark, sf_dir)
+    phys = physical_plan(df)
+    assert phys.count("Exchange") <= 2, phys
+    m = re.search(r"ReadSchema: struct<([^>]*)>", formatted_plan(df))
+    assert m and "text" not in m.group(1), "mixing must not read document text"
+
+
+def test_sequence_pack_no_global_window(spark, sf_dir):
+    """Packing's prefix sum is partitioned by source — no single-partition
+    global window anywhere in the plan."""
+    df = queries()["sequence_pack_budget"](spark, sf_dir)
+    phys = physical_plan(df)
+    assert "Exchange SinglePartition" not in phys, phys
