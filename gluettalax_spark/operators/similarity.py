@@ -256,3 +256,121 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= NEARDUP_COS)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Int8 scalar quantization (per-dimension min/max codes + reconstruction)
+# --------------------------------------------------------------------------
+
+_QUANT_ORACLE = f"""
+WITH dims AS (
+  SELECT i,
+         min(CAST(embedding[i] AS DOUBLE)) AS mn,
+         max(CAST(embedding[i] AS DOUBLE)) AS mx
+  FROM embeddings, UNNEST(range(1, {DIM + 1})) AS t(i)
+  GROUP BY i
+),
+stats AS (
+  SELECT list(mn ORDER BY i) AS mn_arr, list(mx ORDER BY i) AS mx_arr FROM dims
+),
+coded AS (
+  SELECT e.vec_id, e.embedding, s.mn_arr, s.mx_arr,
+    list_transform(range(1, {DIM + 1}), i ->
+      CASE WHEN s.mx_arr[i] > s.mn_arr[i]
+           THEN CAST(round((CAST(e.embedding[i] AS DOUBLE) - s.mn_arr[i])
+                           / (s.mx_arr[i] - s.mn_arr[i]) * 255) AS BIGINT)
+           ELSE 0 END
+    ) AS codes
+  FROM embeddings e, stats s
+)
+SELECT vec_id,
+  codes[1] AS code_0,
+  codes[2] AS code_1,
+  CAST(len(list_filter(codes, c -> c = 0 OR c = 255)) AS BIGINT) AS n_saturated,
+  round(list_sum(list_transform(range(1, {DIM + 1}), i ->
+      abs(CAST(embedding[i] AS DOUBLE)
+          - (mn_arr[i] + CAST(codes[i] AS DOUBLE) / 255 * (mx_arr[i] - mn_arr[i])))
+  )) / {DIM}, 6) AS mae
+FROM coded
+ORDER BY vec_id
+"""
+
+
+@register(
+    "embedding_int8_quantize",
+    _QUANT_ORACLE,
+    doc="int8 scalar quantization with per-dimension min/max + MAE audit",
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization, the 4× vector-store compaction step: learn
+    per-dimension [min, max] over the corpus (ONE narrow aggregate — 64
+    output rows regardless of corpus size), broadcast the 64-value range
+    arrays back, and map each vector to uint8 codes plus a per-vector
+    mean-absolute reconstruction error for the quality audit.
+
+    Plan shape at 100 TB: the stats aggregate's shuffle payload is
+    (dim, min, max) — bytes, not vectors; the coding pass is a broadcast
+    crossJoin of ONE stats row into a codegen'd projection, zero shuffle
+    of the embedding table. Summation folds run index-ordered (matching
+    list_sum) so the audit reproduces bit-for-bit on any engine."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select(F.posexplode("embedding").alias("i0", "v"))
+        .groupBy("i0")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("mn"),
+            F.max(F.col("v").cast("double")).alias("mx"),
+        )
+    )
+    stats = dims.agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("i0", "mn"))), lambda x: x.mn).alias(
+            "mn_arr"
+        ),
+        F.transform(F.array_sort(F.collect_list(F.struct("i0", "mx"))), lambda x: x.mx).alias(
+            "mx_arr"
+        ),
+    )
+    idx = F.sequence(F.lit(1), F.lit(DIM))
+
+    def el(arr, i):
+        return F.element_at(arr, i)
+
+    coded = emb.crossJoin(F.broadcast(stats)).withColumn(
+        "codes",
+        F.transform(
+            idx,
+            lambda i: F.when(
+                el(F.col("mx_arr"), i) > el(F.col("mn_arr"), i),
+                F.round(
+                    (el(F.col("embedding"), i).cast("double") - el(F.col("mn_arr"), i))
+                    / (el(F.col("mx_arr"), i) - el(F.col("mn_arr"), i))
+                    * 255
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    recon_err = F.transform(
+        idx,
+        lambda i: F.abs(
+            el(F.col("embedding"), i).cast("double")
+            - (
+                el(F.col("mn_arr"), i)
+                + el(F.col("codes"), i).cast("double")
+                / 255
+                * (el(F.col("mx_arr"), i) - el(F.col("mn_arr"), i))
+            )
+        ),
+    )
+    mae = F.aggregate(recon_err, F.lit(0.0), lambda acc, x: acc + x) / DIM
+    return (
+        coded.select(
+            "vec_id",
+            el(F.col("codes"), F.lit(1)).alias("code_0"),
+            el(F.col("codes"), F.lit(2)).alias("code_1"),
+            F.size(F.filter("codes", lambda c: (c == 0) | (c == 255))).cast("long").alias(
+                "n_saturated"
+            ),
+            F.round(mae, 6).alias("mae"),
+        )
+        .orderBy("vec_id")
+    )
