@@ -918,3 +918,151 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice("tokens", F.col("chunk_idx") * C + F.lit(1), chunk_len)
         ).alias("chunk_text"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# --------------------------------------------------------------------------
+# Repetition-based quality filter (Gopher/C4-style)
+# --------------------------------------------------------------------------
+
+_REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok),
+perdoc AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(max(c) AS BIGINT) AS top_count,
+         count(*)               AS n_distinct
+  FROM tc GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id,
+         len(tokens) - 1 AS n_bigrams,
+         len(list_distinct(list_transform(
+           range(1, len(tokens)), i -> tokens[i] || ' ' || tokens[i+1]
+         ))) AS n_distinct_bigrams
+  FROM toks
+  WHERE len(tokens) >= 2
+)
+SELECT
+  p.doc_id,
+  p.n_tokens,
+  round(CAST(p.top_count AS DOUBLE) / p.n_tokens, 4)          AS top_word_frac,
+  round(1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 4) AS dup_bigram_frac,
+  (CAST(p.top_count AS DOUBLE) / p.n_tokens > 0.15
+   OR 1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams > 0.07) AS is_repetitive
+FROM perdoc p JOIN bi b USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
+@register(
+    "text_repetition_filter",
+    _REPETITION_ORACLE,
+    doc="Gopher-style repetition flags: top-word and duplicate-bigram fractions",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality gate (the Gopher/C4 family): fraction of tokens
+    taken by the single most frequent token, and the duplicate-bigram
+    fraction; docs beyond either threshold get flagged.
+
+    Scale shape: token counts shuffle (doc_id, token, count) — partial
+    aggregation collapses repeats map-side, so the exchange carries
+    distinct tokens per doc, not the raw stream. The bigram stats are
+    pure array ops (zero shuffle), then one per-doc aggregate + a join
+    on doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    toks = docs.select("doc_id", tokens.alias("tokens"))
+    tc = (
+        toks.select("doc_id", F.explode("tokens").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    perdoc = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_count"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("tokens") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("tokens", i), F.element_at("tokens", i + 1)
+        ),
+    )
+    bi = toks.filter(F.size("tokens") >= 2).select(
+        "doc_id",
+        (F.size("tokens") - 1).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct_bigrams"),
+    )
+    top_frac = F.col("top_count").cast("double") / F.col("n_tokens")
+    dup_frac = F.lit(1.0) - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams")
+    return (
+        perdoc.join(bi, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(top_frac, 4).alias("top_word_frac"),
+            F.round(dup_frac, 4).alias("dup_bigram_frac"),
+            ((top_frac > 0.15) | (dup_frac > 0.07)).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF (table function) — API-coverage path
+# --------------------------------------------------------------------------
+
+_UDTF_TOKEN_ORACLE = r"""
+SELECT doc_id, tok AS token, count(*) AS cnt
+FROM (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+  FROM documents
+  WHERE doc_id < 50
+)
+GROUP BY doc_id, tok
+ORDER BY doc_id, token
+"""
+
+
+@register(
+    "udtf_token_counts",
+    _UDTF_TOKEN_ORACLE,
+    doc="Python UDTF: per-document token counts via LATERAL table function",
+)
+def udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDTF third of the UDF/UDAF/UDTF surface: a Python table
+    function LATERAL-joined per document, yielding (token, count) rows
+    from a Counter. Row-at-a-time Python is deliberately the
+    API-coverage path, NOT the hot path — the same result comes from
+    codegen'd explode+groupBy (see ``text_token_count`` /
+    ``text_repetition_filter``); a production plan caps UDTF input with
+    the pushed-down ``doc_id < 50`` filter exactly as done here."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, cnt bigint")
+    class TokenCounts:
+        def eval(self, text: str):
+            from collections import Counter
+
+            toks = [t for t in text.lower().split() if t]
+            for tok, c in sorted(Counter(toks).items()):
+                yield tok, c
+
+    spark.udtf.register("gx_token_counts", TokenCounts)
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "gx_docs_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.cnt
+        FROM gx_docs_for_udtf d, LATERAL gx_token_counts(d.text) t
+        ORDER BY d.doc_id, t.token
+        """
+    )
