@@ -59,3 +59,115 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"]).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream join (view → purchase conversions within a horizon)
+# --------------------------------------------------------------------------
+
+CONVERSION_HORIZON_MS = 12 * 3600 * 1000
+
+_CONVERSION_ORACLE = f"""
+SELECT
+  a.event_id                        AS view_id,
+  b.event_id                        AS purchase_id,
+  a.user_id,
+  epoch_ms(b.ts) - epoch_ms(a.ts)   AS delta_ms
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND epoch_ms(b.ts) > epoch_ms(a.ts)
+ AND epoch_ms(b.ts) <= epoch_ms(a.ts) + {CONVERSION_HORIZON_MS}
+ORDER BY view_id, purchase_id
+"""
+
+
+def _register_conversion_pairs():
+    from gluettalax_spark.registry import register
+
+    @register(
+        "events_conversion_pairs",
+        _CONVERSION_ORACLE,
+        doc="view→purchase pairs within 12 h (batch twin of the stream-stream join)",
+    )
+    def events_conversion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch twin of the stream-stream conversion join: every view
+        paired with the same user's purchases in the following 12 hours.
+        The time comparison runs on millisecond epochs in BOTH engines —
+        flooring ns (DuckDB) and µs (Spark loader) timestamps to ms agrees
+        always, so the boundary predicate can't drift cross-engine.
+
+        Plan: equi-join on user_id (the range condition rides along as a
+        join filter — SortMergeJoin, never a cross product); both sides
+        prune to (event_id, user_id, ts) before the exchange."""
+        ev = load(spark, sf_dir, "events")
+        a = ev.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.unix_millis("ts").alias("a_ms"),
+        )
+        b = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("b_user"),
+            F.unix_millis("ts").alias("b_ms"),
+        )
+        return (
+            a.join(
+                b,
+                (F.col("user_id") == F.col("b_user"))
+                & (F.col("b_ms") > F.col("a_ms"))
+                & (F.col("b_ms") <= F.col("a_ms") + CONVERSION_HORIZON_MS),
+            )
+            .select(
+                "view_id",
+                "purchase_id",
+                "user_id",
+                (F.col("b_ms") - F.col("a_ms")).alias("delta_ms"),
+            )
+            .orderBy("view_id", "purchase_id")
+        )
+
+
+_register_conversion_pairs()
+
+
+def streaming_conversion_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True stream-stream inner join: views and purchases are SEPARATE
+    watermarked streams joined on user with an event-time range — the
+    shape Spark buffers both sides in state for, and the watermarks +
+    time bound are what let it EVICT: a view older than the horizon plus
+    the watermark delay can never match a future purchase, so its state
+    drops. Without the time bound this join is unrunnable on infinite
+    streams (state grows forever) — that constraint is the operator."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return views.join(
+        purchases,
+        (F.col("view_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 12 HOURS")),
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("view_user").alias("user_id"),
+        (F.unix_millis("purchase_ts") - F.unix_millis("view_ts")).alias("delta_ms"),
+    )

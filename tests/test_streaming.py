@@ -144,3 +144,22 @@ def test_watermark_survives_restart_and_drops_late_rows(spark, tmp_path):
     # And run 2 did close new windows (11:00..12:20 starts).
     assert dt.datetime(2024, 1, 1, 11, 30, 0) in final
     assert len(final) > len(first)
+
+
+def test_stream_stream_conversion_join(spark, sf_dir):
+    """The watermarked stream-stream inner join must produce exactly the
+    pairs the registered batch twin finds."""
+    from gluettalax_spark.registry import queries
+    from gluettalax_spark.streaming.joins import streaming_conversion_join
+    from gluettalax_spark.streaming.windows import run_stream_to_memory
+
+    df = streaming_conversion_join(spark, sf_dir)
+    assert df.isStreaming
+    got = run_stream_to_memory(spark, df, "ss_conv", output_mode="append")
+    got_pairs = {(r.view_id, r.purchase_id, r.user_id, r.delta_ms) for r in got.collect()}
+    truth = {
+        (r.view_id, r.purchase_id, r.user_id, r.delta_ms)
+        for r in queries()["events_conversion_pairs"](spark, sf_dir).collect()
+    }
+    assert got_pairs == truth
+    assert len(got_pairs) > 0
