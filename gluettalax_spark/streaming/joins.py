@@ -171,3 +171,45 @@ def streaming_conversion_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_user").alias("user_id"),
         (F.unix_millis("purchase_ts") - F.unix_millis("view_ts")).alias("delta_ms"),
     )
+
+
+def streaming_conversion_join_outer(spark: SparkSession, src_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the harder half of stream joins:
+    an unconverted view emits (with NULL purchase columns) only once the
+    watermark proves no matching purchase can still arrive (view_ts +
+    horizon + delay). Reads a parquet directory of
+    ``event_id long, user_id long, event_type string, ts timestamp``;
+    far-future sentinel rows (negative user_id) advance both streams'
+    watermarks so a finite fixture actually flushes the NULL side."""
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    views = (
+        raw.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 seconds")
+    )
+    purchases = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 seconds")
+    )
+    return views.join(
+        purchases,
+        (F.col("view_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 12 HOURS")),
+        "leftOuter",
+    ).select(
+        "view_id",
+        F.col("view_user").alias("user_id"),
+        "purchase_id",
+        (F.unix_millis("purchase_ts") - F.unix_millis("view_ts")).alias("delta_ms"),
+    )

@@ -163,3 +163,101 @@ def test_stream_stream_conversion_join(spark, sf_dir):
     }
     assert got_pairs == truth
     assert len(got_pairs) > 0
+
+
+def test_stream_stream_outer_join_flushes_unmatched(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream join: once far-future sentinels push both
+    watermarks past every view's horizon, each unconverted view must have
+    emitted exactly one NULL-purchase row; matched pairs equal the inner
+    truth."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from gluettalax_spark.registry import queries
+    from gluettalax_spark.streaming.joins import streaming_conversion_join_outer
+    from gluettalax_spark.tables import load
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_id", "user_id", "event_type", "ts")
+        .orderBy("ts")
+        .toPandas()
+    )
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    src = tmp_path / "src"
+    src.mkdir()
+    n = len(ev)
+    paths = []
+    for i, (lo, hi) in enumerate([(0, n // 2), (n // 2, n)]):
+        p = src / f"part-{i}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(ev.iloc[lo:hi], preserve_index=False),
+            p, coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        paths.append(p)
+    far = ev["ts"].max() + pd.Timedelta(hours=13)
+    sentinel = pd.DataFrame(
+        {
+            "event_id": [-1, -2],
+            "user_id": [-1, -1],
+            "event_type": ["view", "purchase"],
+            "ts": [far, far],
+        }
+    )
+    p = src / "part-9-sentinel.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(sentinel, preserve_index=False),
+        p, coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    paths.append(p)
+    for i, path in enumerate(paths):
+        os.utime(path, (1_700_000_000 + i * 10,) * 2)
+
+    df = streaming_conversion_join_outer(spark, str(src))
+    assert df.isStreaming
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_outer")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    inner_truth = {
+        (r.view_id, r.purchase_id)
+        for r in queries()["events_conversion_pairs"](spark, sf_dir).collect()
+    }
+    n_views = int((ev["event_type"] == "view").sum())
+    matched_views = len({v for v, _ in inner_truth})
+    want_null_rows = n_views - matched_views
+    try:
+        deadline = time.time() + 90
+        nulls = 0
+        while time.time() < deadline:
+            nulls = (
+                spark.sql(
+                    "SELECT count(*) AS n FROM ss_outer "
+                    "WHERE purchase_id IS NULL AND user_id >= 0"
+                ).collect()[0].n
+            )
+            if nulls >= want_null_rows:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM ss_outer WHERE user_id >= 0").collect()
+    got_pairs = {(r.view_id, r.purchase_id) for r in rows if r.purchase_id is not None}
+    got_null_views = {r.view_id for r in rows if r.purchase_id is None}
+    assert got_pairs == inner_truth
+    assert len(got_null_views) == want_null_rows, (len(got_null_views), want_null_rows)
+    # No view both matched AND null-emitted... except views whose ONLY
+    # purchases were outside the horizon: matched and null sets must be
+    # disjoint by the join semantics.
+    assert not (got_null_views & {v for v, _ in got_pairs})
