@@ -374,3 +374,78 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Arrow-vectorized brute-force top-k (the measured scale path)
+# --------------------------------------------------------------------------
+
+
+def _make_cosine_scorer(queries_np, query_ids):
+    """Closure-built mapInPandas kernel (workers can't import this
+    package): numpy matmul of each Arrow batch against the broadcast
+    query matrix."""
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        qn = queries_np / np.linalg.norm(queries_np, axis=1, keepdims=True)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            cos = vn @ qn.T  # (batch, n_queries)
+            n_b, n_q = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(query_ids, n_b),
+                    "neighbor_id": np.tile(pdf["vec_id"].to_numpy(), n_q),
+                    "cosine": np.round(cos.T.ravel(), 4),
+                }
+            )
+
+    return score
+
+
+@register(
+    "similarity_topk_vectorized",
+    None,  # rows-only: numpy pairwise summation vs the oracle's serial fold
+    doc=f"Arrow-vectorized cosine top-{TOPK}: mapInPandas + numpy matmul",
+)
+def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The throughput twin of ``similarity_topk``: queries collect to a
+    (Q×dim) numpy matrix on the driver (tiny — Q is user-query count, not
+    corpus) and ship inside the mapInPandas closure; each executor scores
+    its Arrow batches with one BLAS matmul instead of per-element folds.
+    Registered rows-only because numpy's pairwise summation can differ
+    from the oracle's serial fold in the last ulp; the test asserts the
+    ranking matches the exact operator. Same downstream top-k window,
+    same zero-shuffle corpus scan."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    import numpy as np
+
+    query_ids = np.array([r.vec_id for r in qrows], dtype="int64")
+    queries_np = np.array([r.embedding for r in qrows], dtype="float64")
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        _make_cosine_scorer(queries_np, query_ids),
+        schema="query_id long, neighbor_id long, cosine double",
+    )
+    scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )

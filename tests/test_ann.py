@@ -98,3 +98,15 @@ def test_wau_hll_rolling_accuracy(spark, sf_dir):
             .select("user_id").distinct().count()
         )
         assert abs(r.wau_estimate - exact) / exact < 0.05, (r.day, r.wau_estimate, exact)
+
+
+def test_vectorized_topk_matches_exact(spark, sf_dir):
+    """The numpy/mapInPandas scorer must reproduce the exact operator's
+    ranking (rounded cosine + id tiebreak makes it deterministic)."""
+    from gluettalax_spark.registry import queries
+
+    exact = queries()["similarity_topk"](spark, sf_dir).collect()
+    fast = queries()["similarity_topk_vectorized"](spark, sf_dir).collect()
+    assert [(r.query_id, r.rank, r.neighbor_id, r.cosine) for r in exact] == [
+        (r.query_id, r.rank, r.neighbor_id, r.cosine) for r in fast
+    ]
