@@ -171,3 +171,68 @@ def test_sequence_pack_no_global_window(spark, sf_dir):
     df = queries()["sequence_pack_budget"](spark, sf_dir)
     phys = physical_plan(df)
     assert "Exchange SinglePartition" not in phys, phys
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Join-driven partition pruning: a fact table partitioned by lang
+    joined to a FILTERED dim on the partition column must plan a
+    dynamicpruningexpression — at 100 TB this is what turns 'scan every
+    partition then join' into 'scan only the partitions the dim selects'."""
+    from gluettalax_spark.sources.io import write_partitioned
+    from gluettalax_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    path = str(tmp_path / "docs_dpp")
+    write_partitioned(docs, path, ["lang"])
+    fact = spark.read.parquet(path)
+    dim = (
+        load(spark, sf_dir, "documents")
+        .select("lang")
+        .distinct()
+        .filter("lang IN ('en', 'de')")
+    )
+    from pyspark.sql import functions as F
+
+    df = fact.join(F.broadcast(dim), "lang").groupBy("lang").count()
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_runtime_bloom_filter_join_reduction(spark, sf_dir):
+    """With runtime bloom filters on (thresholds floored for the local
+    fixture), a selective dim join must inject a bloom probe into the
+    fact scan — the row-level companion to partition pruning that cuts
+    shuffle volume before the join at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from gluettalax_spark.tables import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # Force SMJ so the bloom filter (not a broadcast) is the reducer.
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        lineitem = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders").filter("o_totalprice > 400000").select(
+            "o_orderkey"
+        )
+        df = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = formatted_plan(df)
+        assert "bloomfilter" in plan.lower().replace("_", ""), plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
