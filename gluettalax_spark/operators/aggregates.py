@@ -218,9 +218,15 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    # Scalar columns (not array<double>): the driver's rows-only canonicalizer
+    # hashes cell values and chokes on unhashable lists.
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
     return (
         li.groupBy("l_returnflag")
-        .agg(F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("approx_pcts"))
+        .agg(
+            F.element_at(pcts, 1).alias("p50_approx"),
+            F.element_at(pcts, 2).alias("p95_approx"),
+        )
         .orderBy("l_returnflag")
     )
 

@@ -286,38 +286,60 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# SimHash (16-bit) near-dup
+# SimHash (64-bit, 4×16-bit bands) near-dup
 # --------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
-HAMMING_MAX = 2
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16
+_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1  # 0xFFFF
+# Pigeonhole: ≤3 differing bits across 4 bands ⇒ at least one band identical,
+# so equi-joins on band values find every qualifying pair.
+HAMMING_MAX = 3
+
+_N_NIBBLES = SIMHASH_BITS // 4  # 16 hex chars of md5(token)
 
 
 def _nibble_exprs_spark() -> list[str]:
-    """SQL expressions n0..n3: the first 4 hex nibbles of md5(token)."""
+    """SQL expressions n0..n15: the first 16 hex nibbles of md5(token)."""
     return [
-        f"(instr('0123456789abcdef', substr(md5(s), {p + 1}, 1)) - 1) AS n{p}" for p in range(4)
+        f"(instr('0123456789abcdef', substr(md5(s), {p + 1}, 1)) - 1) AS n{p}"
+        for p in range(_N_NIBBLES)
     ]
 
 
 def _bit_sum_exprs(div_op: str) -> list[str]:
-    """16 per-bit contribution sums: bit b lives in nibble b//4, position
+    """64 per-bit contribution sums: bit b lives in nibble b//4, position
     b%4; contribution is +1 when set, −1 when clear."""
     out = []
     for bit in range(SIMHASH_BITS):
         nib, pos = divmod(bit, 4)
-        out.append(f"sum(2 * (({{n}}{nib} {div_op} {2 ** pos}) % 2) - 1) AS b{bit}".format(n="n"))
+        out.append(f"sum(2 * ((n{nib} {div_op} {2 ** pos}) % 2) - 1) AS b{bit}")
     return out
 
 
 def _simhash_value_expr() -> str:
-    terms = " + ".join(f"(CASE WHEN b{bit} >= 0 THEN {2 ** bit} ELSE 0 END)" for bit in range(SIMHASH_BITS))
-    return f"CAST({terms} AS BIGINT)"
+    """Signed 64-bit simhash from the 64 per-bit sign sums. Bit 63 is the
+    sign bit — its term is MIN_LONG and comes FIRST so every left-to-right
+    partial sum stays inside signed-64 range (DuckDB checks each addition)."""
+    terms = ["(CASE WHEN b63 >= 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"]
+    terms += [
+        f"(CASE WHEN b{bit} >= 0 THEN {2 ** bit} ELSE 0 END)"
+        for bit in range(SIMHASH_BITS - 1)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _band_expr(col: str, k: int) -> str:
+    """Band k = bits [16k, 16k+16) of the signed-64 fingerprint (arithmetic
+    shift then mask — sign-safe in both Spark and DuckDB)."""
+    return f"(({col} >> {k * SIMHASH_BAND_BITS}) & {_BAND_MASK})"
 
 
 def _simhash_oracle() -> str:
     nibbles = ",\n    ".join(
-        f"(strpos('0123456789abcdef', substr(md5(s), {p + 1}, 1)) - 1) AS n{p}" for p in range(4)
+        f"(strpos('0123456789abcdef', substr(md5(s), {p + 1}, 1)) - 1) AS n{p}"
+        for p in range(_N_NIBBLES)
     )
     bit_sums = ",\n    ".join(_bit_sum_exprs("//"))
     return f"""
@@ -345,13 +367,9 @@ ORDER BY doc_id
 """
 
 
-@register("dedup_simhash", _simhash_oracle(), doc="16-bit SimHash per document")
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: each distinct token votes ±1 per bit (from its md5 bits);
-    the sign vector packs into one integer. Near-dups then reduce to
-    small-Hamming-distance pairs (see dedup_simhash_pairs). Single
-    explode + single groupBy — one shuffle, 16 small int sums as state.
-    """
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) unsorted — shared by dedup_simhash and the pairs
+    query so the pairs plan doesn't inherit a useless range-shuffle sort."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _tokens_col().alias("tokens")).filter(F.size("tokens") >= 1)
     ex = toks.select("doc_id", F.explode("tokens").alias("s")).distinct()
@@ -359,11 +377,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitsum = nib.groupBy("doc_id").agg(
         *[F.expr(e.split(" AS ")[0]).alias(e.split(" AS ")[1]) for e in _bit_sum_exprs("div")]
     )
-    return bitsum.selectExpr("doc_id", f"{_simhash_value_expr()} AS simhash").orderBy("doc_id")
+    return bitsum.selectExpr("doc_id", f"{_simhash_value_expr()} AS simhash")
+
+
+@register("dedup_simhash", _simhash_oracle(), doc="64-bit SimHash per document")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: each distinct token votes ±1 per bit (from its md5 bits);
+    the sign vector packs into one signed 64-bit integer. Near-dups then
+    reduce to small-Hamming-distance pairs (see dedup_simhash_pairs).
+    Single explode + single groupBy — one shuffle, 64 small int sums as
+    state.
+    """
+    return _simhash_df(spark, sf_dir).orderBy("doc_id")
 
 
 def _simhash_pairs_oracle() -> str:
     base = _simhash_oracle().strip().removesuffix("ORDER BY doc_id").rstrip()
+    band_cond = " OR ".join(
+        f"{_band_expr('a.simhash', k)} = {_band_expr('b.simhash', k)}"
+        for k in range(SIMHASH_BANDS)
+    )
     return f"""
 WITH hashes AS (
 {base}
@@ -375,7 +408,7 @@ SELECT
 FROM hashes a
 JOIN hashes b
   ON a.doc_id < b.doc_id
- AND (a.simhash // 256 = b.simhash // 256 OR a.simhash % 256 = b.simhash % 256)
+ AND ({band_cond})
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 ORDER BY doc_a, doc_b
 """
@@ -384,21 +417,50 @@ ORDER BY doc_a, doc_b
 @register(
     "dedup_simhash_pairs",
     _simhash_pairs_oracle(),
-    doc=f"SimHash pairs with Hamming ≤ {HAMMING_MAX} via half-band blocking",
+    doc=f"SimHash pairs with Hamming ≤ {HAMMING_MAX} via 4×16-bit band blocking",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pigeonhole blocking: Hamming ≤ 2 on 16 bits ⇒ at most 2 differing
-    bits ⇒ at least one 8-bit half is identical — so candidates come from
-    two equi-joins (high half, low half), never a cross join. The same
-    trick scales to 64-bit simhash with 4×16-bit bands at 100 TB.
-    """
-    hashes = dedup_simhash(spark, sf_dir)
-    a = hashes.selectExpr("doc_id AS doc_a", "simhash AS sh_a")
-    b = hashes.selectExpr("doc_id AS doc_b", "simhash AS sh_b")
-    # Two equi-join passes (banding); union then distinct.
-    hi = a.join(b, (F.expr("sh_a div 256") == F.expr("sh_b div 256")) & (F.col("doc_a") < F.col("doc_b")))
-    lo = a.join(b, (F.expr("sh_a % 256") == F.expr("sh_b % 256")) & (F.col("doc_a") < F.col("doc_b")))
-    cand = hi.unionByName(lo).distinct()
+    """Pigeonhole blocking at scale: Hamming ≤ 3 on 64 bits split into 4
+    bands of 16 ⇒ at least one band is identical — so every qualifying
+    pair is found by ONE equi-join on (band_idx, band_val), never a cross
+    join. Band keyspace is 4 × 2^16 (and widens with the fingerprint —
+    128-bit/8-band is the same plan), so bucket occupancy, and with it
+    candidate-pair count, scales with corpus size instead of collapsing
+    into 256 fixed buckets."""
+    hashes = _simhash_df(spark, sf_dir)
+    bands = hashes.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_idx"),
+                        F.expr(_band_expr("simhash", k)).alias("band_val"),
+                    )
+                    for k in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
     return (
         cand.withColumn("hamming", F.expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
         .filter(F.col("hamming") <= HAMMING_MAX)

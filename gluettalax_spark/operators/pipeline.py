@@ -327,16 +327,18 @@ ORDER BY cohort, months_since
 
 @register("events_cohort_retention", _COHORT_ORACLE, doc="signup-cohort × months-since retention matrix")
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention: first-activity month per user (one aggregate),
-    joined back to activity — the cohort table is per-USER (small), so it
-    broadcasts against the event stream; distinct (user, cohort, month)
-    then counts. Two shuffles total at any scale."""
+    """Cohort retention: first-activity month per user via a window
+    ``min(ts) over (partition by user_id)`` — NO join and NO broadcast.
+    The per-user cohort table grows with the data (users ∝ rows), so
+    broadcasting it would OOM at 100 TB; the window needs only one
+    hash-partition of events on user_id, after which cohort_month rides
+    along each row for free. distinct (user, cohort, month), then count."""
     events = load(spark, sf_dir, "events")
-    first_seen = events.groupBy("user_id").agg(
-        F.date_trunc("month", F.min("ts")).alias("cohort_month")
-    )
+    w_user = Window.partitionBy("user_id")
     activity = (
-        events.join(F.broadcast(first_seen), "user_id")
+        events.withColumn(
+            "cohort_month", F.date_trunc("month", F.min("ts").over(w_user))
+        )
         .select(
             "user_id",
             "cohort_month",

@@ -226,6 +226,60 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _NEARDUP_ORACLE = f"""
+WITH buckets AS (
+  SELECT vec_id, embedding,
+    {_bucket_expr(_plane_coeff_duck, lambda d: f"embedding[{d + 1}]")} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT
+    q.vec_id AS vec_a,
+    v.vec_id AS vec_b,
+    round({_COSINE_SQL}, 4) AS cosine
+  FROM buckets q
+  JOIN buckets v ON q.bucket = v.bucket AND q.vec_id < v.vec_id
+)
+SELECT vec_a, vec_b, cosine
+FROM scored
+WHERE cosine >= {NEARDUP_COS}
+ORDER BY vec_a, vec_b
+"""
+
+
+@register(
+    "embedding_neardup",
+    _NEARDUP_ORACLE,
+    doc=f"LSH-bucketed embedding near-dup pairs (cosine ≥ {NEARDUP_COS})",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: candidates come from an EQUI-JOIN on the sign-LSH
+    bucket (the similarity_lsh_bucket key), never a triangular all-pairs
+    self-join — candidate count is Σ_bucket n_b², not N². Cosine is
+    verified only inside buckets. Recall is partial by design (sign-LSH
+    collisions concentrate high-cosine pairs); the oracle replays the
+    identical buckets so results match exactly, and
+    embedding_neardup_exact is the fixture-scale all-pairs twin for
+    recall measurement."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = _bucket_expr(_plane_coeff_spark, lambda d: f"element_at(embedding, {d + 1})")
+    buckets = emb.selectExpr("vec_id", "embedding", f"{bucket} AS bucket")
+    a = buckets.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    b = buckets.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("v_emb"), "bucket"
+    )
+    cos = _dot(F.col("q_emb"), F.col("v_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("v_emb")))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_COS)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_NEARDUP_EXACT_ORACLE = f"""
 WITH scored AS (
   SELECT
     q.vec_id AS vec_a,
@@ -241,11 +295,16 @@ ORDER BY vec_a, vec_b
 """
 
 
-@register("embedding_neardup", _NEARDUP_ORACLE, doc=f"embedding near-dup pairs (cosine ≥ {NEARDUP_COS})")
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs here (N is fixture-small); the 100 TB path is the same
-    verify step fed by similarity_lsh_bucket candidates instead of the
-    triangular self-join."""
+@register(
+    "embedding_neardup_exact",
+    _NEARDUP_EXACT_ORACLE,
+    doc=f"all-pairs near-dup oracle twin (cosine ≥ {NEARDUP_COS}) — fixture-scale only",
+)
+def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-scale ground truth for embedding_neardup's recall: the
+    triangular all-pairs self-join. O(N²) BY DESIGN — run only at test
+    scale; the production entry point is embedding_neardup (LSH-bucketed
+    equi-join)."""
     emb = load(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("v_emb"))

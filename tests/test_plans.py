@@ -236,3 +236,37 @@ def test_runtime_bloom_filter_join_reduction(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cohort_retention_no_broadcast_of_user_aggregate(spark, sf_dir):
+    """The per-user first_seen table grows with the data, so it must never
+    be a broadcast build side (round-1 verdict: OOM at 100 TB). The window
+    rewrite — min(ts) over (partition by user_id) — needs no join at all."""
+    df = queries()["events_cohort_retention"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_simhash_pairs_equi_join_on_bands(spark, sf_dir):
+    """Candidate generation must be an equi-join on (band_idx, band_val) —
+    a 4×2^16 keyspace that widens with the fingerprint — never a nested
+    loop or a tiny fixed-bucket join."""
+    df = queries()["dedup_simhash_pairs"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert (
+        "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    ), plan
+    assert "band_val" in plan, plan
+
+
+def test_embedding_neardup_equi_join_on_bucket(spark, sf_dir):
+    """Near-dup candidates come from the sign-LSH bucket equi-join — the
+    registered query must never plan the triangular all-pairs self-join
+    (that form lives in embedding_neardup_exact, fixture-scale only)."""
+    df = queries()["embedding_neardup"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert "bucket" in plan, plan
