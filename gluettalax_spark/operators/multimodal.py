@@ -1,11 +1,20 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata,
 decode/feature-extract as Arrow-batched Pandas UDFs over mapInPandas.
 
-The image/audio codec libraries are not in this container, so the decode
-step is STUBBED (deterministic fake features behind a clearly marked
-guard); everything Spark-side — binary columns, schemas, batch iteration,
-partition behavior — is real and tested. Swapping the stub for
-PIL/torchaudio changes one function body, not the plan.
+Each kernel has TWO branches, resolved per-payload inside the worker:
+
+* **real** — when PIL imports on the worker, payloads are decoded with
+  ``PIL.Image`` (decode → width/height/bands/mean-luma, resize → RGB
+  thumbnail bytes, frame-sample → every Nth frame of a multi-frame
+  image). Payloads that are not decodable images (e.g. the fixture's
+  UTF-8 text bytes) fall through to the stub, so a mixed corpus never
+  poisons a batch.
+* **stub** — deterministic fake features derived from the payload bytes;
+  the only branch exercised in this container (no PIL) and the oracle-
+  less CI path.
+
+Everything Spark-side — binary columns, schemas, Arrow batch iteration,
+partition behavior — is identical for both branches.
 
 The fixture has no binary tables, so payloads are the documents' UTF-8
 bytes — structurally identical to an image blob column at 100 TB: the
@@ -98,7 +107,19 @@ def make_decode_batch(have_codecs: bool = _HAVE_CODECS):
     """
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as _np
         import pandas as _pd
+
+        Image = None
+        if have_codecs:
+            try:
+                from PIL import Image as _Image
+
+                Image = _Image
+            except ImportError:
+                Image = None
 
         def fake_decode(payload: bytes):
             h = sum(payload[:64])
@@ -109,10 +130,23 @@ def make_decode_batch(have_codecs: bool = _HAVE_CODECS):
                 round((sum(payload) % 25600) / 100.0, 2),
             )
 
+        def real_decode(payload: bytes):
+            img = Image.open(io.BytesIO(payload))
+            width, height = img.size
+            n_channels = len(img.getbands())
+            luma = _np.asarray(img.convert("L"), dtype="float64")
+            return width, height, n_channels, round(float(luma.mean()), 2)
+
+        def decode(payload: bytes):
+            if Image is not None:
+                try:
+                    return real_decode(payload)
+                except Exception:  # noqa: BLE001 - not an image → stub branch
+                    pass
+            return fake_decode(payload)
+
         for pdf in batches:
-            if have_codecs:  # pragma: no cover - not available in container
-                raise NotImplementedError("real codec path not wired: plug PIL decode here")
-            feats = [fake_decode(p) for p in pdf["payload"]]
+            feats = [decode(bytes(p)) for p in pdf["payload"]]
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -172,22 +206,39 @@ def make_resize_batch(have_codecs: bool = _HAVE_CODECS):
     real property a thumbnail pipeline relies on (bounded row width)."""
 
     def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
         import pandas as _pd
 
+        Image = None
+        if have_codecs:
+            try:
+                from PIL import Image as _Image
+
+                Image = _Image
+            except ImportError:
+                Image = None
+
         target = THUMB_SIZE * THUMB_SIZE
+
+        def resize(p: bytes) -> bytes:
+            if Image is not None:
+                try:
+                    img = Image.open(io.BytesIO(p))
+                    # RGB thumbnail: bounded 3·THUMB_SIZE² bytes per row.
+                    return img.convert("RGB").resize((THUMB_SIZE, THUMB_SIZE)).tobytes()
+                except Exception:  # noqa: BLE001 - not an image → stub branch
+                    pass
+            stride = max(1, len(p) // target)
+            return bytes(p[::stride][:target])
+
         for pdf in batches:
-            if have_codecs:  # pragma: no cover - not available in container
-                raise NotImplementedError("real codec path not wired: plug PIL resize here")
-            thumbs = []
-            for p in pdf["payload"]:
-                stride = max(1, len(p) // target)
-                thumbs.append(bytes(p[::stride][:target]))
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "thumb_w": THUMB_SIZE,
                     "thumb_h": THUMB_SIZE,
-                    "thumb": thumbs,
+                    "thumb": [resize(bytes(p)) for p in pdf["payload"]],
                 }
             )
 
@@ -200,19 +251,55 @@ def make_frame_sample_batch(have_codecs: bool = _HAVE_CODECS):
     the mapInPandas shape for frame sampling (output rows ≠ input rows)."""
 
     def frame_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
         import pandas as _pd
 
+        Image = None
+        if have_codecs:
+            try:
+                from PIL import Image as _Image
+
+                Image = _Image
+            except ImportError:
+                Image = None
+
+        def real_frames(p: bytes):
+            """Multi-frame image (GIF/TIFF/WebP): every FRAME_EVERY-th
+            frame as a bounded THUMB_SIZE² RGB thumbnail. ffmpeg would
+            slot in here for true video containers — same output shape."""
+            img = Image.open(io.BytesIO(p))
+            n_frames = int(getattr(img, "n_frames", 1))
+            frames = []
+            for i in range(0, n_frames, FRAME_EVERY):
+                img.seek(i)
+                frame = img.convert("RGB").resize((THUMB_SIZE, THUMB_SIZE)).tobytes()
+                frames.append((i, i * FRAME_MS, frame))
+            return frames
+
+        def stub_frames(p: bytes):
+            n_frames = max(1, len(p) // FRAME_BYTES)
+            return [
+                (i, i * FRAME_MS, bytes(p[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]))
+                for i in range(0, n_frames, FRAME_EVERY)
+            ]
+
+        def sample(p: bytes):
+            if Image is not None:
+                try:
+                    return real_frames(p)
+                except Exception:  # noqa: BLE001 - not an image → stub branch
+                    pass
+            return stub_frames(p)
+
         for pdf in batches:
-            if have_codecs:  # pragma: no cover - not available in container
-                raise NotImplementedError("real codec path not wired: plug ffmpeg here")
             out = {"doc_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = max(1, len(p) // FRAME_BYTES)
-                for i in range(0, n_frames, FRAME_EVERY):
+                for idx, ts, frame in sample(bytes(p)):
                     out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(i)
-                    out["ts_ms"].append(i * FRAME_MS)
-                    out["frame"].append(bytes(p[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]))
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(ts)
+                    out["frame"].append(frame)
             yield _pd.DataFrame(out)
 
     return frame_batch

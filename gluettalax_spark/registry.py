@@ -45,11 +45,29 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder]
     return wrap
 
 
+def _sample_priority(name: str) -> tuple[int, int]:
+    """Ordering for ``queries()``: a driver that samples the first N keys
+    should hit the headline shapes — the 22 TPC-H queries, windows, text,
+    and streaming batch oracles (unsampled in round 1) — before the ops it
+    already has verdicts for. Sort is stable, so registration order holds
+    within each tier."""
+    import re
+
+    m = re.match(r"q(\d+)_", name)
+    if m:
+        return (0, int(m.group(1)))
+    for i, prefix in enumerate(("window_", "text_", "stream_", "events_")):
+        if name.startswith(prefix):
+            return (1, i)
+    return (2, 0)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # Import operator modules for their registration side effects.
     import gluettalax_spark.operators  # noqa: F401
 
-    return dict(_REGISTRY)
+    names = sorted(_REGISTRY, key=_sample_priority)
+    return {n: _REGISTRY[n] for n in names}
 
 
 def queries() -> dict[str, Builder]:

@@ -128,7 +128,10 @@ def test_percentile_approx_accuracy(spark, sf_dir):
         agg_percentiles_approx,
     )
 
-    approx = {r.l_returnflag: r.approx_pcts for r in agg_percentiles_approx(spark, sf_dir).collect()}
+    approx = {
+        r.l_returnflag: (r.p50_approx, r.p95_approx)
+        for r in agg_percentiles_approx(spark, sf_dir).collect()
+    }
     exact = {
         r.l_returnflag: (r.median_price, r.p95_price)
         for r in agg_percentiles(spark, sf_dir).collect()
@@ -137,3 +140,128 @@ def test_percentile_approx_accuracy(spark, sf_dir):
         a50, a95 = approx[flag]
         assert abs(a50 - median) / median < 0.01, (flag, a50, median)
         assert abs(a95 - p95) / p95 < 0.01, (flag, a95, p95)
+
+
+# ---------------------------------------------------------------------------
+# Real-codec branch: exercised driver-side with an injected fake PIL module
+# (the container has no PIL; kernels are plain generators so no Spark
+# workers are involved and a sys.modules patch reaches the import).
+# ---------------------------------------------------------------------------
+
+_FAKE_MAGIC = b"FAKEIMG"
+
+
+class _FakeThumb:
+    def __init__(self, wh):
+        self.wh = wh
+
+    def tobytes(self):
+        return b"\x42" * (self.wh[0] * self.wh[1] * 3)
+
+
+class _FakePILImage:
+    def __init__(self, n_frames):
+        self.size = (40, 20)
+        self.n_frames = n_frames
+
+    def getbands(self):
+        return ("R", "G", "B")
+
+    def convert(self, mode):
+        if mode == "L":
+            return [[10.0] * self.size[0]] * self.size[1]
+        return self
+
+    def resize(self, wh):
+        return _FakeThumb(wh)
+
+    def seek(self, i):
+        if i >= self.n_frames:
+            raise EOFError(i)
+
+
+def _install_fake_pil(monkeypatch):
+    import sys
+    import types
+
+    image_mod = types.ModuleType("PIL.Image")
+
+    def _open(fp):
+        data = fp.read()
+        if not data.startswith(_FAKE_MAGIC):
+            raise ValueError("cannot identify image file")
+        return _FakePILImage(n_frames=data[len(_FAKE_MAGIC)])
+
+    image_mod.open = _open
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+
+def test_decode_real_branch_with_fallback(monkeypatch):
+    """With a codec present, image payloads take the real branch and
+    non-image payloads fall through to the deterministic stub — a mixed
+    batch never fails."""
+    import pandas as pd
+
+    from gluettalax_spark.operators.multimodal import _fake_decode, make_decode_batch
+
+    _install_fake_pil(monkeypatch)
+    kernel = make_decode_batch(have_codecs=True)
+    img, txt = _FAKE_MAGIC + bytes([1]) + b"pixels", b"plain text payload"
+    out = pd.concat(kernel(iter([pd.DataFrame({"doc_id": [1, 2], "payload": [img, txt]})])))
+    real = out[out.doc_id == 1].iloc[0]
+    assert (real.width, real.height, real.n_channels, real.mean_luma) == (40, 20, 3, 10.0)
+    stub = out[out.doc_id == 2].iloc[0]
+    assert (stub.width, stub.height, stub.n_channels, stub.mean_luma) == _fake_decode(txt)
+
+
+def test_resize_real_branch(monkeypatch):
+    import pandas as pd
+
+    from gluettalax_spark.operators.multimodal import THUMB_SIZE, make_resize_batch
+
+    _install_fake_pil(monkeypatch)
+    kernel = make_resize_batch(have_codecs=True)
+    img = _FAKE_MAGIC + bytes([1]) + b"pixels"
+    out = pd.concat(kernel(iter([pd.DataFrame({"doc_id": [1], "payload": [img]})])))
+    # Real branch emits an RGB thumbnail: exactly 3·THUMB_SIZE² bytes.
+    assert len(out.iloc[0].thumb) == 3 * THUMB_SIZE * THUMB_SIZE
+
+
+def test_frame_sample_real_branch(monkeypatch):
+    import pandas as pd
+
+    from gluettalax_spark.operators.multimodal import (
+        FRAME_EVERY,
+        FRAME_MS,
+        THUMB_SIZE,
+        make_frame_sample_batch,
+    )
+
+    _install_fake_pil(monkeypatch)
+    kernel = make_frame_sample_batch(have_codecs=True)
+    img = _FAKE_MAGIC + bytes([9]) + b"pixels"  # 9 frames → idx 0,4,8
+    out = pd.concat(kernel(iter([pd.DataFrame({"doc_id": [1], "payload": [img]})])))
+    assert list(out.frame_idx) == list(range(0, 9, FRAME_EVERY))
+    assert list(out.ts_ms) == [i * FRAME_MS for i in out.frame_idx]
+    assert all(len(f) == 3 * THUMB_SIZE * THUMB_SIZE for f in out.frame)
+
+
+def test_kernels_without_pil_ignore_have_codecs_flag():
+    """have_codecs=True with no importable PIL must not crash — the kernel
+    downgrades to the stub (worker images may differ from the driver's)."""
+    import pandas as pd
+
+    from gluettalax_spark.operators.multimodal import _fake_decode, make_decode_batch
+
+    kernel = make_decode_batch(have_codecs=True)
+    txt = b"no codecs anywhere"
+    out = pd.concat(kernel(iter([pd.DataFrame({"doc_id": [7], "payload": [txt]})])))
+    assert (
+        out.iloc[0].width,
+        out.iloc[0].height,
+        out.iloc[0].n_channels,
+        out.iloc[0].mean_luma,
+    ) == _fake_decode(txt)
