@@ -456,7 +456,9 @@ def main(argv: list[str] | None = None) -> int:
         print(warning)
         return 0  # warnings are successes (gluettalax.py:849-851)
     except GluettalaxException as exc:
-        print(exc, file=sys.stderr)
+        # stdout, not stderr: the reference prints exceptions to stdout
+        # (gluettalax.py:852-854) and scripts capture them there.
+        print(exc)
         return 1  # errors (gluettalax.py:852-857)
 
 

@@ -36,6 +36,10 @@ from gluettalax_spark.exceptions import (
 
 DEFAULT_CRAWLER_DELAY = 10  # seconds (gluettalax.py:81)
 DEFAULT_CRAWLER_TIMEOUT = 600  # seconds (gluettalax.py:82)
+# Local crawls finish in milliseconds (vs minutes on Glue), so polls are
+# capped at this; the reference's `delay` contract still bounds the sleep
+# for callers that pass a smaller value.
+_POLL_CAP = 0.05  # seconds
 
 
 class Partitions(NamedTuple):
@@ -490,14 +494,24 @@ class Crawler:
     ) -> None:
         """Reference semantics (gluettalax.py:205-224): if ``rerun``, wait
         until READY (bounded by timeout); start only when ready; sync mode
-        waits for completion, raising :class:`CrawlerTimeout` on expiry."""
+        waits for completion, raising :class:`CrawlerTimeout` on expiry.
+
+        With ``rerun=False`` and the crawler already RUNNING, no new crawl
+        starts — but sync mode still waits for READY (gluettalax.py:220-224)
+        so a sync caller never proceeds believing an in-flight crawl is
+        done; async mode returns immediately."""
         deadline = time.monotonic() + timeout
+        started_waiting = False
         while not self.is_ready:
             if not rerun:
-                return  # already running and no rerun requested (:216-217)
+                if op_async:
+                    return  # already running, caller didn't ask to wait
+                started_waiting = True  # sync: fall through to the wait loop
             if time.monotonic() > deadline:
                 raise CrawlerTimeout(f"Crawler {self.name} timeout")
-            time.sleep(min(delay, 0.05))
+            time.sleep(min(delay, _POLL_CAP))
+        if started_waiting:
+            return  # waited out someone else's crawl; don't start another
 
         with self._lock:
             self._state = Crawler.RUNNING

@@ -110,6 +110,7 @@ def upsert_partitioned(
     updates: DataFrame,
     key: str,
     partition_col: str,
+    detect_moves: bool = False,
 ) -> None:
     """MERGE-style upsert into a partitioned parquet table without a
     table format (no Delta/Iceberg jars in this container): new rows
@@ -118,8 +119,17 @@ def upsert_partitioned(
       1. prune: only partitions PRESENT in ``updates`` participate
          (partition-pruned anti-join, not a full-table rewrite);
       2. keep = existing rows of those partitions whose key is NOT in
-         the update set (left-anti join);
+         the update set (left-anti join on the key);
       3. dynamic partition overwrite of keep ∪ updates.
+
+    CONTRACT: with the default ``detect_moves=False``, ``partition_col``
+    must be a pure function of ``key`` (the usual layout: partition =
+    hash/date of the key). If an update can MOVE a key to a different
+    partition, the stale row in the old partition is outside the pruned
+    set and would survive — pass ``detect_moves=True``, which additionally
+    semi-joins the table's partition column against the update keys (a
+    key-broadcast scan, no shuffle of the table) and folds any partition
+    holding a moved key into the rewrite set.
 
     At 100 TB the rewrite cost is proportional to the TOUCHED partitions
     only — the same contract a Glue-job author gets from
@@ -128,13 +138,21 @@ def upsert_partitioned(
     """
     from pyspark.sql import functions as F
 
-    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    existing = spark.table(table).filter(F.col(partition_col).isin(parts))
-    keep = existing.join(
-        updates.select(key, partition_col),
-        on=[key, partition_col],
-        how="left_anti",
-    )
+    parts = {r[0] for r in updates.select(partition_col).distinct().collect()}
+    if detect_moves:
+        upd_keys = updates.select(key).distinct()
+        holding = (
+            spark.table(table)
+            .join(F.broadcast(upd_keys), key, "left_semi")
+            .select(partition_col)
+            .distinct()
+        )
+        parts |= {r[0] for r in holding.collect()}
+    existing = spark.table(table).filter(F.col(partition_col).isin(list(parts)))
+    # Anti-join on the key ALONE (not key+partition): inside the rewrite
+    # set this is equivalent when partition is a function of key, and it
+    # is what drops the old-partition copy of a moved key.
+    keep = existing.join(updates.select(key), on=[key], how="left_anti")
     merged = keep.unionByName(updates)
     overwrite_partitions(merged, table)
 

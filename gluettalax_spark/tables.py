@@ -43,8 +43,20 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # The legacy conf is captured when the DataFrame is created (verified:
+    # execution after restore still reads NANOS as long), so restore the
+    # prior value immediately — leaving it set session-wide would silently
+    # change how any OTHER parquet with NANOS timestamps is read.
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df

@@ -301,3 +301,33 @@ def test_csv_external_catalog_table(spark, db, sf_dir, tmp_path):
     ).collect()
     want = [r.n_name for r in nation.filter("n_regionkey = 0").orderBy("n_nationkey").collect()]
     assert [r.n_name for r in top] == want
+
+
+def test_crawler_sync_waits_for_running_crawl(spark, db, tmp_path, sf_dir):
+    """rerun=False + crawler RUNNING: sync run() must WAIT for READY
+    (reference gluettalax.py:220-224) instead of returning early; it must
+    not start a second crawl. Async returns immediately."""
+    import time as _time
+
+    from gluettalax_spark.tables import load
+
+    cat.Crawler.clear_registry()
+    base = tmp_path / "crawl_wait"
+    load(spark, sf_dir, "documents").write.mode("overwrite").parquet(str(base))
+    crawler = cat.Crawler(spark, "wait_crawler", db, "crawled_wait", str(base))
+
+    crawls = []
+    orig = crawler._crawl
+
+    def slow_crawl():
+        crawls.append(1)
+        _time.sleep(0.4)
+        orig()
+
+    crawler._crawl = slow_crawl
+    crawler.run(op_async=True)  # leaves the crawler RUNNING
+    t0 = _time.monotonic()
+    crawler.run(rerun=False, timeout=30)  # sync: must block until READY
+    assert crawler.is_ready
+    assert _time.monotonic() - t0 > 0.1  # actually waited
+    assert len(crawls) == 1  # and did NOT start a second crawl

@@ -132,3 +132,32 @@ def test_range_sorted_write_clusters_minmax(spark, sf_dir, tmp_path):
     assert overlaps == 0, ranges
     # And the data still round-trips completely.
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_upsert_partitioned_detect_moves(spark, sf_dir, tmp_path):
+    """An update that moves a key to a different partition must not leave
+    the stale copy behind when detect_moves=True (and the docstring
+    contract documents that the default requires partition = f(key))."""
+    import uuid as _uuid
+
+    from gluettalax_spark.sources.io import upsert_partitioned
+
+    db = f"updb_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE `{db}` LOCATION '{tmp_path / db}'")
+    try:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+        docs.write.partitionBy("lang").saveAsTable(f"`{db}`.docs_m")
+        target = f"`{db}`.docs_m"
+        moved_id = spark.table(target).filter("lang='de'").limit(1).collect()[0].doc_id
+        updates = spark.createDataFrame(
+            [(moved_id, 424242, "en")], "doc_id long, n_chars long, lang string"
+        )
+        before_total = spark.table(target).count()
+        upsert_partitioned(spark, target, updates, "doc_id", "lang", detect_moves=True)
+        after = spark.table(target)
+        rows = after.filter(f"doc_id = {moved_id}").collect()
+        assert len(rows) == 1, rows  # exactly one copy — stale 'de' row gone
+        assert rows[0].lang == "en" and rows[0].n_chars == 424242
+        assert after.count() == before_total  # move, not insert
+    finally:
+        spark.sql(f"DROP DATABASE `{db}` CASCADE")
