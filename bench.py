@@ -47,8 +47,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "embedding_neardup",
     "similarity_topk",
     "similarity_topk_lsh",
+    "similarity_topk_vectorized",
     "text_stats",
     "text_lang_id",
     "text_token_count",
@@ -106,6 +109,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Methodology, recorded so rounds compare like-for-like:
+                # one uncounted warm-up action, then per-query best-of-2
+                # on a warm JVM ("warm" = codegen/JIT/footers cached).
+                "timing": "warm",
+                "runs_per_query": 2,
+                "report": "best",
             }
         )
     )

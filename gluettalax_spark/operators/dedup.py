@@ -300,12 +300,29 @@ HAMMING_MAX = 3
 _N_NIBBLES = SIMHASH_BITS // 4  # 16 hex chars of md5(token)
 
 
-def _nibble_exprs_spark() -> list[str]:
-    """SQL expressions n0..n15: the first 16 hex nibbles of md5(token)."""
+def _hex_word_exprs_spark() -> list[str]:
+    """Spark-side fast path: the 16 hex nibbles of md5(token) parsed as two
+    32-bit words (hi = chars 1-8, lo = chars 9-16) via conv() — two string
+    ops per token instead of sixteen. Bit extraction below indexes into
+    these words exactly where the oracle's per-nibble arithmetic lands, so
+    fingerprints are bit-identical across engines."""
     return [
-        f"(instr('0123456789abcdef', substr(md5(s), {p + 1}, 1)) - 1) AS n{p}"
-        for p in range(_N_NIBBLES)
+        "CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT) AS hi",
+        "CAST(conv(substr(md5(s), 9, 8), 16, 10) AS BIGINT) AS lo",
     ]
+
+
+def _bit_sum_exprs_spark() -> list[str]:
+    """64 per-bit contribution sums over the (hi, lo) hex words. Nibble p
+    is hex char p+1 — the (7-p)th nibble of `hi` for p<8, else the
+    (15-p)th of `lo` — matching conv()'s big-endian parse."""
+    out = []
+    for bit in range(SIMHASH_BITS):
+        nib, pos = divmod(bit, 4)
+        word, word_nib = ("hi", 7 - nib) if nib < 8 else ("lo", 15 - nib)
+        shift = 4 * word_nib + pos
+        out.append(f"sum(2 * (shiftright({word}, {shift}) & 1) - 1) AS b{bit}")
+    return out
 
 
 def _bit_sum_exprs(div_op: str) -> list[str]:
@@ -369,13 +386,19 @@ ORDER BY doc_id
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) unsorted — shared by dedup_simhash and the pairs
-    query so the pairs plan doesn't inherit a useless range-shuffle sort."""
+    query so the pairs plan doesn't inherit a useless range-shuffle sort.
+
+    Shuffle budget: ONE. Token dedupe is per-document, so it happens
+    map-side with array_distinct BEFORE the explode (a (doc_id, token)
+    ``distinct`` would be a second full shuffle of the token stream); the
+    64 bit sums then partial-aggregate map-side and shuffle 64 ints per
+    doc per partition."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _tokens_col().alias("tokens")).filter(F.size("tokens") >= 1)
-    ex = toks.select("doc_id", F.explode("tokens").alias("s")).distinct()
-    nib = ex.selectExpr("doc_id", "s", *_nibble_exprs_spark())
-    bitsum = nib.groupBy("doc_id").agg(
-        *[F.expr(e.split(" AS ")[0]).alias(e.split(" AS ")[1]) for e in _bit_sum_exprs("div")]
+    ex = toks.select("doc_id", F.explode(F.array_distinct("tokens")).alias("s"))
+    words = ex.selectExpr("doc_id", *_hex_word_exprs_spark())
+    bitsum = words.groupBy("doc_id").agg(
+        *[F.expr(e.split(" AS ")[0]).alias(e.split(" AS ")[1]) for e in _bit_sum_exprs_spark()]
     )
     return bitsum.selectExpr("doc_id", f"{_simhash_value_expr()} AS simhash")
 

@@ -262,7 +262,11 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall measurement."""
     emb = load(spark, sf_dir, "embeddings")
     bucket = _bucket_expr(_plane_coeff_spark, lambda d: f"element_at(embedding, {d + 1})")
-    buckets = emb.selectExpr("vec_id", "embedding", f"{bucket} AS bucket")
+    # Both join sides read the bucketed table; materialize the 8×64-term
+    # projection once (cluster analog: persist the bucket-keyed index).
+    buckets = emb.selectExpr("vec_id", "embedding", f"{bucket} AS bucket").localCheckpoint(
+        eager=True
+    )
     a = buckets.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"), "bucket"
     )

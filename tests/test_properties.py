@@ -95,3 +95,52 @@ def test_format_time_total_and_consistent(seconds):
     # Signs are uniform and match the input's sign.
     signs = {p.startswith("-") for p in out.split(" ")}
     assert signs == {seconds < 0}
+
+
+# ---------------------------------------------------------------------------
+# SimHash banding recall guarantee (pure-Python model of dedup.py's plan)
+# ---------------------------------------------------------------------------
+
+
+@settings(deadline=None)
+@given(
+    base=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    flips=st.sets(st.integers(min_value=0, max_value=63), max_size=3),
+)
+def test_simhash_band_pigeonhole_recall(base, flips):
+    """Any pair within Hamming ≤ 3 of a 64-bit fingerprint shares at least
+    one of the 4×16-bit bands — the pigeonhole guarantee that makes the
+    equi-join candidate generation in dedup_simhash_pairs LOSSLESS for the
+    HAMMING_MAX threshold (not an approximation)."""
+    from gluettalax_spark.operators.dedup import (
+        HAMMING_MAX,
+        SIMHASH_BAND_BITS,
+        SIMHASH_BANDS,
+    )
+
+    assert len(flips) <= HAMMING_MAX
+    other = base
+    for b in flips:
+        other ^= 1 << b
+    # Arithmetic-shift-and-mask band extraction, as both engines do it.
+    def bands(v):
+        return [
+            (v >> (k * SIMHASH_BAND_BITS)) & 0xFFFF for k in range(SIMHASH_BANDS)
+        ]
+
+    assert any(x == y for x, y in zip(bands(base), bands(other)))
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_simhash_bands_reassemble(v):
+    """The 4 bands partition all 64 bits: reassembling them yields the
+    original signed fingerprint (no bit lost or double-counted)."""
+    from gluettalax_spark.operators.dedup import SIMHASH_BAND_BITS, SIMHASH_BANDS
+
+    acc = 0
+    for k in range(SIMHASH_BANDS):
+        acc |= ((v >> (k * SIMHASH_BAND_BITS)) & 0xFFFF) << (k * SIMHASH_BAND_BITS)
+    # Reinterpret the unsigned accumulator as signed 64-bit.
+    if acc >= 2**63:
+        acc -= 2**64
+    assert acc == v
