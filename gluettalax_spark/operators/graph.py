@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from gluettalax_spark.operators.dedup import _NGRAM_ORACLE, dedup_ngram_jaccard
 from gluettalax_spark.registry import register
+from gluettalax_spark.tables import load
 
 _MAX_ROUNDS = 25
 
@@ -70,7 +71,9 @@ def connected_components(edges: DataFrame, src: str = "u", dst: str = "v") -> Da
     return labels.select(F.col("node"), F.col("lab").alias("component"))
 
 
-_CC_ORACLE = f"""
+# Shared recursive-CTE prefix: near-dup pairs → transitive closure → per-doc
+# min-reachable component. Used by dedup_clusters and dedup_filter_corpus.
+_CC_COMP_CTES = f"""
 WITH RECURSIVE {_NGRAM_ORACLE.strip().split("WITH", 1)[1].rsplit("SELECT doc_a", 1)[0].rstrip().rstrip(")").rstrip()}
 ),
 pairs AS (
@@ -91,6 +94,10 @@ comp AS (
   SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS component
   FROM reach GROUP BY doc
 )
+"""
+
+_CC_ORACLE = f"""
+{_CC_COMP_CTES}
 SELECT
   c.doc_id,
   c.component,
@@ -114,13 +121,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact semantics with a recursive CTE (transitive closure + min) —
     different algorithm, identical fixpoint, which is the point: the
     result is algorithm-independent."""
+    from pyspark.sql.window import Window
+
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     comp = connected_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("component")
     )
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    # cluster_size via a window, NOT an aggregate broadcast back — the
+    # per-component table grows with the data (same unbounded-broadcast
+    # class as the round-1 cohort bug); one hash-partition on component
+    # covers both the count and the keeper flag.
+    w = Window.partitionBy("component")
     return (
-        comp.join(F.broadcast(sizes), "component")
+        comp.withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .select(
             "doc_id",
             "component",
@@ -128,6 +141,41 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("component")).alias("is_keeper"),
         )
         .orderBy("component", "doc_id")
+    )
+
+
+_FILTER_CORPUS_ORACLE = f"""
+{_CC_COMP_CTES}
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+LEFT JOIN (SELECT doc_id FROM comp WHERE doc_id <> component) dup
+  ON d.doc_id = dup.doc_id
+WHERE dup.doc_id IS NULL
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "dedup_filter_corpus",
+    _FILTER_CORPUS_ORACLE,
+    doc="end-to-end dedup: corpus minus non-keeper near-dup cluster members",
+)
+def dedup_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The op a training pipeline actually runs: pairs → components →
+    drop every cluster member except the keeper (min doc_id), keeping the
+    surviving corpus. The anti-join ships only loser doc_ids — never
+    text; Spark picks broadcast vs shuffle by the loser count (a heavily
+    duplicated corpus can have many losers, so no forced broadcast)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     )
 
 
