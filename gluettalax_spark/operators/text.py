@@ -510,9 +510,12 @@ ORDER BY doc_id, rnk
 @register("text_tfidf_keywords", _TFIDF_ORACLE, doc="TF-IDF top-3 keywords per document")
 def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF from first principles in three aggregates: term counts per
-    doc (one shuffle), document frequency per term (one shuffle of the
-    already-small tf table), broadcast both the DF table and the 1-row
-    corpus size back in. Ranking on ROUNDED scores with a term tiebreak —
+    doc (one shuffle), document frequency per term (one shuffle of the tf
+    table), then tf ⋈ df on the term key. The DF table is one row per
+    DISTINCT TERM — vocabulary grows with the corpus (Heaps' law), so it
+    is NOT broadcast-hinted: AQE broadcasts it while it fits and demotes
+    to a shuffled join when it doesn't. Only the 1-row corpus size is
+    forced-broadcast. Ranking on ROUNDED scores with a term tiebreak —
     the raw ln() product differs in the last ulp across engines."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
@@ -530,7 +533,7 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -43,11 +43,15 @@ def user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static join: the static dim is broadcast into every
-    micro-batch; the stream side never shuffles."""
+    """Stream-static join enriching each micro-batch with the user-profile
+    dim. NO forced broadcast: the dim is per-USER, so its size grows with
+    the data — Spark sizes the join per micro-batch (AQE demotes to a
+    shuffled join when the profile table outgrows the broadcast
+    threshold). At cluster scale the profile table would be a compacted,
+    bucketed table so the join co-locates without a full dim shuffle."""
     stream = read_events_stream(spark, sf_dir)
     dim = user_tier_dim(spark, sf_dir).select("user_id", "tier")
-    return stream.join(F.broadcast(dim), "user_id", "left").select(
+    return stream.join(dim, "user_id", "left").select(
         "event_id", "user_id", "event_type", "value", F.coalesce("tier", F.lit("bronze")).alias("tier")
     )
 

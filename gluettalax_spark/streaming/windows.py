@@ -291,11 +291,13 @@ ORDER BY bucket, t.event_type
 def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap filling = generate the dense bucket spine (sequence + explode
     from a 1-row bounds aggregate — no driver loop), cross the small type
-    dimension, left-join the actual counts. The spine is tiny (hours ×
-    types) and broadcasts; the only real shuffle is the counts aggregate.
-    This is the continuous-aggregate/hypertable-rollup completion step:
-    downstream consumers (charts, anomaly detection) need explicit
-    zeros, not absent rows."""
+    dimension, left-join the actual counts. The counts table is bounded
+    by hours × types (output-sized, not event-count-sized) but still
+    grows with the time horizon, so the join is un-hinted — AQE
+    broadcasts the post-aggregate side while it fits. This is the
+    continuous-aggregate/hypertable-rollup completion step: downstream
+    consumers (charts, anomaly detection) need explicit zeros, not
+    absent rows."""
     events = load(spark, sf_dir, "events")
     bounds = events.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -310,7 +312,7 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
     return (
         spine.crossJoin(types)
-        .join(F.broadcast(actual), ["bucket", "event_type"], "left")
+        .join(actual, ["bucket", "event_type"], "left")
         .select(
             F.date_format("bucket", _TS_FMT).alias("bucket"),
             "event_type",
