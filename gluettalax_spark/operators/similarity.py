@@ -82,17 +82,26 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Queries (small side) are broadcast against the full vector set —
     each partition scores its local vectors against every query and the
     per-query top-k reduces through a window. No shuffle of the big side.
-    Ranking is on the ROUNDED cosine with a vec_id tiebreak: a raw-float
-    ordering is not reproducible across engines, a rounded one is.
+    Norms are computed ONCE PER VECTOR before the join (not per pair —
+    that would triple the interpreted fold work per candidate; identical
+    float result, same fold order). Ranking is on the ROUNDED cosine with
+    a vec_id tiebreak: a raw-float ordering is not reproducible across
+    engines, a rounded one is.
     """
     from pyspark.sql.window import Window
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
     )
-    v = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("v_emb"))
-    cos = _dot(F.col("q_emb"), F.col("v_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("v_emb")))
+    v = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v_emb"),
+        _norm(F.col("embedding")).alias("v_norm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("v_emb")) / (F.col("q_norm") * F.col("v_norm"))
     scored = (
         v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
@@ -199,14 +208,26 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bucketing feeds both join sides; materialize it once (cluster analog:
     # persist the bucket-keyed index table) instead of recomputing the
     # 8×64-term projection per consumer — measured ~2× on the full query.
-    buckets = emb.selectExpr("vec_id", "embedding", f"{bucket} AS bucket").localCheckpoint(eager=True)
+    # Norm rides along the checkpoint: computed once per vector, never
+    # per candidate pair (identical float result, same fold order).
+    buckets = (
+        emb.selectExpr("vec_id", "embedding", f"{bucket} AS bucket")
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .localCheckpoint(eager=True)
+    )
     q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+        "bucket",
     )
     v = buckets.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("v_emb"), "bucket"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v_emb"),
+        F.col("nrm").alias("v_norm"),
+        "bucket",
     )
-    cos = _dot(F.col("q_emb"), F.col("v_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("v_emb")))
+    cos = _dot(F.col("q_emb"), F.col("v_emb")) / (F.col("q_norm") * F.col("v_norm"))
     scored = (
         v.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -264,16 +285,24 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = _bucket_expr(_plane_coeff_spark, lambda d: f"element_at(embedding, {d + 1})")
     # Both join sides read the bucketed table; materialize the 8×64-term
     # projection once (cluster analog: persist the bucket-keyed index).
-    buckets = emb.selectExpr("vec_id", "embedding", f"{bucket} AS bucket").localCheckpoint(
-        eager=True
+    buckets = (
+        emb.selectExpr("vec_id", "embedding", f"{bucket} AS bucket")
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .localCheckpoint(eager=True)
     )
     a = buckets.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("a_norm"),
+        "bucket",
     )
     b = buckets.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("v_emb"), "bucket"
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("v_emb"),
+        F.col("nrm").alias("b_norm"),
+        "bucket",
     )
-    cos = _dot(F.col("q_emb"), F.col("v_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("v_emb")))
+    cos = _dot(F.col("q_emb"), F.col("v_emb")) / (F.col("a_norm") * F.col("b_norm"))
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))

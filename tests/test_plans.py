@@ -270,3 +270,11 @@ def test_embedding_neardup_equi_join_on_bucket(spark, sf_dir):
     assert "NestedLoop" not in plan, plan
     assert "Cartesian" not in plan, plan
     assert "bucket" in plan, plan
+
+
+def test_dedup_filter_corpus_anti_join(spark, sf_dir):
+    """The corpus filter ships only loser doc_ids through a LeftAnti join —
+    document text must never appear on the join's build side."""
+    df = queries()["dedup_filter_corpus"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan, plan
