@@ -145,11 +145,12 @@ def _minhash_sig_aggs() -> list[Column]:
     return [F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"s{i}") for i in range(N_HASHES)]
 
 
-def _duck_hex_int(start: int) -> str:
-    """DuckDB int value of md5 hex chars [start, start+8) (no conv() there)."""
+def _duck_hex_int(start: int, width: int = 8) -> str:
+    """DuckDB int value of md5 hex chars [start, start+width) (no conv()
+    there). width ≤ 15 keeps the value inside signed 64-bit."""
     terms = [
-        f"(strpos('0123456789abcdef', substr(m, {start + k}, 1)) - 1) * {16 ** (7 - k)}"
-        for k in range(8)
+        f"(strpos('0123456789abcdef', substr(m, {start + k}, 1)) - 1) * {16 ** (width - 1 - k)}"
+        for k in range(width)
     ]
     return "(" + " + ".join(terms) + ")"
 
@@ -170,12 +171,14 @@ hashed AS (SELECT doc_id, md5(s) AS m FROM ex),
 ints AS (
   SELECT doc_id,
     {_duck_hex_int(1)} AS h1,
-    {_duck_hex_int(9)} AS h2
+    {_duck_hex_int(9)} AS h2,
+    {_duck_hex_int(1, 15)} AS hs
   FROM hashed
 ),
 sigs AS (
   SELECT doc_id,
-    {sig_cols}
+    {sig_cols},
+    list_distinct(list(hs)) AS hset
   FROM ints GROUP BY doc_id
 ),
 bands AS (
@@ -192,13 +195,13 @@ verified AS (
     c.doc_a,
     c.doc_b,
     round(
-      CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))),
+      CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE)
+      / (len(x.hset) + len(y.hset) - len(list_intersect(x.hset, y.hset))),
       4
     ) AS jaccard
   FROM cand c
-  JOIN sh x ON c.doc_a = x.doc_id
-  JOIN sh y ON c.doc_b = y.doc_id
+  JOIN sigs x ON c.doc_a = x.doc_id
+  JOIN sigs y ON c.doc_b = y.doc_id
 )
 SELECT doc_a, doc_b, jaccard
 FROM verified
@@ -211,7 +214,14 @@ ORDER BY doc_a, doc_b
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """shingle → 16 min-hash aggs (ONE groupBy — all 16 signatures in a
     single shuffle) → 4 band keys → explode → self-join on band key →
-    verify candidates with exact Jaccard on shingle sets.
+    verify candidates with exact Jaccard on HASHED shingle sets.
+
+    The verify sets hold 60-bit shingle hashes, not shingle strings: the
+    collect_set state and the verify-join payload shrink from ~24-byte
+    strings to 8-byte longs, and the set intersection compares integers.
+    Jaccard is unchanged up to 60-bit collisions (~n²/2^61 — vanishing),
+    and both engines hash identically, so the oracle matches bit-for-bit
+    regardless.
 
     At 100 TB: candidates per band-bucket ≈ true near-dups + hash
     collisions; the verify join touches only those pairs. The band join
@@ -223,16 +233,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("m", F.md5("s"))
         .select(
             "doc_id",
-            "s",
             F.expr("CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT)").alias("h1"),
             F.expr("CAST(conv(substr(m, 9, 8), 16, 10) AS BIGINT)").alias("h2"),
+            F.expr("CAST(conv(substr(m, 1, 15), 16, 10) AS BIGINT)").alias("hs"),
         )
     )
-    # ONE shuffle: signatures and the shingle sets for the verify step
-    # come out of the same aggregation (recomputing the shingle arrays
-    # for each verify join would triple the scan+tokenize work).
+    # ONE shuffle: signatures and the hashed shingle sets for the verify
+    # step come out of the same aggregation (recomputing the
+    # tokenize→shingle→hash chain for each verify join would triple the
+    # scan work).
     sigs = ex.groupBy("doc_id").agg(
-        *_minhash_sig_aggs(), F.collect_set("s").alias("shingles")
+        *_minhash_sig_aggs(), F.collect_set("hs").alias("shingles")
     )
     # The signature table feeds three consumers (band explode + both sides
     # of the verify join); materialize it once instead of recomputing the
