@@ -509,13 +509,18 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_ORACLE = f"""
 WITH {_SHINGLES_CTE},
+hex AS (SELECT doc_id, md5(unnest(shingles)) AS m FROM sh),
+hsets AS (
+  SELECT doc_id, list_distinct(list({{HEX15}})) AS hset
+  FROM hex GROUP BY doc_id
+),
 blocks AS (
-  SELECT doc_id, shingles,
-         md5(array_to_string(list_slice(list_sort(shingles), 1, 3), '|')) AS block_key
-  FROM sh
+  SELECT doc_id, hset,
+         md5(array_to_string(list_slice(list_sort(hset), 1, 3), '|')) AS block_key
+  FROM hsets
 ),
 cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shingles AS sh_a, b.shingles AS sh_b
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.hset AS sh_a, b.hset AS sh_b
   FROM blocks a
   JOIN blocks b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
 ),
@@ -534,25 +539,36 @@ SELECT doc_a, doc_b, jaccard
 FROM scored
 WHERE jaccard >= 0.3
 ORDER BY doc_a, doc_b
-"""
+""".replace("{HEX15}", _duck_hex_int(1, 15))
 
 
-@register("dedup_ngram_jaccard", _NGRAM_ORACLE, doc="exact n-gram Jaccard with sorted-shingle blocking")
+@register("dedup_ngram_jaccard", _NGRAM_ORACLE, doc="exact n-gram Jaccard with min-hashed-shingle blocking")
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocking key = hash of the 3 lexicographically-smallest shingles —
-    near-dup docs share their rarest-prefix shingles with high
-    probability. One equi-join on the block key; exact Jaccard only
-    inside blocks."""
-    sh = shingles_df(spark, sf_dir)
-    blocks = sh.withColumn(
-        "block_key",
-        F.md5(F.array_join(F.slice(F.array_sort("shingles"), 1, 3), "|")),
+    """Shingles are 60-bit hashes (8-byte longs, not ~24-byte strings —
+    same payload win as dedup_minhash_lsh; both engines hash identically
+    so the oracle matches exactly). Blocking key = hash of the 3 SMALLEST
+    shingle hashes — three implicit minhash probes, so near-dup docs
+    collide with high probability and the key distribution is uniform
+    (unlike lexicographic prefixes, which cluster on boilerplate). One
+    equi-join on the block key; exact Jaccard only inside blocks."""
+    hs = (
+        shingles_exploded(spark, sf_dir)
+        .withColumn("hs", F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("hs").alias("hset"))
     )
+    # Both self-join sides read blocks; materialize once (otherwise AQE
+    # may broadcast one side, losing exchange reuse and recomputing the
+    # shingle→hash→agg chain twice).
+    blocks = hs.withColumn(
+        "block_key",
+        F.md5(F.concat_ws("|", F.slice(F.array_sort("hset"), 1, 3).cast("array<string>"))),
+    ).localCheckpoint(eager=True)
     a = blocks.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "block_key"
+        F.col("doc_id").alias("doc_a"), F.col("hset").alias("sh_a"), "block_key"
     )
     b = blocks.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "block_key"
+        F.col("doc_id").alias("doc_b"), F.col("hset").alias("sh_b"), "block_key"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
