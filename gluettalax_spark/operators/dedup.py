@@ -579,3 +579,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.3)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus duplication report (per-source observability)
+# --------------------------------------------------------------------------
+
+_DUP_REPORT_ORACLE = r"""
+WITH fp AS (
+  SELECT source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT
+  source,
+  count(*) AS n_docs,
+  CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_unique,
+  round(1 - CAST(count(DISTINCT fingerprint) AS DOUBLE) / count(*), 4) AS dup_rate
+FROM fp
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "corpus_dup_report",
+    _DUP_REPORT_ORACLE,
+    doc="per-source exact-duplication rate (corpus observability)",
+)
+def corpus_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitoring twin of dedup_exact: per ingestion source, how much
+    of the corpus is exact-duplicate? Drives source weighting and crawl
+    triage. One distinct-aggregate shuffle of (source, 16-byte hash) —
+    text never shuffles; Catalyst plans count(DISTINCT) as the standard
+    two-phase expand aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    return (
+        docs.select("source", fp.alias("fingerprint"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.round(1 - F.col("n_unique").cast("double") / F.col("n_docs"), 4).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

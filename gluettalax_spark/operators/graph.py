@@ -249,3 +249,71 @@ def connected_components_star(edges: DataFrame, src: str = "u", dst: str = "v") 
         covered.select(F.col("node").alias("n")).distinct(), "n", "left_anti"
     ).select(F.col("n").alias("node"), F.col("n").alias("component"))
     return covered.unionByName(isolated).distinct()
+
+
+# --------------------------------------------------------------------------
+# Clusters over MinHash+LSH pairs (the production dedup chain)
+# --------------------------------------------------------------------------
+
+def _minhash_cc_oracle() -> str:
+    from gluettalax_spark.operators.dedup import _minhash_oracle
+
+    mh = _minhash_oracle().strip().removesuffix("ORDER BY doc_a, doc_b").rstrip()
+    return f"""
+WITH RECURSIVE mh AS (
+{mh}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM mh
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM mh
+),
+verts AS (SELECT DISTINCT u AS doc FROM edges),
+reach(doc, lab) AS (
+  SELECT doc, doc FROM verts
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.doc
+),
+comp AS (
+  SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS component
+  FROM reach GROUP BY doc
+)
+SELECT
+  doc_id,
+  component,
+  CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+  doc_id = component AS is_keeper
+FROM comp
+ORDER BY component, doc_id
+"""
+
+
+@register(
+    "dedup_minhash_clusters",
+    _minhash_cc_oracle(),
+    doc="connected components over MinHash+LSH pairs (the production dedup chain)",
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chain a 100 TB corpus dedup actually runs: MinHash signatures →
+    LSH band candidates → Jaccard-verified pairs → connected components →
+    keeper per cluster. Same label-propagation core as dedup_clusters;
+    cluster_size via a window (never a per-component broadcast)."""
+    from pyspark.sql.window import Window
+
+    from gluettalax_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )
+    w = Window.partitionBy("component")
+    return (
+        comp.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .select(
+            "doc_id",
+            "component",
+            "cluster_size",
+            (F.col("doc_id") == F.col("component")).alias("is_keeper"),
+        )
+        .orderBy("component", "doc_id")
+    )

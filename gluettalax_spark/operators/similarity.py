@@ -243,6 +243,52 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# LSH recall measurement (approx vs exact top-k, per query)
+# --------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH exact AS ({_TOPK_ORACLE.replace("ORDER BY query_id, rank", "")}),
+approx AS ({_LSH_TOPK_ORACLE.replace("ORDER BY query_id, rank", "")})
+SELECT
+  e.query_id,
+  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+FROM exact e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
+@register(
+    "similarity_lsh_recall",
+    _RECALL_ORACLE,
+    doc=f"recall@{TOPK} of the LSH top-k against the exact top-k, per query",
+)
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality gauge an ANN deployment monitors: fraction of the true
+    top-k recovered by the bucketed search, per query. Both inputs are
+    deterministic, so even this meta-metric is oracle-checked. At scale
+    you run it over a sampled query panel — the exact side is O(Q·N) and
+    Q here is the bounded panel, never the corpus."""
+    exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = similarity_topk_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    k_per_q = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    hits_per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        k_per_q.join(hits_per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("k"), 4
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs
 # --------------------------------------------------------------------------
 
