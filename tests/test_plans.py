@@ -278,3 +278,12 @@ def test_dedup_filter_corpus_anti_join(spark, sf_dir):
     df = queries()["dedup_filter_corpus"](spark, sf_dir)
     plan = physical_plan(df)
     assert "LeftAnti" in plan, plan
+
+
+def test_corpus_dup_report_scan_pruning(spark, sf_dir):
+    """The dup-rate report reads only (source, text) — and its one real
+    shuffle carries (source, 16-byte hash), never document text."""
+    df = queries()["corpus_dup_report"](spark, sf_dir)
+    plan = formatted_plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {"source", "text"}, plan
