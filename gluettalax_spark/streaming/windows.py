@@ -195,21 +195,27 @@ def events_hourly_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # True Structured Streaming variants (smoke-tested; no SQL oracle possible)
 # --------------------------------------------------------------------------
 
-EVENTS_RAW_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (ns-as-long, converted to µs —
-    same handling as the batch loader)."""
+    """readStream over the events parquet, normalizing ``ts`` to TIMESTAMP
+    the same way as the batch loader (handles both the ns-as-long legacy
+    layout and the current timestamp[us]/NTZ layout). The file's physical
+    schema comes from a footer-only batch read — a stream source must
+    declare its schema up front."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file stream source requires a directory; pathGlobFilter selects
     # only the events table out of the shared fixture dir.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,8 +57,16 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Parquet timestamp[us] with isAdjustedToUTC=false loads as
+        # TIMESTAMP_NTZ; normalize to TIMESTAMP so time functions that
+        # require it (unix_millis etc.) work. Session tz is pinned UTC
+        # (session.py), so the cast is value-preserving and matches the
+        # oracle's naive-timestamp reading.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
