@@ -199,10 +199,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet, normalizing ``ts`` to TIMESTAMP
     the same way as the batch loader (handles both the ns-as-long legacy
     layout and the current timestamp[us]/NTZ layout). The file's physical
-    schema comes from a footer-only batch read — a stream source must
-    declare its schema up front."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema comes from a footer-only batch read, cached per fixture dir —
+    a stream source must declare its schema up front. The legacy nanos
+    conf is scoped to that footer read (restored after), and the explicit
+    .schema() on the stream source makes the stream itself independent of
+    the session conf."""
+    from gluettalax_spark.tables import _normalize_events_ts, events_raw_schema
+
+    raw_schema = events_raw_schema(spark, sf_dir)
     # The file stream source requires a directory; pathGlobFilter selects
     # only the events table out of the shared fixture dir.
     raw = (
@@ -210,12 +214,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = dict(raw.dtypes).get("ts")
-    if ts_type == "bigint":
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    if ts_type == "timestamp_ntz":
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    return _normalize_events_ts(raw)
 
 
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

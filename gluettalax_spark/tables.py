@@ -7,6 +7,8 @@ default — at 100 TB you want the parquet scan, not a driver-side cache).
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -41,33 +43,66 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncate ns → µs ourselves (integer DIV — float division would lose
     ~256 ns of precision at 2024 epoch magnitudes).
     """
-    from pyspark.sql import functions as F
-
     # The legacy conf is captured when the DataFrame is created (verified:
     # execution after restore still reads NANOS as long), so restore the
     # prior value immediately — leaving it set session-wide would silently
     # change how any OTHER parquet with NANOS timestamps is read.
+    with _events_legacy_nanos_conf(spark):
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _normalize_events_ts(df)
+
+
+# Inferred physical schema of events.parquet, keyed on fixture dir — the
+# footer never changes for a given fixture, so one batch read per dir is
+# enough (the streaming ops call this on every construction).
+_EVENTS_SCHEMA_CACHE: dict = {}
+
+
+@contextlib.contextmanager
+def _events_legacy_nanos_conf(spark: SparkSession):
+    """Set spark.sql.legacy.parquet.nanosAsLong for the duration of a
+    DataFrame *creation*, restoring the prior value after."""
     key = "spark.sql.legacy.parquet.nanosAsLong"
     prev = spark.conf.get(key, None)
     spark.conf.set(key, "true")
     try:
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        yield
     finally:
         if prev is None:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP regardless of the
+    fixture's physical layout (ns-as-long legacy, NTZ µs, or already-µs).
+    Shared by the batch loader and the streaming reader so the two can't
+    drift."""
+    from pyspark.sql import functions as F
+
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    elif ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type == "timestamp_ntz":
         # Parquet timestamp[us] with isAdjustedToUTC=false loads as
         # TIMESTAMP_NTZ; normalize to TIMESTAMP so time functions that
         # require it (unix_millis etc.) work. Session tz is pinned UTC
         # (session.py), so the cast is value-preserving and matches the
         # oracle's naive-timestamp reading.
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def events_raw_schema(spark: SparkSession, sf_dir: str):
+    """Physical schema of ``events.parquet`` (pre-ts-normalization), from a
+    footer-only batch read, cached per fixture dir."""
+    cached = _EVENTS_SCHEMA_CACHE.get(sf_dir)
+    if cached is None:
+        with _events_legacy_nanos_conf(spark):
+            cached = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _EVENTS_SCHEMA_CACHE[sf_dir] = cached
+    return cached
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
