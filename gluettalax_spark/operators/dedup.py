@@ -461,7 +461,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     128-bit/8-band is the same plan), so bucket occupancy, and with it
     candidate-pair count, scales with corpus size instead of collapsing
     into 256 fixed buckets."""
-    hashes = _simhash_df(spark, sf_dir)
+    # The fingerprint table feeds both sides of the band self-join;
+    # materialize it once (64 bits + id per doc — tiny) instead of running
+    # the explode + 64-sum aggregation twice. At cluster scale this is
+    # "write the fingerprint table, then self-join it".
+    hashes = _simhash_df(spark, sf_dir).localCheckpoint(eager=True)
     bands = hashes.select(
         "doc_id",
         "simhash",
@@ -627,6 +631,79 @@ def corpus_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_unique",
             F.round(1 - F.col("n_unique").cast("double") / F.col("n_docs"), 4).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-document span overlap (per-source contamination observability)
+# --------------------------------------------------------------------------
+
+_SPAN_OVERLAP_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+cnt AS (SELECT s, count(*) AS n_docs_with FROM ex GROUP BY s),
+perdoc AS (
+  SELECT e.doc_id,
+         count(*) AS n_sh,
+         count(CASE WHEN c.n_docs_with >= 2 THEN 1 END) AS n_shared
+  FROM ex e JOIN cnt c USING (s)
+  GROUP BY e.doc_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CAST(n_shared AS DOUBLE) / n_sh), 4) AS avg_shared_frac,
+       CAST(count(CASE WHEN n_shared * 2 > n_sh THEN 1 END) AS BIGINT) AS n_heavy
+FROM perdoc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@register(
+    "corpus_span_overlap",
+    _SPAN_OVERLAP_ORACLE,
+    doc="per-source fraction of word-3-gram spans shared across documents",
+)
+def corpus_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span duplication, the signal behind span-level dedup
+    (Dolma/RefinedWeb-style): for every document, the fraction of its
+    DISTINCT word-3-gram shingles that also appear in at least one other
+    document; rolled up per ingestion source (mean fraction + count of
+    docs that are >50% shared spans — boilerplate / template farms).
+
+    Scale shape: shingles are 60-bit hashes (longs, not strings — same
+    collision argument as dedup_minhash_lsh); the docs-per-shingle count
+    is a WINDOW over the shingle key rather than a groupBy + self-join,
+    so the shingle lineage is computed ONCE and never joined against
+    itself. Shuffles: distinct (doc, shingle), window repartition by
+    shingle, per-doc aggregate, doc_id join to the docs table, source
+    rollup — all equi-keyed, no self-join, no recompute."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    ex = (
+        shingles_exploded(spark, sf_dir)
+        .select("doc_id", F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("hs"))
+        .distinct()
+    )
+    w = Window.partitionBy("hs")
+    per_doc = (
+        ex.withColumn("n_docs_with", F.count(F.lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count(F.when(F.col("n_docs_with") >= 2, 1)).alias("n_shared"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("n_shared").cast("double") / F.col("n_sh")), 4).alias("avg_shared_frac"),
+            F.count(F.when(F.col("n_shared") * 2 > F.col("n_sh"), 1)).alias("n_heavy"),
         )
         .orderBy("source")
     )

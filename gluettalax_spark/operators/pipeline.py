@@ -749,3 +749,69 @@ def sequence_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pack_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Stratified (balanced) sampling by language
+# --------------------------------------------------------------------------
+
+_STRATIFIED_ORACLE = """
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+),
+cap AS (SELECT min(n_docs) AS cap FROM counts),
+tagged AS (
+  SELECT
+    d.lang, c.n_docs, cap.cap,
+    (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) AS h
+  FROM documents d
+  JOIN counts c USING (lang)
+  CROSS JOIN cap
+)
+SELECT
+  lang,
+  CAST(max(n_docs) AS BIGINT)                         AS n_docs,
+  CAST(max(cap) AS BIGINT)                            AS target_cap,
+  count(CASE WHEN h * n_docs < 256 * cap THEN 1 END)  AS n_kept
+FROM tagged
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "stratified_sample_by_lang",
+    _STRATIFIED_ORACLE,
+    doc="deterministic per-language downsampling to the rarest language's count",
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced corpus construction: downsample every language to
+    ~the rarest language's document count, deciding keep/drop from the
+    document's content-stable hash byte — reruns, engine swaps, and
+    repartitions never move a document in or out of the sample (the
+    property `df.sampleBy(seed=...)` cannot give across engines).
+
+    The keep test is pure integer arithmetic (`h · n_lang < 256 · cap`),
+    so Spark and the SQL oracle agree bit-for-bit — no float rounding at
+    the keep boundary. Scale shape: the per-language counts and the
+    global cap are aggregate-sized (one row per language / one row
+    total) — both broadcast; the corpus itself is touched by exactly one
+    map-side projection + one rollup shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    cap = counts.agg(F.min("n_docs").alias("cap"))
+    hexpos = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("doc_id").cast("string")), i, 1)) - 1  # noqa: E731
+    h = hexpos(1) * 16 + hexpos(2)
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(cap))
+        .groupBy("lang")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("cap").alias("target_cap"),
+            F.count(F.when(F.col("h") * F.col("n_docs") < 256 * F.col("cap"), 1)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -198,3 +198,54 @@ def events_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_WAU_EXACT_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM pairs)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+FROM days d
+JOIN pairs p ON p.day >= d.day - INTERVAL 6 DAY AND p.day <= d.day
+GROUP BY d.day
+ORDER BY day
+"""
+
+
+@register("events_wau_exact", _WAU_EXACT_ORACLE, doc="exact rolling 7-day distinct users (oracle twin of events_wau_hll)")
+def events_wau_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling 7-day distinct users — the oracle-checked twin of
+    :func:`events_wau_hll` (which trades exactness for sketch-sized
+    window state).
+
+    Scale shape: the naive form is a range join (every day joins 7 days
+    of raw events — re-scanning event volume per output day). Instead:
+    dedupe to (day, user) pairs FIRST (one shuffle; output is bounded by
+    days × active users, far below event count), then each pair
+    *forward-contributes* to the 7 calendar days it makes active — an
+    explode to ≤7 rows per pair — and a count-distinct per target day.
+    Phantom target days past the data's edge are dropped with a
+    broadcast semi-join against the (tiny) distinct-day set. No range
+    join, no re-scan of raw events, every shuffle keyed."""
+    events = load(spark, sf_dir, "events")
+    pairs = events.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
+    days = pairs.select("day").distinct()
+    contrib = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        contrib.join(F.broadcast(days), "day", "semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "wau")
+        .orderBy("day")
+    )

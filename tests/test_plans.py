@@ -287,3 +287,36 @@ def test_corpus_dup_report_scan_pruning(spark, sf_dir):
     plan = formatted_plan(df)
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {"source", "text"}, plan
+
+
+def test_events_wau_exact_no_range_join(spark, sf_dir):
+    """Exact rolling WAU must be the pair-explode plan, not a range join:
+    no NestedLoop over raw events, and the only join is the broadcast
+    semi against the tiny distinct-day set."""
+    df = queries()["events_wau_exact"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Cartesian" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # exactly one join of any kind — the day semi-join
+    assert plan.count("Join") - plan.count("ReusedExchange") <= 2, plan
+
+
+def test_corpus_span_overlap_window_not_self_join(spark, sf_dir):
+    """Docs-per-shingle must come from a window over the shingle key, not
+    a groupBy + self-join that recomputes the shingle lineage twice."""
+    df = queries()["corpus_span_overlap"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" in plan, plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+    # one doc-table join (per-doc stats → source), nothing joined on the
+    # shingle stream itself
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan
+
+
+def test_stratified_sample_broadcasts_aggregates(spark, sf_dir):
+    """Per-language counts and the global cap are aggregate-sized; both
+    must broadcast — the corpus side never shuffles for a join."""
+    df = queries()["stratified_sample_by_lang"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
