@@ -56,6 +56,9 @@ HEADLINE = [
     "text_lang_id",
     "text_token_count",
     "events_funnel",
+    "events_wau_exact",
+    "corpus_span_overlap",
+    "stratified_sample_by_lang",
     "sample_hash_split",
     "latest_snapshot",
 ]

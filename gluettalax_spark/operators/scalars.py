@@ -247,3 +247,55 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# VariantType (Spark 4 semi-structured) over events.props
+# --------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT
+  event_type,
+  count(*) AS n_events,
+  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+  round(median(CAST(json_extract_string(props, '$.k') AS BIGINT)), 1)    AS median_k,
+  count(CASE WHEN json_type(props) = 'OBJECT' THEN 1 END)                AS n_obj
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "variant_props_stats",
+    _VARIANT_ORACLE,
+    doc="VariantType path: parse_json → try_variant_get/schema_of_variant",
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics on Spark 4's VARIANT type: ``parse_json``
+    builds the binary variant ONCE per row (vs re-parsing per
+    ``get_json_object`` call), ``try_variant_get`` does typed, null-safe
+    path extraction, and ``schema_of_variant`` powers shape observability
+    — all JVM-side, schema-on-read without a fixed ``from_json`` schema.
+    This is the bulk path for ragged/evolving JSON at scale: the variant
+    encoding shuffles smaller than the source text and field access is
+    O(fields-touched), not O(document)."""
+    events = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    tagged = events.select(
+        "event_type",
+        F.try_variant_get(v, "$.k", "long").alias("k"),
+        F.schema_of_variant(v).alias("sv"),
+    )
+    return (
+        tagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.expr("percentile(k, 0.5)"), 1).alias("median_k"),
+            F.count(F.when(F.col("sv").startswith("OBJECT"), 1)).alias("n_obj"),
+        )
+        .orderBy("event_type")
+    )

@@ -51,6 +51,9 @@ def get_spark(app_name: str = "gluettalax_spark", cpus: str | None = None) -> Sp
         # peak memory — keep it explicit rather than inherited.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # Let custom Python data sources (sources/pydatasource.py) accept
+        # Catalyst filter pushdown via their pushFilters() hook.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

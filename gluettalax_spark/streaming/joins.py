@@ -65,6 +65,24 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` (Spark 3.5+): unlike
+    ``dropDuplicates`` — whose state for a key only evicts when the
+    *event-time column is part of the key set or the watermark passes the
+    recorded event time* — this variant guarantees eviction once the
+    watermark passes the FIRST sighting's time plus the delay, and
+    deduplicates records whose event times differ (e.g. at-least-once
+    sources re-delivering with a later ingest ts). The right default for
+    re-delivery dedup on an infinite stream: state is strictly bounded by
+    the watermark delay regardless of key recurrence."""
+    stream = read_events_stream(spark, sf_dir)
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
 # --------------------------------------------------------------------------
 # Stream-stream join (view → purchase conversions within a horizon)
 # --------------------------------------------------------------------------

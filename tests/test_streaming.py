@@ -79,6 +79,38 @@ def test_streaming_dedup_events(spark, sf_dir):
     assert result.select("event_id").distinct().count() == n_distinct
 
 
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    from gluettalax_spark.streaming.joins import streaming_dedup_within_watermark
+
+    stream_df = streaming_dedup_within_watermark(spark, sf_dir)
+    assert stream_df.isStreaming
+    result = run_stream_to_memory(spark, stream_df, "dedup_wwm_smoke")
+    from gluettalax_spark.tables import load
+
+    n_distinct = load(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert result.count() == n_distinct
+
+    # Semantic difference from dropDuplicates: a re-delivery with a
+    # DIFFERENT event time (same id, 10 min later — inside the 1 h delay)
+    # must still dedupe to one row.
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    src = str(tmp_path / "redeliver_in")
+    spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(minutes=10)), (2, base)],
+        "event_id long, ts timestamp",
+    ).coalesce(1).write.parquet(src)
+    dedup = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = run_stream_to_memory(spark, dedup, "dedup_wwm_redeliver")
+    assert out.count() == 2, "re-delivered id with shifted ts must dedupe"
+
+
 def test_watermark_survives_restart_and_drops_late_rows(spark, tmp_path):
     """Two availableNow runs over one checkpoint: run 1 ingests a batch
     and closes windows; run 2 ingests a file containing one event LATE
