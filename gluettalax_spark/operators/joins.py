@@ -382,3 +382,46 @@ def orders_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery (per-row parameterized top-k)
+# --------------------------------------------------------------------------
+
+_LATERAL_ORACLE = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+WHERE c.c_custkey <= 50
+ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+"""
+
+
+@register(
+    "join_lateral_topk",
+    _LATERAL_ORACLE,
+    doc="LATERAL correlated subquery: top-3 orders per customer",
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL LATERAL — the per-row parameterized-subquery shape users write
+    when a window feels unnatural (per-entity top-k with entity-specific
+    predicates). Catalyst DECORRELATES it: the executed plan is a hash
+    join + per-key ranking, not a nested loop re-running the subquery per
+    customer row (tests/test_plans.py pins this) — so the SQL-level
+    convenience costs nothing at scale. The filtered customer side
+    broadcasts; orders never shuffles twice."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+        WHERE c.c_custkey <= 50
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+        """
+    )

@@ -587,3 +587,55 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# mapInArrow: zero-copy Arrow-batch kernel (no pandas materialization)
+# --------------------------------------------------------------------------
+
+_NORMS_ARROW_ORACLE = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+def _norms_arrow_kernel(batches):
+    """RecordBatch -> RecordBatch: flat Arrow list buffer -> (n, dim)
+    numpy view -> one vectorized reduction. No pandas objects anywhere —
+    the cheapest Python-boundary crossing Spark offers."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        ids = batch.column(0)
+        emb = batch.column(1)
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype("float64")
+        n = len(batch)
+        dim = len(flat) // n if n else 0
+        norms = np.sqrt((flat.reshape(n, dim) ** 2).sum(axis=1)).round(4)
+        yield pa.RecordBatch.from_arrays([ids, pa.array(norms)], ["vec_id", "l2_norm"])
+
+
+@register(
+    "embedding_norms_arrow",
+    _NORMS_ARROW_ORACLE,
+    doc="L2 norms via mapInArrow (RecordBatch-level kernel, no pandas)",
+)
+def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the third Python-boundary tier after row UDFs and
+    Pandas UDFs: the kernel receives raw Arrow RecordBatches, so there is
+    no pandas Series materialization at all; the list column flattens to
+    one contiguous numpy view and the norm is a single vectorized
+    reduction per batch. Deterministic (squares summed by numpy pairwise
+    over a fixed-order buffer, rounded) so — unlike the matmul scorer —
+    this IS oracle-checked. Scale: embarrassingly parallel map over
+    partitions, zero shuffle, batch size bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = emb.select("vec_id", "embedding").mapInArrow(
+        _norms_arrow_kernel, schema="vec_id long, l2_norm double"
+    )
+    return out.orderBy("vec_id")

@@ -45,14 +45,27 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder]
     return wrap
 
 
+# Keys added in the current round, surfaced FIRST so a sampling driver
+# gives them a verdict this round (older keys carry green verdicts from
+# prior rounds' CORRECTNESS files).
+_NEW_THIS_ROUND = (
+    "events_wau_exact",
+    "corpus_span_overlap",
+    "stratified_sample_by_lang",
+    "variant_props_stats",
+)
+
+
 def _sample_priority(name: str) -> tuple[int, int]:
     """Ordering for ``queries()``: a driver that samples the first N keys
-    should hit the headline shapes — the 22 TPC-H queries, windows, text,
-    and streaming batch oracles (unsampled in round 1) — before the ops it
-    already has verdicts for. Sort is stable, so registration order holds
-    within each tier."""
+    should hit this round's new keys, then the headline shapes — the 22
+    TPC-H queries, windows, text, and streaming batch oracles — before
+    the ops it already has verdicts for. Sort is stable, so registration
+    order holds within each tier."""
     import re
 
+    if name in _NEW_THIS_ROUND:
+        return (-1, _NEW_THIS_ROUND.index(name))
     m = re.match(r"q(\d+)_", name)
     if m:
         return (0, int(m.group(1)))

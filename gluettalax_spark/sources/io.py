@@ -181,3 +181,25 @@ def write_range_sorted(
         .format(fmt)
         .save(path)
     )
+
+
+def write_with_audit(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    audit_cols: tuple[str, ...] = (),
+) -> dict:
+    """Write ``df`` while collecting audit metrics (row count + per-column
+    null counts) via the Observation API — metrics ride along with the
+    write job itself, so there is NO second scan of the data (the naive
+    ``df.count(); df.write...`` pattern reads everything twice; at 100 TB
+    that doubles the pipeline). Returns the observed metrics dict."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in audit_cols:
+        metrics.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"n_null_{c}"))
+    obs = Observation("write_audit")
+    df.observe(obs, *metrics).write.format(fmt).mode("overwrite").save(path)
+    return obs.get

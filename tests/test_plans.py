@@ -320,3 +320,12 @@ def test_stratified_sample_broadcasts_aggregates(spark, sf_dir):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_lateral_topk_decorrelated(spark, sf_dir):
+    """The LATERAL subquery must decorrelate to a hash join + ranking —
+    never a nested loop re-running the subquery per outer row."""
+    df = queries()["join_lateral_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan

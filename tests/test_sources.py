@@ -231,3 +231,14 @@ def test_python_datasource_stream_offsets(spark):
     q.awaitTermination(120)
     row = spark.sql(f"select count(*) c, count(distinct event_id) d from {name}").collect()[0]
     assert (row.c, row.d) == (300, 300)
+
+
+def test_write_with_audit_single_pass(spark, sf_dir, tmp_path):
+    from gluettalax_spark.sources.io import write_with_audit
+
+    docs = load(spark, sf_dir, "documents")
+    out = str(tmp_path / "audited")
+    m = write_with_audit(docs, out, audit_cols=("lang", "text"))
+    assert m["n_rows"] == docs.count()
+    assert m["n_null_lang"] == docs.filter(F.col("lang").isNull()).count()
+    assert spark.read.parquet(out).count() == m["n_rows"]
