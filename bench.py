@@ -42,8 +42,10 @@ HEADLINE = [
     "events_tumbling_window",
     "events_session_window",
     "json_extract_props",
+    "variant_props_stats",
     "pivot_status",
     "pandas_udf_scalar",
+    "embedding_norms_arrow",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -56,6 +58,7 @@ HEADLINE = [
     "text_lang_id",
     "text_token_count",
     "events_funnel",
+    "events_dau_bitmap",
     "events_wau_exact",
     "corpus_span_overlap",
     "stratified_sample_by_lang",

@@ -249,3 +249,101 @@ def events_wau_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "wau")
         .orderBy("day")
     )
+
+
+_DAU_BITMAP_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT)     AS dau
+FROM events
+GROUP BY date_trunc('day', ts)
+ORDER BY day
+"""
+
+
+@register(
+    "events_dau_bitmap",
+    _DAU_BITMAP_ORACLE,
+    doc="EXACT daily distinct users via bitmap aggregation (bitmap_construct_agg)",
+)
+def events_dau_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT DISTINCT at scale without count-distinct's expand:
+    user ids map to (bucket, bit-position); per (day, bucket) the ids
+    collapse into a fixed 4 KB bitmap via ``bitmap_construct_agg`` (a
+    map-side partial aggregate — the shuffle carries at most one bitmap
+    per bucket per partition, not one row per id); summed
+    ``bitmap_count`` per day is the exact distinct. Unlike HLL this is
+    EXACT — hence oracle-checked — and unlike ``countDistinct`` its
+    shuffle width is bounded by id-range/32k bitmaps instead of the
+    distinct-id row count. The same bitmaps also union across arbitrary
+    re-aggregations (``bitmap_or_agg``) — the cube/rollup-friendly
+    exact-distinct representation."""
+    events = load(spark, sf_dir, "events")
+    daily = events.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    )
+    per_bucket = daily.groupBy("day", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    return (
+        per_bucket.groupBy("day")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("dau"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau")
+        .orderBy("day")
+    )
+
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+)
+SELECT
+  e.event_type,
+  count(*) AS n_events,
+  round(max(m.med), 4) AS median_value,
+  round(max(d.mad), 4) AS mad_value,
+  count(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * d.mad THEN 1 END) AS n_robust_outliers
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+@register("events_outlier_mad", _MAD_ORACLE, doc="robust (median/MAD) outlier counts per event type")
+def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust twin of :func:`events_outlier_counts`: median/MAD instead of
+    μ/σ — a single wild value cannot move the threshold (3σ breaks down
+    exactly when outliers are present). Three passes, but the re-joined
+    side is ALWAYS the group-count-sized aggregate (broadcast): pass 1
+    exact per-group median, pass 2 median absolute deviation, pass 3 the
+    outlier count at 3·1.4826·MAD (the normal-consistency constant).
+    Spark's ``median`` is the exact continuous-interpolation percentile —
+    same definition as the oracle's."""
+    events = load(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(F.median("value").alias("med"))
+    with_med = events.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("med"), 4).alias("median_value"),
+            F.round(F.max("mad"), 4).alias("mad_value"),
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"), 1
+                )
+            ).alias("n_robust_outliers"),
+        )
+        .orderBy("event_type")
+    )

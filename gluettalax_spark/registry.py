@@ -53,6 +53,10 @@ _NEW_THIS_ROUND = (
     "corpus_span_overlap",
     "stratified_sample_by_lang",
     "variant_props_stats",
+    "join_lateral_topk",
+    "embedding_norms_arrow",
+    "events_dau_bitmap",
+    "events_outlier_mad",
 )
 
 

@@ -329,3 +329,23 @@ def test_lateral_topk_decorrelated(spark, sf_dir):
     plan = physical_plan(df)
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_dau_bitmap_two_shuffles_no_expand(spark, sf_dir):
+    """Bitmap exact-distinct must be the two-level aggregate — shuffle on
+    (day, bucket) then (day) — with partial map-side bitmap construction
+    and no per-id rows in the shuffle."""
+    df = queries()["events_dau_bitmap"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "bitmap_construct_agg" in plan, plan
+    n_shuffles = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_shuffles <= 3, plan  # 2 agg shuffles + final orderBy range
+
+
+def test_outlier_mad_broadcasts_stats(spark, sf_dir):
+    """Both MAD re-joins build from group-count-sized aggregates — they
+    must broadcast; the event stream never shuffles for a join."""
+    df = queries()["events_outlier_mad"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
