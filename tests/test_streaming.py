@@ -293,3 +293,50 @@ def test_stream_stream_outer_join_flushes_unmatched(spark, sf_dir, tmp_path):
     # purchases were outside the horizon: matched and null sets must be
     # disjoint by the join semantics.
     assert not (got_null_views & {v for v, _ in got_pairs})
+
+
+def test_state_store_inspection_and_reconciliation(spark, sf_dir, tmp_path):
+    """Run a keyed streaming aggregation to a checkpoint, then read the
+    state back with the Spark 4 statestore source and reconcile it
+    against a batch recompute — every key must be 'ok'."""
+    from gluettalax_spark.streaming.state_inspect import (
+        read_state_metadata,
+        read_state_store,
+        state_reconciliation_audit,
+    )
+    import datetime as dt
+
+    ck = str(tmp_path / "ckpt")
+    src = str(tmp_path / "in")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    df = spark.createDataFrame(
+        [(i % 7, base + dt.timedelta(minutes=i)) for i in range(100)],
+        "user_id long, ts timestamp",
+    )
+    df.coalesce(1).write.parquet(src)
+    q = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("sst_audit")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    meta = read_state_metadata(spark, ck)
+    ops = {r.operatorName for r in meta.collect()}
+    assert "stateStoreSave" in ops
+
+    state = read_state_store(spark, ck)
+    assert state.count() == 7  # one state row per distinct key
+
+    truth = df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    audit = state_reconciliation_audit(spark, ck, truth, "user_id", "n")
+    rows = audit.collect()
+    assert len(rows) == 7 and all(r.status == "ok" for r in rows), rows
