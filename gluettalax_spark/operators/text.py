@@ -1069,3 +1069,67 @@ def udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.token
         """
     )
+
+
+_UDTF_POLY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tokens
+  FROM documents WHERE doc_id < 20
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tokens)), i -> {'w0': tokens[i], 'w1': tokens[i+1]})) AS g
+  FROM toks WHERE len(tokens) >= 2
+)
+SELECT doc_id, g.w0 AS w0, g.w1 AS w1, count(*) AS cnt
+FROM grams
+GROUP BY doc_id, g.w0, g.w1
+ORDER BY doc_id, w0, w1
+"""
+
+
+@register(
+    "udtf_ngrams_poly",
+    _UDTF_POLY_ORACLE,
+    doc="polymorphic Python UDTF (analyze(): output schema derived from the n argument)",
+)
+def udtf_ngrams_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 POLYMORPHIC UDTF: ``analyze()`` computes the output schema
+    from the constant ``n`` argument at plan time — n=2 yields (w0, w1,
+    cnt), n=3 would yield (w0, w1, w2, cnt) — the table-function analog
+    of schema-on-read. Like ``udtf_token_counts`` this is API-surface
+    coverage with a deliberately capped input (``doc_id < 20`` pushed to
+    the scan); the bulk n-gram path is the codegen'd shingle machinery in
+    ``operators/dedup.py``."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NgramCounts:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not n.isConstantExpression:
+                raise ValueError("n must be a constant")
+            fields = [StructField(f"w{i}", StringType()) for i in range(n.value)]
+            return AnalyzeResult(StructType(fields + [StructField("cnt", LongType())]))
+
+        def eval(self, text: str, n: int):
+            from collections import Counter
+
+            toks = [t for t in text.lower().split() if t]
+            grams = Counter(tuple(toks[i : i + n]) for i in range(len(toks) - n + 1))
+            for g, c in sorted(grams.items()):
+                yield (*g, c)
+
+    spark.udtf.register("gx_ngram_counts", udtf(NgramCounts))
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).createOrReplaceTempView(
+        "gx_docs_for_poly_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.w0, t.w1, t.cnt
+        FROM gx_docs_for_poly_udtf d, LATERAL gx_ngram_counts(d.text, 2) t
+        ORDER BY d.doc_id, t.w0, t.w1
+        """
+    )
