@@ -265,3 +265,31 @@ def test_kernels_without_pil_ignore_have_codecs_flag():
         out.iloc[0].n_channels,
         out.iloc[0].mean_luma,
     ) == _fake_decode(txt)
+
+
+def test_binaryfile_ingest_and_decode(spark, tmp_path):
+    """binaryFile source → decode kernel: glob prunes at listing, the
+    length guard filters before content materializes, features are the
+    deterministic stub's (no PIL in this container)."""
+    from gluettalax_spark.operators.multimodal import decode_binary_dir, read_binary_dir
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"payload-aaaa" * 10)
+    (d / "b.bin").write_bytes(b"payload-bb" * 200)
+    (d / "skip.txt").write_bytes(b"not-a-blob")
+
+    files = read_binary_dir(spark, str(d), glob="*.bin")
+    assert files.count() == 2
+    small = read_binary_dir(spark, str(d), glob="*.bin", max_bytes=500)
+    assert small.count() == 1
+
+    feats = decode_binary_dir(spark, str(d), glob="*.bin").collect()
+    assert len(feats) == 2
+    by_name = {r.source_path.rsplit("/", 1)[-1]: r for r in feats}
+    assert by_name["a.bin"].n_bytes == 120
+    # Deterministic stub features: recompute expectations directly.
+    payload = b"payload-aaaa" * 10
+    h = sum(payload[:64])
+    assert by_name["a.bin"].width == 64 + (h % 7) * 32
+    assert by_name["a.bin"].channels == 3
