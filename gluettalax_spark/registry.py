@@ -57,6 +57,7 @@ _NEW_THIS_ROUND = (
     "embedding_norms_arrow",
     "events_dau_bitmap",
     "events_outlier_mad",
+    "udtf_ngrams_poly",
 )
 
 
