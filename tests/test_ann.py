@@ -36,7 +36,11 @@ def test_ivf_topk_shape_and_recall(spark, sf_dir):
         hits += len(got & t)
         total += len(t)
     recall = hits / total
-    assert recall >= 0.15, f"recall@{TOPK}={recall:.2f} — below even the lax bar"
+    # Measured 0.64 (sf0.001) / 0.77 (sf0.01) at NPROBE=4/NLIST=16 —
+    # 4/16 of the corpus probed recovers ≥2/3 of true neighbors even on
+    # near-orthogonal vectors. 0.5 keeps headroom for KMeans seed drift
+    # while still failing on any real candidate-generation regression.
+    assert recall >= 0.5, f"recall@{TOPK}={recall:.2f} — candidate generation regressed"
 
 
 def test_higher_moments_vs_numpy(spark, sf_dir):
