@@ -150,7 +150,7 @@ def set_operations_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PANDAS_UDF_ORACLE = """
 SELECT
   o_orderkey,
-  round(o_totalprice * CASE WHEN o_orderpriority = '1-URGENT' THEN 1.10 ELSE 1.05 END, 2)
+  floor(o_totalprice * CASE WHEN o_orderpriority = '1-URGENT' THEN 1.10 ELSE 1.05 END * 100 + 0.5) / 100
     AS adjusted_price
 FROM orders
 WHERE o_orderkey <= 200
@@ -173,9 +173,15 @@ def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         return price * priority.map(lambda p: 1.10 if p == "1-URGENT" else 1.05)
 
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    # Explicit floor-based half-up round: engines' built-in round() take
+    # different views of a double sitting at the .xx5 representation
+    # boundary (Spark decimalizes the double's exact value; DuckDB scales
+    # in float — observed flipping 114387.945 at sf0.1). floor(x·100+0.5)
+    # is the same IEEE op sequence on both engines → bit-identical.
+    adjusted = adjust("o_totalprice", "o_orderpriority")
     return orders.select(
         "o_orderkey",
-        F.round(adjust("o_totalprice", "o_orderpriority"), 2).alias("adjusted_price"),
+        (F.floor(adjusted * 100 + 0.5) / 100).alias("adjusted_price"),
     ).orderBy("o_orderkey")
 
 

@@ -191,9 +191,9 @@ SELECT
   round(least(n_chars / 500.0, 1.0), 4)                              AS len_score,
   round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 4)           AS stop_ratio,
   round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4)           AS punct_ratio,
-  round(0.5 * least(n_chars / 500.0, 1.0)
+  floor((0.5 * least(n_chars / 500.0, 1.0)
       + 0.4 * (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1))
-      + 0.1 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)), 4) AS quality
+      + 0.1 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))) * 10000 + 0.5) / 10000 AS quality
 FROM feats
 ORDER BY doc_id
 """
@@ -216,7 +216,15 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(len_score, 4).alias("len_score"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(0.5 * len_score + 0.4 * stop_ratio + 0.1 * (1.0 - punct_ratio), 4).alias("quality"),
+        # Explicit floor-based half-up round for the composite: the exact
+        # decimal weights produce values ON the .xxxx5 boundary (e.g.
+        # 0.49425), where the engines' built-in round() diverge on the
+        # double representation; floor(x·10⁴+0.5) is the identical IEEE
+        # op sequence on both engines.
+        (
+            F.floor((0.5 * len_score + 0.4 * stop_ratio + 0.1 * (1.0 - punct_ratio)) * 10000 + 0.5)
+            / 10000
+        ).alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -686,9 +694,9 @@ labeled AS (
       WHEN s_fr > 0 THEN 'fr'
       ELSE 'unknown'
     END AS lang_pred,
-    round(0.5 * least(n_chars / 500.0, 1.0)
+    floor((0.5 * least(n_chars / 500.0, 1.0)
         + 0.4 * (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1))
-        + 0.1 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)), 4) AS quality
+        + 0.1 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))) * 10000 + 0.5) / 10000 AS quality
   FROM feats
 ),
 kept AS (
@@ -744,15 +752,24 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         r"CAST(size(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a|in)\\b', 0)) AS LONG)"
     )
     n_punct = F.length(F.regexp_replace(F.col("text"), "[^.,!?;:]", "")).cast("long")
-    quality = F.round(
-        0.5 * F.least(n_chars / 500.0, F.lit(1.0))
-        + 0.4 * (n_stop.cast("double") / F.greatest(n_tokens, F.lit(1).cast("long")))
-        + 0.1
-        * (
-            F.lit(1.0)
-            - n_punct.cast("double") / F.greatest(n_chars.cast("long"), F.lit(1).cast("long"))
-        ),
-        4,
+    # floor-based half-up round — same cross-engine boundary rationale as
+    # text_quality_score (the composite lands exactly on .xxxx5).
+    quality = (
+        F.floor(
+            (
+                0.5 * F.least(n_chars / 500.0, F.lit(1.0))
+                + 0.4 * (n_stop.cast("double") / F.greatest(n_tokens, F.lit(1).cast("long")))
+                + 0.1
+                * (
+                    F.lit(1.0)
+                    - n_punct.cast("double")
+                    / F.greatest(n_chars.cast("long"), F.lit(1).cast("long"))
+                )
+            )
+            * 10000
+            + 0.5
+        )
+        / 10000
     )
     fingerprint = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
     kept = (
