@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from gluettalax_spark.operators.rank import exact_global_rank, ntile_from_rank
 from gluettalax_spark.registry import register
 from gluettalax_spark.tables import load
 
@@ -422,10 +423,13 @@ ORDER BY o_custkey
 
 @register("customer_rfm_segments", _RFM_ORACLE, doc="RFM quartile segmentation per customer")
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM: one aggregate builds all three metrics, three ntile windows
-    score them (deterministic via custkey tiebreaks; fixed anchor date so
-    recency is reproducible). The windows run over the per-customer
-    AGGREGATE — row count = customers, not orders."""
+    """RFM: one aggregate builds all three metrics; each metric's quartile
+    comes from an exact global rank (range-repartition + offsets,
+    operators/rank.py) fed into the closed-form ntile — NOT from three
+    unpartitioned ntile windows, which would push every customer row
+    (~1.5B at 100×) through one task three times. Orderings carry the
+    custkey tiebreak so ranks (hence quartiles) are total-order exact;
+    the oracle keeps the one-window SQL form."""
     orders = load(spark, sf_dir, "orders")
     anchor = F.lit("2002-01-01 00:00:00").cast("timestamp")
     base = orders.groupBy("o_custkey").agg(
@@ -433,17 +437,22 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    wr = Window.orderBy("recency_days", "o_custkey")
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
-    return base.select(
+    ranked = exact_global_rank(base, [F.col("recency_days"), F.col("o_custkey")], "_rrn")
+    ranked = exact_global_rank(
+        ranked, [F.col("frequency").desc(), F.col("o_custkey")], "_frn", keep_total=False
+    )
+    ranked = exact_global_rank(
+        ranked, [F.col("monetary").desc(), F.col("o_custkey")], "_mrn", keep_total=False
+    )
+    n = F.col("_n")
+    return ranked.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(wr).cast("long").alias("r_quartile"),
-        F.ntile(4).over(wf).cast("long").alias("f_quartile"),
-        F.ntile(4).over(wm).cast("long").alias("m_quartile"),
+        ntile_from_rank(F.col("_rrn"), n, 4).alias("r_quartile"),
+        ntile_from_rank(F.col("_frn"), n, 4).alias("f_quartile"),
+        ntile_from_rank(F.col("_mrn"), n, 4).alias("m_quartile"),
     ).orderBy("o_custkey")
 
 
@@ -560,47 +569,59 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PARETO_ORACLE = """
 WITH spend AS (
-  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec
   FROM orders GROUP BY o_custkey
 ),
-ranked AS (
-  SELECT o_custkey, total,
-         CAST(row_number() OVER (ORDER BY total DESC, o_custkey) AS BIGINT) AS rnk,
-         sum(total) OVER (ORDER BY total DESC, o_custkey
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
-         sum(total) OVER () AS grand
-  FROM spend
+grand AS (SELECT CAST(sum(total_dec) AS DOUBLE) AS g FROM spend),
+top AS (
+  SELECT o_custkey, total FROM spend
+  ORDER BY total DESC, o_custkey
+  LIMIT 50
 )
-SELECT rnk, o_custkey, round(total, 2) AS total, round(running / grand, 4) AS cum_share
-FROM ranked
-WHERE rnk <= 50
+SELECT
+  CAST(row_number() OVER (ORDER BY total DESC, o_custkey) AS BIGINT) AS rnk,
+  o_custkey,
+  round(total, 2) AS total,
+  round(sum(total) OVER (ORDER BY total DESC, o_custkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        / (SELECT g FROM grand), 4) AS cum_share
+FROM top
 ORDER BY rnk
 """
 
 
 @register("customer_pareto", _PARETO_ORACLE, doc="cumulative revenue share (80/20 curve), top 50")
 def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pareto curve: running share over the per-customer AGGREGATE sorted
-    descending. Decimal summands make per-customer totals exact, so the
-    running/grand ratio is ulp-stable cross-engine. The global-order
-    window runs over customers, not orders."""
+    """Pareto curve, scale-safe form: top-50 spenders via
+    TakeOrderedAndProject (orderBy + limit — never a global sort or a
+    full-table rank window), grand total as a parallel scalar aggregate
+    over the EXACT decimal per-customer sums (order-independent, so the
+    ratio is reproducible cross-engine), running share via a window over
+    only the 50 surviving rows. The rank-over-everything form this
+    replaces pushed every customer through one task."""
     orders = load(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
-    )
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_dec")
+    ).withColumn("total", F.col("total_dec").cast("double"))
+    grand = spend.agg(F.sum("total_dec").cast("double").alias("_grand"))
+    top = spend.select("o_custkey", "total").orderBy(F.col("total").desc(), "o_custkey").limit(50)
+    # This window's input is the 50-row limit output — single-partition by
+    # construction, bounded by the literal limit rather than by data size.
     w = Window.orderBy(F.col("total").desc(), F.col("o_custkey"))
     return (
-        spend.select(
+        top.crossJoin(F.broadcast(grand))
+        .select(
             F.row_number().over(w).cast("long").alias("rnk"),
             "o_custkey",
             F.round("total", 2).alias("total"),
             F.round(
                 F.sum("total").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-                / F.sum("total").over(Window.partitionBy()),
+                / F.col("_grand"),
                 4,
             ).alias("cum_share"),
         )
-        .filter(F.col("rnk") <= 50)
         .orderBy("rnk")
     )
 

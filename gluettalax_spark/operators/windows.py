@@ -15,6 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from gluettalax_spark.operators.rank import (
+    cume_dist_from_rank,
+    exact_global_rank,
+    ntile_from_rank,
+    percent_rank_from_rank,
+)
 from gluettalax_spark.registry import register
 from gluettalax_spark.tables import load
 
@@ -194,19 +200,25 @@ ORDER BY c_custkey
 
 @register("window_ntile_distribution", _NTILE_ORACLE, doc="ntile/percent_rank/cume_dist over one window")
 def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One global window (no PARTITION BY) — the worst case for
-    parallelism, kept deliberately: Spark funnels it through a single
-    task, which is exactly why production windows should carry a
-    partition key (see window_topk_per_group). The deterministic
-    c_custkey tiebreak makes ntile assignment reproducible."""
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    """Global-order distribution stats WITHOUT the single-task global
+    window: the ordering carries a unique tiebreak (c_custkey), so
+    ntile/percent_rank/cume_dist are all closed-form functions of the
+    exact global rank, computed scalably by range-repartition +
+    per-partition offsets (operators/rank.py). The oracle keeps the
+    textbook one-window SQL form — same semantics, and DuckDB's engine
+    is welcome to it at fixture scale."""
+    ranked = exact_global_rank(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        "_rn",
+    )
+    rn, n = F.col("_rn"), F.col("_n")
     return (
-        load(spark, sf_dir, "customer")
-        .select(
+        ranked.select(
             "c_custkey",
-            F.ntile(4).over(w).cast("long").alias("quartile"),
-            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 4).alias("cdist"),
+            ntile_from_rank(rn, n, 4).alias("quartile"),
+            F.round(percent_rank_from_rank(rn, n), 4).alias("pct_rank"),
+            F.round(cume_dist_from_rank(rn, n), 4).alias("cdist"),
         )
         .orderBy("c_custkey")
     )

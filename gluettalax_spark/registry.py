@@ -45,19 +45,50 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder]
     return wrap
 
 
-# Keys added in the current round, surfaced FIRST so a sampling driver
-# gives them a verdict this round (older keys carry green verdicts from
-# prior rounds' CORRECTNESS files).
+# Keys surfaced FIRST so a sampling driver gives them a verdict this
+# round. Round 5: the 39 keys that have never appeared in any
+# CORRECTNESS_r*.json sample (all green in the local sweep; this rotation
+# converts that into driver-signed verdicts for the tail).
 _NEW_THIS_ROUND = (
-    "events_wau_exact",
-    "corpus_span_overlap",
-    "stratified_sample_by_lang",
-    "variant_props_stats",
-    "join_lateral_topk",
-    "embedding_norms_arrow",
-    "events_dau_bitmap",
-    "events_outlier_mad",
-    "udtf_ngrams_poly",
+    "events_sliding_window",
+    "events_session_window",
+    "events_hourly_user_stats",
+    "events_gapfill",
+    "events_hypertable_rollup",
+    "events_conversion_pairs",
+    "similarity_lsh_recall",
+    "embedding_neardup_exact",
+    "corpus_dup_report",
+    "dedup_filter_corpus",
+    "dedup_minhash_clusters",
+    "project_filter_glob",
+    "filter_glob_any_column",
+    "sort_limit_topk",
+    "distinct_sorted",
+    "set_operations",
+    "pivot_status",
+    "unpivot_part_metrics",
+    "agg_grouping_sets",
+    "set_operations_bag",
+    "pandas_udf_scalar",
+    "pandas_udaf_grouped",
+    "apply_in_pandas_grouped",
+    "scalar_string_date_math",
+    "json_extract_props",
+    "json_to_map",
+    "array_ops_embeddings",
+    "json_keys_histogram",
+    "scalar_null_semantics",
+    "join_salted",
+    "agg_stats_moments",
+    "agg_histogram",
+    "agg_hll_sketch_union",
+    "corpus_prep_pipeline",
+    "decontaminate_eval_overlap",
+    "doc_token_chunks",
+    "udtf_token_counts",
+    "top_customers_per_nation",
+    "revenue_mom_growth",
 )
 
 

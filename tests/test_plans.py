@@ -342,6 +342,122 @@ def test_dau_bitmap_two_shuffles_no_expand(spark, sf_dir):
     assert n_shuffles <= 3, plan  # 2 agg shuffles + final orderBy range
 
 
+def _plan_nodes(df):
+    """Yield every physical node, descending through AQE wrappers."""
+    root = df._jdf.queryExecution().executedPlan()
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        yield node
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            stack.append(node.initialPlan())
+            continue
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+
+
+_BOUNDED_NODES = {"TakeOrderedAndProjectExec", "GlobalLimitExec", "LocalLimitExec"}
+
+# Aggregate grouping keys whose cardinality does NOT grow with row count:
+# _pid (≤ spark.sql.shuffle.partitions, a config constant), calendar
+# buckets (bounded by the dataset's time span, not its volume), and the
+# 25-row nation dimension. An unpartitioned window over one of these
+# aggregates is dashboard-scale; over a per-entity aggregate (custkey,
+# user_id, doc_id ...) it is the single-task pattern this file bans.
+_BOUNDED_KEY_TOKENS = ("_pid", "day", "month", "week", "year", "hour", "n_name")
+
+
+def _subtree_is_bounded(window_node) -> bool:
+    """True iff the window's input is row-bounded by construction: a limit
+    beneath it, or an aggregate grouped only by bounded-domain keys."""
+    stack = [window_node]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if name in _BOUNDED_NODES:
+            return True
+        if "Aggregate" in name:
+            line = node.toString().split("\n")[0]
+            mk = re.search(r"keys=\[([^\]]*)\]", line)
+            mo = re.search(r"output=\[([^\]]*)\]", line)
+            if mk:
+                keys = [k.strip() for k in mk.group(1).split(",") if k.strip()]
+                outs = [o.strip() for o in mo.group(1).split(",")] if mo else []
+                # An extracted grouping expression (_groupingexpression#N)
+                # surfaces under its real name at the same position of the
+                # aggregate's output list — resolve it there.
+                resolved = [
+                    outs[i] if k.startswith("_groupingexpression") and i < len(outs) else k
+                    for i, k in enumerate(keys)
+                ]
+                if resolved and all(
+                    any(k.startswith(tok) for tok in _BOUNDED_KEY_TOKENS) for k in resolved
+                ):
+                    return True
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return False
+
+
+def _unbounded_global_windows(df):
+    bad = []
+    for node in _plan_nodes(df):
+        if node.getClass().getSimpleName() != "WindowExec":
+            continue
+        if node.partitionSpec().isEmpty() and not _subtree_is_bounded(node):
+            bad.append(node.toString().split("\n")[0])
+    return bad
+
+
+def test_ntile_distribution_no_single_task_window(spark, sf_dir):
+    """Round-4 verdict fix: the distribution stats must come from the
+    range-partitioned exact rank — any unpartitioned window in the plan
+    must sit over the config-bounded pid-offsets aggregate, never over
+    the customer table itself."""
+    df = queries()["window_ntile_distribution"](spark, sf_dir)
+    assert _unbounded_global_windows(df) == []
+    plan = physical_plan(df)
+    assert "spark_partition_id" in plan.lower(), plan
+
+
+def test_rfm_segments_no_single_task_window(spark, sf_dir):
+    """All three RFM quartiles derive from distributed exact ranks; no
+    window may funnel the per-customer aggregate through one task."""
+    df = queries()["customer_rfm_segments"](spark, sf_dir)
+    assert _unbounded_global_windows(df) == []
+    plan = physical_plan(df)
+    assert "spark_partition_id" in plan.lower(), plan
+
+
+def test_pareto_take_ordered_no_full_rank(spark, sf_dir):
+    """Top-50 must plan as TakeOrderedAndProject; the only global-order
+    window allowed is the one over the 50-row limit output."""
+    df = queries()["customer_pareto"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _unbounded_global_windows(df) == []
+
+
+def test_no_unbounded_global_window_anywhere(spark, sf_dir):
+    """Sweep EVERY registered query: an unpartitioned WindowExec whose
+    input is not bounded by a limit or a pid-grouped aggregate is the
+    single-task pattern the round-4 verdict flagged — keep the registry
+    permanently free of it."""
+    offenders = {}
+    for name, builder in queries().items():
+        try:
+            df = builder(spark, sf_dir)
+        except Exception:  # noqa: BLE001 - plan-only sweep; runtime gates elsewhere
+            continue
+        bad = _unbounded_global_windows(df)
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, offenders
+
+
 def test_outlier_mad_broadcasts_stats(spark, sf_dir):
     """Both MAD re-joins build from group-count-sized aggregates — they
     must broadcast; the event stream never shuffles for a join."""
