@@ -642,13 +642,15 @@ def corpus_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_OVERLAP_ORACLE = f"""
 WITH {_SHINGLES_CTE},
-ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-cnt AS (SELECT s, count(*) AS n_docs_with FROM ex GROUP BY s),
+ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hashed AS (SELECT doc_id, md5(s) AS m FROM ex0),
+ex AS (SELECT DISTINCT doc_id, {_duck_hex_int(1, 15)} AS hs FROM hashed),
+cnt AS (SELECT hs, count(*) AS n_docs_with FROM ex GROUP BY hs),
 perdoc AS (
   SELECT e.doc_id,
          count(*) AS n_sh,
          count(CASE WHEN c.n_docs_with >= 2 THEN 1 END) AS n_shared
-  FROM ex e JOIN cnt c USING (s)
+  FROM ex e JOIN cnt c USING (hs)
   GROUP BY e.doc_id
 )
 SELECT d.source,
@@ -673,8 +675,12 @@ def corpus_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     document; rolled up per ingestion source (mean fraction + count of
     docs that are >50% shared spans — boilerplate / template farms).
 
-    Scale shape: shingles are 60-bit hashes (longs, not strings — same
-    collision argument as dedup_minhash_lsh); the docs-per-shingle count
+    Scale shape: shingles are 60-bit hashes (longs, not strings), and the
+    ORACLE hashes identically (md5 hex → int, `_duck_hex_int`), so both
+    engines share one keyspace and the compare is bit-exact even if a
+    collision occurs — a collision merely merges the same two shingles on
+    both sides (within-corpus rate ~n²/2^61, same tolerance as
+    dedup_minhash_lsh). The docs-per-shingle count
     is a WINDOW over the shingle key rather than a groupBy + self-join,
     so the shingle lineage is computed ONCE and never joined against
     itself. Shuffles: distinct (doc, shingle), window repartition by

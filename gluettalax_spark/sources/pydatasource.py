@@ -111,12 +111,28 @@ class _SyntheticEventsReader(DataSourceReader):
 
 
 class _SyntheticEventsStreamReader(DataSourceStreamReader):
-    """Micro-batch reader: the offset is the next unread event_id; each
-    batch advances it by ``rows_per_batch``. Offsets are plain dicts the
-    engine checkpoints — restart resumes exactly where the log says."""
+    """Micro-batch reader: the offset is the next unread event_id.
+    Offsets are plain dicts the engine checkpoints — restart resumes
+    exactly where the log says.
+
+    ``latestOffset`` always reports the full backlog (``n_rows``), so the
+    first micro-batch under any trigger spans the entire remaining range;
+    ``rows_per_partition`` sizes the PARTITIONS within a batch, not the
+    batches. This is deliberate: the Python DataSourceStreamReader API
+    (Spark 4.x) exposes no admission control (ReadLimit), and advancing
+    ``latestOffset`` incrementally instead stalls the query — the engine
+    constructs fresh reader instances per poll, so ``commit()``-tracked
+    state never reaches the instance answering ``latestOffset`` (verified
+    empirically: both availableNow and processingTime triggers wedge at
+    one batch). Batch-size admission control belongs to sources whose JVM
+    half implements SupportsAdmissionControl; a Python source caps work
+    per TASK via partition size instead."""
 
     def __init__(self, options):
-        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        # rows_per_batch accepted as a legacy alias of rows_per_partition.
+        self.rows_per_partition = int(
+            options.get("rows_per_partition", options.get("rows_per_batch", 100))
+        )
         self.max_rows = int(options.get("n_rows", 1000))
 
     def initialOffset(self) -> dict:
@@ -128,11 +144,11 @@ class _SyntheticEventsStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         # Must cover the FULL [start, end) range the engine asked for —
         # clamping here would silently drop data (offsets already
-        # committed past it). rows_per_batch only sizes the chunks.
+        # committed past it). rows_per_partition only sizes the chunks.
         lo, hi = start["next"], end["next"]
         return [
-            _RangePartition(s, min(s + self.rows_per_batch, hi))
-            for s in range(lo, hi, self.rows_per_batch)
+            _RangePartition(s, min(s + self.rows_per_partition, hi))
+            for s in range(lo, hi, self.rows_per_partition)
         ] or [_RangePartition(lo, hi)]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:

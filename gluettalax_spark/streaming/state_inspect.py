@@ -39,15 +39,25 @@ def read_state_store(
 
 
 def state_reconciliation_audit(
-    spark: SparkSession, checkpoint: str, batch_truth: DataFrame, key_col: str, count_col: str
+    spark: SparkSession,
+    checkpoint: str,
+    batch_truth: DataFrame,
+    key_col: str,
+    count_col: str,
+    state_value_field: str = "count",
 ) -> DataFrame:
     """Join the streaming aggregation's live state against a batch
     recompute of the same aggregate; emit per-key discrepancies (missing
     keys, drifted counts). Full-outer equi-join on the state key — both
-    sides are aggregate-sized, shuffles keyed, nothing driver-side."""
+    sides are aggregate-sized, shuffles keyed, nothing driver-side.
+
+    ``state_value_field`` names the field inside the state's value struct
+    to compare (``count`` for a count(1) aggregate, ``sum`` for a sum
+    buffer, ...); inspect ``read_state_store(...).schema`` when unsure —
+    Spark names the buffer fields after the aggregate functions."""
     state = read_state_store(spark, checkpoint).select(
         F.col(f"key.{key_col}").alias(key_col),
-        F.col("value.count").alias("state_count"),
+        F.col(f"value.{state_value_field}").alias("state_count"),
     )
     truth = batch_truth.select(key_col, F.col(count_col).alias("batch_count"))
     return (

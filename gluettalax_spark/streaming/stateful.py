@@ -273,6 +273,59 @@ def streaming_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_V1_STATE_SCHEMA = "n long, total double, types string"
+
+
+def _make_user_profile_v1_fn():
+    """applyInPandasWithState twin of the v2 UserProfileProcessor: the
+    per-type MapState becomes a sorted \\x1f-joined string inside the one
+    serialized state blob — the exact trade-off the v2 API removes (every
+    batch rewrites the whole blob), kept here as the no-protobuf path."""
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        n, total, types_blob = state.get if state.exists else (0, 0.0, "")
+        types = set(types_blob.split("\x1f")) - {""} if types_blob else set()
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            types |= set(pdf["event_type"].unique())
+        state.update((n, total, "\x1f".join(sorted(types))))
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "n_event_types": [len(types)],
+            }
+        )
+
+    return update
+
+
+def streaming_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user profile (event count, value total, distinct event types),
+    stateful across micro-batches. Dispatches to the best available
+    engine surface: ``transformWithStateInPandas`` (typed state vars,
+    RocksDB column families) when its protobuf wire dependency is
+    present, else the ``applyInPandasWithState`` v1 twin with identical
+    output — same schema, same final emissions, so callers and tests are
+    environment-independent."""
+    try:
+        return streaming_user_profile_tws(spark, sf_dir)
+    except NotImplementedError:
+        pass
+    stream = read_events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _make_user_profile_v1_fn(),
+        outputStructType=TWS_PROFILE_SCHEMA,
+        stateStructType=_PROFILE_V1_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --------------------------------------------------------------------------
 # Event-time sessionization (watermark-driven eviction, not wall clock)
 # --------------------------------------------------------------------------

@@ -218,7 +218,7 @@ def test_python_datasource_stream_offsets(spark):
     s = (
         spark.readStream.format(FORMAT_NAME)
         .option("n_rows", 300)
-        .option("rows_per_batch", 100)
+        .option("rows_per_partition", 100)
         .load()
     )
     q = (

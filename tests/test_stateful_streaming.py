@@ -52,16 +52,15 @@ def test_tws_gate_without_protobuf(spark, sf_dir):
         streaming_user_profile_tws(spark, sf_dir)
 
 
-def test_tws_user_profile_matches_batch(spark, sf_dir):
-    """transformWithStateInPandas (v2 API): final per-user emission must
-    equal the batch ground truth for count, total, and distinct types."""
-    import pytest
+def test_user_profile_matches_batch(spark, sf_dir):
+    """User-profile stateful operator (v2 transformWithStateInPandas when
+    protobuf is present, the applyInPandasWithState twin otherwise): the
+    final per-user emission must equal the batch ground truth for count,
+    total, and distinct types — identical output either way, so this
+    runs (never skips) in both environments."""
+    from gluettalax_spark.streaming.stateful import streaming_user_profile
 
-    from gluettalax_spark.streaming.stateful import streaming_user_profile_tws
-
-    if not _protobuf_available():
-        pytest.skip("transformWithStateInPandas needs google.protobuf (not in container)")
-    stream_df = streaming_user_profile_tws(spark, sf_dir)
+    stream_df = streaming_user_profile(spark, sf_dir)
     assert stream_df.isStreaming
     result = run_stream_to_memory(spark, stream_df, "tws_smoke", output_mode="update")
     final = {

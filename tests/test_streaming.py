@@ -340,3 +340,48 @@ def test_state_store_inspection_and_reconciliation(spark, sf_dir, tmp_path):
     audit = state_reconciliation_audit(spark, ck, truth, "user_id", "n")
     rows = audit.collect()
     assert len(rows) == 7 and all(r.status == "ok" for r in rows), rows
+
+
+def test_streaming_reads_nanos_parquet_after_conf_restore(spark, tmp_path):
+    """Round-4 advice pin: the batch footer read scopes the legacy
+    nanosAsLong conf (restored immediately), and the stream source's
+    explicit .schema() must make every MICROBATCH read of a genuine
+    TIMESTAMP(NANOS) parquet succeed with the conf off — including
+    correct ns → µs truncation in the shared normalizer."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gluettalax_spark.streaming.windows import read_events_stream, run_stream_to_memory
+
+    n = 100
+    base_ns = 1_700_000_000_000_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(np.arange(n) % 7, pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array(np.linspace(0.0, 9.0, n)),
+            # +500 ns offset: sub-µs precision that truncation must drop.
+            "ts": pa.array(
+                (base_ns + np.arange(n) * 1_000_000_000 + 500).astype("datetime64[ns]")
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    # Physical layout really is ns-as-long under the legacy read.
+    assert str(pq.read_schema(str(tmp_path / "events.parquet")).field("ts").type) == "timestamp[ns]"
+
+    stream = read_events_stream(spark, str(tmp_path))
+    # The conf must already be restored at stream-construction time...
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("max_ts")
+    )
+    out = run_stream_to_memory(spark, agg, "nanos_restore_smoke", output_mode="complete")
+    rows = {r.user_id: (r.n_events, r.max_ts) for r in out.collect()}
+    assert sum(v[0] for v in rows.values()) == n
+    import datetime
+
+    # user 6's last event: id 97 → epoch + 97 s, µs-truncated (the 500 ns gone).
+    assert rows[6][1] == datetime.datetime.utcfromtimestamp(1_700_000_097)
