@@ -155,6 +155,63 @@ def _duck_hex_int(start: int, width: int = 8) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# Bucket-size cap for the band self-joins. A (band_idx, band_val) bucket
+# with n members yields O(n²) candidate pairs; on a boilerplate-heavy
+# corpus (template farms, mirrored sites) single buckets reach millions of
+# docs and the self-join — even AQE-skew-split — must still MATERIALIZE
+# the quadratic pair stream. Production MinHash dedup caps the bucket:
+# past the cap, candidate generation degrades from clique to a STAR
+# around the bucket's smallest doc_id (O(n) pairs) — enough connectivity
+# for cluster/keep-one dedup, while the pair stream stays linear. The
+# fixture corpora never reach the cap, so the DuckDB oracles stay exact.
+MAX_BAND_BUCKET = 512
+
+
+def _cap_band_buckets(bands: DataFrame, key_cols: list[str], id_col: str, cap: int):
+    """Split a band table into (within-cap rows, star pairs from over-cap
+    buckets, spill report). The over-cap bucket list has < corpus/cap
+    entries by construction — always broadcastable.
+
+    Returns ``(kept, star, spill)``:
+
+    * ``kept``  — band rows whose bucket is within the cap (safe to
+      self-join for clique candidates);
+    * ``star``  — (rep, member) id pairs for every over-cap bucket, rep =
+      min(id) of the bucket, rep < member always;
+    * ``spill`` — (key_cols..., bucket_n) for each degraded bucket — the
+      observability feed (log it, alert on it; see
+      dedup_band_spill_report)."""
+    sizes = bands.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("bucket_n"), F.min(id_col).alias("_rep")
+    )
+    over = sizes.filter(F.col("bucket_n") > cap)
+    kept = bands.join(F.broadcast(over.select(*key_cols)), key_cols, "left_anti")
+    star = (
+        bands.join(F.broadcast(over.select(*key_cols, "_rep")), key_cols)
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("_star_a"), F.col(id_col).alias("_star_b"))
+    )
+    return kept, star, over.select(*key_cols, "bucket_n")
+
+
+def _minhash_band_array() -> Column:
+    """4 (band_idx, band_val) structs from the 16 signature columns —
+    band_val is md5 of the band's 4 comma-joined signatures."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                    )
+                ).alias("band_val"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+
+
 def _minhash_oracle() -> str:
     sig_cols = ",\n    ".join(f"min(h1 + {i} * h2) AS s{i}" for i in range(N_HASHES))
     band_rows = "\n  UNION ALL\n".join(
@@ -211,7 +268,9 @@ ORDER BY doc_a, doc_b
 
 
 @register("dedup_minhash_lsh", _minhash_oracle(), doc="MinHash(16) + LSH(4×4) near-dup pairs, Jaccard-verified")
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BAND_BUCKET
+) -> DataFrame:
     """shingle → 16 min-hash aggs (ONE groupBy — all 16 signatures in a
     single shuffle) → 4 band keys → explode → self-join on band key →
     verify candidates with exact Jaccard on HASHED shingle sets.
@@ -251,23 +310,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "write the signature table to storage, then join against it".
     sigs = sigs.localCheckpoint(eager=True)
 
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(",", *[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
-                ).alias("band_val"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_cols).alias("band")).select(
+    bands = sigs.select("doc_id", F.explode(_minhash_band_array()).alias("band")).select(
         "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_val").alias("band_val")
     )
 
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Adversarial-skew guard: over-cap buckets degrade to star pairs (see
+    # _cap_band_buckets). The fixture never spills, so the oracle is exact.
+    kept, star, _spill = _cap_band_buckets(
+        bands, ["band_idx", "band_val"], "doc_id", max_bucket
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
     cand = (
         a.join(
             b,
@@ -276,6 +329,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .union(star.select(F.col("_star_a").alias("doc_a"), F.col("_star_b").alias("doc_b")))
         .distinct()
     )
 
@@ -293,6 +347,80 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def _band_spill_oracle() -> str:
+    sig_cols = ",\n    ".join(f"min(h1 + {i} * h2) AS s{i}" for i in range(N_HASHES))
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_val FROM sigs".format(
+            b=b,
+            concat=" || ',' || ".join(f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hashed AS (SELECT doc_id, md5(s) AS m FROM ex),
+ints AS (
+  SELECT doc_id,
+    {_duck_hex_int(1)} AS h1,
+    {_duck_hex_int(9)} AS h2
+  FROM hashed
+),
+sigs AS (SELECT doc_id, {sig_cols} FROM ints GROUP BY doc_id),
+bands AS (
+{band_rows}
+)
+SELECT CAST(band_idx AS BIGINT) AS band_idx, band_val,
+       CAST(count(*) AS BIGINT) AS bucket_n
+FROM bands
+GROUP BY band_idx, band_val
+HAVING count(*) > {MAX_BAND_BUCKET}
+ORDER BY band_idx, band_val
+"""
+
+
+@register(
+    "dedup_band_spill_report",
+    _band_spill_oracle(),
+    doc=f"MinHash band buckets over the {MAX_BAND_BUCKET}-doc cap (skew spill observability)",
+)
+def dedup_band_spill_report(
+    spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BAND_BUCKET
+) -> DataFrame:
+    """Observability for the band-bucket cap: every (band_idx, band_val)
+    bucket that dedup_minhash_lsh degrades to star candidates, with its
+    size. Healthy corpora return 0 rows (the fixture does); a template
+    farm shows up here as a handful of giant buckets — the metric a
+    production dedup run logs and alerts on. Same one-shuffle signature
+    aggregation as the dedup itself, then a count per band key."""
+    ex = (
+        shingles_exploded(spark, sf_dir)
+        .withColumn("m", F.md5("s"))
+        .select(
+            "doc_id",
+            F.expr("CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT)").alias("h1"),
+            F.expr("CAST(conv(substr(m, 9, 8), 16, 10) AS BIGINT)").alias("h2"),
+        )
+    )
+    sigs = ex.groupBy("doc_id").agg(*_minhash_sig_aggs())
+    bands = sigs.select("doc_id", F.explode(_minhash_band_array()).alias("band")).select(
+        "doc_id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_val").alias("band_val"),
+    )
+    return (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+        .select(
+            F.col("band_idx").cast("long").alias("band_idx"),
+            "band_val",
+            "bucket_n",
+        )
+        .orderBy("band_idx", "band_val")
     )
 
 
@@ -453,7 +581,9 @@ ORDER BY doc_a, doc_b
     _simhash_pairs_oracle(),
     doc=f"SimHash pairs with Hamming ≤ {HAMMING_MAX} via 4×16-bit band blocking",
 )
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BAND_BUCKET
+) -> DataFrame:
     """Pigeonhole blocking at scale: Hamming ≤ 3 on 64 bits split into 4
     bands of 16 ⇒ at least one band is identical — so every qualifying
     pair is found by ONE equi-join on (band_idx, band_val), never a cross
@@ -481,22 +611,39 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
-    a = bands.select(
+    # Same adversarial-skew guard as the MinHash band join: over-cap
+    # buckets emit star pairs only. Every star pair still passes the
+    # Hamming verify below (fingerprints re-joined from the checkpointed
+    # table), so emitted pairs are always correct; only clique
+    # completeness inside a degraded bucket is traded away.
+    kept, star, _spill = _cap_band_buckets(
+        bands, ["band_idx", "band_val"], "doc_id", max_bucket
+    )
+    a = kept.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("sh_a"),
         "band_idx",
         "band_val",
     )
-    b = bands.select(
+    b = kept.select(
         F.col("doc_id").alias("doc_b"),
         F.col("simhash").alias("sh_b"),
         "band_idx",
         "band_val",
     )
+    sh_a = hashes.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    sh_b = hashes.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    star_pairs = (
+        star.select(F.col("_star_a").alias("doc_a"), F.col("_star_b").alias("doc_b"))
+        .join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+    )
     cand = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .union(star_pairs)
         .distinct()
     )
     return (

@@ -218,3 +218,41 @@ def test_cli_crawler(cli_env, capsys):
     assert "READY" in capsys.readouterr().out
     assert gluettalax("runc", "test") == 0
     assert gluettalax("runc", "missing") == 1
+
+
+def test_cli_add_partitions_b3_fallthrough_defect_not_replicated(cli_env, tmp_path, capsys, spark):
+    """Replay of the reference's B3 defect scenario end-to-end through the
+    CLI (SURVEY §2.B warning; gluettalax.py:417-426): a discovered dir
+    with NO 'key=' anchor (reference: prints Skip, then falls through
+    with `index` unbound -> NameError) and a dir whose segment parses but
+    mismatches the partition keys (reference: prints Skip yet STILL
+    creates the bogus partition). Our engine must skip both, keep going,
+    and add the valid dir that sorts AFTER them."""
+    db = cli_env
+    base = tmp_path / "usage"
+    # 1) no key= anchor anywhere in the relative path
+    junk = base / "junkdir" / "nested"
+    junk.mkdir(parents=True)
+    (junk / "part-00000.parquet").write_bytes(b"x")
+    # 2) has an '=' anchor but the key doesn't match the table's first
+    #    partition key (reference would create partition year=<5>!)
+    bogus = base / "notakey=5"
+    bogus.mkdir()
+    (bogus / "part-00000.parquet").write_bytes(b"x")
+    # 3) a valid dir sorting after both — must still be reached and added
+    valid = base / "year=2031" / "month=07"
+    valid.mkdir(parents=True)
+    (valid / "part-00000.parquet").write_bytes(b"x")
+
+    assert gluettalax("add_partitions", db, "usage") == 0
+    out = capsys.readouterr().out
+    skips = [ln for ln in out.splitlines() if ln.startswith("Skip ")]
+    assert any("junkdir" in ln for ln in skips), out
+    assert any("notakey=5" in ln for ln in skips), out
+    assert any("year=2031/month=07 added" in ln for ln in out.splitlines()), out
+
+    # Catalog ground truth: the valid partition exists; no bogus partition
+    # absorbed the mismatched or anchorless dirs.
+    rows = [r[0] for r in spark.sql(f"SHOW PARTITIONS {db}.usage").collect()]
+    assert "year=2031/month=07" in rows
+    assert not any(p.split("/")[0].split("=")[1] == "5" for p in rows), rows
