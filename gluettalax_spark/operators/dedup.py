@@ -694,14 +694,18 @@ ORDER BY doc_a, doc_b
 
 
 @register("dedup_ngram_jaccard", _NGRAM_ORACLE, doc="exact n-gram Jaccard with min-hashed-shingle blocking")
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BAND_BUCKET
+) -> DataFrame:
     """Shingles are 60-bit hashes (8-byte longs, not ~24-byte strings —
     same payload win as dedup_minhash_lsh; both engines hash identically
     so the oracle matches exactly). Blocking key = hash of the 3 SMALLEST
     shingle hashes — three implicit minhash probes, so near-dup docs
     collide with high probability and the key distribution is uniform
     (unlike lexicographic prefixes, which cluster on boilerplate). One
-    equi-join on the block key; exact Jaccard only inside blocks."""
+    equi-join on the block key; exact Jaccard only inside blocks; blocks
+    past the bucket cap degrade to star candidates (_cap_band_buckets),
+    each still exact-Jaccard-verified."""
     hs = (
         shingles_exploded(spark, sf_dir)
         .withColumn("hs", F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"))
@@ -715,17 +719,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block_key",
         F.md5(F.concat_ws("|", F.slice(F.array_sort("hset"), 1, 3).cast("array<string>"))),
     ).localCheckpoint(eager=True)
-    a = blocks.select(
+    kept, star, _spill = _cap_band_buckets(blocks, ["block_key"], "doc_id", max_bucket)
+    a = kept.select(
         F.col("doc_id").alias("doc_a"), F.col("hset").alias("sh_a"), "block_key"
     )
-    b = blocks.select(
+    b = kept.select(
         F.col("doc_id").alias("doc_b"), F.col("hset").alias("sh_b"), "block_key"
+    )
+    clique = (
+        a.join(b, "block_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+    )
+    xa = blocks.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("sh_a"))
+    xb = blocks.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("sh_b"))
+    star_pairs = (
+        star.select(F.col("_star_a").alias("doc_a"), F.col("_star_b").alias("doc_b"))
+        .join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        a.join(b, "block_key")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        clique.union(star_pairs)
         .select("doc_a", "doc_b", F.round(inter.cast("double") / union, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.3)
         .orderBy("doc_a", "doc_b")

@@ -145,3 +145,23 @@ def test_band_cap_unchanged_on_fixture(spark, sf_dir):
     uncapped = dedup_minhash_lsh(spark, sf_dir, max_bucket=1 << 40)
     assert capped.exceptAll(uncapped).count() == 0
     assert uncapped.exceptAll(capped).count() == 0
+
+
+def test_ngram_jaccard_block_cap_bounds_candidates(spark, boilerplate_corpus):
+    """The 3-minhash block key sends all 600 identical docs to ONE block;
+    with the cap that block yields 599 star pairs, not a 179,700 clique."""
+    from gluettalax_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, boilerplate_corpus)
+    dup = pairs.filter("doc_a < 600 AND doc_b < 600").collect()
+    assert len(dup) == 599
+    assert all(r.doc_a == 0 and r.jaccard == 1.0 for r in dup)
+
+
+def test_ngram_jaccard_cap_unchanged_on_fixture(spark, sf_dir):
+    from gluettalax_spark.operators.dedup import dedup_ngram_jaccard
+
+    capped = dedup_ngram_jaccard(spark, sf_dir)
+    uncapped = dedup_ngram_jaccard(spark, sf_dir, max_bucket=1 << 40)
+    assert capped.exceptAll(uncapped).count() == 0
+    assert uncapped.exceptAll(capped).count() == 0
