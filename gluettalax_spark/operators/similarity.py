@@ -318,7 +318,7 @@ ORDER BY vec_a, vec_b
     _NEARDUP_ORACLE,
     doc=f"LSH-bucketed embedding near-dup pairs (cosine ≥ {NEARDUP_COS})",
 )
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_neardup(spark: SparkSession, sf_dir: str, max_bucket: int = 512) -> DataFrame:
     """Scale path: candidates come from an EQUI-JOIN on the sign-LSH
     bucket (the similarity_lsh_bucket key), never a triangular all-pairs
     self-join — candidate count is Σ_bucket n_b², not N². Cosine is
@@ -326,7 +326,16 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions concentrate high-cosine pairs); the oracle replays the
     identical buckets so results match exactly, and
     embedding_neardup_exact is the fixture-scale all-pairs twin for
-    recall measurement."""
+    recall measurement.
+
+    Same adversarial-skew guard as the dedup band joins: a degenerate
+    corpus (mass-duplicated embeddings — e.g. the zero vector or a
+    boilerplate doc re-embedded millions of times) piles into ONE sign
+    bucket; past ``max_bucket`` that bucket degrades from clique to star
+    candidates (dedup._cap_band_buckets), each still cosine-verified.
+    The fixture never reaches the cap, so the oracle stays exact."""
+    from gluettalax_spark.operators.dedup import _cap_band_buckets
+
     emb = load(spark, sf_dir, "embeddings")
     bucket = _bucket_expr(_plane_coeff_spark, lambda d: f"element_at(embedding, {d + 1})")
     # Both join sides read the bucketed table; materialize the 8×64-term
@@ -336,22 +345,43 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", _norm(F.col("embedding")))
         .localCheckpoint(eager=True)
     )
-    a = buckets.select(
+    kept, star, _spill = _cap_band_buckets(buckets, ["bucket"], "vec_id", max_bucket)
+    a = kept.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("a_norm"),
         "bucket",
     )
-    b = buckets.select(
+    b = kept.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("v_emb"),
         F.col("nrm").alias("b_norm"),
         "bucket",
     )
-    cos = _dot(F.col("q_emb"), F.col("v_emb")) / (F.col("a_norm") * F.col("b_norm"))
-    return (
+    xa = buckets.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("a_norm"),
+    )
+    xb = buckets.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("v_emb"),
+        F.col("nrm").alias("b_norm"),
+    )
+    star_pairs = (
+        star.select(F.col("_star_a").alias("vec_a"), F.col("_star_b").alias("vec_b"))
+        .join(xa, "vec_a")
+        .join(xb, "vec_b")
+        .select("vec_a", "vec_b", "q_emb", "v_emb", "a_norm", "b_norm")
+    )
+    clique = (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "q_emb", "v_emb", "a_norm", "b_norm")
+    )
+    cos = _dot(F.col("q_emb"), F.col("v_emb")) / (F.col("a_norm") * F.col("b_norm"))
+    return (
+        clique.union(star_pairs)
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
         .filter(F.col("cosine") >= NEARDUP_COS)
         .orderBy("vec_a", "vec_b")

@@ -165,3 +165,34 @@ def test_ngram_jaccard_cap_unchanged_on_fixture(spark, sf_dir):
     uncapped = dedup_ngram_jaccard(spark, sf_dir, max_bucket=1 << 40)
     assert capped.exceptAll(uncapped).count() == 0
     assert uncapped.exceptAll(capped).count() == 0
+
+
+def test_embedding_neardup_bucket_cap(spark, tmp_path):
+    """Mass-duplicated embeddings (one vector repeated 700x) land in one
+    sign-LSH bucket; the cap degrades it to 699 star pairs (cosine 1.0)
+    instead of a 244,650-pair clique, and unique vectors are unaffected."""
+    import numpy as np
+
+    from gluettalax_spark.operators.similarity import embedding_neardup
+
+    rng = np.random.default_rng(42)
+    dup = rng.normal(size=64).tolist()
+    rows = [(i, dup if i < 700 else rng.normal(size=64).tolist(), "en")
+            for i in range(900)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).coalesce(2).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    pairs = embedding_neardup(spark, str(tmp_path))
+    dup_pairs = pairs.filter("vec_a < 700 AND vec_b < 700").collect()
+    assert len(dup_pairs) == 699
+    assert all(r.vec_a == 0 and r.cosine == 1.0 for r in dup_pairs)
+
+
+def test_embedding_neardup_cap_unchanged_on_fixture(spark, sf_dir):
+    from gluettalax_spark.operators.similarity import embedding_neardup
+
+    capped = embedding_neardup(spark, sf_dir)
+    uncapped = embedding_neardup(spark, sf_dir, max_bucket=1 << 40)
+    assert capped.exceptAll(uncapped).count() == 0
+    assert uncapped.exceptAll(capped).count() == 0
