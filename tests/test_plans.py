@@ -423,6 +423,18 @@ def test_ntile_distribution_no_single_task_window(spark, sf_dir):
     assert "spark_partition_id" in plan.lower(), plan
 
 
+def test_ntile_rank_reuses_range_exchange(spark, sf_dir):
+    """rank.py's pid-consistency argument rests on the counts branch and
+    the main branch reading the SAME materialized range shuffle — pin that
+    AQE's final plan actually contains the ReusedExchange (executed plan,
+    since AQE stage reuse is decided at runtime)."""
+    df = queries()["window_ntile_distribution"](spark, sf_dir)
+    df.collect()
+    plan = physical_plan(df)
+    assert "isFinalPlan=true" in plan, plan
+    assert "ReusedExchange" in plan, plan
+
+
 def test_rfm_segments_no_single_task_window(spark, sf_dir):
     """All three RFM quartiles derive from distributed exact ranks; no
     window may funnel the per-customer aggregate through one task."""
