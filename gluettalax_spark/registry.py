@@ -89,6 +89,8 @@ _NEW_THIS_ROUND = (
     "udtf_token_counts",
     "top_customers_per_nation",
     "revenue_mom_growth",
+    # new in round 5:
+    "dedup_band_spill_report",
 )
 
 
