@@ -144,3 +144,31 @@ def test_simhash_bands_reassemble(v):
     if acc >= 2**63:
         acc -= 2**64
     assert acc == v
+
+
+# -- rank.py closed-form ntile ---------------------------------------------
+#
+# The Spark-column form is checked against F.ntile over sampled (n, k) in
+# tests/test_rank.py; this generalizes the FORMULA itself against a direct
+# construction of the ANSI assignment (first n%k tiles get n//k+1 rows)
+# for every rank of arbitrary (n, k).
+
+
+@given(n=st.integers(1, 5000), k=st.integers(1, 64))
+@settings(max_examples=300)
+def test_ntile_closed_form_matches_ansi_assignment(n, k):
+    base, rem = divmod(n, k)
+    expect = []
+    for tile_no in range(1, k + 1):
+        size = base + 1 if tile_no <= rem else base
+        expect += [tile_no] * size
+
+    cut = rem * (base + 1)
+
+    def closed_form(rn: int) -> int:  # mirror of rank.ntile_from_rank
+        if rn <= cut:
+            return (rn - 1) // (base + 1) + 1
+        return rem + (rn - cut - 1) // max(base, 1) + 1
+
+    got = [closed_form(rn) for rn in range(1, n + 1)]
+    assert got == expect
