@@ -60,26 +60,38 @@ def exact_global_rank(
     """
     spark = df.sparkSession
     npart = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    part = df.repartitionByRange(npart, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # ONE shuffle total: range exchange + local sort, then partition id
+    # and the 0-based position WITHIN the sorted partition both come from
+    # monotonically_increasing_id (== pid·2³³ + local counter, assigned in
+    # physical row order — i.e. sorted order, since the nondeterministic
+    # projection cannot be reordered below the sort). The alternative —
+    # row_number() over Window.partitionBy(_pid) — would hash-exchange
+    # the whole table a second time just to regroup by partition id.
+    part = df.repartitionByRange(npart, *order_cols).sortWithinPartitions(*order_cols)
+    with_pid = (
+        part.withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright(F.col("_mid"), 33).cast("long"))
+        .withColumn("_local", (F.col("_mid") % F.lit(1 << 33)).cast("long"))
+        .drop("_mid")
     )
 
     # Offsets: one row per range partition (≤ npart rows — config-bounded,
     # so the single-partition prefix-sum window here is metadata-scale,
     # not data-scale; tests/test_plans.py pins that every unpartitioned
     # window in callers' plans sits above exactly this pid-grouped
-    # aggregate or a limit).
+    # aggregate or a limit). The counts branch reuses the range exchange
+    # (ReusedExchange — pinned), which also guarantees both branches see
+    # the same partition ids.
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     off_cols = ["_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")]
     if keep_total:
         off_cols.append(F.sum("_cnt").over(Window.partitionBy()).alias(RANK_TOTAL_COL))
-    offsets = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).select(*off_cols)
+    offsets = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).select(*off_cols)
 
-    w_rank = Window.partitionBy("_pid").orderBy(*order_cols)
     return (
-        part.join(F.broadcast(offsets), "_pid")
-        .withColumn(rank_name, (F.row_number().over(w_rank) + F.col("_off")).cast("long"))
-        .drop("_pid", "_off")
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_name, (F.col("_local") + F.lit(1) + F.col("_off")).cast("long"))
+        .drop("_pid", "_local", "_off")
     )
 
 

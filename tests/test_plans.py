@@ -412,15 +412,29 @@ def _unbounded_global_windows(df):
     return bad
 
 
+def _data_path_hash_exchanges(plan: str) -> list[str]:
+    """Hash exchanges NOT keyed on _pid — i.e. shuffles of the data
+    itself rather than of the ≤shuffle.partitions-row offsets table."""
+    return [
+        ln.strip()[:120]
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "_pid" not in ln
+    ]
+
+
 def test_ntile_distribution_no_single_task_window(spark, sf_dir):
     """Round-4 verdict fix: the distribution stats must come from the
     range-partitioned exact rank — any unpartitioned window in the plan
     must sit over the config-bounded pid-offsets aggregate, never over
-    the customer table itself."""
+    the customer table itself. The rank needs ONE data shuffle (the range
+    exchange): local position comes from monotonically_increasing_id
+    after the in-partition sort, so no hash exchange ever touches the
+    data — the only one allowed is the pid-counts aggregate."""
     df = queries()["window_ntile_distribution"](spark, sf_dir)
     assert _unbounded_global_windows(df) == []
     plan = physical_plan(df)
-    assert "spark_partition_id" in plan.lower(), plan
+    assert "monotonically_increasing_id" in plan.lower(), plan
+    assert _data_path_hash_exchanges(plan) == []
 
 
 def test_ntile_rank_reuses_range_exchange(spark, sf_dir):
@@ -437,11 +451,19 @@ def test_ntile_rank_reuses_range_exchange(spark, sf_dir):
 
 def test_rfm_segments_no_single_task_window(spark, sf_dir):
     """All three RFM quartiles derive from distributed exact ranks; no
-    window may funnel the per-customer aggregate through one task."""
+    window may funnel the per-customer aggregate through one task, and
+    the only hash exchanges beyond the base orders aggregate are the
+    pid-counts tables."""
     df = queries()["customer_rfm_segments"](spark, sf_dir)
     assert _unbounded_global_windows(df) == []
     plan = physical_plan(df)
-    assert "spark_partition_id" in plan.lower(), plan
+    assert "monotonically_increasing_id" in plan.lower(), plan
+    # Every hash exchange is either the groupBy(o_custkey) base aggregate
+    # or a pid-counts offsets table — the rank passes themselves add only
+    # range exchanges (no full-data hash shuffle for ranking).
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "_pid" in ln or "o_custkey" in ln, ln
 
 
 def test_pareto_take_ordered_no_full_rank(spark, sf_dir):
