@@ -13,8 +13,11 @@ with ordinary distributed primitives:
 2. per-partition row counts → exclusive prefix sums = rank offsets. This
    aggregate has one row per shuffle partition — bounded by a *config
    constant*, not by data — so its own prefix-sum window is metadata-scale;
-3. ``row_number`` within each range partition (a window PARTITIONED by
-   ``spark_partition_id()`` — parallel) plus the partition's offset.
+3. local position within the sorted partition from
+   ``monotonically_increasing_id`` (pid·2³³ + a counter in physical row
+   order — i.e. sorted order), plus the partition's broadcast offset. No
+   second shuffle: the windowed alternative (``row_number`` partitioned by
+   pid) would hash-exchange the data again just to regroup by partition.
 
 The counts branch and the main branch share the same range exchange, so
 Spark's exchange reuse (``ReusedExchange`` in the plan — pinned in
