@@ -80,3 +80,21 @@ def test_exact_rank_is_a_permutation(spark):
     got = exact_global_rank(df, [F.col("v").asc(), F.col("id")], "rn", num_partitions=9)
     ranks = sorted(r[0] for r in got.select("rn").collect())
     assert ranks == list(range(1, 778))
+
+
+def test_exact_rank_all_ties_on_leading_key(spark):
+    """Worst tie case: EVERY row shares the leading sort value, so range
+    partition boundaries fall entirely inside one tie group and only the
+    id tiebreak orders rows — ranks must still be the exact permutation."""
+    df = spark.range(1000).select(F.lit(42).alias("v"), F.col("id"))
+    got = exact_global_rank(df, [F.col("v").asc(), F.col("id")], "rn", num_partitions=8)
+    rows = {r.id: r.rn for r in got.collect()}
+    assert rows == {i: i + 1 for i in range(1000)}
+
+
+def test_exact_rank_empty_and_single_partition(spark):
+    empty = spark.range(0).select(F.col("id"), (F.col("id") % 3).alias("v"))
+    assert exact_global_rank(empty, [F.col("v"), F.col("id")], "rn").count() == 0
+    one = _sample(spark, 50)
+    got = exact_global_rank(one, [F.col("v"), F.col("id")], "rn", num_partitions=1)
+    assert sorted(r.rn for r in got.collect()) == list(range(1, 51))
