@@ -444,12 +444,24 @@ ORDER BY doc_a, doc_b
 
 
 @register("text_fuzzy_prefix_pairs", _FUZZY_ORACLE, doc="blocked Levenshtein on 24-char prefixes")
-def text_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_fuzzy_prefix_pairs(
+    spark: SparkSession, sf_dir: str, max_block: int = 512
+) -> DataFrame:
     """Edit-distance near-matching with BLOCKING (same language + same
     size bucket) so the quadratic Levenshtein only runs inside blocks —
     the classic fuzzy-join discipline: candidate generation must be an
     equi-join, the expensive metric only verifies. Both engines share one
-    Levenshtein definition (unit insert/delete/substitute)."""
+    Levenshtein definition (unit insert/delete/substitute).
+
+    Unlike the dedup band joins, this blocking key has FIXED cardinality
+    (languages × size buckets) — block occupancy grows linearly with the
+    corpus, so at scale the bucket cap is load-bearing, not just
+    adversarial insurance: blocks past ``max_block`` degrade to star
+    candidates around the block's min doc_id (dedup._cap_band_buckets),
+    each still Levenshtein-verified. The fixture never reaches the cap,
+    so the DuckDB oracle stays exact."""
+    from gluettalax_spark.operators.dedup import _cap_band_buckets
+
     docs = load(spark, sf_dir, "documents")
     prefixes = docs.select(
         "doc_id",
@@ -457,15 +469,30 @@ def text_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.lower(F.col("text")), 1, 24).alias("pfx"),
         (F.col("n_chars") / 200).cast("long").alias("size_block"),
     )
-    a = prefixes.select(
+    kept, star, _spill = _cap_band_buckets(
+        prefixes, ["lang", "size_block"], "doc_id", max_block
+    )
+    a = kept.select(
         F.col("doc_id").alias("doc_a"), "lang", "size_block", F.col("pfx").alias("pfx_a")
     )
-    b = prefixes.select(
+    b = kept.select(
         F.col("doc_id").alias("doc_b"), "lang", "size_block", F.col("pfx").alias("pfx_b")
     )
-    return (
+    xa = prefixes.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pfx_a"))
+    xb = prefixes.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pfx_b"))
+    star_pairs = (
+        star.select(F.col("_star_a").alias("doc_a"), F.col("_star_b").alias("doc_b"))
+        .join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .select("doc_a", "doc_b", "pfx_a", "pfx_b")
+    )
+    clique = (
         a.join(b, ["lang", "size_block"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pfx_a", "pfx_b")
+    )
+    return (
+        clique.union(star_pairs)
         .select(
             "doc_a",
             "doc_b",

@@ -196,3 +196,32 @@ def test_embedding_neardup_cap_unchanged_on_fixture(spark, sf_dir):
     uncapped = embedding_neardup(spark, sf_dir, max_bucket=1 << 40)
     assert capped.exceptAll(uncapped).count() == 0
     assert uncapped.exceptAll(capped).count() == 0
+
+
+def test_fuzzy_pairs_block_cap(spark, boilerplate_corpus, sf_dir):
+    """The fuzzy join's (lang, size_block) key has FIXED cardinality, so
+    the 600-identical-doc corpus collapses into one block; the cap yields
+    599 star pairs (edit_dist 0) instead of the clique. Fixture parity:
+    capped == uncapped."""
+    from gluettalax_spark.operators.text import text_fuzzy_prefix_pairs
+
+    import pyspark.sql.functions as F
+    from gluettalax_spark.tables import load
+
+    # boilerplate_corpus lacks lang/n_chars; derive them like a crawler would.
+    docs = spark.read.parquet(f"{boilerplate_corpus}/documents.parquet").select(
+        "doc_id", "text", "source",
+        F.lit("en").alias("lang"), F.length("text").alias("n_chars"),
+    )
+    d2 = f"{boilerplate_corpus}/with_meta"
+    docs.coalesce(2).write.mode("overwrite").parquet(f"{d2}/documents.parquet")
+
+    pairs = text_fuzzy_prefix_pairs(spark, d2)
+    dup = pairs.filter("doc_a < 600 AND doc_b < 600").collect()
+    assert len(dup) == 599
+    assert all(r.doc_a == 0 and r.edit_dist == 0 for r in dup)
+
+    capped = text_fuzzy_prefix_pairs(spark, sf_dir)
+    uncapped = text_fuzzy_prefix_pairs(spark, sf_dir, max_block=1 << 40)
+    assert capped.exceptAll(uncapped).count() == 0
+    assert uncapped.exceptAll(capped).count() == 0
