@@ -65,6 +65,11 @@ HEADLINE = [
     "stratified_sample_by_lang",
     "sample_hash_split",
     "latest_snapshot",
+    # round-5 rewrites (ex-single-task windows) + the skew spill metric:
+    "window_ntile_distribution",
+    "customer_rfm_segments",
+    "customer_pareto",
+    "dedup_band_spill_report",
 ]
 
 
