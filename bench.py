@@ -70,6 +70,9 @@ HEADLINE = [
     "customer_rfm_segments",
     "customer_pareto",
     "dedup_band_spill_report",
+    # round-5 additions: semantic (k-means / SemDeDup) family
+    "semantic_cluster_refine",
+    "semantic_dedup",
 ]
 
 

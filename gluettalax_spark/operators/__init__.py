@@ -18,6 +18,7 @@ from gluettalax_spark.operators import (  # noqa: F401
     relational,
     reshape,
     scalars,
+    semantic,
     similarity,
     skew,
     stats,

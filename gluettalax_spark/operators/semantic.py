@@ -1,0 +1,350 @@
+"""Semantic clustering + semantic dedup over ``embeddings`` —
+distributed Lloyd's k-means expressed as ordinary DataFrame aggregations,
+then SemDeDup-style cluster-local near-duplicate detection.
+
+Why this exists: near-dup detection by *meaning* (paraphrases, re-encodes,
+translations) can't come from shingle overlap; the production recipe
+(SemDeDup, Abbas et al. 2023) is (1) k-means the embedding space, then
+(2) search for high-cosine pairs ONLY within a cluster. Step 2's candidate
+generation is an equi-join on the cluster id — the same bucketed-join
+shape as the MinHash/SimHash band joins in
+:mod:`gluettalax_spark.operators.dedup`.
+
+Scale design (100 TB):
+
+* **Assignment is zero-shuffle.** Centroids are a k×d constant — they
+  ride a broadcast join; every partition scores its local vectors
+  against all k centroids and picks the argmin with one
+  ``min(struct(dist, cluster_id))`` aggregation per vector (no window).
+* **The Lloyd update is one groupBy.** Per-component sums via
+  ``posexplode`` → ``groupBy(cluster, pos)`` — N·d rows through a
+  (k·d)-key shuffle, then a k-row array re-assembly. Nothing driver-side
+  except the k×d centroid table itself (constant size, like the IVF
+  centroid matrix in :mod:`gluettalax_spark.operators.ann`).
+* **Cross-engine exactness without float-order luck.** Distributed
+  ``sum(double)`` is order-dependent, so the centroid update quantizes
+  each component to an exact integer first: ``floor(x·2³⁰)`` is exact
+  IEEE arithmetic (a power-of-two scale only shifts the exponent), and
+  integer sums are order-independent. Both engines then divide the same
+  integers — bit-identical centroids, so the DuckDB oracle replays the
+  whole 2-iteration refinement exactly. Distances fold sequentially
+  (``F.aggregate`` ↔ ``list_sum(list_transform(...))``) like the
+  similarity family, and comparisons order by the ROUNDED distance with
+  a cluster-id tiebreak, so argmin never depends on sub-ulp noise.
+* **Cluster-local pair join is capped.** k is fixed per run (here 8;
+  production ~100k, chosen ∝ corpus size), so one mega-cluster would
+  make the pair join quadratic — the band-bucket cap from
+  :func:`gluettalax_spark.operators.dedup._cap_band_buckets` degrades
+  over-cap clusters to verified star pairs, same contract as the
+  MinHash/fuzzy joins.
+
+Reference parity: the reference engine (``/root/reference``) has no
+embedding ops at all — this module is part of the LLM-training-data
+surface the brief adds on top (SURVEY.md §2 F-north).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gluettalax_spark.operators.dedup import MAX_BAND_BUCKET, _cap_band_buckets
+from gluettalax_spark.registry import register
+from gluettalax_spark.tables import load
+
+DIM = 64
+K = 8                 # seed clusters: vec_id 0..7 (deterministic init)
+QSCALE = 1 << 30      # exact power-of-two quantizer for centroid sums
+# Fixture embeddings are near-orthogonal (max pairwise cosine ≈ 0.51);
+# the dedup threshold sits where the fixture has pairs. Real corpora: ~0.95.
+SEMDEDUP_COS = 0.45
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 — same left-to-right summation as the
+    oracle's ``list_sum``, so both engines produce the identical double."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _seed_centroids(emb: DataFrame) -> DataFrame:
+    """(cluster_id, c_emb) — the first K vectors by vec_id. Deterministic
+    k-means++-free init keeps the oracle replayable; swap in sampled or
+    pre-trained centroids at production scale (same plan)."""
+    return emb.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("c_emb")
+    )
+
+
+def assign_clusters(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Append (cluster_id, dist) = nearest centroid by squared L2.
+
+    Broadcast-crossJoin the k-row centroid table, then ONE aggregation
+    ``min(struct(dist, cluster_id))`` per vector — no window, no extra
+    shuffle beyond the groupBy on vec_id (which AQE coalesces; at scale
+    this is the narrowest possible reduction: k candidate rows per key).
+    Distances are rounded to 4 dp BEFORE the argmin so the winner never
+    depends on sub-ulp float noise; ties break on cluster_id — identical
+    to the oracle's ``ORDER BY dist, cluster_id``."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        F.struct(
+            F.round(_sqdist(F.col("embedding"), F.col("c_emb")), 4).alias("dist"),
+            F.col("cluster_id"),
+        ).alias("_cand"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min("_cand").alias("_best"), F.first("embedding").alias("embedding")
+    )
+    return best.select(
+        "vec_id",
+        "embedding",
+        F.col("_best.cluster_id").alias("cluster_id"),
+        F.col("_best.dist").alias("dist"),
+    )
+
+
+def lloyd_update(assigned: DataFrame) -> DataFrame:
+    """One exact Lloyd centroid update: mean of member vectors per
+    cluster, with components quantized to ``floor(x·2³⁰)`` integers so
+    the distributed sum is order-independent (see module docstring).
+
+    posexplode → groupBy(cluster, pos) → sorted re-assembly. The
+    collect_list here holds exactly DIM entries per cluster (never data-
+    sized); the output is k rows."""
+    comp = assigned.select(
+        "cluster_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "cluster_id",
+        "pos",
+        F.floor(F.col("x").cast("double") * F.lit(float(QSCALE))).cast("long").alias("q"),
+    )
+    means = comp.groupBy("cluster_id", "pos").agg(
+        (F.sum("q").cast("double") / (F.count(F.lit(1)) * F.lit(float(QSCALE)))).alias("c")
+    )
+    return means.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("c_emb")
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL building blocks
+# --------------------------------------------------------------------------
+
+def _duck_sqdist(v: str, c: str) -> str:
+    """Sequential-fold squared L2 in DuckDB, 1-based list indexing."""
+    return (
+        f"list_sum(list_transform(range(1, {DIM + 1}), i -> "
+        f"(CAST({v}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))"
+        f" * (CAST({v}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))))"
+    )
+
+
+_DUCK_SEEDS = f"""
+seeds AS (
+  SELECT vec_id AS cluster_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id < {K}
+)
+"""
+
+_DUCK_ASSIGN1 = f"""
+scored1 AS (
+  SELECT v.vec_id, s.cluster_id,
+         round({_duck_sqdist('v.embedding', 's.c_emb')}, 4) AS dist
+  FROM embeddings v CROSS JOIN seeds s
+),
+a1 AS (
+  SELECT vec_id, cluster_id, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+  FROM scored1
+),
+assign1 AS (SELECT vec_id, cluster_id, dist FROM a1 WHERE rn = 1)
+"""
+
+
+_ASSIGN_ORACLE = f"""
+WITH {_DUCK_SEEDS.strip()},
+{_DUCK_ASSIGN1.strip()}
+SELECT vec_id, cluster_id, dist FROM assign1 ORDER BY vec_id
+"""
+
+
+@register(
+    "semantic_cluster_assign",
+    _ASSIGN_ORACLE,
+    doc=f"nearest-of-{K}-seed-centroids assignment (squared L2, broadcast argmin)",
+)
+def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment step against the deterministic seed centroids.
+    Plan: broadcast nested-loop of a k-row constant + one groupBy —
+    nothing data-sized shuffles except the vec_id reduction itself."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = assign_clusters(emb.select("vec_id", "embedding"), _seed_centroids(emb))
+    return out.select("vec_id", "cluster_id", "dist").orderBy("vec_id")
+
+
+_REFINE_ORACLE = f"""
+WITH {_DUCK_SEEDS.strip()},
+{_DUCK_ASSIGN1.strip()},
+comp AS (
+  SELECT a.cluster_id, i.i AS pos,
+         CAST(floor(CAST(v.embedding[i.i] AS DOUBLE) * {QSCALE}) AS BIGINT) AS q
+  FROM assign1 a
+  JOIN embeddings v USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, {DIM + 1})) AS i) i
+),
+cent2 AS (
+  SELECT cluster_id, pos,
+         CAST(sum(q) AS DOUBLE) / (count(*) * {QSCALE}.0) AS c
+  FROM comp GROUP BY cluster_id, pos
+),
+cent2v AS (
+  SELECT cluster_id, list(c ORDER BY pos) AS c_emb
+  FROM cent2 GROUP BY cluster_id
+),
+scored2 AS (
+  SELECT v.vec_id, s.cluster_id,
+         round({_duck_sqdist('v.embedding', 's.c_emb')}, 4) AS dist
+  FROM embeddings v CROSS JOIN cent2v s
+),
+a2 AS (
+  SELECT vec_id, cluster_id, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+  FROM scored2
+)
+SELECT vec_id, cluster_id, dist FROM a2 WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+@register(
+    "semantic_cluster_refine",
+    _REFINE_ORACLE,
+    doc="one full Lloyd iteration (exact quantized update) + reassignment",
+)
+def semantic_cluster_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """assign(seeds) → exact centroid update → reassign. Every seed
+    cluster is non-empty by construction (its seed vector is at distance
+    0 from itself), so no empty-cluster repair branch is needed. Further
+    Lloyd iterations are the same two lines in a loop — the oracle pins
+    one full round, which exercises every moving part."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a1 = assign_clusters(emb, _seed_centroids(load(spark, sf_dir, "embeddings")))
+    cent2 = lloyd_update(a1)
+    a2 = assign_clusters(emb, cent2)
+    return a2.select("vec_id", "cluster_id", "dist").orderBy("vec_id")
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH {_DUCK_SEEDS.strip()},
+{_DUCK_ASSIGN1.strip()},
+members AS (
+  SELECT a.vec_id, a.cluster_id, v.embedding,
+         sqrt(list_sum(list_transform(v.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM assign1 a JOIN embeddings v USING (vec_id)
+),
+pairs AS (
+  SELECT x.cluster_id, x.vec_id AS vec_a, y.vec_id AS vec_b,
+         round(
+           list_sum(list_transform(range(1, {DIM + 1}),
+             i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+           / (x.nrm * y.nrm), 4) AS cosine
+  FROM members x
+  JOIN members y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+)
+SELECT cluster_id, vec_a, vec_b, cosine
+FROM pairs WHERE cosine >= {SEMDEDUP_COS}
+ORDER BY cluster_id, vec_a, vec_b
+"""
+
+
+@register(
+    "semantic_dedup",
+    _SEMDEDUP_ORACLE,
+    doc=f"SemDeDup: cluster-local cosine near-dup pairs (cos ≥ {SEMDEDUP_COS})",
+)
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BAND_BUCKET
+) -> DataFrame:
+    """Candidate pairs ONLY within a k-means cluster: the pair join is an
+    equi-join on cluster_id, never all-pairs. Norms are computed once per
+    vector before the join. Because k is FIXED per run, the bucket cap is
+    load-bearing (same argument as text_fuzzy_prefix_pairs): an over-cap
+    cluster degrades to verified star pairs around its min vec_id instead
+    of a quadratic clique. The fixture never hits the cap, so the oracle
+    replays the exact clique output."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a1 = assign_clusters(emb, _seed_centroids(load(spark, sf_dir, "embeddings")))
+    members = a1.select(
+        "vec_id", "cluster_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    ).localCheckpoint(eager=False)
+
+    kept, star, _spill = _cap_band_buckets(members, ["cluster_id"], "vec_id", max_bucket)
+
+    x = kept.select(
+        "cluster_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    y = kept.select(
+        "cluster_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    clique = x.join(y, ["cluster_id"]).filter(F.col("vec_a") < F.col("vec_b"))
+
+    # Star pairs from over-cap clusters re-fetch their vectors by id
+    # (ships only the degraded ids, not the cluster payload).
+    star_scored = (
+        star.join(members.select(F.col("vec_id").alias("_star_a"),
+                                 F.col("cluster_id"),
+                                 F.col("embedding").alias("e_a"),
+                                 F.col("nrm").alias("n_a")), "_star_a")
+        .join(members.select(F.col("vec_id").alias("_star_b"),
+                             F.col("embedding").alias("e_b"),
+                             F.col("nrm").alias("n_b")), "_star_b")
+        .select(
+            "cluster_id",
+            F.col("_star_a").alias("vec_a"),
+            F.col("_star_b").alias("vec_b"),
+            "e_a", "n_a", "e_b", "n_b",
+        )
+    )
+
+    scored = clique.select(
+        "cluster_id", "vec_a", "vec_b",
+        F.round(_dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 4).alias("cosine"),
+    ).unionByName(
+        star_scored.select(
+            "cluster_id", "vec_a", "vec_b",
+            F.round(_dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 4).alias("cosine"),
+        )
+    )
+    return (
+        scored.filter(F.col("cosine") >= SEMDEDUP_COS)
+        .orderBy("cluster_id", "vec_a", "vec_b")
+    )

@@ -91,6 +91,9 @@ _NEW_THIS_ROUND = (
     "revenue_mom_growth",
     # new in round 5:
     "dedup_band_spill_report",
+    "semantic_cluster_assign",
+    "semantic_cluster_refine",
+    "semantic_dedup",
 )
 
 

@@ -1,0 +1,91 @@
+"""Semantic clustering / SemDeDup design guarantees beyond the oracle:
+Lloyd monotonicity, exact quantized centroid math vs numpy, seed-cluster
+non-emptiness, and the cluster-pair bucket cap's star degradation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gluettalax_spark.operators import semantic
+from gluettalax_spark.tables import load
+
+
+def test_all_seed_clusters_nonempty(spark, sf_dir):
+    assigned = semantic.semantic_cluster_assign(spark, sf_dir)
+    sizes = {r["cluster_id"]: r["n"] for r in
+             assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) == set(range(semantic.K))
+    assert all(n >= 1 for n in sizes.values())
+
+
+def test_refine_does_not_increase_inertia(spark, sf_dir):
+    """Lloyd's algorithm never increases total within-cluster squared
+    distance; rounded 4-dp distances admit at most n·1e-4 jitter."""
+    a1 = semantic.semantic_cluster_assign(spark, sf_dir)
+    a2 = semantic.semantic_cluster_refine(spark, sf_dir)
+    i1 = a1.agg(F.sum("dist")).first()[0]
+    i2 = a2.agg(F.sum("dist")).first()[0]
+    n = a1.count()
+    assert i2 <= i1 + n * 1e-4
+
+
+def test_lloyd_update_matches_numpy(spark, sf_dir):
+    """The quantized centroid update is EXACT: floor(x·2³⁰) integer sums
+    divided back out must equal the same arithmetic done in numpy."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a1 = semantic.assign_clusters(
+        emb, semantic._seed_centroids(load(spark, sf_dir, "embeddings"))
+    )
+    got = {
+        r["cluster_id"]: np.array(r["c_emb"])
+        for r in semantic.lloyd_update(a1).collect()
+    }
+
+    rows = a1.select("cluster_id", "embedding").collect()
+    by_cluster: dict[int, list[np.ndarray]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(
+            np.floor(np.array(r["embedding"], dtype=np.float64) * semantic.QSCALE)
+        )
+    for cid, vecs in by_cluster.items():
+        q_sum = np.sum(np.stack(vecs), axis=0)  # integer-valued doubles, exact
+        want = q_sum / (len(vecs) * semantic.QSCALE)
+        assert np.array_equal(got[cid], want), f"cluster {cid} centroid mismatch"
+
+
+def test_dedup_cap_degrades_to_star(spark, sf_dir):
+    """With an artificially tiny cap every cluster degrades: each
+    surviving pair is a star around its cluster's min vec_id, and the
+    capped output is a subset of the uncapped clique output."""
+    capped = semantic.semantic_dedup(spark, sf_dir, max_bucket=10)
+    full = semantic.semantic_dedup(spark, sf_dir)
+
+    capped_rows = {(r["cluster_id"], r["vec_a"], r["vec_b"]): r["cosine"]
+                   for r in capped.collect()}
+    full_rows = {(r["cluster_id"], r["vec_a"], r["vec_b"]): r["cosine"]
+                 for r in full.collect()}
+    assert set(capped_rows) <= set(full_rows)
+    for k, v in capped_rows.items():
+        assert v == full_rows[k]
+
+    # Star shape: vec_a is always the cluster representative (min member id).
+    a1 = semantic.semantic_cluster_assign(spark, sf_dir)
+    reps = {r["cluster_id"]: r["rep"] for r in
+            a1.groupBy("cluster_id").agg(F.min("vec_id").alias("rep")).collect()}
+    for (cid, a, _b) in capped_rows:
+        assert a == reps[cid], f"pair in cluster {cid} not anchored at rep"
+
+
+@pytest.mark.parametrize("name", ["semantic_cluster_assign", "semantic_dedup"])
+def test_semantic_plans(spark, sf_dir, name):
+    """Centroids ride broadcast joins; the pair join is an EQUI-join on
+    cluster_id — never a cartesian product of the vector table."""
+    from gluettalax_spark.registry import queries
+
+    df = queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    if name == "semantic_dedup":
+        assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), plan[:2000]
