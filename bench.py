@@ -70,9 +70,12 @@ HEADLINE = [
     "customer_rfm_segments",
     "customer_pareto",
     "dedup_band_spill_report",
-    # round-5 additions: semantic (k-means / SemDeDup) family
+    # round-5 additions: semantic (k-means / SemDeDup) family + corpus export
     "semantic_cluster_refine",
     "semantic_dedup",
+    "token_budget_sample",
+    "source_overlap_matrix",
+    "export_training_shards",
 ]
 
 

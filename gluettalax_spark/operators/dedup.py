@@ -73,7 +73,9 @@ def _tokens_col() -> Column:
     return F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
 
 
-def shingles_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingles_exploded(
+    spark: SparkSession, sf_dir: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, s) — word 3-gram shingles, one row each (NOT deduplicated:
     every consumer is duplicate-invariant — ``min`` for MinHash,
     ``collect_set`` for shingle sets — so a distinct() here would be a
@@ -87,14 +89,17 @@ def shingles_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", _tokens_col().alias("tokens")).filter(F.size("tokens") >= 3)
-    pe = toks.select("doc_id", F.posexplode("tokens").alias("pos", "tok"))
+    extra = list(carry)  # doc-level columns to ride along (e.g. source)
+    toks = docs.select("doc_id", *extra, _tokens_col().alias("tokens")).filter(
+        F.size("tokens") >= 3
+    )
+    pe = toks.select("doc_id", *extra, F.posexplode("tokens").alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     t1, t2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
     return (
-        pe.select("doc_id", F.concat_ws(" ", "tok", t1, t2).alias("s"), t2.alias("guard"))
+        pe.select("doc_id", *extra, F.concat_ws(" ", "tok", t1, t2).alias("s"), t2.alias("guard"))
         .filter(F.col("guard").isNotNull())
-        .select("doc_id", "s")
+        .select("doc_id", *extra, "s")
     )
 
 

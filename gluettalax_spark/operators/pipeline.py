@@ -836,3 +836,255 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Token-budget sampling (per-source corpus caps) — round-5 addition
+# --------------------------------------------------------------------------
+
+TOKEN_BUDGET = 800  # whitespace tokens per source
+
+_TOKEN_BUDGET_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM r WHERE cum_tokens <= {TOKEN_BUDGET}
+ORDER BY doc_id
+"""
+
+
+@register(
+    "token_budget_sample",
+    _TOKEN_BUDGET_ORACLE,
+    doc=f"per-source token-budget sampling ({TOKEN_BUDGET} ws-tokens/source, hash order)",
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source's contribution to the training mix at a token
+    budget: walk the source's documents in content-stable hash order and
+    keep while the running total fits. The walk order is md5(doc_id) —
+    deterministic across engines, reruns and repartitions (the same
+    property stratified_sample_by_lang uses).
+
+    The naive plan — ``sum() OVER (PARTITION BY source ORDER BY h)`` —
+    funnels every source through ONE task; a source is a crawl at 100 TB.
+    This uses :func:`gluettalax_spark.operators.rank.grouped_running_sum`:
+    range-partition on (source, h), per-(pid, source) partial sums, and a
+    metadata-scale prefix join — every stage parallel."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    run = grouped_running_sum(
+        t, ["source"], ["h", "doc_id"], "n_tokens", "cum_tokens"
+    )
+    return (
+        run.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-source overlap matrix (contamination between corpus sources)
+# --------------------------------------------------------------------------
+
+_OVERLAP_SHINGLES_CTE = r"""
+toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, len(tokens) - 1),
+           i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+         )) AS shingles
+  FROM toks
+  WHERE len(tokens) >= 3
+)
+"""
+
+# 60-bit int of md5 hex chars [1, 16) — same keyspace as the Spark side.
+_OVERLAP_HEX = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(m, {1 + k}, 1)) - 1) * {16 ** (15 - 1 - k)}"
+    for k in range(15)
+) + ")"
+
+_OVERLAP_ORACLE = f"""
+WITH {_OVERLAP_SHINGLES_CTE.strip()},
+ex AS (SELECT source, unnest(shingles) AS s FROM sh),
+hs AS (
+  SELECT DISTINCT source, {_OVERLAP_HEX} AS hs
+  FROM (SELECT source, md5(s) AS m FROM ex)
+),
+per_src AS (SELECT source, count(*) AS n FROM hs GROUP BY source),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM hs a JOIN hs b ON a.hs = b.hs AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT
+  s.src_a, s.src_b,
+  CAST(s.n_shared AS BIGINT) AS n_shared,
+  round(CAST(s.n_shared AS DOUBLE) / (x.n + y.n - s.n_shared), 4) AS jaccard
+FROM shared s
+JOIN per_src x ON s.src_a = x.source
+JOIN per_src y ON s.src_b = y.source
+ORDER BY src_a, src_b
+"""
+
+
+@register(
+    "source_overlap_matrix",
+    _OVERLAP_ORACLE,
+    doc="pairwise source contamination: shared distinct shingles + Jaccard",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does source A's content overlap source B's? Exact distinct
+    word-3-gram shingle overlap per source pair.
+
+    Scale shape: NO self-join on the shingle table. Each distinct
+    (shingle, source) row flows into ONE groupBy(shingle) whose value —
+    ``collect_set(source)`` — is bounded by the number of sources, and
+    pairs explode from that set (≤ C(S,2) per shingle, not per
+    occurrence). A hot boilerplate shingle costs one bounded set, never a
+    quadratic bucket. Per-source distinct counts broadcast into the final
+    Jaccard projection. Shingles are 60-bit md5 ints (hashed identically
+    in the oracle, so collisions — ~n²/2⁶¹ — cannot cause a mismatch)."""
+    from gluettalax_spark.operators.dedup import shingles_exploded
+
+    hs = (
+        shingles_exploded(spark, sf_dir, carry=("source",))
+        .select(
+            "source",
+            F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("hs"),
+        )
+        .distinct()
+    )
+    per_src = hs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sets = (
+        hs.groupBy("hs")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") > 1)
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "srcs",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("srcs"), i + F.lit(2), F.size(F.col("srcs"))),
+                        lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    shared = pairs.groupBy("src_a", "src_b").agg(F.count(F.lit(1)).alias("n_shared"))
+    x = per_src.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    y = per_src.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(x), "src_a")
+        .join(F.broadcast(y), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic training-shard assignment (export layout)
+# --------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+_SHARD_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS m
+  FROM documents
+),
+s AS (
+  SELECT *,
+    ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1)) % {N_SHARDS} AS shard
+  FROM t
+)
+SELECT
+  CAST(shard AS BIGINT) AS shard,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+  min(doc_id) AS min_doc_id,
+  max(doc_id) AS max_doc_id
+FROM s
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+def shard_col(doc_id: F.Column, n_shards: int = N_SHARDS) -> F.Column:
+    """Content-stable shard id: first md5 byte of the doc id, mod
+    n_shards. Independent of row order, partitioning, and engine —
+    re-exports land every document in the same shard."""
+    h = F.md5(doc_id.cast("string"))
+    hexpos = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1  # noqa: E731
+    return ((hexpos(1) * 16 + hexpos(2)) % n_shards).cast("long")
+
+
+@register(
+    "export_training_shards",
+    _SHARD_ORACLE,
+    doc=f"deterministic {N_SHARDS}-way training-shard assignment summary",
+)
+def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-assignment summary for a training export: per shard, the doc
+    count, token mass, and source spread — the balance report you check
+    BEFORE writing 100 TB of shards. One projection + one 16-key rollup;
+    the actual writer (``sources.io.write_training_shards``) uses the
+    same shard_col so the report always describes the files."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long").alias("n_tokens"),
+        shard_col(F.col("doc_id")).alias("shard"),
+    )
+    return (
+        t.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )

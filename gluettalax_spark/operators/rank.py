@@ -98,6 +98,71 @@ def exact_global_rank(
     )
 
 
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column | str],
+    value_col: str,
+    sum_name: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running ``sum(value_col)`` per group under ``order_cols``
+    (a total order within the group) WITHOUT ``Window.partitionBy(group)``
+    — that window funnels each group through one task, and groups here
+    (e.g. a crawl source) grow with the corpus.
+
+    Same offsets construction as :func:`exact_global_rank`, grouped:
+
+    1. range-repartition on ``(group, order)`` — a group spans a run of
+       consecutive partitions;
+    2. per-``(pid, group)`` value sums → per-group exclusive prefix over
+       pid. This offsets table has ≤ npart + G − 1 rows (each partition
+       contributes one row per group it *intersects*, and a partition
+       boundary splits at most one group), so the prefix window — though
+       partitioned by group — runs over per-group partition counts, i.e.
+       metadata scale;
+    3. local running sum within ``(pid, group)`` + broadcast offset.
+
+    Cost: the range exchange plus ONE more hash exchange of the data on
+    ``(pid, group)`` for the local window — unlike row_number, a running
+    sum over an arbitrary column cannot ride monotonically_increasing_id.
+    Every ``(pid, group)`` window group is bounded by the range-partition
+    size, so no task sees more than one partition's rows."""
+    spark = df.sparkSession
+    npart = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    part = df.repartitionByRange(npart, *group_cols, *order_cols).sortWithinPartitions(
+        *group_cols, *order_cols
+    )
+    with_pid = part.withColumn("_pid", F.spark_partition_id())
+
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        with_pid.groupBy("_pid", *group_cols)
+        .agg(F.sum(value_col).alias("_gsum"))
+        .select(
+            "_pid",
+            *group_cols,
+            F.coalesce(F.sum("_gsum").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+
+    w_local = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        with_pid.withColumn("_run", F.sum(value_col).over(w_local))
+        .join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(sum_name, F.col("_run") + F.col("_off"))
+        .drop("_pid", "_run", "_off")
+    )
+
+
 def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
     """ANSI ``ntile(k)`` from an exact global rank: the first ``n % k``
     tiles hold ``n//k + 1`` rows each, the remaining tiles ``n//k``.

@@ -94,6 +94,9 @@ _NEW_THIS_ROUND = (
     "semantic_cluster_assign",
     "semantic_cluster_refine",
     "semantic_dedup",
+    "token_budget_sample",
+    "source_overlap_matrix",
+    "export_training_shards",
 )
 
 

@@ -203,3 +203,43 @@ def write_with_audit(
     obs = Observation("write_audit")
     df.observe(obs, *metrics).write.format(fmt).mode("overwrite").save(path)
     return obs.get
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    doc_id_col: str = "doc_id",
+    n_shards: int = 16,
+    fmt: str = "parquet",
+) -> None:
+    """Write a training export as ``shard=K/`` Hive directories with a
+    content-stable shard id (md5 of the doc id — see
+    ``operators.pipeline.shard_col``): re-exports, engine swaps, and
+    input repartitions put every document in the same shard, so
+    downstream dataloaders can resume mid-epoch against a re-written
+    export.
+
+    Layout mechanics: ``repartition(n_shards, shard)`` puts each shard's
+    rows in exactly one task → one file per shard directory (no
+    small-file spray); rows sort by the md5 within the shard, giving a
+    deterministic, pseudo-random document order — exactly what a
+    sequential training reader wants (no post-hoc shuffle pass over
+    100 TB). For bigger corpora raise ``n_shards``; the assignment stays
+    stable across different ``n_shards`` only modulo-compatibly, so pick
+    the final count once.
+    """
+    from pyspark.sql import functions as F
+
+    from gluettalax_spark.operators.pipeline import shard_col
+
+    (
+        df.withColumn("shard", shard_col(F.col(doc_id_col), n_shards))
+        .withColumn("_h", F.md5(F.col(doc_id_col).cast("string")))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_h")
+        .drop("_h")
+        .write.mode("overwrite")
+        .format(fmt)
+        .partitionBy("shard")
+        .save(path)
+    )

@@ -499,3 +499,37 @@ def test_outlier_mad_broadcasts_stats(spark, sf_dir):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_token_budget_no_source_partitioned_window(spark, sf_dir):
+    """Per-source running sums must ride the grouped range-partitioned
+    rank path: every data window keys on (_pid, source); a window keyed
+    on source alone (single task per source — a source is a crawl at
+    100 TB) is banned, except over the metadata-scale offsets aggregate
+    (whose window orders by _pid)."""
+    df = queries()["token_budget_sample"](spark, sf_dir)
+    assert _unbounded_global_windows(df) == []
+    plan = physical_plan(df)
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln and "_pid" not in ln:
+            raise AssertionError(f"source-only window: {ln.strip()[:160]}")
+
+
+def test_source_overlap_no_shingle_self_join(spark, sf_dir):
+    """Cross-source overlap must come from ONE groupBy(shingle) with a
+    bounded collect_set — never a self-join of the (data-sized) shingle
+    table: the only joins allowed are the broadcast per-source counts."""
+    df = queries()["source_overlap_matrix"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") == 2, plan[:2000]
+
+
+def test_export_shards_single_rollup(spark, sf_dir):
+    """The shard summary is a projection + one 16-key aggregate — no
+    joins, no windows, exactly one data shuffle pair (partial/final
+    hash aggregate around one exchange) over the distinct-source rollup."""
+    df = queries()["export_training_shards"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "WindowExec" not in plan, plan[:2000]

@@ -98,3 +98,56 @@ def test_exact_rank_empty_and_single_partition(spark):
     one = _sample(spark, 50)
     got = exact_global_rank(one, [F.col("v"), F.col("id")], "rn", num_partitions=1)
     assert sorted(r.rn for r in got.collect()) == list(range(1, 51))
+
+
+# --------------------------------------------------------------------------
+# grouped_running_sum
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n,groups,npart", [(1, 1, 4), (50, 3, 4), (1000, 7, 5), (1000, 7, 1)])
+def test_grouped_running_sum_matches_naive_window(spark, n, groups, npart):
+    """The distributed grouped running sum must equal the single-task
+    Window.partitionBy(group) form it replaces, for degenerate and
+    multi-partition shapes (including groups that span partitions)."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % groups).cast("string").alias("g"),
+        (F.hash("id") % 50 + 50).alias("val"),
+    )
+    got = grouped_running_sum(df, ["g"], ["id"], "val", "run", num_partitions=npart)
+    w = Window.partitionBy("g").orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    exp = df.withColumn("run", F.sum("val").over(w))
+    assert got.select("id", "g", "run").exceptAll(exp.select("id", "g", "run")).count() == 0
+    assert exp.select("id", "g", "run").exceptAll(got.select("id", "g", "run")).count() == 0
+
+
+def test_grouped_running_sum_deterministic(spark):
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 5).cast("string").alias("g"), F.lit(3).alias("val")
+    )
+    a = grouped_running_sum(df, ["g"], ["id"], "val", "run", num_partitions=6).collect()
+    b = grouped_running_sum(df, ["g"], ["id"], "val", "run", num_partitions=6).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_grouped_running_sum_no_group_partitioned_data_window(spark):
+    """The plan must not contain a WindowExec partitioned ONLY by the
+    group column over the raw data — every data-path window is keyed by
+    (_pid, group); the group-only window may appear solely over the
+    metadata-scale offsets aggregate."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("g"), F.lit(1).alias("val")
+    )
+    out = grouped_running_sum(df, ["g"], ["id"], "val", "run", num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln and "_pid" not in ln:
+            # the offsets prefix window orders by _pid — anything else
+            # would be the single-task-per-group shape we banned
+            raise AssertionError(f"group-only data window in plan: {ln.strip()[:160]}")

@@ -242,3 +242,36 @@ def test_write_with_audit_single_pass(spark, sf_dir, tmp_path):
     assert m["n_rows"] == docs.count()
     assert m["n_null_lang"] == docs.filter(F.col("lang").isNull()).count()
     assert spark.read.parquet(out).count() == m["n_rows"]
+
+
+def test_write_training_shards_layout_and_stability(spark, sf_dir, tmp_path):
+    """Every document lands in the shard the summary query predicts; one
+    file per shard directory; a re-export after an input repartition
+    produces identical shard membership."""
+    from gluettalax_spark.operators.pipeline import shard_col
+    from gluettalax_spark.sources.io import write_training_shards
+    from gluettalax_spark.tables import load
+    import glob
+    import pyspark.sql.functions as F
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # membership matches shard_col
+    bad = back.withColumn("want", shard_col(F.col("doc_id"), 8)).filter(
+        F.col("shard") != F.col("want")
+    )
+    assert bad.count() == 0
+    # one data file per shard dir
+    for d in glob.glob(f"{out}/shard=*"):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, d
+    # stability across input layout
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs.repartition(13), out2, n_shards=8)
+    a = {(r["doc_id"], r["shard"]) for r in back.select("doc_id", "shard").collect()}
+    b = {(r["doc_id"], r["shard"]) for r in spark.read.parquet(out2).select("doc_id", "shard").collect()}
+    assert a == b
