@@ -97,6 +97,7 @@ _NEW_THIS_ROUND = (
     "token_budget_sample",
     "source_overlap_matrix",
     "export_training_shards",
+    "corpus_incremental_dedup",
 )
 
 

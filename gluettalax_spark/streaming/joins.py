@@ -235,3 +235,89 @@ def streaming_conversion_join_outer(spark: SparkSession, src_dir: str) -> DataFr
         "purchase_id",
         (F.unix_millis("purchase_ts") - F.unix_millis("view_ts")).alias("delta_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental corpus dedup: new documents vs the existing corpus index
+# --------------------------------------------------------------------------
+
+CORPUS_SPLIT_DOC_ID = 250  # fixture convention: ids < split = "existing corpus"
+
+_INCREMENTAL_DEDUP_ORACLE = rf"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+idx AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < {CORPUS_SPLIT_DOC_ID})
+SELECT f.doc_id, f.source, f.fingerprint
+FROM fp f
+WHERE f.doc_id >= {CORPUS_SPLIT_DOC_ID}
+  AND f.fingerprint NOT IN (SELECT fingerprint FROM idx)
+ORDER BY f.doc_id
+"""
+
+
+def _corpus_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gluettalax_spark.operators.text import normalized_text
+    from gluettalax_spark.tables import load
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(normalized_text()).alias("fingerprint")
+    )
+
+
+def _register_incremental_dedup():
+    from gluettalax_spark.registry import register
+
+    @register(
+        "corpus_incremental_dedup",
+        _INCREMENTAL_DEDUP_ORACLE,
+        doc="new docs surviving exact-dedup against the existing corpus index",
+    )
+    def corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The daily-crawl shape: dedup ONLY the new documents against the
+        accumulated corpus's fingerprint index — never re-shuffle the
+        existing corpus. An anti-join on the 16-byte fingerprint: the new
+        batch (small) shuffles; the index side is a compacted fingerprint
+        table that at scale is bucketed on fingerprint so the join
+        co-locates. Batch twin of ``streaming_incremental_dedup`` —
+        identical output, micro-batch at a time."""
+        fp = _corpus_fingerprints(spark, sf_dir)
+        idx = fp.filter(F.col("doc_id") < CORPUS_SPLIT_DOC_ID).select("fingerprint").distinct()
+        new = fp.filter(F.col("doc_id") >= CORPUS_SPLIT_DOC_ID)
+        return new.join(idx, "fingerprint", "left_anti").select(
+            "doc_id", "source", "fingerprint"
+        ).orderBy("doc_id")
+
+
+_register_incremental_dedup()
+
+
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin: each micro-batch of incoming documents anti-joins
+    the static corpus fingerprint index. State-free (the index is the
+    state, maintained by the batch compaction job) — the stream never
+    accumulates fingerprints, so a re-crawled duplicate already in the
+    corpus is dropped at ingest regardless of how long ago the original
+    arrived. Within-stream re-deliveries are handled downstream by the
+    watermarked dedup (streaming_dedup_within_watermark pattern)."""
+    from gluettalax_spark.operators.text import normalized_text
+    from gluettalax_spark.tables import load
+
+    docs_schema = load(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    fp = stream.select("doc_id", "source", F.md5(normalized_text()).alias("fingerprint"))
+    idx = (
+        _corpus_fingerprints(spark, sf_dir)
+        .filter(F.col("doc_id") < CORPUS_SPLIT_DOC_ID)
+        .select("fingerprint")
+        .distinct()
+    )
+    return fp.filter(F.col("doc_id") >= CORPUS_SPLIT_DOC_ID).join(
+        idx, "fingerprint", "left_anti"
+    ).select("doc_id", "source", "fingerprint")

@@ -385,3 +385,19 @@ def test_streaming_reads_nanos_parquet_after_conf_restore(spark, tmp_path):
 
     # user 6's last event: id 97 → epoch + 97 s, µs-truncated (the 500 ns gone).
     assert rows[6][1] == datetime.datetime.utcfromtimestamp(1_700_000_097)
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir):
+    """The stream-static anti-join must emit exactly the batch twin's
+    surviving documents (micro-batching cannot change an anti-join
+    against a static index)."""
+    from gluettalax_spark.registry import queries
+    from gluettalax_spark.streaming.joins import streaming_incremental_dedup
+
+    stream_df = streaming_incremental_dedup(spark, sf_dir)
+    assert stream_df.isStreaming
+    got = run_stream_to_memory(spark, stream_df, "incr_dedup_smoke")
+    want = queries()["corpus_incremental_dedup"](spark, sf_dir)
+    g = {(r["doc_id"], r["fingerprint"]) for r in got.collect()}
+    w = {(r["doc_id"], r["fingerprint"]) for r in want.collect()}
+    assert g == w and len(g) > 0
