@@ -76,6 +76,8 @@ HEADLINE = [
     "token_budget_sample",
     "source_overlap_matrix",
     "export_training_shards",
+    "quality_quantile_filter_by_lang",
+    "corpus_incremental_dedup",
 ]
 
 

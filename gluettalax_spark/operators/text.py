@@ -199,9 +199,10 @@ ORDER BY doc_id
 """
 
 
-@register("text_quality_score", _QUALITY_ORACLE, doc="composite document quality score")
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+def _quality_parts() -> tuple:
+    """(len_score, stop_ratio, punct_ratio, quality) columns over the
+    ``text`` column — shared by the per-doc score and the per-language
+    quantile filter so both use the identical composite."""
     n_chars = F.length("text")
     n_tokens = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long")
     n_stop = F.expr(
@@ -211,6 +212,17 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     len_score = F.least(n_chars / 500.0, F.lit(1.0))
     stop_ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1).cast("long"))
     punct_ratio = n_punct.cast("double") / F.greatest(n_chars.cast("long"), F.lit(1).cast("long"))
+    quality = (
+        F.floor((0.5 * len_score + 0.4 * stop_ratio + 0.1 * (1.0 - punct_ratio)) * 10000 + 0.5)
+        / 10000
+    )
+    return len_score, stop_ratio, punct_ratio, quality
+
+
+@register("text_quality_score", _QUALITY_ORACLE, doc="composite document quality score")
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    len_score, stop_ratio, punct_ratio, quality = _quality_parts()
     return docs.select(
         "doc_id",
         F.round(len_score, 4).alias("len_score"),
@@ -221,10 +233,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 0.49425), where the engines' built-in round() diverge on the
         # double representation; floor(x·10⁴+0.5) is the identical IEEE
         # op sequence on both engines.
-        (
-            F.floor((0.5 * len_score + 0.4 * stop_ratio + 0.1 * (1.0 - punct_ratio)) * 10000 + 0.5)
-            / 10000
-        ).alias("quality"),
+        quality.alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -1176,4 +1185,78 @@ def udtf_ngrams_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM gx_docs_for_poly_udtf d, LATERAL gx_ngram_counts(d.text, 2) t
         ORDER BY d.doc_id, t.w0, t.w1
         """
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-language quality-quantile filtering (grouped exact percentiles)
+# --------------------------------------------------------------------------
+
+QUALITY_QUANTILE = 0.25  # drop the bottom quartile per language
+
+_QUALITY_DUCK = """
+    floor((0.5 * least(length(text) / 500.0, 1.0)
+        + 0.4 * (CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a|in)\\b')) AS DOUBLE)
+                 / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT), 1))
+        + 0.1 * (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1))) * 10000 + 0.5) / 10000
+"""
+
+_QUALITY_BY_LANG_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, {_QUALITY_DUCK} AS quality FROM documents
+),
+cut AS (
+  SELECT lang, round(quantile_cont(quality, {QUALITY_QUANTILE}), 4) AS q25
+  FROM scored GROUP BY lang
+)
+SELECT
+  s.lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  max(c.q25) AS cutoff,
+  CAST(count(CASE WHEN s.quality >= c.q25 THEN 1 END) AS BIGINT) AS n_kept,
+  round(avg(CASE WHEN s.quality >= c.q25 THEN s.quality END), 4) AS kept_avg_quality
+FROM scored s JOIN cut c ON s.lang = c.lang
+GROUP BY s.lang
+ORDER BY s.lang
+"""
+
+
+@register(
+    "quality_quantile_filter_by_lang",
+    _QUALITY_BY_LANG_ORACLE,
+    doc=f"per-language p{int(QUALITY_QUANTILE * 100)} quality cutoff + keep report",
+)
+def quality_quantile_filter_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality gate: a single global threshold over-prunes
+    low-resource languages (their score distributions sit lower), so the
+    cutoff is the language's own p25. Spark's exact ``percentile`` uses
+    the same continuous-interpolation definition as the oracle's
+    ``quantile_cont`` (the events_outlier_mad precedent), and both sides
+    compare against the 4-dp ROUNDED cutoff so the keep decision never
+    rides a last-ulp difference.
+
+    Scale shape: pass 1 is one groupBy(lang) percentile (the sketchable
+    alternative is ``percentile_approx`` — same plan); the cutoff table
+    is languages-sized and broadcasts back into a second groupBy. The
+    corpus itself is scanned twice, shuffled narrowly twice (lang keys);
+    no window, no join wider than the cutoff broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    *_rest, quality = _quality_parts()
+    scored = docs.select("doc_id", "lang", quality.alias("quality"))
+    cut = scored.groupBy("lang").agg(
+        F.round(F.percentile("quality", F.lit(QUALITY_QUANTILE)), 4).alias("q25")
+    )
+    return (
+        scored.join(F.broadcast(cut), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("q25").alias("cutoff"),
+            F.count(F.when(F.col("quality") >= F.col("q25"), 1)).cast("long").alias("n_kept"),
+            F.round(F.avg(F.when(F.col("quality") >= F.col("q25"), F.col("quality"))), 4).alias(
+                "kept_avg_quality"
+            ),
+        )
+        .orderBy("lang")
     )

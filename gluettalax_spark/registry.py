@@ -98,6 +98,7 @@ _NEW_THIS_ROUND = (
     "source_overlap_matrix",
     "export_training_shards",
     "corpus_incremental_dedup",
+    "quality_quantile_filter_by_lang",
 )
 
 
