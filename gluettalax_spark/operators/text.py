@@ -1260,3 +1260,78 @@ def quality_quantile_filter_by_lang(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Common-token ratio (corpus-vocabulary quality heuristic)
+# --------------------------------------------------------------------------
+
+TOP_VOCAB = 1000
+
+_COMMON_TOKEN_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS t
+  FROM documents
+),
+vocab AS (
+  SELECT t, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, t) AS rnk
+  FROM tok GROUP BY t
+),
+top AS (SELECT t FROM vocab WHERE rnk <= {TOP_VOCAB}),
+per_doc AS (
+  SELECT tok.doc_id,
+         count(*) AS n_tokens,
+         count(top.t) AS n_common
+  FROM tok LEFT JOIN top ON tok.t = top.t
+  GROUP BY tok.doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_common AS BIGINT) AS n_common,
+       round(CAST(n_common AS DOUBLE) / n_tokens, 4) AS common_ratio
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+@register(
+    "common_token_ratio",
+    _COMMON_TOKEN_ORACLE,
+    doc=f"fraction of tokens in the corpus top-{TOP_VOCAB} vocabulary",
+)
+def common_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic gibberish/boilerplate detector (a no-float stand-in
+    for a perplexity filter): documents whose tokens rarely appear in
+    the corpus's own top-{TOP_VOCAB} vocabulary are either non-linguistic
+    or out-of-domain. Integer counts end-to-end — nothing to drift
+    cross-engine except the final 4-dp ratio.
+
+    Scale shape: vocabulary = one groupBy(token) then a global top-k —
+    planned as TakeOrderedAndProject (no global sort); the winning set is a
+    CONSTANT-size broadcast into the per-doc count join. The token
+    explode shuffles once for the vocab and once for the per-doc rollup;
+    ties at the rank-{TOP_VOCAB} boundary break on the token string so
+    both engines pick the same set."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")).alias("t"),
+    )
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    top = vocab.orderBy(F.col("n").desc(), "t").limit(TOP_VOCAB).select("t", F.lit(1).alias("_hit"))
+    return (
+        tok.join(F.broadcast(top), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count("_hit").cast("long").alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_common",
+            F.round(F.col("n_common").cast("double") / F.col("n_tokens"), 4).alias("common_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -99,6 +99,7 @@ _NEW_THIS_ROUND = (
     "export_training_shards",
     "corpus_incremental_dedup",
     "quality_quantile_filter_by_lang",
+    "common_token_ratio",
 )
 
 

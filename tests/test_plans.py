@@ -533,3 +533,15 @@ def test_export_shards_single_rollup(spark, sf_dir):
     plan = physical_plan(df)
     assert "Join" not in plan, plan[:2000]
     assert "WindowExec" not in plan, plan[:2000]
+
+
+def test_common_token_ratio_topk_vocab_broadcast(spark, sf_dir):
+    """Vocabulary selection must be TakeOrderedAndProject (never a global
+    sort of the vocab) and the hit test a broadcast join of the
+    constant-size top-K set — the token table itself joins nothing
+    bigger."""
+    df = queries()["common_token_ratio"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:2000]
