@@ -882,3 +882,96 @@ def corpus_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Paragraph-level exact dedup (Dolma-style span removal)
+# --------------------------------------------------------------------------
+
+_PARA_WORDS = 8
+
+_PARA_DEDUP_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+), blocks AS (
+  SELECT t.doc_id, t.source, b.b_idx,
+         array_to_string(list_slice(t.tk, b.b_idx * {_PARA_WORDS} + 1,
+                                    b.b_idx * {_PARA_WORDS} + {_PARA_WORDS}), ' ') AS para
+  FROM toks t,
+       LATERAL (SELECT unnest(range(CAST(ceil(len(t.tk) / {_PARA_WORDS}.0) AS BIGINT))) AS b_idx) b
+  WHERE len(t.tk) > 0
+), inst AS (
+  SELECT doc_id, source, b_idx, md5(para) AS h, length(para) AS n_chars,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, b_idx) AS rn
+  FROM blocks
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)                                   AS n_paras,
+       CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT)         AS n_dup_paras,
+       CAST(coalesce(sum(CASE WHEN rn > 1 THEN n_chars END), 0) AS BIGINT) AS chars_removed,
+       CAST(count(DISTINCT CASE WHEN rn > 1 THEN doc_id END) AS BIGINT)    AS docs_affected
+FROM inst
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "paragraph_dedup",
+    _PARA_DEDUP_ORACLE,
+    doc="Dolma-style paragraph-level exact dedup: per-source removal stats",
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (the span-removal pass Dolma and
+    RefinedWeb run corpus-wide): documents are segmented into fixed
+    8-token paragraphs (the fixture text has no newlines; on real data
+    the splitter is ``split(text, '\\n\\n')`` with the SAME downstream
+    plan), each paragraph is keyed by its md5, and every instance after
+    the first global occurrence — first = smallest (doc_id, position) —
+    is removed. Reports per-source removal stats.
+
+    Scale shape: the paragraph TEXT never shuffles — instances are
+    reduced to (hash, doc_id, position, length) before the window, so
+    shuffle payload is ~40 bytes per paragraph regardless of paragraph
+    size. Keeper selection is row_number() over the hash key (keyspace =
+    distinct paragraphs, grows with the corpus — no single-task window),
+    then one aggregate by source. Two equi-shuffles total, no self-join,
+    no doc re-scan."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", _tokens_col().alias("tk")
+    )
+    p = _PARA_WORDS
+    blocks = (
+        docs.where(F.size("tk") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(f"sequence(0, int(ceil(size(tk) / {p}.0)) - 1)")).alias("b_idx"),
+            F.col("tk"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "b_idx",
+            F.concat_ws(" ", F.slice(F.col("tk"), F.col("b_idx") * p + 1, p)).alias("para"),
+        )
+    )
+    inst = blocks.select(
+        "doc_id", "source", "b_idx", F.md5("para").alias("h"), F.length("para").alias("n_chars")
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "b_idx"))
+    flagged = inst.withColumn("rn", rn)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.count(F.when(F.col("rn") > 1, 1)).alias("n_dup_paras"),
+            F.coalesce(F.sum(F.when(F.col("rn") > 1, F.col("n_chars"))), F.lit(0)).alias("chars_removed"),
+            F.countDistinct(F.when(F.col("rn") > 1, F.col("doc_id"))).alias("docs_affected"),
+        )
+        .orderBy("source")
+    )

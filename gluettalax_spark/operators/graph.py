@@ -317,3 +317,115 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting (degree-oriented wedge join)
+# --------------------------------------------------------------------------
+
+_TRI_MIN_SUPPORT = 2
+
+_TRIANGLE_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= {_TRI_MIN_SUPPORT}
+), deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT pa AS n FROM e UNION ALL SELECT pb AS n FROM e
+  ) GROUP BY n
+)
+SELECT
+  CAST((SELECT count(*) FROM deg) AS BIGINT)                    AS n_nodes,
+  CAST((SELECT count(*) FROM e) AS BIGINT)                      AS n_edges,
+  CAST((SELECT max(d) FROM deg) AS BIGINT)                      AS max_degree,
+  CAST((SELECT count(*)
+        FROM e x JOIN e y ON y.pa = x.pb
+               JOIN e z ON z.pa = x.pa AND z.pb = y.pb) AS BIGINT) AS n_triangles
+"""
+
+
+@register(
+    "graph_triangle_count",
+    _TRIANGLE_ORACLE,
+    doc="triangle count on the part co-occurrence graph (degree-oriented wedge join)",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting over the part co-occurrence graph (parts
+    co-ordered in >= 2 distinct orders — the min-support prune that keeps
+    a basket graph sparse), via the MapReduce-classic degree orientation
+    (Suri & Vassilvitskii, WWW'11): each undirected edge is directed from
+    its (degree, id)-smaller endpoint, so every vertex's out-degree is
+    O(sqrt(m)) and every triangle is counted exactly once — as the wedge
+    at its (degree, id)-minimum vertex closed by the oriented edge
+    between the two out-neighbors.
+
+    Scale shape: pair generation is an equi-self-join on l_orderkey
+    (fan-out bounded by items-per-order, a data-model constant — never
+    all-pairs over parts); support>=2 prunes the edge set; the wedge
+    self-join is keyed on the oriented source whose fan-out the
+    orientation bounds by sqrt(2m); the close check is an equi-semi-join
+    on the (a, b) pair. The ORACLE counts the same triangles via the
+    orientation-invariant id-ordered 3-way join, so the compare also
+    proves the orientation math. Everything is integer-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .count()
+        .where(F.col("count") >= _TRI_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    # Cut lineage: the edge set feeds four consumers (deg, orientation,
+    # wedge join, close join) — recomputing the basket self-join per
+    # consumer would dominate the runtime.
+    edges = edges.localCheckpoint(eager=False)
+
+    deg = (
+        edges.select(F.col("pa").alias("n"))
+        .unionAll(edges.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # Orient each edge from its (degree, id)-smaller endpoint.
+    ed = (
+        edges.join(deg.withColumnRenamed("n", "pa").withColumnRenamed("d", "da"), "pa")
+        .join(deg.withColumnRenamed("n", "pb").withColumnRenamed("d", "db"), "pb")
+        .select(
+            F.when((F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))), F.col("pa"))
+            .otherwise(F.col("pb")).alias("src"),
+            F.when((F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))), F.col("pb"))
+            .otherwise(F.col("pa")).alias("dst"),
+            F.greatest("da", "db").alias("deg_dst_hi"),
+            F.least("da", "db").alias("deg_src"),
+        )
+        .select("src", "dst", F.col("deg_dst_hi").alias("deg_dst"))
+    )
+    ed = ed.localCheckpoint(eager=False)
+
+    # Wedges at the orientation-minimum vertex: two out-neighbors of the
+    # same src, ordered by (degree, id) so the closing edge is oriented.
+    w1, w2 = ed.alias("w1"), ed.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (
+            (F.col("w1.deg_dst") < F.col("w2.deg_dst"))
+            | ((F.col("w1.deg_dst") == F.col("w2.deg_dst")) & (F.col("w1.dst") < F.col("w2.dst")))
+        ),
+    ).select(F.col("w1.dst").alias("ta"), F.col("w2.dst").alias("tb"))
+    closed = wedges.join(
+        ed.select(F.col("src").alias("ta"), F.col("dst").alias("tb")), ["ta", "tb"], "leftsemi"
+    )
+
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.max("d").alias("max_degree")
+    ).crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+    # Both sides of each crossJoin are single-row aggregates.
+    return stats.crossJoin(n_tri).select("n_nodes", "n_edges", "max_degree", "n_triangles")

@@ -347,3 +347,61 @@ def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters via approx_top_k sketch
+# --------------------------------------------------------------------------
+
+_HH_K = 20
+# Sketch capacity. At fixture scale this exceeds the distinct-user count,
+# so the sketch degenerates to an exact histogram and the query is
+# oracle-checkable; at 100 TB the same plan runs with capacity << distinct
+# users in O(capacity) memory per partition and becomes approximate (the
+# documented sketch trade-off, like agg_approx_count_distinct).
+_HH_CAPACITY = 100_000
+_HH_FETCH = 10_000  # items pulled from the sketch before the exact re-rank
+
+_HH_ORACLE = f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(n_events AS BIGINT) AS n_events
+FROM counts
+ORDER BY n_events DESC, user_id ASC
+LIMIT {_HH_K}
+"""
+
+
+@register(
+    "events_heavy_hitters_sketch",
+    _HH_ORACLE,
+    doc=f"top-{_HH_K} users by event count via the approx_top_k sketch (capacity-exact at fixture scale)",
+)
+def events_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through Spark 4's ``approx_top_k`` sketch: one
+    partial-aggregated sketch pass over events (each task keeps at most
+    ``capacity`` counters — bounded memory no matter how many distinct
+    users), explode the sketch's top items, then a deterministic re-rank
+    (count desc, user_id asc) to the final top-20.
+
+    Contrast with the naive groupBy(user_id) + global sort: the sketch
+    never materializes the full per-user histogram in the shuffle — at
+    100 TB the histogram is billions of rows, the sketch is one
+    ``capacity``-bounded state merged tree-wise. The fetch width (10k)
+    over-covers the final k (20) so boundary ties cannot be clipped by
+    the sketch's internal, unspecified tie order."""
+    ev = load(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.expr(f"approx_top_k(user_id, {_HH_FETCH}, {_HH_CAPACITY})").alias("topk")
+    )
+    return (
+        sk.select(F.explode("topk").alias("e"))
+        .select(
+            F.col("e.item").cast("bigint").alias("user_id"),
+            F.col("e.count").cast("bigint").alias("n_events"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(_HH_K)
+    )

@@ -100,6 +100,9 @@ _NEW_THIS_ROUND = (
     "corpus_incremental_dedup",
     "quality_quantile_filter_by_lang",
     "common_token_ratio",
+    "paragraph_dedup",
+    "graph_triangle_count",
+    "events_heavy_hitters_sketch",
 )
 
 

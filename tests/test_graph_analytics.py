@@ -1,0 +1,116 @@
+"""Independent recomputation + plan pins for the round-5 additions:
+paragraph-level dedup, degree-oriented triangle counting, and the
+approx_top_k heavy-hitters sketch.
+
+The DuckDB oracle compare is the driver's job; these tests re-derive the
+same answers in plain Python (a third engine) and pin the plan shapes
+that make each operator scale."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import defaultdict
+
+import pandas as pd
+import pytest
+
+from gluettalax_spark.registry import queries
+from tests.test_plans import physical_plan
+
+P_WORDS = 8
+
+
+def _paragraphs(text: str) -> list[str]:
+    toks = [t for t in re.split(r"\s+", text.lower()) if t]
+    return [" ".join(toks[i : i + P_WORDS]) for i in range(0, len(toks), P_WORDS)]
+
+
+def test_paragraph_dedup_matches_python_recompute(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    seen: set[str] = set()
+    agg: dict[str, list] = defaultdict(lambda: [0, 0, 0, set()])
+    for _, row in docs.sort_values(["doc_id"]).iterrows():
+        for para in _paragraphs(row["text"]):
+            h = hashlib.md5(para.encode()).hexdigest()
+            a = agg[row["source"]]
+            a[0] += 1
+            if h in seen:
+                a[1] += 1
+                a[2] += len(para)
+                a[3].add(row["doc_id"])
+            else:
+                seen.add(h)
+    got = {
+        r["source"]: (r["n_paras"], r["n_dup_paras"], r["chars_removed"], r["docs_affected"])
+        for r in queries()["paragraph_dedup"](spark, sf_dir).collect()
+    }
+    want = {s: (a[0], a[1], a[2], len(a[3])) for s, a in agg.items()}
+    assert got == want
+
+
+def test_paragraph_dedup_window_keyed_and_text_not_shuffled(spark, sf_dir):
+    plan = physical_plan(queries()["paragraph_dedup"](spark, sf_dir))
+    # Keeper selection is a window over the paragraph-hash key — never a
+    # single-task global window — and the shuffle feeding it is keyed on
+    # the hash.
+    assert "windowspecdefinition(h" in plan, plan
+    assert re.search(r"Exchange hashpartitioning\(h#", plan), plan
+    # The paragraph text is reduced to (hash, length) in the same Project
+    # that computes md5 — i.e. below the exchange, so only the 32-char
+    # hash shuffles, never the paragraph string.
+    assert re.search(r"Project \[[^\]]*md5\(cast\(para", plan), plan
+
+
+def _triangle_brute(sf_dir: str) -> tuple[int, int, int, int]:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    op = li.drop_duplicates()
+    pair_count: dict[tuple[int, int], int] = defaultdict(int)
+    for _, grp in op.groupby("l_orderkey"):
+        ps = sorted(grp["l_partkey"].tolist())
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_count[(ps[i], ps[j])] += 1
+    edges = {e for e, c in pair_count.items() if c >= 2}
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = sum(1 for a, b in edges for c in (adj[a] & adj[b]) if c > b)
+    return len(adj), len(edges), max(len(v) for v in adj.values()), tri
+
+
+def test_triangle_count_matches_python_recompute(spark, sf_dir):
+    row = queries()["graph_triangle_count"](spark, sf_dir).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["max_degree"], row["n_triangles"]) == _triangle_brute(sf_dir)
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    plan = physical_plan(queries()["graph_triangle_count"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # The only nested-loop joins are the single-row stat combiners.
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_heavy_hitters_sketch_equals_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from gluettalax_spark.tables import load
+
+    got = [(r["user_id"], r["n_events"]) for r in queries()["events_heavy_hitters_sketch"](spark, sf_dir).collect()]
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(20)
+        .collect()
+    )
+    assert got == [(r["user_id"], r["n"]) for r in exact]
+    # Deterministic ordering contract: strictly sorted by (-count, user).
+    assert got == sorted(got, key=lambda t: (-t[1], t[0]))
+
+
+@pytest.mark.parametrize("q", ["paragraph_dedup", "graph_triangle_count"])
+def test_new_ops_nonempty(spark, sf_dir, q):
+    assert queries()[q](spark, sf_dir).count() > 0
