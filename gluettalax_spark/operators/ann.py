@@ -89,3 +89,143 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — memory-bound ANN via asymmetric distance
+# --------------------------------------------------------------------------
+
+PQ_M = 8        # subspaces (64-dim fixture -> 8 dims per subspace)
+PQ_K = 256      # centroids per subspace (8-bit codes)
+PQ_ITERS = 10   # Lloyd iterations per subspace codebook
+PQ_TRAIN_SAMPLE = 100_000  # training-sample cap (driver-side, FAISS-style)
+
+
+def _pq_train(X, seed: int = SEED):
+    """Per-subspace Lloyd's k-means on a driver-side sample (numpy).
+
+    Training on a bounded sample is the standard PQ recipe (FAISS trains
+    codebooks on ~100k vectors regardless of corpus size): the codebook
+    is M×K×d_sub floats — constant-size model state, broadcast to
+    executors; the corpus itself never leaves the cluster."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n, dim = X.shape
+    d_sub = dim // PQ_M
+    books = []
+    for m in range(PQ_M):
+        sub = X[:, m * d_sub : (m + 1) * d_sub]
+        k = min(PQ_K, n)
+        cent = sub[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books.append(cent)
+    return books
+
+
+@register(
+    "similarity_topk_pq",
+    None,
+    doc=f"PQ{PQ_M}x8 asymmetric-distance cosine top-{TOPK} (trained codebooks, rows-only)",
+)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI'11): each vector is compressed to
+    PQ_M one-byte codes (8 bytes/vector vs 256 bytes raw — the index for
+    a 10B-vector corpus fits in cluster RAM), and each query scores
+    candidates with an asymmetric-distance lookup table (LUT): the
+    query's dot product against every centroid of every subspace —
+    M×K floats computed once per query, after which scoring a candidate
+    is M table lookups, no float math against the raw vector.
+
+    Scale shape: codebook training is a bounded driver-side sample
+    (constant work); encoding is one mapInPandas pass over the corpus
+    (vectorized argmin against the broadcast codebook, emits 8-byte
+    codes); scoring is one mapInPandas pass over the CODES (the raw
+    embeddings are never re-read) with a per-batch local top-k so only
+    ~k rows per (query, batch) reach the final per-query window.
+    Registered rows-only (trained model, like similarity_topk_ivf);
+    recall vs the brute-force truth is pinned in tests/test_ann.py."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    # Driver-side training sample (full fixture; capped at scale).
+    sample = emb.select("embedding").limit(PQ_TRAIN_SAMPLE).collect()
+    X = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
+    books = _pq_train(X)
+    dim = X.shape[1]
+    d_sub = dim // PQ_M
+    sc = spark.sparkContext
+    b_books = sc.broadcast([b.tolist() for b in books])
+
+    def encode(batches):
+        bk = [np.asarray(b) for b in b_books.value]
+        for pdf in batches:
+            V = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                sub = V[:, m * d_sub : (m + 1) * d_sub]
+                d2 = (sub**2).sum(1)[:, None] - 2.0 * sub @ bk[m].T + (bk[m] ** 2).sum(1)[None, :]
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes.tolist())})
+
+    codes_df = emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, codes array<int>"
+    )
+
+    # Query LUTs: dot(q_m, c) and ||c||^2 per (subspace, centroid) —
+    # N_QUERIES × M × K floats, constant-size, broadcast.
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    q_ids = [r["vec_id"] for r in q_rows]
+    Q = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
+    dot_lut = np.stack(
+        [np.stack([Q[:, m * d_sub : (m + 1) * d_sub] @ books[m].T for m in range(PQ_M)], axis=1)]
+    )[0]  # (n_q, M, K)
+    sq_lut = np.stack([(b**2).sum(axis=1) for b in books])  # (M, K)
+    q_norm = np.linalg.norm(Q, axis=1)
+    b_lut = sc.broadcast((q_ids, dot_lut.tolist(), sq_lut.tolist(), q_norm.tolist()))
+
+    def score(batches):
+        ids, dlut, slut, qn = b_lut.value
+        dlut = np.asarray(dlut)  # (n_q, M, K)
+        slut = np.asarray(slut)  # (M, K)
+        qn = np.asarray(qn)
+        sub_idx = np.arange(PQ_M)
+        for pdf in batches:
+            C = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (n, M)
+            vids = pdf["vec_id"].to_numpy()
+            # dots[i, j] = approx dot(query_i, vec_j); reconstruct ||vec||
+            # from the same codes. Pure LUT gathers — no raw vectors here.
+            dots = dlut[:, sub_idx[None, :], C].sum(axis=2)  # (n_q, n)
+            vnorm = np.sqrt(slut[sub_idx[None, :], C].sum(axis=1))  # (n,)
+            cos = dots / (qn[:, None] * vnorm[None, :])
+            out_q, out_v, out_c = [], [], []
+            for qi, qid in enumerate(ids):
+                row = cos[qi].copy()
+                row[vids == qid] = -np.inf  # exclude self
+                k = min(TOPK, (row > -np.inf).sum())
+                top = np.argpartition(-row, k - 1)[:k] if k else []
+                for j in top:
+                    out_q.append(qid)
+                    out_v.append(int(vids[j]))
+                    out_c.append(float(row[j]))
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_v, "cosine_pq": out_c})
+
+    scored = codes_df.mapInPandas(score, "query_id long, neighbor_id long, cosine_pq double")
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_pq").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", F.round("cosine_pq", 4).alias("cosine_pq"), "rank")
+        .orderBy("query_id", "rank")
+    )

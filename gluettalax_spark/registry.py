@@ -103,6 +103,7 @@ _NEW_THIS_ROUND = (
     "paragraph_dedup",
     "graph_triangle_count",
     "events_heavy_hitters_sketch",
+    "similarity_topk_pq",
 )
 
 

@@ -114,3 +114,35 @@ def test_vectorized_topk_matches_exact(spark, sf_dir):
     assert [(r.query_id, r.rank, r.neighbor_id, r.cosine) for r in exact] == [
         (r.query_id, r.rank, r.neighbor_id, r.cosine) for r in fast
     ]
+
+
+def test_pq_topk_shape_and_recall(spark, sf_dir):
+    from gluettalax_spark.operators.ann import similarity_topk_pq
+
+    pq = similarity_topk_pq(spark, sf_dir).collect()
+    assert pq, "PQ returned nothing"
+    by_q = {}
+    for r in pq:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        ranks = [r.rank for r in sorted(rows, key=lambda r: r.rank)]
+        assert ranks == list(range(1, len(ranks) + 1))
+        cosines = [r.cosine_pq for r in sorted(rows, key=lambda r: r.rank)]
+        assert all(a >= b for a, b in zip(cosines, cosines[1:]))
+        # No self-matches.
+        assert all(r.neighbor_id != q for r in rows)
+    truth = similarity_topk(spark, sf_dir).collect()
+    truth_sets = {}
+    for r in truth:
+        truth_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for q, t in truth_sets.items():
+        got = {r.neighbor_id for r in by_q.get(q, [])}
+        hits += len(got & t)
+        total += len(t)
+    recall = hits / total
+    # 8-bit-per-subspace codes trained on the full fixture reconstruct
+    # near-orthogonal vectors closely; the bar is deliberately below the
+    # measured value to absorb k-means init drift while still catching a
+    # broken LUT/encode path (which craters recall to ~chance, k/N).
+    assert recall >= 0.6, f"PQ recall@{TOPK}={recall:.2f}"
