@@ -243,3 +243,73 @@ def write_training_shards(
         .partitionBy("shard")
         .save(path)
     )
+
+
+Z_BITS = 8  # quantile buckets per dimension = 2^Z_BITS
+
+
+def _zorder_col(bucket_a, bucket_b):
+    """Interleave the bits of two ``Z_BITS``-bit bucket ids (Morton code):
+    a fully JVM-side expression — unrolled shifts/masks, no UDF."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0)
+    for i in range(Z_BITS):
+        bit_a = F.shiftright(bucket_a, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(bucket_b, i).bitwiseAND(F.lit(1))
+        z = z + F.shiftleft(bit_a, 2 * i) + F.shiftleft(bit_b, 2 * i + 1)
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    fmt: str = "parquet",
+) -> None:
+    """Z-order clustered write (multi-dimensional extension of
+    ``write_range_sorted``, the layout behind Delta's OPTIMIZE ZORDER):
+    each dimension is quantile-bucketed into 2^Z_BITS ranks via one
+    ``approxQuantile`` pass (driver state = 2·2^Z_BITS cutoffs — constant
+    size), the two bucket ids are bit-interleaved into a Morton code, and
+    the data is range-partitioned + sorted on that code before writing.
+
+    Result: every output file covers a small rectangle of the
+    (col_a, col_b) space instead of a thin slab of just one column, so
+    parquet footer min/max stats prune files for predicates on EITHER
+    column (or both). At 100 TB this is what keeps a two-dimensional
+    point/range query from scanning the whole table; the test measures
+    the pruning effectiveness directly from the footers against an
+    unclustered baseline.
+
+    Quantile bucketing (not min/max-uniform) keeps the code balanced
+    under skew — each bucket holds ~1/2^Z_BITS of the rows by
+    construction."""
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << Z_BITS
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_a, cuts_b = df.approxQuantile([col_a, col_b], probs, 0.001)
+
+    def bucket(col: str, cuts: list[float]):
+        # rank = number of cutoffs <= value (0..n_buckets-1); the cutoff
+        # array is a literal folded into the plan, so this is a pure
+        # JVM-side expression over a constant — no join, no UDF.
+        arr = F.array(*[F.lit(float(c)) for c in cuts])
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, c: acc + F.when(c <= F.col(col).cast("double"), 1).otherwise(0),
+        )
+
+    zed = df.withColumn("_z", _zorder_col(bucket(col_a, cuts_a), bucket(col_b, cuts_b)))
+    (
+        zed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z", col_a, col_b)
+        .drop("_z")
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

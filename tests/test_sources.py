@@ -275,3 +275,55 @@ def test_write_training_shards_layout_and_stability(spark, sf_dir, tmp_path):
     a = {(r["doc_id"], r["shard"]) for r in back.select("doc_id", "shard").collect()}
     b = {(r["doc_id"], r["shard"]) for r in spark.read.parquet(out2).select("doc_id", "shard").collect()}
     assert a == b
+
+
+def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """write_zorder clusters BOTH columns: for a point predicate on either
+    dimension, the fraction of files whose footer [min, max] admits the
+    value must beat the unclustered layout on both columns at once (a
+    single-column sort can only win on its own column)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from gluettalax_spark.sources.io import write_zorder
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    out_z = str(tmp_path / "li_z")
+    out_flat = str(tmp_path / "li_flat")
+    write_zorder(li, out_z, "l_partkey", "l_suppkey", n_files=8)
+    li.repartition(8).write.mode("overwrite").parquet(out_flat)
+
+    def file_ranges(path, col):
+        out = []
+        for f in _glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ci = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            stats = [md.row_group(rg).column(ci).statistics for rg in range(md.num_row_groups)]
+            out.append((min(s.min for s in stats), max(s.max for s in stats)))
+        return out
+
+    def hit_fraction(path, col, probes):
+        ranges = file_ranges(path, col)
+        hits = sum(1 for v in probes for (lo, hi) in ranges if lo <= v <= hi)
+        return hits / (len(probes) * len(ranges))
+
+    # Probe 16 evenly spaced values per dimension.
+    lo_p, hi_p, lo_s, hi_s = li.selectExpr(
+        "min(l_partkey)", "max(l_partkey)", "min(l_suppkey)", "max(l_suppkey)"
+    ).collect()[0]
+    probes_p = [int(lo_p + (hi_p - lo_p) * i / 15) for i in range(16)]
+    probes_s = [int(lo_s + (hi_s - lo_s) * i / 15) for i in range(16)]
+
+    for col, probes in (("l_partkey", probes_p), ("l_suppkey", probes_s)):
+        frac_z = hit_fraction(out_z, col, probes)
+        frac_flat = hit_fraction(out_flat, col, probes)
+        # Unclustered files each span ~the whole domain (fraction ≈ 1);
+        # z-ordered files cover rectangles, so a point value falls inside
+        # a strict subset of files on BOTH dimensions.
+        assert frac_z < frac_flat * 0.8, (col, frac_z, frac_flat)
+
+    assert spark.read.parquet(out_z).count() == li.count()
