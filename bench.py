@@ -78,6 +78,12 @@ HEADLINE = [
     "export_training_shards",
     "quality_quantile_filter_by_lang",
     "corpus_incremental_dedup",
+    # round-5 late additions: span-level dedup, graph analytics, sketches, PQ
+    "paragraph_dedup",
+    "graph_triangle_count",
+    "events_heavy_hitters_sketch",
+    "similarity_topk_pq",
+    "similarity_topk_ivfpq",
 ]
 
 

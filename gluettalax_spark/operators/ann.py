@@ -229,3 +229,113 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("cosine_pq", 4).alias("cosine_pq"), "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "similarity_topk_ivfpq",
+    None,
+    doc=f"IVF({NLIST},nprobe={NPROBE}) candidate pruning + PQ{PQ_M}x8 ADC scoring (rows-only)",
+)
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production composition (FAISS IVFPQ shape): IVF cells prune
+    candidates — an equi-join on the cell id, probing NPROBE/NLIST of the
+    corpus — and PQ codes score them with LUT gathers, so the scoring
+    pass touches 8-byte codes instead of raw vectors. Together: the
+    candidate set shrinks by nprobe/nlist AND each candidate costs M
+    lookups — the only full-precision floats in the query path are the
+    nlist×dim centroid matrix and the per-query LUTs (both constant
+    size).
+
+    This variant encodes raw vectors (not cell residuals); residual
+    encoding is the standard accuracy upgrade and changes only the
+    encode/LUT math, not the plan. Registered rows-only (trained model);
+    the recall bar vs brute force is pinned in tests/test_ann.py."""
+    import numpy as np
+    import pandas as pd
+
+    assigned, centers = _assignments(spark, sf_dir)
+    centers = np.asarray(centers)
+    assigned = assigned.localCheckpoint(eager=False)
+
+    # --- PQ codebooks + corpus codes (same recipe as similarity_topk_pq)
+    sample = assigned.select("embedding").limit(PQ_TRAIN_SAMPLE).collect()
+    X = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
+    books = _pq_train(X)
+    dim = X.shape[1]
+    d_sub = dim // PQ_M
+    sc = spark.sparkContext
+    b_books = sc.broadcast([b.tolist() for b in books])
+
+    def encode(batches):
+        bk = [np.asarray(b) for b in b_books.value]
+        for pdf in batches:
+            V = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                sub = V[:, m * d_sub : (m + 1) * d_sub]
+                d2 = (sub**2).sum(1)[:, None] - 2.0 * sub @ bk[m].T + (bk[m] ** 2).sum(1)[None, :]
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": pdf["cell"], "codes": list(codes.tolist())}
+            )
+
+    codes_df = assigned.select("vec_id", "cell", "embedding").mapInPandas(
+        encode, "vec_id long, cell int, codes array<int>"
+    )
+
+    # --- probe pairs (query, cell): nprobe nearest cells per query,
+    # computed from the constant-size centroid matrix (as in IVF).
+    q_rows = assigned.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    q_ids = [r["vec_id"] for r in q_rows]
+    Q = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
+    probe_pairs = []
+    for qi, qid in enumerate(q_ids):
+        d = ((centers - Q[qi]) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:NPROBE]:
+            probe_pairs.append((int(qid), int(cell)))
+    probes = spark.createDataFrame(probe_pairs, "query_id long, cell int")
+
+    # --- per-query LUTs (dot + reconstructed norm), broadcast.
+    dot_lut = np.stack(
+        [Q[:, m * d_sub : (m + 1) * d_sub] @ books[m].T for m in range(PQ_M)], axis=1
+    )  # (n_q, M, K)
+    sq_lut = np.stack([(b**2).sum(axis=1) for b in books])  # (M, K)
+    q_norm = np.linalg.norm(Q, axis=1)
+    qpos = {qid: i for i, qid in enumerate(q_ids)}
+    b_lut = sc.broadcast((qpos, dot_lut.tolist(), sq_lut.tolist(), q_norm.tolist()))
+
+    cand = codes_df.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    def score(batches):
+        qpos_, dlut, slut, qn = b_lut.value
+        dlut, slut, qn = np.asarray(dlut), np.asarray(slut), np.asarray(qn)
+        sub = np.arange(PQ_M)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (n, M)
+            qi = np.asarray([qpos_[q] for q in pdf["query_id"]])
+            dots = dlut[qi[:, None], sub[None, :], C].sum(axis=1)
+            vnorm = np.sqrt(slut[sub[None, :], C].sum(axis=1))
+            cos = dots / (qn[qi] * vnorm)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["vec_id"],
+                    "cosine_pq": cos,
+                }
+            )
+
+    scored = cand.mapInPandas(score, "query_id long, neighbor_id long, cosine_pq double")
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_pq").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", F.round("cosine_pq", 4).alias("cosine_pq"), "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -104,6 +104,7 @@ _NEW_THIS_ROUND = (
     "graph_triangle_count",
     "events_heavy_hitters_sketch",
     "similarity_topk_pq",
+    "similarity_topk_ivfpq",
 )
 
 

@@ -146,3 +146,32 @@ def test_pq_topk_shape_and_recall(spark, sf_dir):
     # measured value to absorb k-means init drift while still catching a
     # broken LUT/encode path (which craters recall to ~chance, k/N).
     assert recall >= 0.6, f"PQ recall@{TOPK}={recall:.2f}"
+
+
+def test_ivfpq_topk_shape_and_recall(spark, sf_dir):
+    from gluettalax_spark.operators.ann import similarity_topk_ivfpq
+
+    got = similarity_topk_ivfpq(spark, sf_dir).collect()
+    assert got, "IVFPQ returned nothing"
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        ranks = [r.rank for r in sorted(rows, key=lambda r: r.rank)]
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert all(r.neighbor_id != q for r in rows)
+    truth = similarity_topk(spark, sf_dir).collect()
+    truth_sets = {}
+    for r in truth:
+        truth_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for q, t in truth_sets.items():
+        hits += len({r.neighbor_id for r in by_q.get(q, [])} & t)
+        total += len(t)
+    recall = hits / total
+    # Compounded loss: IVF probes 4/16 cells (~0.6-0.8 alone) and PQ adds
+    # quantization noise. Measured 0.50 (sf0.001) / 0.55 (sf0.01); the
+    # bar is far above chance (k/N ≈ 0.01) and below measurements so
+    # k-means seed drift can't flake it, while a broken probe join or LUT
+    # still craters straight through it.
+    assert recall >= 0.4, f"IVFPQ recall@{TOPK}={recall:.2f}"
