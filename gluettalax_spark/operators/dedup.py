@@ -559,24 +559,53 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_pairs_oracle() -> str:
+    """Replays the band join INCLUDING the bucket cap: buckets over
+    ``MAX_BAND_BUCKET`` contribute star pairs around their min doc_id
+    instead of the full clique — the cap is part of the operator spec
+    (it engages on the sf0.1 fixture's duplicate clusters), so the oracle
+    must model it or the compare diverges exactly when the guard works."""
     base = _simhash_oracle().strip().removesuffix("ORDER BY doc_id").rstrip()
-    band_cond = " OR ".join(
-        f"{_band_expr('a.simhash', k)} = {_band_expr('b.simhash', k)}"
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {k} AS band_idx, {_band_expr('simhash', k)} AS band_val FROM hashes"
         for k in range(SIMHASH_BANDS)
     )
     return f"""
 WITH hashes AS (
 {base}
+),
+bands AS (
+{band_rows}
+),
+sizes AS (
+  SELECT band_idx, band_val, count(*) AS n, min(doc_id) AS rep
+  FROM bands GROUP BY band_idx, band_val
+),
+clique AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+  JOIN sizes s ON s.band_idx = a.band_idx AND s.band_val = a.band_val
+  WHERE s.n <= {MAX_BAND_BUCKET}
+),
+star AS (
+  SELECT s.rep AS doc_a, b.doc_id AS doc_b
+  FROM bands b
+  JOIN sizes s ON s.band_idx = b.band_idx AND s.band_val = b.band_val
+  WHERE s.n > {MAX_BAND_BUCKET} AND b.doc_id <> s.rep
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b
+  FROM (SELECT doc_a, doc_b FROM clique UNION ALL SELECT doc_a, doc_b FROM star)
 )
 SELECT
-  a.doc_id AS doc_a,
-  b.doc_id AS doc_b,
-  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM hashes a
-JOIN hashes b
-  ON a.doc_id < b.doc_id
- AND ({band_cond})
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+  c.doc_a,
+  c.doc_b,
+  CAST(bit_count(xor(ha.simhash, hb.simhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN hashes ha ON ha.doc_id = c.doc_a
+JOIN hashes hb ON hb.doc_id = c.doc_b
+WHERE bit_count(xor(ha.simhash, hb.simhash)) <= {HAMMING_MAX}
 ORDER BY doc_a, doc_b
 """
 
@@ -974,4 +1003,101 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.when(F.col("rn") > 1, F.col("doc_id"))).alias("docs_affected"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment pairs (sub-document duplication)
+# --------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.5
+CONTAINMENT_DF_CAP = 16  # max docs per shingle admitted to pair generation
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+hex AS (SELECT doc_id, md5(unnest(shingles)) AS m FROM sh),
+inst AS (SELECT DISTINCT doc_id, {{HEX15}} AS hs FROM hex),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM inst GROUP BY doc_id),
+keyed AS (
+  SELECT hs, list(doc_id ORDER BY doc_id) AS docs
+  FROM inst GROUP BY hs HAVING count(*) BETWEEN 2 AND {CONTAINMENT_DF_CAP}
+),
+pairs AS (
+  SELECT a.d AS doc_a, b.d AS doc_b, count(*) AS n_shared
+  FROM keyed, LATERAL unnest(docs) AS a(d), LATERAL unnest(docs) AS b(d)
+  WHERE a.d < b.d GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+  round(CAST(p.n_shared AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4) AS containment
+FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE CAST(p.n_shared AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+""".replace("{HEX15}", _duck_hex_int(1, 15))
+
+
+@register(
+    "dedup_containment_pairs",
+    _CONTAINMENT_ORACLE,
+    doc=f"asymmetric containment pairs (|A∩B|/min ≥ {CONTAINMENT_THRESHOLD}) via df-capped inverted index",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dups: |A∩B| / min(|A|, |B|) — the ASYMMETRIC
+    overlap measure that catches sub-document duplication (a quoted
+    article inside a longer page, a template wrapping real content)
+    which Jaccard structurally misses: a 100-shingle doc fully inside a
+    10 000-shingle doc has Jaccard ≈ 0.01 but containment 1.0.
+
+    MinHash bands can't generate containment candidates (the small side's
+    signature is swamped by the big side's), so candidates come from the
+    inverted index itself: docs-per-shingle is counted with a WINDOW over
+    the hashed shingle key (shingle lineage computed once — the same
+    no-self-join shape as corpus_span_overlap) and shingles shared by
+    more than {CONTAINMENT_DF_CAP} docs are dropped BEFORE the bounded
+    collect_set — they're boilerplate that contributes one unit of
+    intersection but O(df²) pairs. Pair fan-out per shingle is therefore
+    ≤ C({CONTAINMENT_DF_CAP},2), so the explode is linear in the corpus;
+    the df cap is part of the spec and the oracle replays it (a
+    production run logs the dropped-shingle count alongside, as
+    dedup_band_spill_report does for band buckets). Intersection sizes
+    come from one groupBy (doc_a, doc_b); the two size joins are
+    equi-joins on doc id."""
+    from pyspark.sql.window import Window
+
+    ex = (
+        shingles_exploded(spark, sf_dir)
+        .select("doc_id", F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("hs"))
+        .distinct()
+    )
+    ex = ex.localCheckpoint(eager=False)  # sizes + inverted index share the scan
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    w = Window.partitionBy("hs")
+    keyed = (
+        ex.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter((F.col("df") >= 2) & (F.col("df") <= CONTAINMENT_DF_CAP))
+        .groupBy("hs")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+    )
+    pairs = (
+        keyed.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (x, i) -> "
+                    "transform(slice(docs, i + 2, size(docs)), y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("n_shared").cast("double") / F.least("n_a", "n_b")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", "n_shared", F.round(cont, 4).alias("containment"))
+        .orderBy("doc_a", "doc_b")
     )

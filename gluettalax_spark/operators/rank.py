@@ -19,10 +19,13 @@ with ordinary distributed primitives:
    second shuffle: the windowed alternative (``row_number`` partitioned by
    pid) would hash-exchange the data again just to regroup by partition.
 
-The counts branch and the main branch share the same range exchange, so
-Spark's exchange reuse (``ReusedExchange`` in the plan — pinned in
-``tests/test_plans.py``) guarantees both see identical partition ids
-within one job.
+The counts branch and the main branch both read ONE materialized run of
+the range shuffle — the subplan is frozen with ``localCheckpoint`` before
+fan-out, because pid consistency and the sort-below-id invariant only hold
+when this plan is optimized in isolation (embedded in a larger query,
+optimizer/AQE re-planning can drop the "redundant" local sort or re-execute
+the exchange with different boundaries; the sf0.1 RFM sweep caught exactly
+that). Cluster analog: write the ranked run, then fan out.
 
 From the exact rank ``rn`` and total ``n``, the distribution functions are
 closed-form (valid because the total order means a row has no peers):
@@ -51,6 +54,7 @@ def exact_global_rank(
     rank_name: str,
     num_partitions: int | None = None,
     keep_total: bool = True,
+    isolate: bool = True,
 ) -> DataFrame:
     """Append an exact 1-based global rank under ``order_cols`` (which MUST
     be a total order — include a unique tiebreak) without any single-task
@@ -77,14 +81,27 @@ def exact_global_rank(
         .withColumn("_local", (F.col("_mid") % F.lit(1 << 33)).cast("long"))
         .drop("_mid")
     )
+    # Freeze this subplan. The rank is only correct if (a) the counts
+    # branch and the data branch see the SAME range partitioning and (b)
+    # the local sort physically executes below the id assignment. Both
+    # hold when this plan is optimized in isolation — but embedded in a
+    # larger query (e.g. a second exact_global_rank downstream, whose own
+    # range exchange makes this sort look redundant to the optimizer /
+    # AQE), either can be silently re-planned and the ranks scramble
+    # (caught by the sf0.1 RFM sweep). Cutting lineage here makes both
+    # consumers read one materialized RDD — cluster analog: write the
+    # ranked run to storage, then fan out. ``isolate=False`` exists ONLY
+    # for plan-shape tests that need to inspect the subtree; production
+    # callers must never pass it.
+    if isolate:
+        with_pid = with_pid.localCheckpoint(eager=False)
 
     # Offsets: one row per range partition (≤ npart rows — config-bounded,
     # so the single-partition prefix-sum window here is metadata-scale,
     # not data-scale; tests/test_plans.py pins that every unpartitioned
     # window in callers' plans sits above exactly this pid-grouped
-    # aggregate or a limit). The counts branch reuses the range exchange
-    # (ReusedExchange — pinned), which also guarantees both branches see
-    # the same partition ids.
+    # aggregate or a limit). Both branches read the checkpointed RDD, so
+    # they see the same partition ids by construction.
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     off_cols = ["_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")]
     if keep_total:
@@ -105,6 +122,7 @@ def grouped_running_sum(
     value_col: str,
     sum_name: str,
     num_partitions: int | None = None,
+    isolate: bool = True,
 ) -> DataFrame:
     """Exact running ``sum(value_col)`` per group under ``order_cols``
     (a total order within the group) WITHOUT ``Window.partitionBy(group)``
@@ -134,6 +152,12 @@ def grouped_running_sum(
         *group_cols, *order_cols
     )
     with_pid = part.withColumn("_pid", F.spark_partition_id())
+    # Same isolation as exact_global_rank: offsets and data must label
+    # rows with the SAME _pid, which is only guaranteed when both consume
+    # one materialized run rather than two re-planned executions of the
+    # range exchange.
+    if isolate:
+        with_pid = with_pid.localCheckpoint(eager=False)
 
     w_off = (
         Window.partitionBy(*group_cols)

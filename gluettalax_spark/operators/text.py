@@ -431,19 +431,37 @@ def text_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fuzzy prefix matching (blocked Levenshtein — typo-level near-titles)
 # --------------------------------------------------------------------------
 
-_FUZZY_ORACLE = """
+_FUZZY_MAX_BLOCK = 512
+
+_FUZZY_ORACLE = f"""
 WITH prefixes AS (
   SELECT doc_id, lang,
          substr(lower(text), 1, 24) AS pfx,
          CAST(n_chars // 200 AS BIGINT) AS size_block
   FROM documents
 ),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+sizes AS (
+  SELECT lang, size_block, count(*) AS n, min(doc_id) AS rep
+  FROM prefixes GROUP BY lang, size_block
+),
+clique AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pfx AS pfx_a, b.pfx AS pfx_b
   FROM prefixes a
-  JOIN prefixes b
-    ON a.lang = b.lang AND a.size_block = b.size_block AND a.doc_id < b.doc_id
+  JOIN prefixes b ON a.lang = b.lang AND a.size_block = b.size_block
+                 AND a.doc_id < b.doc_id
+  JOIN sizes s ON s.lang = a.lang AND s.size_block = a.size_block
+  WHERE s.n <= {_FUZZY_MAX_BLOCK}
+),
+star AS (
+  SELECT s.rep AS doc_a, b.doc_id AS doc_b, ra.pfx AS pfx_a, b.pfx AS pfx_b
+  FROM prefixes b
+  JOIN sizes s ON s.lang = b.lang AND s.size_block = b.size_block
+  JOIN prefixes ra ON ra.doc_id = s.rep
+  WHERE s.n > {_FUZZY_MAX_BLOCK} AND b.doc_id <> s.rep
+),
+pairs AS (
+  SELECT doc_a, doc_b, CAST(levenshtein(pfx_a, pfx_b) AS BIGINT) AS edit_dist
+  FROM (SELECT * FROM clique UNION ALL SELECT * FROM star)
 )
 SELECT doc_a, doc_b, edit_dist
 FROM pairs
@@ -454,7 +472,7 @@ ORDER BY doc_a, doc_b
 
 @register("text_fuzzy_prefix_pairs", _FUZZY_ORACLE, doc="blocked Levenshtein on 24-char prefixes")
 def text_fuzzy_prefix_pairs(
-    spark: SparkSession, sf_dir: str, max_block: int = 512
+    spark: SparkSession, sf_dir: str, max_block: int = _FUZZY_MAX_BLOCK
 ) -> DataFrame:
     """Edit-distance near-matching with BLOCKING (same language + same
     size bucket) so the quadratic Levenshtein only runs inside blocks —
@@ -467,8 +485,9 @@ def text_fuzzy_prefix_pairs(
     corpus, so at scale the bucket cap is load-bearing, not just
     adversarial insurance: blocks past ``max_block`` degrade to star
     candidates around the block's min doc_id (dedup._cap_band_buckets),
-    each still Levenshtein-verified. The fixture never reaches the cap,
-    so the DuckDB oracle stays exact."""
+    each still Levenshtein-verified. The cap engages already at sf0.1
+    (blocks >512 docs), so the ORACLE replays it — the cap is part of
+    the operator spec, not a silent divergence."""
     from gluettalax_spark.operators.dedup import _cap_band_buckets
 
     docs = load(spark, sf_dir, "documents")

@@ -105,6 +105,7 @@ _NEW_THIS_ROUND = (
     "events_heavy_hitters_sketch",
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    "dedup_containment_pairs",
 )
 
 

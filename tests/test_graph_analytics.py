@@ -114,3 +114,53 @@ def test_heavy_hitters_sketch_equals_exact(spark, sf_dir):
 @pytest.mark.parametrize("q", ["paragraph_dedup", "graph_triangle_count"])
 def test_new_ops_nonempty(spark, sf_dir, q):
     assert queries()[q](spark, sf_dir).count() > 0
+
+
+def test_containment_pairs_match_python_recompute(spark, sf_dir):
+    """Third-engine recompute of dedup_containment_pairs, including the
+    df cap, on the fixture."""
+    import pandas as pd
+
+    from gluettalax_spark.operators.dedup import (
+        CONTAINMENT_DF_CAP,
+        CONTAINMENT_THRESHOLD,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    shingle_docs: dict[str, set[int]] = defaultdict(set)
+    sizes: dict[int, int] = {}
+    for _, row in docs.iterrows():
+        toks = [t for t in re.split(r"\s+", row["text"].lower()) if t]
+        shs = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        if not shs:
+            continue
+        sizes[row["doc_id"]] = len(shs)
+        for s in shs:
+            shingle_docs[s].add(row["doc_id"])
+    inter: dict[tuple[int, int], int] = defaultdict(int)
+    for s, ds in shingle_docs.items():
+        if not (2 <= len(ds) <= CONTAINMENT_DF_CAP):
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                inter[(ds[i], ds[j])] += 1
+    want = {
+        (a, b, n, round(n / min(sizes[a], sizes[b]), 4))
+        for (a, b), n in inter.items()
+        if n / min(sizes[a], sizes[b]) >= CONTAINMENT_THRESHOLD
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_shared"], r["containment"])
+        for r in queries()["dedup_containment_pairs"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_containment_window_keyed_no_self_join(spark, sf_dir):
+    """The df count must be a window over the shingle key (shingle
+    lineage computed once), and candidate generation must be the bounded
+    pair explode — never a shingle-table self-join or cartesian."""
+    plan = physical_plan(queries()["dedup_containment_pairs"](spark, sf_dir))
+    assert "windowspecdefinition(hs" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
