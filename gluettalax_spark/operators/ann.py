@@ -101,6 +101,28 @@ PQ_ITERS = 10   # Lloyd iterations per subspace codebook
 PQ_TRAIN_SAMPLE = 100_000  # training-sample cap (driver-side, FAISS-style)
 
 
+def _lloyd(X, k: int, iters: int, seed: int):
+    """Plain Lloyd's k-means on a driver-side sample (numpy, BLAS
+    distances) — the coarse-quantizer trainer for IVFPQ. Constant work:
+    the sample is capped, the model is k×dim floats."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = X.shape[0]
+    k = min(k, n)
+    cent = X[rng.choice(n, size=k, replace=False)].copy()
+    x_sq = (X**2).sum(axis=1)[:, None]
+    for _ in range(iters):
+        d2 = x_sq - 2.0 * X @ cent.T + (cent**2).sum(axis=1)[None, :]
+        assign = d2.argmin(axis=1)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, X)
+        nonempty = counts > 0
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return cent
+
+
 def _pq_train(X, seed: int = SEED):
     """Per-subspace Lloyd's k-means on a driver-side sample (numpy).
 
@@ -118,13 +140,18 @@ def _pq_train(X, seed: int = SEED):
         sub = X[:, m * d_sub : (m + 1) * d_sub]
         k = min(PQ_K, n)
         cent = sub[rng.choice(n, size=k, replace=False)].copy()
+        sub_sq = (sub**2).sum(axis=1)[:, None]
         for _ in range(PQ_ITERS):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            # |x - c|^2 = |x|^2 - 2 x·c + |c|^2 — BLAS matmul instead of a
+            # broadcast (n, k, d) intermediate (~10× faster at k=256).
+            d2 = sub_sq - 2.0 * sub @ cent.T + (cent**2).sum(axis=1)[None, :]
             assign = d2.argmin(axis=1)
-            for c in range(k):
-                mask = assign == c
-                if mask.any():
-                    cent[c] = sub[mask].mean(axis=0)
+            # Vectorized centroid update: per-cluster sums via bincount.
+            counts = np.bincount(assign, minlength=k).astype(np.float64)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, assign, sub)
+            nonempty = counts > 0
+            cent[nonempty] = sums[nonempty] / counts[nonempty, None]
         books.append(cent)
     return books
 
@@ -248,44 +275,51 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This variant encodes raw vectors (not cell residuals); residual
     encoding is the standard accuracy upgrade and changes only the
-    encode/LUT math, not the plan. Registered rows-only (trained model);
-    the recall bar vs brute force is pinned in tests/test_ann.py."""
+    encode/LUT math, not the plan. Both the coarse quantizer (nlist
+    centroids over the full vector) and the PQ codebooks are trained
+    driver-side on one bounded sample — the FAISS recipe — and cell
+    assignment rides the SAME mapInPandas pass that computes the codes,
+    so the raw embeddings are read exactly once end-to-end. Registered
+    rows-only (trained model); the recall bar vs brute force is pinned in
+    tests/test_ann.py."""
     import numpy as np
     import pandas as pd
 
-    assigned, centers = _assignments(spark, sf_dir)
-    centers = np.asarray(centers)
-    assigned = assigned.localCheckpoint(eager=False)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    # --- PQ codebooks + corpus codes (same recipe as similarity_topk_pq)
-    sample = assigned.select("embedding").limit(PQ_TRAIN_SAMPLE).collect()
+    # --- one driver-side training sample feeds BOTH quantizers.
+    sample = emb.select("embedding").limit(PQ_TRAIN_SAMPLE).collect()
     X = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
+    centers = _lloyd(X, NLIST, PQ_ITERS, SEED)
     books = _pq_train(X)
     dim = X.shape[1]
     d_sub = dim // PQ_M
     sc = spark.sparkContext
     b_books = sc.broadcast([b.tolist() for b in books])
+    b_centers = sc.broadcast(centers.tolist())
 
     def encode(batches):
         bk = [np.asarray(b) for b in b_books.value]
+        cent = np.asarray(b_centers.value)
+        cent_sq = (cent**2).sum(axis=1)[None, :]
         for pdf in batches:
             V = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            d2c = (V**2).sum(1)[:, None] - 2.0 * V @ cent.T + cent_sq
+            cells = d2c.argmin(axis=1).astype(np.int32)
             codes = np.empty((len(pdf), PQ_M), dtype=np.int32)
             for m in range(PQ_M):
                 sub = V[:, m * d_sub : (m + 1) * d_sub]
                 d2 = (sub**2).sum(1)[:, None] - 2.0 * sub @ bk[m].T + (bk[m] ** 2).sum(1)[None, :]
                 codes[:, m] = d2.argmin(axis=1)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cell": pdf["cell"], "codes": list(codes.tolist())}
+                {"vec_id": pdf["vec_id"], "cell": cells, "codes": list(codes.tolist())}
             )
 
-    codes_df = assigned.select("vec_id", "cell", "embedding").mapInPandas(
-        encode, "vec_id long, cell int, codes array<int>"
-    )
+    codes_df = emb.mapInPandas(encode, "vec_id long, cell int, codes array<int>")
 
     # --- probe pairs (query, cell): nprobe nearest cells per query,
     # computed from the constant-size centroid matrix (as in IVF).
-    q_rows = assigned.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
     q_ids = [r["vec_id"] for r in q_rows]
     Q = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
     probe_pairs = []
