@@ -372,11 +372,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation-invariant id-ordered 3-way join, so the compare also
     proves the orientation math. Everything is integer-exact."""
     li = load(spark, sf_dir, "lineitem")
-    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    a, b = op.alias("a"), op.alias("b")
+    # Per-order pair generation WITHOUT a self-join: one groupBy(order)
+    # collects the (deduped, sorted) basket — bounded by items-per-order,
+    # a data-model constant — and the ordered pairs explode map-side from
+    # the array. One shuffle replaces distinct + self-join (two).
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
     edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("e")
+        )
+        .select("e.pa", "e.pb")
+        .groupBy("pa", "pb")
         .count()
         .where(F.col("count") >= _TRI_MIN_SUPPORT)
         .select("pa", "pb")
