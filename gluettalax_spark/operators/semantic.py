@@ -60,7 +60,10 @@ DIM = 64
 # skewed enough that larger K was measured to add assignment cost
 # without shrinking the pair join.
 K = 8
-QSCALE = 1 << 30      # exact power-of-two quantizer for centroid sums
+CSCALE = 1 << 30      # exact power-of-two quantizer for centroid sums
+# Pair-scoring quantizer: 2^20 keeps a 64-dim int dot ≤ 2^46 (int64- and
+# double-exact); centroids use the finer CSCALE because they only sum.
+QSCALE = 1 << 20
 # Fixture embeddings are near-orthogonal (max pairwise cosine ≈ 0.51);
 # the dedup threshold sits where the fixture has pairs. Real corpora: ~0.95.
 SEMDEDUP_COS = 0.45
@@ -143,10 +146,10 @@ def lloyd_update(assigned: DataFrame) -> DataFrame:
     ).select(
         "cluster_id",
         "pos",
-        F.floor(F.col("x").cast("double") * F.lit(float(QSCALE))).cast("long").alias("q"),
+        F.floor(F.col("x").cast("double") * F.lit(float(CSCALE))).cast("long").alias("q"),
     )
     means = comp.groupBy("cluster_id", "pos").agg(
-        (F.sum("q").cast("double") / (F.count(F.lit(1)) * F.lit(float(QSCALE)))).alias("c")
+        (F.sum("q").cast("double") / (F.count(F.lit(1)) * F.lit(float(CSCALE)))).alias("c")
     )
     return means.groupBy("cluster_id").agg(
         F.transform(
@@ -216,14 +219,14 @@ WITH {_DUCK_SEEDS.strip()},
 {_DUCK_ASSIGN1.strip()},
 comp AS (
   SELECT a.cluster_id, i.i AS pos,
-         CAST(floor(CAST(v.embedding[i.i] AS DOUBLE) * {QSCALE}) AS BIGINT) AS q
+         CAST(floor(CAST(v.embedding[i.i] AS DOUBLE) * {CSCALE}) AS BIGINT) AS q
   FROM assign1 a
   JOIN embeddings v USING (vec_id)
   CROSS JOIN (SELECT unnest(range(1, {DIM + 1})) AS i) i
 ),
 cent2 AS (
   SELECT cluster_id, pos,
-         CAST(sum(q) AS DOUBLE) / (count(*) * {QSCALE}.0) AS c
+         CAST(sum(q) AS DOUBLE) / (count(*) * {CSCALE}.0) AS c
   FROM comp GROUP BY cluster_id, pos
 ),
 cent2v AS (
@@ -262,23 +265,32 @@ def semantic_cluster_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a2.select("vec_id", "cluster_id", "dist").orderBy("vec_id")
 
 
+# Pair scoring is integer-quantized (floor(x·2²⁰) — exact IEEE scale
+# shift) so the dot product is an ORDER-INDEPENDENT int sum: Spark can
+# score cliques with a vectorized numpy int64 matmul and still match
+# this SQL (and any other engine) bit-for-bit; ≤ 2^46 fits double-exact.
 _SEMDEDUP_ORACLE = f"""
 WITH {_DUCK_SEEDS.strip()},
 {_DUCK_ASSIGN1.strip()},
 members AS (
-  SELECT a.vec_id, a.cluster_id, v.embedding,
-         sqrt(list_sum(list_transform(v.embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  SELECT a.vec_id, a.cluster_id,
+         list_transform(v.embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE}.0) AS BIGINT)) AS qe
   FROM assign1 a JOIN embeddings v USING (vec_id)
+),
+normed AS (
+  SELECT vec_id, cluster_id, qe,
+         sqrt(CAST(list_sum(list_transform(qe, x -> x * x)) AS DOUBLE)) AS nrm
+  FROM members
 ),
 pairs AS (
   SELECT x.cluster_id, x.vec_id AS vec_a, y.vec_id AS vec_b,
          round(
-           list_sum(list_transform(range(1, {DIM + 1}),
-             i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+           CAST(list_sum(list_transform(range(1, {DIM + 1}),
+             i -> x.qe[i] * y.qe[i])) AS DOUBLE)
            / (x.nrm * y.nrm), 4) AS cosine
-  FROM members x
-  JOIN members y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+  FROM normed x
+  JOIN normed y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
 )
 SELECT cluster_id, vec_a, vec_b, cosine
 FROM pairs WHERE cosine >= {SEMDEDUP_COS}
@@ -295,62 +307,85 @@ def semantic_dedup(
     spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BAND_BUCKET
 ) -> DataFrame:
     """Candidate pairs ONLY within a k-means cluster: the pair join is an
-    equi-join on cluster_id, never all-pairs. Norms are computed once per
-    vector before the join. Because k is FIXED per run, the bucket cap is
-    load-bearing (same argument as text_fuzzy_prefix_pairs): an over-cap
-    cluster degrades to verified star pairs around its min vec_id instead
-    of a quadratic clique. The fixture never hits the cap, so the oracle
-    replays the exact clique output."""
+    equi-join on cluster_id, never all-pairs. Because k is FIXED per run,
+    the bucket cap is load-bearing (same argument as
+    text_fuzzy_prefix_pairs): an over-cap cluster degrades to verified
+    star pairs around its min vec_id instead of a quadratic clique (the
+    fixture stays under the cap through sf0.1, so the oracle replays the
+    exact clique output).
+
+    Scoring is INTEGER-QUANTIZED and vectorized: vectors become
+    floor(x·2²⁰) longs (an exact IEEE scale shift), so the pairwise dot
+    is an order-independent int64 sum — which lets the within-cluster
+    clique be scored as ONE numpy int matmul per cluster group
+    (applyInPandas keyed on cluster_id; group size is bounded by the cap,
+    so the matrix is ≤ cap² — bounded memory per task) while remaining
+    bit-identical to the oracle's sequential SQL fold and to the
+    JVM-side fold used for the star pairs. The earlier float form needed
+    a per-pair interpreted 64-element array fold — ~2× the runtime at
+    sf0.1 with zero cross-engine-exactness benefit."""
+    import numpy as np
+    import pandas as pd
+
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     a1 = assign_clusters(emb, _seed_centroids(load(spark, sf_dir, "embeddings")))
+    qe = F.expr(f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE}.0) AS BIGINT))")
     members = a1.select(
-        "vec_id", "cluster_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+        "vec_id", "cluster_id", qe.alias("qe")
     ).localCheckpoint(eager=False)
 
     kept, star, _spill = _cap_band_buckets(members, ["cluster_id"], "vec_id", max_bucket)
 
-    x = kept.select(
-        "cluster_id",
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("e_a"),
-        F.col("nrm").alias("n_a"),
-    )
-    y = kept.select(
-        "cluster_id",
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("e_b"),
-        F.col("nrm").alias("n_b"),
-    )
-    clique = x.join(y, ["cluster_id"]).filter(F.col("vec_a") < F.col("vec_b"))
+    def clique_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"cluster_id": [], "vec_a": [], "vec_b": [], "cosine": []})
+        pdf = pdf.sort_values("vec_id")
+        Q = np.asarray(pdf["qe"].tolist(), dtype=np.int64)      # (n, DIM)
+        ids = pdf["vec_id"].to_numpy()
+        G = Q @ Q.T                                             # exact int64
+        nrm = np.sqrt(np.diag(G).astype(np.float64))
+        iu, ju = np.triu_indices(n, k=1)
+        cos = np.round(G[iu, ju].astype(np.float64) / (nrm[iu] * nrm[ju]), 4)
+        keep = cos >= SEMDEDUP_COS
+        return pd.DataFrame(
+            {
+                "cluster_id": pdf["cluster_id"].iloc[0],
+                "vec_a": ids[iu[keep]],
+                "vec_b": ids[ju[keep]],
+                "cosine": cos[keep],
+            }
+        )
 
-    # Star pairs from over-cap clusters re-fetch their vectors by id
-    # (ships only the degraded ids, not the cluster payload).
+    clique = kept.groupBy("cluster_id").applyInPandas(
+        clique_pairs, "cluster_id long, vec_a long, vec_b long, cosine double"
+    )
+
+    # Star pairs from over-cap clusters: re-fetch quantized vectors by id
+    # and score with the SAME int arithmetic, JVM-side (star volume is
+    # linear in the bucket, no matmul needed).
+    qa = members.select(
+        F.col("vec_id").alias("_star_a"), F.col("cluster_id"), F.col("qe").alias("qe_a")
+    )
+    qb = members.select(F.col("vec_id").alias("_star_b"), F.col("qe").alias("qe_b"))
+    idot = F.aggregate(
+        F.zip_with(F.col("qe_a"), F.col("qe_b"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    inrm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0).cast("long"), lambda acc, x: acc + x * x).cast("double")
+    )
     star_scored = (
-        star.join(members.select(F.col("vec_id").alias("_star_a"),
-                                 F.col("cluster_id"),
-                                 F.col("embedding").alias("e_a"),
-                                 F.col("nrm").alias("n_a")), "_star_a")
-        .join(members.select(F.col("vec_id").alias("_star_b"),
-                             F.col("embedding").alias("e_b"),
-                             F.col("nrm").alias("n_b")), "_star_b")
+        star.join(qa, "_star_a")
+        .join(qb, "_star_b")
         .select(
             "cluster_id",
             F.col("_star_a").alias("vec_a"),
             F.col("_star_b").alias("vec_b"),
-            "e_a", "n_a", "e_b", "n_b",
+            F.round(idot.cast("double") / (inrm(F.col("qe_a")) * inrm(F.col("qe_b"))), 4).alias("cosine"),
         )
+        .filter(F.col("cosine") >= SEMDEDUP_COS)
     )
 
-    scored = clique.select(
-        "cluster_id", "vec_a", "vec_b",
-        F.round(_dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 4).alias("cosine"),
-    ).unionByName(
-        star_scored.select(
-            "cluster_id", "vec_a", "vec_b",
-            F.round(_dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 4).alias("cosine"),
-        )
-    )
-    return (
-        scored.filter(F.col("cosine") >= SEMDEDUP_COS)
-        .orderBy("cluster_id", "vec_a", "vec_b")
-    )
+    return clique.unionByName(star_scored).orderBy("cluster_id", "vec_a", "vec_b")

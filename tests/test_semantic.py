@@ -47,11 +47,11 @@ def test_lloyd_update_matches_numpy(spark, sf_dir):
     by_cluster: dict[int, list[np.ndarray]] = {}
     for r in rows:
         by_cluster.setdefault(r["cluster_id"], []).append(
-            np.floor(np.array(r["embedding"], dtype=np.float64) * semantic.QSCALE)
+            np.floor(np.array(r["embedding"], dtype=np.float64) * semantic.CSCALE)
         )
     for cid, vecs in by_cluster.items():
         q_sum = np.sum(np.stack(vecs), axis=0)  # integer-valued doubles, exact
-        want = q_sum / (len(vecs) * semantic.QSCALE)
+        want = q_sum / (len(vecs) * semantic.CSCALE)
         assert np.array_equal(got[cid], want), f"cluster {cid} centroid mismatch"
 
 
