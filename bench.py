@@ -84,6 +84,7 @@ HEADLINE = [
     "events_heavy_hitters_sketch",
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    "decontaminate_bloom",
 ]
 
 

@@ -933,6 +933,174 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (the 100 TB probe path)
+# --------------------------------------------------------------------------
+
+# Bloom parameters: k hash probes, bit count = a power of two >= ~14 bits
+# per eval shingle (k=7, 14 bits/item ~ 1% false-positive rate). The FPP
+# only costs extra rows into the exact verify join; it never changes the
+# output.
+_BLOOM_K = 7
+_BLOOM_BITS_PER_ITEM = 14
+_BLOOM_MIN_BITS = 1 << 13
+
+
+def _bloom_build(hashes):
+    """numpy Bloom filter over int64 hash values → (bits: bytes, m: int).
+
+    Kirsch-Mitzenmacher double hashing: probe_i = (h1 + i*h2) mod m with
+    h1/h2 derived from the 60-bit input hash, m a power of two (h2 forced
+    odd so the probe sequence cycles the whole table)."""
+    import numpy as np
+
+    n = max(int(len(hashes)), 1)
+    m = _BLOOM_MIN_BITS
+    while m < n * _BLOOM_BITS_PER_ITEM:
+        m <<= 1
+    bits = np.zeros(m >> 3, dtype=np.uint8)
+    if len(hashes):
+        h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+        mask = np.uint64(m - 1)
+        h1 = h & mask
+        h2 = (h >> np.uint64(29)) | np.uint64(1)
+        for i in range(_BLOOM_K):
+            pos = (h1 + np.uint64(i) * h2) & mask
+            np.bitwise_or.at(
+                bits,
+                (pos >> np.uint64(3)).astype(np.int64),
+                (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+            )
+    return bits.tobytes(), m
+
+
+_DECONTAM_BLOOM_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(tokens) - 1),
+           i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+         )) AS shingles
+  FROM toks
+  WHERE len(tokens) >= 3
+),
+ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hashed AS (SELECT doc_id, md5(s) AS m FROM ex0),
+ex AS (SELECT DISTINCT doc_id, {{hs}} AS hs FROM hashed),
+eval_h AS (
+  SELECT DISTINCT hs FROM ex JOIN documents USING (doc_id) WHERE source = 'src0'
+),
+train AS (
+  SELECT ex.doc_id, d.source, hs
+  FROM ex JOIN documents d USING (doc_id) WHERE d.source <> 'src0'
+),
+hit AS (SELECT t.doc_id, t.source FROM train t JOIN eval_h USING (hs))
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_flagged,
+       CAST(count(*) AS BIGINT) AS n_hit_shingles
+FROM hit
+GROUP BY source
+ORDER BY source
+"""
+
+
+def _decontam_bloom_oracle() -> str:
+    from gluettalax_spark.operators.dedup import _duck_hex_int
+
+    return _DECONTAM_BLOOM_ORACLE.format(hs=_duck_hex_int(1, 15))
+
+
+@register(
+    "decontaminate_bloom",
+    _decontam_bloom_oracle(),
+    doc="Bloom-prefiltered eval decontamination: bloom probe + exact verify",
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at the 100 TB shape: the eval set's distinct shingle
+    hashes are folded into a BLOOM FILTER (bits, not hashes) broadcast to
+    every executor; the corpus probes it with a vectorized numpy
+    pandas_udf, so ~99% of train shingles die map-side before any shuffle
+    or join. Survivors — true hits plus ~1% false positives — go through
+    an exact broadcast verify join, so the output is EXACT (the bloom is
+    a prefilter, never the decision), and the DuckDB oracle replays the
+    identical 60-bit md5 keyspace without modelling the bloom at all.
+
+    Why this beats the plain broadcast join of
+    :func:`decontaminate_eval_overlap` at scale: the broadcast payload is
+    m/8 bytes (~1.75 bytes/shingle at 1% FPP) instead of 8-byte hashes in
+    a join hash-map (~10× smaller), and the post-probe exchange carries
+    only hit candidates instead of every (doc, shingle) pair. The
+    eval-side collect is benchmark-scale by contract (thousands of docs
+    against a 100 TB corpus) — same driver-side contract as the PQ
+    codebook training in ``similarity_topk_pq``.
+    """
+    import pandas as pd
+
+    from gluettalax_spark.operators.dedup import shingles_exploded
+
+    h60 = F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("hs")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    # Hashed shingles computed ONCE and frozen: the eval collect and the
+    # train probe both read this run (on a cluster: write it, read twice)
+    # instead of re-running the shingle windows per branch.
+    sh = (
+        shingles_exploded(spark, sf_dir)
+        .join(docs, "doc_id")
+        .select("doc_id", "source", h60)
+        .localCheckpoint()
+    )
+
+    eval_pdf = (
+        sh.filter(F.col("source") == "src0").select("hs").distinct().toPandas()
+    )
+    bits, m = _bloom_build(eval_pdf["hs"].to_numpy())
+    bbits = spark.sparkContext.broadcast(bits)
+
+    def _probe(s):
+        import numpy as np
+
+        tbl = np.frombuffer(bbits.value, dtype=np.uint8)
+        h = s.to_numpy(dtype=np.int64).astype(np.uint64)
+        mask = np.uint64(m - 1)
+        h1 = h & mask
+        h2 = (h >> np.uint64(29)) | np.uint64(1)
+        ok = np.ones(len(h), dtype=bool)
+        for i in range(_BLOOM_K):
+            pos = (h1 + np.uint64(i) * h2) & mask
+            byte = tbl[(pos >> np.uint64(3)).astype(np.int64)]
+            ok &= (byte & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))) != 0
+        return pd.Series(ok)
+
+    # Real annotation objects (this module stringizes annotations via
+    # `from __future__ import annotations`, which pandas_udf can't resolve).
+    _probe.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    might_contain = F.pandas_udf(_probe, "boolean")
+
+    # Verify side rebuilt from the already-collected hashes — the eval
+    # lineage (scan + shingle windows + join) is not recomputed.
+    eval_df = spark.createDataFrame(eval_pdf if len(eval_pdf) else pd.DataFrame({"hs": pd.Series([], dtype="int64")}))
+
+    train = sh.filter(F.col("source") != "src0")
+    hits = (
+        train.filter(might_contain(F.col("hs")))
+        .join(F.broadcast(eval_df), "hs")
+        .dropDuplicates(["doc_id", "hs"])
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_flagged"),
+            F.count(F.lit(1)).alias("n_hit_shingles"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
 # Fixed-size token chunking (training-sequence construction)
 # --------------------------------------------------------------------------
 

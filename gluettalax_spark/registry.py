@@ -106,6 +106,7 @@ _NEW_THIS_ROUND = (
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
     "dedup_containment_pairs",
+    "decontaminate_bloom",
 )
 
 

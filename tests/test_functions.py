@@ -293,3 +293,41 @@ def test_binaryfile_ingest_and_decode(spark, tmp_path):
     h = sum(payload[:64])
     assert by_name["a.bin"].width == 64 + (h % 7) * 32
     assert by_name["a.bin"].channels == 3
+
+
+def test_bloom_build_no_false_negatives_and_bounded_fpp():
+    """The decontamination bloom NEVER misses a member (false negatives
+    would silently drop true contamination hits before the verify join);
+    the false-positive rate only costs verify-join work, pinned < 5%."""
+    import numpy as np
+
+    from gluettalax_spark.operators.text import _BLOOM_K, _bloom_build
+
+    rng = np.random.RandomState(7)
+    members = rng.randint(0, 1 << 60, size=5000, dtype=np.int64)
+    others = rng.randint(0, 1 << 60, size=20000, dtype=np.int64)
+    others = np.setdiff1d(others, members)
+
+    bits_b, m = _bloom_build(members)
+    bits = np.frombuffer(bits_b, dtype=np.uint8)
+    assert (m & (m - 1)) == 0  # power of two, mask probing is sound
+
+    def probe(h):
+        h = np.asarray(h, dtype=np.int64).astype(np.uint64)
+        mask = np.uint64(m - 1)
+        h1, h2 = h & mask, (h >> np.uint64(29)) | np.uint64(1)
+        ok = np.ones(len(h), dtype=bool)
+        for i in range(_BLOOM_K):
+            pos = (h1 + np.uint64(i) * h2) & mask
+            ok &= (
+                bits[(pos >> np.uint64(3)).astype(np.int64)]
+                & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+            ) != 0
+        return ok
+
+    assert probe(members).all()  # zero false negatives, by construction
+    assert probe(others).mean() < 0.05
+
+    # Empty eval set: a valid all-zero filter that rejects everything.
+    bits0, m0 = _bloom_build(np.array([], dtype=np.int64))
+    assert not any(bits0)
