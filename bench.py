@@ -85,6 +85,7 @@ HEADLINE = [
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
     "decontaminate_bloom",
+    "events_freq_cms",
 ]
 
 

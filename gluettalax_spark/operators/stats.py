@@ -405,3 +405,140 @@ def events_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(_HH_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch frequency estimation (bounded-memory, SQL-replayable)
+# --------------------------------------------------------------------------
+
+_CMS_D = 4  # depth: independent hash rows
+_CMS_W = 256  # width: counters per row
+
+
+def _duck_md5_int(start: int, width: int = 8) -> str:
+    """DuckDB int value of md5 hex chars [start, start+width) of column m
+    (no conv() in DuckDB; mirrors dedup._duck_hex_int)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(m, {start + k}, 1)) - 1) * {16 ** (width - 1 - k)}"
+        for k in range(width)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_CMS_ORACLE = f"""
+WITH hh AS (
+  SELECT user_id, {_duck_md5_int(1)} AS h1, {_duck_md5_int(9)} AS h2
+  FROM (SELECT DISTINCT user_id, md5(CAST(user_id AS VARCHAR)) AS m FROM events)
+),
+cms AS (
+  SELECT i, (h1 + i * h2) % {_CMS_W} AS pos, CAST(count(*) AS BIGINT) AS cnt
+  FROM events e JOIN hh USING (user_id), UNNEST(range(0, {_CMS_D})) AS t(i)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM events GROUP BY user_id
+  ORDER BY n_exact DESC, user_id LIMIT 10
+),
+probe AS (
+  SELECT t.user_id, t.n_exact, i, (h1 + i * h2) % {_CMS_W} AS pos
+  FROM top t JOIN hh USING (user_id), UNNEST(range(0, {_CMS_D})) AS u(i)
+)
+SELECT p.user_id, p.n_exact,
+       min(c.cnt) AS n_est,
+       min(c.cnt) - p.n_exact AS overcount
+FROM probe p JOIN cms c USING (i, pos)
+GROUP BY p.user_id, p.n_exact
+ORDER BY n_exact DESC, user_id
+"""
+
+
+def _cms_hash_cols(df: DataFrame) -> DataFrame:
+    """(…, h1, h2) — Kirsch-Mitzenmacher bases from the two 32-bit halves
+    of md5(user_id); row i probes position (h1 + i·h2) mod width."""
+    return df.withColumn("m", F.md5(F.col("user_id").cast("string"))).select(
+        df["*"],
+        F.expr("CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT)").alias("h1"),
+        F.expr("CAST(conv(substr(m, 9, 8), 16, 10) AS BIGINT)").alias("h2"),
+    )
+
+
+def _cms_positions() -> Column:
+    """array<struct<i,pos>> of the D probe cells for (h1, h2)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(_CMS_W)).alias("pos"),
+            )
+            for i in range(_CMS_D)
+        ]
+    )
+
+
+@register(
+    "events_freq_cms",
+    _CMS_ORACLE,
+    doc=f"count-min sketch ({_CMS_D}×{_CMS_W}) user-frequency estimates vs exact, top-10 users",
+)
+def events_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, built and probed entirely
+    with deterministic integer SQL so the DuckDB oracle replays the
+    sketch bit-exactly (no RNG): every event fans out map-side to its
+    D=4 (row, position) cells; the sketch is a groupBy over a keyspace
+    of AT MOST D×W = 1024 counters — partial aggregation means the
+    shuffle carries ≤1024 rows per task no matter how many events or
+    distinct users exist, which is the entire point of the sketch at
+    100 TB (the per-user histogram it replaces is billions of rows wide).
+    Estimates are the classic min over the D cells — always ≥ exact;
+    the report joins them against the exact top-10 (TakeOrderedAndProject,
+    no global sort) so the overcount is visible and testable.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id")
+
+    cms = (
+        _cms_hash_cols(ev)
+        .select(F.explode(_cms_positions()).alias("ip"))
+        .select("ip.i", "ip.pos")
+        .groupBy("i", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(10)
+    )
+    # Hash bases inlined as ONE projection (md5 evaluated twice on 10
+    # rows): a shared-md5 intermediate splits into two Projects that
+    # CollapseProject won't merge, and that pushed-through-limit pair
+    # breaks the Limit(Project(Sort)) pattern TakeOrderedAndProject needs.
+    probe = (
+        top.select(
+            "user_id",
+            "n_exact",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+            ).alias("h1"),
+            F.expr(
+                "CAST(conv(substr(md5(CAST(user_id AS STRING)), 9, 8), 16, 10) AS BIGINT)"
+            ).alias("h2"),
+        )
+        .select("user_id", "n_exact", F.explode(_cms_positions()).alias("ip"))
+        .select("user_id", "n_exact", "ip.i", "ip.pos")
+    )
+
+    # The sketch is a constant-size (≤1024-row) table: broadcast it so the
+    # probe never shuffles.
+    est = (
+        probe.join(F.broadcast(cms), ["i", "pos"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cnt").alias("n_est"))
+    )
+    return est.select(
+        "user_id",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") - F.col("n_exact")).alias("overcount"),
+    ).orderBy(F.desc("n_exact"), F.asc("user_id"))

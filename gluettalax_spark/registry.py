@@ -107,6 +107,7 @@ _NEW_THIS_ROUND = (
     "similarity_topk_ivfpq",
     "dedup_containment_pairs",
     "decontaminate_bloom",
+    "events_freq_cms",
 )
 
 

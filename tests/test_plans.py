@@ -558,3 +558,26 @@ def test_common_token_ratio_topk_vocab_broadcast(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:2000]
+
+
+def test_cms_broadcast_probe_and_take_ordered(spark, sf_dir):
+    """The count-min sketch is a constant-size (≤ D×W) table: the probe
+    must consume it via BroadcastHashJoin (never a shuffle join), and the
+    exact top-10 comparator must be TakeOrderedAndProject, not a global
+    sort of the per-user histogram."""
+    df = queries()["events_freq_cms"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_decontaminate_bloom_probe_below_verify(spark, sf_dir):
+    """The bloom probe must run map-side (ArrowEvalPython below the
+    verify join) and the verify join must be a broadcast of the eval
+    hashes — the corpus side never shuffles to be joined."""
+    df = queries()["decontaminate_bloom"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "ArrowEvalPython" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:2000]
