@@ -325,6 +325,38 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRI_MIN_SUPPORT = 2
 
+
+def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pa, pb), pa < pb — the part co-occurrence graph: parts co-ordered
+    in >= ``_TRI_MIN_SUPPORT`` distinct orders (the min-support prune
+    that keeps a basket graph sparse).
+
+    Per-order pair generation WITHOUT a self-join: one groupBy(order)
+    collects the (deduped, sorted) basket — bounded by items-per-order,
+    a data-model constant — and the ordered pairs explode map-side from
+    the array. One shuffle replaces distinct + self-join (two)."""
+    li = load(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    return (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("e")
+        )
+        .select("e.pa", "e.pb")
+        .groupBy("pa", "pb")
+        .count()
+        .where(F.col("count") >= _TRI_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+
+
 _TRIANGLE_ORACLE = f"""
 WITH op AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
@@ -371,34 +403,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the (a, b) pair. The ORACLE counts the same triangles via the
     orientation-invariant id-ordered 3-way join, so the compare also
     proves the orientation math. Everything is integer-exact."""
-    li = load(spark, sf_dir, "lineitem")
-    # Per-order pair generation WITHOUT a self-join: one groupBy(order)
-    # collects the (deduped, sorted) basket — bounded by items-per-order,
-    # a data-model constant — and the ordered pairs explode map-side from
-    # the array. One shuffle replaces distinct + self-join (two).
-    baskets = (
-        li.groupBy(F.col("l_orderkey").alias("o"))
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-    )
-    edges = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
-                )
-            ).alias("e")
-        )
-        .select("e.pa", "e.pb")
-        .groupBy("pa", "pb")
-        .count()
-        .where(F.col("count") >= _TRI_MIN_SUPPORT)
-        .select("pa", "pb")
-    )
     # Cut lineage: the edge set feeds four consumers (deg, orientation,
-    # wedge join, close join) — recomputing the basket self-join per
+    # wedge join, close join) — recomputing the basket explode per
     # consumer would dominate the runtime.
-    edges = edges.localCheckpoint(eager=False)
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
 
     deg = (
         edges.select(F.col("pa").alias("n"))
@@ -443,3 +451,77 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
     # Both sides of each crossJoin are single-row aggregates.
     return stats.crossJoin(n_tri).select("n_nodes", "n_edges", "max_degree", "n_triangles")
+
+
+# --------------------------------------------------------------------------
+# PageRank (iterative; the genuinely non-SQL-expressible graph op)
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 8
+_PR_DAMPING = 0.85
+_PR_TOPK = 20
+
+
+@register(
+    "graph_pagerank",
+    None,
+    doc=f"PageRank ({_PR_ITERS} synchronous iterations, d={_PR_DAMPING}) on the part "
+    "co-occurrence graph, top-20 (rows-only: iterative, not SQL-expressible; "
+    "pinned against a numpy recompute in tests)",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-iteration PageRank over the undirected part co-occurrence
+    graph (every edge contributes both directions, so out-degree =
+    degree and there are no dangling nodes by construction — every node
+    has degree >= 1).
+
+    Scale shape: the adjacency is built once (basket explode + support
+    prune), symmetrized map-side, pre-joined with the degree table, and
+    FROZEN with localCheckpoint — each of the 8 iterations is then
+    exactly one equi-join (adjacency x ranks, both hash-partitioned on
+    the node key) plus one aggregation; ranks are checkpointed per
+    iteration so the plan stays ONE iteration deep instead of unrolling
+    all 8 (lineage blow-up is the classic iterative-DataFrame failure
+    mode). On a real cluster the adjacency would be a bucketed table so
+    the per-iteration join co-locates without reshuffling the static
+    side; the rank side is (node, double) — the narrowest possible
+    shuffle. Not SQL-expressible as one query (fixed-point iteration),
+    hence rows-only: the numbers are pinned against an independent
+    numpy recompute in tests/test_graph_analytics.py instead.
+    """
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+
+    sym = edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    # Static per-iteration input: (src, dst, d_src), frozen once.
+    adj = (
+        sym.join(deg.withColumnRenamed("n", "src"), "src")
+        .select("src", "dst", F.col("d").alias("d_src"))
+        .localCheckpoint(eager=False)
+    )
+
+    n_nodes = deg.count()
+    base = (1.0 - _PR_DAMPING) / n_nodes
+    ranks = deg.select("n", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(_PR_ITERS):
+        contribs = (
+            adj.join(ranks.withColumnRenamed("n", "src"), "src")
+            .groupBy(F.col("dst").alias("n"))
+            .agg(F.sum(F.col("r") / F.col("d_src")).alias("in_sum"))
+        )
+        ranks = contribs.select(
+            "n", (F.lit(base) + F.lit(_PR_DAMPING) * F.col("in_sum")).alias("r")
+        ).localCheckpoint(eager=False)
+
+    return (
+        ranks.join(deg, "n")
+        .select(
+            F.col("n").alias("part"),
+            F.round("r", 6).alias("rank"),
+            F.col("d").alias("degree"),
+        )
+        .orderBy(F.desc("rank"), F.asc("part"))
+        .limit(_PR_TOPK)
+    )

@@ -108,6 +108,7 @@ _NEW_THIS_ROUND = (
     "dedup_containment_pairs",
     "decontaminate_bloom",
     "events_freq_cms",
+    "graph_pagerank",
 )
 
 
