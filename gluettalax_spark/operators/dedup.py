@@ -74,12 +74,14 @@ def _tokens_col() -> Column:
 
 
 def shingles_exploded(
-    spark: SparkSession, sf_dir: str, carry: tuple[str, ...] = ()
+    spark: SparkSession, sf_dir: str, carry: tuple[str, ...] = (), where: Column | None = None
 ) -> DataFrame:
     """(doc_id, s) — word 3-gram shingles, one row each (NOT deduplicated:
     every consumer is duplicate-invariant — ``min`` for MinHash,
     ``collect_set`` for shingle sets — so a distinct() here would be a
     pure extra full-width shuffle); docs with <3 tokens are dropped.
+    ``where`` pre-filters DOCUMENTS (pushed into the parquet scan), so a
+    consumer that shingles only a corpus slice never pays for the rest.
 
     Built with posexplode + lead() windows rather than
     ``transform(sequence, element_at...)``: higher-order array lambdas run
@@ -89,6 +91,8 @@ def shingles_exploded(
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
+    if where is not None:
+        docs = docs.filter(where)
     extra = list(carry)  # doc-level columns to ride along (e.g. source)
     toks = docs.select("doc_id", *extra, _tokens_col().alias("tokens")).filter(
         F.size("tokens") >= 3

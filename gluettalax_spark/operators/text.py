@@ -1043,21 +1043,19 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gluettalax_spark.operators.dedup import shingles_exploded
 
     h60 = F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("hs")
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
-    # Hashed shingles computed ONCE and frozen: the eval collect and the
-    # train probe both read this run (on a cluster: write it, read twice)
-    # instead of re-running the shingle windows per branch.
-    sh = (
-        shingles_exploded(spark, sf_dir)
-        .join(docs, "doc_id")
-        .select("doc_id", "source", h60)
-        .localCheckpoint()
-    )
-
+    # The source split is pushed BELOW the shingling (into the parquet
+    # scan): eval and train each shingle only their own corpus slice, so
+    # the two branches together cost ONE shingle pass — no checkpoint, no
+    # recompute. The bloom is keyed on xxhash64 (JVM-side, ~3× cheaper
+    # than md5); the oracle-parity md5 keyspace is computed only for the
+    # bloom's survivors.
     eval_pdf = (
-        sh.filter(F.col("source") == "src0").select("hs").distinct().toPandas()
+        shingles_exploded(spark, sf_dir, where=F.col("source") == "src0")
+        .select(h60, F.xxhash64("s").alias("hx"))
+        .distinct()
+        .toPandas()
     )
-    bits, m = _bloom_build(eval_pdf["hs"].to_numpy())
+    bits, m = _bloom_build(eval_pdf["hx"].to_numpy())
     bbits = spark.sparkContext.broadcast(bits)
 
     def _probe(s):
@@ -1081,12 +1079,17 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     might_contain = F.pandas_udf(_probe, "boolean")
 
     # Verify side rebuilt from the already-collected hashes — the eval
-    # lineage (scan + shingle windows + join) is not recomputed.
-    eval_df = spark.createDataFrame(eval_pdf if len(eval_pdf) else pd.DataFrame({"hs": pd.Series([], dtype="int64")}))
+    # lineage (scan + shingle windows) is not recomputed.
+    eval_df = spark.createDataFrame(
+        eval_pdf[["hs"]] if len(eval_pdf) else pd.DataFrame({"hs": pd.Series([], dtype="int64")})
+    )
 
-    train = sh.filter(F.col("source") != "src0")
+    train = shingles_exploded(
+        spark, sf_dir, carry=("source",), where=F.col("source") != "src0"
+    )
     hits = (
-        train.filter(might_contain(F.col("hs")))
+        train.filter(might_contain(F.xxhash64("s")))
+        .select("doc_id", "source", h60)
         .join(F.broadcast(eval_df), "hs")
         .dropDuplicates(["doc_id", "hs"])
     )
