@@ -46,3 +46,12 @@ def test_contract_shape():
     os_ = e.oracle_sql()
     assert qs, "no queries registered"
     assert set(os_) <= set(qs)
+
+
+def test_sampling_rotation_names_are_registered():
+    """Every _NEW_THIS_ROUND key must exist in the registry — a typo here
+    silently demotes a query out of the driver's sampling priority."""
+    from gluettalax_spark import registry
+
+    missing = [n for n in registry._NEW_THIS_ROUND if n not in registry.all_queries()]
+    assert not missing, missing
