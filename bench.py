@@ -86,6 +86,7 @@ HEADLINE = [
     "similarity_topk_ivfpq",
     "decontaminate_bloom",
     "events_freq_cms",
+    "basket_rules",
 ]
 
 

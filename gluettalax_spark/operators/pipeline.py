@@ -1088,3 +1088,109 @@ def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# Association rules (support / confidence / lift) over order baskets
+# --------------------------------------------------------------------------
+
+_RULES_MIN_PAIR = 2
+_RULES_TOPK = 20
+
+_RULES_ORACLE = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_tot AS (SELECT count(DISTINCT l_orderkey) AS N FROM items),
+icnt AS (SELECT l_partkey AS part, count(*) AS n_i FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_RULES_MIN_PAIR}
+),
+directed AS (
+  SELECT pa AS part_a, pb AS part_b, n_ab FROM pairs
+  UNION ALL
+  SELECT pb AS part_a, pa AS part_b, n_ab FROM pairs
+)
+SELECT d.part_a, d.part_b, CAST(d.n_ab AS BIGINT) AS n_ab,
+       round(CAST(d.n_ab AS DOUBLE) / ia.n_i, 4) AS conf,
+       round(CAST(t.N * d.n_ab AS DOUBLE) / (ia.n_i * ib.n_i), 4) AS lift
+FROM directed d
+JOIN icnt ia ON ia.part = d.part_a
+JOIN icnt ib ON ib.part = d.part_b
+CROSS JOIN n_tot t
+ORDER BY lift DESC, n_ab DESC, part_a, part_b
+LIMIT {_RULES_TOPK}
+"""
+
+
+@register(
+    "basket_rules",
+    _RULES_ORACLE,
+    doc=f"association rules a→b: confidence + lift, top-{_RULES_TOPK} by lift (min pair support {_RULES_MIN_PAIR})",
+)
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: for every directed part pair
+    a→b co-ordered in >= 2 distinct orders, confidence n(a,b)/n(a) and
+    lift N·n(a,b)/(n(a)·n(b)); top-20 by lift.
+
+    Scale shape: pair candidates explode MAP-SIDE from per-order baskets
+    (one groupBy(order) whose array is bounded by items-per-order — the
+    same one-shuffle builder as `graph.cooccurrence_edges`, never an
+    all-pairs join over parts); the min-support filter prunes before the
+    metric joins; item counts join on the part key (NOT broadcast — the
+    per-part table grows with the catalog, same unbounded-broadcast
+    discipline as the rest of the repo); the basket total N is the only
+    broadcast (a 1-row scalar aggregate). Ranking ties are broken by
+    (n_ab, part ids) on the ROUNDED lift, so cross-engine ordering never
+    depends on last-ulp float comparisons."""
+    from gluettalax_spark.operators.graph import cooccurrence_edges
+
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_tot = items.agg(F.countDistinct("l_orderkey").alias("N"))
+    icnt = items.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_i")
+    )
+
+    baskets = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("e")
+        )
+        .select("e.pa", "e.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _RULES_MIN_PAIR)
+    )
+    directed = pairs.select(
+        F.col("pa").alias("part_a"), F.col("pb").alias("part_b"), "n_ab"
+    ).unionAll(
+        pairs.select(F.col("pb").alias("part_a"), F.col("pa").alias("part_b"), "n_ab")
+    )
+    ia = icnt.select(F.col("part").alias("part_a"), F.col("n_i").alias("n_a"))
+    ib = icnt.select(F.col("part").alias("part_b"), F.col("n_i").alias("n_b"))
+    return (
+        directed.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n_a"), 4).alias("conf"),
+            F.round(
+                (F.col("N") * F.col("n_ab")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.desc("n_ab"), "part_a", "part_b")
+        .limit(_RULES_TOPK)
+    )

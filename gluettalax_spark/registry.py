@@ -109,6 +109,7 @@ _NEW_THIS_ROUND = (
     "decontaminate_bloom",
     "events_freq_cms",
     "graph_pagerank",
+    "basket_rules",
 )
 
 

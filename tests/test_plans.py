@@ -581,3 +581,15 @@ def test_decontaminate_bloom_probe_below_verify(spark, sf_dir):
     assert "ArrowEvalPython" in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:2000]
+
+
+def test_basket_rules_take_ordered_no_cartesian(spark, sf_dir):
+    """Association rules: pair candidates explode map-side from baskets
+    (no all-pairs join over parts), the only nested-loop join is the
+    1-row basket-total broadcast, and the top-20 is
+    TakeOrderedAndProject — never a global sort of the rule set."""
+    df = queries()["basket_rules"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:2000]
