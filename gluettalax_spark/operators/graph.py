@@ -525,3 +525,102 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("part"))
         .limit(_PR_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Label propagation communities (fixed synchronous iterations, oracle-exact)
+# --------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+_LPA_TOPK = 20
+
+
+def _lpa_oracle() -> str:
+    """Unrolled DuckDB replay of the synchronous label-propagation rounds:
+    each iteration is the SAME join + count + (count desc, label asc)
+    argmax the Spark side computes — deterministic integer math, so the
+    compare is hash-exact."""
+    parts = [
+        f"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS (
+  SELECT a.p AS pa, b.p AS pb FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}
+),
+edges AS (SELECT pa AS u, pb AS v FROM e0 UNION ALL SELECT pb AS u, pa AS v FROM e0),
+lab0 AS (SELECT DISTINCT u AS node, u AS lab FROM edges)"""
+    ]
+    cur = "lab0"
+    for i in range(1, _LPA_ITERS + 1):
+        parts.append(
+            f""",
+agg{i} AS (
+  SELECT e.u AS node, l.lab, count(*) AS c
+  FROM edges e JOIN {cur} l ON l.node = e.v GROUP BY 1, 2
+),
+lab{i} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+    FROM agg{i}
+  ) WHERE rn = 1
+)"""
+        )
+        cur = f"lab{i}"
+    parts.append(
+        f"""
+SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
+FROM {cur} GROUP BY lab ORDER BY n_members DESC, community LIMIT {_LPA_TOPK}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_communities_lpa",
+    _lpa_oracle(),
+    doc=f"label-propagation communities ({_LPA_ITERS} synchronous rounds), top-{_LPA_TOPK} by size",
+)
+def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation on the part
+    co-occurrence graph: every node starts as its own label; each round
+    it adopts the most frequent label among its NEIGHBORS, ties broken by
+    the smaller label — a fully deterministic spec, so unlike classic
+    randomized LPA the result is reproducible and the DuckDB oracle
+    replays all 3 rounds unrolled (fixed iteration count is what keeps
+    this SQL-expressible — contrast `graph_pagerank`, whose fixpoint is
+    rows-only).
+
+    Scale shape: per round ONE equi-join (edges x labels, both keyed on
+    the node id) + one (node, label) count + an argmax folded into a
+    single min(struct(-count, label)) aggregate — no windows, so the
+    shuffle carries (node, label, count) rows only; labels are
+    checkpointed per round to keep the plan one round deep. Same
+    per-iteration shape a 100 TB run needs (bucketed edges co-locate the
+    static side).
+    """
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    sym = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(_LPA_ITERS):
+        nbr = sym.join(labels.withColumnRenamed("node", "v"), "v").select(
+            F.col("u").alias("node"), "lab"
+        )
+        cnt = nbr.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("l"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.l").alias("lab"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(_LPA_TOPK)
+    )

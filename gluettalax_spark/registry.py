@@ -110,6 +110,7 @@ _NEW_THIS_ROUND = (
     "events_freq_cms",
     "graph_pagerank",
     "basket_rules",
+    "graph_communities_lpa",
 )
 
 
