@@ -1143,17 +1143,18 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (a 1-row scalar aggregate). Ranking ties are broken by
     (n_ab, part ids) on the ROUNDED lift, so cross-engine ordering never
     depends on last-ulp float comparisons."""
-    from gluettalax_spark.operators.graph import cooccurrence_edges
-
     li = load(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    n_tot = items.agg(F.countDistinct("l_orderkey").alias("N"))
-    icnt = items.groupBy(F.col("l_partkey").alias("part")).agg(
-        F.count(F.lit(1)).alias("n_i")
+    # ONE scan + ONE shuffle: the deduped per-order basket array feeds
+    # pair candidates, per-item counts, and the basket total (frozen so
+    # the three consumers don't re-run the aggregation).
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=False)
     )
-
-    baskets = li.groupBy(F.col("l_orderkey").alias("o")).agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    n_tot = baskets.agg(F.count(F.lit(1)).alias("N"))
+    icnt = baskets.select(F.explode("ps").alias("part")).groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_i")
     )
     pairs = (
         baskets.select(
