@@ -89,7 +89,16 @@ _NEW_THIS_ROUND = (
     "udtf_token_counts",
     "top_customers_per_nation",
     "revenue_mom_growth",
-    # new in round 5:
+    # new in round 5 — this session's additions first: with the 39-key
+    # tail above they fit inside a 50-key sample, so both the old tail
+    # and the newest ops get driver verdicts; the prior-session keys
+    # below are the ones with the heaviest independent pins (third-engine
+    # recomputes), so they lose least by waiting a round.
+    "decontaminate_bloom",
+    "events_freq_cms",
+    "graph_pagerank",
+    "basket_rules",
+    "graph_communities_lpa",
     "dedup_band_spill_report",
     "semantic_cluster_assign",
     "semantic_cluster_refine",
@@ -106,11 +115,6 @@ _NEW_THIS_ROUND = (
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
     "dedup_containment_pairs",
-    "decontaminate_bloom",
-    "events_freq_cms",
-    "graph_pagerank",
-    "basket_rules",
-    "graph_communities_lpa",
 )
 
 
