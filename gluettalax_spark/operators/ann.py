@@ -258,30 +258,12 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "similarity_topk_ivfpq",
-    None,
-    doc=f"IVF({NLIST},nprobe={NPROBE}) candidate pruning + PQ{PQ_M}x8 ADC scoring (rows-only)",
-)
-def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production composition (FAISS IVFPQ shape): IVF cells prune
-    candidates — an equi-join on the cell id, probing NPROBE/NLIST of the
-    corpus — and PQ codes score them with LUT gathers, so the scoring
-    pass touches 8-byte codes instead of raw vectors. Together: the
-    candidate set shrinks by nprobe/nlist AND each candidate costs M
-    lookups — the only full-precision floats in the query path are the
-    nlist×dim centroid matrix and the per-query LUTs (both constant
-    size).
-
-    This variant encodes raw vectors (not cell residuals); residual
-    encoding is the standard accuracy upgrade and changes only the
-    encode/LUT math, not the plan. Both the coarse quantizer (nlist
-    centroids over the full vector) and the PQ codebooks are trained
-    driver-side on one bounded sample — the FAISS recipe — and cell
-    assignment rides the SAME mapInPandas pass that computes the codes,
-    so the raw embeddings are read exactly once end-to-end. Registered
-    rows-only (trained model); the recall bar vs brute force is pinned in
-    tests/test_ann.py."""
+def _ivfpq_scored(spark: SparkSession, sf_dir: str):
+    """Shared IVFPQ front half: train quantizers, encode, IVF-prune,
+    PQ-LUT-score. Returns ``(scored, emb, b_q)`` — the PQ-scored
+    candidate DataFrame (query_id, neighbor_id, cosine_pq), the raw
+    embeddings DataFrame, and a broadcast of the query-side arrays
+    ``(qpos, Q, q_norm)`` for consumers that rescore exactly."""
     import numpy as np
     import pandas as pd
 
@@ -363,6 +345,35 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     scored = cand.mapInPandas(score, "query_id long, neighbor_id long, cosine_pq double")
+    b_q = sc.broadcast((qpos, Q.tolist(), q_norm.tolist()))
+    return scored, emb, b_q
+
+
+@register(
+    "similarity_topk_ivfpq",
+    None,
+    doc=f"IVF({NLIST},nprobe={NPROBE}) candidate pruning + PQ{PQ_M}x8 ADC scoring (rows-only)",
+)
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production composition (FAISS IVFPQ shape): IVF cells prune
+    candidates — an equi-join on the cell id, probing NPROBE/NLIST of the
+    corpus — and PQ codes score them with LUT gathers, so the scoring
+    pass touches 8-byte codes instead of raw vectors. Together: the
+    candidate set shrinks by nprobe/nlist AND each candidate costs M
+    lookups — the only full-precision floats in the query path are the
+    nlist×dim centroid matrix and the per-query LUTs (both constant
+    size).
+
+    This variant encodes raw vectors (not cell residuals); residual
+    encoding is the standard accuracy upgrade and changes only the
+    encode/LUT math, not the plan. Both the coarse quantizer (nlist
+    centroids over the full vector) and the PQ codebooks are trained
+    driver-side on one bounded sample — the FAISS recipe — and cell
+    assignment rides the SAME mapInPandas pass that computes the codes,
+    so the raw embeddings are read exactly once end-to-end. Registered
+    rows-only (trained model); the recall bar vs brute force is pinned in
+    tests/test_ann.py."""
+    scored, _, _ = _ivfpq_scored(spark, sf_dir)
 
     from pyspark.sql.window import Window
 
@@ -371,5 +382,77 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", F.round("cosine_pq", 4).alias("cosine_pq"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+REFINE_R = 5 * TOPK  # exact-rescore shortlist per query
+
+
+@register(
+    "similarity_topk_ivfpq_refine",
+    None,
+    doc=f"IVFPQ + exact re-rank of the top-{REFINE_R} PQ shortlist (FAISS refine stage, rows-only)",
+)
+def similarity_topk_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ with the standard FAISS *refine* stage: the PQ LUT pass is
+    demoted to a SHORTLISTER (top-50 per query by approximate score);
+    the shortlist's RAW vectors are fetched by id and re-scored exactly
+    against the broadcast query block, and the final top-k ranks on true
+    cosine. Recall is thereby lifted to the IVF candidate ceiling — PQ
+    distortion can only reorder within the shortlist, not evict a true
+    neighbor the coarse probe found.
+
+    Scale shape: the exact pass touches R×n_queries rows (a constant per
+    query), fetched via a broadcast semi-join of shortlist ids into the
+    embeddings scan — on a cluster with an id-bucketed table this is a
+    point-lookup join; the corpus-wide float work remains the one encode
+    pass. Everything else (bounded driver-side training, single encode
+    read, broadcast LUTs) is inherited from `similarity_topk_ivfpq`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    scored, emb, b_q = _ivfpq_scored(spark, sf_dir)
+
+    wpq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_pq").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("r", F.row_number().over(wpq))
+        .filter(F.col("r") <= REFINE_R)
+        .select("query_id", "neighbor_id")
+    )
+
+    cand_vecs = emb.join(
+        F.broadcast(shortlist), emb["vec_id"] == shortlist["neighbor_id"]
+    ).select("query_id", "neighbor_id", "embedding")
+
+    def rescore(batches):
+        qpos_, Qv, qn = b_q.value
+        Qv, qn = np.asarray(Qv), np.asarray(qn)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            qi = np.asarray([qpos_[q] for q in pdf["query_id"]])
+            dots = (Qv[qi] * V).sum(axis=1)
+            cos = dots / (qn[qi] * np.linalg.norm(V, axis=1))
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cosine": cos,
+                }
+            )
+
+    exact = cand_vecs.mapInPandas(rescore, "query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
         .orderBy("query_id", "rank")
     )

@@ -99,6 +99,7 @@ _NEW_THIS_ROUND = (
     "graph_pagerank",
     "basket_rules",
     "graph_communities_lpa",
+    "similarity_topk_ivfpq_refine",
     "dedup_band_spill_report",
     "semantic_cluster_assign",
     "semantic_cluster_refine",
