@@ -100,6 +100,7 @@ _NEW_THIS_ROUND = (
     "basket_rules",
     "graph_communities_lpa",
     "similarity_topk_ivfpq_refine",
+    "sql_recursive_reach",
     "dedup_band_spill_report",
     "semantic_cluster_assign",
     "semantic_cluster_refine",
