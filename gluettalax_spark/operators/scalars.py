@@ -299,3 +299,61 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# SQL UDFs (Spark 4 CREATE FUNCTION — Catalyst-inlined, codegen-resident)
+# --------------------------------------------------------------------------
+
+_SQL_UDF_ORACLE = r"""
+SELECT
+  source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  round(avg(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))), 4)
+    AS avg_tokens,
+  round(avg(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+            / length(text)), 4) AS avg_punct
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "sql_udf_text_metrics",
+    _SQL_UDF_ORACLE,
+    doc="per-source text metrics through Spark 4 SQL UDFs (CREATE FUNCTION, inlined into codegen)",
+)
+def sql_udf_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reusable scalar logic as Spark 4 **SQL UDFs** (`CREATE FUNCTION …
+    RETURNS … RETURN expr`): token counting and punctuation ratio are
+    defined once and called like built-ins. Unlike Python UDFs, Catalyst
+    INLINES the function body into the plan — the expressions stay
+    inside WholeStageCodegen with zero serialization boundary (pinned in
+    test_plans.py: no BatchEvalPython/ArrowEvalPython node exists), so
+    the "UDF" costs exactly what writing the expression inline would.
+    That's the right default for shareable scalar logic at 100 TB; the
+    Python/pandas UDF families remain for logic SQL can't express.
+
+    The DuckDB oracle computes the same metrics with the function bodies
+    inlined (single-statement oracle contract — no macros needed)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gx_tok_count(t STRING) RETURNS INT "
+        r"RETURN size(filter(split(lower(t), '\\s+'), x -> x <> ''))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gx_punct_ratio(t STRING) RETURNS DOUBLE "
+        "RETURN CAST(length(t) - length(regexp_replace(t, '[.,;:!?]', '')) AS DOUBLE) / length(t)"
+    )
+    return spark.sql(
+        f"""
+        SELECT
+          source,
+          count(*) AS n_docs,
+          round(avg(gx_tok_count(text)), 4) AS avg_tokens,
+          round(avg(gx_punct_ratio(text)), 4) AS avg_punct
+        FROM parquet.`{sf_dir}/documents.parquet`
+        GROUP BY source
+        ORDER BY source
+        """
+    )

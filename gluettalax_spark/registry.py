@@ -101,6 +101,7 @@ _NEW_THIS_ROUND = (
     "graph_communities_lpa",
     "similarity_topk_ivfpq_refine",
     "sql_recursive_reach",
+    "sql_udf_text_metrics",
     "dedup_band_spill_report",
     "semantic_cluster_assign",
     "semantic_cluster_refine",

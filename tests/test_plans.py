@@ -593,3 +593,17 @@ def test_basket_rules_take_ordered_no_cartesian(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:2000]
+
+
+def test_sql_udf_metrics_stay_in_codegen(spark, sf_dir):
+    """SQL UDFs must be INLINED by Catalyst — no Python evaluation node
+    of any kind, and the aggregation input stays inside whole-stage
+    codegen. (A regression to a Python UDF here silently costs the
+    serialization boundary the operator exists to avoid.)"""
+    df = queries()["sql_udf_text_metrics"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan[:2000]
+    assert "PythonUDF" not in plan, plan[:2000]
+    # The function BODY must appear inlined inside the aggregate itself —
+    # proof Catalyst substituted the SQL UDF rather than calling anything.
+    assert "avg(size(filter(split(lower(" in plan, plan[:2000]
