@@ -87,6 +87,7 @@ HEADLINE = [
     "decontaminate_bloom",
     "events_freq_cms",
     "basket_rules",
+    "sql_udf_text_metrics",
 ]
 
 
