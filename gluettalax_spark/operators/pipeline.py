@@ -1195,3 +1195,73 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.desc("n_ab"), "part_a", "part_b")
         .limit(_RULES_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time (AS OF) reconstruction
+# --------------------------------------------------------------------------
+
+_AS_OF_TS = "2024-01-15 00:00:00"
+
+_SCD2_AS_OF_ORACLE = f"""
+WITH changes AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_id
+  FROM events
+),
+transitions AS (
+  SELECT user_id, ts, event_type, event_id
+  FROM changes
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+as_of_state AS (
+  SELECT user_id, event_type AS state, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM transitions
+  WHERE ts <= TIMESTAMP '{_AS_OF_TS}'
+)
+SELECT user_id, state, strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from
+FROM as_of_state
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@register(
+    "scd2_as_of",
+    _SCD2_AS_OF_ORACLE,
+    doc=f"point-in-time (AS OF '{_AS_OF_TS}') state reconstruction over the SCD2 history",
+)
+def scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the Type-2 dimension: every user's state AS OF a
+    fixed timestamp — the query a Delta/Iceberg `VERSION AS OF` answers
+    from snapshot metadata, reconstructed here directly from the change
+    log (the portable form when the table format is plain parquet).
+
+    Scale shape: the AS-OF filter lands BEFORE both windows (only events
+    ≤ T are scanned — with date-partitioned event storage this is
+    partition pruning, not a filter); transition collapse and the
+    latest-row pick share one (user_id) exchange; nothing is unbounded —
+    the result is one row per user. `scd2_user_history` materializes the
+    full validity table; this op answers one point query without it."""
+    events = load(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit(_AS_OF_TS).cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    transitions = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "ts", "event_type", "event_id")
+    )
+    wd = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        transitions.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        )
+        .orderBy("user_id")
+    )

@@ -102,6 +102,7 @@ _NEW_THIS_ROUND = (
     "similarity_topk_ivfpq_refine",
     "sql_recursive_reach",
     "sql_udf_text_metrics",
+    "scd2_as_of",
     "dedup_band_spill_report",
     "semantic_cluster_assign",
     "semantic_cluster_refine",
