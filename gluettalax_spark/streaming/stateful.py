@@ -411,3 +411,71 @@ def streaming_sessionize_event_time(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bounded-state streaming heavy hitters (mergeable Misra-Gries summary)
+# --------------------------------------------------------------------------
+
+HH_CAPACITY = 8  # counters per group — small so the fixture actually compresses
+HH_OUTPUT_SCHEMA = "event_type string, user_id long, est long, n_seen long"
+_HH_STATE_SCHEMA = "ids array<long>, counts array<long>, n_seen long"
+
+
+def _make_heavy_hitters_fn(capacity: int = HH_CAPACITY):
+    """Closure-built (workers can't import this package). Per event_type,
+    maintain a Misra-Gries summary of user_id frequencies in AT MOST
+    ``capacity`` counters: merge each micro-batch's exact value_counts
+    into the summary, then compress by subtracting the (capacity+1)-th
+    largest count (the mergeable-summaries compress of Agarwal et al.,
+    PODS'12). Invariants the test pins: est ≤ true (compress only
+    subtracts) and true − est ≤ n_seen/(capacity+1); any user with true
+    count above that bound is guaranteed present."""
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        if state.exists:
+            ids, counts, n_seen = state.get
+            summ = dict(zip(ids, counts))
+        else:
+            summ, n_seen = {}, 0
+        for pdf in pdfs:
+            vc = pdf["user_id"].value_counts()
+            n_seen += int(vc.sum())
+            for uid, c in vc.items():
+                summ[int(uid)] = summ.get(int(uid), 0) + int(c)
+        if len(summ) > capacity:
+            items = sorted(summ.items(), key=lambda kv: (-kv[1], kv[0]))
+            cut = items[capacity][1]
+            summ = {k: v - cut for k, v in items[:capacity] if v - cut > 0}
+        state.update((list(summ.keys()), list(summ.values()), n_seen))
+        out = sorted(summ.items(), key=lambda kv: (-kv[1], kv[0]))
+        yield _pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(out),
+                "user_id": [k for k, _ in out],
+                "est": [v for _, v in out],
+                "n_seen": [n_seen] * len(out),
+            }
+        )
+
+    return update
+
+
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state: unlike the windowed
+    aggregates (state per distinct key — unbounded under adversarial key
+    churn), the Misra-Gries summary holds ≤ HH_CAPACITY counters per
+    group NO MATTER how many distinct users flow through — the streaming
+    twin of the batch sketches (`events_heavy_hitters_sketch`,
+    `events_freq_cms`). Emitted in update mode; each emission carries
+    n_seen so consumers can apply the ε = 1/(capacity+1) error bound."""
+    stream = read_events_stream(spark, sf_dir).select("event_type", "user_id")
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _make_heavy_hitters_fn(),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

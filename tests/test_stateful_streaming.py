@@ -275,3 +275,51 @@ def test_sessionize_timeout_closes_state(spark, sf_dir, tmp_path):
         .collect()
     }
     assert final == expect
+
+
+def test_streaming_heavy_hitters_mg_guarantees(spark, sf_dir):
+    """Misra-Gries invariants vs the exact batch truth: never overcount,
+    undercount bounded by n/(capacity+1), and every user above that bound
+    is present in the final summary. Also pins the state really is
+    bounded: ≤ capacity rows per event_type in every emission."""
+    from collections import defaultdict
+
+    from gluettalax_spark.streaming.stateful import HH_CAPACITY, streaming_heavy_hitters
+
+    stream_df = streaming_heavy_hitters(spark, sf_dir)
+    assert stream_df.isStreaming
+    rows = run_stream_to_memory(spark, stream_df, "hh_smoke", output_mode="update").collect()
+    assert rows
+
+    # Final summary per event_type = the emission with the largest n_seen.
+    latest_n = defaultdict(int)
+    for r in rows:
+        latest_n[r.event_type] = max(latest_n[r.event_type], r.n_seen)
+    final = defaultdict(dict)
+    for r in rows:
+        if r.n_seen == latest_n[r.event_type]:
+            final[r.event_type][r.user_id] = r.est
+
+    truth = defaultdict(dict)
+    totals = defaultdict(int)
+    for r in (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        truth[r.event_type][r.user_id] = r.n
+        totals[r.event_type] += r.n
+
+    assert set(final) == set(truth)
+    for et, summ in final.items():
+        assert len(summ) <= HH_CAPACITY
+        assert latest_n[et] == totals[et]  # every event was counted
+        bound = totals[et] / (HH_CAPACITY + 1)
+        for uid, est in summ.items():
+            true = truth[et][uid]
+            assert est <= true, (et, uid, est, true)
+            assert true - est <= bound + 1e-9, (et, uid, est, true, bound)
+        for uid, true in truth[et].items():
+            if true > bound:
+                assert uid in summ, (et, uid, true, bound)
