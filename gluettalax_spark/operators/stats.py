@@ -542,3 +542,65 @@ def events_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_est",
         (F.col("n_est") - F.col("n_exact")).alias("overcount"),
     ).orderBy(F.desc("n_exact"), F.asc("user_id"))
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram (exact deciles via the distributed rank path)
+# --------------------------------------------------------------------------
+
+_EQUIDEPTH_K = 10
+
+_EQUIDEPTH_ORACLE = f"""
+WITH ranked AS (
+  SELECT l_extendedprice AS v,
+         ntile({_EQUIDEPTH_K}) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS decile
+  FROM lineitem
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(min(v), 2) AS lo,
+       round(max(v), 2) AS hi
+FROM ranked
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+@register(
+    "agg_histogram_equidepth",
+    _EQUIDEPTH_ORACLE,
+    doc=f"exact equi-depth ({_EQUIDEPTH_K}-bucket) price histogram via distributed rank",
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram — the complement of `agg_histogram`'s
+    equal-WIDTH buckets: every decile holds the same row count and the
+    boundaries fall where the data is dense (the histogram an optimizer
+    or a data-quality monitor actually wants for a skewed money column).
+
+    Scale shape: ANSI `ntile` over the whole table would funnel every
+    row through one task; this goes through `rank.exact_global_rank`
+    (range-repartition on the total order + per-partition offsets) and
+    the closed-form `ntile_from_rank`, so the only wide operation is a
+    range exchange — the same scale-safe path as
+    `window_ntile_distribution`, here exercised on the FACT table. The
+    oracle replays ANSI ntile directly; the closed form matches it
+    exactly (property-tested in test_rank.py for arbitrary (n, k))."""
+    from gluettalax_spark.operators.rank import exact_global_rank, ntile_from_rank
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    ranked = exact_global_rank(li, ["v", "l_orderkey", "l_linenumber"], "rn")
+    return (
+        ranked.select(
+            "v", ntile_from_rank(F.col("rn"), F.col("_n"), _EQUIDEPTH_K).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("v"), 2).alias("lo"),
+            F.round(F.max("v"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )

@@ -103,6 +103,7 @@ _NEW_THIS_ROUND = (
     "sql_recursive_reach",
     "sql_udf_text_metrics",
     "scd2_as_of",
+    "agg_histogram_equidepth",
     "dedup_band_spill_report",
     "semantic_cluster_assign",
     "semantic_cluster_refine",
