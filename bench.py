@@ -88,6 +88,8 @@ HEADLINE = [
     "events_freq_cms",
     "basket_rules",
     "sql_udf_text_metrics",
+    "scd2_as_of",
+    "agg_histogram_equidepth",
 ]
 
 
