@@ -503,6 +503,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n_nodes = deg.count()
+    if n_nodes == 0:
+        # Support-pruned graph can be empty; an empty result beats a
+        # divide-by-zero in the teleport term.
+        return spark.createDataFrame([], "part long, rank double, degree long")
     base = (1.0 - _PR_DAMPING) / n_nodes
     ranks = deg.select("n", F.lit(1.0 / n_nodes).alias("r"))
     for _ in range(_PR_ITERS):

@@ -1080,9 +1080,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Verify side rebuilt from the already-collected hashes — the eval
     # lineage (scan + shingle windows) is not recomputed.
-    eval_df = spark.createDataFrame(
-        eval_pdf[["hs"]] if len(eval_pdf) else pd.DataFrame({"hs": pd.Series([], dtype="int64")})
-    )
+    eval_df = spark.createDataFrame(eval_pdf[["hs"]], schema="hs long")
 
     train = shingles_exploded(
         spark, sf_dir, carry=("source",), where=F.col("source") != "src0"

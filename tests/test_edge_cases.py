@@ -119,3 +119,102 @@ def test_star_cc_matches_min_label(spark):
         a = {(r.node, r.component) for r in connected_components(df).collect()}
         b = {(r.node, r.component) for r in connected_components_star(df).collect()}
         assert a == b, (edges, a ^ b)
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "docs")
+    df.write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_decontaminate_bloom_empty_eval_set(spark, tmp_path):
+    """No src0 (eval) docs → empty bloom that rejects everything; the
+    query returns zero rows instead of crashing on the empty collect or
+    the empty verify build side."""
+    from gluettalax_spark.registry import queries
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "alpha beta gamma delta", "en", "src5", 22),
+            (2, "alpha beta gamma delta", "en", "src6", 22),
+        ],
+    )
+    assert queries()["decontaminate_bloom"](spark, sf).count() == 0
+
+
+def test_decontaminate_bloom_exact_hit(spark, tmp_path):
+    """One shared shingle between eval (src0) and train must survive the
+    bloom prefilter AND the exact verify."""
+    from gluettalax_spark.registry import queries
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "alpha beta gamma", "en", "src0", 16),
+            (2, "alpha beta gamma tail", "en", "src5", 21),
+            (3, "totally different words here", "en", "src5", 28),
+        ],
+    )
+    rows = queries()["decontaminate_bloom"](spark, sf).collect()
+    assert [(r.source, r.n_docs_flagged, r.n_hit_shingles) for r in rows] == [("src5", 1, 1)]
+
+
+def _write_lineitem(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long, l_linenumber long, l_extendedprice double")
+    out = str(tmp_path / "li")
+    df.write.parquet(f"{out}/lineitem.parquet")
+    return out
+
+
+def test_graph_ops_no_qualifying_edges(spark, tmp_path):
+    """Every basket pair occurs once (support < 2) → the pruned edge set
+    is empty; pagerank / LPA / recursive reach / basket rules must all
+    return empty, not crash on empty checkpoints or empty recursion."""
+    from gluettalax_spark.registry import queries
+
+    sf = _write_lineitem(
+        spark,
+        tmp_path,
+        [(1, 10, 1, 5.0), (1, 11, 2, 5.0), (2, 10, 1, 5.0), (2, 12, 2, 5.0)],
+    )
+    for name in ("graph_pagerank", "graph_communities_lpa", "sql_recursive_reach", "basket_rules"):
+        assert queries()[name](spark, sf).count() == 0, name
+
+
+def test_cms_single_user_is_exact(spark, tmp_path):
+    """One distinct user: the sketch can't collide with anyone, so the
+    estimate must be exactly the true count (overcount 0)."""
+    import datetime as dt
+
+    from gluettalax_spark.registry import queries
+
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 0, 0, i), 42, "view", 1.0, "{}") for i in range(7)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = str(tmp_path / "ev")
+    df.write.parquet(f"{out}/events.parquet")
+    rows = queries()["events_freq_cms"](spark, out).collect()
+    assert [(r.user_id, r.n_exact, r.n_est, r.overcount) for r in rows] == [(42, 7, 7, 0)]
+
+
+def test_scd2_as_of_before_any_event(spark, tmp_path):
+    """Every event is after the AS-OF point → no user existed yet; the
+    reconstruction is empty, not an error."""
+    import datetime as dt
+
+    from gluettalax_spark.registry import queries
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2025, 6, 1), 1, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = str(tmp_path / "ev2")
+    df.write.parquet(f"{out}/events.parquet")
+    assert queries()["scd2_as_of"](spark, out).count() == 0
