@@ -325,11 +325,31 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRI_MIN_SUPPORT = 2
 
+# Basket-size cap for every pair-explode over per-order baskets: one
+# degenerate mega-basket (a bulk order, a crawler artifact) yields
+# C(n,2) pairs from a single row — quadratic work the data model never
+# promised. Production market-basket pipelines drop oversized baskets
+# (they carry no signal: co-occurrence in a 10k-item order is noise);
+# the cap is REPLAYED in every DuckDB oracle, so it is part of the
+# operator spec, not a silent divergence (the round-5 lesson). The
+# fixture's widest basket is ~7, so fixture outputs are unchanged.
+MAX_BASKET = 256
+
+# Oracle fragment: orders whose DISTINCT part count is within the cap.
+_DUCK_CAPPED_OP = f"""(
+  SELECT o, p FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+  WHERE o IN (
+    SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    GROUP BY l_orderkey HAVING count(*) <= {MAX_BASKET}
+  )
+)"""
+
 
 def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(pa, pb), pa < pb — the part co-occurrence graph: parts co-ordered
     in >= ``_TRI_MIN_SUPPORT`` distinct orders (the min-support prune
-    that keeps a basket graph sparse).
+    that keeps a basket graph sparse); baskets wider than ``MAX_BASKET``
+    distinct parts are dropped whole (see the cap comment above).
 
     Per-order pair generation WITHOUT a self-join: one groupBy(order)
     collects the (deduped, sorted) basket — bounded by items-per-order,
@@ -339,6 +359,7 @@ def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         li.groupBy(F.col("l_orderkey").alias("o"))
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") <= MAX_BASKET)
     )
     return (
         baskets.select(
@@ -359,7 +380,7 @@ def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRIANGLE_ORACLE = f"""
 WITH op AS (
-  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  SELECT o, p FROM {_DUCK_CAPPED_OP}
 ), e AS (
   SELECT a.p AS pa, b.p AS pb
   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
@@ -545,7 +566,7 @@ def _lpa_oracle() -> str:
     argmax the Spark side computes — deterministic integer math, so the
     compare is hash-exact."""
     parts = [
-        f"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        f"""WITH op AS (SELECT o, p FROM {_DUCK_CAPPED_OP}),
 e0 AS (
   SELECT a.p AS pa, b.p AS pb FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
   GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}
@@ -664,7 +685,7 @@ LIMIT {_REACH_TOPK}
 """
 
 _REACH_ORACLE_EDGES = f"""(
-  WITH base AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+  WITH base AS (SELECT o, p FROM {_DUCK_CAPPED_OP})
   SELECT a.p AS pa, b.p AS pb
   FROM base a JOIN base b ON a.o = b.o AND a.p < b.p
   GROUP BY a.p, b.p HAVING count(*) >= {_TRI_MIN_SUPPORT}

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from gluettalax_spark.operators.graph import MAX_BASKET
 from gluettalax_spark.operators.rank import exact_global_rank, ntile_from_rank
 from gluettalax_spark.registry import register
 from gluettalax_spark.tables import load
@@ -264,7 +265,12 @@ def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COOCCUR_ORACLE = """
 WITH items AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  SELECT l_orderkey, l_partkey
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  WHERE l_orderkey IN (
+    SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    GROUP BY l_orderkey HAVING count(*) <= 256
+  )
 ),
 pairs AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
@@ -281,18 +287,31 @@ LIMIT 20
 
 @register("part_cooccurrence", _COOCCUR_ORACLE, doc="top part pairs co-ordered (market basket)")
 def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Co-occurrence mining: distinct (order, part), self-join WITHIN the
-    order key (an equi-join — pair fanout is bounded by basket size²,
-    never corpus²), count pairs, top-k. At 100 TB baskets are small and
-    the order key distributes evenly, so the join is shuffle-balanced;
-    the classic skew danger (one giant basket) is exactly what AQE
-    skew-split + salting (skew.py) exist for."""
-    items = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
-    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    """Co-occurrence mining over per-order baskets: ONE groupBy(order)
+    collects the deduped basket, ordered pairs explode map-side from the
+    array (one shuffle replaces distinct + self-join — the same builder
+    shape as `graph.cooccurrence_edges`), count pairs, top-k via
+    TakeOrderedAndProject. The classic skew danger — one degenerate
+    mega-basket contributing C(n,2) pairs — is handled structurally:
+    baskets wider than ``MAX_BASKET`` distinct parts are dropped whole,
+    and the DuckDB oracle replays the cap (cap semantics are part of the
+    operator spec)."""
+    li = load(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") <= MAX_BASKET)
+    )
     return (
-        a.join(b, "k")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("e")
+        )
+        .select("e.part_a", "e.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
@@ -1098,7 +1117,14 @@ _RULES_MIN_PAIR = 2
 _RULES_TOPK = 20
 
 _RULES_ORACLE = f"""
-WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+WITH items AS (
+  SELECT l_orderkey, l_partkey
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  WHERE l_orderkey IN (
+    SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    GROUP BY l_orderkey HAVING count(*) <= {MAX_BASKET}
+  )
+),
 n_tot AS (SELECT count(DISTINCT l_orderkey) AS N FROM items),
 icnt AS (SELECT l_partkey AS part, count(*) AS n_i FROM items GROUP BY 1),
 pairs AS (
@@ -1150,6 +1176,7 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         li.groupBy(F.col("l_orderkey").alias("o"))
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") <= MAX_BASKET)
         .localCheckpoint(eager=False)
     )
     n_tot = baskets.agg(F.count(F.lit(1)).alias("N"))

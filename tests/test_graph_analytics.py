@@ -68,6 +68,8 @@ def _triangle_brute(sf_dir: str) -> tuple[int, int, int, int]:
     pair_count: dict[tuple[int, int], int] = defaultdict(int)
     for _, grp in op.groupby("l_orderkey"):
         ps = sorted(grp["l_partkey"].tolist())
+        if len(ps) > 256:  # MAX_BASKET cap, replayed from graph.py
+            continue
         for i in range(len(ps)):
             for j in range(i + 1, len(ps)):
                 pair_count[(ps[i], ps[j])] += 1
@@ -177,6 +179,8 @@ def _pagerank_brute(sf_dir: str, iters: int = 8, d: float = 0.85):
     pair_count: dict[tuple[int, int], int] = defaultdict(int)
     for _, grp in op.groupby("l_orderkey"):
         ps = sorted(grp["l_partkey"].tolist())
+        if len(ps) > 256:  # MAX_BASKET cap, replayed from graph.py
+            continue
         for i in range(len(ps)):
             for j in range(i + 1, len(ps)):
                 pair_count[(ps[i], ps[j])] += 1

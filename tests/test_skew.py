@@ -225,3 +225,37 @@ def test_fuzzy_pairs_block_cap(spark, boilerplate_corpus, sf_dir):
     uncapped = text_fuzzy_prefix_pairs(spark, sf_dir, max_block=1 << 40)
     assert capped.exceptAll(uncapped).count() == 0
     assert uncapped.exceptAll(capped).count() == 0
+
+
+def test_mega_basket_capped_in_cooccurrence_family(spark, tmp_path):
+    """One 300-item order would contribute C(300,2) ≈ 45k pairs from a
+    single row; the MAX_BASKET cap drops it whole while normal baskets
+    still mine. The oracles replay the cap, so this is spec, not a
+    silent divergence."""
+    from gluettalax_spark.registry import queries
+
+    rows = []
+    # Degenerate order 99: 300 distinct parts.
+    rows += [(99, 1000 + i, i + 1, 1.0) for i in range(300)]
+    # Two normal co-orders making {1, 2} a support-2 pair.
+    rows += [(1, 1, 1, 1.0), (1, 2, 2, 1.0), (2, 1, 1, 1.0), (2, 2, 2, 1.0)]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_linenumber long, l_extendedprice double"
+    )
+    out = str(tmp_path / "li")
+    df.write.parquet(f"{out}/lineitem.parquet")
+
+    pairs = {(r.part_a, r.part_b): r.n_orders for r in queries()["part_cooccurrence"](spark, out).collect()}
+    # The mega-basket's 45k pairs are absent; the legit pair survives.
+    assert pairs == {(1, 2): 2}
+
+    tri = queries()["graph_triangle_count"](spark, out).collect()[0]
+    assert tri.n_edges == 1 and tri.n_triangles == 0  # only the capped graph
+
+    rules = queries()["basket_rules"](spark, out).collect()
+    # Both directions of the 1↔2 rule, computed over the CAPPED universe
+    # (N=2 baskets, the mega-basket excluded from counts too).
+    assert {(r.part_a, r.part_b, r.n_ab, r.conf, r.lift) for r in rules} == {
+        (1, 2, 2, 1.0, 1.0),
+        (2, 1, 2, 1.0, 1.0),
+    }
