@@ -604,3 +604,106 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# One-pass table profile (the ANALYZE/data-quality surface)
+# --------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+SELECT * FROM (
+  SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+         count(*) - count(o_custkey) AS n_null,
+         count(DISTINCT o_custkey) AS n_distinct,
+         CAST(min(o_custkey) AS VARCHAR) AS min_val,
+         CAST(max(o_custkey) AS VARCHAR) AS max_val
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+         count(DISTINCT o_orderdate),
+         strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+         strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+         count(DISTINCT o_orderpriority),
+         min(o_orderpriority), max(o_orderpriority)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+         count(DISTINCT o_orderstatus),
+         min(o_orderstatus), max(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+         count(DISTINCT o_totalprice),
+         CAST(round(min(o_totalprice), 2) AS VARCHAR),
+         CAST(round(max(o_totalprice), 2) AS VARCHAR)
+  FROM orders
+)
+ORDER BY column_name
+"""
+
+
+@register(
+    "table_profile_orders",
+    _PROFILE_ORACLE,
+    doc="one-pass column profile of orders: rows/nulls/exact distinct/min/max per column",
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE / data-quality profile: per-column row count, null
+    count, EXACT distinct count, and min/max — for five columns of
+    ``orders`` in ONE scan. Spark plans the multi-column exact distinct
+    as a single Expand (rows × #profiled columns) feeding one aggregate:
+    one pass over the data, not one scan per column (the oracle's
+    UNION-ALL form is the semantic spec, not the plan). At 100 TB you'd
+    swap the exact distincts for HLL sketches (`agg_hll_sketch_union`
+    shows the sketch path) — the Expand cost is the price of exactness,
+    and it's the one knob this op documents.
+
+    Min/max are normalized to strings per type (timestamps via a fixed
+    format, doubles rounded) so one long-format result covers
+    heterogeneous columns — the same shape ANALYZE tables and profiling
+    dashboards use."""
+    orders = load(spark, sf_dir, "orders")
+    prof = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            c
+            for name, mn, mx in [
+                ("o_custkey", F.min("o_custkey").cast("string"), F.max("o_custkey").cast("string")),
+                (
+                    "o_orderdate",
+                    F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+                    F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+                ),
+                ("o_orderpriority", F.min("o_orderpriority"), F.max("o_orderpriority")),
+                ("o_orderstatus", F.min("o_orderstatus"), F.max("o_orderstatus")),
+                (
+                    "o_totalprice",
+                    F.round(F.min("o_totalprice"), 2).cast("string"),
+                    F.round(F.max("o_totalprice"), 2).cast("string"),
+                ),
+            ]
+            for c in (
+                F.count(name).alias(f"cnt_{name}"),
+                F.countDistinct(name).alias(f"nd_{name}"),
+                mn.alias(f"min_{name}"),
+                mx.alias(f"max_{name}"),
+            )
+        ],
+    )
+    cols = ["o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus", "o_totalprice"]
+    stack_args = ", ".join(
+        f"'{c}', n_rows - cnt_{c}, nd_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return (
+        prof.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(cols)}, {stack_args}) AS (column_name, n_null, n_distinct, min_val, max_val)"
+            ),
+        )
+        .select("column_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+        .orderBy("column_name")
+    )

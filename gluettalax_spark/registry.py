@@ -104,6 +104,7 @@ _NEW_THIS_ROUND = (
     "sql_udf_text_metrics",
     "scd2_as_of",
     "agg_histogram_equidepth",
+    "table_profile_orders",
     "dedup_band_spill_report",
     "semantic_cluster_assign",
     "semantic_cluster_refine",
