@@ -719,3 +719,69 @@ def sql_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
     edges.createOrReplaceTempView("gx_reach_edges")
     return spark.sql(_REACH_SQL.format(edges="gx_reach_edges"))
+
+
+# --------------------------------------------------------------------------
+# Quality-aware dedup: keep the BEST document per near-dup cluster
+# --------------------------------------------------------------------------
+
+_KEEP_BEST_ORACLE = f"""
+{_CC_COMP_CTES}
+SELECT c.component,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       CAST(min(CASE WHEN rnk = 1 THEN c.doc_id END) AS BIGINT) AS keeper_id,
+       CAST(min(CASE WHEN rnk = 1 THEN n_chars END) AS BIGINT) AS keeper_chars
+FROM (
+  SELECT c.doc_id, c.component, d.n_chars,
+         row_number() OVER (
+           PARTITION BY c.component ORDER BY d.n_chars DESC, c.doc_id
+         ) AS rnk
+  FROM comp c JOIN documents d USING (doc_id)
+) c
+GROUP BY c.component
+ORDER BY c.component
+"""
+
+
+@register(
+    "dedup_keep_best",
+    _KEEP_BEST_ORACLE,
+    doc="near-dup clusters keeping the HIGHEST-QUALITY member (longest doc, tie min id)",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonicalization: production dedup keeps the BEST
+    member of each near-dup cluster, not the smallest id — here best =
+    longest document (``n_chars``; swap in any deterministic quality
+    score), ties broken by min doc_id so the choice is reproducible.
+
+    Composition of existing primitives: n-gram Jaccard pairs → connected
+    components (iterative min-label) → one argmax per cluster, folded
+    into a single ``min(struct(-n_chars, doc_id))`` aggregate on the
+    component key (the same no-window argmax as `graph_communities_lpa`
+    — the shuffle carries (component, two longs), and nothing funnels
+    through one task). The oracle replays the full chain: recursive-CTE
+    closure + ANSI row_number argmax."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        comp.join(docs, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("neg"), F.col("doc_id").alias("id")
+                )
+            ).alias("best"),
+        )
+        .select(
+            "component",
+            "cluster_size",
+            F.col("best.id").alias("keeper_id"),
+            (-F.col("best.neg")).alias("keeper_chars"),
+        )
+        .orderBy("component")
+    )

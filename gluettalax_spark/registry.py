@@ -105,6 +105,7 @@ _NEW_THIS_ROUND = (
     "scd2_as_of",
     "agg_histogram_equidepth",
     "table_profile_orders",
+    "dedup_keep_best",
     "dedup_band_spill_report",
     "semantic_cluster_assign",
     "semantic_cluster_refine",
