@@ -397,3 +397,82 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# Lag-gap batch sessionization (the window-function form of sessions)
+# --------------------------------------------------------------------------
+
+_SESSIONIZE_GAP_MIN = 30
+
+_SESSIONIZE_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '{_SESSIONIZE_GAP_MIN}' MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       CAST(session_no AS BIGINT) AS session_no,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS started,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+FROM sessions
+GROUP BY user_id, session_no
+ORDER BY n_events DESC, user_id, session_no
+LIMIT 25
+"""
+
+
+@register(
+    "events_sessionize_batch",
+    _SESSIONIZE_ORACLE,
+    doc=f"lag-gap sessionization ({_SESSIONIZE_GAP_MIN}-min inactivity), top-25 sessions by size",
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap — the window-function
+    counterpart of `events_session_window`'s ``session_window``
+    aggregate (and of the stateful streaming sessionizers): mark a new
+    session wherever the per-user gap exceeds 30 minutes (lag), number
+    sessions with a running sum over the SAME per-user ordering — both
+    windows share one (user_id) exchange and sort — then aggregate
+    per-session stats and TakeOrderedAndProject the top-25.
+
+    Scale note: the windows partition by user_id, so parallelism is the
+    user population and per-task work is bounded by one user's events —
+    the safe window class (the banned class is the unpartitioned global
+    window; pinned repo-wide in test_plans.py)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Gap test at MICROSECOND precision (unix_micros), matching the
+    # oracle's exact interval compare — a cast-to-seconds gap test
+    # truncates and flips sessions whose gap straddles a whole second.
+    marked = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > _SESSIONIZE_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn("session_no", F.sum("new_session").over(w))
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("started"),
+            (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("duration_s"),
+        )
+        .orderBy(F.desc("n_events"), "user_id", "session_no")
+        .limit(25)
+    )

@@ -106,6 +106,7 @@ _NEW_THIS_ROUND = (
     "agg_histogram_equidepth",
     "table_profile_orders",
     "dedup_keep_best",
+    "events_sessionize_batch",
     "dedup_band_spill_report",
     "semantic_cluster_assign",
     "semantic_cluster_refine",
