@@ -52,6 +52,9 @@ SHOWCASE = {
     "similarity_topk_ivfpq_refine": "PQ demoted to shortlister; exact re-rank fetches raw vectors by broadcast id join",
     "sql_recursive_reach": "Catalyst UnionLoop over a materialized edge view; depth cap bounds the frontier",
     "sql_udf_text_metrics": "SQL UDF bodies inlined into the aggregate; no Python eval node",
+    "table_profile_orders": "five-column profile in one scan; multi-distinct via a single Expand",
+    "dedup_keep_best": "cluster argmax as min(struct) on the component key; no window",
+    "events_sessionize_batch": "lag + running sum share one user exchange; top-25 via TakeOrderedAndProject",
 }
 
 
