@@ -607,3 +607,36 @@ def test_sql_udf_metrics_stay_in_codegen(spark, sf_dir):
     # The function BODY must appear inlined inside the aggregate itself —
     # proof Catalyst substituted the SQL UDF rather than calling anything.
     assert "avg(size(filter(split(lower(" in plan, plan[:2000]
+
+
+def test_table_profile_single_scan_single_expand(spark, sf_dir):
+    """Five-column profile must be ONE scan: the multi-column exact
+    distinct plans as a single Expand over one FileScan — not one
+    aggregation pass per column."""
+    df = queries()["table_profile_orders"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    assert "Expand" in plan, plan[:2000]
+
+
+def test_sessionize_batch_one_user_exchange_and_take_ordered(spark, sf_dir):
+    """The lag window and the running-sum window must share ONE user_id
+    hash exchange (same partitioning + ordering), and the top-25 must be
+    TakeOrderedAndProject, not a global sort of all sessions."""
+    import re
+
+    df = queries()["events_sessionize_batch"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1, plan[:2000]
+
+
+def test_keep_best_argmax_without_window(spark, sf_dir):
+    """The per-cluster keeper is a min(struct) AGGREGATE on the component
+    key — a row_number window here would re-sort every cluster's rows;
+    the aggregate form partial-aggregates map-side."""
+    df = queries()["dedup_keep_best"](spark, sf_dir)
+    plan = physical_plan(df)
+    # The only windows permitted are those inside the pair-generation
+    # lineage (shingle windows partition by doc_id); none on component.
+    assert "windowspecdefinition(component" not in plan, plan[:2000]
