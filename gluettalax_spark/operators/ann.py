@@ -345,8 +345,14 @@ def _ivfpq_scored(spark: SparkSession, sf_dir: str):
             )
 
     scored = cand.mapInPandas(score, "query_id long, neighbor_id long, cosine_pq double")
-    b_q = sc.broadcast((qpos, Q.tolist(), q_norm.tolist()))
-    return scored, emb, b_q
+
+    def make_b_q():
+        # Broadcast of the full-precision query block, built lazily: only
+        # the refine path needs it — the plain IVFPQ caller would
+        # otherwise ship (and never unpersist) an unused broadcast.
+        return sc.broadcast((qpos, Q.tolist(), q_norm.tolist()))
+
+    return scored, emb, make_b_q
 
 
 @register(
@@ -415,7 +421,8 @@ def similarity_topk_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.window import Window
 
-    scored, emb, b_q = _ivfpq_scored(spark, sf_dir)
+    scored, emb, make_b_q = _ivfpq_scored(spark, sf_dir)
+    b_q = make_b_q()
 
     wpq = Window.partitionBy("query_id").orderBy(
         F.col("cosine_pq").desc(), F.col("neighbor_id")

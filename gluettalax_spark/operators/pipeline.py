@@ -263,13 +263,13 @@ def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Co-occurrence (market basket): part pairs ordered together
 # --------------------------------------------------------------------------
 
-_COOCCUR_ORACLE = """
+_COOCCUR_ORACLE = f"""
 WITH items AS (
   SELECT l_orderkey, l_partkey
   FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
   WHERE l_orderkey IN (
     SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-    GROUP BY l_orderkey HAVING count(*) <= 256
+    GROUP BY l_orderkey HAVING count(*) <= {MAX_BASKET}
   )
 ),
 pairs AS (

@@ -312,7 +312,7 @@ SELECT
   round(avg(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))), 4)
     AS avg_tokens,
   round(avg(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
-            / length(text)), 4) AS avg_punct
+            / nullif(length(text), 0)), 4) AS avg_punct
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -343,7 +343,9 @@ def sql_udf_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION gx_punct_ratio(t STRING) RETURNS DOUBLE "
-        "RETURN CAST(length(t) - length(regexp_replace(t, '[.,;:!?]', '')) AS DOUBLE) / length(t)"
+        # nullif guard: empty text must be NULL (excluded by avg) in BOTH
+        # engines — DuckDB's IEEE x/0 yields inf and would poison avg_punct.
+        "RETURN CAST(length(t) - length(regexp_replace(t, '[.,;:!?]', '')) AS DOUBLE) / nullif(length(t), 0)"
     )
     return spark.sql(
         f"""

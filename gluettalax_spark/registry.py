@@ -46,83 +46,31 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder]
 
 
 # Keys surfaced FIRST so a sampling driver gives them a verdict this
-# round. Round 5: the 39 keys that have never appeared in any
+# round. Round 6: exactly the 18 keys that have never appeared in any
 # CORRECTNESS_r*.json sample (all green in the local sweep; this rotation
-# converts that into driver-signed verdicts for the tail).
+# converts that into driver-signed verdicts and closes the tail —
+# afterwards every registry key has a driver verdict in some round).
+# tests/test_registry_contract.py asserts this set is disjoint from the
+# keys already carrying a driver verdict, so a stale rotation can't recur.
 _NEW_THIS_ROUND = (
-    "events_sliding_window",
-    "events_session_window",
-    "events_hourly_user_stats",
-    "events_gapfill",
-    "events_hypertable_rollup",
-    "events_conversion_pairs",
-    "similarity_lsh_recall",
-    "embedding_neardup_exact",
-    "corpus_dup_report",
-    "dedup_filter_corpus",
-    "dedup_minhash_clusters",
-    "project_filter_glob",
-    "filter_glob_any_column",
-    "sort_limit_topk",
-    "distinct_sorted",
-    "set_operations",
-    "pivot_status",
-    "unpivot_part_metrics",
-    "agg_grouping_sets",
-    "set_operations_bag",
-    "pandas_udf_scalar",
-    "pandas_udaf_grouped",
-    "apply_in_pandas_grouped",
-    "scalar_string_date_math",
-    "json_extract_props",
-    "json_to_map",
-    "array_ops_embeddings",
-    "json_keys_histogram",
-    "scalar_null_semantics",
-    "join_salted",
-    "agg_stats_moments",
-    "agg_histogram",
-    "agg_hll_sketch_union",
-    "corpus_prep_pipeline",
-    "decontaminate_eval_overlap",
-    "doc_token_chunks",
-    "udtf_token_counts",
-    "top_customers_per_nation",
-    "revenue_mom_growth",
-    # new in round 5 — this session's additions first: with the 39-key
-    # tail above they fit inside a 50-key sample, so both the old tail
-    # and the newest ops get driver verdicts; the prior-session keys
-    # below are the ones with the heaviest independent pins (third-engine
-    # recomputes), so they lose least by waiting a round.
-    "decontaminate_bloom",
-    "events_freq_cms",
-    "graph_pagerank",
-    "basket_rules",
-    "graph_communities_lpa",
-    "similarity_topk_ivfpq_refine",
-    "sql_recursive_reach",
-    "sql_udf_text_metrics",
-    "scd2_as_of",
-    "agg_histogram_equidepth",
-    "table_profile_orders",
-    "dedup_keep_best",
-    "events_sessionize_batch",
+    "common_token_ratio",
+    "corpus_incremental_dedup",
     "dedup_band_spill_report",
+    "dedup_containment_pairs",
+    "dedup_keep_best",
+    "events_heavy_hitters_sketch",
+    "events_sessionize_batch",
+    "export_training_shards",
+    "graph_triangle_count",
+    "paragraph_dedup",
+    "quality_quantile_filter_by_lang",
     "semantic_cluster_assign",
     "semantic_cluster_refine",
     "semantic_dedup",
-    "token_budget_sample",
-    "source_overlap_matrix",
-    "export_training_shards",
-    "corpus_incremental_dedup",
-    "quality_quantile_filter_by_lang",
-    "common_token_ratio",
-    "paragraph_dedup",
-    "graph_triangle_count",
-    "events_heavy_hitters_sketch",
-    "similarity_topk_pq",
     "similarity_topk_ivfpq",
-    "dedup_containment_pairs",
+    "similarity_topk_pq",
+    "source_overlap_matrix",
+    "token_budget_sample",
 )
 
 

@@ -55,3 +55,22 @@ def test_sampling_rotation_names_are_registered():
 
     missing = [n for n in registry._NEW_THIS_ROUND if n not in registry.all_queries()]
     assert not missing, missing
+
+
+def test_sampling_rotation_excludes_already_verdicted_keys():
+    """_NEW_THIS_ROUND must be disjoint from keys that already have a
+    driver verdict in some CORRECTNESS_r*.json — re-surfacing a green key
+    wastes a sample slot that an unsigned key needs (VERDICT r5 nit 1)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            seen |= set(json.load(open(path)).keys())
+        except (OSError, json.JSONDecodeError):
+            continue
+    stale = sorted(set(registry._NEW_THIS_ROUND) & seen)
+    assert not stale, f"rotation re-surfaces already-verdicted keys: {stale}"
