@@ -1,10 +1,20 @@
 #!/usr/bin/env python
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+Stdout layout (truncation-proof — the driver captures only the LAST
+2000 chars of stdout, which ate round 5's single long JSON line):
 
-Each query is executed once after a warm-up action so the JVM/codegen
+  line 1: the FULL detail JSON (all per-query best + median timings) —
+          also written to BENCH_SELF.json next to this script;
+  final line: a COMPACT summary JSON (< ~1 KB) with the totals, the
+          fixed round-4 40-query subset totals for round-over-round
+          comparison, and only the 10 slowest per-query timings.
+
+A tail-capturing driver always gets the complete final line; a human
+running ``python bench.py`` sees the full map on line 1; the committed
+``BENCH_SELF.json`` carries everything either way.
+
+Each query is executed after a warm-up action so the JVM/codegen
 warm-up isn't billed to the first query. Timing covers plan + execution
 to a count/collect action (results are not shipped to the driver except
 for small aggregates, mirroring how the driver consumes them).
@@ -92,6 +102,13 @@ HEADLINE = [
     "agg_histogram_equidepth",
 ]
 
+# The round-4 bench set (BENCH_r04.json's 40 keys == the first 40
+# HEADLINE entries, through latest_snapshot). Its subtotal is reported as
+# its own field every round so round-over-round comparison is a fixed
+# like-for-like subset, independent of how many queries HEADLINE grows.
+R4_SUBSET = HEADLINE[:40]
+assert R4_SUBSET[-1] == "latest_snapshot"
+
 
 def main() -> None:
     from gluettalax_spark import registry
@@ -137,27 +154,55 @@ def main() -> None:
         medians[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "value_median": round(sum(medians.values()), 4),
-                "sf": sf,
-                # Methodology, recorded so rounds compare like-for-like:
-                # one uncounted warm-up action, then per-query best-of-N
-                # on a warm JVM ("warm" = codegen/JIT/footers cached).
-                # "queries"/"value" stay best-of-N for continuity with
-                # rounds 1-4; the *_median fields are the stable series.
-                "timing": "warm",
-                "runs_per_query": runs_per_query,
-                "report": "best+median",
-            }
-        )
-    )
+    r4_names = [n for n in R4_SUBSET if n in timings]
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "value_median": round(sum(medians.values()), 4),
+        "r4_subset_value": round(sum(timings[n] for n in r4_names), 4),
+        "r4_subset_value_median": round(sum(medians[n] for n in r4_names), 4),
+        "n_queries": len(timings),
+        "sf": sf,
+        # Methodology, recorded so rounds compare like-for-like:
+        # one uncounted warm-up action, then per-query best-of-N
+        # on a warm JVM ("warm" = codegen/JIT/footers cached).
+        # "queries"/"value" stay best-of-N for continuity with
+        # rounds 1-4; the *_median fields are the stable series.
+        "timing": "warm",
+        "runs_per_query": runs_per_query,
+        "report": "best+median",
+    }
+    print(json.dumps(full), flush=True)
+    try:
+        self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
+        with open(self_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line 1 still has everything
+
+    # Compact summary LAST: totals + the 10 slowest queries only, so it
+    # fits whole inside a 2000-char stdout tail capture.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "value_median": full["value_median"],
+        "r4_subset_value": full["r4_subset_value"],
+        "r4_subset_value_median": full["r4_subset_value_median"],
+        "n_queries": len(timings),
+        "sf": sf,
+        "runs_per_query": runs_per_query,
+        "queries": slowest,
+        "queries_note": "10 slowest of n_queries; full map on stdout line 1 and in BENCH_SELF.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"compact summary too long for tail capture: {len(line)}"
+    print(line, flush=True)
     spark.stop()
 
 
