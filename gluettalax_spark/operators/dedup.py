@@ -189,18 +189,40 @@ def _cap_band_buckets(bands: DataFrame, key_cols: list[str], id_col: str, cap: i
       min(id) of the bucket, rep < member always;
     * ``spill`` — (key_cols..., bucket_n) for each degraded bucket — the
       observability feed (log it, alert on it; see
-      dedup_band_spill_report)."""
+      dedup_band_spill_report).
+
+    The over-cap set is found with a partial-aggregated groupBy (keys
+    only shuffle) and materialized eagerly — it is bounded, so this is
+    one tiny job — then checked driver-side: on a non-skewed corpus (the
+    common case) the guard costs exactly that probe and ``kept`` IS the
+    input, so the downstream candidate join runs the same plan as an
+    uncapped build (no broadcasts, no anti-join, no empty star branch).
+    Only when skew is actually present do the broadcast anti-join and
+    star rewrite enter the plan — the same adapt-at-runtime shape AQE
+    uses for skew joins. A window over the band key would be one pass
+    but would hash-partition the mega-bucket onto a single task — the
+    exact skew this cap exists to avoid — so the aggregate+broadcast
+    shape is the one that survives 100 TB."""
     sizes = bands.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("bucket_n"), F.min(id_col).alias("_rep")
     )
-    over = sizes.filter(F.col("bucket_n") > cap)
+    # Bounded (< corpus/cap rows): materialize once, feed the emptiness
+    # probe and (on the skew path) BOTH broadcasts without recomputing
+    # the size aggregate per consumer.
+    over = sizes.filter(F.col("bucket_n") > cap).localCheckpoint(eager=True)
+    spill = over.select(*key_cols, "bucket_n")
+    if over.isEmpty():
+        star = bands.limit(0).select(
+            F.col(id_col).alias("_star_a"), F.col(id_col).alias("_star_b")
+        )
+        return bands, star, spill
     kept = bands.join(F.broadcast(over.select(*key_cols)), key_cols, "left_anti")
     star = (
         bands.join(F.broadcast(over.select(*key_cols, "_rep")), key_cols)
         .filter(F.col(id_col) != F.col("_rep"))
         .select(F.col("_rep").alias("_star_a"), F.col(id_col).alias("_star_b"))
     )
-    return kept, star, over.select(*key_cols, "bucket_n")
+    return kept, star, spill
 
 
 def _minhash_band_array() -> Column:
