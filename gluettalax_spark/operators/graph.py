@@ -29,12 +29,28 @@ from gluettalax_spark.tables import load
 
 _MAX_ROUNDS = 25
 
+# Min-label rounds before falling over to the large-star/small-star
+# variant. Near-dup clusters are shallow (diameter ≲ 3), so the common
+# case converges here at one join+agg per round; a chained graph (a
+# template-spam corpus produces paths, diameter ~ corpus size) would need
+# DIAMETER rounds, so past this budget the remaining work is contracted
+# and finished in O(log² n) star rounds instead of being truncated.
+_FALLOVER_ROUNDS = 5
+
 
 def connected_components(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     """(node, component) for every node in ``edges``; component = min node
     id reachable. Pure DataFrame iteration — no RDDs, no collect of data
     (only a 1-row convergence count per round crosses to the driver).
-    """
+
+    Hybrid: min-label propagation (cheapest per round, diameter-bounded
+    rounds) with a round-count guard — if the graph hasn't converged in
+    ``_FALLOVER_ROUNDS`` it is DEEP, so the partially-collapsed graph is
+    contracted to label space (every label = one supernode; edges between
+    equal labels drop) and handed to :func:`connected_components_star`,
+    whose round count is O(log² n) regardless of diameter. Same fixpoint
+    either way (component = min reachable id); the fallover only changes
+    which join schedule reaches it."""
     sym = edges.selectExpr(f"{src} AS u", f"{dst} AS v").unionByName(
         edges.selectExpr(f"{dst} AS u", f"{src} AS v")
     )
@@ -45,7 +61,8 @@ def connected_components(edges: DataFrame, src: str = "u", dst: str = "v") -> Da
         .withColumn("lab", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(_MAX_ROUNDS):
+    converged = False
+    for _ in range(_FALLOVER_ROUNDS):
         nbr_min = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u")
@@ -67,8 +84,26 @@ def connected_components(edges: DataFrame, src: str = "u", dst: str = "v") -> Da
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    return labels.select(F.col("node"), F.col("lab").alias("component"))
+    if converged:
+        return labels.select(F.col("node"), F.col("lab").alias("component"))
+    # Deep graph: contract to label space and finish with star rounds.
+    # Each partially-collapsed cluster is one supernode, so the contracted
+    # edge set is no larger than the input and usually far smaller.
+    contracted = (
+        sym.join(labels.selectExpr("node AS u", "lab AS lu"), "u")
+        .join(labels.selectExpr("node AS v", "lab AS lv"), "v")
+        .filter(F.col("lu") != F.col("lv"))
+        .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
+        .distinct()
+    )
+    star = connected_components_star(contracted).selectExpr(
+        "node AS lab", "component AS comp"
+    )
+    return labels.join(star, "lab", "left").select(
+        "node", F.coalesce(F.col("comp"), F.col("lab")).alias("component")
+    )
 
 
 # Shared recursive-CTE prefix: near-dup pairs → transitive closure → per-doc

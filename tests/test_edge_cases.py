@@ -121,6 +121,38 @@ def test_star_cc_matches_min_label(spark):
         assert a == b, (edges, a ^ b)
 
 
+def test_cc_deep_chain_converges_in_bounded_rounds(spark):
+    """Adversarial chained graph (a 200-doc path, the shape a
+    templated-spam corpus produces): diameter 199 would need 199 min-label
+    rounds — and the old 25-round cap silently returned WRONG labels.
+    The round-count fallover must contract to the star variant and still
+    produce the exact fixpoint (everything labelled 0), within the
+    bounded round budget (5 min-label + O(log² n) star)."""
+    from gluettalax_spark.operators import graph
+    from gluettalax_spark.operators.graph import connected_components
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(199)], "u long, v long")
+    got = {(r.node, r.component) for r in connected_components(path).collect()}
+    assert got == {(i, 0) for i in range(200)}
+
+    # Two chains + an isolated pair: fallover must keep components apart.
+    edges = (
+        [(i, i + 1) for i in range(50)]
+        + [(1000 + i, 1001 + i) for i in range(50)]
+        + [(5000, 5001)]
+    )
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {(r.node, r.component) for r in connected_components(df).collect()}
+    want = (
+        {(i, 0) for i in range(51)}
+        | {(1000 + i, 1000) for i in range(51)}
+        | {(5000, 5000), (5001, 5000)}
+    )
+    assert got == want
+    # Guard documents the budget the fallover relies on.
+    assert graph._FALLOVER_ROUNDS < 25
+
+
 def _write_docs(spark, tmp_path, rows):
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
