@@ -146,11 +146,33 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At 100 TB an exact distinct over a high-cardinality key shuffles the
     full key set; the HLL sketch is constant-size per partition and merges
-    on the driver. rsd=0.01 keeps the estimate within ~1%."""
+    on the driver. rsd=0.01 keeps the estimate within ~1%.
+
+    Self-verifying rows-only contract: the exact counts and the relative
+    errors ride along in the output, so the driver's rows-only check
+    carries its own accuracy witness (tests pin rel_err ≤ 2·rsd). The
+    exact twin costs the full key shuffle — fixture-scale
+    instrumentation; at 100 TB you'd sample or drop those columns."""
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_n_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_n_parts"),
+        F.countDistinct("l_orderkey").alias("exact_n_orders"),
+        F.countDistinct("l_partkey").alias("exact_n_parts"),
+    ).select(
+        "approx_n_orders",
+        "approx_n_parts",
+        "exact_n_orders",
+        "exact_n_parts",
+        F.round(
+            F.abs(F.col("approx_n_orders") - F.col("exact_n_orders"))
+            / F.col("exact_n_orders"),
+            6,
+        ).alias("rel_err_orders"),
+        F.round(
+            F.abs(F.col("approx_n_parts") - F.col("exact_n_parts")) / F.col("exact_n_parts"),
+            6,
+        ).alias("rel_err_parts"),
     )
 
 
@@ -217,15 +239,34 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="percentile_approx — the mergeable-sketch percentile for 100 TB",
 )
 def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying rows-only contract: the exact percentiles and the
+    relative errors ride along, so the output embeds its own accuracy
+    witness (tests pin rel_err against the sketch's accuracy parameter).
+    The exact twin is a per-group sort — fixture-scale instrumentation;
+    the sketch column alone is the 100 TB path."""
     li = load(spark, sf_dir, "lineitem")
     # Scalar columns (not array<double>): the driver's rows-only canonicalizer
     # hashes cell values and chokes on unhashable lists.
     pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
+    exact = F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.element_at(pcts, 1).alias("p50_approx"),
             F.element_at(pcts, 2).alias("p95_approx"),
+            F.element_at(exact, 1).alias("p50_exact"),
+            F.element_at(exact, 2).alias("p95_exact"),
+        )
+        .select(
+            "l_returnflag",
+            "p50_approx",
+            "p95_approx",
+            "p50_exact",
+            "p95_exact",
+            F.round(F.abs(F.col("p50_approx") - F.col("p50_exact")) / F.col("p50_exact"), 6)
+            .alias("rel_err_p50"),
+            F.round(F.abs(F.col("p95_approx") - F.col("p95_exact")) / F.col("p95_exact"), 6)
+            .alias("rel_err_p95"),
         )
         .orderBy("l_returnflag")
     )

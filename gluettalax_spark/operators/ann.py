@@ -35,6 +35,32 @@ NPROBE = 4  # cells scored per query
 SEED = 42
 
 
+def _with_recall_vs_exact(spark: SparkSession, sf_dir: str, approx: DataFrame) -> DataFrame:
+    """Append a constant ``recall_at_k`` column: the fraction of the exact
+    brute-force top-k pairs (the Arrow-vectorized twin — one corpus scan,
+    one matmul) that the approximate result recovered. Self-verifying
+    rows-only contract: the driver's rows-only check sees the invariant
+    IN the output instead of trusting a pytest-only pin, and
+    tests/test_ann.py asserts the per-variant recall bound on this very
+    column. Benchmark-scale instrumentation by design — at production
+    scale the exact twin runs over a query SAMPLE, not every query.
+
+    The ratio is computed in-plan (two 1-row aggregates, broadcast
+    cross-joined onto the k×Q-row result) — no driver-side arithmetic."""
+    from gluettalax_spark.operators.similarity import similarity_topk_vectorized
+
+    exact = similarity_topk_vectorized(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "leftsemi"
+    )
+    recall = (
+        hits.agg(F.count(F.lit(1)).alias("_nh"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("_ne")))
+        .select(F.round(F.col("_nh") / F.col("_ne"), 4).alias("recall_at_k"))
+    )
+    return approx.crossJoin(F.broadcast(recall))
+
+
 def _assignments(spark: SparkSession, sf_dir: str):
     """(vec_id, embedding, cell) + the fitted centroid list."""
     from pyspark.ml.clustering import KMeans
@@ -82,13 +108,13 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
+    res = (
         cand.select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", "cosine", "rank")
-        .orderBy("query_id", "rank")
     )
+    return _with_recall_vs_exact(spark, sf_dir, res).orderBy("query_id", "rank")
 
 
 # --------------------------------------------------------------------------
@@ -250,12 +276,12 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_pq").desc(), F.col("neighbor_id"))
-    return (
+    res = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", F.round("cosine_pq", 4).alias("cosine_pq"), "rank")
-        .orderBy("query_id", "rank")
     )
+    return _with_recall_vs_exact(spark, sf_dir, res).orderBy("query_id", "rank")
 
 
 def _ivfpq_scored(spark: SparkSession, sf_dir: str):
@@ -384,12 +410,12 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_pq").desc(), F.col("neighbor_id"))
-    return (
+    res = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", F.round("cosine_pq", 4).alias("cosine_pq"), "rank")
-        .orderBy("query_id", "rank")
     )
+    return _with_recall_vs_exact(spark, sf_dir, res).orderBy("query_id", "rank")
 
 
 REFINE_R = 5 * TOPK  # exact-rescore shortlist per query
@@ -457,9 +483,9 @@ def similarity_topk_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = cand_vecs.mapInPandas(rescore, "query_id long, neighbor_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
+    res = (
         exact.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
-        .orderBy("query_id", "rank")
     )
+    return _with_recall_vs_exact(spark, sf_dir, res).orderBy("query_id", "rank")

@@ -562,7 +562,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_nodes == 0:
         # Support-pruned graph can be empty; an empty result beats a
         # divide-by-zero in the teleport term.
-        return spark.createDataFrame([], "part long, rank double, degree long")
+        return spark.createDataFrame([], "part long, rank double, degree long, mass_total double")
     base = (1.0 - _PR_DAMPING) / n_nodes
     ranks = deg.select("n", F.lit(1.0 / n_nodes).alias("r"))
     for _ in range(_PR_ITERS):
@@ -575,6 +575,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n", (F.lit(base) + F.lit(_PR_DAMPING) * F.col("in_sum")).alias("r")
         ).localCheckpoint(eager=False)
 
+    # Self-verifying invariant: total probability mass over the WHOLE
+    # graph (not just the top-20) rides along as a constant column — a
+    # symmetric graph with no dangling nodes conserves mass, so any
+    # drift from 1.0 means a broken iteration. The driver's rows-only
+    # check thus carries its own correctness witness; the exact bound
+    # (|mass-1| < 1e-6) is asserted in tests/test_graph_analytics.py.
+    mass = ranks.agg(F.round(F.sum("r"), 6).alias("mass_total"))
     return (
         ranks.join(deg, "n")
         .select(
@@ -584,6 +591,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rank"), F.asc("part"))
         .limit(_PR_TOPK)
+        .crossJoin(F.broadcast(mass))
+        .orderBy(F.desc("rank"), F.asc("part"))
     )
 
 

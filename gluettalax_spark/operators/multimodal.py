@@ -165,23 +165,56 @@ def make_decode_batch(have_codecs: bool = _HAVE_CODECS):
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary → feature columns through the Arrow batch path. No SQL
     oracle (the decode is procedural); the driver records a rows-only
-    check and unit tests pin the deterministic fake features."""
+    check and unit tests pin the deterministic fake features.
+
+    Self-verifying rows-only contract: ``meta_ok`` cross-checks the
+    Python-side output against a JVM-side recompute — the kernel's
+    n_bytes must equal octet_length of the payload Spark encoded, and
+    width/height must land on the stub's 64+32k grid — so the driver's
+    rows-only check carries a correctness witness (tests assert the
+    column is all-true)."""
     docs = load(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    return payloads.mapInPandas(make_decode_batch(), DECODED_SCHEMA).orderBy("doc_id")
+    decoded = payloads.mapInPandas(make_decode_batch(), DECODED_SCHEMA)
+    jvm = docs.select("doc_id", F.octet_length(F.encode("text", "UTF-8")).alias("_jvm_bytes"))
+    meta_ok = (
+        (F.col("n_bytes") == F.col("_jvm_bytes"))
+        & F.col("width").between(64, 64 + 6 * 32)
+        & ((F.col("width") - 64) % 32 == 0)
+        & F.col("height").between(64, 64 + 4 * 32)
+        & ((F.col("height") - 64) % 32 == 0)
+        & (F.col("n_channels") == 3)
+    )
+    return (
+        decoded.join(jvm, "doc_id")
+        .select(
+            "doc_id", "n_bytes", "width", "height", "n_channels", "mean_luma",
+            meta_ok.alias("meta_ok"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register("multimodal_feature_rollup", None, doc="decode features → per-shape rollup (rows-only)")
 def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typical downstream shape: decode once, aggregate features.
-    Decode (Python, Arrow-batched) feeds a JVM-side hash aggregate."""
+    Decode (Python, Arrow-batched) feeds a JVM-side hash aggregate.
+
+    Self-verifying rows-only contract: ``n_docs_total`` (a 1-row corpus
+    count, broadcast onto every group) rides along so the rollup's
+    completeness is checkable in-output — sum(n_images) must equal it
+    (tests assert; a kernel that drops batches can't pass silently)."""
     decoded = multimodal_decode_features(spark, sf_dir)
+    total = load(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs_total")
+    )
     return (
         decoded.groupBy("width", "height")
         .agg(
             F.count(F.lit(1)).alias("n_images"),
             F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
         )
+        .crossJoin(F.broadcast(total))
         .orderBy("width", "height")
     )
 
@@ -307,18 +340,37 @@ def make_frame_sample_batch(have_codecs: bool = _HAVE_CODECS):
 
 @register("multimodal_resize", None, doc="stubbed resize → fixed-size thumbnails via mapInPandas (rows-only)")
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying rows-only contract: ``thumb_ok`` is a JVM-side
+    check of the kernel's bounded-row-width guarantee — the thumbnail is
+    non-empty and no wider than thumb_w×thumb_h×3 bytes (the RGB bound
+    both the real and stub branches respect). Tests assert all-true."""
     docs = load(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    return payloads.mapInPandas(make_resize_batch(), RESIZED_SCHEMA).orderBy("doc_id")
+    thumbs = payloads.mapInPandas(make_resize_batch(), RESIZED_SCHEMA)
+    thumb_ok = (F.octet_length("thumb") > 0) & (
+        F.octet_length("thumb") <= F.col("thumb_w") * F.col("thumb_h") * 3
+    )
+    return thumbs.withColumn("thumb_ok", thumb_ok).orderBy("doc_id")
 
 
 @register("multimodal_frame_sample", None, doc="stubbed frame sampling (1→N explode) via mapInPandas (rows-only)")
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying rows-only contract: ``frame_ok`` recomputes the
+    kernel's claims JVM-side — timestamps are frame_idx×FRAME_MS, only
+    every FRAME_EVERY-th frame is kept, and frames respect the byte
+    bound. Tests assert all-true."""
     docs = load(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    return payloads.mapInPandas(make_frame_sample_batch(), FRAMES_SCHEMA).orderBy(
-        "doc_id", "frame_idx"
+    frames = payloads.mapInPandas(make_frame_sample_batch(), FRAMES_SCHEMA)
+    frame_ok = (
+        (F.col("ts_ms") == F.col("frame_idx") * FRAME_MS)
+        & (F.col("frame_idx") % FRAME_EVERY == 0)
+        & (F.octet_length("frame") > 0)
+        # Stub frames are ≤ FRAME_BYTES; the real (PIL) branch emits RGB
+        # thumbnails of THUMB_SIZE²×3 — bound covers both branches.
+        & (F.octet_length("frame") <= max(FRAME_BYTES, THUMB_SIZE * THUMB_SIZE * 3))
     )
+    return frames.withColumn("frame_ok", frame_ok).orderBy("doc_id", "frame_idx")
 
 
 # --------------------------------------------------------------------------

@@ -611,10 +611,32 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
+    res = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+    # Self-verifying invariant: re-score ONLY the k×Q result rows with the
+    # sequential-fold cosine (the oracle-checked similarity_topk path) and
+    # emit the per-row disagreement — numpy pairwise summation vs serial
+    # fold must agree to the rounding grid (tests assert max ≤ 1e-4). The
+    # result side is tiny, so it broadcasts into two embedding lookups;
+    # the corpus-scan cost of the query is unchanged.
+    q_side = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    v_side = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("v_emb"))
+    fold_cos = _dot(F.col("q_emb"), F.col("v_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("v_emb"))
+    )
+    with_q = q_side.join(F.broadcast(res), "query_id")  # k×Q rows
+    return (
+        v_side.join(F.broadcast(with_q), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            "rank",
+            F.round(F.abs(F.col("cosine") - F.round(fold_cos, 4)), 4).alias("fold_err"),
+        )
         .orderBy("query_id", "rank")
     )
 

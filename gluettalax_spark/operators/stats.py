@@ -119,15 +119,33 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     monthly = (
         orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
-        .agg(F.hll_sketch_agg("o_custkey").alias("sketch"))
+        .agg(
+            F.hll_sketch_agg("o_custkey").alias("sketch"),
+            # Self-verifying rows-only contract: exact distinct + relative
+            # error ride along per group, so the driver's rows-only check
+            # carries its own accuracy witness (tests pin rel_err ≤ 5%).
+            F.countDistinct("o_custkey").alias("exact_distinct_custs"),
+        )
     )
+    err = F.round(
+        F.abs(F.col("est_distinct_custs") - F.col("exact_distinct_custs"))
+        / F.col("exact_distinct_custs"),
+        6,
+    ).alias("rel_err")
     per_month = monthly.select(
         F.date_format("month", "yyyy-MM").alias("month"),
         F.hll_sketch_estimate("sketch").alias("est_distinct_custs"),
+        "exact_distinct_custs",
+    ).select("month", "est_distinct_custs", "exact_distinct_custs", err)
+    total = (
+        monthly.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct_custs")
+        )
+        .crossJoin(
+            F.broadcast(orders.agg(F.countDistinct("o_custkey").alias("exact_distinct_custs")))
+        )
+        .select(F.lit("TOTAL").alias("month"), "est_distinct_custs", "exact_distinct_custs", err)
     )
-    total = monthly.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct_custs")
-    ).select(F.lit("TOTAL").alias("month"), "est_distinct_custs")
     return per_month.unionByName(total).orderBy("month")
 
 
@@ -190,11 +208,27 @@ def events_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("dau_exact"),
     )
     w = Window.orderBy("day").rowsBetween(-6, 0)
+    est = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau_exact",
+        F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w)).alias("wau_estimate"),
+    )
+    # Self-verifying rows-only contract: the exact rolling distinct (the
+    # oracle-checked events_wau_exact twin) joins in per day with the
+    # relative error, so the output embeds its accuracy witness (tests
+    # pin rel_err ≤ 5%). Fixture-scale instrumentation — the sketch
+    # column alone is the 100 TB path.
+    exact = events_wau_exact(spark, sf_dir).withColumnRenamed("wau", "wau_exact")
     return (
-        daily.select(
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
+        est.join(exact, "day")
+        .select(
+            "day",
             "dau_exact",
-            F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w)).alias("wau_estimate"),
+            "wau_estimate",
+            "wau_exact",
+            F.round(
+                F.abs(F.col("wau_estimate") - F.col("wau_exact")) / F.col("wau_exact"), 6
+            ).alias("rel_err"),
         )
         .orderBy("day")
     )

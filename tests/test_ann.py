@@ -41,6 +41,11 @@ def test_ivf_topk_shape_and_recall(spark, sf_dir):
     # near-orthogonal vectors. 0.5 keeps headroom for KMeans seed drift
     # while still failing on any real candidate-generation regression.
     assert recall >= 0.5, f"recall@{TOPK}={recall:.2f} — candidate generation regressed"
+    # The embedded self-verifying column must agree with the recompute
+    # (it is measured vs the vectorized exact twin, whose top-k sets are
+    # test-pinned identical to similarity_topk's).
+    embedded = {r.recall_at_k for r in ivf}
+    assert len(embedded) == 1 and abs(embedded.pop() - round(recall, 4)) <= 1e-9
 
 
 def test_higher_moments_vs_numpy(spark, sf_dir):
@@ -70,13 +75,18 @@ def test_hll_sketch_union_accuracy(spark, sf_dir):
     from gluettalax_spark.operators.stats import agg_hll_sketch_union
     from gluettalax_spark.tables import load
 
-    rows = {r.month: r.est_distinct_custs for r in agg_hll_sketch_union(spark, sf_dir).collect()}
+    out = agg_hll_sketch_union(spark, sf_dir).collect()
+    rows = {r.month: r.est_distinct_custs for r in out}
     exact = load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
     assert "TOTAL" in rows
     assert abs(rows["TOTAL"] - exact) / exact < 0.05, (rows["TOTAL"], exact)
     # Monthly estimates sum to >= total (overlapping customers across months).
     monthly_sum = sum(v for k, v in rows.items() if k != "TOTAL")
     assert monthly_sum >= rows["TOTAL"]
+    # Embedded invariants: exact counts and rel_err ride along per row.
+    total_row = next(r for r in out if r.month == "TOTAL")
+    assert total_row.exact_distinct_custs == exact
+    assert all(r.rel_err < 0.05 for r in out)
 
 
 def test_wau_hll_rolling_accuracy(spark, sf_dir):
@@ -102,6 +112,10 @@ def test_wau_hll_rolling_accuracy(spark, sf_dir):
             .select("user_id").distinct().count()
         )
         assert abs(r.wau_estimate - exact) / exact < 0.05, (r.day, r.wau_estimate, exact)
+        # Embedded invariants: the in-output exact twin and error agree
+        # with this brute recompute.
+        assert r.wau_exact == exact
+        assert r.rel_err < 0.05
 
 
 def test_vectorized_topk_matches_exact(spark, sf_dir):
@@ -114,6 +128,9 @@ def test_vectorized_topk_matches_exact(spark, sf_dir):
     assert [(r.query_id, r.rank, r.neighbor_id, r.cosine) for r in exact] == [
         (r.query_id, r.rank, r.neighbor_id, r.cosine) for r in fast
     ]
+    # Embedded invariant: the per-row fold recompute agrees to the
+    # rounding grid (numpy pairwise vs serial fold ≤ one 1e-4 ulp).
+    assert all(r.fold_err <= 1e-4 for r in fast)
 
 
 def test_pq_topk_shape_and_recall(spark, sf_dir):
@@ -146,6 +163,8 @@ def test_pq_topk_shape_and_recall(spark, sf_dir):
     # measured value to absorb k-means init drift while still catching a
     # broken LUT/encode path (which craters recall to ~chance, k/N).
     assert recall >= 0.6, f"PQ recall@{TOPK}={recall:.2f}"
+    embedded = {r.recall_at_k for r in pq}
+    assert len(embedded) == 1 and abs(embedded.pop() - round(recall, 4)) <= 1e-9
 
 
 def test_ivfpq_topk_shape_and_recall(spark, sf_dir):
@@ -175,6 +194,8 @@ def test_ivfpq_topk_shape_and_recall(spark, sf_dir):
     # k-means seed drift can't flake it, while a broken probe join or LUT
     # still craters straight through it.
     assert recall >= 0.4, f"IVFPQ recall@{TOPK}={recall:.2f}"
+    embedded = {r.recall_at_k for r in got}
+    assert len(embedded) == 1 and abs(embedded.pop() - round(recall, 4)) <= 1e-9
 
 
 def test_ivfpq_refine_recall_beats_plain_and_is_exactly_ranked(spark, sf_dir):
@@ -203,6 +224,8 @@ def test_ivfpq_refine_recall_beats_plain_and_is_exactly_ranked(spark, sf_dir):
         total += len(t)
     recall = hits / total
     assert recall >= 0.5, f"IVFPQ+refine recall@{TOPK}={recall:.2f}"
+    embedded = {r.recall_at_k for r in got}
+    assert len(embedded) == 1 and abs(embedded.pop() - round(recall, 4)) <= 1e-9
     for q, rows in by_q.items():
         ranks = sorted(r.rank for r in rows)
         assert ranks == list(range(1, len(ranks) + 1))

@@ -8,6 +8,7 @@ import re
 
 import pytest
 from hypothesis import given, strategies as st
+from pyspark.sql import functions as F
 
 from gluettalax_spark.functions.scalars import format_time, glob_to_rlike
 
@@ -65,9 +66,14 @@ def test_decode_features_schema(spark, sf_dir):
     from gluettalax_spark.operators.multimodal import multimodal_decode_features
 
     df = multimodal_decode_features(spark, sf_dir)
-    assert df.columns == ["doc_id", "n_bytes", "width", "height", "n_channels", "mean_luma"]
+    assert df.columns == [
+        "doc_id", "n_bytes", "width", "height", "n_channels", "mean_luma", "meta_ok",
+    ]
     rows = df.limit(5).collect()
     assert rows and all(r["n_bytes"] > 0 for r in rows)
+    # Embedded invariant: the JVM-side recompute agrees with the kernel
+    # for EVERY row, not just the sample.
+    assert df.filter(~F.col("meta_ok")).count() == 0
 
 
 def test_multimodal_resize_bounded_width(spark, sf_dir):
@@ -80,6 +86,7 @@ def test_multimodal_resize_bounded_width(spark, sf_dir):
     assert len(rows) == load(spark, sf_dir, "documents").count()
     target = THUMB_SIZE * THUMB_SIZE
     assert all(r.thumb_w == THUMB_SIZE and len(r.thumb) <= target for r in rows)
+    assert all(r.thumb_ok for r in rows)  # embedded JVM-side invariant
 
 
 def test_multimodal_frame_sample_explodes(spark, sf_dir):
@@ -101,6 +108,7 @@ def test_multimodal_frame_sample_explodes(spark, sf_dir):
         assert idxs == sorted(idxs)
         assert all(i % FRAME_EVERY == 0 for i in idxs)
         assert all(f.ts_ms == f.frame_idx * FRAME_MS for f in frames)
+        assert all(f.frame_ok for f in frames)  # embedded JVM-side invariant
     rows2 = multimodal_frame_sample(spark, sf_dir).collect()
     assert [(r.doc_id, r.frame_idx, bytes(r.frame)) for r in rows] == [
         (r.doc_id, r.frame_idx, bytes(r.frame)) for r in rows2
@@ -118,6 +126,10 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     exact = agg_count_distinct(spark, sf_dir).collect()[0]
     assert abs(approx.approx_n_orders - exact.n_orders) / exact.n_orders < 0.03
     assert abs(approx.approx_n_parts - exact.n_parts) / exact.n_parts < 0.03
+    # Embedded invariants: the in-output exact twin and rel_err agree.
+    assert approx.exact_n_orders == exact.n_orders
+    assert approx.exact_n_parts == exact.n_parts
+    assert approx.rel_err_orders < 0.03 and approx.rel_err_parts < 0.03
 
 
 def test_percentile_approx_accuracy(spark, sf_dir):
@@ -140,6 +152,22 @@ def test_percentile_approx_accuracy(spark, sf_dir):
         a50, a95 = approx[flag]
         assert abs(a50 - median) / median < 0.01, (flag, a50, median)
         assert abs(a95 - p95) / p95 < 0.01, (flag, a95, p95)
+    # Embedded invariants: in-output exact percentiles + rel_err columns.
+    for r in agg_percentiles_approx(spark, sf_dir).collect():
+        assert r.rel_err_p50 < 0.01 and r.rel_err_p95 < 0.01
+        assert r.p50_exact <= r.p95_exact
+
+
+def test_multimodal_rollup_covers_all_docs(spark, sf_dir):
+    """The rollup's embedded n_docs_total equals the sum of group counts —
+    a kernel that drops batches cannot pass."""
+    from gluettalax_spark.operators.multimodal import multimodal_feature_rollup
+
+    rows = multimodal_feature_rollup(spark, sf_dir).collect()
+    assert rows
+    totals = {r.n_docs_total for r in rows}
+    assert len(totals) == 1
+    assert sum(r.n_images for r in rows) == totals.pop()
 
 
 # ---------------------------------------------------------------------------

@@ -223,6 +223,9 @@ def test_pagerank_matches_numpy_recompute(spark, sf_dir):
     import numpy as np
 
     assert np.isclose(sum(v[0] for v in want.values()), 1.0, atol=1e-9)
+    # Embedded invariant: the query output carries its own whole-graph
+    # mass total; a drift from 1.0 means a broken iteration.
+    assert all(abs(row["mass_total"] - 1.0) < 1e-5 for row in got)
 
 
 def test_pagerank_plan_stays_one_iteration_deep(spark, sf_dir):
