@@ -100,6 +100,10 @@ HEADLINE = [
     "sql_udf_text_metrics",
     "scd2_as_of",
     "agg_histogram_equidepth",
+    # round-6 additions: retrieval, collocation stats, attribution
+    "text_bm25_search",
+    "text_collocations_pmi",
+    "events_attribution_last_touch",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

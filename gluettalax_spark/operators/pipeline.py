@@ -1292,3 +1292,102 @@ def scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution (fill-forward window, no range join)
+# --------------------------------------------------------------------------
+
+ATTRIB_WINDOW_US = 1800 * 1_000_000  # 30-minute attribution window
+
+_ATTRIBUTION_ORACLE = f"""
+WITH tagged AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+         CASE WHEN event_type IN ('click', 'view') THEN event_type END AS t_type,
+         CASE WHEN event_type IN ('click', 'view') THEN ts END AS t_ts
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase')
+),
+filled AS (
+  SELECT *,
+    last_value(t_type IGNORE NULLS) OVER w AS touch_type,
+    last_value(t_ts IGNORE NULLS) OVER w AS touch_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_purchase, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+attributed AS (
+  SELECT CASE WHEN touch_ts IS NULL
+              OR epoch_us(ts) - epoch_us(touch_ts) > {ATTRIB_WINDOW_US}
+              THEN 'organic' ELSE touch_type END AS channel,
+         value, user_id
+  FROM filled
+  WHERE is_purchase = 1
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(value), 2) AS total_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM attributed
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+@register(
+    "events_attribution_last_touch",
+    _ATTRIBUTION_ORACLE,
+    doc="last-touch purchase attribution (30-min window) via fill-forward",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute each purchase to the user's most recent click/view
+    within 30 minutes, else 'organic'. The naive form is a per-purchase
+    range join back into raw events (re-scanning event volume per
+    purchase); instead the touch columns FILL FORWARD through one window
+    partitioned by user — a single shuffle on user_id, each purchase row
+    then carries its candidate touch and the window check is a map-side
+    filter. Ties are deterministic: ordering is (ts, is_purchase,
+    event_id), so same-timestamp touches sort before the purchase and
+    the highest event_id wins. The gap compares unix MICROSECONDS on
+    both engines (a cast-to-seconds truncation flips purchases whose gap
+    straddles a whole second)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    tagged = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        F.when(is_touch, F.col("event_type")).alias("t_type"),
+        F.when(is_touch, F.col("ts")).alias("t_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.select(
+        "*",
+        F.last("t_type", ignorenulls=True).over(w).alias("touch_type"),
+        F.last("t_ts", ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    channel = F.when(
+        F.col("touch_ts").isNull()
+        | (F.unix_micros("ts") - F.unix_micros("touch_ts") > ATTRIB_WINDOW_US),
+        F.lit("organic"),
+    ).otherwise(F.col("touch_type"))
+    return (
+        filled.filter(F.col("is_purchase") == 1)
+        .select(channel.alias("channel"), "value", "user_id")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("channel")
+    )

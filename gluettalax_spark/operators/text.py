@@ -1523,3 +1523,213 @@ def common_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval (inverted-index shape over the corpus)
+# --------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "join", "window", "fast")  # fixed query term set
+BM25_TOPK = 20
+
+_BM25_QUERY_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+_BM25_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) >= 3) AS tokens
+  FROM documents
+),
+lens AS (SELECT doc_id, len(tokens) AS dl FROM toks),
+corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+  WHERE term IN ({_BM25_QUERY_SQL})
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+scored AS (
+  SELECT
+    p.doc_id,
+    ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+      * p.tf * ({BM25_K1} + 1.0)
+      / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / c.avgdl)) AS s
+  FROM postings p
+  JOIN df d USING (term)
+  JOIN lens l USING (doc_id)
+  CROSS JOIN corpus c
+)
+SELECT doc_id, round(sum(s), 4) AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+@register(
+    "text_bm25_search",
+    _BM25_ORACLE,
+    doc=f"BM25 top-{BM25_TOPK} retrieval for a fixed query (inverted-index shape)",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval expressed as the inverted-index plan a search
+    engine runs: the postings table is built by filtering the exploded
+    token stream to the query terms MAP-SIDE (before any shuffle — at
+    scale this is the index lookup; only postings for |Q| terms ever
+    shuffle, not the corpus vocabulary), document lengths and the corpus
+    average come from one narrow aggregate, per-term document frequency
+    is |Q| rows (broadcast), and the score is one join + sum + top-k
+    (TakeOrderedAndProject). Scoring on ROUNDED sums with a doc_id
+    tiebreak keeps the ranking cross-engine exact."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: F.length(t) >= 3
+        ).alias("tokens"),
+    )
+    lens = toks.select("doc_id", F.size("tokens").alias("dl"))
+    corpus = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    postings = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    s = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        postings.join(F.broadcast(df), "term")
+        .join(lens, "doc_id")
+        .join(F.broadcast(corpus))
+        .select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 4).alias("bm25"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# PMI bigram collocations (vocabulary/tokenizer statistics)
+# --------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+_PMI_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) >= 3) AS tokens
+  FROM documents
+),
+bigrams AS (
+  SELECT tokens[i] AS term_a, tokens[i + 1] AS term_b
+  FROM toks, unnest(range(1, len(tokens))) AS r(i)
+  WHERE len(tokens) >= 2
+),
+uni AS (
+  SELECT term, count(*) AS c
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+  GROUP BY term
+),
+totals AS (
+  SELECT (SELECT count(*) FROM bigrams) AS n_bi,
+         (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_uni
+),
+big_counts AS (
+  SELECT term_a, term_b, count(*) AS c_ab
+  FROM bigrams GROUP BY term_a, term_b HAVING count(*) >= {PMI_MIN_COUNT}
+)
+SELECT
+  b.term_a, b.term_b, b.c_ab,
+  round(ln((CAST(b.c_ab AS DOUBLE) / t.n_bi)
+           / ((CAST(ua.c AS DOUBLE) / t.n_uni) * (CAST(ub.c AS DOUBLE) / t.n_uni))), 4) AS pmi
+FROM big_counts b
+JOIN uni ua ON ua.term = b.term_a
+JOIN uni ub ON ub.term = b.term_b
+CROSS JOIN totals t
+ORDER BY pmi DESC, term_a, term_b
+LIMIT {PMI_TOPK}
+"""
+
+
+@register(
+    "text_collocations_pmi",
+    _PMI_ORACLE,
+    doc=f"top-{PMI_TOPK} PMI bigram collocations (min count {PMI_MIN_COUNT})",
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent token pairs — the
+    corpus statistic behind merge rules in BPE-style tokenizer training
+    and multiword-expression detection. Bigrams explode map-side from
+    the token array (no self-join: ``transform`` over the index range
+    pairs tokens[i] with tokens[i+1]); ONE aggregation each for bigram
+    and unigram counts; the two 1-row totals broadcast. The unigram
+    table joins by term key twice — vocabulary-sized, so it is left to
+    AQE (broadcast while it fits, shuffle when a real vocab doesn't).
+    PMI = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over bigram positions and
+    p(·) over token positions; ranking on the ROUNDED score with term
+    tiebreaks keeps the top-k cross-engine exact."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: F.length(t) >= 3
+        ).alias("tokens"),
+    )
+    bigrams = toks.filter(F.size("tokens") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tokens) - 1), "
+                "i -> struct(element_at(tokens, i) AS term_a, element_at(tokens, i + 1) AS term_b))"
+            )
+        ).alias("bg")
+    ).select("bg.term_a", "bg.term_b")
+    uni = (
+        toks.select(F.explode("tokens").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big_counts = (
+        bigrams.groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    totals = (
+        bigrams.agg(F.count(F.lit(1)).cast("double").alias("n_bi"))
+        .crossJoin(uni.agg(F.sum("c").cast("double").alias("n_uni")))
+    )
+    ua = uni.select(F.col("term").alias("term_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("c").alias("c_b"))
+    pmi = F.log(
+        (F.col("c_ab") / F.col("n_bi"))
+        / ((F.col("c_a") / F.col("n_uni")) * (F.col("c_b") / F.col("n_uni")))
+    )
+    return (
+        big_counts.join(ua, "term_a")
+        .join(ub, "term_b")
+        .join(F.broadcast(totals))
+        .select("term_a", "term_b", "c_ab", F.round(pmi, 4).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "term_a", "term_b")
+        .limit(PMI_TOPK)
+    )

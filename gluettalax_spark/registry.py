@@ -71,6 +71,10 @@ _NEW_THIS_ROUND = (
     "similarity_topk_pq",
     "source_overlap_matrix",
     "token_budget_sample",
+    # new operators added in round 6 (also never sampled):
+    "text_bm25_search",
+    "text_collocations_pmi",
+    "events_attribution_last_touch",
 )
 
 

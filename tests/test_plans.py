@@ -640,3 +640,38 @@ def test_keep_best_argmax_without_window(spark, sf_dir):
     # The only windows permitted are those inside the pair-generation
     # lineage (shingle windows partition by doc_id); none on component.
     assert "windowspecdefinition(component" not in plan, plan[:2000]
+
+
+def test_bm25_plan_prunes_postings_map_side(spark, sf_dir):
+    """The query-term filter must sit below the postings aggregation
+    (only |Q|-term postings shuffle, never the corpus vocabulary), and
+    the top-k must be TakeOrderedAndProject — no global sort."""
+    df = queries()["text_bm25_search"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # The isin() filter on the exploded term appears as a Filter with the
+    # four query literals below the postings aggregation — that's the
+    # index-lookup pruning (only |Q|-term postings shuffle).
+    assert "IN (spark,join,window,fast)" in plan, plan[:2000]
+
+
+def test_pmi_plan_bounded_output(spark, sf_dir):
+    """PMI top-k is TakeOrderedAndProject; bigram generation is a map-side
+    explode (no self-join of the token stream)."""
+    df = queries()["text_collocations_pmi"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_attribution_single_user_window_no_range_join(spark, sf_dir):
+    """Last-touch attribution is ONE user_id window (fill-forward), never
+    a per-purchase range join back into raw events."""
+    import re
+
+    df = queries()["events_attribution_last_touch"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # Exactly one window exchange on user_id feeds both filled columns.
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1, plan[:2000]
