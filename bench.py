@@ -100,10 +100,11 @@ HEADLINE = [
     "sql_udf_text_metrics",
     "scd2_as_of",
     "agg_histogram_equidepth",
-    # round-6 additions: retrieval, collocation stats, attribution
+    # round-6 additions: retrieval, collocation stats, attribution, LM-proxy
     "text_bm25_search",
     "text_collocations_pmi",
     "events_attribution_last_touch",
+    "text_unigram_logppl",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -1733,3 +1733,109 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "term_a", "term_b")
         .limit(PMI_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram log-perplexity (LM-proxy quality filter)
+# --------------------------------------------------------------------------
+
+PPL_Q = 1_000_000  # ln(p) quantization: integer micro-nats
+PPL_TOPK = 20
+
+_PPL_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) >= 3) AS tokens
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+uni AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+q AS (
+  SELECT term, CAST(floor(ln(c / t.t) * {PPL_Q}) AS BIGINT) AS q_lnp
+  FROM uni CROSS JOIN total t
+),
+per_doc AS (
+  SELECT
+    f.doc_id,
+    CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+    CAST(sum(f.tf * q.q_lnp) AS BIGINT) AS q_sum
+  FROM tf f JOIN q USING (term)
+  GROUP BY f.doc_id
+),
+scored AS (
+  SELECT d.doc_id, t2.lang, d.n_tokens,
+         round(exp(-(CAST(d.q_sum AS DOUBLE) / {PPL_Q}) / d.n_tokens), 4) AS ppl
+  FROM per_doc d
+  JOIN (SELECT DISTINCT doc_id, lang FROM documents) t2 USING (doc_id)
+)
+SELECT doc_id, lang, n_tokens, ppl,
+       CAST(row_number() OVER (ORDER BY ppl DESC, doc_id) AS BIGINT) AS rnk
+FROM scored
+ORDER BY ppl DESC, doc_id
+LIMIT {PPL_TOPK}
+"""
+
+
+@register(
+    "text_unigram_logppl",
+    _PPL_ORACLE,
+    doc=f"top-{PPL_TOPK} highest unigram log-perplexity docs (LM-proxy quality filter)",
+)
+def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity per document — the cheap proxy for the
+    KenLM-style quality filter every training pipeline runs (high ppl =
+    out-of-distribution / junk). Corpus unigram probabilities come from
+    the (doc, term, tf) table the per-doc pass needs anyway — one extra
+    vocabulary-sized aggregate; the per-doc score is Σ tf·ln p(term),
+    which would be a FLOAT SUM whose addend order differs between
+    engines, so ln p is quantized to integer micro-nats FIRST
+    (floor(ln·1e6)) and the document fold is exact int64 arithmetic —
+    bit-identical across engines, same trick as the semantic cliques.
+    Output is the worst-k documents by rounded ppl (per-row floats from
+    integers — no cross-row float sums anywhere), via
+    TakeOrderedAndProject. The vocab join is AQE's choice; only the
+    1-row corpus total broadcasts."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: F.length(t) >= 3
+        ).alias("tokens"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    uni = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = uni.agg(F.sum("c").cast("double").alias("t"))
+    q = uni.join(F.broadcast(total)).select(
+        "term",
+        F.floor(F.log(F.col("c") / F.col("t")) * PPL_Q).cast("long").alias("q_lnp"),
+    )
+    per_doc = (
+        tf.join(q, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("q_lnp")).cast("long").alias("q_sum"),
+        )
+    )
+    ppl = F.round(
+        F.exp(-(F.col("q_sum").cast("double") / PPL_Q) / F.col("n_tokens")), 4
+    )
+    scored = per_doc.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_tokens", ppl.alias("ppl")
+    )
+    w = Window.orderBy(F.col("ppl").desc(), "doc_id")
+    return (
+        scored.orderBy(F.col("ppl").desc(), "doc_id")
+        .limit(PPL_TOPK)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .orderBy("rnk")
+    )

@@ -75,6 +75,7 @@ _NEW_THIS_ROUND = (
     "text_bm25_search",
     "text_collocations_pmi",
     "events_attribution_last_touch",
+    "text_unigram_logppl",
 )
 
 

@@ -675,3 +675,15 @@ def test_attribution_single_user_window_no_range_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:2000]
     # Exactly one window exchange on user_id feeds both filled columns.
     assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1, plan[:2000]
+
+
+def test_logppl_plan_bounded_and_integer_fold(spark, sf_dir):
+    """Worst-k by perplexity is TakeOrderedAndProject; the per-doc fold
+    is integer arithmetic over the quantized ln p (no float sum whose
+    addend order could diverge across engines)."""
+    df = queries()["text_unigram_logppl"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # The quantized column participates in the document aggregate.
+    assert "q_lnp" in plan, plan[:2000]
