@@ -55,6 +55,12 @@ SHOWCASE = {
     "table_profile_orders": "five-column profile in one scan; multi-distinct via a single Expand",
     "dedup_keep_best": "cluster argmax as min(struct) on the component key; no window",
     "events_sessionize_batch": "lag + running sum share one user exchange; top-25 via TakeOrderedAndProject",
+    # Round-6 additions:
+    "text_bm25_search": "inverted-index shape: query-term filter prunes postings map-side; top-k via TakeOrderedAndProject",
+    "text_collocations_pmi": "map-side bigram explode; one agg per count table; AQE decides the vocab join",
+    "events_attribution_last_touch": "fill-forward window on user_id; no per-purchase range join",
+    "text_unigram_logppl": "integer micro-nat fold (cross-engine exact); worst-k via TakeOrderedAndProject",
+    "semantic_dedup": "adaptive band cap: non-skew path is join-free FlatMapGroupsInPandas per cluster",
 }
 
 
