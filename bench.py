@@ -105,6 +105,8 @@ HEADLINE = [
     "text_collocations_pmi",
     "events_attribution_last_touch",
     "text_unigram_logppl",
+    "events_markov_transitions",
+    "orders_price_trend_ols",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

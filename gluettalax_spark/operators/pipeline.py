@@ -1391,3 +1391,66 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Event-sequence Markov transition matrix
+# --------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+counts AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+totals AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM counts GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n, t.n_from,
+       round(CAST(c.n AS DOUBLE) / t.n_from, 4) AS p
+FROM counts c JOIN totals t USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
+@register(
+    "events_markov_transitions",
+    _MARKOV_ORACLE,
+    doc="event-type Markov transition matrix over per-user sequences",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event sequences —
+    the sequence statistic behind next-action models and funnel-anomaly
+    alerts. ONE window (lead over user_id order) forms the consecutive
+    pairs — never a self-join of the event stream on adjacency — then a
+    count aggregate; the per-source totals come from the (k² row) count
+    table itself, so the raw stream is scanned exactly once. Ordering
+    inside the window is (ts, event_id) — deterministic under same-ts
+    ties on both engines."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = (
+        seq.groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "n_from",
+            F.round(F.col("n").cast("double") / F.col("n_from"), 4).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -741,3 +741,89 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("column_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
         .orderBy("column_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact distributed OLS (integer-moment accumulation)
+# --------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+WITH pts AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+),
+moments AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM pts GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n_orders,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope_per_day,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 100.0, 4) AS intercept,
+       round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4) AS mean_price
+FROM moments
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "orders_price_trend_ols",
+    _OLS_ORACLE,
+    doc="per-priority OLS price trend via exact integer moment sums",
+)
+def orders_price_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed least-squares trend (price vs order day, per priority)
+    from FIVE moment sums — the classic single-pass OLS a monitoring
+    pipeline runs. The float pitfall: sum-of-products accumulation order
+    differs across engines, so slopes disagree in the last ulp and a
+    bit-exact compare fails. Fix: prices quantize to integer cents and
+    days to integers, the moments accumulate as DECIMAL(38,0) (exact,
+    mergeable, overflow-safe past int64 — DuckDB mirrors with HUGEINT),
+    and the closed-form slope/intercept is evaluated on the exact sums.
+    One partial-aggregated shuffle of 5 numbers per group at any scale;
+    same trick family as the micro-nat perplexity fold. (Spark 3.5 has
+    regr_slope/regr_intercept — float-path, order-dependent; this form
+    is what you use when results must be reproducible run-to-run.)"""
+    orders = load(spark, sf_dir, "orders")
+    pts = orders.select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)").alias("y"),
+    )
+    m = pts.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope_raw = num / den
+    return m.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(slope_raw / 100.0, 6).alias("slope_per_day"),
+        F.round(
+            (F.col("sy").cast("double") - slope_raw * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+            / 100.0,
+            4,
+        ).alias("intercept"),
+        F.round(F.col("sy").cast("double") / F.col("n").cast("double") / 100.0, 4).alias(
+            "mean_price"
+        ),
+    ).orderBy("o_orderpriority")

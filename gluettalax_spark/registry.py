@@ -76,6 +76,8 @@ _NEW_THIS_ROUND = (
     "text_collocations_pmi",
     "events_attribution_last_touch",
     "text_unigram_logppl",
+    "events_markov_transitions",
+    "orders_price_trend_ols",
 )
 
 

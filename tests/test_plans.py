@@ -687,3 +687,28 @@ def test_logppl_plan_bounded_and_integer_fold(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:2000]
     # The quantized column participates in the document aggregate.
     assert "q_lnp" in plan, plan[:2000]
+
+
+def test_markov_single_window_single_scan(spark, sf_dir):
+    """Transition pairs come from ONE lead window over user_id — never an
+    adjacency self-join; totals derive from the k-squared count table so
+    the event stream is scanned exactly once."""
+    df = queries()["events_markov_transitions"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # The totals branch must REUSE the counts aggregation at runtime
+    # (ReusedExchange), so the event stream is physically scanned and
+    # window-shuffled once even though two consumers read the counts.
+    df.collect()
+    final = physical_plan(df)
+    assert "ReusedExchange" in final, final[:3000]
+
+
+def test_ols_exact_decimal_moments(spark, sf_dir):
+    """OLS moments accumulate as decimal(38,0) (exact, order-free) in one
+    partial-aggregated shuffle; one scan of orders."""
+    df = queries()["orders_price_trend_ols"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    assert "decimal(38,0)" in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
