@@ -107,6 +107,10 @@ HEADLINE = [
     "text_unigram_logppl",
     "events_markov_transitions",
     "orders_price_trend_ols",
+    # round-6 continuation: k-core, vocab coverage curve, exact EWMA
+    "graph_kcore",
+    "text_vocab_coverage",
+    "events_user_ewma",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -829,3 +829,136 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (bounded synchronous peeling, oracle-exact)
+# --------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_MAX_ROUNDS = 12
+_KCORE_TOPK = 20
+
+
+def _kcore_oracle() -> str:
+    """Unrolled DuckDB replay of the synchronous peeling rounds: each
+    round recomputes degrees and drops every node below k — identical,
+    idempotent-after-convergence integer filtering on both engines, so
+    a fixed round budget keeps the fixpoint SQL-expressible (the same
+    unroll trick as `graph_communities_lpa`). Every per-round CTE is
+    MATERIALIZED: each round references the previous edge set three
+    times, so DuckDB's default inline-on-reference would re-expand the
+    chain ~3^rounds times (observed as a too-many-open-files explosion
+    on the base parquet scan)."""
+    parts = [
+        f"""WITH op AS MATERIALIZED (SELECT o, p FROM {_DUCK_CAPPED_OP}),
+e0 AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}
+)"""
+    ]
+    cur = "e0"
+    for i in range(1, _KCORE_MAX_ROUNDS + 1):
+        parts.append(
+            f""",
+deg{i} AS MATERIALIZED (
+  SELECT n, count(*) AS d FROM (
+    SELECT pa AS n FROM {cur} UNION ALL SELECT pb AS n FROM {cur}
+  ) GROUP BY n
+),
+keep{i} AS (SELECT n FROM deg{i} WHERE d >= {_KCORE_K}),
+e{i} AS MATERIALIZED (
+  SELECT pa, pb FROM {cur}
+  WHERE pa IN (SELECT n FROM keep{i}) AND pb IN (SELECT n FROM keep{i})
+)"""
+        )
+        cur = f"e{i}"
+    parts.append(
+        f""",
+core_deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT pa AS n FROM {cur} UNION ALL SELECT pb AS n FROM {cur}
+  ) GROUP BY n
+),
+totals AS (
+  SELECT
+    CAST(count(*) AS BIGINT)                                    AS n_core_nodes,
+    CAST((SELECT count(*) FROM {cur}) AS BIGINT)                AS n_core_edges,
+    coalesce(min(d) >= {_KCORE_K}, TRUE)                        AS converged
+  FROM core_deg
+)
+SELECT cd.n AS node, CAST(cd.d AS BIGINT) AS core_degree,
+       t.n_core_nodes, t.n_core_edges, t.converged
+FROM core_deg cd CROSS JOIN totals t
+ORDER BY core_degree DESC, node
+LIMIT {_KCORE_TOPK}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_kcore",
+    _kcore_oracle(),
+    doc=f"{_KCORE_K}-core decomposition (synchronous peeling, <= {_KCORE_MAX_ROUNDS} rounds), top-{_KCORE_TOPK} by in-core degree",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the part co-occurrence graph: repeatedly
+    remove every node with degree < k until none remain — the standard
+    density filter that strips pendant/tree structure before community or
+    cohesion analysis (and, in a dedup pipeline, isolates the tightly
+    inter-duplicated core of a template-spam cluster).
+
+    Determinism contract: both engines run the SAME bounded synchronous
+    schedule — at most ``_KCORE_MAX_ROUNDS`` peel rounds, each dropping
+    ALL currently-under-k nodes at once. Peeling is idempotent after
+    convergence, so the unrolled DuckDB oracle (fixed rounds) and the
+    Spark loop (early exit once a round removes nothing — the remaining
+    oracle rounds are no-ops) land on the same edge set; a ``converged``
+    flag rides along so a round-budget truncation is visible in the
+    output rather than silent. Output: top-k core members by in-core
+    degree plus 1-row totals.
+
+    Scale shape: each round is one degree aggregate + two semi-joins on
+    the node id (never all-pairs), with the shrinking edge set
+    localCheckpointed so the plan stays one round deep; the convergence
+    probe is a count on the (bounded, already-aggregated) under-k set.
+    Synchronous peeling needs O(peel-depth) rounds — the distributed
+    -k-core default (Montresor et al.); degeneracy-ordering variants
+    trade more machinery for fewer rounds and keep the same per-round
+    join primitive."""
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    for _ in range(_KCORE_MAX_ROUNDS):
+        deg = (
+            edges.select(F.col("pa").alias("n"))
+            .unionAll(edges.select(F.col("pb").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        bad = deg.filter(F.col("d") < _KCORE_K)
+        if bad.isEmpty():
+            break
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("n")
+        edges = (
+            edges.join(keep.withColumnRenamed("n", "pa"), "pa", "left_semi")
+            .join(keep.withColumnRenamed("n", "pb"), "pb", "left_semi")
+            .select("pa", "pb")
+            .localCheckpoint(eager=False)
+        )
+    core_deg = (
+        edges.select(F.col("pa").alias("n"))
+        .unionAll(edges.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    totals = core_deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_core_nodes"),
+        F.coalesce(F.min("d") >= _KCORE_K, F.lit(True)).alias("converged"),
+    ).crossJoin(edges.agg(F.count(F.lit(1)).cast("long").alias("n_core_edges")))
+    return (
+        core_deg.select(F.col("n").alias("node"), F.col("d").cast("long").alias("core_degree"))
+        .orderBy(F.desc("core_degree"), F.asc("node"))
+        .limit(_KCORE_TOPK)
+        .crossJoin(F.broadcast(totals))
+        .select("node", "core_degree", "n_core_nodes", "n_core_edges", "converged")
+        .orderBy(F.desc("core_degree"), F.asc("node"))
+    )

@@ -1839,3 +1839,105 @@ def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer sizing / OOV budgeting)
+# --------------------------------------------------------------------------
+
+VOCAB_CURVE_MAX = 10_000
+VOCAB_CHECKPOINTS = (100, 300, 1_000, 3_000, 10_000)
+
+_VOCAB_COVERAGE_ORACLE = rf"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) >= 3) AS tokens
+  FROM documents
+),
+cnt AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(tokens) AS term FROM toks)
+  GROUP BY term
+),
+total AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM cnt),
+top AS (
+  SELECT term, c, row_number() OVER (ORDER BY c DESC, term) AS rn
+  FROM cnt ORDER BY c DESC, term LIMIT {VOCAB_CURVE_MAX}
+)
+SELECT
+  k.rank_k,
+  CAST(count(*) AS BIGINT)                                        AS n_terms,
+  CAST(sum(c) AS BIGINT)                                          AS covered_tokens,
+  t.total_tokens,
+  CAST(sum(c) * 1000000 // t.total_tokens AS BIGINT)              AS coverage_ppm
+FROM top
+CROSS JOIN (SELECT unnest({list(VOCAB_CHECKPOINTS)}) AS rank_k) k
+CROSS JOIN total t
+WHERE top.rn <= k.rank_k
+GROUP BY k.rank_k, t.total_tokens
+ORDER BY k.rank_k
+"""
+
+
+@register(
+    "text_vocab_coverage",
+    _VOCAB_COVERAGE_ORACLE,
+    doc="cumulative corpus-token coverage of the top-N vocabulary at rank checkpoints",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus tokens the
+    top-N most frequent terms cover, at N in {100, 300, 1k, 3k, 10k} —
+    the sizing curve behind every tokenizer/vocab decision (and the OOV
+    budget a fixed-vocab model pays). Coverage is reported in exact
+    integer ppm (covered*1e6 div total) so the compare never rests on a
+    cross-engine float division.
+
+    Scale shape: one term-count aggregate (map-side partials) is the only
+    full-corpus shuffle; the curve itself needs only the top
+    ``VOCAB_CURVE_MAX`` rows — fetched via TakeOrderedAndProject, never a
+    global sort — plus the 1-row exact total, which broadcasts. The
+    ranking window runs over the already-LIMITed (bounded) vocab slice,
+    and each checkpoint's cumulative sum explodes from that slice
+    map-side (≤ |checkpoints| × VOCAB_CURVE_MAX tiny rows)."""
+    docs = load(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda t: F.length(t) >= 3,
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = cnt.agg(F.sum("c").cast("long").alias("total_tokens"))
+    top = (
+        cnt.orderBy(F.desc("c"), F.asc("term"))
+        .limit(VOCAB_CURVE_MAX)
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("term")))
+        )
+    )
+    ks = F.array(*[F.lit(k) for k in VOCAB_CHECKPOINTS])
+    return (
+        top.select(
+            "c", F.explode(F.filter(ks, lambda k: k >= F.col("rn"))).alias("rank_k")
+        )
+        .groupBy("rank_k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("c").cast("long").alias("covered_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank_k",
+            "n_terms",
+            "covered_tokens",
+            "total_tokens",
+            ((F.col("covered_tokens") * 1_000_000) / F.col("total_tokens"))
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+        .orderBy("rank_k")
+    )

@@ -476,3 +476,100 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), "user_id", "session_no")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Per-user exact EWMA over the trailing-N events (bounded-state feature)
+# --------------------------------------------------------------------------
+
+EWMA_N = 32  # trailing events per user; alpha = 1/2
+EWMA_Q = 1_000_000  # value quantization: integer micro-units
+EWMA_TOPK = 20
+
+# With alpha = 1/2 over the kept sequence v_1..v_n (v_1 oldest), the
+# recursion s_1 = v_1, s_i = (v_i + s_{i-1}) / 2 unrolls to
+#   s_n * 2^(n-1) = v_1 + sum_{i=2..n} v_i * 2^(i-2)
+# so the whole fold is integer arithmetic once values are quantized:
+# numerator in micro-units * 2^(n-1), then one exact integral divide.
+_EWMA_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id,
+         CAST(floor(value * {EWMA_Q}) AS BIGINT) AS v_q,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+sel AS (SELECT user_id, v_q, rn FROM ranked WHERE rn <= {EWMA_N}),
+sized AS (
+  SELECT user_id, v_q, rn, count(*) OVER (PARTITION BY user_id) AS n FROM sel
+),
+per AS (
+  SELECT user_id,
+         CAST(max(n) AS BIGINT) AS n_used,
+         sum(v_q * (CAST(1 AS BIGINT) << CASE WHEN n - rn - 1 > 0 THEN n - rn - 1 ELSE 0 END)) AS num
+  FROM sized GROUP BY user_id
+)
+SELECT user_id, n_used,
+       CAST(num // (CAST(1 AS BIGINT) << (n_used - 1)) AS BIGINT) AS ewma_micro,
+       CAST(num // (CAST(1 AS BIGINT) << (n_used - 1)) AS BIGINT) / {EWMA_Q}.0 AS ewma
+FROM per
+ORDER BY ewma_micro DESC, user_id
+LIMIT {EWMA_TOPK}
+"""
+
+
+@register(
+    "events_user_ewma",
+    _EWMA_ORACLE,
+    doc=f"per-user exact alpha=1/2 EWMA over the trailing {EWMA_N} events, top-{EWMA_TOPK}",
+)
+def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of event value per user over
+    the trailing ``EWMA_N`` events — the classic bounded-state user
+    feature (recent behavior weighted over stale). alpha = 1/2 is chosen
+    so the fold is EXACT: quantize values to integer micro-units, unroll
+    the recursion to an integer-weighted sum (weights are powers of two,
+    shiftleft — see the oracle comment), and finish with one integral
+    divide. No cross-engine float summation anywhere; the `ewma` double
+    is a single exact small-integer division.
+
+    Scale shape: one window partitioned by user_id (state bounded per
+    key) ranks events newest-first; everything past rank ``EWMA_N`` is
+    dropped BEFORE the second (also per-user, now <= N rows each) sizing
+    window and the per-user aggregate, so per-task memory is bounded by
+    a constant regardless of a user's history length. Top-k via
+    TakeOrderedAndProject. The streaming twin of this shape is an
+    applyInPandasWithState keyed fold."""
+    events = load(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    sel = (
+        events.select(
+            "user_id",
+            F.floor(F.col("value") * EWMA_Q).cast("long").alias("v_q"),
+            F.row_number().over(w_rank).alias("rn"),
+        )
+        .filter(F.col("rn") <= EWMA_N)
+    )
+    sized = sel.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+    # SQL shiftleft accepts a column bit count; the Python F.shiftleft
+    # wrapper only takes a literal.
+    term = F.expr(
+        "CAST(v_q * shiftleft(CAST(1 AS BIGINT), greatest(n - rn - 1, 0)) AS DECIMAL(38,0))"
+    )
+    per = sized.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_used"),
+        F.sum(term).alias("num"),
+    )
+    denom = F.expr("shiftleft(CAST(1 AS BIGINT), n_used - 1)")
+    ewma_micro = F.expr("CAST(num div CAST(denom AS DECIMAL(38,0)) AS BIGINT)")
+    return (
+        per.withColumn("denom", denom)
+        .withColumn("ewma_micro", ewma_micro)
+        .select(
+            "user_id",
+            "n_used",
+            "ewma_micro",
+            (F.col("ewma_micro") / F.lit(float(EWMA_Q))).alias("ewma"),
+        )
+        .orderBy(F.desc("ewma_micro"), F.asc("user_id"))
+        .limit(EWMA_TOPK)
+    )

@@ -78,6 +78,9 @@ _NEW_THIS_ROUND = (
     "text_unigram_logppl",
     "events_markov_transitions",
     "orders_price_trend_ols",
+    "graph_kcore",
+    "text_vocab_coverage",
+    "events_user_ewma",
 )
 
 

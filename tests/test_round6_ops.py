@@ -1,0 +1,192 @@
+"""Third-engine recomputes + plan pins for the round-6 session additions:
+k-core decomposition, the vocabulary coverage curve, and the exact
+trailing-N EWMA.
+
+The DuckDB oracle compare is the driver's job; these tests re-derive the
+same answers in plain Python and pin the plan shapes that make each
+operator scale."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import pandas as pd
+
+from gluettalax_spark.operators.graph import _KCORE_K, _KCORE_MAX_ROUNDS, MAX_BASKET
+from gluettalax_spark.operators.text import VOCAB_CHECKPOINTS, VOCAB_CURVE_MAX
+from gluettalax_spark.operators.windows import EWMA_N, EWMA_Q, EWMA_TOPK
+from gluettalax_spark.registry import queries
+from tests.test_plans import physical_plan
+
+
+# --------------------------------------------------------------------------
+# graph_kcore
+# --------------------------------------------------------------------------
+
+
+def _cooccurrence_edges_brute(sf_dir: str) -> set[tuple[int, int]]:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    pair_count: dict[tuple[int, int], int] = defaultdict(int)
+    for _, grp in li.drop_duplicates().groupby("l_orderkey"):
+        ps = sorted(grp["l_partkey"].tolist())
+        if len(ps) > MAX_BASKET:
+            continue
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_count[(ps[i], ps[j])] += 1
+    return {e for e, c in pair_count.items() if c >= 2}
+
+
+def _kcore_brute(edges: set[tuple[int, int]], k: int, max_rounds: int):
+    converged = False
+    for _ in range(max_rounds + 1):  # +1: final state check after the cap
+        deg: dict[int, int] = defaultdict(int)
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        bad = {n for n, d in deg.items() if d < k}
+        if not bad:
+            converged = True
+            break
+        edges = {(a, b) for a, b in edges if a not in bad and b not in bad}
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    return deg, len(edges), converged
+
+
+def test_kcore_matches_python_recompute(spark, sf_dir):
+    deg, n_edges, converged = _kcore_brute(
+        _cooccurrence_edges_brute(sf_dir), _KCORE_K, _KCORE_MAX_ROUNDS
+    )
+    rows = queries()["graph_kcore"](spark, sf_dir).collect()
+    want_members = sorted(((-d, n) for n, d in deg.items()))[:20]
+    assert [(-r["core_degree"], r["node"]) for r in rows] == want_members
+    for r in rows:
+        assert r["n_core_nodes"] == len(deg)
+        assert r["n_core_edges"] == n_edges
+        assert r["converged"] == converged
+
+
+def test_kcore_converges_on_fixture(spark, sf_dir):
+    rows = queries()["graph_kcore"](spark, sf_dir).collect()
+    assert rows, "fixture 3-core should be non-empty at sf0.001"
+    assert all(r["converged"] for r in rows)
+    # Every surviving member really is in a k-core: in-core degree >= k.
+    assert all(r["core_degree"] >= _KCORE_K for r in rows)
+
+
+def test_kcore_no_cartesian(spark, sf_dir):
+    plan = physical_plan(queries()["graph_kcore"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # Only the 1-row totals combiners may nested-loop.
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+# --------------------------------------------------------------------------
+# text_vocab_coverage
+# --------------------------------------------------------------------------
+
+
+def _vocab_brute(sf_dir: str):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    cnt: Counter[str] = Counter()
+    for text in docs["text"]:
+        cnt.update(t for t in re.split(r"[^a-z0-9]+", text.lower()) if len(t) >= 3)
+    total = sum(cnt.values())
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_CURVE_MAX]
+    out = {}
+    for k in VOCAB_CHECKPOINTS:
+        covered = sum(c for _, c in top[:k])
+        out[k] = (min(k, len(top)), covered, total, covered * 1_000_000 // total)
+    return out
+
+
+def test_vocab_coverage_matches_python_recompute(spark, sf_dir):
+    want = _vocab_brute(sf_dir)
+    rows = queries()["text_vocab_coverage"](spark, sf_dir).collect()
+    got = {
+        r["rank_k"]: (r["n_terms"], r["covered_tokens"], r["total_tokens"], r["coverage_ppm"])
+        for r in rows
+    }
+    assert got == want
+
+
+def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
+    rows = sorted(
+        queries()["text_vocab_coverage"](spark, sf_dir).collect(),
+        key=lambda r: r["rank_k"],
+    )
+    covered = [r["covered_tokens"] for r in rows]
+    assert covered == sorted(covered)
+    assert all(0 < r["coverage_ppm"] <= 1_000_000 for r in rows)
+    assert all(r["covered_tokens"] <= r["total_tokens"] for r in rows)
+
+
+def test_vocab_coverage_take_ordered_not_global_sort(spark, sf_dir):
+    """The vocab slice must come off the count aggregate via
+    TakeOrderedAndProject — never a full global sort of the vocabulary —
+    and the only window runs over that bounded slice."""
+    from tests.test_plans import _unbounded_global_windows
+
+    df = queries()["text_vocab_coverage"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _unbounded_global_windows(df) == []
+
+
+# --------------------------------------------------------------------------
+# events_user_ewma
+# --------------------------------------------------------------------------
+
+
+def _ewma_brute(sf_dir: str):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"])
+    per_user = {}
+    for uid, grp in ev.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"], ascending=[False, False]).head(EWMA_N)
+        vals = [math.floor(v * EWMA_Q) for v in g["value"]][::-1]  # oldest first
+        n = len(vals)
+        num = vals[0] + sum(v << (i - 2) for i, v in enumerate(vals[1:], start=2))
+        per_user[uid] = (n, num // (1 << (n - 1)))
+    top = sorted(per_user.items(), key=lambda kv: (-kv[1][1], kv[0]))[:EWMA_TOPK]
+    return [(uid, n, micro) for uid, (n, micro) in top]
+
+
+def test_ewma_matches_python_recompute(spark, sf_dir):
+    rows = queries()["events_user_ewma"](spark, sf_dir).collect()
+    assert [(r["user_id"], r["n_used"], r["ewma_micro"]) for r in rows] == _ewma_brute(sf_dir)
+    # The reported double is the exact small-integer division.
+    assert all(r["ewma"] == r["ewma_micro"] / EWMA_Q for r in rows)
+
+
+def test_ewma_quantization_tracks_float_recursion(spark, sf_dir):
+    """The integer-exact fold must agree with the textbook float recursion
+    to within the quantization budget (1 micro-unit per fold step)."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"])
+    float_ewma = {}
+    for uid, grp in ev.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"], ascending=[False, False]).head(EWMA_N)
+        s = None
+        for v in list(g["value"])[::-1]:
+            s = v if s is None else (v + s) / 2.0
+        float_ewma[uid] = s
+    for r in queries()["events_user_ewma"](spark, sf_dir).collect():
+        assert abs(r["ewma"] - float_ewma[r["user_id"]]) < EWMA_N / EWMA_Q
+
+
+def test_ewma_windows_partitioned_and_take_ordered(spark, sf_dir):
+    """Both windows must partition on user_id (bounded per-key state) and
+    the top-k must plan as TakeOrderedAndProject."""
+    from tests.test_plans import _unbounded_global_windows
+
+    df = queries()["events_user_ewma"](spark, sf_dir)
+    assert _unbounded_global_windows(df) == []
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln:
+            assert "user_id" in ln, ln.strip()[:160]
