@@ -479,3 +479,79 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming exact EWMA over the trailing-N events per user
+# --------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = "user_id long, n_used long, ewma_micro long, ewma double, n_seen long"
+_EWMA_STATE_SCHEMA = "ts array<long>, ids array<long>, vq array<long>, n_seen long"
+
+
+def _make_user_ewma_fn(n_keep: int, quantum: int):
+    """Closure-built (workers can't import this package). Per user, keep
+    the trailing ``n_keep`` events by (ts, event_id) — an order-statistics
+    summary that MERGES exactly: top-N-by-key of a union is the top-N of
+    the merged tops, so the final state equals the batch answer no matter
+    how events are split across (or ordered within) micro-batches. The
+    emitted EWMA is the same exact integer fold as the batch operator
+    (`operators/windows.py events_user_ewma`): quantized values, powers
+    -of-two weights, one integral divide."""
+
+    def update(key, pdfs, state):
+        import math as _math
+
+        import pandas as _pd
+
+        if state.exists:
+            ts, ids, vq, n_seen = state.get
+            buf = list(zip(ts, ids, vq))
+        else:
+            buf, n_seen = [], 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            t_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            # floor (not int()'s truncate-toward-zero) to match the batch
+            # operator's quantization bit-for-bit.
+            v_q = [(_math.floor(v * quantum)) for v in pdf["value"]]
+            buf.extend(zip(t_us, pdf["event_id"].tolist(), v_q))
+        buf.sort(key=lambda t: (-t[0], -t[1]))
+        buf = buf[:n_keep]
+        state.update((
+            [t for t, _, _ in buf], [i for _, i, _ in buf], [v for _, _, v in buf], n_seen
+        ))
+        vals = [v for _, _, v in reversed(buf)]  # oldest first
+        num = vals[0] + sum(v << (i - 2) for i, v in enumerate(vals[1:], start=2))
+        micro = num // (1 << (len(vals) - 1))
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_used": [len(vals)],
+                "ewma_micro": [micro],
+                "ewma": [micro / quantum],
+                "n_seen": [n_seen],
+            }
+        )
+
+    return update
+
+
+def streaming_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch `events_user_ewma`: per-user exact
+    alpha=1/2 EWMA over the trailing-N events, maintained incrementally
+    with BOUNDED state (≤ N (ts, id, value) triples per user, regardless
+    of history length or arrival order — the trailing-N buffer is a
+    mergeable summary). Each emission carries n_seen so consumers can
+    identify the final value per key; a test pins that the final
+    emissions equal the batch operator's exact integers."""
+    from gluettalax_spark.operators.windows import EWMA_N, EWMA_Q
+
+    stream = read_events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _make_user_ewma_fn(EWMA_N, EWMA_Q),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

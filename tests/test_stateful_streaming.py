@@ -323,3 +323,45 @@ def test_streaming_heavy_hitters_mg_guarantees(spark, sf_dir):
         for uid, true in truth[et].items():
             if true > bound:
                 assert uid in summ, (et, uid, true, bound)
+
+
+def test_streaming_user_ewma_equals_batch_exact(spark, sf_dir):
+    """The streaming trailing-N EWMA must land on the batch operator's
+    exact integers for EVERY user once the stream drains: the trailing-N
+    buffer is a mergeable summary, so micro-batch boundaries cannot
+    change the answer. Also pins bounded state (n_used <= N) and that the
+    reported double is the exact small-integer division."""
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from gluettalax_spark.operators.windows import EWMA_N, EWMA_Q
+    from gluettalax_spark.streaming.stateful import streaming_user_ewma
+
+    stream_df = streaming_user_ewma(spark, sf_dir)
+    assert stream_df.isStreaming
+    rows = run_stream_to_memory(spark, stream_df, "ewma_smoke", output_mode="update").collect()
+    assert rows
+
+    latest = {}
+    for r in rows:
+        assert r.n_used <= EWMA_N
+        assert r.ewma == r.ewma_micro / EWMA_Q
+        if r.user_id not in latest or r.n_seen > latest[r.user_id].n_seen:
+            latest[r.user_id] = r
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"])
+    truth = {}
+    counts = defaultdict(int)
+    for uid, grp in ev.groupby("user_id"):
+        counts[uid] = len(grp)
+        g = grp.sort_values(["ts", "event_id"], ascending=[False, False]).head(EWMA_N)
+        vals = [math.floor(v * EWMA_Q) for v in g["value"]][::-1]
+        num = vals[0] + sum(v << (i - 2) for i, v in enumerate(vals[1:], start=2))
+        truth[uid] = (len(vals), num // (1 << (len(vals) - 1)))
+
+    assert set(latest) == set(truth)
+    for uid, r in latest.items():
+        assert r.n_seen == counts[uid], uid  # every event reached the fold
+        assert (r.n_used, r.ewma_micro) == truth[uid], uid
