@@ -111,6 +111,7 @@ HEADLINE = [
     "graph_kcore",
     "text_vocab_coverage",
     "events_user_ewma",
+    "text_bigram_logppl",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

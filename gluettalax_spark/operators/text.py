@@ -1941,3 +1941,132 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank_k")
     )
+
+
+# --------------------------------------------------------------------------
+# Interpolated bigram log-perplexity (the stronger KenLM-proxy filter)
+# --------------------------------------------------------------------------
+
+BIPPL_TOPK = 20
+
+_BIPPL_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) >= 3) AS tokens
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, tokens[i] AS a, tokens[i + 1] AS b
+  FROM toks, unnest(range(1, len(tokens))) AS r(i)
+  WHERE len(tokens) >= 2
+),
+tf AS (SELECT doc_id, a, b, count(*) AS tf FROM bg GROUP BY doc_id, a, b),
+c_ab AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS n_ab FROM tf GROUP BY a, b),
+c_a AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM c_ab GROUP BY a),
+c_b AS (
+  SELECT term AS b, CAST(count(*) AS BIGINT) AS n_b
+  FROM (SELECT unnest(tokens) AS term FROM toks) GROUP BY term
+),
+total AS (SELECT CAST(sum(n_b) AS DOUBLE) AS n FROM c_b),
+q AS (
+  SELECT ab.a, ab.b,
+         CAST(floor(ln(0.5 * ab.n_ab / a.n_a + 0.5 * b.n_b / t.n) * {PPL_Q}) AS BIGINT) AS q_lnp
+  FROM c_ab ab JOIN c_a a USING (a) JOIN c_b b USING (b) CROSS JOIN total t
+),
+per_doc AS (
+  SELECT f.doc_id,
+         CAST(sum(f.tf) AS BIGINT) AS n_bigrams,
+         CAST(sum(f.tf * q.q_lnp) AS BIGINT) AS q_sum
+  FROM tf f JOIN q USING (a, b)
+  GROUP BY f.doc_id
+)
+SELECT d.doc_id, m.lang, d.n_bigrams,
+       round(exp(-(CAST(d.q_sum AS DOUBLE) / {PPL_Q}) / d.n_bigrams), 4) AS ppl
+FROM per_doc d
+JOIN (SELECT DISTINCT doc_id, lang FROM documents) m USING (doc_id)
+ORDER BY ppl DESC, doc_id
+LIMIT {BIPPL_TOPK}
+"""
+
+
+@register(
+    "text_bigram_logppl",
+    _BIPPL_ORACLE,
+    doc=f"top-{BIPPL_TOPK} highest interpolated-bigram log-perplexity docs",
+)
+def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity per document — one rung up the
+    quality-filter ladder from `text_unigram_logppl`: p(b|a) =
+    0.5·c(ab)/c(a·) + 0.5·c(b)/N (Jelinek-Mercer with a dyadic lambda),
+    where c(a·) is the CONTEXT count (bigrams starting with a — derived
+    from the bigram table itself, so the distribution sums to 1 exactly).
+    A junk document scores high even when its individual words are
+    common but their ORDER is improbable — what the unigram filter
+    cannot see.
+
+    Cross-engine exactness: ln p is quantized to integer micro-nats
+    (floor) FIRST, so the per-doc fold is exact int64 — no float sums.
+    Scale shape: per-doc bigram tf is one shuffle; corpus bigram /
+    context / target counts are re-aggregations of that table (vocab-
+    not corpus-sized); the probability join keys on (a, b) and AQE picks
+    the strategy; only the 1-row total broadcasts; worst-k via
+    TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: F.length(t) >= 3
+        ).alias("tokens"),
+    )
+    bg = toks.filter(F.size("tokens") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tokens) - 1), "
+                "i -> struct(element_at(tokens, i) AS a, element_at(tokens, i + 1) AS b))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.a", "g.b")
+    tf = bg.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("tf"))
+    c_ab = tf.groupBy("a", "b").agg(F.sum("tf").cast("long").alias("n_ab"))
+    c_a = c_ab.groupBy("a").agg(F.sum("n_ab").cast("long").alias("n_a"))
+    c_b = (
+        toks.select(F.explode("tokens").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    )
+    total = c_b.agg(F.sum("n_b").cast("double").alias("n"))
+    q = (
+        c_ab.join(c_a, "a")
+        .join(c_b, "b")
+        .join(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            F.floor(
+                F.log(
+                    0.5 * F.col("n_ab") / F.col("n_a") + 0.5 * F.col("n_b") / F.col("n")
+                )
+                * PPL_Q
+            )
+            .cast("long")
+            .alias("q_lnp"),
+        )
+    )
+    per_doc = (
+        tf.join(q, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("q_lnp")).cast("long").alias("q_sum"),
+        )
+    )
+    ppl = F.round(
+        F.exp(-(F.col("q_sum").cast("double") / PPL_Q) / F.col("n_bigrams")), 4
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_bigrams", ppl.alias("ppl"))
+        .orderBy(F.col("ppl").desc(), "doc_id")
+        .limit(BIPPL_TOPK)
+    )

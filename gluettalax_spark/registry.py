@@ -81,6 +81,7 @@ _NEW_THIS_ROUND = (
     "graph_kcore",
     "text_vocab_coverage",
     "events_user_ewma",
+    "text_bigram_logppl",
 )
 
 

@@ -190,3 +190,59 @@ def test_ewma_windows_partitioned_and_take_ordered(spark, sf_dir):
     for ln in plan.splitlines():
         if "windowspecdefinition(" in ln:
             assert "user_id" in ln, ln.strip()[:160]
+
+
+# --------------------------------------------------------------------------
+# text_bigram_logppl
+# --------------------------------------------------------------------------
+
+
+def test_bigram_logppl_matches_python_recompute(spark, sf_dir):
+    """Third-engine recompute of the interpolated bigram LM. ln comes
+    from a different libm here, so floor(ln·1e6) may flip on a last-ulp
+    boundary: membership and n_bigrams are pinned exactly, ppl to within
+    a couple of round(4) steps."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    tf: Counter[tuple[int, str, str]] = Counter()
+    c_b: Counter[str] = Counter()
+    for _, row in docs.iterrows():
+        toks = [t for t in re.split(r"[^a-z0-9]+", row["text"].lower()) if len(t) >= 3]
+        c_b.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            tf[(row["doc_id"], a, b)] += 1
+    c_ab: Counter[tuple[str, str]] = Counter()
+    for (_, a, b), n in tf.items():
+        c_ab[(a, b)] += n
+    c_a: Counter[str] = Counter()
+    for (a, _), n in c_ab.items():
+        c_a[a] += n
+    total = sum(c_b.values())
+    q = {
+        (a, b): math.floor(math.log(0.5 * n / c_a[a] + 0.5 * c_b[b] / total) * 1_000_000)
+        for (a, b), n in c_ab.items()
+    }
+    per_doc: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for (d, a, b), n in tf.items():
+        per_doc[d][0] += n
+        per_doc[d][1] += n * q[(a, b)]
+    want = {
+        d: (nb, round(math.exp(-(qs / 1_000_000) / nb), 4))
+        for d, (nb, qs) in per_doc.items()
+    }
+    rows = queries()["text_bigram_logppl"](spark, sf_dir).collect()
+    worst = sorted(want.items(), key=lambda kv: (-kv[1][1], kv[0]))[: len(rows)]
+    assert [r["doc_id"] for r in rows] == [d for d, _ in worst]
+    for r in rows:
+        nb, ppl = want[r["doc_id"]]
+        assert r["n_bigrams"] == nb
+        assert abs(r["ppl"] - ppl) <= 2e-4, (r["doc_id"], r["ppl"], ppl)
+
+
+def test_bigram_logppl_take_ordered_no_global_window(spark, sf_dir):
+    from tests.test_plans import _unbounded_global_windows
+
+    df = queries()["text_bigram_logppl"](spark, sf_dir)
+    assert _unbounded_global_windows(df) == []
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
