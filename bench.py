@@ -112,6 +112,7 @@ HEADLINE = [
     "text_vocab_coverage",
     "events_user_ewma",
     "text_bigram_logppl",
+    "events_cumulative_distinct_users",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

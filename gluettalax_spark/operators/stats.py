@@ -827,3 +827,81 @@ def orders_price_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_price"
         ),
     ).orderBy("o_orderpriority")
+
+
+_CUMULATIVE_DISTINCT_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM pairs)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT CASE WHEN p.day = d.day THEN p.user_id END) AS BIGINT) AS dau,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS users_to_date
+FROM days d JOIN pairs p ON p.day <= d.day
+GROUP BY d.day
+ORDER BY day
+"""
+
+
+@register(
+    "events_cumulative_distinct_users",
+    _CUMULATIVE_DISTINCT_ORACLE,
+    doc="exact users-to-date per day via cumulative bitmap OR (mergeable exact distinct)",
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cumulative distinct users per day — the growth-accounting
+    twin of `events_dau_bitmap`, and the query that shows WHY the bitmap
+    representation matters: a naive users-to-date needs one
+    count-distinct per day over an ever-growing prefix (O(days × events)
+    re-scans), while bitmaps are MERGEABLE — the per-(day, bucket)
+    bitmaps the DAU pass already produces roll forward with a cumulative
+    ``bitmap_or_agg`` window per bucket, and ``bitmap_count`` of the
+    running OR is the exact distinct-to-date.
+
+    Scale shape: events collapse to one 4 KB bitmap per (day, bucket) in
+    a single map-side-partial aggregate; the cumulative window partitions
+    on bucket (bounded rows per partition: one per day — calendar-bounded,
+    not volume-bounded) so no single task ever sees more than
+    days × 4 KB; the final per-day sum is a bounded aggregate. Everything
+    is exact, hence oracle-checked — the HLL route trades this exactness
+    for smaller state."""
+    events = load(spark, sf_dir, "events")
+    per_bucket = (
+        events.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    # A bucket idle on day D would otherwise contribute no row for D and
+    # its carried-forward bitmap would vanish from that day's sum — so the
+    # window rolls over the DENSE (day × bucket) grid. Both dimensions are
+    # metadata-scale (calendar days × id-range/32k buckets), which is what
+    # justifies the broadcast cross join.
+    days = per_bucket.select("day").distinct()
+    buckets = per_bucket.select("bucket").distinct()
+    grid = days.crossJoin(F.broadcast(buckets))
+    dense = grid.join(per_bucket, ["day", "bucket"], "left")
+    w_cum = (
+        Window.partitionBy("bucket")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rolled = dense.select(
+        "day",
+        F.coalesce(F.expr("bitmap_count(bm)"), F.lit(0)).alias("daily_bits"),
+        F.coalesce(
+            F.bitmap_count(F.expr("bitmap_or_agg(bm)").over(w_cum)), F.lit(0)
+        ).alias("cum_bits"),
+    )
+    return (
+        rolled.groupBy("day")
+        .agg(
+            F.sum("daily_bits").alias("dau"),
+            F.sum("cum_bits").alias("users_to_date"),
+        )
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "users_to_date")
+        .orderBy("day")
+    )

@@ -82,6 +82,7 @@ _NEW_THIS_ROUND = (
     "text_vocab_coverage",
     "events_user_ewma",
     "text_bigram_logppl",
+    "events_cumulative_distinct_users",
 )
 
 

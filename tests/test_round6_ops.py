@@ -246,3 +246,41 @@ def test_bigram_logppl_take_ordered_no_global_window(spark, sf_dir):
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# events_cumulative_distinct_users
+# --------------------------------------------------------------------------
+
+
+def test_cumulative_distinct_matches_python_recompute(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    ev["day"] = ev["ts"].dt.strftime("%Y-%m-%d")
+    seen: set[int] = set()
+    want = []
+    for day, grp in sorted(ev.groupby("day"), key=lambda kv: kv[0]):
+        users = set(grp["user_id"])
+        seen |= users
+        want.append((day, len(users), len(seen)))
+    rows = queries()["events_cumulative_distinct_users"](spark, sf_dir).collect()
+    assert [(r["day"], r["dau"], r["users_to_date"]) for r in rows] == want
+
+
+def test_cumulative_distinct_invariants_and_plan(spark, sf_dir):
+    """users_to_date is nondecreasing and >= dau; the cumulative window
+    partitions on the bucket key (never a global window) and the only
+    nested-loop join is the broadcast metadata grid."""
+    from tests.test_plans import _unbounded_global_windows
+
+    df = queries()["events_cumulative_distinct_users"](spark, sf_dir)
+    rows = df.collect()
+    cum = [r["users_to_date"] for r in rows]
+    assert cum == sorted(cum)
+    assert all(r["users_to_date"] >= r["dau"] for r in rows)
+    assert _unbounded_global_windows(df) == []
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # One broadcast grid join; the formatted plan lists the node in both
+    # the tree and the detail section.
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "bitmap_or_agg" in plan or "bitmap_count" in plan, plan
