@@ -113,6 +113,7 @@ HEADLINE = [
     "events_user_ewma",
     "text_bigram_logppl",
     "events_cumulative_distinct_users",
+    "embedding_covariance",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

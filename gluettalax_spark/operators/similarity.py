@@ -698,3 +698,98 @@ def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         _make_norms_arrow_kernel(), schema="vec_id long, l2_norm double"
     )
     return out.orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Exact quantized covariance / Gram pass (the input to PCA & whitening)
+# --------------------------------------------------------------------------
+
+COV_Q = 1 << 20  # per-coordinate quantization: |v| < 1 so |q| < 2^20
+_COV_DIM = 64
+
+_COV_ORACLE = f"""
+WITH q AS (
+  SELECT list_transform(embedding, v -> CAST(floor(v * {COV_Q}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+s2 AS (
+  SELECT i.i - 1 AS i, j.j - 1 AS j, CAST(sum(qv[i.i] * qv[j.j]) AS BIGINT) AS s_ij
+  FROM q, unnest(range(1, {_COV_DIM} + 1)) AS i(i), unnest(range(1, {_COV_DIM} + 1)) AS j(j)
+  WHERE j.j >= i.i
+  GROUP BY 1, 2
+),
+s1 AS (
+  SELECT i.i - 1 AS d, CAST(sum(qv[i.i]) AS BIGINT) AS s
+  FROM q, unnest(range(1, {_COV_DIM} + 1)) AS i(i)
+  GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q)
+SELECT s2.i, s2.j, n.n, s2.s_ij, a.s AS s_i, b.s AS s_j,
+       round((CAST(s2.s_ij AS DOUBLE) / n.n
+              - (CAST(a.s AS DOUBLE) / n.n) * (CAST(b.s AS DOUBLE) / n.n))
+             / {COV_Q}.0 / {COV_Q}.0, 12) AS cov
+FROM s2 JOIN s1 a ON a.d = s2.i JOIN s1 b ON b.d = s2.j CROSS JOIN n
+ORDER BY i, j
+"""
+
+
+@register(
+    "embedding_covariance",
+    _COV_ORACLE,
+    doc="exact quantized upper-triangle covariance of the embedding matrix",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The covariance / second-moment pass every PCA, whitening, or
+    feature-decorrelation step needs over an embedding corpus — computed
+    EXACTLY: coordinates quantize to integers (floor(v·2^20); |v| < 1 in
+    this corpus), so the moment sums are integer arithmetic with no
+    cross-engine float-order divergence, and the derived `cov` double is
+    a fixed sequence of IEEE divisions from those integers (deterministic
+    — no transcendentals). At sf-bench corpus sizes the sums fit int64
+    with ~100× headroom; a trillion-row corpus would drop COV_Q one bit
+    per 4× rows (or move the sums to decimal).
+
+    Scale shape: the d(d+1)/2 pair products explode MAP-SIDE from each
+    quantized vector (one array transform — no self-join, the array
+    never shuffles) and Catalyst's partial aggregation collapses them to
+    2 080 groups per task before the only shuffle; the first-moment table
+    (64 rows) and the 1-row count broadcast onto the result. Driver-side
+    eigen-decomposition of the 2 080-entry output is metadata-scale —
+    the standard split for distributed PCA."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr(f"transform(embedding, v -> CAST(floor(v * {COV_Q}) AS BIGINT))").alias("qv")
+    )
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(qv, (x, i) -> "
+                "transform(slice(qv, i + 1, size(qv) - i), "
+                "(y, k) -> struct(i AS i, i + k AS j, x * y AS p))))"
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    s2 = pairs.groupBy("i", "j").agg(F.sum("p").cast("long").alias("s_ij"))
+    s1 = (
+        q.select(F.posexplode("qv").alias("d", "qd"))
+        .groupBy("d")
+        .agg(F.sum("qd").cast("long").alias("s"))
+    )
+    n = q.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cov = F.round(
+        (
+            F.col("s_ij").cast("double") / F.col("n")
+            - (F.col("s_i").cast("double") / F.col("n"))
+            * (F.col("s_j").cast("double") / F.col("n"))
+        )
+        / float(COV_Q)
+        / float(COV_Q),
+        12,
+    )
+    return (
+        s2.join(F.broadcast(s1.withColumnRenamed("d", "i").withColumnRenamed("s", "s_i")), "i")
+        .join(F.broadcast(s1.withColumnRenamed("d", "j").withColumnRenamed("s", "s_j")), "j")
+        .join(F.broadcast(n))
+        .select("i", "j", "n", "s_ij", "s_i", "s_j", cov.alias("cov"))
+        .orderBy("i", "j")
+    )

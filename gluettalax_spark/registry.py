@@ -83,6 +83,7 @@ _NEW_THIS_ROUND = (
     "events_user_ewma",
     "text_bigram_logppl",
     "events_cumulative_distinct_users",
+    "embedding_covariance",
 )
 
 

@@ -284,3 +284,48 @@ def test_cumulative_distinct_invariants_and_plan(spark, sf_dir):
     # the tree and the detail section.
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
     assert "bitmap_or_agg" in plan or "bitmap_count" in plan, plan
+
+
+# --------------------------------------------------------------------------
+# embedding_covariance
+# --------------------------------------------------------------------------
+
+
+def test_embedding_covariance_matches_numpy_exact_ints(spark, sf_dir):
+    import numpy as np
+
+    from gluettalax_spark.operators.similarity import COV_Q
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    X = np.floor(np.stack(emb["embedding"].to_numpy()).astype("float64") * COV_Q).astype("int64")
+    n, d = X.shape
+    S2 = X.T @ X          # exact: values < 2^20, n small
+    S1 = X.sum(axis=0)
+    rows = queries()["embedding_covariance"](spark, sf_dir).collect()
+    assert len(rows) == d * (d + 1) // 2
+    for r in rows:
+        assert r["n"] == n
+        assert r["s_ij"] == S2[r["i"], r["j"]], (r["i"], r["j"])
+        assert r["s_i"] == S1[r["i"]]
+        assert r["s_j"] == S1[r["j"]]
+
+
+def test_embedding_covariance_tracks_float_covariance(spark, sf_dir):
+    """The quantized-exact cov must agree with numpy's float covariance
+    to within the quantization budget (~2^-20 per coordinate)."""
+    import numpy as np
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    X = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    C = np.cov(X, rowvar=False, bias=True)
+    for r in queries()["embedding_covariance"](spark, sf_dir).collect():
+        assert abs(r["cov"] - C[r["i"], r["j"]]) < 3e-6, (r["i"], r["j"])
+
+
+def test_embedding_covariance_no_self_join(spark, sf_dir):
+    """Pair products must explode map-side from the quantized array —
+    never a self-join of the embedding table; the only joins are the
+    broadcast 64-row moment table and the 1-row count."""
+    plan = physical_plan(queries()["embedding_covariance"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
