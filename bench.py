@@ -114,6 +114,7 @@ HEADLINE = [
     "text_bigram_logppl",
     "events_cumulative_distinct_users",
     "embedding_covariance",
+    "events_drift_psi",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -905,3 +905,103 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "users_to_date")
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution drift: PSI over the event-type mix (early vs late half)
+# --------------------------------------------------------------------------
+
+PSI_Q = 100_000_000  # PSI terms quantized to 1e-8 so the total is an int sum
+
+_PSI_ORACLE = f"""
+WITH b AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+),
+c AS (
+  SELECT event_type,
+         CAST(count(CASE WHEN epoch_us(ts) <= b.mid THEN 1 END) AS BIGINT) AS c_ref,
+         CAST(count(CASE WHEN epoch_us(ts) >  b.mid THEN 1 END) AS BIGINT) AS c_cur
+  FROM events CROSS JOIN b
+  GROUP BY event_type
+),
+t AS (
+  SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref, CAST(sum(c_cur) AS BIGINT) AS n_cur,
+         CAST(count(*) AS BIGINT) AS k
+  FROM c
+),
+terms AS (
+  SELECT c.event_type, c.c_ref, c.c_cur,
+         CAST(floor(
+           ((CAST(c.c_ref + 1 AS DOUBLE) / (t.n_ref + t.k)) - (CAST(c.c_cur + 1 AS DOUBLE) / (t.n_cur + t.k)))
+           * ln((CAST(c.c_ref + 1 AS DOUBLE) / (t.n_ref + t.k)) / (CAST(c.c_cur + 1 AS DOUBLE) / (t.n_cur + t.k)))
+           * {PSI_Q}
+         ) AS BIGINT) AS term_e8
+  FROM c CROSS JOIN t
+)
+SELECT event_type, c_ref, c_cur, term_e8,
+       CAST((SELECT sum(term_e8) FROM terms) AS BIGINT) AS psi_e8_total
+FROM terms
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_drift_psi",
+    _PSI_ORACLE,
+    doc="population-stability-index drift of the event-type mix, early vs late half",
+)
+def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the earlier and later halves of
+    the event stream — the standard production monitor for "did the
+    category mix drift" (PSI > 0.1 investigate, > 0.25 alarm), applied to
+    event_type with Laplace (+1) smoothing so a category vanishing from
+    one half contributes a finite term instead of infinity.
+
+    Exactness: the split point is integer epoch-microsecond arithmetic,
+    the per-(half, type) counts are integers, and each PSI term is
+    quantized to 1e-8 (floor) BEFORE the total — so the corpus-level PSI
+    is an exact integer sum, not a float fold whose addend order could
+    differ across engines (ln itself is the one libm call, same accepted
+    precedent as the perplexity ops).
+
+    Scale shape: ONE scan of events — the half-assignment is a map-side
+    comparison against the broadcast 1-row min/max aggregate, the counts
+    are one (event_type)-keyed aggregate carrying both halves as
+    conditional counts, and everything after is metadata-scale (k rows).
+    """
+    events = load(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us"), "event_type"
+    )
+    b = events.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid")
+    )
+    c = (
+        events.join(F.broadcast(b))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("us") <= F.col("mid"), 1)).alias("c_ref"),
+            F.count(F.when(F.col("us") > F.col("mid"), 1)).alias("c_cur"),
+        )
+    )
+    t = c.agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    p = (F.col("c_ref") + 1).cast("double") / (F.col("n_ref") + F.col("k"))
+    q = (F.col("c_cur") + 1).cast("double") / (F.col("n_cur") + F.col("k"))
+    terms = (
+        c.join(F.broadcast(t))
+        .select(
+            "event_type",
+            "c_ref",
+            "c_cur",
+            F.floor((p - q) * F.log(p / q) * PSI_Q).cast("long").alias("term_e8"),
+        )
+    )
+    total = terms.agg(F.sum("term_e8").cast("long").alias("psi_e8_total"))
+    return (
+        terms.join(F.broadcast(total))
+        .select("event_type", "c_ref", "c_cur", "term_e8", "psi_e8_total")
+        .orderBy("event_type")
+    )

@@ -84,6 +84,7 @@ _NEW_THIS_ROUND = (
     "text_bigram_logppl",
     "events_cumulative_distinct_users",
     "embedding_covariance",
+    "events_drift_psi",
 )
 
 

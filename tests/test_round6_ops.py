@@ -329,3 +329,39 @@ def test_embedding_covariance_no_self_join(spark, sf_dir):
     plan = physical_plan(queries()["embedding_covariance"](spark, sf_dir))
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# events_drift_psi
+# --------------------------------------------------------------------------
+
+
+def test_drift_psi_matches_python_recompute(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    us = ev["ts"].astype("int64") // 1000  # ns -> us
+    mid = (int(us.min()) + int(us.max())) // 2
+    ref = Counter(ev.loc[us <= mid, "event_type"])
+    cur = Counter(ev.loc[us > mid, "event_type"])
+    types = sorted(set(ref) | set(cur))
+    k = len(types)
+    n_ref, n_cur = sum(ref.values()), sum(cur.values())
+    want = {}
+    total = 0
+    for et in types:
+        p = (ref[et] + 1) / (n_ref + k)
+        q = (cur[et] + 1) / (n_cur + k)
+        term = math.floor((p - q) * math.log(p / q) * 100_000_000)
+        want[et] = (ref[et], cur[et], term)
+        total += term
+    rows = queries()["events_drift_psi"](spark, sf_dir).collect()
+    assert {r["event_type"]: (r["c_ref"], r["c_cur"], r["term_e8"]) for r in rows} == want
+    assert all(r["psi_e8_total"] == total for r in rows)
+
+
+def test_drift_psi_one_scan_no_data_join(spark, sf_dir):
+    """The half-split must be a map-side comparison against broadcast
+    min/max — events join only against 1-row/k-row broadcasts, never a
+    shuffled data join."""
+    plan = physical_plan(queries()["events_drift_psi"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
