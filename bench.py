@@ -115,6 +115,7 @@ HEADLINE = [
     "events_cumulative_distinct_users",
     "embedding_covariance",
     "events_drift_psi",
+    "embedding_pca_project",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

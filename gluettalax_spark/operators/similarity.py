@@ -793,3 +793,72 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", "j", "n", "s_ij", "s_i", "s_j", cov.alias("cov"))
         .orderBy("i", "j")
     )
+
+
+PCA_K = 4
+PCA_TOPK = 20
+
+
+@register(
+    "embedding_pca_project",
+    None,
+    doc=f"distributed PCA: top-{PCA_K} components from the exact covariance, corpus projected JVM-side (rows-only + variance invariant)",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, the standard split: the d×d covariance reduces on
+    the cluster (the exact integer pass `embedding_covariance` provides),
+    its eigendecomposition happens driver-side on the metadata-scale
+    2 080-entry matrix (same bounded-driver-work pattern as the PQ/IVF
+    codebook training), and the corpus is projected onto the top-k
+    components entirely JVM-side — each score is one
+    aggregate(zip_with(...)) fold against the broadcast component
+    constants, no Python in the data path.
+
+    Rows-only contract (eigendecomposition isn't SQL-expressible), so the
+    output carries its own witnesses: `var_pc1` (corpus variance of the
+    first score) and `eig1` ride along per row; tests pin
+    var_pc1/eig1 ≈ 1 — a wrong covariance, eigenvector, or projection
+    breaks that identity. Component sign is fixed (largest-|coordinate|
+    positive) so results are reproducible across numpy builds."""
+    import numpy as np
+
+    cov_rows = embedding_covariance(spark, sf_dir).collect()  # metadata-scale (2 080 rows)
+    d = max(r["j"] for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:PCA_K]
+    eigs = vals[order]
+    comps = vecs[:, order]
+    for k in range(comps.shape[1]):  # deterministic sign convention
+        if comps[np.abs(comps[:, k]).argmax(), k] < 0:
+            comps[:, k] = -comps[:, k]
+
+    emb = load(spark, sf_dir, "embeddings")
+    # Per-coordinate means (for centering) from the same covariance pass
+    # would need s_i/n; recompute the 64-value mean vector in one tiny agg.
+    mean_row = emb.select(
+        *[F.avg(F.element_at("embedding", i + 1)).alias(f"m{i}") for i in range(d)]
+    ).collect()[0]
+    mu = np.array([mean_row[f"m{i}"] for i in range(d)])
+
+    def score_expr(k: int):
+        arr = "array(" + ",".join(f"{c!r}D" for c in comps[:, k]) + ")"
+        mu_arr = "array(" + ",".join(f"{m!r}D" for m in mu) + ")"
+        return F.expr(
+            f"aggregate(zip_with(zip_with(embedding, {mu_arr}, (v, m) -> v - m), {arr}, "
+            "(x, w) -> x * w), 0D, (acc, t) -> acc + t)"
+        )
+
+    scored = emb.select(
+        "vec_id", *[F.round(score_expr(k), 6).alias(f"pc{k + 1}") for k in range(PCA_K)]
+    ).localCheckpoint(eager=False)
+    stats = scored.agg(F.round(F.var_pop("pc1"), 6).alias("var_pc1"))
+    return (
+        scored.orderBy(F.desc(F.abs(F.col("pc1"))), F.asc("vec_id"))
+        .limit(PCA_TOPK)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("eig1", F.round(F.lit(float(eigs[0])), 6))
+        .orderBy(F.desc(F.abs(F.col("pc1"))), F.asc("vec_id"))
+    )

@@ -85,6 +85,7 @@ _NEW_THIS_ROUND = (
     "events_cumulative_distinct_users",
     "embedding_covariance",
     "events_drift_psi",
+    "embedding_pca_project",
 )
 
 

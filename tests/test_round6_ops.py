@@ -365,3 +365,51 @@ def test_drift_psi_one_scan_no_data_join(spark, sf_dir):
     plan = physical_plan(queries()["events_drift_psi"](spark, sf_dir))
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# embedding_pca_project (rows-only: invariant + numpy recompute)
+# --------------------------------------------------------------------------
+
+
+def test_pca_project_variance_invariant_and_numpy(spark, sf_dir):
+    """Rows-only witness: var(pc1) over the corpus must equal the top
+    eigenvalue of the covariance the components came from (that identity
+    fails if the covariance, eigenvector, or projection is wrong), and
+    the embedded var_pc1/eig1 columns must carry those same numbers.
+    Scores are cross-checked against a full numpy PCA."""
+    import numpy as np
+
+    from gluettalax_spark.operators.similarity import PCA_K
+
+    rows = queries()["embedding_pca_project"](spark, sf_dir).collect()
+    assert rows
+    var_pc1, eig1 = rows[0]["var_pc1"], rows[0]["eig1"]
+    assert all((r["var_pc1"], r["eig1"]) == (var_pc1, eig1) for r in rows)
+    # Identity: projected variance == eigenvalue (quantized cov => small slack).
+    assert abs(var_pc1 / eig1 - 1.0) < 1e-2, (var_pc1, eig1)
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    X = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    Xc = X - X.mean(axis=0)
+    C = (Xc.T @ Xc) / len(Xc)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:PCA_K]
+    comps = vecs[:, order]
+    for k in range(comps.shape[1]):
+        if comps[np.abs(comps[:, k]).argmax(), k] < 0:
+            comps[:, k] = -comps[:, k]
+    S = Xc @ comps
+    by_id = {int(v): S[i] for i, v in enumerate(emb["vec_id"])}
+    for r in rows:
+        want = by_id[r["vec_id"]]
+        for k in range(PCA_K):
+            # numpy eigen vs quantized-cov eigen: small basis wobble allowed
+            assert abs(r[f"pc{k + 1}"] - want[k]) < 5e-3, (r["vec_id"], k)
+
+
+def test_pca_project_no_python_in_data_path(spark, sf_dir):
+    """The projection must be JVM-side expression folds — no Arrow/Python
+    eval operator anywhere in the scoring plan."""
+    plan = physical_plan(queries()["embedding_pca_project"](spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan[:1500]
