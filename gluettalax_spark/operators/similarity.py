@@ -836,12 +836,15 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             comps[:, k] = -comps[:, k]
 
     emb = load(spark, sf_dir, "embeddings")
-    # Per-coordinate means (for centering) from the same covariance pass
-    # would need s_i/n; recompute the 64-value mean vector in one tiny agg.
-    mean_row = emb.select(
-        *[F.avg(F.element_at("embedding", i + 1)).alias(f"m{i}") for i in range(d)]
-    ).collect()[0]
-    mu = np.array([mean_row[f"m{i}"] for i in range(d)])
+    # Per-coordinate means for centering come from the covariance pass's
+    # own first moments (s_i / n / 2^20) — no extra corpus scan; the
+    # quantization offset (< 2^-20 per coordinate) is inside the same
+    # budget the eigenvectors already carry.
+    n_rows = cov_rows[0]["n"]
+    mu = np.zeros(d)
+    for r in cov_rows:
+        if r["i"] == r["j"]:
+            mu[r["i"]] = r["s_i"] / n_rows / COV_Q
 
     def score_expr(k: int):
         arr = "array(" + ",".join(f"{c!r}D" for c in comps[:, k]) + ")"

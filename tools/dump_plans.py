@@ -61,6 +61,15 @@ SHOWCASE = {
     "events_attribution_last_touch": "fill-forward window on user_id; no per-purchase range join",
     "text_unigram_logppl": "integer micro-nat fold (cross-engine exact); worst-k via TakeOrderedAndProject",
     "semantic_dedup": "adaptive band cap: non-skew path is join-free FlatMapGroupsInPandas per cluster",
+    # Round-6 continuation-session additions:
+    "graph_kcore": "bounded peel rounds, one degree agg + two semi-joins each; converged flag rides the broadcast totals",
+    "text_vocab_coverage": "one term-count shuffle; curve from the TakeOrderedAndProject vocab slice + broadcast total",
+    "events_user_ewma": "user-partitioned rank window prunes to trailing N before the sizing window; exact integer fold",
+    "text_bigram_logppl": "bigram tf shuffled once; context/target counts re-aggregate it; micro-nat fold is exact int64",
+    "events_cumulative_distinct_users": "cumulative bitmap_or_agg per bucket over the dense metadata grid; exact distinct-to-date",
+    "embedding_covariance": "d^2/2 pair products explode map-side, partial-agg collapses to 2080 groups before the shuffle",
+    "events_drift_psi": "one scan; half-split vs broadcast min/max; PSI terms floor-quantized so the total is an int sum",
+    "embedding_pca_project": "driver-side eigen of the 2080-entry covariance; JVM-only zip_with projection folds",
 }
 
 
