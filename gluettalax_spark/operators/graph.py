@@ -928,11 +928,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     join primitive."""
     edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
     for _ in range(_KCORE_MAX_ROUNDS):
+        # Checkpoint the (node-sized) degree table eagerly: the
+        # convergence probe AND the keep-set filter both consume it, and
+        # without the cut each round would run the degree aggregate twice.
         deg = (
             edges.select(F.col("pa").alias("n"))
             .unionAll(edges.select(F.col("pb").alias("n")))
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
+            .localCheckpoint(eager=True)
         )
         bad = deg.filter(F.col("d") < _KCORE_K)
         if bad.isEmpty():

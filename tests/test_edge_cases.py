@@ -250,3 +250,124 @@ def test_scd2_as_of_before_any_event(spark, tmp_path):
     out = str(tmp_path / "ev2")
     df.write.parquet(f"{out}/events.parquet")
     assert queries()["scd2_as_of"](spark, out).count() == 0
+
+
+def test_kcore_no_qualifying_edges(spark, tmp_path):
+    """Support-pruned edge set empty → empty core, converged, no crash
+    on the empty degree aggregate or the early-exit probe."""
+    from gluettalax_spark.registry import queries
+
+    sf = _write_lineitem(
+        spark,
+        tmp_path,
+        [(1, 10, 1, 5.0), (1, 11, 2, 5.0), (2, 10, 1, 5.0), (2, 12, 2, 5.0)],
+    )
+    assert queries()["graph_kcore"](spark, sf).count() == 0
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = str(tmp_path / "ev")
+    df.write.parquet(f"{out}/events.parquet")
+    return out
+
+
+def test_ewma_single_event_user(spark, tmp_path):
+    """n = 1 hits the degenerate fold (no shifted terms, denom 2^0): the
+    EWMA must equal the value itself, exactly quantized."""
+    import datetime as dt
+
+    from gluettalax_spark.registry import queries
+
+    sf = _write_events(spark, tmp_path, [(1, dt.datetime(2024, 1, 1), 42, "view", 3.5, "{}")])
+    rows = queries()["events_user_ewma"](spark, sf).collect()
+    assert [(r.user_id, r.n_used, r.ewma_micro, r.ewma) for r in rows] == [(42, 1, 3_500_000, 3.5)]
+
+
+def test_drift_psi_category_in_one_half_only(spark, tmp_path):
+    """A type absent from one half must yield a FINITE smoothed term —
+    the Laplace +1 path, which the organic fixture never exercises."""
+    import datetime as dt
+
+    from gluettalax_spark.registry import queries
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "alpha", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 10, 0, 0), 1, "beta", 1.0, "{}"),
+        ],
+    )
+    rows = {r.event_type: r for r in queries()["events_drift_psi"](spark, sf).collect()}
+    assert (rows["alpha"].c_ref, rows["alpha"].c_cur) == (1, 0)
+    assert (rows["beta"].c_ref, rows["beta"].c_cur) == (0, 1)
+    # Symmetric split → equal-magnitude opposite drift terms, all finite.
+    assert rows["alpha"].term_e8 == rows["beta"].term_e8
+    assert all(r.psi_e8_total == rows["alpha"].term_e8 * 2 for r in rows.values())
+
+
+def test_cumulative_distinct_single_day(spark, tmp_path):
+    import datetime as dt
+
+    from gluettalax_spark.registry import queries
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, dt.datetime(2024, 3, 1, 5), 7, "view", 1.0, "{}"),
+            (2, dt.datetime(2024, 3, 1, 9), 8, "view", 1.0, "{}"),
+            (3, dt.datetime(2024, 3, 1, 9), 7, "view", 1.0, "{}"),
+        ],
+    )
+    rows = queries()["events_cumulative_distinct_users"](spark, sf).collect()
+    assert [(r.day, r.dau, r.users_to_date) for r in rows] == [("2024-03-01", 2, 2)]
+
+
+def test_vocab_coverage_tiny_corpus_saturates(spark, tmp_path):
+    """Vocabulary smaller than every checkpoint: all rows cover the whole
+    corpus (ppm exactly 1e6) and blank docs are tolerated."""
+    from gluettalax_spark.registry import queries
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "alpha beta beta", "en", "src1", 15),
+            (2, "   ", "en", "src1", 3),
+        ],
+    )
+    rows = queries()["text_vocab_coverage"](spark, sf).collect()
+    assert len(rows) == 5
+    assert all((r.n_terms, r.covered_tokens, r.total_tokens, r.coverage_ppm) == (2, 3, 3, 1_000_000) for r in rows)
+
+
+def test_bigram_logppl_all_docs_too_short(spark, tmp_path):
+    """Every doc under 2 tokens → no bigrams anywhere; empty result, not
+    a crash on the empty count tables."""
+    from gluettalax_spark.registry import queries
+
+    sf = _write_docs(spark, tmp_path, [(1, "alpha", "en", "src1", 5), (2, "x y", "en", "src1", 3)])
+    assert queries()["text_bigram_logppl"](spark, sf).count() == 0
+
+
+def test_covariance_and_pca_tiny_corpus(spark, tmp_path):
+    """Five vectors: covariance still emits the full upper triangle and
+    PCA's identity witness holds (loose bound — tiny n, quantized cov)."""
+    import numpy as np
+
+    from gluettalax_spark.registry import queries
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.uniform(-0.4, 0.4, 64)], 0) for i in range(5)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    out = str(tmp_path / "emb")
+    df.write.parquet(f"{out}/embeddings.parquet")
+    cov = queries()["embedding_covariance"](spark, out).collect()
+    assert len(cov) == 64 * 65 // 2
+    rows = queries()["embedding_pca_project"](spark, out).collect()
+    assert len(rows) == 5
+    assert abs(rows[0]["var_pc1"] / rows[0]["eig1"] - 1.0) < 0.05
