@@ -116,6 +116,7 @@ HEADLINE = [
     "embedding_covariance",
     "events_drift_psi",
     "embedding_pca_project",
+    "table_checksum_audit",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

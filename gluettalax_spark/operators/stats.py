@@ -1005,3 +1005,105 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "c_ref", "c_cur", "term_e8", "psi_e8_total")
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Content checksum audit (order/partition-independent table fingerprints)
+# --------------------------------------------------------------------------
+
+_CKSUM_MOD = 1 << 61
+
+# Canonical row renderings. Integers print identically on both engines;
+# doubles do NOT (formatting differs), so o_totalprice goes through the
+# same round-to-cents integer as the OLS op; timestamps render as dates.
+_CKSUM_SPARK = {
+    "orders": (
+        "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, "
+        "CAST(round(o_totalprice * 100) AS BIGINT), "
+        "date_format(o_orderdate, 'yyyy-MM-dd'), o_orderpriority)"
+    ),
+    "customer": "concat_ws('|', c_custkey, c_name, c_nationkey)",
+    "documents": "concat_ws('|', doc_id, lang, source, n_chars, md5(text))",
+}
+
+_CKSUM_DUCK = {
+    "orders": (
+        "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, "
+        "CAST(round(o_totalprice * 100) AS BIGINT), "
+        "strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)"
+    ),
+    "customer": "concat_ws('|', c_custkey, c_name, c_nationkey)",
+    "documents": "concat_ws('|', doc_id, lang, source, n_chars, md5(text))",
+}
+
+
+def _duck_hex_word(start: int) -> str:
+    """DuckDB int of md5 hex chars [start, start+15) (no conv() there;
+    15 hex digits stay inside signed 64-bit)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(m, {start + k}, 1)) - 1) * {16 ** (14 - k)}"
+        for k in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _cksum_oracle() -> str:
+    parts = []
+    for t, canon in _CKSUM_DUCK.items():
+        parts.append(
+            f"""
+SELECT '{t}' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(w) % {_CKSUM_MOD} AS BIGINT) AS checksum
+FROM (
+  SELECT {_duck_hex_word(1)} + {_duck_hex_word(17)} AS w
+  FROM (SELECT md5({canon}) AS m FROM {t})
+)"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY table_name"
+
+
+@register(
+    "table_checksum_audit",
+    _cksum_oracle(),
+    doc="order-independent content checksums per table (data-integrity audit)",
+)
+def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints for pipeline data-integrity audits: does the
+    copied / migrated / re-partitioned table still hold EXACTLY the same
+    rows? Each row renders to a canonical string (integers and dates
+    only — float formatting differs across engines, so money goes
+    through the same round-to-cents integer as the OLS op; document text
+    contributes via its md5, so the checksum covers content without
+    shipping it), hashes to two 60-bit md5 words, and the table checksum
+    is their SUM modulo 2^61 — commutative, so the result is independent
+    of row order, partitioning, and parallelism, and two tables can be
+    compared across engines, file layouts, or clusters by two numbers.
+
+    Scale shape: pure map-side hashing plus one partial-aggregated
+    1-row-per-table sum (exact DECIMAL(38,0); DuckDB mirrors with
+    HUGEINT) — no shuffle wider than the number of audited tables. An
+    incremental audit maintains the same sum under inserts/deletes by
+    adding/subtracting row words (mergeable by construction)."""
+    outs = []
+    for t, canon in _CKSUM_SPARK.items():
+        rows = load(spark, sf_dir, t).select(F.expr(f"md5({canon})").alias("m"))
+        w = rows.select(
+            (
+                F.expr("CAST(conv(substr(m, 1, 15), 16, 10) AS BIGINT)")
+                + F.expr("CAST(conv(substr(m, 17, 15), 16, 10) AS BIGINT)")
+            )
+            .cast("decimal(38,0)")
+            .alias("w")
+        )
+        outs.append(
+            w.agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.expr(f"CAST(sum(w) % {_CKSUM_MOD} AS BIGINT)").alias("checksum"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name")

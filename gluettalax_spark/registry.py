@@ -86,6 +86,7 @@ _NEW_THIS_ROUND = (
     "embedding_covariance",
     "events_drift_psi",
     "embedding_pca_project",
+    "table_checksum_audit",
 )
 
 

@@ -413,3 +413,68 @@ def test_pca_project_no_python_in_data_path(spark, sf_dir):
     eval operator anywhere in the scoring plan."""
     plan = physical_plan(queries()["embedding_pca_project"](spark, sf_dir))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan[:1500]
+
+
+# --------------------------------------------------------------------------
+# table_checksum_audit
+# --------------------------------------------------------------------------
+
+
+def _cksum_brute(sf_dir: str, table: str) -> tuple[int, int]:
+    import hashlib
+
+    t = pd.read_parquet(f"{sf_dir}/{table}.parquet")
+    if table == "orders":
+        canon = (
+            t["o_orderkey"].astype(str)
+            + "|" + t["o_custkey"].astype(str)
+            + "|" + t["o_orderstatus"]
+            + "|" + (t["o_totalprice"] * 100).round().astype("int64").astype(str)
+            + "|" + t["o_orderdate"].dt.strftime("%Y-%m-%d")
+            + "|" + t["o_orderpriority"]
+        )
+    elif table == "customer":
+        canon = t["c_custkey"].astype(str) + "|" + t["c_name"] + "|" + t["c_nationkey"].astype(str)
+    else:  # documents
+        canon = (
+            t["doc_id"].astype(str)
+            + "|" + t["lang"]
+            + "|" + t["source"]
+            + "|" + t["n_chars"].astype(str)
+            + "|" + t["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest())
+        )
+    total = 0
+    for s in canon:
+        h = hashlib.md5(s.encode()).hexdigest()
+        total += int(h[0:15], 16) + int(h[16:31], 16)
+    return len(t), total % (1 << 61)
+
+
+def test_table_checksum_matches_python_recompute(spark, sf_dir):
+    rows = queries()["table_checksum_audit"](spark, sf_dir).collect()
+    got = {r["table_name"]: (r["n_rows"], r["checksum"]) for r in rows}
+    assert set(got) == {"orders", "customer", "documents"}
+    for t in got:
+        assert got[t] == _cksum_brute(sf_dir, t), t
+
+
+def test_table_checksum_order_and_layout_independent(spark, tmp_path, sf_dir):
+    """The audit's whole point: re-ordering and re-partitioning the same
+    rows must not move the checksum; changing ONE row must."""
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    for t in ("orders", "documents"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.parquet(f"{tmp_path}/a/{t}.parquet")
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.parquet(f"{tmp_path}/b/{t}.parquet")
+    src.orderBy(F.rand(7)).repartition(7).write.parquet(f"{tmp_path}/a/customer.parquet")
+    src.withColumn(
+        "c_name", F.when(F.col("c_custkey") == 1, F.lit("TAMPERED")).otherwise(F.col("c_name"))
+    ).write.parquet(f"{tmp_path}/b/customer.parquet")
+
+    base = {r["table_name"]: r["checksum"] for r in queries()["table_checksum_audit"](spark, sf_dir).collect()}
+    perm = {r["table_name"]: r["checksum"] for r in queries()["table_checksum_audit"](spark, str(tmp_path / "a")).collect()}
+    tamper = {r["table_name"]: r["checksum"] for r in queries()["table_checksum_audit"](spark, str(tmp_path / "b")).collect()}
+    assert perm == base
+    assert tamper["orders"] == base["orders"] and tamper["documents"] == base["documents"]
+    assert tamper["customer"] != base["customer"]
