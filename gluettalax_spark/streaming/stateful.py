@@ -555,3 +555,78 @@ def streaming_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming drift monitor: per-day PSI vs a batch reference distribution
+# --------------------------------------------------------------------------
+
+DRIFT_OUTPUT_SCHEMA = "day string, n_events long, psi_e8 long"
+_DRIFT_STATE_SCHEMA = "types array<string>, counts array<long>"
+
+
+def _make_drift_psi_fn(ref_counts: dict, psi_q: int):
+    """Closure-built (workers can't import this package). Per day,
+    accumulate the event-type counts and emit the PSI of the day's mix
+    against the broadcast reference distribution after every update —
+    the same Laplace smoothing and floor-quantized terms as the batch
+    `events_drift_psi`, so a day's final emission is reproducible from
+    the day's counts alone."""
+
+    def update(key, pdfs, state):
+        import math as _math
+
+        import pandas as _pd
+
+        if state.exists:
+            types, counts = state.get
+            cur = dict(zip(types, counts))
+        else:
+            cur = {}
+        for pdf in pdfs:
+            for et, c in pdf["event_type"].value_counts().items():
+                cur[str(et)] = cur.get(str(et), 0) + int(c)
+        state.update((list(cur.keys()), [int(v) for v in cur.values()]))
+        cats = sorted(set(ref_counts) | set(cur))
+        k = len(cats)
+        n_ref = sum(ref_counts.values())
+        n_cur = sum(cur.values())
+        psi = 0
+        for et in cats:
+            p = (ref_counts.get(et, 0) + 1) / (n_ref + k)
+            q = (cur.get(et, 0) + 1) / (n_cur + k)
+            psi += _math.floor((p - q) * _math.log(p / q) * psi_q)
+        yield _pd.DataFrame({"day": [key[0]], "n_events": [n_cur], "psi_e8": [psi]})
+
+    return update
+
+
+def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch `events_drift_psi`: the reference
+    distribution is frozen batch-side (the stream's own first half —
+    one metadata-scale collect), then every micro-batch updates each
+    day's running event-type counts (bounded state: one counter per
+    type per open day) and re-emits that day's PSI against the
+    reference. This is the alert a production ingest pipeline watches:
+    'today's traffic mix has drifted from the reference corpus'."""
+    from pyspark.sql import functions as F
+
+    from gluettalax_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(F.unix_micros("ts").alias("us"), "event_type")
+    b = ev.agg(((F.min("us") + F.max("us")) / 2).cast("long").alias("mid")).collect()[0]
+    ref = {
+        r["event_type"]: r["c"]
+        for r in ev.filter(F.col("us") <= b["mid"]).groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+
+    stream = read_events_stream(spark, sf_dir).select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"), "event_type"
+    )
+    return stream.groupBy("day").applyInPandasWithState(
+        _make_drift_psi_fn(ref, 100_000_000),
+        outputStructType=DRIFT_OUTPUT_SCHEMA,
+        stateStructType=_DRIFT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -365,3 +365,45 @@ def test_streaming_user_ewma_equals_batch_exact(spark, sf_dir):
     for uid, r in latest.items():
         assert r.n_seen == counts[uid], uid  # every event reached the fold
         assert (r.n_used, r.ewma_micro) == truth[uid], uid
+
+
+def test_streaming_drift_psi_matches_batch_recompute(spark, sf_dir):
+    """Each day's FINAL emission must equal the PSI computed from that
+    day's full counts against the frozen first-half reference — same
+    smoothing and quantization as the batch events_drift_psi."""
+    import math
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from gluettalax_spark.streaming.stateful import streaming_drift_psi
+
+    stream_df = streaming_drift_psi(spark, sf_dir)
+    assert stream_df.isStreaming
+    rows = run_stream_to_memory(spark, stream_df, "psi_smoke", output_mode="update").collect()
+    assert rows
+    latest = {}
+    for r in rows:
+        if r.day not in latest or r.n_events > latest[r.day].n_events:
+            latest[r.day] = r
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    us = ev["ts"].astype("int64") // 1000
+    mid = (int(us.min()) + int(us.max())) // 2
+    ref = Counter(ev.loc[us <= mid, "event_type"])
+    n_ref = sum(ref.values())
+    per_day = defaultdict(Counter)
+    for day, et in zip(ev["ts"].dt.strftime("%Y-%m-%d"), ev["event_type"]):
+        per_day[day][et] += 1
+
+    assert set(latest) == set(per_day)
+    for day, cur in per_day.items():
+        cats = sorted(set(ref) | set(cur))
+        k = len(cats)
+        n_cur = sum(cur.values())
+        psi = 0
+        for et in cats:
+            p = (ref.get(et, 0) + 1) / (n_ref + k)
+            q = (cur.get(et, 0) + 1) / (n_cur + k)
+            psi += math.floor((p - q) * math.log(p / q) * 100_000_000)
+        assert (latest[day].n_events, latest[day].psi_e8) == (n_cur, psi), day
