@@ -117,6 +117,7 @@ HEADLINE = [
     "events_drift_psi",
     "embedding_pca_project",
     "table_checksum_audit",
+    "orders_forecast_holt",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -1107,3 +1107,139 @@ def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("table_name")
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend forecast (exact linear-recurrence closed form)
+# --------------------------------------------------------------------------
+
+HOLT_M = 8  # trailing months in the fit window
+
+
+def _holt_weights() -> tuple[int, list[int], list[int]]:
+    """Exact position weights for Holt double exponential smoothing with
+    alpha = beta = 1/2 over a window of HOLT_M values (v_1 oldest):
+    l_1 = v_1, b_1 = v_2 - v_1, then l_i = (v_i + l + b)/2,
+    b_i = (l_i - l)/2 + b/2. The recursion is LINEAR in the inputs, so
+    level and trend are fixed rational combinations of v_1..v_m — scaled
+    by the common denominator they become integer weight vectors, and the
+    whole fit is exact integer arithmetic in any engine. Verified in
+    tests: a constant series gives trend exactly 0, a linear series
+    recovers its slope exactly."""
+    import math
+    from fractions import Fraction as Fr
+
+    m = HOLT_M
+    lv = [Fr(0)] * m
+    bv = [Fr(0)] * m
+    lv[0] = Fr(1)
+    bv[0], bv[1] = Fr(-1), Fr(1)
+    for i in range(1, m):
+        nl = [(lv[j] + bv[j]) / 2 for j in range(m)]
+        nl[i] += Fr(1, 2)
+        nb = [(nl[j] - lv[j]) / 2 + bv[j] / 2 for j in range(m)]
+        lv, bv = nl, nb
+    d = 1
+    for f in lv + bv:
+        d = d * f.denominator // math.gcd(d, f.denominator)
+    return d, [int(f * d) for f in lv], [int(f * d) for f in bv]
+
+
+_HOLT_D, _HOLT_WL, _HOLT_WB = _holt_weights()
+
+
+def _holt_oracle() -> str:
+    wl = ", ".join(map(str, _HOLT_WL))
+    wb = ", ".join(map(str, _HOLT_WB))
+    return f"""
+WITH monthly AS (
+  SELECT o_orderpriority AS pri,
+         date_trunc('month', o_orderdate) AS mon,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT pri, mon, cents,
+         row_number() OVER (PARTITION BY pri ORDER BY mon DESC) AS rn
+  FROM monthly
+),
+win AS (
+  SELECT pri, cents, {HOLT_M} + 1 - rn AS pos,
+         max(CASE WHEN rn = 1 THEN mon END) OVER (PARTITION BY pri) AS last_mon
+  FROM ranked WHERE rn <= {HOLT_M}
+),
+fit AS (
+  SELECT pri, strftime(max(last_mon), '%Y-%m') AS last_month,
+         sum(cents * ([{wl}])[pos]) AS sl,
+         sum(cents * ([{wb}])[pos]) AS sb
+  FROM win GROUP BY pri HAVING count(*) = {HOLT_M}
+)
+SELECT pri AS o_orderpriority, last_month,
+       round(CAST(sl AS DOUBLE) / {_HOLT_D} / 100, 2) AS level,
+       round(CAST(sb AS DOUBLE) / {_HOLT_D} / 100, 2) AS trend,
+       round(CAST(sl + sb AS DOUBLE) / {_HOLT_D} / 100, 2) AS forecast_next
+FROM fit
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "orders_forecast_holt",
+    _holt_oracle(),
+    doc=f"Holt linear-trend next-month revenue forecast per priority (exact {HOLT_M}-month closed form)",
+)
+def orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-month revenue forecast per order priority by Holt double
+    exponential smoothing (level + trend) over the trailing ``HOLT_M``
+    months. A sequential fit looks un-SQL-able, but with dyadic smoothing
+    constants the recursion is a LINEAR map — level and trend collapse to
+    fixed integer weight vectors over the window (precomputed once with
+    exact rational arithmetic, shared verbatim by the DuckDB oracle), so
+    the distributed fit is two exact integer dot products per group and
+    the forecast is reproducible bit-for-bit run-to-run; the only floats
+    are final display divisions. Same closed-form trick family as
+    `events_user_ewma`, one model rung up.
+
+    Scale shape: one partial-aggregated (priority, month) rollup; a
+    priority-partitioned rank window prunes to the trailing window
+    BEFORE the fit aggregate; per-group state is ``HOLT_M`` rows no
+    matter the history length."""
+    wl = F.array(*[F.lit(w) for w in _HOLT_WL])
+    wb = F.array(*[F.lit(w) for w in _HOLT_WB])
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    w_rank = Window.partitionBy("pri").orderBy(F.desc("mon"))
+    win = (
+        monthly.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= HOLT_M)
+        .select(
+            "pri",
+            "cents",
+            (F.lit(HOLT_M + 1) - F.col("rn")).alias("pos"),
+            F.max(F.when(F.col("rn") == 1, F.col("mon"))).over(Window.partitionBy("pri")).alias("last_mon"),
+        )
+    )
+    fit = (
+        win.groupBy("pri")
+        .agg(
+            F.date_format(F.max("last_mon"), "yyyy-MM").alias("last_month"),
+            F.sum(F.col("cents") * F.element_at(wl, F.col("pos"))).alias("sl"),
+            F.sum(F.col("cents") * F.element_at(wb, F.col("pos"))).alias("sb"),
+            F.count(F.lit(1)).alias("nm"),
+        )
+        .filter(F.col("nm") == HOLT_M)
+    )
+    return fit.select(
+        F.col("pri").alias("o_orderpriority"),
+        "last_month",
+        F.round(F.col("sl").cast("double") / _HOLT_D / 100, 2).alias("level"),
+        F.round(F.col("sb").cast("double") / _HOLT_D / 100, 2).alias("trend"),
+        F.round((F.col("sl") + F.col("sb")).cast("double") / _HOLT_D / 100, 2).alias("forecast_next"),
+    ).orderBy("o_orderpriority")

@@ -87,6 +87,7 @@ _NEW_THIS_ROUND = (
     "events_drift_psi",
     "embedding_pca_project",
     "table_checksum_audit",
+    "orders_forecast_holt",
 )
 
 

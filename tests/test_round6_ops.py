@@ -478,3 +478,69 @@ def test_table_checksum_order_and_layout_independent(spark, tmp_path, sf_dir):
     assert perm == base
     assert tamper["orders"] == base["orders"] and tamper["documents"] == base["documents"]
     assert tamper["customer"] != base["customer"]
+
+
+# --------------------------------------------------------------------------
+# orders_forecast_holt
+# --------------------------------------------------------------------------
+
+
+def test_holt_closed_form_equals_sequential_recursion(spark, sf_dir):
+    """The strongest pin: run the ACTUAL sequential Holt recursion with
+    exact rational arithmetic over each priority's trailing months and
+    compare to the operator's closed-form weighted sums."""
+    from fractions import Fraction as Fr
+
+    from gluettalax_spark.operators.stats import HOLT_M
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    orders["mon"] = orders["o_orderdate"].dt.strftime("%Y-%m")
+    orders["cents"] = (orders["o_totalprice"] * 100).round().astype("int64")
+    monthly = orders.groupby(["o_orderpriority", "mon"])["cents"].sum()
+    want = {}
+    for pri in sorted(orders["o_orderpriority"].unique()):
+        ser = monthly[pri].sort_index()
+        if len(ser) < HOLT_M:
+            continue
+        vals = [Fr(int(v)) for v in ser.iloc[-HOLT_M:]]
+        level, trend = vals[0], vals[1] - vals[0]
+        for v in vals[1:]:
+            nl = (v + level + trend) / 2
+            trend = (nl - level) / 2 + trend / 2
+            level = nl
+        want[pri] = (
+            ser.index[-1],
+            round(float(level) / 100, 2),
+            round(float(trend) / 100, 2),
+            round(float(level + trend) / 100, 2),
+        )
+    rows = queries()["orders_forecast_holt"](spark, sf_dir).collect()
+    got = {r["o_orderpriority"]: (r["last_month"], r["level"], r["trend"], r["forecast_next"]) for r in rows}
+    assert got == want
+
+
+def test_holt_constant_and_linear_series(spark, tmp_path):
+    """Property pins on synthetic series: a constant series has trend
+    exactly 0 and forecast == the constant; a linearly growing series
+    recovers its slope exactly (the recursion is linear)."""
+    import datetime as dt
+
+    from gluettalax_spark.registry import queries
+
+    rows = []
+    oid = 0
+    for m in range(10):
+        date = dt.datetime(2024, 1, 1) + dt.timedelta(days=31 * m)
+        date = dt.datetime(date.year, date.month, 1)
+        oid += 1
+        rows.append((oid, 1, "O", 500.0, date, "1-FLAT"))          # constant 500/mo
+        oid += 1
+        rows.append((oid, 1, "O", 100.0 * (m + 1), date, "2-RAMP"))  # +100/mo
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    out = str(tmp_path / "ho")
+    df.write.parquet(f"{out}/orders.parquet")
+    got = {r["o_orderpriority"]: r for r in queries()["orders_forecast_holt"](spark, out).collect()}
+    assert got["1-FLAT"]["trend"] == 0.0 and got["1-FLAT"]["forecast_next"] == 500.0
+    assert got["2-RAMP"]["trend"] == 100.0 and got["2-RAMP"]["forecast_next"] == got["2-RAMP"]["level"] + 100.0
