@@ -70,6 +70,8 @@ SHOWCASE = {
     "embedding_covariance": "d^2/2 pair products explode map-side, partial-agg collapses to 2080 groups before the shuffle",
     "events_drift_psi": "one scan; half-split vs broadcast min/max; PSI terms floor-quantized so the total is an int sum",
     "embedding_pca_project": "driver-side eigen of the 2080-entry covariance; JVM-only zip_with projection folds",
+    "table_checksum_audit": "map-side md5 words, one 1-row modular sum per table; order/partition independent by construction",
+    "orders_forecast_holt": "linear-recurrence closed form: two integer dot products per group replace the sequential fit",
 }
 
 
