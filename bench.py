@@ -118,6 +118,7 @@ HEADLINE = [
     "embedding_pca_project",
     "table_checksum_audit",
     "orders_forecast_holt",
+    "events_ab_test",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -1243,3 +1243,147 @@ def orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sb").cast("double") / _HOLT_D / 100, 2).alias("trend"),
         F.round((F.col("sl") + F.col("sb")).cast("double") / _HOLT_D / 100, 2).alias("forecast_next"),
     ).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# A/B experiment analysis (deterministic split, two-proportion z-test)
+# --------------------------------------------------------------------------
+
+_AB_ORACLE = """
+WITH assigned AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+              THEN 'A' ELSE 'B' END AS grp
+  FROM events
+),
+conv AS (
+  SELECT DISTINCT user_id FROM (
+    SELECT user_id, event_type, epoch_us(ts) AS us,
+           max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+    FROM events
+  )
+  WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+    AND us - last_click_us <= 3600000000
+),
+g AS (
+  SELECT a.grp,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(count(c.user_id) AS BIGINT) AS n_converted
+  FROM assigned a LEFT JOIN conv c USING (user_id)
+  GROUP BY a.grp
+),
+w AS (
+  SELECT
+    max(CASE WHEN grp = 'A' THEN n_users END)     AS n_a,
+    max(CASE WHEN grp = 'A' THEN n_converted END) AS conv_a,
+    max(CASE WHEN grp = 'B' THEN n_users END)     AS n_b,
+    max(CASE WHEN grp = 'B' THEN n_converted END) AS conv_b
+  FROM g
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+       round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+       round(
+         (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         / nullif(sqrt(
+             (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+             * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+             * (1.0 / n_a + 1.0 / n_b)
+           ), 0), 4) AS z_score
+FROM w
+"""
+
+
+@register(
+    "events_ab_test",
+    _AB_ORACLE,
+    doc="two-proportion z-test over a deterministic md5 A/B user split",
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis: users split A/B by the parity of their md5
+    first hex digit (deterministic and engine-independent — the same
+    integer-hash-threshold trick as `sample_hash_split`, so assignment is
+    reproducible everywhere and unit-balanced), conversion = at least one
+    ATTRIBUTED purchase (within 1 h after a click — the fill-forward
+    last-click window from `events_attribution_last_touch`, so the metric
+    stays mid-range at every SF instead of saturating); the
+    two-proportion pooled z-test statistic comes out
+    of the exact integer counts through a fixed sequence of IEEE
+    divisions and one sqrt (correctly rounded by spec — deterministic,
+    unlike transcendentals).
+
+    Since the hash split is independent of behavior this doubles as the
+    A/A calibration every experimentation stack should run: |z| must be
+    small, which the test asserts. Scale shape: one user-partitioned
+    fill-forward window, two distinct-user aggregates (assignment table
+    and converter set, both id-keyed), one id-keyed left join, then a 2-row
+    group aggregate pivoted into a single stats row — nothing after the
+    distincts exceeds metadata scale. This is the readout every
+    experimentation pipeline runs on event logs."""
+    events = load(spark, sf_dir, "events")
+    assigned = events.select("user_id").distinct().select(
+        "user_id",
+        F.when(
+            F.expr("(conv(substr(md5(CAST(user_id AS STRING)), 1, 1), 16, 10) % 2)") == 0,
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("grp"),
+    )
+    w_click = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.max(
+            F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+        ).over(w_click).alias("last_click_us"),
+    )
+    conv = (
+        marked.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click_us").isNotNull()
+            & (F.col("us") - F.col("last_click_us") <= 3_600_000_000)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    g = (
+        assigned.join(conv, "user_id", "left")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.count("converted").cast("long").alias("n_converted"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == "A", F.col("n_converted"))).alias("conv_a"),
+        F.max(F.when(F.col("grp") == "B", F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == "B", F.col("n_converted"))).alias("conv_b"),
+    )
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    # pool of 0 or 1 (everyone or no one converts — the fixture's small
+    # SFs hit this) makes the pooled variance 0: z is undefined, and ANSI
+    # Spark raises where DuckDB would emit inf — nullif in BOTH engines.
+    z = (ra - rb) / F.nullif(
+        F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))), F.lit(0.0)
+    )
+    return w.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+    )

@@ -88,6 +88,7 @@ _NEW_THIS_ROUND = (
     "embedding_pca_project",
     "table_checksum_audit",
     "orders_forecast_holt",
+    "events_ab_test",
 )
 
 

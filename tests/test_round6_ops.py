@@ -544,3 +544,59 @@ def test_holt_constant_and_linear_series(spark, tmp_path):
     got = {r["o_orderpriority"]: r for r in queries()["orders_forecast_holt"](spark, out).collect()}
     assert got["1-FLAT"]["trend"] == 0.0 and got["1-FLAT"]["forecast_next"] == 500.0
     assert got["2-RAMP"]["trend"] == 100.0 and got["2-RAMP"]["forecast_next"] == got["2-RAMP"]["level"] + 100.0
+
+
+# --------------------------------------------------------------------------
+# events_ab_test
+# --------------------------------------------------------------------------
+
+
+def test_ab_test_matches_python_recompute(spark, sf_dir):
+    import hashlib
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"])
+    users = set(ev["user_id"])
+    converters = set()
+    for uid, grp in ev.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        last_click = None
+        for _, row in g.iterrows():
+            t = row["ts"].value // 1000  # us
+            if row["event_type"] == "click":
+                last_click = t
+            elif row["event_type"] == "purchase" and last_click is not None and t - last_click <= 3_600_000_000:
+                converters.add(uid)
+                break
+    n = {"A": 0, "B": 0}
+    c = {"A": 0, "B": 0}
+    for u in users:
+        g = "A" if int(hashlib.md5(str(u).encode()).hexdigest()[0], 16) % 2 == 0 else "B"
+        n[g] += 1
+        c[g] += u in converters
+    r = queries()["events_ab_test"](spark, sf_dir).collect()[0]
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (n["A"], c["A"], n["B"], c["B"])
+    assert r["rate_a"] == round(c["A"] / n["A"], 6)
+    assert r["rate_b"] == round(c["B"] / n["B"], 6)
+    pool = (c["A"] + c["B"]) / (n["A"] + n["B"])
+    var = pool * (1 - pool) * (1 / n["A"] + 1 / n["B"])
+    if var == 0:
+        assert r["z_score"] is None
+    else:
+        want_z = round((c["A"] / n["A"] - c["B"] / n["B"]) / math.sqrt(var), 4)
+        assert r["z_score"] == want_z
+
+
+def test_ab_test_assignment_stable_and_total(spark, sf_dir):
+    """Same user always lands in the same group (two runs agree) and the
+    split partitions the full user population."""
+    from gluettalax_spark.tables import load
+
+    r1 = queries()["events_ab_test"](spark, sf_dir).collect()[0]
+    r2 = queries()["events_ab_test"](spark, sf_dir).collect()[0]
+    assert r1 == r2
+    total_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert r1["n_a"] + r1["n_b"] == total_users
+    # A/A calibration: the split is independent of behavior, so the
+    # z-statistic must be unremarkable (and conversion must not saturate).
+    assert 0 < r1["conv_a"] + r1["conv_b"] < total_users
+    assert r1["z_score"] is not None and abs(r1["z_score"]) < 4.0
