@@ -72,6 +72,7 @@ SHOWCASE = {
     "embedding_pca_project": "driver-side eigen of the 2080-entry covariance; JVM-only zip_with projection folds",
     "table_checksum_audit": "map-side md5 words, one 1-row modular sum per table; order/partition independent by construction",
     "orders_forecast_holt": "linear-recurrence closed form: two integer dot products per group replace the sequential fit",
+    "events_ab_test": "md5-parity unit split; conversion via fill-forward click window; 2-row pivot to one stats row",
 }
 
 
