@@ -46,49 +46,16 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder]
 
 
 # Keys surfaced FIRST so a sampling driver gives them a verdict this
-# round. Round 6: exactly the 18 keys that have never appeared in any
-# CORRECTNESS_r*.json sample (all green in the local sweep; this rotation
-# converts that into driver-signed verdicts and closes the tail —
-# afterwards every registry key has a driver verdict in some round).
-# tests/test_registry_contract.py asserts this set is disjoint from the
-# keys already carrying a driver verdict, so a stale rotation can't recur.
+# round. Round 7: the single remaining key that has never appeared in any
+# CORRECTNESS_r*.json sample (rows-only by design — approx_percentile
+# sketches aren't DuckDB-reproducible; pinned by pytest instead). One
+# rotation slot closes the board: afterwards every registry key has a
+# driver verdict in some round.
+# tests/test_correctness.py::test_sampling_rotation_excludes_already_verdicted_keys
+# asserts this set is disjoint from the keys already carrying a driver
+# verdict, so a stale rotation can't recur.
 _NEW_THIS_ROUND = (
-    "common_token_ratio",
-    "corpus_incremental_dedup",
-    "dedup_band_spill_report",
-    "dedup_containment_pairs",
-    "dedup_keep_best",
-    "events_heavy_hitters_sketch",
-    "events_sessionize_batch",
-    "export_training_shards",
-    "graph_triangle_count",
-    "paragraph_dedup",
-    "quality_quantile_filter_by_lang",
-    "semantic_cluster_assign",
-    "semantic_cluster_refine",
-    "semantic_dedup",
-    "similarity_topk_ivfpq",
-    "similarity_topk_pq",
-    "source_overlap_matrix",
-    "token_budget_sample",
-    # new operators added in round 6 (also never sampled):
-    "text_bm25_search",
-    "text_collocations_pmi",
-    "events_attribution_last_touch",
-    "text_unigram_logppl",
-    "events_markov_transitions",
-    "orders_price_trend_ols",
-    "graph_kcore",
-    "text_vocab_coverage",
-    "events_user_ewma",
-    "text_bigram_logppl",
-    "events_cumulative_distinct_users",
-    "embedding_covariance",
-    "events_drift_psi",
-    "embedding_pca_project",
-    "table_checksum_audit",
-    "orders_forecast_holt",
-    "events_ab_test",
+    "agg_percentiles_approx",
 )
 
 

@@ -60,7 +60,12 @@ def test_sampling_rotation_names_are_registered():
 def test_sampling_rotation_excludes_already_verdicted_keys():
     """_NEW_THIS_ROUND must be disjoint from keys that already have a
     driver verdict in some CORRECTNESS_r*.json — re-surfacing a green key
-    wastes a sample slot that an unsigned key needs (VERDICT r5 nit 1)."""
+    wastes a sample slot that an unsigned key needs (VERDICT r5 nit 1).
+
+    A row whose every match field is null and whose ``err`` is set is a
+    harness failure, not a verdict — such keys SHOULD be re-surfaced
+    (e.g. agg_percentiles_approx errored in r1 on the old array-column
+    output and needs a clean rows-only sample)."""
     import glob
     import json
     import os
@@ -69,8 +74,18 @@ def test_sampling_rotation_excludes_already_verdicted_keys():
     seen: set[str] = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         try:
-            seen |= set(json.load(open(path)).keys())
+            rows = json.load(open(path))
         except (OSError, json.JSONDecodeError):
             continue
+        for key, row in rows.items():
+            verdicted = not (
+                isinstance(row, dict)
+                and row.get("err")
+                and row.get("rows_match") is None
+                and row.get("schema_match") is None
+                and row.get("hash_match") is None
+            )
+            if verdicted:
+                seen.add(key)
     stale = sorted(set(registry._NEW_THIS_ROUND) & seen)
     assert not stale, f"rotation re-surfaces already-verdicted keys: {stale}"
