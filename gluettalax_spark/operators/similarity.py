@@ -847,8 +847,10 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             mu[r["i"]] = r["s_i"] / n_rows / COV_Q
 
     def score_expr(k: int):
-        arr = "array(" + ",".join(f"{c!r}D" for c in comps[:, k]) + ")"
-        mu_arr = "array(" + ",".join(f"{m!r}D" for m in mu) + ")"
+        # float(c): numpy>=2 repr of np.float64 is 'np.float64(x)', which
+        # would be invalid SQL — builtin-float repr is stable across versions.
+        arr = "array(" + ",".join(f"{float(c)!r}D" for c in comps[:, k]) + ")"
+        mu_arr = "array(" + ",".join(f"{float(m)!r}D" for m in mu) + ")"
         return F.expr(
             f"aggregate(zip_with(zip_with(embedding, {mu_arr}, (v, m) -> v - m), {arr}, "
             "(x, w) -> x * w), 0D, (acc, t) -> acc + t)"

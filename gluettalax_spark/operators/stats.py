@@ -972,9 +972,9 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events").select(
         F.unix_micros("ts").alias("us"), "event_type"
     )
-    b = events.agg(
-        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid")
-    )
+    # integer `div`, matching the oracle's //: double-division-then-cast is
+    # exact only while min+max < 2^53, a silent precision cliff.
+    b = events.agg(F.expr("(min(us) + max(us)) div 2").alias("mid"))
     c = (
         events.join(F.broadcast(b))
         .groupBy("event_type")

@@ -1935,9 +1935,10 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_terms",
             "covered_tokens",
             "total_tokens",
-            ((F.col("covered_tokens") * 1_000_000) / F.col("total_tokens"))
-            .cast("long")
-            .alias("coverage_ppm"),
+            # integer `div`, not double /: matches the oracle's // exactly
+            # at any magnitude (double division is only ulp-safe while the
+            # quotient stays >1 ulp from an integer).
+            F.expr("(covered_tokens * 1000000L) div total_tokens").alias("coverage_ppm"),
         )
         .orderBy("rank_k")
     )
