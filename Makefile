@@ -1,7 +1,7 @@
 # Parity with the reference's Makefile (test/release targets) adapted to
 # this engine's surfaces.
 
-.PHONY: test bench plans correctness clean
+.PHONY: test bench plans correctness correctness-ansi gate clean
 
 test:
 	python -m pytest tests/ -q
@@ -14,6 +14,21 @@ plans:
 
 correctness:
 	python -m pytest tests/test_correctness.py -q
+
+# Full contract sweep under ANSI semantics (Spark 4's default): surfaces
+# div-by-zero / overflow / strict-cast divergences that legacy mode
+# silently nulls. Exit 0 = every oracle still matches with ANSI on.
+correctness-ansi:
+	SPARK_GRAFT_ANSI=true python tools/validate_contract.py /root/testdata/sf0.01
+
+# The CI-shaped gate: both contract sweeps + the full test suite.
+# A session that records gates must run THIS target, not hand-picked
+# subsets — each command's exit code stops make on failure.
+gate:
+	python tools/validate_contract.py /root/testdata/sf0.001
+	python tools/validate_contract.py /root/testdata/sf0.01
+	$(MAKE) correctness-ansi
+	python -m pytest tests/ -q
 
 clean:
 	rm -rf .pytest_cache spark-warehouse */__pycache__ __pycache__
