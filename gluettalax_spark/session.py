@@ -57,6 +57,12 @@ def get_spark(app_name: str = "gluettalax_spark", cpus: str | None = None) -> Sp
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # ANSI sweep mode (make correctness-ansi): surfaces div-by-zero /
+    # overflow / strict-cast divergences that silently return null in
+    # legacy mode. Spark 4 defaults this on; operators must be clean
+    # under both, so the gate runs the whole contract with it forced.
+    if os.environ.get("SPARK_GRAFT_ANSI", "").lower() in ("1", "true"):
+        builder = builder.config("spark.sql.ansi.enabled", "true")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

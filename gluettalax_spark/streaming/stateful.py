@@ -614,7 +614,9 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gluettalax_spark.tables import load
 
     ev = load(spark, sf_dir, "events").select(F.unix_micros("ts").alias("us"), "event_type")
-    b = ev.agg(((F.min("us") + F.max("us")) / 2).cast("long").alias("mid")).collect()[0]
+    # Integer div, matching the batch twin (events_drift_psi) exactly —
+    # double division + cast is a silent precision cliff past 2^53.
+    b = ev.agg(F.expr("(min(us) + max(us)) div 2").alias("mid")).collect()[0]
     ref = {
         r["event_type"]: r["c"]
         for r in ev.filter(F.col("us") <= b["mid"]).groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()
