@@ -77,8 +77,16 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 DECODED_SCHEMA = (
-    "doc_id long, n_bytes long, width int, height int, n_channels int, mean_luma double"
+    "doc_id long, n_bytes long, width int, height int, n_channels int, mean_luma double, "
+    "payload_md5w long, branch string"
 )
+
+# 60-bit md5 word shared by the kernels (Python) and the JVM recompute:
+# int(md5(payload).hexdigest()[:15], 16) == conv(substr(md5(payload),1,15),16,10).
+# Equality per row proves the Python worker consumed EXACTLY the bytes the
+# JVM sent — an integer-exact content witness, not just a shape check.
+_JVM_MD5W = "CAST(conv(substr(md5(payload), 1, 15), 16, 10) AS BIGINT)"
+_CKSUM_MOD = 1 << 61
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
@@ -107,6 +115,7 @@ def make_decode_batch(have_codecs: bool = _HAVE_CODECS):
     """
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
         import io
 
         import numpy as _np
@@ -128,6 +137,7 @@ def make_decode_batch(have_codecs: bool = _HAVE_CODECS):
                 64 + (h % 5) * 32,
                 3,
                 round((sum(payload) % 25600) / 100.0, 2),
+                "stub",
             )
 
         def real_decode(payload: bytes):
@@ -135,7 +145,7 @@ def make_decode_batch(have_codecs: bool = _HAVE_CODECS):
             width, height = img.size
             n_channels = len(img.getbands())
             luma = _np.asarray(img.convert("L"), dtype="float64")
-            return width, height, n_channels, round(float(luma.mean()), 2)
+            return width, height, n_channels, round(float(luma.mean()), 2), "real"
 
         def decode(payload: bytes):
             if Image is not None:
@@ -145,16 +155,22 @@ def make_decode_batch(have_codecs: bool = _HAVE_CODECS):
                     pass
             return fake_decode(payload)
 
+        def md5w(payload: bytes) -> int:
+            return int(hashlib.md5(payload).hexdigest()[:15], 16)
+
         for pdf in batches:
-            feats = [decode(bytes(p)) for p in pdf["payload"]]
+            payloads = [bytes(p) for p in pdf["payload"]]
+            feats = [decode(p) for p in payloads]
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "n_bytes": [len(p) for p in payloads],
                     "width": [f[0] for f in feats],
                     "height": [f[1] for f in feats],
                     "n_channels": [f[2] for f in feats],
                     "mean_luma": [f[3] for f in feats],
+                    "payload_md5w": [md5w(p) for p in payloads],
+                    "branch": [f[4] for f in feats],
                 }
             )
 
@@ -169,27 +185,42 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Self-verifying rows-only contract: ``meta_ok`` cross-checks the
     Python-side output against a JVM-side recompute — the kernel's
-    n_bytes must equal octet_length of the payload Spark encoded, and
-    width/height must land on the stub's 64+32k grid — so the driver's
+    n_bytes must equal octet_length of the payload Spark encoded, the
+    kernel's 60-bit md5 word of the payload must equal the JVM's own
+    ``conv(substr(md5(payload),1,15),16,10)`` (integer-exact proof the
+    worker hashed exactly the bytes the JVM sent), and stub-branch
+    width/height must land on the 64+32k grid — so the driver's
     rows-only check carries a correctness witness (tests assert the
-    column is all-true)."""
+    column is all-true). Both md5 words are computed map-side on their
+    own scan; only (doc_id, long) rows meet at the join — payload bytes
+    never shuffle."""
     docs = load(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     decoded = payloads.mapInPandas(make_decode_batch(), DECODED_SCHEMA)
-    jvm = docs.select("doc_id", F.octet_length(F.encode("text", "UTF-8")).alias("_jvm_bytes"))
-    meta_ok = (
-        (F.col("n_bytes") == F.col("_jvm_bytes"))
-        & F.col("width").between(64, 64 + 6 * 32)
+    jvm = payloads.select(
+        "doc_id",
+        F.octet_length("payload").alias("_jvm_bytes"),
+        F.expr(_JVM_MD5W).alias("_jvm_md5w"),
+    )
+    stub_grid_ok = (
+        F.col("width").between(64, 64 + 6 * 32)
         & ((F.col("width") - 64) % 32 == 0)
         & F.col("height").between(64, 64 + 4 * 32)
         & ((F.col("height") - 64) % 32 == 0)
         & (F.col("n_channels") == 3)
     )
+    meta_ok = (
+        (F.col("n_bytes") == F.col("_jvm_bytes"))
+        & (F.col("payload_md5w") == F.col("_jvm_md5w"))
+        & F.when(F.col("branch") == "stub", stub_grid_ok).otherwise(
+            (F.col("width") > 0) & (F.col("height") > 0) & (F.col("n_channels") >= 1)
+        )
+    )
     return (
         decoded.join(jvm, "doc_id")
         .select(
             "doc_id", "n_bytes", "width", "height", "n_channels", "mean_luma",
-            meta_ok.alias("meta_ok"),
+            "payload_md5w", "branch", meta_ok.alias("meta_ok"),
         )
         .orderBy("doc_id")
     )
@@ -203,7 +234,15 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Self-verifying rows-only contract: ``n_docs_total`` (a 1-row corpus
     count, broadcast onto every group) rides along so the rollup's
     completeness is checkable in-output — sum(n_images) must equal it
-    (tests assert; a kernel that drops batches can't pass silently)."""
+    (tests assert; a kernel that drops batches can't pass silently).
+    Two integer-exact group fingerprints ride along too:
+    ``md5w_checksum`` (sum of the per-payload 60-bit md5 words mod 2^61,
+    the :func:`table_checksum_audit` construction — commutative, so
+    independent of row order/partitioning and recomputable by any
+    engine from the same bytes) and ``luma_centi_sum`` (the stub lumas
+    are exact 2-decimal values, so their centi-sum is an exact long).
+    Both are mergeable partial aggregates; the driver's value-hash of
+    this rows-only output therefore pins actual content, not shape."""
     decoded = multimodal_decode_features(spark, sf_dir)
     total = load(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_docs_total")
@@ -213,6 +252,9 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_images"),
             F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+            F.expr(f"CAST(sum(CAST(payload_md5w AS DECIMAL(38,0))) % {_CKSUM_MOD} AS BIGINT)")
+            .alias("md5w_checksum"),
+            F.sum(F.round(F.col("mean_luma") * 100).cast("long")).alias("luma_centi_sum"),
         )
         .crossJoin(F.broadcast(total))
         .orderBy("width", "height")
@@ -223,8 +265,11 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Resize (1→1, binary in / binary out) and frame sampling (1→N explode)
 # --------------------------------------------------------------------------
 
-RESIZED_SCHEMA = "doc_id long, thumb_w int, thumb_h int, thumb binary"
-FRAMES_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame binary"
+RESIZED_SCHEMA = (
+    "doc_id long, thumb_w int, thumb_h int, thumb binary, "
+    "payload_md5w long, branch string, payload binary"
+)
+FRAMES_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame binary, branch string"
 
 THUMB_SIZE = 32
 FRAME_BYTES = 256  # stub "frame" stride in the payload
@@ -239,6 +284,7 @@ def make_resize_batch(have_codecs: bool = _HAVE_CODECS):
     real property a thumbnail pipeline relies on (bounded row width)."""
 
     def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
         import io
 
         import pandas as _pd
@@ -254,24 +300,38 @@ def make_resize_batch(have_codecs: bool = _HAVE_CODECS):
 
         target = THUMB_SIZE * THUMB_SIZE
 
-        def resize(p: bytes) -> bytes:
+        def resize(p: bytes) -> tuple[bytes, str]:
             if Image is not None:
                 try:
                     img = Image.open(io.BytesIO(p))
                     # RGB thumbnail: bounded 3·THUMB_SIZE² bytes per row.
-                    return img.convert("RGB").resize((THUMB_SIZE, THUMB_SIZE)).tobytes()
+                    return (
+                        img.convert("RGB").resize((THUMB_SIZE, THUMB_SIZE)).tobytes(),
+                        "real",
+                    )
                 except Exception:  # noqa: BLE001 - not an image → stub branch
                     pass
             stride = max(1, len(p) // target)
-            return bytes(p[::stride][:target])
+            return bytes(p[::stride][:target]), "stub"
 
         for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            out = [resize(p) for p in payloads]
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "thumb_w": THUMB_SIZE,
                     "thumb_h": THUMB_SIZE,
-                    "thumb": [resize(bytes(p)) for p in pdf["payload"]],
+                    "thumb": [t for t, _ in out],
+                    "payload_md5w": [
+                        int(hashlib.md5(p).hexdigest()[:15], 16) for p in payloads
+                    ],
+                    "branch": [b for _, b in out],
+                    # Pass-through: lets the JVM verify the thumbnail
+                    # byte-for-byte in the projection right after the
+                    # kernel, in the SAME partition — dropped before any
+                    # shuffle, so bytes still never cross an exchange.
+                    "payload": payloads,
                 }
             )
 
@@ -307,13 +367,13 @@ def make_frame_sample_batch(have_codecs: bool = _HAVE_CODECS):
             for i in range(0, n_frames, FRAME_EVERY):
                 img.seek(i)
                 frame = img.convert("RGB").resize((THUMB_SIZE, THUMB_SIZE)).tobytes()
-                frames.append((i, i * FRAME_MS, frame))
+                frames.append((i, i * FRAME_MS, frame, "real"))
             return frames
 
         def stub_frames(p: bytes):
             n_frames = max(1, len(p) // FRAME_BYTES)
             return [
-                (i, i * FRAME_MS, bytes(p[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]))
+                (i, i * FRAME_MS, bytes(p[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]), "stub")
                 for i in range(0, n_frames, FRAME_EVERY)
             ]
 
@@ -326,13 +386,14 @@ def make_frame_sample_batch(have_codecs: bool = _HAVE_CODECS):
             return stub_frames(p)
 
         for pdf in batches:
-            out = {"doc_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+            out = {"doc_id": [], "frame_idx": [], "ts_ms": [], "frame": [], "branch": []}
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                for idx, ts, frame in sample(bytes(p)):
+                for idx, ts, frame, branch in sample(bytes(p)):
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(idx)
                     out["ts_ms"].append(ts)
                     out["frame"].append(frame)
+                    out["branch"].append(branch)
             yield _pd.DataFrame(out)
 
     return frame_batch
@@ -341,36 +402,118 @@ def make_frame_sample_batch(have_codecs: bool = _HAVE_CODECS):
 @register("multimodal_resize", None, doc="stubbed resize → fixed-size thumbnails via mapInPandas (rows-only)")
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-verifying rows-only contract: ``thumb_ok`` is a JVM-side
-    check of the kernel's bounded-row-width guarantee — the thumbnail is
-    non-empty and no wider than thumb_w×thumb_h×3 bytes (the RGB bound
-    both the real and stub branches respect). Tests assert all-true."""
+    recompute of the kernel's work, byte-exact for the stub branch —
+    the kernel passes the payload back through Arrow, and a projection
+    in the SAME partition (before payload is dropped, so bytes never
+    shuffle) checks: (a) the kernel's 60-bit md5 word equals the JVM's
+    own md5 of the payload, (b) every thumbnail byte equals the strided
+    payload byte the stub contract promises (``forall`` over thumb
+    positions — full content equality, not a bound), (c) the thumbnail
+    length is exactly ``least(target, ceil(n/stride))``. The real (PIL)
+    branch keeps the RGB byte bound. Tests assert all-true."""
     docs = load(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     thumbs = payloads.mapInPandas(make_resize_batch(), RESIZED_SCHEMA)
-    thumb_ok = (F.octet_length("thumb") > 0) & (
+    target = THUMB_SIZE * THUMB_SIZE
+    n = F.octet_length("payload")
+    stride = F.greatest(F.lit(1), F.expr(f"octet_length(payload) div {target}"))
+    # len(p[::stride][:target]) == min(target, ceil(n / stride))
+    exp_len = F.least(F.lit(target), F.expr(
+        f"-((-octet_length(payload)) div greatest(1, octet_length(payload) div {target}))"
+    ))
+    stub_ok = (
+        (F.octet_length("thumb") == exp_len)
+        & F.expr(
+            f"""forall(
+                  sequence(1, octet_length(thumb)),
+                  k -> substring(thumb, k, 1) = substring(
+                         payload,
+                         (k - 1) * greatest(1, octet_length(payload) div {target}) + 1,
+                         1)
+                )"""
+        )
+    )
+    real_ok = (F.octet_length("thumb") > 0) & (
         F.octet_length("thumb") <= F.col("thumb_w") * F.col("thumb_h") * 3
     )
-    return thumbs.withColumn("thumb_ok", thumb_ok).orderBy("doc_id")
+    thumb_ok = (
+        (F.col("payload_md5w") == F.expr(_JVM_MD5W))
+        & (n >= 0)
+        & (stride >= 1)
+        & F.when(F.col("branch") == "stub", stub_ok).otherwise(real_ok)
+    )
+    return (
+        thumbs.select(
+            "doc_id", "thumb_w", "thumb_h", "thumb", "payload_md5w", "branch",
+            thumb_ok.alias("thumb_ok"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register("multimodal_frame_sample", None, doc="stubbed frame sampling (1→N explode) via mapInPandas (rows-only)")
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-verifying rows-only contract: ``frame_ok`` recomputes the
     kernel's claims JVM-side — timestamps are frame_idx×FRAME_MS, only
-    every FRAME_EVERY-th frame is kept, and frames respect the byte
-    bound. Tests assert all-true."""
+    every FRAME_EVERY-th frame is kept, and (stub branch) each emitted
+    frame is BYTE-IDENTICAL to the payload slice the contract promises:
+    the JVM independently re-derives every expected frame index from its
+    own scan of the payloads (``explode(sequence(0, n_frames-1,
+    FRAME_EVERY))``), md5-hashes the expected slice map-side, hashes the
+    kernel's emitted frame map-side on the other branch, and compares
+    60-bit md5 words across a (doc_id, frame_idx) equi-join — the
+    unbounded source payload never shuffles (its md5 words do); the
+    only bytes crossing an exchange are the bounded-width output frames
+    themselves (≤ max(FRAME_BYTES, 3·THUMB_SIZE²) per row), which the
+    final orderBy moves anyway. An inner join would hide dropped
+    frames; this is a left join plus the expected-count completeness
+    check in tests. The real (PIL) branch keeps the RGB byte bound."""
     docs = load(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     frames = payloads.mapInPandas(make_frame_sample_batch(), FRAMES_SCHEMA)
+    actual = frames.withColumn(
+        "_actual_md5w",
+        F.expr("CAST(conv(substr(md5(frame), 1, 15), 16, 10) AS BIGINT)"),
+    )
+    expected = (
+        payloads.select(
+            "doc_id",
+            "payload",
+            F.expr(f"greatest(1, octet_length(payload) div {FRAME_BYTES})").alias("_nf"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(0, _nf - 1, {FRAME_EVERY})")
+            ).alias("frame_idx"),
+            "payload",
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.expr(
+                f"CAST(conv(substr(md5(substring(payload, frame_idx * {FRAME_BYTES} + 1,"
+                f" {FRAME_BYTES})), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("_expected_md5w"),
+        )
+    )
     frame_ok = (
         (F.col("ts_ms") == F.col("frame_idx") * FRAME_MS)
         & (F.col("frame_idx") % FRAME_EVERY == 0)
         & (F.octet_length("frame") > 0)
-        # Stub frames are ≤ FRAME_BYTES; the real (PIL) branch emits RGB
-        # thumbnails of THUMB_SIZE²×3 — bound covers both branches.
-        & (F.octet_length("frame") <= max(FRAME_BYTES, THUMB_SIZE * THUMB_SIZE * 3))
+        & F.when(
+            F.col("branch") == "stub",
+            F.col("_actual_md5w") == F.col("_expected_md5w"),
+        ).otherwise(F.octet_length("frame") <= THUMB_SIZE * THUMB_SIZE * 3)
     )
-    return frames.withColumn("frame_ok", frame_ok).orderBy("doc_id", "frame_idx")
+    return (
+        actual.join(expected, ["doc_id", "frame_idx"], "left")
+        .select(
+            "doc_id", "frame_idx", "ts_ms", "frame", "branch",
+            frame_ok.alias("frame_ok"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
 
 
 # --------------------------------------------------------------------------

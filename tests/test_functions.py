@@ -67,13 +67,32 @@ def test_decode_features_schema(spark, sf_dir):
 
     df = multimodal_decode_features(spark, sf_dir)
     assert df.columns == [
-        "doc_id", "n_bytes", "width", "height", "n_channels", "mean_luma", "meta_ok",
+        "doc_id", "n_bytes", "width", "height", "n_channels", "mean_luma",
+        "payload_md5w", "branch", "meta_ok",
     ]
     rows = df.limit(5).collect()
     assert rows and all(r["n_bytes"] > 0 for r in rows)
     # Embedded invariant: the JVM-side recompute agrees with the kernel
-    # for EVERY row, not just the sample.
+    # for EVERY row, not just the sample — including the integer-exact
+    # md5-word content witness (kernel hash == JVM conv(md5) hash).
     assert df.filter(~F.col("meta_ok")).count() == 0
+    # No PIL in this container: every row must take the stub branch.
+    assert df.filter(F.col("branch") != "stub").count() == 0
+    # Cross-check one md5 word driver-side against hashlib.
+    import hashlib
+
+    r0 = rows[0]
+    from gluettalax_spark.tables import load
+
+    text = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == r0.doc_id)
+        .collect()[0]
+        .text
+    )
+    assert r0.payload_md5w == int(
+        hashlib.md5(text.encode("utf-8")).hexdigest()[:15], 16
+    )
 
 
 def test_multimodal_resize_bounded_width(spark, sf_dir):
@@ -86,7 +105,13 @@ def test_multimodal_resize_bounded_width(spark, sf_dir):
     assert len(rows) == load(spark, sf_dir, "documents").count()
     target = THUMB_SIZE * THUMB_SIZE
     assert all(r.thumb_w == THUMB_SIZE and len(r.thumb) <= target for r in rows)
-    assert all(r.thumb_ok for r in rows)  # embedded JVM-side invariant
+    # thumb_ok is now byte-exact for the stub branch: every thumbnail
+    # byte was checked JVM-side against the strided payload byte, plus
+    # the md5-word content witness. All rows stub here (no PIL).
+    assert all(r.thumb_ok for r in rows)
+    assert all(r.branch == "stub" for r in rows)
+    # The pass-through payload must NOT survive into the output schema.
+    assert "payload" not in multimodal_resize(spark, sf_dir).columns
 
 
 def test_multimodal_frame_sample_explodes(spark, sf_dir):
@@ -108,7 +133,21 @@ def test_multimodal_frame_sample_explodes(spark, sf_dir):
         assert idxs == sorted(idxs)
         assert all(i % FRAME_EVERY == 0 for i in idxs)
         assert all(f.ts_ms == f.frame_idx * FRAME_MS for f in frames)
-        assert all(f.frame_ok for f in frames)  # embedded JVM-side invariant
+        # frame_ok is byte-exact for stub frames: md5 word of the emitted
+        # frame == md5 word of the JVM's own slice of the payload.
+        assert all(f.frame_ok for f in frames)
+        assert all(f.branch == "stub" for f in frames)
+    # Completeness: the left-join witness can't catch DROPPED frames, so
+    # recompute the expected frame count per doc from the contract.
+    from gluettalax_spark.operators.multimodal import FRAME_BYTES
+    from gluettalax_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    for d in docs:
+        n = len(d.text.encode("utf-8"))
+        n_frames = max(1, n // FRAME_BYTES)
+        expected = len(range(0, n_frames, FRAME_EVERY))
+        assert len(by_doc[d.doc_id]) == expected, d.doc_id
     rows2 = multimodal_frame_sample(spark, sf_dir).collect()
     assert [(r.doc_id, r.frame_idx, bytes(r.frame)) for r in rows] == [
         (r.doc_id, r.frame_idx, bytes(r.frame)) for r in rows2
@@ -168,6 +207,20 @@ def test_multimodal_rollup_covers_all_docs(spark, sf_dir):
     totals = {r.n_docs_total for r in rows}
     assert len(totals) == 1
     assert sum(r.n_images for r in rows) == totals.pop()
+    # The integer-exact group fingerprints must agree with a driver-side
+    # recompute from the decode output (order-independent mod-2^61 sums).
+    from gluettalax_spark.operators.multimodal import multimodal_decode_features
+
+    decoded = multimodal_decode_features(spark, sf_dir).collect()
+    by_shape: dict = {}
+    for d in decoded:
+        g = by_shape.setdefault((d.width, d.height), [0, 0])
+        g[0] = g[0] + d.payload_md5w
+        g[1] = g[1] + round(d.mean_luma * 100)
+    for r in rows:
+        md5w_sum, luma_sum = by_shape[(r.width, r.height)]
+        assert r.md5w_checksum == md5w_sum % (1 << 61)
+        assert r.luma_centi_sum == luma_sum
 
 
 # ---------------------------------------------------------------------------
