@@ -128,6 +128,118 @@ HEADLINE = [
 R4_SUBSET = HEADLINE[:40]
 assert R4_SUBSET[-1] == "latest_snapshot"
 
+# The heavy family timed by `python bench.py --scaling`: sf0.1 vs a
+# deterministic 10x scale-up (tools/make_scale.py), per-query ratios.
+# These are the operators whose scale story rests on caps/plan shape —
+# the ratio column is the evidence the curves bend the right way.
+SCALING_SUBSET = [
+    "q1_pricing_summary",
+    "q9_profit_by_nation",
+    "join_revenue_by_region",
+    "customer_rfm_segments",
+    "table_checksum_audit",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "paragraph_dedup",
+    "dedup_containment_pairs",
+    "embedding_neardup",
+    "semantic_dedup",
+    "semantic_cluster_refine",
+    "similarity_topk_vectorized",
+    "similarity_topk_lsh",
+    "similarity_topk_pq",
+    "similarity_topk_ivfpq",
+    "similarity_topk_ivfpq_refine",
+    "graph_triangle_count",
+    "graph_kcore",
+    "graph_pagerank",
+    "graph_communities_lpa",
+    "embedding_covariance",
+    "embedding_pca_project",
+    "text_bm25_search",
+    "text_bigram_logppl",
+    "events_cumulative_distinct_users",
+]
+
+
+def run_scaling() -> None:
+    """Time SCALING_SUBSET at sf0.1 and the 10x scale-up side by side.
+
+    Writes a ``scaling`` section into BENCH_SELF.json (merged, so the
+    driver's plain-bench fields survive) and prints one compact JSON
+    line. ``ratio`` is t(sf1.0)/t(sf0.1); with a 10x data factor, a
+    ratio materially above 10 means super-linear work — flagged.
+    """
+    from gluettalax_spark import registry
+    from gluettalax_spark.session import get_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from make_scale import ensure_scaled
+
+    big_dir = ensure_scaled()
+    spark = get_spark("gluettalax-bench-scaling")
+    specs = registry.all_queries()
+    names = [n for n in SCALING_SUBSET if n in specs]
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    factor = 10.0
+
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    results: dict[str, dict] = {}
+    for name in names:
+        builder = specs[name].builder
+        row: dict[str, float | bool] = {}
+        for label, d in (("sf0.1", SF_DIR), ("sf1.0", big_dir)):
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                builder(spark, d).count()
+                samples.append(time.perf_counter() - t0)
+            row[label] = round(min(samples), 4)
+        row["ratio"] = round(row["sf1.0"] / row["sf0.1"], 2)
+        # 1.3 slack over the data factor absorbs timer noise on sub-second
+        # baselines; anything past it is growing faster than the data.
+        row["super_linear"] = row["ratio"] > factor * 1.3
+        results[name] = row
+        print(
+            f"  {name}: {row['sf0.1']}s -> {row['sf1.0']}s (x{row['ratio']})"
+            + ("  ** SUPER-LINEAR" if row["super_linear"] else ""),
+            file=sys.stderr,
+            flush=True,
+        )
+
+    section = {
+        "data_factor": factor,
+        "runs_per_query": runs,
+        "timing": "warm best-of-N, count() action",
+        "queries": results,
+        "n_super_linear": sum(1 for r in results.values() if r["super_linear"]),
+        "total_sf0.1": round(sum(r["sf0.1"] for r in results.values()), 4),
+        "total_sf1.0": round(sum(r["sf1.0"] for r in results.values()), 4),
+    }
+    self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
+    try:
+        with open(self_path) as fh:
+            existing = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        existing = {}
+    existing["scaling"] = section
+    with open(self_path, "w") as fh:
+        json.dump(existing, fh, indent=1)
+        fh.write("\n")
+    compact = {
+        "metric": "scaling_10x",
+        "n_queries": len(results),
+        "n_super_linear": section["n_super_linear"],
+        "total_sf0.1": section["total_sf0.1"],
+        "total_sf1.0": section["total_sf1.0"],
+        "worst": dict(sorted(((n, r["ratio"]) for n, r in results.items()),
+                             key=lambda kv: -kv[1])[:8]),
+    }
+    print(json.dumps(compact), flush=True)
+    spark.stop()
+
 
 def main() -> None:
     from gluettalax_spark import registry
@@ -197,6 +309,16 @@ def main() -> None:
     print(json.dumps(full), flush=True)
     try:
         self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
+        # Merge-preserve the --scaling / --streaming sections: a plain
+        # headline re-run (e.g. at a different SF) must not wipe them.
+        try:
+            with open(self_path) as fh:
+                existing = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            existing = {}
+        for section in ("scaling", "streaming"):
+            if section in existing:
+                full[section] = existing[section]
         with open(self_path, "w") as fh:
             json.dump(full, fh, indent=1)
             fh.write("\n")
@@ -225,5 +347,90 @@ def main() -> None:
     spark.stop()
 
 
+# Stateful twins timed by `python bench.py --streaming`: wall-clock to
+# drain the whole events fixture (availableNow trigger, memory sink),
+# rows/s, and state-store size from the engine's own progress metrics.
+STREAMING_SUBSET = [
+    ("streaming_user_ewma", "update"),
+    ("streaming_drift_psi", "update"),
+    ("streaming_heavy_hitters", "update"),
+    ("streaming_sessionize_event_time", "update"),
+    ("streaming_user_running_totals", "update"),
+    ("streaming_tumbling_counts", "append"),
+]
+
+
+def run_streaming() -> None:
+    """Latency/throughput smoke for the stateful streaming twins.
+
+    Correctness is pinned in tests/test_stateful_streaming.py; this adds
+    the numbers: micro-batch drain time over the full events fixture,
+    input rows/s, and state rows (from StreamingQueryProgress — the same
+    metric a production monitor reads off the listener bus). Written as
+    a ``streaming`` section into BENCH_SELF.json (merged)."""
+    import gluettalax_spark.streaming.stateful as st
+    import gluettalax_spark.streaming.windows as sw
+    from gluettalax_spark.session import get_spark
+
+    spark = get_spark("gluettalax-bench-streaming")
+    n_input = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    results: dict[str, dict] = {}
+    for i, (name, mode) in enumerate(STREAMING_SUBSET):
+        builder = getattr(st, name, None) or getattr(sw, name)
+        df = builder(spark, SF_DIR)
+        t0 = time.perf_counter()
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(f"bench_stream_{i}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = q.lastProgress or {}
+        finally:
+            q.stop()
+        wall = time.perf_counter() - t0
+        out_rows = spark.sql(f"SELECT count(*) FROM bench_stream_{i}").collect()[0][0]
+        state_rows = None
+        ops = (progress or {}).get("stateOperators") or []
+        if ops:
+            state_rows = sum(op.get("numRowsTotal", 0) for op in ops)
+        results[name] = {
+            "wall_sec": round(wall, 3),
+            "input_rows": n_input,
+            "rows_per_sec": round(n_input / wall, 1),
+            "output_rows": out_rows,
+            "state_rows": state_rows,
+        }
+        print(f"  {name}: {wall:.2f}s, {results[name]['rows_per_sec']} rows/s, "
+              f"state_rows={state_rows}", file=sys.stderr, flush=True)
+
+    section = {"sf_dir": SF_DIR, "trigger": "availableNow, memory sink", "queries": results}
+    self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
+    try:
+        with open(self_path) as fh:
+            existing = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        existing = {}
+    existing["streaming"] = section
+    with open(self_path, "w") as fh:
+        json.dump(existing, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps({
+        "metric": "streaming_twins",
+        "n": len(results),
+        "rows_per_sec": {k: v["rows_per_sec"] for k, v in results.items()},
+    }), flush=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv:
+        run_scaling()
+    elif "--streaming" in sys.argv:
+        run_streaming()
+    else:
+        main()
