@@ -119,6 +119,8 @@ HEADLINE = [
     "table_checksum_audit",
     "orders_forecast_holt",
     "events_ab_test",
+    # round 7: tokenizer-training primitive
+    "text_bpe_merge_candidates",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

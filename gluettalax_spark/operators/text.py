@@ -2071,3 +2071,91 @@ def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ppl").desc(), "doc_id")
         .limit(BIPPL_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-pair statistics (tokenizer-training primitive)
+# --------------------------------------------------------------------------
+
+BPE_TOPK = 20
+
+_BPE_ORACLE = rf"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+freq AS (
+  SELECT w || '>' AS w, c FROM (
+    SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w
+  )
+),
+pairs AS (
+  SELECT w, c, substring(w, CAST(i AS INTEGER), 2) AS pair
+  FROM freq, unnest(range(1, len(w))) AS t(i)
+),
+scored AS (
+  SELECT pair,
+         CAST(sum(c) AS BIGINT)            AS score,
+         CAST(count(DISTINCT w) AS BIGINT) AS n_words
+  FROM pairs GROUP BY pair
+)
+SELECT pair, score, n_words,
+       CAST(row_number() OVER (ORDER BY score DESC, pair) AS BIGINT) AS rank
+FROM scored
+ORDER BY score DESC, pair
+LIMIT {BPE_TOPK}
+"""
+
+
+@register(
+    "text_bpe_merge_candidates",
+    _BPE_ORACLE,
+    doc=f"BPE first-round merge-pair statistics (top-{BPE_TOPK} symbol pairs by corpus count)",
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First round of byte-pair-encoding tokenizer training (Sennrich et
+    al., "Neural Machine Translation of Rare Words with Subword Units",
+    ACL'16): count adjacent symbol pairs across the corpus, weighted by
+    word frequency, with an end-of-word marker ``>`` so boundary pairs
+    stay distinct — the top pair is the tokenizer's first merge rule.
+
+    Scale shape: BPE trains on the WORD-FREQUENCY DICTIONARY, never on
+    running text — the corpus is scanned once into a vocab-sized
+    (word, count) table (one shuffle with map-side partial aggregation;
+    unique words grow ~O(corpus^0.5) by Heaps' law, so at 100 TB the
+    vocab table is millions of rows where the corpus is trillions of
+    tokens). The pair explode then fans out of the VOCAB table only
+    (avg word length ~5 pairs per distinct word), and the final pair
+    aggregation has at most |alphabet|x(|alphabet|+1) groups. Top-k is
+    TakeOrderedAndProject; the rank column is a window over the k-row
+    limit output. Exact integer counts end to end.
+
+    A full BPE trainer iterates merge -> re-pair; each round is this
+    same vocab-sized job with the merged symbol substituted, so the
+    per-round cost FALLS as merges grow. Reference analogue: none (the
+    reference has no text pipeline); this is LLM-pipeline surface."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w")
+    )
+    freq = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(F.concat(F.col("w"), F.lit(">")).alias("w"), "c")
+    )
+    pairs = freq.select(
+        "w",
+        "c",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    scored = pairs.groupBy("pair").agg(
+        F.sum("c").cast("long").alias("score"),
+        F.countDistinct("w").cast("long").alias("n_words"),
+    )
+    top = scored.orderBy(F.desc("score"), "pair").limit(BPE_TOPK)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), "pair")).cast("long"),
+    )

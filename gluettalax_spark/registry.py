@@ -56,6 +56,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder]
 # verdict, so a stale rotation can't recur.
 _NEW_THIS_ROUND = (
     "agg_percentiles_approx",
+    "text_bpe_merge_candidates",
 )
 
 
