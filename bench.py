@@ -119,8 +119,9 @@ HEADLINE = [
     "table_checksum_audit",
     "orders_forecast_holt",
     "events_ab_test",
-    # round 7: tokenizer-training primitive
+    # round 7: tokenizer-training primitive, link prediction
     "text_bpe_merge_candidates",
+    "graph_jaccard_linkpred",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -966,3 +966,121 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "core_degree", "n_core_nodes", "n_core_edges", "converged")
         .orderBy(F.desc("core_degree"), F.asc("node"))
     )
+
+
+# --------------------------------------------------------------------------
+# Link prediction (common-neighbor Jaccard over non-edges)
+# --------------------------------------------------------------------------
+
+_LINKPRED_MAX_DEG = 256  # hubs past this degree don't generate wedges
+_LINKPRED_TOPK = 20
+
+_LINKPRED_ORACLE = f"""
+WITH op AS (
+  SELECT o, p FROM {_DUCK_CAPPED_OP}
+), e AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= {_TRI_MIN_SUPPORT}
+), adj AS (
+  SELECT pa AS n, pb AS nbr FROM e UNION ALL SELECT pb AS n, pa AS nbr FROM e
+), deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY n
+), wedges AS (
+  SELECT x.nbr AS a, y.nbr AS b, CAST(count(*) AS BIGINT) AS common_neighbors
+  FROM adj x
+  JOIN adj y ON x.n = y.n AND x.nbr < y.nbr
+  JOIN deg dc ON dc.n = x.n AND dc.d <= {_LINKPRED_MAX_DEG}
+  GROUP BY x.nbr, y.nbr
+), cand AS (
+  SELECT w.a, w.b, w.common_neighbors FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = w.a AND e.pb = w.b)
+)
+SELECT
+  c.a                                                             AS node_a,
+  c.b                                                             AS node_b,
+  c.common_neighbors,
+  da.d                                                            AS deg_a,
+  db.d                                                            AS deg_b,
+  round(CAST(c.common_neighbors AS DOUBLE)
+        / (da.d + db.d - c.common_neighbors), 6)                  AS jaccard
+FROM cand c
+JOIN deg da ON da.n = c.a
+JOIN deg db ON db.n = c.b
+ORDER BY jaccard DESC, node_a, node_b
+LIMIT {_LINKPRED_TOPK}
+"""
+
+
+@register(
+    "graph_jaccard_linkpred",
+    _LINKPRED_ORACLE,
+    doc=f"top-{_LINKPRED_TOPK} predicted links by common-neighbor Jaccard (non-edges only)",
+)
+def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-occurrence graph: for every
+    non-adjacent pair with at least one common neighbor, score the pair
+    by neighbor-set Jaccard |N(a) INTERSECT N(b)| / |N(a) UNION N(b)|
+    (Liben-Nowell & Kleinberg, CIKM'03 — the classic unsupervised
+    link-prediction baseline) and return the top-20 predicted links.
+
+    Scale shape: common-neighbor counts come from WEDGES — each node
+    emits its neighbor pairs map-side from one sorted adjacency array
+    (the same single-shuffle basket-explode discipline as triangle
+    count; no self-join of the corpus). Wedge fan-out is sum(deg^2)
+    over wedge CENTERS, so hubs past ``_LINKPRED_MAX_DEG`` neighbors
+    are excluded from serving as centers — the standard heavy-hitter
+    guard in similarity joins (a hub's wedge set is quadratic in its
+    degree while its Jaccard contribution tends to zero: the union term
+    grows with the hub's degree too). The cap changes outputs, so the
+    ORACLE replays it — cap semantics are part of the operator spec.
+    Candidate pairs anti-join the edge set (predictions must be
+    NON-edges), degrees join on the node key (never broadcast — the
+    degree table grows with the graph), the Jaccard division is
+    IEEE-deterministic from exact integer counts, and top-k is
+    TakeOrderedAndProject."""
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = edges.select(F.col("pa").alias("n"), F.col("pb").alias("nbr")).unionAll(
+        edges.select(F.col("pb").alias("n"), F.col("pa").alias("nbr"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    # Neighbor lists once; hub centers drop out BEFORE the wedge explode.
+    nbrs = (
+        adj.groupBy("n")
+        .agg(F.sort_array(F.collect_set("nbr")).alias("ns"))
+        .filter(F.size("ns") <= _LINKPRED_MAX_DEG)
+    )
+    wedges = nbrs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ns, (x, i) -> "
+                "transform(slice(ns, i + 2, size(ns)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    common = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors")
+    )
+    cand = common.join(
+        edges.select(F.col("pa").alias("a"), F.col("pb").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    res = (
+        cand.join(deg.select(F.col("n").alias("a"), F.col("d").alias("deg_a")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("deg_b")), "b")
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            "common_neighbors",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return res.orderBy(F.desc("jaccard"), "node_a", "node_b").limit(_LINKPRED_TOPK)

@@ -57,6 +57,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder]
 _NEW_THIS_ROUND = (
     "agg_percentiles_approx",
     "text_bpe_merge_candidates",
+    "graph_jaccard_linkpred",
 )
 
 

@@ -56,3 +56,62 @@ def test_bpe_plan_shape(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # ...and the pair fan-out never self-joins.
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# graph_jaccard_linkpred
+# --------------------------------------------------------------------------
+
+
+def _linkpred_brute(sf_dir: str):
+    from collections import defaultdict
+
+    from gluettalax_spark.operators.graph import _LINKPRED_MAX_DEG, _LINKPRED_TOPK
+    from tests.test_round6_ops import _cooccurrence_edges_brute
+
+    edges = _cooccurrence_edges_brute(sf_dir)
+    nbrs: dict[int, set[int]] = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    common: Counter = Counter()
+    for c, ns in nbrs.items():
+        if len(ns) > _LINKPRED_MAX_DEG:
+            continue
+        s = sorted(ns)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                common[(s[i], s[j])] += 1
+    out = []
+    for (a, b), inter in common.items():
+        if (a, b) in edges:
+            continue
+        da, db = len(nbrs[a]), len(nbrs[b])
+        out.append((round(inter / (da + db - inter), 6), a, b, inter, da, db))
+    out.sort(key=lambda t: (-t[0], t[1], t[2]))
+    return [(a, b, inter, da, db, j) for j, a, b, inter, da, db in out[:_LINKPRED_TOPK]]
+
+
+def test_linkpred_matches_python_recompute(spark, sf_dir):
+    rows = queries()["graph_jaccard_linkpred"](spark, sf_dir).collect()
+    got = [
+        (r["node_a"], r["node_b"], r["common_neighbors"], r["deg_a"], r["deg_b"], r["jaccard"])
+        for r in rows
+    ]
+    assert got == _linkpred_brute(sf_dir)
+
+
+def test_linkpred_predictions_are_nonedges(spark, sf_dir):
+    from tests.test_round6_ops import _cooccurrence_edges_brute
+
+    edges = _cooccurrence_edges_brute(sf_dir)
+    for r in queries()["graph_jaccard_linkpred"](spark, sf_dir).collect():
+        assert (r["node_a"], r["node_b"]) not in edges
+        assert r["common_neighbors"] >= 1
+
+
+def test_linkpred_plan_shape(spark, sf_dir):
+    plan = physical_plan(queries()["graph_jaccard_linkpred"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
