@@ -73,6 +73,9 @@ SHOWCASE = {
     "table_checksum_audit": "map-side md5 words, one 1-row modular sum per table; order/partition independent by construction",
     "orders_forecast_holt": "linear-recurrence closed form: two integer dot products per group replace the sequential fit",
     "events_ab_test": "md5-parity unit split; conversion via fill-forward click window; 2-row pivot to one stats row",
+    # Round-7 additions:
+    "text_bpe_merge_candidates": "one corpus shuffle to the word-freq dict; pair explode is vocab-sized; top-k is TakeOrderedAndProject",
+    "graph_jaccard_linkpred": "wedges explode map-side from sorted adjacency arrays (hub centers capped); anti-join keeps non-edges",
 }
 
 
