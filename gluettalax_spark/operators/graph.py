@@ -1041,6 +1041,15 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-deterministic from exact integer counts, and top-k is
     TakeOrderedAndProject."""
     edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    res = jaccard_linkpred_scores(edges, max_deg=_LINKPRED_MAX_DEG)
+    return res.orderBy(F.desc("jaccard"), "node_a", "node_b").limit(_LINKPRED_TOPK)
+
+
+def jaccard_linkpred_scores(edges: DataFrame, max_deg: int = _LINKPRED_MAX_DEG) -> DataFrame:
+    """Common-neighbor Jaccard for every non-adjacent pair of ``edges``
+    (columns pa < pb) with at least one common sub-hub neighbor. Factored
+    edges-in so the hub-cap path is testable on synthetic graphs; see
+    graph_jaccard_linkpred for the scale rationale."""
     adj = edges.select(F.col("pa").alias("n"), F.col("pb").alias("nbr")).unionAll(
         edges.select(F.col("pb").alias("n"), F.col("pa").alias("nbr"))
     )
@@ -1049,7 +1058,7 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     nbrs = (
         adj.groupBy("n")
         .agg(F.sort_array(F.collect_set("nbr")).alias("ns"))
-        .filter(F.size("ns") <= _LINKPRED_MAX_DEG)
+        .filter(F.size("ns") <= max_deg)
     )
     wedges = nbrs.select(
         F.explode(
@@ -1067,7 +1076,7 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["a", "b"],
         "left_anti",
     )
-    res = (
+    return (
         cand.join(deg.select(F.col("n").alias("a"), F.col("d").alias("deg_a")), "a")
         .join(deg.select(F.col("n").alias("b"), F.col("d").alias("deg_b")), "b")
         .select(
@@ -1083,4 +1092,3 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return res.orderBy(F.desc("jaccard"), "node_a", "node_b").limit(_LINKPRED_TOPK)

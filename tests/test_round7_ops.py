@@ -115,3 +115,33 @@ def test_linkpred_plan_shape(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_linkpred_hub_cap_engages(spark):
+    """A hub past the degree cap must not serve as a wedge center (its
+    quadratic pair fan-out is the skew risk), but it still counts in the
+    degree/union term of every score it appears in."""
+    from gluettalax_spark.operators.graph import jaccard_linkpred_scores
+
+    # Star: hub 0 connected to 1..n (n > cap). Plus a 4-cycle 1-2-3-4-1
+    # so nodes 1 and 3 (and 2 and 4) share two sub-hub common neighbors.
+    n = 300
+    edges = [(0, i) for i in range(1, n + 1)] + [(1, 2), (2, 3), (3, 4), (1, 4)]
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "pa long, pb long"
+    )
+    rows = jaccard_linkpred_scores(df, max_deg=256).collect()
+    by_pair = {(r["node_a"], r["node_b"]): r for r in rows}
+    # The hub generated no wedges: spoke pairs' only common neighbor is
+    # the hub, so no spoke-only pair may appear...
+    assert (5, 6) not in by_pair and (100, 200) not in by_pair
+    # ...but cycle chords get their two sub-hub wedges (via 2 and 4 for
+    # the 1-3 chord), and the hub still inflates their degree/union term:
+    # deg(1) = deg(3) = 3 (hub + two cycle neighbors), inter = 2 -> 2/4.
+    r = by_pair[(1, 3)]
+    assert r["common_neighbors"] == 2
+    assert r["deg_a"] == 3 and r["deg_b"] == 3
+    assert r["jaccard"] == 0.5
+    # No predicted pair is an existing edge.
+    es = {(a, b) for a, b in edges}
+    assert all((r["node_a"], r["node_b"]) not in es for r in rows)
