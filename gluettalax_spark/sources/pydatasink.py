@@ -1,0 +1,214 @@
+"""Custom Python Data Source WRITER (Spark 4 ``pyspark.sql.datasource``).
+
+``pydatasource.py`` covers the read half of the Python Data Source API
+(batch partitions, filter pushdown, micro-batch offsets); this module
+completes the surface with the WRITE half — and uses it to demonstrate
+the distributed two-phase commit protocol every exactly-once sink is
+built on (the Hadoop/cloud committer pattern in miniature):
+
+1. Each TASK writes its partition to a private ``part-*.jsonl.tmp`` file
+   and returns a :class:`WriterCommitMessage` describing it. A failed or
+   speculative task leaves only an invisible temp file.
+2. The DRIVER's ``commit()`` — called once, only when every task
+   succeeded — renames the temp files into place and writes a
+   ``_MANIFEST.json`` naming the committed files (plus row counts and
+   the schema). ``abort()`` deletes the temp files instead.
+3. The paired READER lists the MANIFEST, not the directory: a crashed
+   job's leftovers are invisible because visibility is defined by the
+   atomically-written manifest, not by file existence.
+
+The streaming writer is the same protocol per micro-batch, keyed by
+``batchId``: re-committing a replayed batch OVERWRITES that batch's
+manifest entry (idempotent), which is exactly how a foreachBatch-style
+sink achieves effective exactly-once on retries.
+
+Cluster note: executors here share the driver's filesystem; on a real
+cluster ``path`` would be object storage and the rename becomes a
+copy/manifest-flip — the protocol (task temp + driver manifest commit)
+is unchanged. JSONL keeps the demo dependency-free; a real format would
+write parquet per task with identical commit semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+FORMAT_NAME = "jsonl_manifest"
+MANIFEST = "_MANIFEST.json"
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path, self.rows = tmp_path, rows
+
+
+def _write_partition(path: str, schema_names: list[str], iterator) -> _FileCommit:
+    """Task-side half: rows to a private temp file, metadata back."""
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f"part-{uuid.uuid4().hex}.jsonl.tmp")
+    n = 0
+    with open(tmp, "w") as fh:
+        for row in iterator:
+            fh.write(json.dumps([row[c] for c in schema_names], default=str) + "\n")
+            n += 1
+    return _FileCommit(tmp, n)
+
+
+def _load_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST)) as fh:
+        return json.load(fh)
+
+
+def _store_manifest(path: str, manifest: dict) -> None:
+    # Atomic flip: visibility changes in one rename.
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+
+
+class _JsonlManifestWriter(DataSourceWriter):
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options["path"]
+        self.schema_names = list(schema.fieldNames())
+        self.schema_json = schema.json()
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> WriterCommitMessage:
+        return _write_partition(self.path, self.schema_names, iterator)
+
+    def commit(self, messages) -> None:
+        files = []
+        for m in messages:
+            if m is None:
+                continue
+            final = m.tmp_path[: -len(".tmp")]
+            os.replace(m.tmp_path, final)
+            files.append({"file": os.path.basename(final), "rows": m.rows})
+        prev = []
+        if os.path.exists(os.path.join(self.path, MANIFEST)):
+            old = _load_manifest(self.path)["files"]
+            if self.overwrite:
+                for f in old:  # old files lose visibility; reclaim them
+                    p = os.path.join(self.path, f["file"])
+                    if os.path.exists(p):
+                        os.remove(p)
+            else:
+                prev = old
+        _store_manifest(
+            self.path, {"schema": self.schema_json, "files": prev + files}
+        )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class _JsonlManifestStreamWriter(DataSourceStreamWriter):
+    """Per-micro-batch two-phase commit. The manifest keys files by
+    batch id, so a replayed batch replaces (never duplicates) its own
+    output — the idempotent-sink contract streaming exactly-once needs."""
+
+    def __init__(self, options, schema):
+        self.path = options["path"]
+        self.schema_names = list(schema.fieldNames())
+        self.schema_json = schema.json()
+
+    def write(self, iterator) -> WriterCommitMessage:
+        return _write_partition(self.path, self.schema_names, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        files = []
+        for m in messages:
+            if m is None:
+                continue
+            final = m.tmp_path[: -len(".tmp")]
+            os.replace(m.tmp_path, final)
+            files.append({"file": os.path.basename(final), "rows": m.rows})
+        manifest = {"schema": self.schema_json, "batches": {}}
+        if os.path.exists(os.path.join(self.path, MANIFEST)):
+            manifest = _load_manifest(self.path)
+            manifest.setdefault("batches", {})
+        replaced = manifest["batches"].get(str(batchId))
+        if replaced:  # replayed batch: its old files lose visibility
+            for f in replaced:
+                old = os.path.join(self.path, f["file"])
+                if os.path.exists(old):
+                    os.remove(old)
+        manifest["batches"][str(batchId)] = files
+        manifest["files"] = [f for fs in manifest["batches"].values() for f in fs]
+        _store_manifest(self.path, manifest)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class _ManifestFilePartition(InputPartition):
+    def __init__(self, path: str, rows: int):
+        self.path, self.rows = path, rows
+
+
+class _JsonlManifestReader(DataSourceReader):
+    """Reads ONLY manifest-listed files — one input partition each, so
+    the scan parallelism is the committed file count and uncommitted
+    leftovers are invisible by construction."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.manifest = _load_manifest(self.path)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _ManifestFilePartition(os.path.join(self.path, f["file"]), f["rows"])
+            for f in self.manifest["files"]
+        ] or [_ManifestFilePartition("", 0)]
+
+    def read(self, partition: _ManifestFilePartition) -> Iterator[tuple]:
+        if not partition.path:
+            return
+        with open(partition.path) as fh:
+            for line in fh:
+                yield tuple(json.loads(line))
+
+
+class JsonlManifestDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        # Read side: the schema travels in the manifest (StructType JSON).
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(
+            json.loads(_load_manifest(self.options["path"])["schema"])
+        )
+
+    def reader(self, schema) -> DataSourceReader:
+        return _JsonlManifestReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _JsonlManifestWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return _JsonlManifestStreamWriter(self.options, schema)
+
+
+def register_manifest_sink(spark) -> None:
+    """Idempotent registration of the custom format with a session."""
+    spark.dataSource.register(JsonlManifestDataSource)

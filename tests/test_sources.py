@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -327,3 +329,112 @@ def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
         assert frac_z < frac_flat * 0.8, (col, frac_z, frac_flat)
 
     assert spark.read.parquet(out_z).count() == li.count()
+
+
+# --------------------------------------------------------------------------
+# Python Data Source WRITER (jsonl_manifest two-phase commit sink)
+# --------------------------------------------------------------------------
+
+
+def _manifest(path):
+    import json as _json
+
+    with open(f"{path}/_MANIFEST.json") as fh:
+        return _json.load(fh)
+
+
+def test_manifest_sink_roundtrip_and_modes(spark, tmp_path):
+    from gluettalax_spark.sources.pydatasink import FORMAT_NAME, register_manifest_sink
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "msink")
+    df = spark.range(100).selectExpr(
+        "id", "concat('u', id % 7) AS tag", "CAST(id AS DOUBLE) / 4 AS score"
+    )
+    df.repartition(4).write.format(FORMAT_NAME).mode("overwrite").save(out)
+    m = _manifest(out)
+    assert len(m["files"]) == 4 and sum(f["rows"] for f in m["files"]) == 100
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+    back = spark.read.format(FORMAT_NAME).load(out)
+    assert back.schema == df.schema  # schema travels in the manifest
+    assert sorted(r["id"] for r in back.collect()) == list(range(100))
+    # one input partition per committed file
+    assert back.rdd.getNumPartitions() == 4
+
+    # append adds visibility; overwrite replaces it AND reclaims old files
+    df.limit(10).repartition(1).write.format(FORMAT_NAME).mode("append").save(out)
+    assert spark.read.format(FORMAT_NAME).load(out).count() == 110
+    df.limit(5).repartition(1).write.format(FORMAT_NAME).mode("overwrite").save(out)
+    assert spark.read.format(FORMAT_NAME).load(out).count() == 5
+    visible = {f["file"] for f in _manifest(out)["files"]}
+    on_disk = {f for f in os.listdir(out) if f.startswith("part-")}
+    assert on_disk == visible
+
+
+def test_manifest_sink_abort_leaves_nothing_visible(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gluettalax_spark.sources.pydatasink import FORMAT_NAME, register_manifest_sink
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "msink_abort")
+    boom = F.udf(lambda i: (_ for _ in ()).throw(ValueError("boom")) if i == 99 else i, "long")
+    df = spark.range(100).select(boom("id").alias("id"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        df.repartition(4).write.format(FORMAT_NAME).mode("overwrite").save(out)
+    # failed job: no manifest flip, no visible part files
+    assert not os.path.exists(f"{out}/_MANIFEST.json")
+    assert not [f for f in os.listdir(out) if f.startswith("part-") and not f.endswith(".tmp")] if os.path.exists(out) else True
+
+
+def test_manifest_sink_streaming_batches_and_replay(spark, tmp_path):
+    from gluettalax_spark.sources.pydatasink import (
+        FORMAT_NAME,
+        _FileCommit,
+        _JsonlManifestStreamWriter,
+        register_manifest_sink,
+    )
+    from gluettalax_spark.sources.pydatasource import (
+        FORMAT_NAME as SRC_FORMAT,
+        register_synthetic_source,
+    )
+
+    register_manifest_sink(spark)
+    register_synthetic_source(spark)
+    out = str(tmp_path / "msink_stream")
+    q = (
+        spark.readStream.format(SRC_FORMAT)
+        .option("n_rows", 60)
+        .option("rows_per_partition", 25)
+        .load()
+        .selectExpr("event_id", "event_type")
+        .writeStream.format(FORMAT_NAME)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination(60)
+    m = _manifest(out)
+    assert sum(f["rows"] for f in m["files"]) == 60
+    assert m["batches"], "per-batch bookkeeping must exist"
+    assert spark.read.format(FORMAT_NAME).load(out).count() == 60
+
+    # Replayed batch id replaces its own output instead of duplicating it
+    # (driven directly -- rigging a real replay needs a checkpoint crash).
+    out2 = str(tmp_path / "msink_replay")
+    os.makedirs(out2, exist_ok=True)
+    w = _JsonlManifestStreamWriter({"path": out2}, spark.range(1).schema)
+    p1 = f"{out2}/part-aaa.jsonl.tmp"
+    with open(p1, "w") as fh:
+        fh.write("[1]\n")
+    w.commit([_FileCommit(p1, 1)], 7)
+    p2 = f"{out2}/part-bbb.jsonl.tmp"
+    with open(p2, "w") as fh:
+        fh.write("[2]\n")
+    w.commit([_FileCommit(p2, 1)], 7)
+    m2 = _manifest(out2)
+    assert [f["file"] for f in m2["files"]] == ["part-bbb.jsonl"]
+    assert not os.path.exists(f"{out2}/part-aaa.jsonl")
