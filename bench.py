@@ -163,6 +163,8 @@ SCALING_SUBSET = [
     "embedding_pca_project",
     "text_bm25_search",
     "text_bigram_logppl",
+    "text_bpe_merge_candidates",
+    "graph_jaccard_linkpred",
     "events_cumulative_distinct_users",
 ]
 

@@ -145,3 +145,43 @@ def test_linkpred_hub_cap_engages(spark):
     # No predicted pair is an existing edge.
     es = {(a, b) for a, b in edges}
     assert all((r["node_a"], r["node_b"]) not in es for r in rows)
+
+
+def test_linkpred_random_graphs_match_brute(spark):
+    """Seeded Erdos-Renyi graphs, full score-set equivalence (not just
+    the fixture's top-k path): every (pair, inter, degrees, jaccard) the
+    helper emits must equal the pure-Python derivation, and vice versa."""
+    import random
+
+    from gluettalax_spark.operators.graph import jaccard_linkpred_scores
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        n = 30
+        edges = {
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.15
+        }
+        nbrs = {i: set() for i in range(n)}
+        for a, b in edges:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+        want = {}
+        for a in range(n):
+            for b in range(a + 1, n):
+                if (a, b) in edges:
+                    continue
+                inter = len(nbrs[a] & nbrs[b])
+                if inter:
+                    da, db = len(nbrs[a]), len(nbrs[b])
+                    want[(a, b)] = (inter, da, db, round(inter / (da + db - inter), 6))
+        df = spark.createDataFrame(sorted(edges), "pa long, pb long")
+        got = {
+            (r["node_a"], r["node_b"]): (
+                r["common_neighbors"], r["deg_a"], r["deg_b"], r["jaccard"]
+            )
+            for r in jaccard_linkpred_scores(df, max_deg=n).collect()
+        }
+        assert got == want, f"seed {seed}"
