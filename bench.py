@@ -119,9 +119,10 @@ HEADLINE = [
     "table_checksum_audit",
     "orders_forecast_holt",
     "events_ab_test",
-    # round 7: tokenizer-training primitive, link prediction
+    # round 7: tokenizer-training primitive, link prediction, arrow kernel
     "text_bpe_merge_candidates",
     "graph_jaccard_linkpred",
+    "apply_in_arrow_grouped",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -258,3 +258,78 @@ def apply_in_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped applyInArrow (RecordBatch-streaming group kernel)
+# --------------------------------------------------------------------------
+
+_APPLY_IN_ARROW_ORACLE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT)    AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "apply_in_arrow_grouped",
+    _APPLY_IN_ARROW_ORACLE,
+    doc="grouped applyInArrow — RecordBatch-iterator kernel, no pandas materialization",
+)
+def apply_in_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 grouped-map ``applyInArrow`` in its RecordBatch-ITERATOR
+    form (4.1+): the group's rows stream through the kernel batch by
+    batch — the group is NEVER materialized whole, so a skewed group
+    cannot blow worker memory the way the table-at-once form (or
+    applyInPandas) can. Aggregates fold incrementally with
+    ``pyarrow.compute`` C++ kernels; no pandas object ever exists.
+
+    This closes the Arrow surface alongside `embedding_norms_arrow`
+    (ungrouped mapInArrow) and `apply_in_pandas_grouped` (pandas
+    grouped-map). Would-be 100 TB shape: one shuffle on the group key,
+    constant state per group in the kernel. The simple sums here exist
+    to pin the API against a DuckDB oracle — real use is any per-group
+    logic built-ins can't express."""
+    from typing import Iterator, Tuple
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
+
+    # The RecordBatch-iterator form is selected by these type hints
+    # (pyspark inspects them; an unhinted generator is rejected).
+    def stats(
+        keys: Tuple[pa.Scalar, ...], batches: Iterator[pa.RecordBatch]
+    ) -> Iterator[pa.RecordBatch]:
+        n = 0
+        total = 0
+        mx = None
+        for batch in batches:
+            col = batch.column("n_chars")
+            n += len(batch)
+            total += pc.sum(col).as_py() or 0
+            bmax = pc.max(col).as_py()
+            if bmax is not None and (mx is None or bmax > mx):
+                mx = bmax
+        yield pa.RecordBatch.from_pydict(
+            {
+                "lang": [keys[0].as_py()],
+                "n_docs": [n],
+                "total_chars": [total],
+                "max_chars": [mx],
+            }
+        )
+
+    return (
+        docs.groupBy("lang")
+        .applyInArrow(
+            stats,
+            "lang string, n_docs bigint, total_chars bigint, max_chars bigint",
+        )
+        .orderBy("lang")
+    )

@@ -58,6 +58,7 @@ _NEW_THIS_ROUND = (
     "agg_percentiles_approx",
     "text_bpe_merge_candidates",
     "graph_jaccard_linkpred",
+    "apply_in_arrow_grouped",
 )
 
 

@@ -185,3 +185,40 @@ def test_linkpred_random_graphs_match_brute(spark):
             for r in jaccard_linkpred_scores(df, max_deg=n).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+# --------------------------------------------------------------------------
+# apply_in_arrow_grouped
+# --------------------------------------------------------------------------
+
+
+def test_apply_in_arrow_streams_batches(spark, sf_dir):
+    """Force multiple RecordBatches per group (tiny Arrow batch size) —
+    the incremental fold must land on the same totals as one batch."""
+    expect = {
+        (r["lang"], r["n_docs"], r["total_chars"], r["max_chars"])
+        for r in queries()["apply_in_arrow_grouped"](spark, sf_dir).collect()
+    }
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    brute = {
+        (lang, len(g), int(g["n_chars"].sum()), int(g["n_chars"].max()))
+        for lang, g in docs.groupby("lang")
+    }
+    assert expect == brute
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        got = {
+            (r["lang"], r["n_docs"], r["total_chars"], r["max_chars"])
+            for r in queries()["apply_in_arrow_grouped"](spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+    assert got == brute
+
+
+def test_apply_in_arrow_plan_is_arrow_grouped(spark, sf_dir):
+    plan = physical_plan(queries()["apply_in_arrow_grouped"](spark, sf_dir))
+    assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsInBatch" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan
