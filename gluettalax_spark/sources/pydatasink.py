@@ -54,16 +54,46 @@ class _FileCommit(WriterCommitMessage):
         self.tmp_path, self.rows = tmp_path, rows
 
 
-def _write_partition(path: str, schema_names: list[str], iterator) -> _FileCommit:
-    """Task-side half: rows to a private temp file, metadata back."""
+def _write_partition(path: str, schema_names: list[str], iterator, fmt: str, arrow_schema) -> _FileCommit:
+    """Task-side half: rows to a private temp file, metadata back.
+
+    ``jsonl`` keeps the demo human-readable (JSON-safe types only);
+    ``parquet`` is the production-shaped path — real columnar files per
+    task (so binary/timestamp columns round-trip exactly) under the
+    SAME commit protocol. The format is per file (dispatch on
+    extension), the protocol doesn't care."""
     os.makedirs(path, exist_ok=True)
-    tmp = os.path.join(path, f"part-{uuid.uuid4().hex}.jsonl.tmp")
     n = 0
-    with open(tmp, "w") as fh:
-        for row in iterator:
-            fh.write(json.dumps([row[c] for c in schema_names], default=str) + "\n")
-            n += 1
+    if fmt == "parquet":
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tmp = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet.tmp")
+        rows = [row.asDict() for row in iterator]
+        n = len(rows)
+        pq.write_table(pa.Table.from_pylist(rows, schema=arrow_schema), tmp)
+    else:
+        tmp = os.path.join(path, f"part-{uuid.uuid4().hex}.jsonl.tmp")
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps([row[c] for c in schema_names], default=str) + "\n")
+                n += 1
     return _FileCommit(tmp, n)
+
+
+def _task_format(options) -> str:
+    fmt = options.get("format", "jsonl")
+    if fmt not in ("jsonl", "parquet"):
+        raise ValueError(f"jsonl_manifest: unsupported task format {fmt!r}")
+    return fmt
+
+
+def _maybe_arrow_schema(fmt: str, schema):
+    if fmt != "parquet":
+        return None
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(schema)
 
 
 def _load_manifest(path: str) -> dict:
@@ -84,10 +114,14 @@ class _JsonlManifestWriter(DataSourceWriter):
         self.path = options["path"]
         self.schema_names = list(schema.fieldNames())
         self.schema_json = schema.json()
+        self.fmt = _task_format(options)
+        self.arrow_schema = _maybe_arrow_schema(self.fmt, schema)
         self.overwrite = overwrite
 
     def write(self, iterator) -> WriterCommitMessage:
-        return _write_partition(self.path, self.schema_names, iterator)
+        return _write_partition(
+            self.path, self.schema_names, iterator, self.fmt, self.arrow_schema
+        )
 
     def commit(self, messages) -> None:
         files = []
@@ -126,9 +160,13 @@ class _JsonlManifestStreamWriter(DataSourceStreamWriter):
         self.path = options["path"]
         self.schema_names = list(schema.fieldNames())
         self.schema_json = schema.json()
+        self.fmt = _task_format(options)
+        self.arrow_schema = _maybe_arrow_schema(self.fmt, schema)
 
     def write(self, iterator) -> WriterCommitMessage:
-        return _write_partition(self.path, self.schema_names, iterator)
+        return _write_partition(
+            self.path, self.schema_names, iterator, self.fmt, self.arrow_schema
+        )
 
     def commit(self, messages, batchId: int) -> None:
         files = []
@@ -178,8 +216,16 @@ class _JsonlManifestReader(DataSourceReader):
             for f in self.manifest["files"]
         ] or [_ManifestFilePartition("", 0)]
 
-    def read(self, partition: _ManifestFilePartition) -> Iterator[tuple]:
+    def read(self, partition: _ManifestFilePartition):
         if not partition.path:
+            return
+        if partition.path.endswith(".parquet"):
+            # Columnar path: yield Arrow batches straight through (the
+            # Python Data Source API accepts RecordBatch yields — no
+            # per-row Python materialization).
+            import pyarrow.parquet as pq
+
+            yield from pq.read_table(partition.path).to_batches()
             return
         with open(partition.path) as fh:
             for line in fh:

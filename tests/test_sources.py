@@ -438,3 +438,32 @@ def test_manifest_sink_streaming_batches_and_replay(spark, tmp_path):
     m2 = _manifest(out2)
     assert [f["file"] for f in m2["files"]] == ["part-bbb.jsonl"]
     assert not os.path.exists(f"{out2}/part-aaa.jsonl")
+
+
+def test_manifest_sink_parquet_tasks_roundtrip_binary(spark, tmp_path):
+    """The production-shaped task format: per-task parquet under the same
+    commit protocol, so binary/timestamp columns round-trip exactly
+    (the multimodal case JSONL can't carry)."""
+    from gluettalax_spark.sources.pydatasink import FORMAT_NAME, register_manifest_sink
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "msink_pq")
+    df = spark.range(40).selectExpr(
+        "id",
+        "CAST(concat('payload-', id) AS BINARY) AS payload",
+        "timestamp'2024-03-01 12:00:00' + make_interval(0,0,0,0,0,0,id) AS ts",
+    )
+    (
+        df.repartition(2)
+        .write.format(FORMAT_NAME)
+        .option("format", "parquet")
+        .mode("overwrite")
+        .save(out)
+    )
+    m = _manifest(out)
+    assert all(f["file"].endswith(".parquet") for f in m["files"])
+    back = spark.read.format(FORMAT_NAME).load(out)
+    assert back.schema == df.schema
+    a = sorted(map(repr, df.collect()))
+    b = sorted(map(repr, back.collect()))
+    assert a == b
