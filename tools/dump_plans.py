@@ -76,6 +76,7 @@ SHOWCASE = {
     # Round-7 additions:
     "text_bpe_merge_candidates": "one corpus shuffle to the word-freq dict; pair explode is vocab-sized; top-k is TakeOrderedAndProject",
     "graph_jaccard_linkpred": "wedges explode map-side from sorted adjacency arrays (hub centers capped); anti-join keeps non-edges",
+    "apply_in_arrow_grouped": "FlatMapGroupsInArrow: the group streams through the kernel as RecordBatches, never materialized whole",
 }
 
 
