@@ -123,6 +123,7 @@ HEADLINE = [
     "text_bpe_merge_candidates",
     "graph_jaccard_linkpred",
     "apply_in_arrow_grouped",
+    "text_bpe_train",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40
@@ -165,6 +166,7 @@ SCALING_SUBSET = [
     "text_bm25_search",
     "text_bigram_logppl",
     "text_bpe_merge_candidates",
+    "text_bpe_train",
     "graph_jaccard_linkpred",
     "events_cumulative_distinct_users",
 ]

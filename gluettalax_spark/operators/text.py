@@ -2159,3 +2159,170 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.row_number().over(Window.orderBy(F.desc("score"), "pair")).cast("long"),
     )
+
+
+# --------------------------------------------------------------------------
+# Iterative BPE training (the full merge-learning loop)
+# --------------------------------------------------------------------------
+
+BPE_TRAIN_ROUNDS = 6
+
+# Symbol sequences are rendered with a DOUBLE-space separator and
+# double-space padding ('  a  b  >  '), so the literal pattern
+# ' L  R ' (one flanking space each side) consumes exactly one space of
+# each neighboring separator and the replacement ' LR ' restores the
+# invariant. Under this encoding, plain left-to-right non-overlapping
+# replace() — identical semantics in Spark SQL, DuckDB, and Python
+# str.replace — IS greedy BPE merging: adjacent occurrences stay
+# disjoint in the source string, and a pattern can never match inside a
+# multi-character symbol (symbols contain no spaces).
+
+
+def _bpe_train_oracle(rounds: int) -> str:
+    """Unrolled DuckDB twin: one MATERIALIZED CTE chain per merge round
+    (pair counts -> argmax -> replace), mirroring the Spark loop. The
+    CTEs MUST be materialized — default inline-on-reference re-expands
+    the chain exponentially in the round count."""
+    parts = [
+        r"""WITH freq0 AS MATERIALIZED (
+  SELECT w, c,
+         '  ' || array_to_string(regexp_extract_all(w, '.'), '  ') || '  ' AS sym
+  FROM (
+    SELECT w || '>' AS w, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+    GROUP BY w
+  )
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"freq{k - 1}"
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT s[CAST(i AS INTEGER)] AS l, s[CAST(i AS INTEGER) + 1] AS r,
+         CAST(sum(c) AS BIGINT) AS score
+  FROM (SELECT c, string_split(trim(sym), '  ') AS s FROM {prev}) q,
+       unnest(range(1, len(q.s))) AS t(i)
+  GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (
+  SELECT l, r, score FROM p{k} ORDER BY score DESC, l, r LIMIT 1
+),
+freq{k} AS MATERIALIZED (
+  SELECT w, c,
+         replace(sym, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS sym
+  FROM {prev}, b{k} b
+),
+o{k} AS (
+  SELECT CAST({k} AS BIGINT) AS round, b.l AS left_sym, b.r AS right_sym,
+         b.l || b.r AS merged, b.score,
+         (SELECT CAST(sum(c * len(string_split(trim(sym), '  '))) AS BIGINT)
+          FROM freq{k}) AS tokens_after
+  FROM b{k} b
+)"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM o{k}" for k in range(1, rounds + 1))
+    return ",\n".join(parts) + f"\n{union}\nORDER BY round"
+
+
+_BPE_TRAIN_ORACLE = _bpe_train_oracle(BPE_TRAIN_ROUNDS)
+
+_SYMS = "split(trim(sym), '  ')"
+
+
+@register(
+    "text_bpe_train",
+    _BPE_TRAIN_ORACLE,
+    doc=f"iterative BPE tokenizer training: {BPE_TRAIN_ROUNDS} merge rounds learned on the word-frequency dictionary",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full byte-pair-encoding TRAINING loop (Sennrich et al., ACL'16):
+    each round counts adjacent symbol pairs over the current symbol
+    dictionary, merges the argmax pair everywhere (greedy left-to-right,
+    exact — see the separator-encoding note above), and re-counts. The
+    output is the learned merge table itself — (round, pair, score) —
+    plus the corpus token count after each merge, the monotone
+    compression curve a tokenizer team actually tracks.
+
+    Scale shape: identical to `text_bpe_merge_candidates` but iterated —
+    ONE corpus scan builds the vocab-sized (word, count, symbols) table
+    (unique words grow ~O(corpus^0.5) by Heaps' law), and every round is
+    a vocab-sized job: pair explode (~|word| per row), bounded pair
+    aggregation, 1-row argmax broadcast back onto the dictionary. The
+    dictionary is localCheckpoint-materialized per round (it feeds both
+    the pair counts and the merge of the NEXT round — the standard
+    iterate-on-dictionary design, same discipline as `graph_kcore`'s
+    peel rounds), so plan depth stays one round deep and the corpus is
+    never re-read. Per-round cost FALLS as merges shrink the symbol
+    sequences. Exact integer counts end to end; the argmax tie-breaks
+    deterministically on (score desc, left, right) in both engines.
+
+    Reference analogue: none (no text pipeline in the reference); this
+    is LLM-pipeline surface — the training half of a tokenizer, whose
+    single-round statistic `text_bpe_merge_candidates` already exposes."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w")
+    )
+    freq = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(F.concat(F.col("w"), F.lit(">")).alias("w"), "c")
+    )
+    cur = freq.select(
+        "w",
+        "c",
+        F.concat(
+            F.lit("  "),
+            F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "  "),
+            F.lit("  "),
+        ).alias("sym"),
+    ).localCheckpoint()
+
+    out: DataFrame | None = None
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        pairs = (
+            cur.withColumn("syms", F.expr(_SYMS))
+            .filter(F.expr("size(syms) >= 2"))
+            .select(
+                "c",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .select("c", "p.l", "p.r")
+        )
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("c").cast("long").alias("score"))
+            .orderBy(F.desc("score"), "l", "r")
+            .limit(1)
+            .localCheckpoint()
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best.select("l", "r")))
+            .select(
+                "w",
+                "c",
+                F.expr(
+                    "replace(sym, concat(' ', l, '  ', r, ' '), concat(' ', l, r, ' '))"
+                ).alias("sym"),
+            )
+            .localCheckpoint()
+        )
+        stats = cur.agg(
+            F.sum(F.col("c") * F.size(F.expr(_SYMS))).cast("long").alias("tokens_after")
+        )
+        row = best.crossJoin(F.broadcast(stats)).select(
+            F.lit(rnd).cast("long").alias("round"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.concat("l", "r").alias("merged"),
+            "score",
+            "tokens_after",
+        )
+        out = row if out is None else out.unionAll(row)
+    assert out is not None
+    return out.orderBy("round")

@@ -59,6 +59,7 @@ _NEW_THIS_ROUND = (
     "text_bpe_merge_candidates",
     "graph_jaccard_linkpred",
     "apply_in_arrow_grouped",
+    "text_bpe_train",
 )
 
 

@@ -222,3 +222,91 @@ def test_apply_in_arrow_plan_is_arrow_grouped(spark, sf_dir):
     plan = physical_plan(queries()["apply_in_arrow_grouped"](spark, sf_dir))
     assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsInBatch" in plan, plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+# --------------------------------------------------------------------------
+# text_bpe_train
+# --------------------------------------------------------------------------
+
+
+def _bpe_merge_seq(seq: list[str], pair: tuple[str, str]) -> list[str]:
+    """TRUE greedy BPE apply on a symbol LIST (left-to-right,
+    non-overlapping) — deliberately not str.replace, so the fixture test
+    independently certifies the operator's double-space string encoding
+    is equivalent to real list-based BPE merging."""
+    out: list[str] = []
+    i = 0
+    while i < len(seq):
+        if i + 1 < len(seq) and (seq[i], seq[i + 1]) == pair:
+            out.append(seq[i] + seq[i + 1])
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def _bpe_train_brute(sf_dir: str):
+    from gluettalax_spark.operators.text import BPE_TRAIN_ROUNDS
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    freq: Counter = Counter()
+    for text in docs["text"]:
+        for w in re.findall(r"[a-z]+", text.lower()):
+            freq[w + ">"] += 1
+    dic: dict[tuple[str, ...], int] = {tuple(w): c for w, c in freq.items()}
+    rows = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        score: Counter = Counter()
+        for seq, c in dic.items():
+            for a, b in zip(seq, seq[1:]):
+                score[(a, b)] += c
+        (l, r), sc = min(score.items(), key=lambda kv: (-kv[1], kv[0]))
+        dic = {tuple(_bpe_merge_seq(list(seq), (l, r))): c for seq, c in dic.items()}
+        tokens_after = sum(len(seq) * c for seq, c in dic.items())
+        rows.append((rnd, l, r, l + r, sc, tokens_after))
+    return rows
+
+
+def test_bpe_train_matches_list_based_bpe(spark, sf_dir):
+    rows = queries()["text_bpe_train"](spark, sf_dir).collect()
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["merged"], r["score"], r["tokens_after"])
+        for r in rows
+    ]
+    assert got == _bpe_train_brute(sf_dir)
+
+
+def test_bpe_train_compression_is_monotone(spark, sf_dir):
+    toks = [r["tokens_after"] for r in queries()["text_bpe_train"](spark, sf_dir).collect()]
+    assert toks == sorted(toks, reverse=True)
+    assert all(t > 0 for t in toks)
+
+
+def test_bpe_replace_encoding_equals_list_merge():
+    """The double-space separator encoding's replace() must equal true
+    list-based greedy BPE on adversarial self-overlapping inputs (the
+    'aaa' class, where naive single-space encodings diverge)."""
+    cases = [
+        (["a", "a", "a"], ("a", "a")),
+        (["a", "a", "a", "a"], ("a", "a")),
+        (["a", "b", "a", "b"], ("a", "b")),
+        (["a", "a", "b", "a", "a"], ("a", "a")),
+        (["ab", "b", "ab", "b"], ("ab", "b")),
+        (["x", "a", "a", "a", "y"], ("a", "a")),
+        (["a"], ("a", "a")),
+    ]
+    for seq, (l, r) in cases:
+        s = "  " + "  ".join(seq) + "  "
+        merged = s.replace(f" {l}  {r} ", f" {l}{r} ")
+        via_string = [t for t in merged.strip().split("  ")]
+        assert via_string == _bpe_merge_seq(seq, (l, r)), (seq, l, r)
+
+
+def test_bpe_train_plan_shape(spark, sf_dir):
+    plan = physical_plan(queries()["text_bpe_train"](spark, sf_dir))
+    # Rounds are checkpoint-materialized (vocab-sized) — the final plan
+    # unions the 6 single-row round outputs over frozen RDDs, with no
+    # Python eval and no cartesian anywhere.
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
