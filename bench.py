@@ -124,6 +124,7 @@ HEADLINE = [
     "graph_jaccard_linkpred",
     "apply_in_arrow_grouped",
     "text_bpe_train",
+    "events_changepoint_cusum",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -1387,3 +1387,134 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rb, 6).alias("rate_b"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection on daily event volume
+# --------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH counts AS (
+  SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM counts),
+days AS (
+  SELECT unnest(range(d0, d1 + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS day FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM counts),
+dense AS (
+  SELECT t.event_type, d.day, COALESCE(c.x, 0) AS x
+  FROM days d
+  CROSS JOIN types t
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day
+),
+cum AS (
+  SELECT event_type, day, x,
+         CAST(row_number() OVER w AS BIGINT) AS t,
+         CAST(sum(x) OVER w AS BIGINT)       AS prefix,
+         CAST(count(*) OVER p AS BIGINT)     AS n_days,
+         CAST(sum(x) OVER p AS BIGINT)       AS total
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         p AS (PARTITION BY event_type)
+),
+scored AS (
+  SELECT *, n_days * prefix - t * total AS s FROM cum
+),
+peak AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY abs(s) DESC, day) AS rk
+  FROM scored
+)
+SELECT event_type, n_days, total,
+       strftime(day, '%Y-%m-%d') AS cp_day,
+       CAST(s AS BIGINT) AS s_peak,
+       CAST((prefix * 1000) // t AS BIGINT) AS mean_before_milli,
+       CAST(((total - prefix) * 1000) // nullif(n_days - t, 0) AS BIGINT) AS mean_after_milli
+FROM peak WHERE rk = 1
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_changepoint_cusum",
+    _CUSUM_ORACLE,
+    doc="CUSUM change-point per event type over daily volume (integer-exact scaled statistic)",
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection on each event type's daily volume via the
+    CUSUM statistic (Page 1954): S_t = sum_{i<=t}(x_i - mean), peak
+    |S_t| marks the most likely level shift. Computed on the SCALED
+    integer form S'_t = n_days * prefix_t - t * total (= n_days * S_t),
+    so the statistic, the argmax, and the before/after rate summary are
+    all exact int64 cross-engine — no float means anywhere.
+
+    Scale shape: the corpus collapses to the (event_type x day) count
+    grid in ONE map-side-partial aggregate (metadata-scale output:
+    types x calendar days); every window after that partitions on
+    event_type with calendar-bounded rows per partition, the same dense
+    metadata-grid discipline as `events_cumulative_distinct_users` —
+    idle days must appear as x=0 rows or the statistic silently skips
+    them, hence the sequence-explode over the [min_day, max_day] span
+    and the broadcast cross join with the type list. Reference analogue:
+    none (no analytics plane); this is drift/incident surface for a
+    training-data ingest pipeline, the batch sibling of
+    `events_drift_psi`."""
+    return cusum_daily_changepoints(load(spark, sf_dir, "events"))
+
+
+def cusum_daily_changepoints(events: DataFrame) -> DataFrame:
+    """CUSUM change-point core over an events frame with (event_type,
+    ts) columns — factored out so tests can drive it on synthetic
+    step-function series with a known shift day."""
+    counts = (
+        events.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("x"))
+        .localCheckpoint()  # feeds bounds, the type list, AND the dense join
+    )
+    bounds = counts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    types = counts.select("event_type").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(types))
+        .join(counts, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = dense.select(
+        "event_type",
+        "day",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).cast("long").alias("t"),
+        F.sum("x").over(w_cum).cast("long").alias("prefix"),
+        F.count("*").over(w_all).cast("long").alias("n_days"),
+        F.sum("x").over(w_all).cast("long").alias("total"),
+    )
+    scored = cum.withColumn(
+        "s", F.col("n_days") * F.col("prefix") - F.col("t") * F.col("total")
+    )
+    peak = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.abs("s").desc(), "day")
+        ),
+    ).filter(F.col("rk") == 1)
+    return peak.select(
+        "event_type",
+        "n_days",
+        "total",
+        F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
+        F.col("s").cast("long").alias("s_peak"),
+        F.expr("(prefix * 1000) div t").cast("long").alias("mean_before_milli"),
+        F.expr("((total - prefix) * 1000) div nullif(n_days - t, 0)")
+        .cast("long")
+        .alias("mean_after_milli"),
+    ).orderBy("event_type")

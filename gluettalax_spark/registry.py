@@ -60,6 +60,7 @@ _NEW_THIS_ROUND = (
     "graph_jaccard_linkpred",
     "apply_in_arrow_grouped",
     "text_bpe_train",
+    "events_changepoint_cusum",
 )
 
 

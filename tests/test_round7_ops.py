@@ -310,3 +310,90 @@ def test_bpe_train_plan_shape(spark, sf_dir):
     # Python eval and no cartesian anywhere.
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# events_changepoint_cusum
+# --------------------------------------------------------------------------
+
+
+def _cusum_brute(sf_dir: str):
+    docs = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    docs["day"] = docs["ts"].dt.floor("D")
+    out = []
+    d0, d1 = docs["day"].min(), docs["day"].max()
+    all_days = pd.date_range(d0, d1, freq="D")
+    for et, g in docs.groupby("event_type"):
+        x = g.groupby("day").size().reindex(all_days, fill_value=0)
+        n, total = len(x), int(x.sum())
+        prefix, best = 0, None
+        for t, (day, xi) in enumerate(x.items(), start=1):
+            prefix += int(xi)
+            s = n * prefix - t * total
+            key = (-abs(s), day)
+            if best is None or key < best[0]:
+                after = (total - prefix) * 1000 // (n - t) if n - t else None
+                best = (key, (et, n, total, day.strftime("%Y-%m-%d"), s,
+                              prefix * 1000 // t, after))
+        out.append(best[1])
+    return sorted(out)
+
+
+def test_cusum_matches_python_recompute(spark, sf_dir):
+    rows = queries()["events_changepoint_cusum"](spark, sf_dir).collect()
+    got = sorted(
+        (r["event_type"], r["n_days"], r["total"], r["cp_day"], r["s_peak"],
+         r["mean_before_milli"], r["mean_after_milli"])
+        for r in rows
+    )
+    assert got == _cusum_brute(sf_dir)
+
+
+def test_cusum_finds_injected_level_shift(spark):
+    """A clean step function (10/day for 10 days, then 30/day for 10
+    days) must peak exactly at the last pre-shift day, with the
+    before/after means recovering the two levels; a flat control series
+    in the same frame must not report a comparable peak."""
+    import datetime
+
+    rows = []
+    base = datetime.datetime(2024, 3, 1)
+    for d in range(20):
+        day = base + datetime.timedelta(days=d)
+        for i in range(10 if d < 10 else 30):
+            rows.append(("shifted", day + datetime.timedelta(seconds=i)))
+        for i in range(7):
+            rows.append(("flat", day + datetime.timedelta(seconds=i)))
+    from gluettalax_spark.operators.stats import cusum_daily_changepoints
+
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["event_type"]: r for r in cusum_daily_changepoints(df).collect()}
+    sh = got["shifted"]
+    assert sh["cp_day"] == "2024-03-10"
+    assert sh["mean_before_milli"] == 10_000 and sh["mean_after_milli"] == 30_000
+    # S' = n_days * S; at the peak S = 10*(10-20) = -100, n=20 days.
+    assert sh["s_peak"] == -2000
+    assert got["flat"]["s_peak"] == 0
+
+
+def test_cusum_dense_grid_carries_idle_days(spark):
+    """A type active only on the first and last day of the span must
+    still be scored over the full calendar (idle days = 0), not just its
+    own two rows — the sparse form would report n_days=2."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [("sparse", base), ("sparse", base + datetime.timedelta(days=9))] + [
+        ("anchor", base + datetime.timedelta(days=d)) for d in range(10)
+    ]
+    from gluettalax_spark.operators.stats import cusum_daily_changepoints
+
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["event_type"]: r for r in cusum_daily_changepoints(df).collect()}
+    assert got["sparse"]["n_days"] == 10 and got["sparse"]["total"] == 2
+
+
+def test_cusum_plan_shape(spark, sf_dir):
+    plan = physical_plan(queries()["events_changepoint_cusum"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
