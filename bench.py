@@ -125,6 +125,7 @@ HEADLINE = [
     "apply_in_arrow_grouped",
     "text_bpe_train",
     "events_changepoint_cusum",
+    "source_mix_temperature",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

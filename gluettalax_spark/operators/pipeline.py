@@ -1454,3 +1454,89 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled source mixture weights (mT5-style upsampling)
+# --------------------------------------------------------------------------
+
+_MIX_TEMP_ORACLE = """
+WITH per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1048576) AS BIGINT) AS q
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total, CAST(sum(q) AS BIGINT) AS q_total
+  FROM per_source
+)
+SELECT source, n_docs,
+       CAST(n_docs * 1000000 // n_total AS BIGINT) AS p_raw_ppm,
+       CAST(q * 1000000 // q_total AS BIGINT)      AS w_temp_ppm,
+       CAST((q * 1000000 // q_total) * 1000
+            // nullif(n_docs * 1000000 // n_total, 0) AS BIGINT) AS boost_milli,
+       CAST(100000 * q // q_total AS BIGINT)       AS alloc_100k
+FROM per_source, tot
+ORDER BY source
+"""
+
+
+@register(
+    "source_mix_temperature",
+    _MIX_TEMP_ORACLE,
+    doc="temperature-scaled source sampling weights (alpha=1/2 via sqrt, integer-exact)",
+)
+def source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive temperature-scaled sampling weights per source, the
+    multilingual/multi-source rebalancing rule (mT5, Xue et al. 2021):
+    w_s proportional to p_s^alpha upsamples rare sources. alpha = 1/2 is
+    chosen deliberately — p^(1/2) is sqrt, the ONE non-trivial exponent
+    IEEE-964 evaluates deterministically on every engine, so the whole
+    derivation stays cross-engine exact: each source's sqrt(count) is
+    floor-quantized at 2^20 (exact power-of-two scaling), summed as
+    int64, and every reported weight/boost/allocation is integer
+    division of those quanta. No order-dependent float sums anywhere
+    (the quantization budget holds to ~1e13 docs per source).
+
+    `mixture_weighted_sample` APPLIES fixed per-source rates with a
+    deterministic hash keep-test; this op DERIVES the rates from corpus
+    statistics — together they are the plan/execute pair of the data
+    mixing stage. Scale shape: one map-side-partial groupBy(source) to a
+    metadata-scale table, a 1-row total broadcast back onto it, and
+    nothing else touches the corpus."""
+    return temperature_weights(load(spark, sf_dir, "documents"))
+
+
+def temperature_weights(docs: DataFrame) -> DataFrame:
+    """Temperature-weight core over any frame with a ``source`` column —
+    factored out so tests can drive it on synthetically skewed corpora
+    (the fixture's sources are uniform, which never exercises the
+    rare-source boost)."""
+    per_source = (
+        docs.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .withColumn(
+            "q",
+            F.expr("cast(floor(sqrt(cast(n_docs as double)) * 1048576) as bigint)"),
+        )
+        .localCheckpoint()  # feeds both the 1-row total and the final join
+    )
+    tot = per_source.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.sum("q").cast("long").alias("q_total"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("(n_docs * 1000000L) div n_total").alias("p_raw_ppm"),
+            F.expr("(q * 1000000L) div q_total").alias("w_temp_ppm"),
+            F.expr(
+                "(((q * 1000000L) div q_total) * 1000L)"
+                " div nullif((n_docs * 1000000L) div n_total, 0)"
+            ).alias("boost_milli"),
+            F.expr("(100000L * q) div q_total").alias("alloc_100k"),
+        )
+        .orderBy("source")
+    )

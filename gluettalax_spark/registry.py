@@ -61,6 +61,7 @@ _NEW_THIS_ROUND = (
     "apply_in_arrow_grouped",
     "text_bpe_train",
     "events_changepoint_cusum",
+    "source_mix_temperature",
 )
 
 

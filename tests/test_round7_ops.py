@@ -397,3 +397,72 @@ def test_cusum_plan_shape(spark, sf_dir):
     plan = physical_plan(queries()["events_changepoint_cusum"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# source_mix_temperature
+# --------------------------------------------------------------------------
+
+
+def _mix_temp_brute(counts: dict[str, int]):
+    import math
+
+    qs = {s: int(math.floor(math.sqrt(float(n)) * 1048576)) for s, n in counts.items()}
+    n_total, q_total = sum(counts.values()), sum(qs.values())
+    out = []
+    for s in sorted(counts):
+        n, q = counts[s], qs[s]
+        p_raw = n * 1_000_000 // n_total
+        w_temp = q * 1_000_000 // q_total
+        out.append(
+            (s, n, p_raw, w_temp,
+             w_temp * 1000 // p_raw if p_raw else None,
+             100_000 * q // q_total)
+        )
+    return out
+
+
+def test_mix_temperature_matches_python_recompute(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    counts = docs["source"].value_counts().to_dict()
+    rows = queries()["source_mix_temperature"](spark, sf_dir).collect()
+    got = [
+        (r["source"], r["n_docs"], r["p_raw_ppm"], r["w_temp_ppm"],
+         r["boost_milli"], r["alloc_100k"])
+        for r in rows
+    ]
+    assert got == _mix_temp_brute({s: int(n) for s, n in counts.items()})
+
+
+def test_mix_temperature_boosts_rare_sources(spark):
+    """On a 10000/100/1-doc corpus, sqrt-temperature must upsample the
+    rare sources (boost > 1x) and downsample the dominant one, with the
+    weights still summing to ~1e6 ppm."""
+    from gluettalax_spark.operators.pipeline import temperature_weights
+
+    rows = []
+    for s, n in (("big", 10_000), ("mid", 100), ("tiny", 1)):
+        rows += [(s,)] * n
+    df = spark.createDataFrame(rows, "source string")
+    got = {r["source"]: r for r in temperature_weights(df).collect()}
+    assert got["big"]["boost_milli"] < 1000
+    assert got["mid"]["boost_milli"] > 1000
+    # tiny (1 doc in 10101) gets a huge upsampling boost.
+    assert got["tiny"]["boost_milli"] > 10_000 and got["tiny"]["w_temp_ppm"] > 0
+    total_ppm = sum(r["w_temp_ppm"] for r in got.values())
+    assert 1_000_000 - len(got) <= total_ppm <= 1_000_000
+    # Allocation of a 100k-doc budget never exceeds it and covers ~all of it.
+    alloc = sum(r["alloc_100k"] for r in got.values())
+    assert 100_000 - len(got) <= alloc <= 100_000
+    # Python recompute on the same skewed corpus.
+    assert [
+        (r["source"], r["n_docs"], r["p_raw_ppm"], r["w_temp_ppm"],
+         r["boost_milli"], r["alloc_100k"])
+        for r in sorted(got.values(), key=lambda r: r["source"])
+    ] == _mix_temp_brute({"big": 10_000, "mid": 100, "tiny": 1})
+
+
+def test_mix_temperature_plan_shape(spark, sf_dir):
+    plan = physical_plan(queries()["source_mix_temperature"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
