@@ -363,6 +363,7 @@ def main() -> None:
 STREAMING_SUBSET = [
     ("streaming_user_ewma", "update"),
     ("streaming_drift_psi", "update"),
+    ("streaming_changepoint_cusum", "update"),
     ("streaming_heavy_hitters", "update"),
     ("streaming_sessionize_event_time", "update"),
     ("streaming_user_running_totals", "update"),

@@ -632,3 +632,91 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUTPUT_SCHEMA = (
+    "event_type string, n_days long, total long, cp_day string, s_peak long"
+)
+_CUSUM_STATE_SCHEMA = "days array<string>, counts array<long>"
+
+
+def _make_cusum_fn(d0: str, d1: str):
+    """Closure-built (workers can't import this package). State per
+    event type: one counter per active day — calendar-bounded, the same
+    bound as the batch op's metadata grid. Every update re-scores the
+    CUSUM statistic over the FROZEN global day span [d0, d1] (idle days
+    contribute x=0), so a type's final emission is bit-equal to the
+    batch `events_changepoint_cusum` row."""
+
+    def update(key, pdfs, state):
+        import datetime as _dt
+
+        import pandas as _pd
+
+        if state.exists:
+            days, counts = state.get
+            cur = dict(zip(days, counts))
+        else:
+            cur = {}
+        for pdf in pdfs:
+            for day, c in pdf["day"].value_counts().items():
+                cur[str(day)] = cur.get(str(day), 0) + int(c)
+        state.update((list(cur.keys()), [int(v) for v in cur.values()]))
+
+        start = _dt.date.fromisoformat(d0)
+        end = _dt.date.fromisoformat(d1)
+        span = [
+            (start + _dt.timedelta(days=i)).isoformat()
+            for i in range((end - start).days + 1)
+        ]
+        n, total = len(span), sum(cur.values())
+        prefix, best = 0, None
+        for t, day in enumerate(span, start=1):
+            prefix += cur.get(day, 0)
+            s = n * prefix - t * total
+            cand = (-abs(s), day)
+            if best is None or cand < best[0]:
+                best = (cand, (day, s))
+        cp_day, s_peak = best[1]
+        yield _pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_days": [n],
+                "total": [total],
+                "cp_day": [cp_day],
+                "s_peak": [s_peak],
+            }
+        )
+
+    return update
+
+
+def streaming_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch `events_changepoint_cusum`: the day
+    span is frozen batch-side (one 1-row metadata collect — same
+    discipline as `streaming_drift_psi`'s frozen reference), then every
+    micro-batch folds each type's new events into its per-day counters
+    (bounded state: one long per calendar day per type) and re-emits the
+    current change-point. The live form of the level-shift alert: 'this
+    event type's daily volume broke regime at day D'."""
+    from pyspark.sql import functions as F
+
+    from gluettalax_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(F.date_trunc("day", "ts").alias("day"))
+    b = ev.agg(
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("d0"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("d1"),
+    ).collect()[0]
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    )
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _make_cusum_fn(b["d0"], b["d1"]),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -407,3 +407,31 @@ def test_streaming_drift_psi_matches_batch_recompute(spark, sf_dir):
             q = (cur.get(et, 0) + 1) / (n_cur + k)
             psi += math.floor((p - q) * math.log(p / q) * 100_000_000)
         assert (latest[day].n_events, latest[day].psi_e8) == (n_cur, psi), day
+
+
+def test_streaming_cusum_final_equals_batch(spark, sf_dir):
+    """Each type's FINAL emission (the one carrying the full total) must
+    equal the batch events_changepoint_cusum row exactly — same frozen
+    global day span, same scaled-integer statistic, same tie-break."""
+    from gluettalax_spark.registry import queries
+    from gluettalax_spark.streaming.stateful import streaming_changepoint_cusum
+
+    stream_df = streaming_changepoint_cusum(spark, sf_dir)
+    assert stream_df.isStreaming
+    rows = run_stream_to_memory(spark, stream_df, "cusum_smoke", output_mode="update").collect()
+    assert rows
+    latest = {}
+    for r in rows:
+        if r.event_type not in latest or r.total > latest[r.event_type].total:
+            latest[r.event_type] = r
+
+    batch = {
+        r["event_type"]: r
+        for r in queries()["events_changepoint_cusum"](spark, sf_dir).collect()
+    }
+    assert set(latest) == set(batch)
+    for et, b in batch.items():
+        s = latest[et]
+        assert (s.n_days, s.total, s.cp_day, s.s_peak) == (
+            b["n_days"], b["total"], b["cp_day"], b["s_peak"]
+        ), et
