@@ -126,6 +126,7 @@ HEADLINE = [
     "text_bpe_train",
     "events_changepoint_cusum",
     "source_mix_temperature",
+    "quality_percentile_by_source",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -1540,3 +1540,92 @@ def temperature_weights(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Global quality-percentile normalization, reported per source
+# --------------------------------------------------------------------------
+
+_QUALITY_PCT_ORACLE_TMPL = """
+WITH scored AS (
+  SELECT doc_id, source, {quality} AS q FROM documents
+),
+ranked AS (
+  SELECT source,
+         CAST(row_number() OVER (ORDER BY q, doc_id) AS BIGINT) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM scored
+),
+pct AS (
+  SELECT source, CAST(rk * 1000000 // n AS BIGINT) AS pct_ppm FROM ranked
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)                    AS n_docs,
+       CAST(sum(pct_ppm) // count(*) AS BIGINT)    AS mean_pct_ppm,
+       CAST(min(pct_ppm) AS BIGINT)                AS min_pct_ppm,
+       CAST(max(pct_ppm) AS BIGINT)                AS max_pct_ppm,
+       CAST(count(CASE WHEN pct_ppm <= 250000 THEN 1 END) AS BIGINT) AS n_bottom_quartile
+FROM pct
+GROUP BY source
+ORDER BY source
+"""
+
+
+def _quality_pct_oracle() -> str:
+    from gluettalax_spark.operators.text import _QUALITY_DUCK
+
+    return _QUALITY_PCT_ORACLE_TMPL.format(quality=_QUALITY_DUCK)
+
+
+@register(
+    "quality_percentile_by_source",
+    _quality_pct_oracle(),
+    doc="global quality-percentile normalization summarized per source (integer ppm)",
+)
+def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize the composite quality score ACROSS sources:
+    each document's score maps to its global percentile (rank/n in exact
+    integer ppm), and the per-source summary — mean percentile, range,
+    bottom-quartile share — is the calibration signal data teams watch:
+    a source whose mean percentile sags is shipping below-corpus-quality
+    documents regardless of its own absolute score scale.
+
+    Scale shape: scoring is one codegen-only projection; the global rank
+    is `exact_global_rank` (range shuffle + per-partition offsets — no
+    single-task window, the scale-safe exact path shared with
+    `agg_histogram_equidepth`); everything after is integer arithmetic
+    folding into a metadata-scale groupBy(source). The percentile
+    definition (rank*1e6 div n over the (quality, doc_id) total order)
+    is integer-exact cross-engine; the quality composite itself is the
+    shared `_quality_parts` floor-rounded form already pinned by
+    `text_quality_score`."""
+    from gluettalax_spark.operators.text import _quality_parts
+
+    docs = load(spark, sf_dir, "documents")
+    *_rest, quality = _quality_parts()
+    scored = docs.select("doc_id", "source", quality.alias("q"))
+    ranked = exact_global_rank(scored, ["q", "doc_id"], "rk")
+    pct = ranked.select(
+        "source", F.expr("(rk * 1000000L) div _n").alias("pct_ppm")
+    )
+    return (
+        pct.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("pct_ppm").cast("long").alias("_sum_ppm"),
+            F.min("pct_ppm").alias("min_pct_ppm"),
+            F.max("pct_ppm").alias("max_pct_ppm"),
+            F.count(F.when(F.col("pct_ppm") <= 250_000, 1))
+            .cast("long")
+            .alias("n_bottom_quartile"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("_sum_ppm div n_docs").alias("mean_pct_ppm"),
+            "min_pct_ppm",
+            "max_pct_ppm",
+            "n_bottom_quartile",
+        )
+        .orderBy("source")
+    )

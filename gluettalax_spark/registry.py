@@ -62,6 +62,7 @@ _NEW_THIS_ROUND = (
     "text_bpe_train",
     "events_changepoint_cusum",
     "source_mix_temperature",
+    "quality_percentile_by_source",
 )
 
 

@@ -466,3 +466,69 @@ def test_mix_temperature_plan_shape(spark, sf_dir):
     plan = physical_plan(queries()["source_mix_temperature"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# quality_percentile_by_source
+# --------------------------------------------------------------------------
+
+
+def _quality_score_py(text: str) -> float:
+    import math
+
+    n_chars = len(text)
+    n_tokens = len(re.findall(r"\S+", text))
+    n_stop = len(re.findall(r"\b(the|and|of|to|is|a|in)\b", text.lower()))
+    n_punct = sum(1 for ch in text if ch in ".,!?;:")
+    len_score = min(n_chars / 500.0, 1.0)
+    stop_ratio = n_stop / max(n_tokens, 1)
+    punct_ratio = n_punct / max(n_chars, 1)
+    return math.floor((0.5 * len_score + 0.4 * stop_ratio + 0.1 * (1.0 - punct_ratio)) * 10000 + 0.5) / 10000
+
+
+def _quality_pct_brute(sf_dir: str):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+    scored = sorted(
+        (_quality_score_py(t), int(d), s)
+        for d, s, t in zip(docs["doc_id"], docs["source"], docs["text"])
+    )
+    n = len(scored)
+    per_source: dict[str, list[int]] = {}
+    for rk, (_q, _d, s) in enumerate(scored, start=1):
+        per_source.setdefault(s, []).append(rk * 1_000_000 // n)
+    return sorted(
+        (s, len(ps), sum(ps) // len(ps), min(ps), max(ps),
+         sum(1 for p in ps if p <= 250_000))
+        for s, ps in per_source.items()
+    )
+
+
+def test_quality_pct_matches_python_recompute(spark, sf_dir):
+    rows = queries()["quality_percentile_by_source"](spark, sf_dir).collect()
+    got = sorted(
+        (r["source"], r["n_docs"], r["mean_pct_ppm"], r["min_pct_ppm"],
+         r["max_pct_ppm"], r["n_bottom_quartile"])
+        for r in rows
+    )
+    assert got == _quality_pct_brute(sf_dir)
+
+
+def test_quality_pct_bottom_quartile_accounts(spark, sf_dir):
+    """The bottom-quartile docs across sources must total ~25% of the
+    corpus (integer-floor boundary), and every mean percentile must sit
+    inside its own [min, max]."""
+    rows = queries()["quality_percentile_by_source"](spark, sf_dir).collect()
+    n = sum(r["n_docs"] for r in rows)
+    bottom = sum(r["n_bottom_quartile"] for r in rows)
+    assert abs(bottom - n // 4) <= 1
+    for r in rows:
+        assert r["min_pct_ppm"] <= r["mean_pct_ppm"] <= r["max_pct_ppm"]
+
+
+def test_quality_pct_plan_shape(spark, sf_dir):
+    plan = physical_plan(queries()["quality_percentile_by_source"](spark, sf_dir))
+    # The global rank subplan is isolated (checkpointed) — the consumer
+    # plan sees its frozen output, never a single-task global window.
+    assert "Scan ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
