@@ -127,6 +127,7 @@ HEADLINE = [
     "events_changepoint_cusum",
     "source_mix_temperature",
     "quality_percentile_by_source",
+    "embedding_outlier_centroid",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

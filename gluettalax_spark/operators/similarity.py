@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from gluettalax_spark.registry import register
 from gluettalax_spark.tables import load
@@ -876,4 +877,116 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .withColumn("eig1", F.round(F.lit(float(eigs[0])), 6))
         .orderBy(F.desc(F.abs(F.col("pc1"))), F.asc("vec_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact per-label centroid-distance outliers (embedding QA / curation)
+# --------------------------------------------------------------------------
+
+OUTLIER_TOPK = 3
+
+_OUTLIER_ORACLE = f"""
+WITH q AS (
+  SELECT label, vec_id,
+         list_transform(embedding, v -> CAST(floor(v * {COV_Q}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+s1 AS (
+  SELECT label, i.i AS i, CAST(sum(qv[i.i]) AS BIGINT) AS s
+  FROM q, unnest(range(1, {_COV_DIM} + 1)) AS i(i)
+  GROUP BY 1, 2
+),
+n AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY label),
+d2 AS (
+  SELECT q.label, q.vec_id, n.n,
+         sum((CAST(n.n AS HUGEINT) * qv[s1.i] - s1.s)
+             * (CAST(n.n AS HUGEINT) * qv[s1.i] - s1.s)) AS d2
+  FROM q JOIN n USING (label) JOIN s1 ON s1.label = q.label
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rk
+  FROM d2
+)
+SELECT label, CAST(rk AS BIGINT) AS rank, vec_id, n AS n_vecs,
+       round(sqrt(CAST(d2 AS DOUBLE)) / n / {COV_Q} , 6) AS dist
+FROM ranked WHERE rk <= {OUTLIER_TOPK}
+ORDER BY label, rank
+"""
+
+
+@register(
+    "embedding_outlier_centroid",
+    _OUTLIER_ORACLE,
+    doc=f"top-{OUTLIER_TOPK} per-label centroid-distance outliers (exact decimal arithmetic)",
+)
+def embedding_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection, the curation pass that flags
+    mislabeled or corrupt vectors: for every label, rank members by
+    distance to the label centroid and keep the top offenders.
+
+    Exactness: the centroid mean is NEVER formed as a float — the
+    comparison key is the integer-scaled squared distance
+    ||n*x_q - S||^2 (x_q = floor(2^20 x), S = per-label coordinate sum),
+    carried in DECIMAL(38,0) on the Spark side and HUGEINT in the
+    oracle, so the ranking and the reported distance (one deterministic
+    sqrt/divide at the end) are bit-identical cross-engine at any n
+    where n^2 * |x|^2 * dim < 1e38 (~1e15 vectors per label).
+
+    Scale shape: per-(label, coordinate) sums explode map-side and
+    partial-aggregate to a labels x 64 metadata table that broadcasts
+    back; each vector's distance is a single JVM-side zip_with fold (no
+    Python); the per-label top-k window partitions on label. One wide
+    scan, one metadata shuffle, one label-keyed window. Reference
+    analogue: none — LLM-pipeline surface alongside
+    `embedding_covariance` (same quantization convention)."""
+    return centroid_outliers(load(spark, sf_dir, "embeddings"))
+
+
+def centroid_outliers(emb: DataFrame, topk: int = OUTLIER_TOPK) -> DataFrame:
+    """Centroid-outlier core over any (label, vec_id, embedding) frame —
+    factored out so tests can drive it on a synthetic cluster with one
+    injected far-away vector."""
+    qe = emb.select(
+        "label",
+        "vec_id",
+        F.expr(f"transform(embedding, v -> CAST(floor(v * {COV_Q}) AS BIGINT))").alias("qv"),
+    ).localCheckpoint()  # feeds the label stats AND the distance join
+    per_coord = (
+        qe.select("label", F.posexplode("qv").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum("x").cast("long").alias("s"))
+    )
+    label_stats = per_coord.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(i, s))), p -> p.s)").alias("sv")
+    )
+    n_by_label = qe.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    stats = label_stats.join(n_by_label, "label")
+    joined = qe.join(F.broadcast(stats), "label")
+    d2 = joined.select(
+        "label",
+        "vec_id",
+        "n",
+        F.expr(
+            "aggregate("
+            " zip_with(qv, sv, (x, s) -> cast(n as decimal(18,0)) * x - s),"
+            " cast(0 as decimal(38,0)),"
+            " (acc, v) -> acc + v * v)"
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("d2"), "vec_id")
+    return (
+        d2.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= topk)
+        .select(
+            "label",
+            F.col("rk").alias("rank"),
+            "vec_id",
+            F.col("n").alias("n_vecs"),
+            F.round(
+                F.sqrt(F.col("d2").cast("double")) / F.col("n") / F.lit(COV_Q), 6
+            ).alias("dist"),
+        )
+        .orderBy("label", "rank")
     )

@@ -63,6 +63,7 @@ _NEW_THIS_ROUND = (
     "events_changepoint_cusum",
     "source_mix_temperature",
     "quality_percentile_by_source",
+    "embedding_outlier_centroid",
 )
 
 

@@ -532,3 +532,68 @@ def test_quality_pct_plan_shape(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# embedding_outlier_centroid
+# --------------------------------------------------------------------------
+
+
+def _outlier_brute(sf_dir: str):
+    import math
+
+    from gluettalax_spark.operators.similarity import COV_Q, OUTLIER_TOPK
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    by_label: dict[int, list[tuple[int, list[int]]]] = {}
+    for vid, vec, lab in zip(emb["vec_id"], emb["embedding"], emb["label"]):
+        qv = [math.floor(float(x) * COV_Q) for x in vec]
+        by_label.setdefault(int(lab), []).append((int(vid), qv))
+    rows = []
+    for lab in sorted(by_label):
+        members = by_label[lab]
+        n = len(members)
+        S = [sum(qv[d] for _v, qv in members) for d in range(len(members[0][1]))]
+        scored = sorted(
+            (-sum((n * qv[d] - S[d]) ** 2 for d in range(len(qv))), vid)
+            for vid, qv in members
+        )
+        for rk, (neg_d2, vid) in enumerate(scored[:OUTLIER_TOPK], start=1):
+            dist = round(math.sqrt(float(-neg_d2)) / n / COV_Q, 6)
+            rows.append((lab, rk, vid, n, dist))
+    return rows
+
+
+def test_outlier_matches_python_bigint_recompute(spark, sf_dir):
+    """Exact-integer third engine: Python big ints can't overflow, so
+    equality certifies the decimal(38,0) path never silently wrapped."""
+    got = [
+        (r["label"], r["rank"], r["vec_id"], r["n_vecs"], r["dist"])
+        for r in queries()["embedding_outlier_centroid"](spark, sf_dir).collect()
+    ]
+    assert got == _outlier_brute(sf_dir)
+
+
+def test_outlier_finds_injected_vector(spark):
+    """A tight synthetic cluster plus one far-away vector: the injected
+    vector must rank 1 with a distance far above the runner-up."""
+    import random
+
+    from gluettalax_spark.operators.similarity import centroid_outliers
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(40):
+        rows.append((vid, [0.5 + rng.uniform(-0.01, 0.01) for _ in range(64)], 0))
+    rows.append((99, [-0.9] * 64, 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = centroid_outliers(df, topk=2).collect()
+    assert got[0]["vec_id"] == 99 and got[0]["rank"] == 1
+    assert got[0]["dist"] > 10 * got[1]["dist"]
+    assert all(r["n_vecs"] == 41 for r in got)
+
+
+def test_outlier_plan_shape(spark, sf_dir):
+    plan = physical_plan(queries()["embedding_outlier_centroid"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
