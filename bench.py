@@ -128,6 +128,7 @@ HEADLINE = [
     "source_mix_temperature",
     "quality_percentile_by_source",
     "embedding_outlier_centroid",
+    "corpus_token_zipf",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -2326,3 +2326,115 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionAll(row)
     assert out is not None
     return out.orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# Zipf-law fit of the token rank-frequency curve
+# --------------------------------------------------------------------------
+
+_ZIPF_ORACLE = r"""
+WITH freq AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+  GROUP BY w
+),
+ranked AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rk FROM freq
+),
+pts AS (
+  SELECT c,
+         CAST(floor(ln(rk) * 1000000) AS HUGEINT) AS lx,
+         CAST(floor(ln(c)  * 1000000) AS HUGEINT) AS ly
+  FROM ranked
+),
+m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(c) AS BIGINT)    AS total_tokens,
+         sum(lx) AS sx, sum(ly) AS sy,
+         sum(lx * lx) AS sxx, sum(lx * ly) AS sxy, sum(ly * ly) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       total_tokens,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 1000000.0, 4) AS intercept_nats,
+       round((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)),
+             4) AS r2
+FROM m
+"""
+
+
+@register(
+    "corpus_token_zipf",
+    _ZIPF_ORACLE,
+    doc="Zipf-law fit of token rank vs frequency (log-log OLS on exact moment sums)",
+)
+def corpus_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit Zipf's law to the corpus: OLS of ln(frequency) on ln(rank)
+    over the full vocabulary — slope near -1 plus a high r2 is the
+    classic naturalness check on a text corpus (a scraped corpus whose
+    slope collapses toward 0 is template/boilerplate-heavy; one that
+    steepens is spammy repetition).
+
+    Exactness: both logs floor-quantize to integer micro-nats (the
+    `text_unigram_logppl` precedent — ln is the accepted libm-ulp
+    boundary), so all five regression moments are EXACT decimal(38,0)
+    sums (HUGEINT in the oracle), order-independent; slope, intercept,
+    and r2 are single deterministic double expressions of those
+    integers. The r2 denominator multiplies its two factors AFTER the
+    double cast — the decimal product would need ~57 digits.
+
+    Scale shape: one corpus scan shuffles to the vocab-sized frequency
+    table; the global frequency rank is `exact_global_rank` (range
+    shuffle — never a single-task window over millions of vocab rows);
+    the moments fold in one bounded aggregate. Reference analogue: none;
+    LLM-pipeline corpus-QA surface."""
+    from gluettalax_spark.operators.rank import exact_global_rank
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    ranked = exact_global_rank(
+        freq, [F.col("c").desc(), F.col("w")], "rk", keep_total=False
+    )
+    pts = ranked.select(
+        "c",
+        F.floor(F.log(F.col("rk").cast("double")) * 1_000_000)
+        .cast("decimal(38,0)")
+        .alias("lx"),
+        F.floor(F.log(F.col("c").cast("double")) * 1_000_000)
+        .cast("decimal(38,0)")
+        .alias("ly"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.sum("lx").cast("decimal(38,0)").alias("sx"),
+        F.sum("ly").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("ly") * F.col("ly")).cast("decimal(38,0)").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den
+    return m.select(
+        F.col("n").cast("long").alias("n_terms"),
+        "total_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+            / 1_000_000.0,
+            4,
+        ).alias("intercept_nats"),
+        F.round((num * num) / (den * den_y), 4).alias("r2"),
+    )

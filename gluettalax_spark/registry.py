@@ -64,6 +64,7 @@ _NEW_THIS_ROUND = (
     "source_mix_temperature",
     "quality_percentile_by_source",
     "embedding_outlier_centroid",
+    "corpus_token_zipf",
 )
 
 

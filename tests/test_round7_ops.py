@@ -597,3 +597,59 @@ def test_outlier_plan_shape(spark, sf_dir):
     plan = physical_plan(queries()["embedding_outlier_centroid"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# corpus_token_zipf
+# --------------------------------------------------------------------------
+
+
+def _zipf_brute(sf_dir: str):
+    import math
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    freq: Counter = Counter()
+    for text in docs["text"]:
+        for w in re.findall(r"[a-z]+", text.lower()):
+            freq[w] += 1
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (math.floor(math.log(rk) * 1_000_000), math.floor(math.log(c) * 1_000_000), c)
+        for rk, (_w, c) in enumerate(ranked, start=1)
+    ]
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    syy = sum(p[1] * p[1] for p in pts)
+    num, den, den_y = float(n * sxy - sx * sy), float(n * sxx - sx * sx), float(n * syy - sy * sy)
+    slope = num / den
+    return (
+        n,
+        sum(p[2] for p in pts),
+        round(slope, 6),
+        round((float(sy) - slope * float(sx)) / float(n) / 1_000_000.0, 4),
+        round((num * num) / (den * den_y), 4),
+    )
+
+
+def test_zipf_matches_python_recompute(spark, sf_dir):
+    r = queries()["corpus_token_zipf"](spark, sf_dir).collect()[0]
+    assert (
+        r["n_terms"], r["total_tokens"], r["zipf_slope"], r["intercept_nats"], r["r2"]
+    ) == _zipf_brute(sf_dir)
+
+
+def test_zipf_slope_is_negative_with_fit(spark, sf_dir):
+    r = queries()["corpus_token_zipf"](spark, sf_dir).collect()[0]
+    assert r["zipf_slope"] < 0
+    assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_zipf_plan_shape(spark, sf_dir):
+    plan = physical_plan(queries()["corpus_token_zipf"](spark, sf_dir))
+    # Rank rides exact_global_rank's frozen subplan, never a global window.
+    assert "Scan ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
