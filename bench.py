@@ -129,6 +129,8 @@ HEADLINE = [
     "quality_percentile_by_source",
     "embedding_outlier_centroid",
     "corpus_token_zipf",
+    "orders_seasonality_weekday",
+    "text_js_divergence_sources",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

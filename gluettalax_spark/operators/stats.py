@@ -1518,3 +1518,75 @@ def cusum_daily_changepoints(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("mean_after_milli"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Weekday seasonality index on order revenue
+# --------------------------------------------------------------------------
+
+_SEASONALITY_ORACLE = """
+WITH per AS (
+  SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS weekday,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_orders) AS BIGINT) AS n_all,
+         CAST(sum(total_cents) AS BIGINT) AS total_all
+  FROM per
+)
+SELECT weekday, n_orders, total_cents,
+       CAST(total_cents // n_orders AS BIGINT) AS mean_cents,
+       CAST((CAST(total_cents AS HUGEINT) * n_all * 1000)
+            // (CAST(n_orders AS HUGEINT) * total_all) AS BIGINT) AS index_milli
+FROM per, tot
+ORDER BY weekday
+"""
+
+
+@register(
+    "orders_seasonality_weekday",
+    _SEASONALITY_ORACLE,
+    doc="weekday revenue seasonality index (per-weekday mean vs overall mean, integer-exact)",
+)
+def orders_seasonality_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality on order revenue: each weekday's mean
+    order value as a permille index against the overall mean — the
+    calendar-profile statistic behind staffing/capacity dashboards and
+    the seasonal-adjustment step of the forecasting family
+    (`orders_forecast_holt` models level+trend; this exposes the
+    periodic component).
+
+    Exactness: prices quantize to integer cents at the scan; the index
+    is the exact rational (total_cents * n_all * 1000) /
+    (n_orders * total_all) evaluated in decimal(38,0) (HUGEINT twin) —
+    never a ratio of two already-rounded means, which would compound
+    integer-division error. Scale shape: one map-side-partial groupBy to
+    SEVEN rows; the totals are a 1-row broadcast; nothing else touches
+    the fact table."""
+    orders = load(spark, sf_dir, "orders")
+    per = orders.groupBy(
+        F.dayofweek("o_orderdate").cast("int").alias("weekday")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("total_cents"),
+    )
+    tot = per.agg(
+        F.sum("n_orders").cast("long").alias("n_all"),
+        F.sum("total_cents").cast("long").alias("total_all"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "weekday",
+            "n_orders",
+            "total_cents",
+            F.expr("total_cents div n_orders").alias("mean_cents"),
+            F.expr(
+                "cast((cast(total_cents as decimal(38,0)) * n_all * 1000)"
+                " div (cast(n_orders as decimal(38,0)) * total_all) as bigint)"
+            ).alias("index_milli"),
+        )
+        .orderBy("weekday")
+    )

@@ -2438,3 +2438,109 @@ def corpus_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept_nats"),
         F.round((num * num) / (den * den_y), 4).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Jensen-Shannon divergence of each source's token mix vs the corpus
+# --------------------------------------------------------------------------
+
+# Shared term expression (valid in BOTH dialects): the per-(source, term)
+# JSD contribution 0.5*p*ln(p/m) + 0.5*q*ln(q/m), with the 0.5 folded
+# into the 5e7 quantizer so each pair contributes ONE floor-quantized
+# integer — the same exactness discipline as events_drift_psi.
+_JSD_TERM = """
+floor((
+  CASE WHEN c IS NOT NULL THEN
+    (CAST(c AS DOUBLE)/ns) * ln((CAST(c AS DOUBLE)/ns)
+      / ((CAST(c AS DOUBLE)/ns + CAST(cw AS DOUBLE)/n)/2))
+  ELSE 0.0 END
+  + (CAST(cw AS DOUBLE)/n) * ln((CAST(cw AS DOUBLE)/n)
+      / ((coalesce(CAST(c AS DOUBLE), 0.0)/ns + CAST(cw AS DOUBLE)/n)/2))
+) * 50000000)
+"""
+
+_JSD_ORACLE = rf"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+sc AS MATERIALIZED (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+),
+vocab AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM sc GROUP BY w),
+srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sc GROUP BY source),
+ntot AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM vocab),
+dense AS (
+  SELECT s.source, s.ns, v.w, v.cw, t.n, sc.c
+  FROM vocab v CROSS JOIN srcs s CROSS JOIN ntot t
+  LEFT JOIN sc ON sc.source = s.source AND sc.w = v.w
+)
+SELECT source,
+       CAST(max(ns) AS BIGINT)            AS n_tokens,
+       CAST(count(c) AS BIGINT)           AS n_terms_active,
+       CAST(sum(CAST({_JSD_TERM} AS BIGINT)) AS BIGINT) AS jsd_e8
+FROM dense
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_js_divergence_sources",
+    _JSD_ORACLE,
+    doc="Jensen-Shannon divergence of each source's token distribution vs the corpus (integer e8)",
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: the Jensen-Shannon divergence
+    between each source's token distribution and the whole corpus —
+    symmetric, bounded by ln 2, the standard 'is this source from the
+    same language mixture?' curation signal (the token-level sibling of
+    `events_drift_psi`'s event-mix monitor).
+
+    Exactness: every (source, term) pair contributes ONE floor-quantized
+    integer (both KL halves under a single 5e7 = 0.5 * 1e8 quantizer, so
+    the per-source JSD is an exact int64 sum; ln is the accepted
+    libm-ulp boundary). The q-side term of a word the source never uses
+    still contributes q*ln(2)/2 — hence the DENSE (source x vocab) grid:
+    the sparse form silently underestimates divergence for small
+    sources.
+
+    Scale shape: one corpus scan shuffles to the (source x term) count
+    table; vocab and per-source totals re-aggregate from it (vocab-sized
+    inputs); the dense grid is vocab x |sources| — vocab-sized times a
+    metadata-scale broadcast, joined back on the term key. Nothing after
+    the first shuffle touches corpus-scale data."""
+    return js_divergence_by_source(load(spark, sf_dir, "documents"))
+
+
+def js_divergence_by_source(docs: DataFrame) -> DataFrame:
+    """JSD core over any frame with (source, text) columns — factored
+    out so tests can pin the zero-divergence identity on a
+    single-source corpus and hand-checkable two-source splits."""
+    tok = docs.select(
+        "source",
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"),
+    )
+    sc = (
+        tok.groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()  # feeds vocab totals, source totals, and the grid join
+    )
+    vocab = sc.groupBy("w").agg(F.sum("c").cast("long").alias("cw"))
+    srcs = sc.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    ntot = srcs.agg(F.sum("ns").cast("long").alias("n"))
+    dense = (
+        vocab.crossJoin(F.broadcast(srcs))
+        .join(sc, ["source", "w"], "left")
+        .crossJoin(F.broadcast(ntot))
+    )
+    term = F.expr(f"CAST({_JSD_TERM} AS BIGINT)")
+    return (
+        dense.groupBy("source")
+        .agg(
+            F.max("ns").cast("long").alias("n_tokens"),
+            F.count("c").cast("long").alias("n_terms_active"),
+            F.sum(term).cast("long").alias("jsd_e8"),
+        )
+        .orderBy("source")
+    )

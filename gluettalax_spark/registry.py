@@ -65,6 +65,8 @@ _NEW_THIS_ROUND = (
     "quality_percentile_by_source",
     "embedding_outlier_centroid",
     "corpus_token_zipf",
+    "orders_seasonality_weekday",
+    "text_js_divergence_sources",
 )
 
 

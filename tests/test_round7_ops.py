@@ -653,3 +653,107 @@ def test_zipf_plan_shape(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# orders_seasonality_weekday + text_js_divergence_sources
+# --------------------------------------------------------------------------
+
+
+def _seasonality_brute(sf_dir: str):
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    # pandas dayofweek: 0=Monday; Spark dayofweek: 1=Sunday.
+    wd = (orders["o_orderdate"].dt.dayofweek + 1) % 7 + 1
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    per = {}
+    for w, c in zip(wd, cents):
+        n, t = per.get(int(w), (0, 0))
+        per[int(w)] = (n + 1, t + int(c))
+    n_all = sum(n for n, _t in per.values())
+    total_all = sum(t for _n, t in per.values())
+    return [
+        (w, n, t, t // n, (t * n_all * 1000) // (n * total_all))
+        for w, (n, t) in sorted(per.items())
+    ]
+
+
+def test_seasonality_matches_python_recompute(spark, sf_dir):
+    rows = queries()["orders_seasonality_weekday"](spark, sf_dir).collect()
+    got = [
+        (r["weekday"], r["n_orders"], r["total_cents"], r["mean_cents"], r["index_milli"])
+        for r in rows
+    ]
+    assert got == _seasonality_brute(sf_dir)
+    # Indexes hover around 1000 permille and weekdays cover 1..7.
+    assert [r[0] for r in got] == list(range(1, 8))
+    n_all = sum(r[1] for r in got)
+    weighted = sum(r[1] * r[4] for r in got)
+    assert abs(weighted / n_all - 1000) < 10
+
+
+def _jsd_brute(pairs):
+    """pairs: list of (source, text). Mirrors the operator's exact IEEE
+    expression order per term."""
+    import math
+
+    sc: Counter = Counter()
+    for s, t in pairs:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            sc[(s, w)] += 1
+    vocab: Counter = Counter()
+    srcs: Counter = Counter()
+    for (s, w), c in sc.items():
+        vocab[w] += c
+        srcs[s] += c
+    n = sum(vocab.values())
+    out = {}
+    for s in srcs:
+        ns = srcs[s]
+        tot, active = 0, 0
+        for w, cw in vocab.items():
+            c = sc.get((s, w))
+            if c is not None:
+                active += 1
+                p_term = (c / ns) * math.log((c / ns) / ((c / ns + cw / n) / 2))
+            else:
+                p_term = 0.0
+            q_term = (cw / n) * math.log(
+                (cw / n) / (((c if c is not None else 0.0) / ns + cw / n) / 2)
+            )
+            tot += math.floor((p_term + q_term) * 50_000_000)
+        out[s] = (ns, active, tot)
+    return out
+
+
+def test_jsd_matches_python_recompute(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    brute = _jsd_brute(list(zip(docs["source"], docs["text"])))
+    rows = queries()["text_js_divergence_sources"](spark, sf_dir).collect()
+    got = {r["source"]: (r["n_tokens"], r["n_terms_active"], r["jsd_e8"]) for r in rows}
+    assert got == brute
+
+
+def test_jsd_bounds_and_zero_identity(spark, sf_dir):
+    import math
+
+    from gluettalax_spark.operators.text import js_divergence_by_source
+
+    ln2_e8 = math.log(2) * 1e8
+    for r in queries()["text_js_divergence_sources"](spark, sf_dir).collect():
+        # Floor-quantization can dip a hair below 0 per term; the corpus
+        # total stays within vocab-count of the true bound.
+        assert -r["n_terms_active"] * 2 <= r["jsd_e8"] <= ln2_e8 + 1
+    # A single-source corpus IS the corpus distribution: JSD == 0 exactly
+    # (every term is ln(1) = 0 before quantization).
+    df = spark.createDataFrame(
+        [("only", "a b c a b a")], "source string, text string"
+    )
+    r = js_divergence_by_source(df).collect()[0]
+    assert r["jsd_e8"] == 0 and r["n_terms_active"] == 3
+
+
+def test_seasonality_and_jsd_plan_shapes(spark, sf_dir):
+    for name in ("orders_seasonality_weekday", "text_js_divergence_sources"):
+        plan = physical_plan(queries()[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
