@@ -131,6 +131,7 @@ HEADLINE = [
     "corpus_token_zipf",
     "orders_seasonality_weekday",
     "text_js_divergence_sources",
+    "events_interarrival_by_type",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -1590,3 +1590,71 @@ def orders_seasonality_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("weekday")
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival gap statistics (per-user gaps, summarized per type)
+# --------------------------------------------------------------------------
+
+_INTERARRIVAL_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(gap_us) AS BIGINT)                    AS n_gaps,
+       CAST(sum(gap_us) // count(gap_us) AS BIGINT)     AS mean_gap_us,
+       round(quantile_cont(gap_us, 0.5), 2)             AS p50_gap_us,
+       round(quantile_cont(gap_us, 0.9), 2)             AS p90_gap_us,
+       CAST(max(gap_us) AS BIGINT)                      AS max_gap_us
+FROM seq
+WHERE gap_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_interarrival_by_type",
+    _INTERARRIVAL_ORACLE,
+    doc="per-user inter-arrival gap stats summarized per event type (exact microseconds)",
+)
+def events_interarrival_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival analysis: the gap between a user's consecutive
+    events of the same type, summarized per type — the cadence profile
+    behind rate-limit tuning, bot detection (suspiciously uniform gaps),
+    and session-timeout calibration (`events_session_window`'s gap
+    parameter should sit between p90 and max).
+
+    Exactness: gaps are integer epoch-microsecond differences from ONE
+    lag window; mean is integer division of exact sums; p50/p90 use the
+    same continuous-interpolation definition in both engines (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, the `events_outlier_mad`
+    precedent — interpolation midpoints are exact halves of integers).
+
+    Scale shape: the lag window partitions on (user_id, event_type) —
+    per-user-per-type rows are bounded by one user's activity, the
+    accepted sessionize discipline, never a per-type global sort; the
+    summary is a types-sized aggregate (exact percentile sorts within
+    the type group — swap percentile_approx in at corpus scale for a
+    sketch-sized cut, same plan otherwise)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("gap_us").cast("long").alias("n_gaps"),
+            F.expr("sum(gap_us) div count(gap_us)").alias("mean_gap_us"),
+            F.round(F.percentile("gap_us", F.lit(0.5)), 2).alias("p50_gap_us"),
+            F.round(F.percentile("gap_us", F.lit(0.9)), 2).alias("p90_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )

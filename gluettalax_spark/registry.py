@@ -67,6 +67,7 @@ _NEW_THIS_ROUND = (
     "corpus_token_zipf",
     "orders_seasonality_weekday",
     "text_js_divergence_sources",
+    "events_interarrival_by_type",
 )
 
 

@@ -757,3 +757,47 @@ def test_seasonality_and_jsd_plan_shapes(spark, sf_dir):
         plan = physical_plan(queries()[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+# --------------------------------------------------------------------------
+# events_interarrival_by_type
+# --------------------------------------------------------------------------
+
+
+def _interarrival_brute(sf_dir: str):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"])
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    gaps: dict[str, list[int]] = {}
+    for (_u, et), g in ev.groupby(["user_id", "event_type"]):
+        us = [int(v) for v in g.sort_values(["us", "event_id"])["us"]]
+        gaps.setdefault(str(et), []).extend(b - a for a, b in zip(us, us[1:]))
+    out = []
+    for et in sorted(gaps):
+        gs = sorted(gaps[et])
+        n = len(gs)
+
+        def q(p):
+            pos = p * (n - 1)
+            lo, hi = int(pos), min(int(pos) + 1, n - 1)
+            return round(gs[lo] + (pos - lo) * (gs[hi] - gs[lo]), 2)
+
+        out.append((et, n, sum(gs) // n, q(0.5), q(0.9), gs[-1]))
+    return out
+
+
+def test_interarrival_matches_python_recompute(spark, sf_dir):
+    rows = queries()["events_interarrival_by_type"](spark, sf_dir).collect()
+    got = [
+        (r["event_type"], r["n_gaps"], r["mean_gap_us"], r["p50_gap_us"],
+         r["p90_gap_us"], r["max_gap_us"])
+        for r in rows
+    ]
+    assert got == _interarrival_brute(sf_dir)
+    for r in rows:
+        assert 0 <= r["p50_gap_us"] <= r["p90_gap_us"] <= r["max_gap_us"]
+
+
+def test_interarrival_plan_shape(spark, sf_dir):
+    plan = physical_plan(queries()["events_interarrival_by_type"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
