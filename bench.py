@@ -132,6 +132,8 @@ HEADLINE = [
     "orders_seasonality_weekday",
     "text_js_divergence_sources",
     "events_interarrival_by_type",
+    "text_lexical_diversity",
+    "label_quality_profile",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -1629,3 +1629,77 @@ def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-modal join: text quality profiled per embedding label
+# --------------------------------------------------------------------------
+
+_LABEL_QUALITY_ORACLE_TMPL = """
+WITH q AS (
+  SELECT doc_id, lang, n_chars, {quality} AS quality FROM documents
+),
+j AS (
+  SELECT e.label,
+         CAST(floor(q.quality * 10000 + 0.5) AS BIGINT) AS q4,
+         q.n_chars, q.lang
+  FROM q JOIN embeddings e ON e.vec_id = q.doc_id
+)
+SELECT label,
+       CAST(count(*) AS BIGINT)                   AS n_docs,
+       CAST(sum(q4) // count(*) AS BIGINT)        AS mean_quality_e4,
+       CAST(sum(n_chars) // count(*) AS BIGINT)   AS mean_chars,
+       CAST(count(DISTINCT lang) AS BIGINT)       AS n_langs
+FROM j
+GROUP BY label
+ORDER BY label
+"""
+
+
+def _label_quality_oracle() -> str:
+    from gluettalax_spark.operators.text import _QUALITY_DUCK
+
+    return _LABEL_QUALITY_ORACLE_TMPL.format(quality=_QUALITY_DUCK)
+
+
+@register(
+    "label_quality_profile",
+    _label_quality_oracle(),
+    doc="text quality profiled per embedding cluster label (docs-embeddings key join)",
+)
+def label_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation join: align the text table with the
+    embedding table on document id and profile text quality per
+    embedding label — the check that a semantic cluster (label) isn't
+    quietly absorbing the low-quality slice of the corpus, which is how
+    topic-level contamination hides from per-source QA.
+
+    Exactness: the 4-dp quality composite re-quantizes losslessly to an
+    int (floor(q*1e4 + 0.5)), so per-label means are integer division of
+    exact sums. Scale shape: ONE equi-join of the two data-scale tables
+    on the id key (shuffle join under AQE; at 100 TB both sides would be
+    written bucketed on the id — `io.write_bucketed` — making this a
+    zero-shuffle sort-merge), then a labels-sized aggregate. Everything
+    JVM-side."""
+    from gluettalax_spark.operators.text import _quality_parts
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    *_rest, quality = _quality_parts()
+    q = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.floor(quality * 10000 + 0.5).cast("long").alias("q4"),
+    )
+    j = q.join(emb, q["doc_id"] == emb["vec_id"])
+    return (
+        j.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("sum(q4) div count(1)").alias("mean_quality_e4"),
+            F.expr("sum(n_chars) div count(1)").alias("mean_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("label")
+    )

@@ -2544,3 +2544,70 @@ def js_divergence_by_source(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Lexical diversity per source (type-token ratio, hapax share)
+# --------------------------------------------------------------------------
+
+_LEXDIV_ORACLE = r"""
+WITH sc AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents
+  )
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT)                           AS n_tokens,
+       CAST(count(*) AS BIGINT)                         AS n_types,
+       CAST(count(*) * 1000000 // sum(c) AS BIGINT)     AS ttr_ppm,
+       CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+       CAST(count(CASE WHEN c = 1 THEN 1 END) * 1000000
+            // count(*) AS BIGINT)                      AS hapax_ppm
+FROM sc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_lexical_diversity",
+    _LEXDIV_ORACLE,
+    doc="per-source type-token ratio and hapax share (vocabulary richness, integer ppm)",
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness profile per source: type-token ratio and the
+    hapax-legomenon share (words used exactly once). Template/boilerplate
+    farms collapse the TTR; OCR noise and spam inflate the hapax share —
+    the two cheapest lexical red flags in corpus QA, complementing the
+    distribution-level `text_js_divergence_sources`.
+
+    Exactness: one (source, term) count table, all ratios as integer
+    ppm division — nothing floats. Scale shape: one corpus scan shuffles
+    to the vocab-sized count table; the per-source fold is a
+    metadata-scale aggregate of it. (TTR is corpus-size-sensitive —
+    compare sources at similar token counts, which n_tokens exposes.)"""
+    docs = load(spark, sf_dir, "documents")
+    sc = (
+        docs.select(
+            "source",
+            F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        sc.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.expr("(count(1) * 1000000L) div sum(c)").alias("ttr_ppm"),
+            F.count(F.when(F.col("c") == 1, 1)).cast("long").alias("n_hapax"),
+            F.expr(
+                "(count(CASE WHEN c = 1 THEN 1 END) * 1000000L) div count(1)"
+            ).alias("hapax_ppm"),
+        )
+        .orderBy("source")
+    )

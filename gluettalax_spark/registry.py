@@ -68,6 +68,8 @@ _NEW_THIS_ROUND = (
     "orders_seasonality_weekday",
     "text_js_divergence_sources",
     "events_interarrival_by_type",
+    "text_lexical_diversity",
+    "label_quality_profile",
 )
 
 

@@ -801,3 +801,61 @@ def test_interarrival_plan_shape(spark, sf_dir):
     plan = physical_plan(queries()["events_interarrival_by_type"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# text_lexical_diversity + label_quality_profile
+# --------------------------------------------------------------------------
+
+
+def test_lexical_diversity_matches_python_recompute(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    per: dict[str, Counter] = {}
+    for s, t in zip(docs["source"], docs["text"]):
+        per.setdefault(s, Counter()).update(re.findall(r"[a-z]+", t.lower()))
+    brute = sorted(
+        (s,
+         sum(c.values()),
+         len(c),
+         len(c) * 1_000_000 // sum(c.values()),
+         sum(1 for v in c.values() if v == 1),
+         sum(1 for v in c.values() if v == 1) * 1_000_000 // len(c))
+        for s, c in per.items()
+    )
+    rows = queries()["text_lexical_diversity"](spark, sf_dir).collect()
+    got = [
+        (r["source"], r["n_tokens"], r["n_types"], r["ttr_ppm"], r["n_hapax"], r["hapax_ppm"])
+        for r in rows
+    ]
+    assert got == brute
+    for r in rows:
+        assert 0 <= r["hapax_ppm"] <= 1_000_000 and 0 < r["ttr_ppm"] <= 1_000_000
+
+
+def test_label_quality_matches_python_recompute(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+    merged = docs.merge(emb, left_on="doc_id", right_on="vec_id")
+    brute = sorted(
+        (int(lab),
+         len(g),
+         sum(int(_quality_score_py(t) * 10000 + 0.5) for t in g["text"]) // len(g),
+         int(g["n_chars"].sum()) // len(g),
+         g["lang"].nunique())
+        for lab, g in merged.groupby("label")
+    )
+    # floor(q*1e4 + 0.5) on the already-4dp score == int(q*1e4 + 0.5) for q >= 0
+    rows = queries()["label_quality_profile"](spark, sf_dir).collect()
+    got = [
+        (r["label"], r["n_docs"], r["mean_quality_e4"], r["mean_chars"], r["n_langs"])
+        for r in rows
+    ]
+    assert got == brute
+    assert sum(r["n_docs"] for r in rows) == len(merged)
+
+
+def test_lexdiv_and_label_quality_plan_shapes(spark, sf_dir):
+    for name in ("text_lexical_diversity", "label_quality_profile"):
+        plan = physical_plan(queries()[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
