@@ -134,6 +134,8 @@ HEADLINE = [
     "events_interarrival_by_type",
     "text_lexical_diversity",
     "label_quality_profile",
+    "similarity_topk_hamming",
+    "graph_assortativity",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -1092,3 +1092,108 @@ def jaccard_linkpred_scores(edges: DataFrame, max_deg: int = _LINKPRED_MAX_DEG) 
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity (Newman's r over the co-occurrence graph)
+# --------------------------------------------------------------------------
+
+_ASSORT_ORACLE = f"""
+WITH op AS (
+  SELECT o, p FROM {_DUCK_CAPPED_OP}
+), e AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= {_TRI_MIN_SUPPORT}
+), deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT pa AS n FROM e UNION ALL SELECT pb AS n FROM e
+  ) GROUP BY n
+), de AS (
+  SELECT da.d AS x, db.d AS y FROM e
+    JOIN deg da ON da.n = e.pa JOIN deg db ON db.n = e.pb
+  UNION ALL
+  SELECT db.d AS x, da.d AS y FROM e
+    JOIN deg da ON da.n = e.pa JOIN deg db ON db.n = e.pb
+), m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS mm,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(y * y) AS HUGEINT) AS syy
+  FROM de
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST(mm / 2 AS BIGINT) AS n_edges,
+       round(CAST(mm * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(mm * sxx - sx * sx AS DOUBLE)
+                    * CAST(mm * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+FROM m
+"""
+
+
+@register(
+    "graph_assortativity",
+    _ASSORT_ORACLE,
+    doc="Newman degree assortativity of the co-occurrence graph (exact integer moments)",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over all edges — positive means hubs attach to
+    hubs (social-network shape), negative means hub-and-spoke
+    (dependency/retail shape). The one-number structural fingerprint
+    that tells you whether the hub caps in the dedup/link-prediction
+    family will actually engage.
+
+    Exactness: degrees are integers, each edge contributes both
+    orientations (the standard symmetrization), and all five correlation
+    moments are exact decimal(38,0)/HUGEINT sums; r is one deterministic
+    double expression of those integers (factors multiplied after the
+    double cast — the decimal product would overflow).
+
+    Scale shape: reuses the shared one-shuffle basket-explode edge
+    builder (`cooccurrence_edges`, caps replayed in the oracle); degrees
+    are one aggregate of the edge list; the two degree joins are
+    node-keyed equi-joins; the moment fold is a 1-row aggregate. Nothing
+    quadratic anywhere."""
+    return assortativity_from_edges(cooccurrence_edges(spark, sf_dir))
+
+
+def assortativity_from_edges(raw_edges: DataFrame) -> DataFrame:
+    """Assortativity core over any (pa, pb) undirected edge frame —
+    factored out so tests can pin known-shape graphs (a star is exactly
+    r = -1; a clique's variance degenerates)."""
+    edges = raw_edges.localCheckpoint()  # feeds deg + both joins
+    deg = (
+        edges.select(F.col("pa").alias("n"))
+        .unionAll(edges.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint()  # feeds the node count and two degree joins
+    )
+    da = deg.select(F.col("n").alias("pa"), F.col("d").alias("x"))
+    db = deg.select(F.col("n").alias("pb"), F.col("d").alias("y"))
+    joined = edges.join(da, "pa").join(db, "pb")
+    de = joined.select("x", "y").unionAll(
+        joined.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    m = de.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("mm"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    num = (F.col("mm") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("mm") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("mm") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.crossJoin(F.broadcast(n_nodes)).select(
+        "n_nodes",
+        F.expr("cast(mm div 2 as bigint)").alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

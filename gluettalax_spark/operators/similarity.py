@@ -990,3 +990,90 @@ def centroid_outliers(emb: DataFrame, topk: int = OUTLIER_TOPK) -> DataFrame:
         )
         .orderBy("label", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# 1-bit sign sketch + Hamming top-k (the cheapest ANN rung)
+# --------------------------------------------------------------------------
+
+
+def _sign_sketch_expr(elem_fn) -> str:
+    """64 sign bits packed into ONE BIGINT: bit d set iff coordinate d is
+    non-negative. Bit 63 is added as the two's-complement min-long
+    literal (expressed as -(2^63-1)-1 — the bare literal mis-parses in
+    some SQL readers, and DuckDB refuses 1<<63): arithmetic addition of
+    distinct powers of two equals bitwise OR here, and the resulting
+    bit PATTERN is identical in both engines."""
+    terms = [
+        f"(CASE WHEN CAST({elem_fn(d)} AS DOUBLE) >= 0 THEN {1 << d} ELSE 0 END)"
+        for d in range(63)
+    ]
+    terms.append(
+        f"(CASE WHEN CAST({elem_fn(63)} AS DOUBLE) >= 0"
+        " THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE 0 END)"
+    )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_HAMMING_ORACLE = f"""
+WITH sk AS (
+  SELECT vec_id, {_sign_sketch_expr(lambda d: f"embedding[{d + 1}]")} AS sketch
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.sketch, v.sketch)) AS BIGINT) AS hamming
+  FROM sk q JOIN sk v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, hamming, rank
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "similarity_topk_hamming",
+    _HAMMING_ORACLE,
+    doc=f"1-bit sign-sketch Hamming top-{TOPK} (8-byte vectors, exact integer distances)",
+)
+def similarity_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1-bit rung of the ANN ladder (Charikar'02 sign random
+    projection, identity planes): every 256-byte vector collapses to a
+    SINGLE 8-byte long of coordinate sign bits, and candidate distance
+    is one xor + popcount — integer-exact, hence (unlike the
+    float-scoring rungs) fully oracle-checked. Production role: the
+    cheapest pre-filter — Hamming-rank first, true-cosine refine the
+    survivors (`similarity_topk_ivfpq_refine` shows the refine stage).
+
+    Scale shape: sketching is a zero-shuffle projection (32x smaller
+    shuffle/cache footprint than raw vectors); the 20-query sketch set
+    broadcasts against the corpus exactly like `similarity_topk`, with
+    per-candidate cost dropping from a 64-term float fold to one xor;
+    the per-query top-k reduces through a bounded window. Bit 63 rides
+    the two's-complement sign — arithmetic sum of distinct powers of two
+    IS the packed bit pattern in both engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    sketch = _sign_sketch_expr(lambda d: f"element_at(embedding, {d + 1})")
+    sk = emb.selectExpr("vec_id", f"{sketch} AS sketch")
+    q = sk.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("sketch").alias("q_sketch")
+    )
+    v = sk.select(F.col("vec_id").alias("neighbor_id"), F.col("sketch").alias("v_sketch"))
+    scored = v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.expr("CAST(bit_count(q_sketch ^ v_sketch) AS BIGINT)").alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+        .orderBy("query_id", "rank")
+    )

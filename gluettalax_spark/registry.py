@@ -70,6 +70,8 @@ _NEW_THIS_ROUND = (
     "events_interarrival_by_type",
     "text_lexical_diversity",
     "label_quality_profile",
+    "similarity_topk_hamming",
+    "graph_assortativity",
 )
 
 

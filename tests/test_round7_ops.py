@@ -859,3 +859,105 @@ def test_lexdiv_and_label_quality_plan_shapes(spark, sf_dir):
         plan = physical_plan(queries()[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+# --------------------------------------------------------------------------
+# similarity_topk_hamming + graph_assortativity
+# --------------------------------------------------------------------------
+
+
+def _hamming_brute(sf_dir: str):
+    from gluettalax_spark.operators.similarity import N_QUERIES, TOPK
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sk = {}
+    for vid, vec in zip(emb["vec_id"], emb["embedding"]):
+        bits = 0
+        for d, x in enumerate(vec):
+            if float(x) >= 0:
+                bits |= 1 << d
+        sk[int(vid)] = bits
+    out = []
+    for q in sorted(v for v in sk if v < N_QUERIES):
+        scored = sorted(
+            (bin(sk[q] ^ s).count("1"), v) for v, s in sk.items() if v != q
+        )
+        for rk, (h, v) in enumerate(scored[:TOPK], start=1):
+            out.append((q, v, h, rk))
+    return out
+
+
+def test_hamming_matches_python_recompute(spark, sf_dir):
+    rows = queries()["similarity_topk_hamming"](spark, sf_dir).collect()
+    got = [(r["query_id"], r["neighbor_id"], r["hamming"], r["rank"]) for r in rows]
+    assert got == _hamming_brute(sf_dir)
+
+
+def test_hamming_correlates_with_cosine(spark, sf_dir):
+    """The 1-bit sketch is a pre-filter, not an oracle — but its top-k
+    must overlap the true cosine top-k far above chance, and distances
+    stay in [0, 64]."""
+    ham = {}
+    for r in queries()["similarity_topk_hamming"](spark, sf_dir).collect():
+        assert 0 <= r["hamming"] <= 64
+        ham.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    cos = {}
+    for r in queries()["similarity_topk"](spark, sf_dir).collect():
+        cos.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(ham[q] & cos[q]) for q in cos)
+    total = sum(len(cos[q]) for q in cos)
+    n_vectors = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).shape[0]
+    chance = 5.0 / max(n_vectors - 1, 1)
+    assert hits / total > max(5 * chance, 0.05), (hits, total)
+
+
+def _assort_brute_from_edges(edges):
+    import math
+
+    deg: Counter = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    return (
+        len(deg),
+        m // 2,
+        round(float(m * sxy - sx * sy)
+              / math.sqrt(float(m * sxx - sx * sx) * float(m * syy - sy * sy)), 6),
+    )
+
+
+def test_assortativity_matches_python_recompute(spark, sf_dir):
+    from tests.test_round6_ops import _cooccurrence_edges_brute
+
+    edges = sorted(_cooccurrence_edges_brute(sf_dir))
+    r = queries()["graph_assortativity"](spark, sf_dir).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["assortativity"]) == _assort_brute_from_edges(edges)
+    assert -1.0 <= r["assortativity"] <= 1.0
+
+
+def test_assortativity_star_is_minus_one(spark):
+    """A star graph is the textbook maximally disassortative case:
+    every edge joins the hub (degree n) to a leaf (degree 1), so
+    r = -1 exactly."""
+    from gluettalax_spark.operators.graph import assortativity_from_edges
+
+    edges = [(0, i) for i in range(1, 21)]
+    df = spark.createDataFrame(edges, "pa long, pb long")
+    r = assortativity_from_edges(df).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["assortativity"]) == (21, 20, -1.0)
+
+
+def test_hamming_and_assortativity_plan_shapes(spark, sf_dir):
+    for name in ("similarity_topk_hamming", "graph_assortativity"):
+        plan = physical_plan(queries()[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
