@@ -136,6 +136,7 @@ HEADLINE = [
     "label_quality_profile",
     "similarity_topk_hamming",
     "graph_assortativity",
+    "events_activity_streaks",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

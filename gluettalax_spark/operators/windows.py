@@ -573,3 +573,86 @@ def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ewma_micro"), F.asc("user_id"))
         .limit(EWMA_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day activity streaks
+# --------------------------------------------------------------------------
+
+_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+grp AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+           AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS len
+  FROM grp GROUP BY user_id, island
+),
+best AS (
+  SELECT user_id, CAST(max(len) AS BIGINT) AS best_streak,
+         CAST(count(*) AS BIGINT) AS n_streaks,
+         CAST(sum(len) AS BIGINT) AS active_days
+  FROM streaks GROUP BY user_id
+)
+SELECT best_streak,
+       CAST(count(*) AS BIGINT)          AS n_users,
+       CAST(sum(active_days) AS BIGINT)  AS active_days,
+       CAST(sum(n_streaks) AS BIGINT)    AS n_streaks
+FROM best
+GROUP BY best_streak
+ORDER BY best_streak
+"""
+
+
+@register(
+    "events_activity_streaks",
+    _STREAKS_ORACLE,
+    doc="gaps-and-islands: longest consecutive-day streak per user, histogrammed",
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gaps-and-islands pattern: a user's consecutive active days
+    form an island exactly when (day - row_number) is constant — the
+    classic trick that turns run detection into a GROUP BY, with no
+    self-join and no iterative pass. Output is the retention team's
+    streak histogram: how many users peak at an n-day streak.
+
+    Exactness: everything is integer date arithmetic (date minus a day
+    count, counts of counts). Scale shape: events dedupe map-side to
+    (user, day) — calendar-bounded per user; the row_number window
+    partitions per user (the sessionize discipline); both downstream
+    aggregates shrink monotonically (user-islands, then a streak-length
+    histogram bounded by the calendar). Reference analogue: none; this
+    is the engagement-analytics sibling of `events_sessionize_batch` at
+    day granularity."""
+    events = load(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("island"),
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("best_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
+    return (
+        best.groupBy("best_streak")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("active_days").cast("long").alias("active_days"),
+            F.sum("n_streaks").cast("long").alias("n_streaks"),
+        )
+        .orderBy("best_streak")
+    )

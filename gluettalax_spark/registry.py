@@ -72,6 +72,7 @@ _NEW_THIS_ROUND = (
     "label_quality_profile",
     "similarity_topk_hamming",
     "graph_assortativity",
+    "events_activity_streaks",
 )
 
 

@@ -961,3 +961,46 @@ def test_hamming_and_assortativity_plan_shapes(spark, sf_dir):
         plan = physical_plan(queries()[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+# --------------------------------------------------------------------------
+# events_activity_streaks
+# --------------------------------------------------------------------------
+
+
+def _streaks_brute(sf_dir: str):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ev["day"] = ev["ts"].dt.floor("D")
+    per_user: dict[int, tuple[int, int, int]] = {}
+    for uid, g in ev.groupby("user_id"):
+        days = sorted({d.toordinal() for d in g["day"].dt.date})
+        lens, run = [], 1
+        for a, b in zip(days, days[1:]):
+            if b == a + 1:
+                run += 1
+            else:
+                lens.append(run)
+                run = 1
+        lens.append(run)
+        per_user[int(uid)] = (max(lens), len(lens), sum(lens))
+    hist: dict[int, list[int]] = {}
+    for best, n_streaks, active in per_user.values():
+        h = hist.setdefault(best, [0, 0, 0])
+        h[0] += 1
+        h[1] += active
+        h[2] += n_streaks
+    return sorted((b, h[0], h[1], h[2]) for b, h in hist.items())
+
+
+def test_streaks_matches_python_recompute(spark, sf_dir):
+    rows = queries()["events_activity_streaks"](spark, sf_dir).collect()
+    got = [(r["best_streak"], r["n_users"], r["active_days"], r["n_streaks"]) for r in rows]
+    assert got == _streaks_brute(sf_dir)
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    assert sum(r["n_users"] for r in rows) == ev["user_id"].nunique()
+
+
+def test_streaks_plan_shape(spark, sf_dir):
+    plan = physical_plan(queries()["events_activity_streaks"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
