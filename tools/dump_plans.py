@@ -77,6 +77,21 @@ SHOWCASE = {
     "text_bpe_merge_candidates": "one corpus shuffle to the word-freq dict; pair explode is vocab-sized; top-k is TakeOrderedAndProject",
     "graph_jaccard_linkpred": "wedges explode map-side from sorted adjacency arrays (hub centers capped); anti-join keeps non-edges",
     "apply_in_arrow_grouped": "FlatMapGroupsInArrow: the group streams through the kernel as RecordBatches, never materialized whole",
+    # Round-7 continuation-session additions:
+    "text_bpe_train": "iterative merge learning on the checkpointed vocab dictionary; every round is vocab-sized, plan stays one round deep",
+    "events_changepoint_cusum": "one partial-agg to the dense (type x day) grid; calendar-bounded windows; scaled-integer CUSUM",
+    "source_mix_temperature": "one groupBy(source) + 1-row total broadcast; sqrt quantized at 2^20 so weights are integer division",
+    "quality_percentile_by_source": "exact_global_rank range shuffle; integer ppm percentiles fold into a source-sized agg",
+    "embedding_outlier_centroid": "labels x 64 sum table broadcasts back; decimal(38,0) zip_with fold per vector; label-keyed top-k",
+    "corpus_token_zipf": "vocab-sized freq table; exact_global_rank for log-log rank; decimal moment sums to one row",
+    "orders_seasonality_weekday": "seven-row aggregate + 1-row broadcast; index is one exact decimal rational",
+    "text_js_divergence_sources": "one corpus shuffle to (source x term); dense vocab grid join; floor-quantized integer JSD terms",
+    "events_interarrival_by_type": "lag window bounded per (user, type); types-sized percentile aggregate",
+    "text_lexical_diversity": "one vocab-sized count table; per-source integer ppm fold",
+    "label_quality_profile": "one id-key equi-join of docs and embeddings (bucketing target at scale); labels-sized agg",
+    "similarity_topk_hamming": "zero-shuffle 8-byte sign sketch; broadcast query join; xor+popcount scoring",
+    "graph_assortativity": "shared basket-explode edges; degree equi-joins; five decimal moments to one row",
+    "events_activity_streaks": "(day - row_number) island key per user; no self-join; monotone shrinking aggregates",
 }
 
 
