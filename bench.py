@@ -182,6 +182,12 @@ SCALING_SUBSET = [
     "text_bpe_train",
     "graph_jaccard_linkpred",
     "events_cumulative_distinct_users",
+    "graph_assortativity",
+    "text_js_divergence_sources",
+    "embedding_outlier_centroid",
+    "quality_percentile_by_source",
+    "similarity_topk_hamming",
+    "events_changepoint_cusum",
 ]
 
 
