@@ -137,6 +137,7 @@ HEADLINE = [
     "similarity_topk_hamming",
     "graph_assortativity",
     "events_activity_streaks",
+    "orders_abc_analysis",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -1703,3 +1703,96 @@ def label_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# ABC analysis: cumulative revenue-share classification of parts
+# --------------------------------------------------------------------------
+
+_ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+run AS (
+  SELECT pk, cents,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, pk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r,
+         CAST(sum(cents) OVER () AS BIGINT) AS t
+  FROM rev
+),
+classed AS (
+  SELECT pk, cents,
+         CASE WHEN r * 100 <= t * 80 THEN 'A'
+              WHEN r * 100 <= t * 95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         t
+  FROM run
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT)      AS n_parts,
+       CAST(sum(cents) AS BIGINT)    AS revenue_cents,
+       CAST(sum(cents) * 1000000 // max(t) AS BIGINT) AS share_ppm
+FROM classed
+GROUP BY abc_class
+ORDER BY abc_class
+"""
+
+
+@register(
+    "orders_abc_analysis",
+    _ABC_ORACLE,
+    doc="ABC revenue classification of parts (cumulative-share cut at 80/95%, integer-exact)",
+)
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto-class analysis: rank parts by revenue, classify by
+    CUMULATIVE revenue share (A: first 80%, B: to 95%, C: tail) — the
+    inventory-management classic, and the shape that needs a GLOBAL
+    running sum over a data-scale table.
+
+    Scale shape: the running sum is `grouped_running_sum` with a
+    constant group — range-repartition on the sort key, per-partition
+    sums to a metadata-scale offsets table, local window + broadcast
+    offset — never `Window.orderBy` without a partition (the single-task
+    funnel the plan suite bans). Class cuts compare r*100 <= t*80 in
+    exact integer cents (no float shares), and the per-class summary is
+    a 3-row aggregate. The revenue quantization (round(price*(1-disc)
+    *100)) is the shared cents convention, deterministic cross-engine."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("_g", F.lit(1))
+    )
+    run = grouped_running_sum(
+        rev, ["_g"], [F.col("cents").desc(), F.col("pk")], "cents", "r"
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    classed = run.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        F.when(F.col("r") * 100 <= F.col("t") * 80, "A")
+        .when(F.col("r") * 100 <= F.col("t") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "t",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.expr("(sum(cents) * 1000000L) div max(t)").alias("share_ppm"),
+        )
+        .orderBy("abc_class")
+    )

@@ -73,6 +73,7 @@ _NEW_THIS_ROUND = (
     "similarity_topk_hamming",
     "graph_assortativity",
     "events_activity_streaks",
+    "orders_abc_analysis",
 )
 
 

@@ -1004,3 +1004,57 @@ def test_streaks_plan_shape(spark, sf_dir):
     plan = physical_plan(queries()["events_activity_streaks"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# orders_abc_analysis
+# --------------------------------------------------------------------------
+
+
+def _abc_brute(sf_dir: str):
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+    import numpy as np
+
+    # floor(x + 0.5), not pandas .round(): Spark round() is HALF_UP on
+    # positives while numpy/pandas round half-even — they differ exactly
+    # on the .5-cent boundaries discounts produce.
+    cents_col = np.floor(
+        (li["l_extendedprice"] * (1 - li["l_discount"]) * 100) + 0.5
+    ).astype("int64")
+    per: Counter = Counter()
+    for pk, c in zip(li["l_partkey"], cents_col):
+        per[int(pk)] += int(c)
+    ranked = sorted(per.items(), key=lambda kv: (-kv[1], kv[0]))
+    t = sum(per.values())
+    agg: dict[str, list[int]] = {}
+    r = 0
+    for _pk, c in ranked:
+        r += c
+        cls = "A" if r * 100 <= t * 80 else ("B" if r * 100 <= t * 95 else "C")
+        a = agg.setdefault(cls, [0, 0])
+        a[0] += 1
+        a[1] += c
+    return sorted((cls, a[0], a[1], a[1] * 1_000_000 // t) for cls, a in agg.items())
+
+
+def test_abc_matches_python_recompute(spark, sf_dir):
+    rows = queries()["orders_abc_analysis"](spark, sf_dir).collect()
+    got = [(r["abc_class"], r["n_parts"], r["revenue_cents"], r["share_ppm"]) for r in rows]
+    assert got == _abc_brute(sf_dir)
+    # Class shares honor the cuts (the fixture's revenue is fairly
+    # uniform across parts, so don't assert Pareto-shaped counts).
+    by = {r["abc_class"]: r for r in rows}
+    if "A" in by:
+        assert by["A"]["share_ppm"] <= 800_000
+    assert sum(r["share_ppm"] for r in rows) >= 1_000_000 - len(rows)
+
+
+def test_abc_plan_shape(spark, sf_dir):
+    plan = physical_plan(queries()["orders_abc_analysis"](spark, sf_dir))
+    # The running sum rides the grouped_running_sum machinery (frozen
+    # range-partitioned run), never an unpartitioned data-scale window.
+    assert "Scan ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
