@@ -138,6 +138,7 @@ HEADLINE = [
     "graph_assortativity",
     "events_activity_streaks",
     "orders_abc_analysis",
+    "sql_pipe_syntax",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -359,3 +359,58 @@ def sql_udf_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY source
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 SQL pipe syntax (|>) — engine-capability op
+# --------------------------------------------------------------------------
+
+_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY revenue_cents DESC, l_returnflag, l_linestatus
+LIMIT 5
+"""
+
+
+@register(
+    "sql_pipe_syntax",
+    _PIPE_ORACLE,
+    doc="Spark 4 SQL pipe syntax (|>): filter |> aggregate |> order |> limit",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL pipe syntax (SIGMOD'24 'SQL Has Problems' /
+    GoogleSQL pipes): each |> stage names one operator in execution
+    order, composing like the DataFrame API while staying pure SQL.
+    Catalyst parses pipes into the SAME logical plan as the classic
+    form — the oracle here IS that classic form, so the hash match
+    certifies plan equivalence end to end (the engine-feature sibling
+    of `sql_recursive_reach` and `sql_udf_text_metrics`).
+
+    Revenue uses the shared integer-cents quantization, so the
+    aggregate is exact and the ORDER/LIMIT cut can't ride a float ulp.
+    Scale shape: identical to the classic q1 family — filter pushed to
+    the scan, map-side partial agg, TakeOrderedAndProject for the
+    top-k."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("gx_pipe_lineitem")
+    return spark.sql(
+        """
+        FROM gx_pipe_lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |> AGGREGATE
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_items, revenue_cents, total_qty
+        |> ORDER BY revenue_cents DESC, l_returnflag, l_linestatus
+        |> LIMIT 5
+        """
+    )

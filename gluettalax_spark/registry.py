@@ -74,6 +74,7 @@ _NEW_THIS_ROUND = (
     "graph_assortativity",
     "events_activity_streaks",
     "orders_abc_analysis",
+    "sql_pipe_syntax",
 )
 
 

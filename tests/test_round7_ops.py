@@ -1058,3 +1058,40 @@ def test_abc_plan_shape(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# sql_pipe_syntax
+# --------------------------------------------------------------------------
+
+
+def test_pipe_syntax_equals_classic_plan(spark, sf_dir):
+    """The pipe form must land on the same rows AND the same physical
+    plan shape as the classic SQL it desugars to."""
+    rows = queries()["sql_pipe_syntax"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 5
+    classic = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM gx_pipe_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY revenue_cents DESC, l_returnflag, l_linestatus
+        LIMIT 5
+        """
+    ).collect()
+    assert rows == classic
+    revs = [r["revenue_cents"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_pipe_syntax_plan_shape(spark, sf_dir):
+    plan = physical_plan(queries()["sql_pipe_syntax"](spark, sf_dir))
+    # Desugars to the classic shape: pushed filter, partial agg, top-k.
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
