@@ -139,6 +139,7 @@ HEADLINE = [
     "events_activity_streaks",
     "orders_abc_analysis",
     "sql_pipe_syntax",
+    "dedup_minhash_accuracy",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

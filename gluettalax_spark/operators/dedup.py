@@ -1127,3 +1127,162 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_shared", F.round(cont, 4).alias("containment"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash sketch-accuracy audit (estimated vs true Jaccard)
+# --------------------------------------------------------------------------
+
+
+def _minhash_accuracy_oracle() -> str:
+    sig_cols = ",\n    ".join(f"min(h1 + {i} * h2) AS s{i}" for i in range(N_HASHES))
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_val FROM sigs".format(
+            b=b,
+            concat=" || ',' || ".join(f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(N_BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hashed AS (SELECT doc_id, md5(s) AS m FROM ex),
+ints AS (
+  SELECT doc_id,
+         {_duck_hex_int(1)} AS h1,
+         {_duck_hex_int(9)} AS h2,
+         {_duck_hex_int(1, 15)} AS hs
+  FROM hashed
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id,
+    {sig_cols}
+  FROM ints GROUP BY doc_id
+),
+sets AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list(hs)) AS hset FROM ints GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+{band_rows}
+),
+over_cap AS (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY 1, 2 HAVING count(*) > {MAX_BAND_BUCKET}
+),
+kept AS (
+  SELECT b.* FROM bands b
+  LEFT JOIN over_cap o ON o.band_idx = b.band_idx AND o.band_val = b.band_val
+  WHERE o.band_val IS NULL
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM kept a JOIN kept b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT ({matches}) * 62500 AS est_ppm,
+         CAST(len(list_intersect(x.hset, y.hset)) * 1000000
+              // (len(x.hset) + len(y.hset) - len(list_intersect(x.hset, y.hset)))
+              AS BIGINT) AS true_ppm
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = cand.da
+  JOIN sigs sb ON sb.doc_id = cand.db
+  JOIN sets x ON x.doc_id = cand.da
+  JOIN sets y ON y.doc_id = cand.db
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(abs(est_ppm - true_ppm)) // nullif(count(*), 0) AS BIGINT) AS mae_ppm,
+       CAST((sum(est_ppm) - sum(true_ppm)) // nullif(count(*), 0) AS BIGINT) AS bias_ppm,
+       CAST(max(abs(est_ppm - true_ppm)) AS BIGINT) AS max_err_ppm,
+       CAST(sum(true_ppm) // nullif(count(*), 0) AS BIGINT) AS mean_true_ppm
+FROM scored
+"""
+
+
+@register(
+    "dedup_minhash_accuracy",
+    _minhash_accuracy_oracle(),
+    doc=f"MinHash({N_HASHES}) estimator accuracy vs true Jaccard on LSH candidate pairs (integer ppm)",
+)
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit for the MinHash dedup family: over the LSH
+    candidate pairs, compare the signature-agreement Jaccard ESTIMATE
+    (matching components / {N_HASHES}, the Broder estimator) against
+    the TRUE Jaccard of the hashed shingle sets — MAE, signed bias, and
+    worst error, all in integer ppm. The bias on LSH-SELECTED pairs is
+    structural and is the point of the audit: a candidate needs at
+    least one full matching band, so its estimate is >= 1/N_BANDS even
+    when true similarity is low — this op puts a NUMBER on how much the
+    banding inflates the estimator at the configured (bands, rows)
+    operating point, which is what you check before trusting an
+    estimate-based dedup threshold instead of the exact verify join.
+
+    Exactness: signatures, band keys, and the 60-bit shingle-hash sets
+    are the md5-deterministic constructions the oracle replays
+    bit-for-bit (shared with `dedup_minhash_lsh`); the estimate is
+    matches*62500, truth is integer-div ppm, so every reported stat is
+    an exact int64. The band-bucket cap is replayed in the oracle as a
+    bucket-size HAVING filter (the round-5 cap lesson — never let a
+    skew guard silently narrow the contract).
+
+    Scale shape: identical to `dedup_minhash_lsh` — one shuffle builds
+    signatures AND shingle sets, candidates come from the capped band
+    equi-join, and the audit itself folds to ONE row. Text never
+    shuffles."""
+    ex = (
+        shingles_exploded(spark, sf_dir)
+        .withColumn("m", F.md5("s"))
+        .select(
+            "doc_id",
+            F.expr("CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT)").alias("h1"),
+            F.expr("CAST(conv(substr(m, 9, 8), 16, 10) AS BIGINT)").alias("h2"),
+            F.expr("CAST(conv(substr(m, 1, 15), 16, 10) AS BIGINT)").alias("hs"),
+        )
+    )
+    sigs = ex.groupBy("doc_id").agg(
+        *_minhash_sig_aggs(), F.collect_set("hs").alias("hset")
+    )
+    sigs = sigs.localCheckpoint(eager=True)  # band explode + both pair sides
+    bands = sigs.select("doc_id", F.explode(_minhash_band_array()).alias("band")).select(
+        "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_val").alias("band_val")
+    )
+    kept, _star, _spill = _cap_band_buckets(
+        bands, ["band_idx", "band_val"], "doc_id", MAX_BAND_BUCKET
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("da"), *[F.col(f"s{i}").alias(f"a{i}") for i in range(N_HASHES)], F.col("hset").alias("ha"))
+    sb = sigs.select(F.col("doc_id").alias("db"), *[F.col(f"s{i}").alias(f"b{i}") for i in range(N_HASHES)], F.col("hset").alias("hb"))
+    matches = " + ".join(
+        f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+    )
+    scored = (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .select(
+            F.expr(f"CAST(({matches}) * 62500 AS BIGINT)").alias("est_ppm"),
+            F.expr(
+                "CAST(size(array_intersect(ha, hb)) * 1000000L"
+                " div (size(ha) + size(hb) - size(array_intersect(ha, hb))) AS BIGINT)"
+            ).alias("true_ppm"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("sum(abs(est_ppm - true_ppm)) div nullif(count(1), 0)").alias("mae_ppm"),
+        F.expr("(sum(est_ppm) - sum(true_ppm)) div nullif(count(1), 0)").alias("bias_ppm"),
+        F.max(F.abs(F.col("est_ppm") - F.col("true_ppm"))).cast("long").alias("max_err_ppm"),
+        F.expr("sum(true_ppm) div nullif(count(1), 0)").alias("mean_true_ppm"),
+    )

@@ -75,6 +75,7 @@ _NEW_THIS_ROUND = (
     "events_activity_streaks",
     "orders_abc_analysis",
     "sql_pipe_syntax",
+    "dedup_minhash_accuracy",
 )
 
 

@@ -1095,3 +1095,84 @@ def test_pipe_syntax_plan_shape(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_accuracy
+# --------------------------------------------------------------------------
+
+
+def _minhash_accuracy_brute(sf_dir: str):
+    import hashlib
+
+    from gluettalax_spark.operators.dedup import (
+        MAX_BAND_BUCKET, N_BANDS, N_HASHES, ROWS_PER_BAND,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sigs, hsets = {}, {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = [t for t in re.split(r"\s+", text.lower()) if t]
+        if len(toks) < 3:
+            continue
+        shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        h1h2hs = []
+        for s in shingles:
+            m = hashlib.md5(s.encode()).hexdigest()
+            h1h2hs.append((int(m[0:8], 16), int(m[8:16], 16), int(m[0:15], 16)))
+        sigs[int(did)] = [
+            min(h1 + i * h2 for h1, h2, _ in h1h2hs) for i in range(N_HASHES)
+        ]
+        hsets[int(did)] = {hs for _h1, _h2, hs in h1h2hs}
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for did, sig in sigs.items():
+        for b in range(N_BANDS):
+            val = hashlib.md5(
+                ",".join(str(sig[b * ROWS_PER_BAND + r]) for r in range(ROWS_PER_BAND)).encode()
+            ).hexdigest()
+            buckets.setdefault((b, val), []).append(did)
+    cand = set()
+    for members in buckets.values():
+        if len(members) > MAX_BAND_BUCKET:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cand.add((ms[i], ms[j]))
+    ests, trues = [], []
+    for a, b in sorted(cand):
+        matches = sum(1 for i in range(N_HASHES) if sigs[a][i] == sigs[b][i])
+        inter = len(hsets[a] & hsets[b])
+        union = len(hsets[a]) + len(hsets[b]) - inter
+        ests.append(matches * 62500)
+        trues.append(inter * 1_000_000 // union)
+    n = len(ests)
+    errs = [abs(e - t) for e, t in zip(ests, trues)]
+    return (
+        n,
+        sum(errs) // n,
+        (sum(ests) - sum(trues)) // n,
+        max(errs),
+        sum(trues) // n,
+    )
+
+
+def test_minhash_accuracy_matches_python_recompute(spark, sf_dir):
+    r = queries()["dedup_minhash_accuracy"](spark, sf_dir).collect()[0]
+    assert (
+        r["n_pairs"], r["mae_ppm"], r["bias_ppm"], r["max_err_ppm"], r["mean_true_ppm"]
+    ) == _minhash_accuracy_brute(sf_dir)
+    # On LSH-SELECTED pairs the estimator is biased up by construction
+    # (a candidate needs >= 1 full band match, so est >= 250k ppm even
+    # when true similarity is low) — the audit exists to measure exactly
+    # that. Pin the structural floor and the positive selection bias.
+    assert r["n_pairs"] > 0
+    assert 250_000 <= r["mae_ppm"] + r["mean_true_ppm"]
+    assert r["bias_ppm"] > 0
+    assert 0 <= r["max_err_ppm"] <= 1_000_000
+
+
+def test_minhash_accuracy_plan_shape(spark, sf_dir):
+    plan = physical_plan(queries()["dedup_minhash_accuracy"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
