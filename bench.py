@@ -140,6 +140,7 @@ HEADLINE = [
     "orders_abc_analysis",
     "sql_pipe_syntax",
     "dedup_minhash_accuracy",
+    "events_dau_mau_stickiness",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

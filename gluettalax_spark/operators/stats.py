@@ -1658,3 +1658,82 @@ def events_interarrival_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# DAU/MAU stickiness (28-day rolling distinct, pair-explode — no re-scan)
+# --------------------------------------------------------------------------
+
+_STICKINESS_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM pairs)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT CASE WHEN p.day = d.day THEN p.user_id END) AS BIGINT) AS dau,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS mau28,
+       CAST(count(DISTINCT CASE WHEN p.day = d.day THEN p.user_id END) * 1000
+            // count(DISTINCT p.user_id) AS BIGINT) AS stickiness_milli
+FROM days d
+JOIN pairs p ON p.day >= d.day - INTERVAL 27 DAY AND p.day <= d.day
+GROUP BY d.day
+ORDER BY day
+"""
+
+
+@register(
+    "events_dau_mau_stickiness",
+    _STICKINESS_ORACLE,
+    doc="DAU/MAU(28d) stickiness per day — exact rolling distinct via forward-contribution",
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engagement headline metric: stickiness = DAU / trailing-28-day
+    MAU, per day, exact. The naive form re-scans a 28-day window per day
+    (O(days x events)); this reuses the `events_wau_exact` shape — the
+    deduped (day, user) pair table FORWARD-CONTRIBUTES each activity day
+    to the <= 28 future windows it belongs to, so the fact stream is
+    read once and the explode factor is a constant 28 on a
+    calendar-bounded pair table, never a range join against the raw
+    events.
+
+    Exactness: distinct counts and one integer permille division —
+    nothing floats. Scale shape: one dedupe shuffle to (day, user)
+    (calendar x users — far smaller than events), a 28x map-side
+    explode of THAT, a semi-join against the observed-day list, and one
+    distinct-agg per day. The conditional DAU rides the same aggregate
+    (no second pass)."""
+    events = load(spark, sf_dir, "events")
+    pairs = (
+        events.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint()  # feeds the day list AND the contribution explode
+    )
+    days = pairs.select("day").distinct()
+    contrib = pairs.select(
+        F.col("day").alias("active_day"),
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 27 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        contrib.join(F.broadcast(days), "day", "semi")
+        .groupBy("day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("active_day") == F.col("day"), F.col("user_id"))
+            ).cast("long").alias("dau"),
+            F.countDistinct("user_id").cast("long").alias("mau28"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "mau28",
+            F.expr("(dau * 1000) div mau28").alias("stickiness_milli"),
+        )
+        .orderBy("day")
+    )

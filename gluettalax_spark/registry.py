@@ -76,6 +76,7 @@ _NEW_THIS_ROUND = (
     "orders_abc_analysis",
     "sql_pipe_syntax",
     "dedup_minhash_accuracy",
+    "events_dau_mau_stickiness",
 )
 
 

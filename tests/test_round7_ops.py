@@ -1176,3 +1176,41 @@ def test_minhash_accuracy_plan_shape(spark, sf_dir):
     plan = physical_plan(queries()["dedup_minhash_accuracy"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# events_dau_mau_stickiness
+# --------------------------------------------------------------------------
+
+
+def _stickiness_brute(sf_dir: str):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    pairs = {(d.toordinal(), int(u)) for d, u in zip(ev["ts"].dt.date, ev["user_id"])}
+    days = sorted({d for d, _u in pairs})
+    out = []
+    for d in days:
+        dau = {u for dd, u in pairs if dd == d}
+        mau = {u for dd, u in pairs if d - 27 <= dd <= d}
+        out.append((
+            pd.Timestamp.fromordinal(d).strftime("%Y-%m-%d"),
+            len(dau), len(mau), len(dau) * 1000 // len(mau),
+        ))
+    return out
+
+
+def test_stickiness_matches_python_recompute(spark, sf_dir):
+    rows = queries()["events_dau_mau_stickiness"](spark, sf_dir).collect()
+    got = [(r["day"], r["dau"], r["mau28"], r["stickiness_milli"]) for r in rows]
+    assert got == _stickiness_brute(sf_dir)
+    for r in rows:
+        assert r["dau"] <= r["mau28"]
+        assert 0 <= r["stickiness_milli"] <= 1000
+    # MAU is monotone while the trailing window is still filling.
+    maus = [r["mau28"] for r in rows[:27]]
+    assert maus == sorted(maus)
+
+
+def test_stickiness_plan_shape(spark, sf_dir):
+    plan = physical_plan(queries()["events_dau_mau_stickiness"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
