@@ -141,6 +141,7 @@ HEADLINE = [
     "sql_pipe_syntax",
     "dedup_minhash_accuracy",
     "events_dau_mau_stickiness",
+    "events_ks_test",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

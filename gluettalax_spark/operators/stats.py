@@ -1737,3 +1737,108 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test (exact scaled-integer ECDF gap)
+# --------------------------------------------------------------------------
+
+_KS_A, _KS_B = "purchase", "view"
+
+_KS_ORACLE = f"""
+WITH v AS (
+  SELECT value, event_type FROM events
+  WHERE event_type IN ('{_KS_A}', '{_KS_B}') AND value IS NOT NULL
+),
+g AS (
+  SELECT value,
+         CAST(count(CASE WHEN event_type = '{_KS_A}' THEN 1 END) AS BIGINT) AS ca,
+         CAST(count(CASE WHEN event_type = '{_KS_B}' THEN 1 END) AS BIGINT) AS cb
+  FROM v GROUP BY value
+),
+r AS (
+  SELECT value,
+         CAST(sum(ca) OVER w AS BIGINT) AS ra,
+         CAST(sum(cb) OVER w AS BIGINT) AS rb,
+         CAST(sum(ca) OVER () AS BIGINT) AS na,
+         CAST(sum(cb) OVER () AS BIGINT) AS nb
+  FROM g
+  WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT *, abs(CAST(ra AS HUGEINT) * nb - CAST(rb AS HUGEINT) * na) AS d_num FROM r
+)
+SELECT na AS n_a, nb AS n_b,
+       CAST(d_num * 1000000 // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS ks_d_ppm,
+       round(value, 4) AS ks_at_value
+FROM scored
+ORDER BY d_num DESC, value
+LIMIT 1
+"""
+
+
+@register(
+    "events_ks_test",
+    _KS_ORACLE,
+    doc=f"two-sample Kolmogorov-Smirnov distance between {_KS_A} and {_KS_B} value distributions",
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two event types — the distribution-level companion
+    of `events_ab_test` (which compares proportions): D = max over the
+    merged value axis of |ECDF_a - ECDF_b|, plus the value where the
+    gap peaks. The standard 'did the whole distribution shift?' check
+    behind payment-anomaly and experiment monitoring.
+
+    Exactness: D is computed on the SCALED integer form
+    |r_a * n_b - r_b * n_a| (r = cumulative counts at each distinct
+    value), carried in decimal(38,0)/HUGEINT — no float ECDFs, so the
+    argmax and the reported ppm are exact at any n_a * n_b < 1e38. The
+    peak location is the raw double the engines share, rounded for
+    display only.
+
+    Scale shape: one filter + groupBy collapses events to the
+    distinct-value axis; BOTH running ECDFs ride one
+    `grouped_running_sum` chain over that table (constant group —
+    range shuffle + metadata offsets, never an unpartitioned
+    data-scale window); the argmax is TakeOrderedAndProject(1)."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    events = load(spark, sf_dir, "events")
+    g = (
+        events.filter(
+            F.col("event_type").isin(_KS_A, _KS_B) & F.col("value").isNotNull()
+        )
+        .groupBy("value")
+        .agg(
+            F.count(F.when(F.col("event_type") == _KS_A, 1)).cast("long").alias("ca"),
+            F.count(F.when(F.col("event_type") == _KS_B, 1)).cast("long").alias("cb"),
+        )
+        .withColumn("_g", F.lit(1))
+    )
+    run = grouped_running_sum(g, ["_g"], [F.col("value")], "ca", "ra")
+    run = grouped_running_sum(run, ["_g"], [F.col("value")], "cb", "rb")
+    tot = g.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    scored = run.crossJoin(F.broadcast(tot)).select(
+        "value",
+        "na",
+        "nb",
+        F.abs(
+            F.col("ra").cast("decimal(38,0)") * F.col("nb")
+            - F.col("rb").cast("decimal(38,0)") * F.col("na")
+        ).alias("d_num"),
+    )
+    return (
+        scored.orderBy(F.desc("d_num"), "value")
+        .limit(1)
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.expr(
+                "cast((d_num * 1000000) div (cast(na as decimal(38,0)) * nb) as bigint)"
+            ).alias("ks_d_ppm"),
+            F.round("value", 4).alias("ks_at_value"),
+        )
+    )

@@ -77,6 +77,7 @@ _NEW_THIS_ROUND = (
     "sql_pipe_syntax",
     "dedup_minhash_accuracy",
     "events_dau_mau_stickiness",
+    "events_ks_test",
 )
 
 

@@ -1214,3 +1214,71 @@ def test_stickiness_plan_shape(spark, sf_dir):
     plan = physical_plan(queries()["events_dau_mau_stickiness"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# events_ks_test
+# --------------------------------------------------------------------------
+
+
+def _ks_brute(sf_dir: str):
+    from gluettalax_spark.operators.stats import _KS_A, _KS_B
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ev = ev[ev["event_type"].isin([_KS_A, _KS_B]) & ev["value"].notna()]
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for t, v in zip(ev["event_type"], ev["value"]):
+        (ca if t == _KS_A else cb)[float(v)] += 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    ra = rb = 0
+    best = None
+    for v in sorted(set(ca) | set(cb)):
+        ra += ca.get(v, 0)
+        rb += cb.get(v, 0)
+        d = abs(ra * nb - rb * na)
+        key = (-d, v)
+        if best is None or key < best[0]:
+            best = (key, (na, nb, d * 1_000_000 // (na * nb), round(v, 4)))
+    return best[1]
+
+
+def test_ks_matches_python_recompute(spark, sf_dir):
+    r = queries()["events_ks_test"](spark, sf_dir).collect()[0]
+    assert (r["n_a"], r["n_b"], r["ks_d_ppm"], r["ks_at_value"]) == _ks_brute(sf_dir)
+    assert 0 <= r["ks_d_ppm"] <= 1_000_000
+
+
+def test_ks_detects_shifted_distribution(spark):
+    """Same-distribution samples score near 0; a shifted sample scores
+    near 1e6 — driven through the registry builder's own code path via a
+    temp parquet fixture."""
+    import math
+
+    from gluettalax_spark.operators.stats import events_ks_test
+
+    import datetime
+    import tempfile
+
+    rows = []
+    ts = datetime.datetime(2024, 1, 1)
+    for i in range(500):
+        rows.append((i, ts, i % 7, "purchase", 10.0 + (i % 50), "{}"))
+        rows.append((10_000 + i, ts, i % 7, "view", 200.0 + (i % 50), "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        r = events_ks_test(spark, d).collect()[0]
+    # Disjoint supports: the ECDF gap reaches exactly 1.
+    assert r["ks_d_ppm"] == 1_000_000
+    assert math.isclose(r["ks_at_value"], 59.0, abs_tol=0.01)
+
+
+def test_ks_plan_shape(spark, sf_dir):
+    plan = physical_plan(queries()["events_ks_test"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Scan ExistingRDD" in plan  # running sums ride the frozen range run
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
