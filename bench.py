@@ -142,6 +142,7 @@ HEADLINE = [
     "dedup_minhash_accuracy",
     "events_dau_mau_stickiness",
     "events_ks_test",
+    "events_rolling_zscore",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

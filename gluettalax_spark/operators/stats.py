@@ -1842,3 +1842,119 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 4).alias("ks_at_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling z-score anomalies (per-user trailing window, integer-exact test)
+# --------------------------------------------------------------------------
+
+_ZWIN = 16  # trailing window (events), excluding the current one
+_ZK = 3     # |z| threshold
+
+_ROLLING_Z_ORACLE = f"""
+WITH pts AS (
+  SELECT event_type, user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+win AS (
+  SELECT event_type, c,
+         CAST(count(*) OVER w AS BIGINT)      AS n,
+         CAST(sum(c) OVER w AS BIGINT)        AS s1,
+         CAST(sum(c * c) OVER w AS BIGINT)    AS s2
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ROWS BETWEEN {_ZWIN} PRECEDING AND 1 PRECEDING)
+),
+flagged AS (
+  SELECT event_type, n,
+         CASE WHEN n >= 4 AND
+                   CAST(n * c - s1 AS HUGEINT) * (n * c - s1) * n
+                   > CAST({_ZK * _ZK} AS HUGEINT) * (n * s2 - s1 * s1) * n
+              THEN 1 ELSE 0 END AS is_anomaly
+  FROM win
+)
+SELECT event_type,
+       CAST(count(CASE WHEN n >= 4 THEN 1 END) AS BIGINT) AS n_scored,
+       CAST(sum(is_anomaly) AS BIGINT)                    AS n_anomalies,
+       CAST(sum(is_anomaly) * 1000000 // nullif(count(CASE WHEN n >= 4 THEN 1 END), 0)
+            AS BIGINT)                                    AS anomaly_ppm
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_rolling_zscore",
+    _ROLLING_Z_ORACLE,
+    doc=f"per-user trailing-{_ZWIN} z-score anomalies (|z|>{_ZK}), integer-exact decision",
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-calibrating anomaly detection: each event's value is scored
+    against ITS OWN USER's trailing-{_ZWIN} history (mean/std of the
+    preceding window, current point excluded), flagged when |z| > {_ZK}
+    — the per-entity baseline that catches a user 10x-ing their normal
+    spend, which a global threshold never sees.
+
+    Exactness: the |z| > k decision never computes z — it cross-
+    multiplies the exact integer identity
+    (n*x - s1)^2 * n > k^2 * (n*s2 - s1^2) * n on cent-quantized
+    values in decimal/HUGEINT, so no sqrt, no division, no float
+    variance, and both engines agree bit-for-bit (windows shorter than
+    4 points are unscored — a 1-2 sample std is noise).
+
+    Scale shape: ONE rows-frame window partitioned on (user_id,
+    event_type) — bounded per user, the sessionize discipline — then a
+    types-sized aggregate. The window carries only (count, sum, sum of
+    squares): constant state per row."""
+    events = load(spark, sf_dir, "events")
+    pts = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ZWIN, -1)
+    )
+    win = pts.select(
+        "event_type",
+        "c",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("c").over(w).cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w).cast("long").alias("s2"),
+    )
+    flagged = win.select(
+        "event_type",
+        "n",
+        F.when(
+            (F.col("n") >= 4)
+            & (
+                (F.col("n") * F.col("c") - F.col("s1")).cast("decimal(38,0)")
+                * (F.col("n") * F.col("c") - F.col("s1"))
+                * F.col("n")
+                > F.lit(_ZK * _ZK).cast("decimal(38,0)")
+                * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                * F.col("n")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_anomaly"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("n") >= 4, 1)).cast("long").alias("n_scored"),
+            F.sum("is_anomaly").cast("long").alias("n_anomalies"),
+            F.expr(
+                "(sum(is_anomaly) * 1000000L)"
+                " div nullif(count(CASE WHEN n >= 4 THEN 1 END), 0)"
+            ).alias("anomaly_ppm"),
+        )
+        .orderBy("event_type")
+    )

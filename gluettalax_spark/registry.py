@@ -78,6 +78,7 @@ _NEW_THIS_ROUND = (
     "dedup_minhash_accuracy",
     "events_dau_mau_stickiness",
     "events_ks_test",
+    "events_rolling_zscore",
 )
 
 

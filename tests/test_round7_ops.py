@@ -1282,3 +1282,75 @@ def test_ks_plan_shape(spark, sf_dir):
     assert "Scan ExistingRDD" in plan  # running sums ride the frozen range run
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# events_rolling_zscore
+# --------------------------------------------------------------------------
+
+
+def _rolling_z_brute(sf_dir: str):
+    import numpy as np
+
+    from gluettalax_spark.operators.stats import _ZK, _ZWIN
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ev["c"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    per: dict[str, list[int]] = {}
+    for (_u, et), g in ev.groupby(["user_id", "event_type"]):
+        cs = [int(c) for c in g.sort_values(["ts", "event_id"])["c"]]
+        stats = per.setdefault(str(et), [0, 0])
+        for i, x in enumerate(cs):
+            lo = max(0, i - _ZWIN)
+            wnd = cs[lo:i]
+            n = len(wnd)
+            if n < 4:
+                continue
+            stats[0] += 1
+            s1, s2 = sum(wnd), sum(v * v for v in wnd)
+            if (n * x - s1) ** 2 * n > _ZK * _ZK * (n * s2 - s1 * s1) * n:
+                stats[1] += 1
+    return sorted(
+        (et, sc, an, an * 1_000_000 // sc if sc else None)
+        for et, (sc, an) in per.items()
+    )
+
+
+def test_rolling_z_matches_python_recompute(spark, sf_dir):
+    rows = queries()["events_rolling_zscore"](spark, sf_dir).collect()
+    got = sorted(
+        (r["event_type"], r["n_scored"], r["n_anomalies"], r["anomaly_ppm"]) for r in rows
+    )
+    assert got == _rolling_z_brute(sf_dir)
+
+
+def test_rolling_z_flags_injected_spike(spark):
+    """A user with a flat history and one 100x spike: exactly that one
+    point is an anomaly — driven through the builder's own path via a
+    temp events fixture."""
+    import datetime
+    import tempfile
+
+    from gluettalax_spark.operators.stats import events_rolling_zscore
+
+    rows = []
+    ts = datetime.datetime(2024, 1, 1)
+    vals = [10.0, 11.0, 10.0, 12.0, 11.0, 10.0, 11.0, 1000.0, 10.0, 11.0]
+    for i, v in enumerate(vals):
+        rows.append((i, ts + datetime.timedelta(minutes=i), 1, "purchase", v, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        r = events_rolling_zscore(spark, d).collect()[0]
+    # 10 points, the first 4 have windows < 4 -> 6 scored; the spike is
+    # the only flag (the post-spike windows inflate their own variance).
+    assert (r["n_scored"], r["n_anomalies"]) == (6, 1)
+
+
+def test_rolling_z_plan_shape(spark, sf_dir):
+    plan = physical_plan(queries()["events_rolling_zscore"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
