@@ -143,6 +143,7 @@ HEADLINE = [
     "events_dau_mau_stickiness",
     "events_ks_test",
     "events_rolling_zscore",
+    "text_char_entropy",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -2611,3 +2611,71 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Character-level Shannon entropy per source
+# --------------------------------------------------------------------------
+
+_CHAR_ENTROPY_ORACLE = r"""
+WITH cc AS (
+  SELECT source, ch, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(regexp_extract_all(text, '.')) AS ch FROM documents)
+  GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY source)
+SELECT cc.source,
+       CAST(max(tot.n) AS BIGINT)  AS n_chars,
+       CAST(count(*) AS BIGINT)    AS n_distinct_chars,
+       CAST(sum(CAST(floor((CAST(c AS DOUBLE) / tot.n)
+                 * ln(CAST(tot.n AS DOUBLE) / c) * 100000000) AS BIGINT))
+            AS BIGINT)             AS entropy_e8
+FROM cc JOIN tot ON tot.source = cc.source
+GROUP BY cc.source
+ORDER BY cc.source
+"""
+
+
+@register(
+    "text_char_entropy",
+    _CHAR_ENTROPY_ORACLE,
+    doc="character-level Shannon entropy per source (floor-quantized integer nats)",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per source, in nats: the cheapest
+    model-free repetition detector — template farms and padded/corrupted
+    payloads collapse the character distribution (entropy sags toward
+    the boilerplate's few symbols), while encrypted/binary junk pushes
+    it toward ln(alphabet). The character-level companion of
+    `text_lexical_diversity`'s word-level TTR.
+
+    Exactness: each (source, char) contributes ONE floor-quantized
+    integer term p*ln(1/p) at 1e8 (the drift-PSI discipline; ln is the
+    accepted libm-ulp boundary), so per-source entropies are exact
+    int64 sums. Scale shape: the char explode partial-aggregates
+    MAP-SIDE to alphabet-bounded groups per source — the shuffle is
+    |alphabet| x |sources| rows no matter the corpus size; everything
+    after is metadata-scale."""
+    docs = load(spark, sf_dir, "documents")
+    cc = (
+        docs.select(
+            "source", F.explode(F.expr("regexp_extract_all(text, '.', 0)")).alias("ch")
+        )
+        .groupBy("source", "ch")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()  # feeds the total and the entropy fold
+    )
+    tot = cc.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    term = F.expr(
+        "CAST(floor((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 100000000) AS BIGINT)"
+    )
+    return (
+        cc.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+            F.sum(term).cast("long").alias("entropy_e8"),
+        )
+        .orderBy("source")
+    )

@@ -79,6 +79,7 @@ _NEW_THIS_ROUND = (
     "events_dau_mau_stickiness",
     "events_ks_test",
     "events_rolling_zscore",
+    "text_char_entropy",
 )
 
 

@@ -1354,3 +1354,44 @@ def test_rolling_z_plan_shape(spark, sf_dir):
     plan = physical_plan(queries()["events_rolling_zscore"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# text_char_entropy
+# --------------------------------------------------------------------------
+
+
+def _char_entropy_brute(sf_dir: str):
+    import math
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    per: dict[str, Counter] = {}
+    for s, t in zip(docs["source"], docs["text"]):
+        per.setdefault(s, Counter()).update(t)
+    out = []
+    for s in sorted(per):
+        cnt = per[s]
+        n = sum(cnt.values())
+        e = sum(
+            math.floor((c / n) * math.log(n / c) * 100_000_000) for c in cnt.values()
+        )
+        out.append((s, n, len(cnt), e))
+    return out
+
+
+def test_char_entropy_matches_python_recompute(spark, sf_dir):
+    import math
+
+    rows = queries()["text_char_entropy"](spark, sf_dir).collect()
+    got = [(r["source"], r["n_chars"], r["n_distinct_chars"], r["entropy_e8"]) for r in rows]
+    assert got == _char_entropy_brute(sf_dir)
+    for r in rows:
+        # 0 <= H <= ln(k); floor-quantization dips at most 1 per term.
+        assert -r["n_distinct_chars"] <= r["entropy_e8"]
+        assert r["entropy_e8"] <= math.log(r["n_distinct_chars"]) * 1e8 + 1
+
+
+def test_char_entropy_plan_shape(spark, sf_dir):
+    plan = physical_plan(queries()["text_char_entropy"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
