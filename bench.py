@@ -144,6 +144,7 @@ HEADLINE = [
     "events_ks_test",
     "events_rolling_zscore",
     "text_char_entropy",
+    "shard_balance_audit",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

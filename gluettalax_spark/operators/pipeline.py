@@ -1796,3 +1796,75 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# --------------------------------------------------------------------------
+# Shard-balance audit for hash-sharded exports
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 64
+
+# Shard key: first 8 hex chars of md5(doc_id) mod N — the same
+# engine-portable construction the dedup family uses (Spark hash() is
+# murmur and has no DuckDB twin).
+_SHARD_SPARK = f"pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT), {_N_SHARDS})"
+_SHARD_DUCK = (
+    "(("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {1 + k}, 1)) - 1) * {16 ** (7 - k)}"
+        for k in range(8)
+    )
+    + f") % {_N_SHARDS})"
+)
+
+_SHARD_BALANCE_ORACLE = f"""
+WITH sh AS (
+  SELECT {_SHARD_DUCK} AS shard,
+         CAST(count(*) AS BIGINT) AS docs,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT)    AS n_shards,
+       CAST(sum(docs) AS BIGINT)   AS total_docs,
+       CAST(max(docs) AS BIGINT)   AS max_shard_docs,
+       CAST(max(docs) * count(*) * 1000000 // sum(docs) AS BIGINT) AS doc_balance_ppm,
+       CAST(sum(chars) AS BIGINT)  AS total_chars,
+       CAST(max(chars) AS BIGINT)  AS max_shard_chars,
+       CAST(max(chars) * count(*) * 1000000 // sum(chars) AS BIGINT) AS chars_balance_ppm
+FROM sh
+"""
+
+
+@register(
+    "shard_balance_audit",
+    _SHARD_BALANCE_ORACLE,
+    doc=f"hash-shard balance audit ({_N_SHARDS} shards): doc-count and byte-size skew in ppm",
+)
+def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight for `export_training_shards`: hash documents into the
+    export's {_N_SHARDS} shards and report the straggler factor — the
+    largest shard over the mean, by DOC COUNT and by BYTE SIZE
+    (n_chars). Row-count balance can look perfect while one shard holds
+    the long documents; byte skew is what actually serializes a
+    1000-executor write, so both dials ride the same one-row audit
+    (1e6 ppm = perfectly balanced).
+
+    Exactness: the shard key is the md5-hex construction both engines
+    compute identically (Spark hash() is murmur with no DuckDB twin);
+    balance ratios are exact integer division. Scale shape: one
+    map-side-partial groupBy to {_N_SHARDS} rows, then a 1-row fold —
+    the audit never touches text."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.selectExpr(f"{_SHARD_SPARK} AS shard", "n_chars").groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    return sh.agg(
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+        F.sum("docs").cast("long").alias("total_docs"),
+        F.max("docs").cast("long").alias("max_shard_docs"),
+        F.expr("(max(docs) * count(1) * 1000000L) div sum(docs)").alias("doc_balance_ppm"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.max("chars").cast("long").alias("max_shard_chars"),
+        F.expr("(max(chars) * count(1) * 1000000L) div sum(chars)").alias("chars_balance_ppm"),
+    )

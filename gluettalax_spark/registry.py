@@ -80,6 +80,7 @@ _NEW_THIS_ROUND = (
     "events_ks_test",
     "events_rolling_zscore",
     "text_char_entropy",
+    "shard_balance_audit",
 )
 
 

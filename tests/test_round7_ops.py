@@ -1395,3 +1395,45 @@ def test_char_entropy_plan_shape(spark, sf_dir):
     plan = physical_plan(queries()["text_char_entropy"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# shard_balance_audit
+# --------------------------------------------------------------------------
+
+
+def _shard_balance_brute(sf_dir: str):
+    import hashlib
+
+    from gluettalax_spark.operators.pipeline import _N_SHARDS
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    per: dict[int, list[int]] = {}
+    for did, nc in zip(docs["doc_id"], docs["n_chars"]):
+        sh = int(hashlib.md5(str(int(did)).encode()).hexdigest()[:8], 16) % _N_SHARDS
+        a = per.setdefault(sh, [0, 0])
+        a[0] += 1
+        a[1] += int(nc)
+    n = len(per)
+    td = sum(a[0] for a in per.values())
+    tc = sum(a[1] for a in per.values())
+    md = max(a[0] for a in per.values())
+    mc = max(a[1] for a in per.values())
+    return (n, td, md, md * n * 1_000_000 // td, tc, mc, mc * n * 1_000_000 // tc)
+
+
+def test_shard_balance_matches_python_recompute(spark, sf_dir):
+    r = queries()["shard_balance_audit"](spark, sf_dir).collect()[0]
+    assert (
+        r["n_shards"], r["total_docs"], r["max_shard_docs"], r["doc_balance_ppm"],
+        r["total_chars"], r["max_shard_chars"], r["chars_balance_ppm"],
+    ) == _shard_balance_brute(sf_dir)
+    # A max can never sit below the mean.
+    assert r["doc_balance_ppm"] >= 1_000_000 - r["n_shards"]
+    assert r["chars_balance_ppm"] >= 1_000_000 - r["n_shards"]
+
+
+def test_shard_balance_plan_shape(spark, sf_dir):
+    plan = physical_plan(queries()["shard_balance_audit"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
