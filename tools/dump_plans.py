@@ -92,6 +92,14 @@ SHOWCASE = {
     "similarity_topk_hamming": "zero-shuffle 8-byte sign sketch; broadcast query join; xor+popcount scoring",
     "graph_assortativity": "shared basket-explode edges; degree equi-joins; five decimal moments to one row",
     "events_activity_streaks": "(day - row_number) island key per user; no self-join; monotone shrinking aggregates",
+    "orders_abc_analysis": "global running sum via grouped_running_sum (constant group); integer-cents class cuts; 3-row agg",
+    "sql_pipe_syntax": "|> stages desugar to the classic plan: pushed filter, partial agg, TakeOrderedAndProject",
+    "dedup_minhash_accuracy": "one shuffle builds sigs + shingle sets; capped band join; audit folds to one row",
+    "events_dau_mau_stickiness": "(day,user) pairs forward-contribute to <=28 windows; one distinct-agg carries DAU and MAU",
+    "events_ks_test": "distinct-value axis; both ECDFs via one grouped_running_sum chain; argmax is TakeOrderedAndProject(1)",
+    "events_rolling_zscore": "one rows-frame window per (user, type); integer cross-multiplied |z|>k decision; types-sized agg",
+    "text_char_entropy": "char explode partial-aggs map-side to alphabet-bounded groups; integer entropy terms",
+    "shard_balance_audit": "md5 shard key; map-side partial agg to 64 rows; 1-row fold",
 }
 
 
