@@ -145,6 +145,8 @@ HEADLINE = [
     "events_rolling_zscore",
     "text_char_entropy",
     "shard_balance_audit",
+    "agg_weighted_median",
+    "events_benford_audit",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

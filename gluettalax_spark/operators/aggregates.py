@@ -334,3 +334,75 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("event_type").alias("mode_event"), F.col("n").alias("n_occurrences"))
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact weighted median (running-weight crossing, no single-task sort)
+# --------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH pts AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+g AS (SELECT v, CAST(sum(w) AS BIGINT) AS w FROM pts GROUP BY v),
+r AS (
+  SELECT v, w,
+         CAST(sum(w) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cw,
+         CAST(sum(w) OVER () AS BIGINT) AS tw
+  FROM g
+)
+SELECT CAST(max(tw) AS BIGINT) AS total_weight,
+       CAST(min(CASE WHEN cw * 2 >= tw THEN v END) AS BIGINT) AS wmedian_cents,
+       CAST(min(CASE WHEN cw * 4 >= tw THEN v END) AS BIGINT) AS wp25_cents,
+       CAST(min(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS BIGINT) AS wp75_cents
+FROM r
+"""
+
+
+@register(
+    "agg_weighted_median",
+    _WMEDIAN_ORACLE,
+    doc="exact quantity-weighted median/quartiles of price (running-weight crossing)",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median and quartiles — price weighted by quantity,
+    the 'typical unit price' a revenue team means when an unweighted
+    median over-represents one-unit line items. Spark has no weighted
+    percentile built-in, and the textbook sort-and-scan is inherently
+    sequential; the distributable identity is: the weighted q-quantile
+    is the smallest value whose RUNNING weight crosses q of the total.
+
+    Exactness: values quantize to cents, weights are integer
+    quantities, and the crossing tests (cw*2 >= tw, cw*4 >= tw,
+    cw*4 >= 3*tw) are pure integer comparisons — the lower weighted
+    median definition, no interpolation, no floats.
+
+    Scale shape: duplicate values collapse in ONE map-side-partial
+    groupBy first (the value axis is far smaller than the fact table);
+    the running weight rides `grouped_running_sum` with a constant
+    group (range shuffle + metadata offsets — never an unpartitioned
+    window); the crossing fold is one bounded aggregate."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    li = load(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("v")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .withColumn("_g", F.lit(1))
+    )
+    run = grouped_running_sum(g, ["_g"], [F.col("v")], "w", "cw")
+    tot = g.agg(F.sum("w").cast("long").alias("tw"))
+    r = run.crossJoin(F.broadcast(tot))
+    return r.agg(
+        F.max("tw").cast("long").alias("total_weight"),
+        F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("v"))).cast("long").alias("wmedian_cents"),
+        F.min(F.when(F.col("cw") * 4 >= F.col("tw"), F.col("v"))).cast("long").alias("wp25_cents"),
+        F.min(F.when(F.col("cw") * 4 >= F.col("tw") * 3, F.col("v"))).cast("long").alias("wp75_cents"),
+    )

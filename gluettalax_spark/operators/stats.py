@@ -1958,3 +1958,79 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (fraud/synthetic-data detector)
+# --------------------------------------------------------------------------
+
+# floor(ln(1 + 1/d) / ln(10) * 1e6) for d = 1..9 — precomputed so the
+# expected distribution is a shared integer constant in both engines.
+_BENFORD_PPM = (301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757)
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in enumerate(_BENFORD_PPM, start=1)
+) + " END"
+
+_BENFORD_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+  WHERE o_totalprice > 0
+),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c
+),
+g AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+SELECT digit, n,
+       CAST(n * 1000000 // total AS BIGINT) AS observed_ppm,
+       {_BENFORD_CASE} AS benford_ppm,
+       CAST(abs(n * 1000000 // total - {_BENFORD_CASE}) AS BIGINT) AS dev_ppm
+FROM g, t
+ORDER BY digit
+"""
+
+
+@register(
+    "events_benford_audit",
+    _BENFORD_ORACLE,
+    doc="Benford's-law first-digit audit of order amounts (integer ppm deviations)",
+)
+def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order amounts — the forensic-audit
+    classic: organically generated monetary values follow
+    P(d) = log10(1 + 1/d), and a digit bucket that deviates hard flags
+    fabricated or synthetically capped data. (The fixture's uniform
+    synthetic prices DON'T follow Benford — which is exactly what the
+    audit is supposed to reveal about synthetic data.)
+
+    Exactness: the first digit comes from the decimal STRING of the
+    integer cents (integer-to-string is identical in both engines —
+    never float log10, whose ulp could flip a leading-digit boundary);
+    expected probabilities are precomputed integer ppm constants shared
+    by both engines; observed shares and deviations are integer
+    division. Scale shape: one map-side-partial groupBy to at most nine
+    rows, a 1-row total, done."""
+    orders = load(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") > 0).select(
+        F.expr(
+            "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = g.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.expr("(n * 1000000L) div total").alias("observed_ppm"),
+            F.expr(_BENFORD_CASE).cast("long").alias("benford_ppm"),
+            F.expr(f"abs((n * 1000000L) div total - {_BENFORD_CASE})")
+            .cast("long")
+            .alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )

@@ -81,6 +81,8 @@ _NEW_THIS_ROUND = (
     "events_rolling_zscore",
     "text_char_entropy",
     "shard_balance_audit",
+    "agg_weighted_median",
+    "events_benford_audit",
 )
 
 

@@ -1437,3 +1437,102 @@ def test_shard_balance_plan_shape(spark, sf_dir):
     plan = physical_plan(queries()["shard_balance_audit"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# agg_weighted_median + events_benford_audit
+# --------------------------------------------------------------------------
+
+
+def _wmedian_brute(sf_dir: str):
+    import numpy as np
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice", "l_quantity"])
+    vw: Counter = Counter()
+    for p, q in zip(li["l_extendedprice"], li["l_quantity"]):
+        vw[int(np.floor(p * 100 + 0.5))] += int(q)
+    tw = sum(vw.values())
+    cw, med, p25, p75 = 0, None, None, None
+    for v in sorted(vw):
+        cw += vw[v]
+        if p25 is None and cw * 4 >= tw:
+            p25 = v
+        if med is None and cw * 2 >= tw:
+            med = v
+        if p75 is None and cw * 4 >= tw * 3:
+            p75 = v
+    return (tw, med, p25, p75)
+
+
+def test_weighted_median_matches_python_recompute(spark, sf_dir):
+    r = queries()["agg_weighted_median"](spark, sf_dir).collect()[0]
+    assert (
+        r["total_weight"], r["wmedian_cents"], r["wp25_cents"], r["wp75_cents"]
+    ) == _wmedian_brute(sf_dir)
+    assert r["wp25_cents"] <= r["wmedian_cents"] <= r["wp75_cents"]
+
+
+def test_benford_matches_python_recompute(spark, sf_dir):
+    import numpy as np
+
+    from gluettalax_spark.operators.stats import _BENFORD_PPM
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    digits = Counter(
+        int(str(int(np.floor(p * 100 + 0.5)))[0])
+        for p in orders["o_totalprice"]
+        if p > 0
+    )
+    total = sum(digits.values())
+    brute = sorted(
+        (d, n, n * 1_000_000 // total, _BENFORD_PPM[d - 1],
+         abs(n * 1_000_000 // total - _BENFORD_PPM[d - 1]))
+        for d, n in digits.items()
+    )
+    rows = queries()["events_benford_audit"](spark, sf_dir).collect()
+    got = [
+        (r["digit"], r["n"], r["observed_ppm"], r["benford_ppm"], r["dev_ppm"])
+        for r in rows
+    ]
+    assert got == brute
+    # The Benford constants themselves sum to ~1e6.
+    assert 999_990 <= sum(_BENFORD_PPM) <= 1_000_000
+
+
+def test_benford_accepts_organic_and_flags_uniform(spark):
+    """A log-uniform (organic-like) sample must sit close to Benford;
+    a uniform[10, 20) sample must blow the digit-1 bucket out — the
+    audit's two calibration points."""
+    import math
+    import random
+
+    rng = random.Random(3)
+    organic = [(i, math.exp(rng.uniform(0, math.log(10) * 6))) for i in range(4000)]
+    df = spark.createDataFrame(organic, "o_orderkey long, o_totalprice double")
+
+    def audit(frame):
+        d = frame.filter(F_col("o_totalprice") > 0).selectExpr(
+            "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT) AS digit"
+        )
+        g = d.groupBy("digit").count()
+        n = {r["digit"]: r["count"] for r in g.collect()}
+        t = sum(n.values())
+        return {d_: c * 1_000_000 // t for d_, c in n.items()}
+
+    from pyspark.sql.functions import col as F_col
+
+    from gluettalax_spark.operators.stats import _BENFORD_PPM
+
+    obs = audit(df)
+    for d_ in range(1, 10):
+        assert abs(obs.get(d_, 0) - _BENFORD_PPM[d_ - 1]) < 40_000, d_
+    uniform = [(i, rng.uniform(10.0, 20.0)) for i in range(2000)]
+    obs_u = audit(spark.createDataFrame(uniform, "o_orderkey long, o_totalprice double"))
+    assert obs_u.get(1, 0) > 900_000  # everything starts with '1'
+
+
+def test_wmedian_benford_plan_shapes(spark, sf_dir):
+    for name in ("agg_weighted_median", "events_benford_audit"):
+        plan = physical_plan(queries()[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
