@@ -147,6 +147,7 @@ HEADLINE = [
     "shard_balance_audit",
     "agg_weighted_median",
     "events_benford_audit",
+    "orders_repeat_cohort",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -2034,3 +2034,68 @@ def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------------
+# Repeat-purchase rate by acquisition cohort
+# --------------------------------------------------------------------------
+
+_REPEAT_COHORT_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         strftime(min(o_orderdate), '%Y-%m') AS cohort,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT cohort,
+       CAST(count(*) AS BIGINT)                                   AS n_customers,
+       CAST(count(CASE WHEN n_orders >= 2 THEN 1 END) AS BIGINT)  AS n_repeat,
+       CAST(count(CASE WHEN n_orders >= 2 THEN 1 END) * 1000
+            // count(*) AS BIGINT)                                AS repeat_milli,
+       CAST(sum(n_orders) * 1000 // count(*) AS BIGINT)           AS orders_per_cust_milli,
+       CAST(sum(cents) // count(*) AS BIGINT)                     AS ltv_cents
+FROM per_cust
+GROUP BY cohort
+ORDER BY cohort
+"""
+
+
+@register(
+    "orders_repeat_cohort",
+    _REPEAT_COHORT_ORACLE,
+    doc="repeat-purchase rate and LTV by acquisition-month cohort (integer permille)",
+)
+def orders_repeat_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-cohort quality: customers grouped by their FIRST
+    order month, with the repeat rate (2+ lifetime orders), orders per
+    customer, and lifetime value per cohort — the retention twin of
+    `events_cohort_retention` on the TRANSACTIONAL table, where the
+    money is.
+
+    Exactness: the cohort key is min(date) formatted month (integer
+    date comparison + deterministic formatting); rates are integer
+    permille division on cent-quantized sums. Scale shape: ONE
+    map-side-partial groupBy(customer) computes first-order month,
+    order count, and lifetime cents together (no window, no self-join
+    — min/count/sum fold in the same aggregate), then a
+    months-sized cohort aggregate."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM").alias("cohort"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"),
+    )
+    return (
+        per_cust.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.count(F.when(F.col("n_orders") >= 2, 1)).cast("long").alias("n_repeat"),
+            F.expr(
+                "(count(CASE WHEN n_orders >= 2 THEN 1 END) * 1000) div count(1)"
+            ).alias("repeat_milli"),
+            F.expr("(sum(n_orders) * 1000) div count(1)").alias("orders_per_cust_milli"),
+            F.expr("sum(cents) div count(1)").alias("ltv_cents"),
+        )
+        .orderBy("cohort")
+    )

@@ -83,6 +83,7 @@ _NEW_THIS_ROUND = (
     "shard_balance_audit",
     "agg_weighted_median",
     "events_benford_audit",
+    "orders_repeat_cohort",
 )
 
 

@@ -1536,3 +1536,54 @@ def test_wmedian_benford_plan_shapes(spark, sf_dir):
         plan = physical_plan(queries()[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+# --------------------------------------------------------------------------
+# orders_repeat_cohort
+# --------------------------------------------------------------------------
+
+
+def _repeat_cohort_brute(sf_dir: str):
+    import numpy as np
+
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    per: dict[int, list] = {}
+    for ck, d, p in zip(orders["o_custkey"], orders["o_orderdate"], orders["o_totalprice"]):
+        a = per.setdefault(int(ck), [None, 0, 0])
+        if a[0] is None or d < a[0]:
+            a[0] = d
+        a[1] += 1
+        a[2] += int(np.floor(p * 100 + 0.5))
+    coh: dict[str, list[int]] = {}
+    for first, n, cents in per.values():
+        c = coh.setdefault(first.strftime("%Y-%m"), [0, 0, 0, 0])
+        c[0] += 1
+        c[1] += 1 if n >= 2 else 0
+        c[2] += n
+        c[3] += cents
+    return sorted(
+        (m, c[0], c[1], c[1] * 1000 // c[0], c[2] * 1000 // c[0], c[3] // c[0])
+        for m, c in coh.items()
+    )
+
+
+def test_repeat_cohort_matches_python_recompute(spark, sf_dir):
+    rows = queries()["orders_repeat_cohort"](spark, sf_dir).collect()
+    got = [
+        (r["cohort"], r["n_customers"], r["n_repeat"], r["repeat_milli"],
+         r["orders_per_cust_milli"], r["ltv_cents"])
+        for r in rows
+    ]
+    assert got == _repeat_cohort_brute(sf_dir)
+    for r in rows:
+        assert 0 <= r["repeat_milli"] <= 1000
+        assert r["orders_per_cust_milli"] >= 1000  # every customer has >= 1 order
+
+
+def test_repeat_cohort_plan_shape(spark, sf_dir):
+    plan = physical_plan(queries()["orders_repeat_cohort"](spark, sf_dir))
+    assert "Window" not in plan  # one aggregate computes cohort + counts
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
