@@ -100,6 +100,9 @@ SHOWCASE = {
     "events_rolling_zscore": "one rows-frame window per (user, type); integer cross-multiplied |z|>k decision; types-sized agg",
     "text_char_entropy": "char explode partial-aggs map-side to alphabet-bounded groups; integer entropy terms",
     "shard_balance_audit": "md5 shard key; map-side partial agg to 64 rows; 1-row fold",
+    "agg_weighted_median": "values collapse map-side; running weight via grouped_running_sum; integer crossing fold",
+    "events_benford_audit": "first digit from the integer-cents string; nine-row aggregate + 1-row total",
+    "orders_repeat_cohort": "one groupBy(customer) folds first-month/count/LTV; months-sized cohort agg; window-free",
 }
 
 
