@@ -46,45 +46,20 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder]
 
 
 # Keys surfaced FIRST so a sampling driver gives them a verdict this
-# round. Round 7: the single remaining key that has never appeared in any
-# CORRECTNESS_r*.json sample (rows-only by design — approx_percentile
-# sketches aren't DuckDB-reproducible; pinned by pytest instead). One
-# rotation slot closes the board: afterwards every registry key has a
-# driver verdict in some round.
-# tests/test_correctness.py::test_sampling_rotation_excludes_already_verdicted_keys
-# asserts this set is disjoint from the keys already carrying a driver
-# verdict, so a stale rotation can't recur.
-_NEW_THIS_ROUND = (
-    "agg_percentiles_approx",
-    "text_bpe_merge_candidates",
-    "graph_jaccard_linkpred",
-    "apply_in_arrow_grouped",
-    "text_bpe_train",
-    "events_changepoint_cusum",
-    "source_mix_temperature",
-    "quality_percentile_by_source",
-    "embedding_outlier_centroid",
-    "corpus_token_zipf",
-    "orders_seasonality_weekday",
-    "text_js_divergence_sources",
-    "events_interarrival_by_type",
-    "text_lexical_diversity",
-    "label_quality_profile",
-    "similarity_topk_hamming",
-    "graph_assortativity",
-    "events_activity_streaks",
-    "orders_abc_analysis",
-    "sql_pipe_syntax",
-    "dedup_minhash_accuracy",
-    "events_dau_mau_stickiness",
-    "events_ks_test",
-    "events_rolling_zscore",
-    "text_char_entropy",
-    "shard_balance_audit",
-    "agg_weighted_median",
-    "events_benford_audit",
-    "orders_repeat_cohort",
-)
+# round — genuinely NEW operators only. As of round 8 the board is
+# closed: the union of CORRECTNESS_r01–r07 gives every pre-round-8 key a
+# driver verdict, so the tuple holds only operators added this round.
+#
+# _ROTATION_ROUND records the round this tuple was last rotated. The
+# staleness guard
+# (tests/test_correctness.py::test_sampling_rotation_excludes_already_verdicted_keys)
+# ignores CORRECTNESS_r{N}.json deposits with N >= _ROTATION_ROUND: the
+# current round's deposit NECESSARILY verdicts the current rotation, and
+# treating that as staleness shipped the suite red after every driver
+# drop in rounds 6 and 7 (VERDICT r7 "What's wrong" #1).
+_ROTATION_ROUND = 8
+
+_NEW_THIS_ROUND: tuple[str, ...] = ()
 
 
 def _sample_priority(name: str) -> tuple[int, int]:

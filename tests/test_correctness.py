@@ -57,22 +57,26 @@ def test_sampling_rotation_names_are_registered():
     assert not missing, missing
 
 
-def test_sampling_rotation_excludes_already_verdicted_keys():
-    """_NEW_THIS_ROUND must be disjoint from keys that already have a
-    driver verdict in some CORRECTNESS_r*.json — re-surfacing a green key
-    wastes a sample slot that an unsigned key needs (VERDICT r5 nit 1).
+def _stale_rotation_keys(root, rotation, rotation_round):
+    """Keys in ``rotation`` already verdicted by a CORRECTNESS deposit from
+    a round BEFORE ``rotation_round``.
+
+    Deposits with N >= rotation_round are ignored: the current round's
+    driver drop necessarily verdicts the current rotation, and flagging
+    that shipped the suite red after every deposit (VERDICT r7 wrong #1).
 
     A row whose every match field is null and whose ``err`` is set is a
-    harness failure, not a verdict — such keys SHOULD be re-surfaced
-    (e.g. agg_percentiles_approx errored in r1 on the old array-column
-    output and needs a clean rows-only sample)."""
+    harness failure, not a verdict — such keys SHOULD be re-surfaced."""
     import glob
     import json
     import os
+    import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: set[str] = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m and int(m.group(1)) >= rotation_round:
+            continue
         try:
             rows = json.load(open(path))
         except (OSError, json.JSONDecodeError):
@@ -87,5 +91,39 @@ def test_sampling_rotation_excludes_already_verdicted_keys():
             )
             if verdicted:
                 seen.add(key)
-    stale = sorted(set(registry._NEW_THIS_ROUND) & seen)
+    return sorted(set(rotation) & seen)
+
+
+def test_sampling_rotation_excludes_already_verdicted_keys():
+    """_NEW_THIS_ROUND must be disjoint from keys that already carry a
+    driver verdict from a PRIOR round — re-surfacing a green key wastes a
+    sample slot that an unsigned key needs (VERDICT r5 nit 1)."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stale = _stale_rotation_keys(root, registry._NEW_THIS_ROUND, registry._ROTATION_ROUND)
     assert not stale, f"rotation re-surfaces already-verdicted keys: {stale}"
+
+
+def test_rotation_guard_ignores_current_round_deposit(tmp_path):
+    """Replay the failure mode that shipped the suite red in rounds 6–7:
+    the driver deposits CORRECTNESS_r{N}.json for the CURRENT round,
+    verdicting exactly the keys in the current rotation. The guard must
+    ignore that deposit — but still fire on a prior-round one."""
+    import json
+
+    verdict_row = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+
+    # Current-round deposit verdicting a rotated key → NOT stale.
+    (tmp_path / "CORRECTNESS_r08.json").write_text(json.dumps({"new_op": verdict_row}))
+    assert _stale_rotation_keys(str(tmp_path), ("new_op",), 8) == []
+
+    # Prior-round deposit verdicting the same key → stale.
+    (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps({"new_op": verdict_row}))
+    assert _stale_rotation_keys(str(tmp_path), ("new_op",), 8) == ["new_op"]
+
+    # An err-only row (harness failure) is not a verdict → not stale.
+    (tmp_path / "CORRECTNESS_r06.json").write_text(
+        json.dumps({"flaky_op": {"rows_match": None, "schema_match": None, "hash_match": None, "err": "boom"}})
+    )
+    assert _stale_rotation_keys(str(tmp_path), ("flaky_op",), 8) == []
