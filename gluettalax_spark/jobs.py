@@ -253,6 +253,14 @@ class JobRegistry:
             .collect()
         )
 
+    def load_history(self, runs) -> None:
+        """Restore run history (e.g. from a persisted runs table) into
+        this registry. Replayed records are indistinguishable from live
+        ones to A3/C5/D5–D7 — the same ``runs_df`` plan serves both."""
+        with self._lock:
+            for r in runs:
+                self._runs[r.run_id] = r
+
     def clear(self) -> None:
         with self._lock:
             self._jobs.clear()

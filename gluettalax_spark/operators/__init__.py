@@ -17,6 +17,7 @@ from gluettalax_spark.operators import (  # noqa: F401
     pipeline,
     relational,
     reshape,
+    runhistory,
     scalars,
     semantic,
     similarity,

@@ -59,7 +59,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder]
 # drop in rounds 6 and 7 (VERDICT r7 "What's wrong" #1).
 _ROTATION_ROUND = 8
 
-_NEW_THIS_ROUND: tuple[str, ...] = ()
+_NEW_THIS_ROUND: tuple[str, ...] = (
+    "jobs_run_history_stats",
+)
 
 
 def _sample_priority(name: str) -> tuple[int, int]:
