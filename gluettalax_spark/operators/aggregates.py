@@ -142,6 +142,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_count_distinct",
     None,  # HLL sketches are engine-specific — rows-only check by design.
     doc="approx_count_distinct (HyperLogLog++); the 100 TB path for distincts",
+    witness=("exact_n_orders", "exact_n_parts", "rel_err_orders", "rel_err_parts"),
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At 100 TB an exact distinct over a high-cardinality key shuffles the
@@ -237,6 +238,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentiles_approx",
     None,  # t-digest/GK sketch — engine-specific, rows-only check.
     doc="percentile_approx — the mergeable-sketch percentile for 100 TB",
+    witness=("p50_exact", "p95_exact", "rel_err_p50", "rel_err_p95"),
 )
 def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-verifying rows-only contract: the exact percentiles and the

@@ -91,7 +91,12 @@ def _assignments(spark: SparkSession, sf_dir: str):
     return assigned, model.clusterCenters()
 
 
-@register("similarity_topk_ivf", None, doc=f"IVF({NLIST},nprobe={NPROBE}) cosine top-{TOPK} (trained quantizer)")
+@register(
+    "similarity_topk_ivf",
+    None,
+    doc=f"IVF({NLIST},nprobe={NPROBE}) cosine top-{TOPK} (trained quantizer)",
+    witness=("recall_at_k",),
+)
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Queries probe their NPROBE nearest cells; scoring joins on the cell
     id. The probe list is built driver-side from the centroid matrix
@@ -264,6 +269,7 @@ def _ivfpq_model(spark: SparkSession, sf_dir: str):
     "similarity_topk_pq",
     None,
     doc=f"PQ{PQ_M}x8 asymmetric-distance cosine top-{TOPK} (trained codebooks, rows-only)",
+    witness=("recall_at_k",),
 )
 def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al., "Product Quantization for
@@ -489,6 +495,7 @@ def _ivfpq_scored(spark: SparkSession, sf_dir: str):
     "similarity_topk_ivfpq",
     None,
     doc=f"IVF(4√n cells, 25% probed) residual-PQ{PQ_M}x8 ADC scoring (rows-only)",
+    witness=("recall_at_k",),
 )
 def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production composition (FAISS IVFPQ shape): IVF cells prune
@@ -529,6 +536,7 @@ REFINE_R = 5 * TOPK  # exact-rescore shortlist per query
     "similarity_topk_ivfpq_refine",
     None,
     doc=f"IVFPQ + exact re-rank of the top-{REFINE_R} PQ shortlist (FAISS refine stage, rows-only)",
+    witness=("recall_at_k",),
 )
 def similarity_topk_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ with the standard FAISS *refine* stage: the PQ LUT pass is

@@ -521,6 +521,7 @@ _PR_TOPK = 20
 @register(
     "graph_pagerank",
     None,
+    witness=("mass_total",),
     doc=f"PageRank ({_PR_ITERS} synchronous iterations, d={_PR_DAMPING}) on the part "
     "co-occurrence graph, top-20 (rows-only: iterative, not SQL-expressible; "
     "pinned against a numpy recompute in tests)",

@@ -177,7 +177,12 @@ def make_decode_batch(have_codecs: bool = _HAVE_CODECS):
     return decode_batch
 
 
-@register("multimodal_decode_features", None, doc="stubbed decode → features via mapInPandas (rows-only)")
+@register(
+    "multimodal_decode_features",
+    None,
+    doc="stubbed decode → features via mapInPandas (rows-only)",
+    witness=("payload_md5w", "meta_ok"),
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary → feature columns through the Arrow batch path. No SQL
     oracle (the decode is procedural); the driver records a rows-only
@@ -226,7 +231,12 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_feature_rollup", None, doc="decode features → per-shape rollup (rows-only)")
+@register(
+    "multimodal_feature_rollup",
+    None,
+    doc="decode features → per-shape rollup (rows-only)",
+    witness=("md5w_checksum", "luma_centi_sum", "n_docs_total"),
+)
 def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typical downstream shape: decode once, aggregate features.
     Decode (Python, Arrow-batched) feeds a JVM-side hash aggregate.
@@ -399,7 +409,12 @@ def make_frame_sample_batch(have_codecs: bool = _HAVE_CODECS):
     return frame_batch
 
 
-@register("multimodal_resize", None, doc="stubbed resize → fixed-size thumbnails via mapInPandas (rows-only)")
+@register(
+    "multimodal_resize",
+    None,
+    doc="stubbed resize → fixed-size thumbnails via mapInPandas (rows-only)",
+    witness=("payload_md5w", "thumb_ok"),
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-verifying rows-only contract: ``thumb_ok`` is a JVM-side
     recompute of the kernel's work, byte-exact for the stub branch —
@@ -451,7 +466,12 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample", None, doc="stubbed frame sampling (1→N explode) via mapInPandas (rows-only)")
+@register(
+    "multimodal_frame_sample",
+    None,
+    doc="stubbed frame sampling (1→N explode) via mapInPandas (rows-only)",
+    witness=("frame_ok",),
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-verifying rows-only contract: ``frame_ok`` recomputes the
     kernel's claims JVM-side — timestamps are frame_idx×FRAME_MS, only

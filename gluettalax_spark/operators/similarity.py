@@ -582,6 +582,7 @@ def _make_cosine_scorer(queries_np, query_ids):
     "similarity_topk_vectorized",
     None,  # rows-only: numpy pairwise summation vs the oracle's serial fold
     doc=f"Arrow-vectorized cosine top-{TOPK}: mapInPandas + numpy matmul",
+    witness=("fold_err",),
 )
 def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The throughput twin of ``similarity_topk``: queries collect to a
@@ -807,6 +808,7 @@ _COV_CACHE: dict[str, list] = {}
 @register(
     "embedding_pca_project",
     None,
+    witness=("var_pc1", "eig1"),
     doc=f"distributed PCA: top-{PCA_K} components from the exact covariance, corpus projected JVM-side (rows-only + variance invariant)",
 )
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:

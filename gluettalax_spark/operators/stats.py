@@ -106,7 +106,12 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("agg_hll_sketch_union", None, doc="per-month HLL sketches, unioned to a global estimate (rows-only)")
+@register(
+    "agg_hll_sketch_union",
+    None,
+    doc="per-month HLL sketches, unioned to a global estimate (rows-only)",
+    witness=("exact_distinct_custs", "rel_err"),
+)
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch-column pattern: build an HLL sketch of distinct
     customers PER MONTH (cheap, mergeable, constant-size state), then
@@ -194,7 +199,12 @@ def events_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_wau_hll", None, doc="rolling 7-day distinct users via windowed HLL union (rows-only)")
+@register(
+    "events_wau_hll",
+    None,
+    doc="rolling 7-day distinct users via windowed HLL union (rows-only)",
+    witness=("wau_exact", "rel_err"),
+)
 def events_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-window distinct (WAU): per-day HLL sketches, unioned over a
     7-day ROWS frame — rolling COUNT DISTINCT without re-scanning seven

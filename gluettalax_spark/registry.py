@@ -28,18 +28,38 @@ class QuerySpec:
     builder: Builder
     oracle: str | None
     doc: str = ""
+    #: For oracle-less (rows-only) queries: the output columns that carry
+    #: the embedded correctness witness — an exact twin, a recompute
+    #: boolean, a recall measurement — each pinned by a pytest that
+    #: re-derives it independently. The driver's rows-only check sees
+    #: only a row count; the witness columns are what make the output
+    #: self-certifying anyway (VERDICT r7 residual #2).
+    witness: tuple[str, ...] = ()
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder], Builder]:
-    """Decorator: register a query builder under ``name``."""
+def register(
+    name: str, oracle: str | None, doc: str = "", witness: tuple[str, ...] = ()
+) -> Callable[[Builder], Builder]:
+    """Decorator: register a query builder under ``name``.
+
+    A rows-only query (``oracle=None``) MUST declare its witness columns —
+    refusing oracle-less, witness-less registrations at import time keeps
+    "rows-only" from ever degrading to "shape-only"."""
 
     def wrap(fn: Builder) -> Builder:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = QuerySpec(name=name, builder=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        if oracle is None and not witness:
+            raise ValueError(
+                f"rows-only query {name!r} must declare witness columns "
+                "(register(..., witness=(...)))"
+            )
+        _REGISTRY[name] = QuerySpec(
+            name=name, builder=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), witness=witness
+        )
         return fn
 
     return wrap

@@ -69,6 +69,27 @@ def test_run_history_replay_is_bounded(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+# --------------------------------------------------------------------------
+# Rows-only witness manifest (VERDICT r7 task 4)
+# --------------------------------------------------------------------------
+
+
+def test_every_rows_only_key_declares_and_emits_its_witness(spark, sf_dir):
+    """Registration already refuses an oracle-less key without witness
+    columns; this pins the other half — every declared witness column is
+    actually present in the builder's output schema, so renaming a column
+    can't silently orphan the certificate the tests assert elsewhere."""
+    from gluettalax_spark import registry
+
+    for name, spec in registry.all_queries().items():
+        if spec.oracle is not None:
+            continue
+        assert spec.witness, f"{name}: rows-only without witness columns"
+        cols = set(spec.builder(spark, sf_dir).columns)
+        missing = [w for w in spec.witness if w not in cols]
+        assert not missing, f"{name}: witness columns missing from output: {missing}"
+
+
 def test_run_history_roundtrips_through_list_runs(spark, sf_dir):
     """The replayed history serves the reference's A3/C5 surfaces too —
     same records, same plans as live runs."""
