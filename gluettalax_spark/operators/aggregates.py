@@ -64,7 +64,7 @@ SELECT
   CAST(year(o_orderdate) AS INTEGER)  AS order_year,
   CAST(month(o_orderdate) AS INTEGER) AS order_month,
   count(*)                            AS n_orders,
-  round(sum(o_totalprice), 2)         AS sum_price
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
 FROM orders
 GROUP BY ROLLUP (order_year, order_month)
 ORDER BY order_year NULLS FIRST, order_month NULLS FIRST
@@ -74,15 +74,21 @@ ORDER BY order_year NULLS FIRST, order_month NULLS FIRST
 @register("agg_rollup_daily", _ROLLUP_ORACLE, doc="ROLLUP over (year, month)")
 def agg_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals: (year, month) → (year) → (). One shuffle;
-    Catalyst expands the grouping sets before the exchange."""
+    Catalyst expands the grouping sets before the exchange.
+
+    Exactness: the () grouping set folds the whole table's prices, where
+    float accumulation order crosses the 2-decimal rounding boundary at
+    sf1.0 — integer-cents sums keep every grouping set exact."""
     orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         orders.withColumn("order_year", F.year("o_orderdate"))
         .withColumn("order_month", F.month("o_orderdate"))
+        .withColumn("_cents", cents)
         .rollup("order_year", "order_month")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            (F.sum("_cents").cast("double") / 100.0).alias("sum_price"),
         )
         .orderBy(F.col("order_year").asc_nulls_first(), F.col("order_month").asc_nulls_first())
     )

@@ -84,8 +84,8 @@ _GROUPING_SETS_ORACLE = """
 SELECT
   o_orderstatus,
   o_orderpriority,
-  count(*)                    AS n_orders,
-  round(sum(o_totalprice), 2) AS sum_price
+  count(*) AS n_orders,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -94,14 +94,18 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 
 @register("agg_grouping_sets", _GROUPING_SETS_ORACLE, doc="explicit GROUPING SETS")
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactness: the grand-total grouping set sums millions of doubles at
+    scale, where float accumulation order crosses the 2-decimal rounding
+    boundary (diverged at sf1.0). Summing integer cents keeps the fold
+    exact in both engines; the /100 is one deterministic IEEE division."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
     return spark.sql(
         """
         SELECT
           o_orderstatus,
           o_orderpriority,
-          count(*)                    AS n_orders,
-          round(sum(o_totalprice), 2) AS sum_price
+          count(*) AS n_orders,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
