@@ -148,8 +148,13 @@ HEADLINE = [
     "agg_weighted_median",
     "events_benford_audit",
     "orders_repeat_cohort",
-    # round 8: control-plane dogfood
+    # round 8: control-plane dogfood, hypothesis tests, modularity, Gopher
     "jobs_run_history_stats",
+    "stats_mannwhitney_events",
+    "stats_spearman_quality_length",
+    "stats_chi2_type_by_split",
+    "graph_modularity",
+    "text_gopher_quality",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40
@@ -201,6 +206,10 @@ SCALING_SUBSET = [
     "quality_percentile_by_source",
     "similarity_topk_hamming",
     "events_changepoint_cusum",
+    "stats_mannwhitney_events",
+    "stats_spearman_quality_length",
+    "graph_modularity",
+    "text_gopher_quality",
 ]
 
 

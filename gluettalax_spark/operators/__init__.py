@@ -11,6 +11,7 @@ from gluettalax_spark.operators import (  # noqa: F401
     ann,
     dedup,
     graph,
+    hypothesis,
     interval,
     joins,
     multimodal,

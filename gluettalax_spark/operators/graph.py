@@ -605,11 +605,13 @@ _LPA_ITERS = 3
 _LPA_TOPK = 20
 
 
-def _lpa_oracle() -> str:
+def _lpa_cte_prefix() -> str:
     """Unrolled DuckDB replay of the synchronous label-propagation rounds:
     each iteration is the SAME join + count + (count desc, label asc)
     argmax the Spark side computes — deterministic integer math, so the
-    compare is hash-exact."""
+    compare is hash-exact. Returns the WITH-chain ending at the final
+    ``lab{_LPA_ITERS}`` CTE plus ``edges``/``e0`` for reuse; callers
+    append their own final SELECT (community sizes, modularity, ...)."""
     parts = [
         f"""WITH op AS (SELECT o, p FROM {_DUCK_CAPPED_OP}),
 e0 AS (
@@ -635,12 +637,45 @@ lab{i} AS (
 )"""
         )
         cur = f"lab{i}"
-    parts.append(
-        f"""
-SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
-FROM {cur} GROUP BY lab ORDER BY n_members DESC, community LIMIT {_LPA_TOPK}"""
-    )
     return "".join(parts)
+
+
+def _lpa_oracle() -> str:
+    return (
+        _lpa_cte_prefix()
+        + f"""
+SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
+FROM lab{_LPA_ITERS} GROUP BY lab ORDER BY n_members DESC, community LIMIT {_LPA_TOPK}"""
+    )
+
+
+def _lpa_edges_and_labels(spark: SparkSession, sf_dir: str):
+    """(undirected edges, final LPA labels) — the per-round join + count
+    + min(struct) argmax shape documented on :func:`graph_communities_lpa`;
+    shared with :func:`graph_modularity` so both score the same labeling."""
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    sym = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(_LPA_ITERS):
+        nbr = sym.join(labels.withColumnRenamed("node", "v"), "v").select(
+            F.col("u").alias("node"), "lab"
+        )
+        cnt = nbr.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("l"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.l").alias("lab"))
+            .localCheckpoint(eager=False)
+        )
+    return edges, labels
 
 
 @register(
@@ -666,33 +701,93 @@ def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-iteration shape a 100 TB run needs (bucketed edges co-locate the
     static side).
     """
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
-    sym = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
-        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
-    )
-    labels = sym.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("lab")
-    )
-    for _ in range(_LPA_ITERS):
-        nbr = sym.join(labels.withColumnRenamed("node", "v"), "v").select(
-            F.col("u").alias("node"), "lab"
-        )
-        cnt = nbr.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("c"))
-        labels = (
-            cnt.groupBy("node")
-            .agg(
-                F.min(
-                    F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("l"))
-                ).alias("m")
-            )
-            .select("node", F.col("m.l").alias("lab"))
-            .localCheckpoint(eager=False)
-        )
+    _, labels = _lpa_edges_and_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("lab").alias("community"))
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy(F.desc("n_members"), F.asc("community"))
         .limit(_LPA_TOPK)
+    )
+
+
+def _modularity_oracle() -> str:
+    n = _LPA_ITERS
+    return (
+        _lpa_cte_prefix()
+        + f""",
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+intra AS (
+  SELECT CAST(count(*) AS BIGINT) AS a
+  FROM e0 JOIN lab{n} la ON la.node = e0.pa JOIN lab{n} lb ON lb.node = e0.pb
+  WHERE la.lab = lb.lab
+),
+dc AS (
+  SELECT l.lab, CAST(sum(d.d) AS HUGEINT) AS dsum
+  FROM deg d JOIN lab{n} l ON l.node = d.node GROUP BY l.lab
+),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+bs AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+              CAST(sum(dsum * dsum) AS HUGEINT) AS b FROM dc)
+SELECT n_communities,
+       m AS m_edges,
+       a AS intra_edges,
+       CAST(a AS DOUBLE) / m
+         - CAST(b AS DOUBLE) / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+         AS modularity
+FROM mm, intra, bs"""
+    )
+
+
+@register(
+    "graph_modularity",
+    _modularity_oracle(),
+    doc=f"Newman modularity Q of the {_LPA_ITERS}-round LPA communities",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score of the LPA partition (Newman & Girvan 2004):
+    ``Q = Σ_c [L_c/m − (d_c/2m)²] = A/m − B/4m²`` with ``A`` = intra-
+    community edges and ``B = Σ_c d_c²`` — two integer moments (B in
+    DECIMAL(38,0)), then ONE double expression, so the score is exact
+    cross-engine. The curation use: decide whether a community structure
+    (e.g. near-dup clusters, topical buckets) is real before sharding by
+    it.
+
+    Scale shape: label join is node-keyed on both endpoints (never a
+    broadcast of the unbounded label table), degrees aggregate from the
+    edge list, and the three 1-row aggregates meet in broadcast
+    crossJoins — nothing after the joins exceeds one row per community."""
+    edges, labels = _lpa_edges_and_labels(spark, sf_dir)
+    la = labels.select(F.col("node").alias("pa"), F.col("lab").alias("lab_a"))
+    lb = labels.select(F.col("node").alias("pb"), F.col("lab").alias("lab_b"))
+    intra = (
+        edges.join(la, "pa")
+        .join(lb, "pb")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dc = deg.join(labels, "node").groupBy("lab").agg(F.sum("d").cast("decimal(38,0)").alias("dsum"))
+    bs = dc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum(F.col("dsum") * F.col("dsum")).alias("b"),
+    )
+    mm = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    return (
+        bs.crossJoin(F.broadcast(mm))
+        .crossJoin(F.broadcast(intra))
+        .selectExpr(
+            "n_communities",
+            "m AS m_edges",
+            "a AS intra_edges",
+            """CAST(a AS DOUBLE) / m
+               - CAST(b AS DOUBLE) / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+               AS modularity""",
+        )
     )
 
 

@@ -1,0 +1,346 @@
+"""Distribution-comparison hypothesis tests over the event/document fixtures.
+
+The curation counterpart of `events_ks_test` / `events_ab_test`
+(reference surface: SURVEY §2 F-agg "statistical profile"): rank-based
+and count-based tests a data pipeline runs to decide whether two slices
+of a corpus differ — Mann-Whitney U (does one event type's value
+distribution stochastically dominate another's), Spearman rank
+correlation (is document quality monotone in length, per source), and a
+chi-square homogeneity test (is the event-type mix identical across a
+deterministic A/B split).
+
+Exactness discipline (the repo-wide recipe): every rank, count, and tie
+statistic is an exact integer (2× average ranks stay integral; moment
+sums ride DECIMAL(38,0)/HUGEINT), and each final statistic is ONE fixed
+sequence of IEEE double ops — deterministic cross-engine, unlike any
+float fold.
+
+Scale shapes: all three tests aggregate through bounded dictionaries
+(value dictionaries for the rank tests, a types×2 grid for chi-square);
+running ranks use the range-partitioned machinery in
+:mod:`gluettalax_spark.operators.rank`, never a group-partitioned window
+over unbounded rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gluettalax_spark.operators.rank import grouped_running_sum
+from gluettalax_spark.registry import register
+from gluettalax_spark.tables import load
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U: click vs purchase event values
+# --------------------------------------------------------------------------
+
+_MW_A, _MW_B = "click", "purchase"
+
+_MANNWHITNEY_ORACLE = f"""
+WITH vals AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END AS in_a
+  FROM events WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+),
+dict AS (
+  SELECT v,
+         CAST(sum(in_a) AS BIGINT)     AS n1v,
+         CAST(sum(1 - in_a) AS BIGINT) AS n2v,
+         CAST(count(*) AS BIGINT)      AS nv
+  FROM vals GROUP BY v
+),
+ranked AS (
+  SELECT *,
+         CAST(sum(nv) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM dict
+),
+m AS (
+  SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+         CAST(sum(n2v) AS BIGINT) AS n2,
+         -- 2×rank-sum of sample A: R2(v) = 2·cum_before + nv + 1
+         CAST(sum(CAST(n1v AS HUGEINT) * (2 * (cum - nv) + nv + 1)) AS BIGINT) AS r1_x2,
+         CAST(sum(CAST(nv AS HUGEINT) * nv * nv - nv) AS BIGINT) AS tie_t
+  FROM ranked
+)
+SELECT n1, n2,
+       CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+       tie_t,
+       (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)
+         / sqrt(CAST(n1 AS DOUBLE) * n2
+                * ((CAST(n1 + n2 AS DOUBLE) + 1)
+                   - CAST(tie_t AS DOUBLE)
+                     / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))
+                / 3.0) AS z
+FROM m
+"""
+
+
+@register(
+    "stats_mannwhitney_events",
+    _MANNWHITNEY_ORACLE,
+    doc=f"Mann-Whitney U ({_MW_A} vs {_MW_B} values) — exact tie-corrected ranks",
+)
+def stats_mannwhitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U via the value-dictionary construction: group the
+    cents-quantized values (exact), take a scale-safe running count over
+    the dictionary (``grouped_running_sum``, never an unpartitioned
+    window over data rows), and fold the 2×-average-rank identity
+    ``R2(v) = 2·cum_before + n_v + 1`` into integer moments. ``u1_x2``
+    and the tie term are exact; ``z`` (normal approximation with tie
+    correction) is one shared IEEE expression.
+
+    Scale: the only data-scale pass is the groupBy(v); everything after
+    runs on the value dictionary (cents cardinality ≪ rows)."""
+    events = load(spark, sf_dir, "events")
+    vals = events.filter(F.col("event_type").isin(_MW_A, _MW_B)).select(
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.col("event_type") == _MW_A, 1).otherwise(0).alias("in_a"),
+    )
+    dict_df = vals.groupBy("v").agg(
+        F.sum("in_a").cast("long").alias("n1v"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("n2v"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    ).withColumn("_g", F.lit(1))
+    ranked = grouped_running_sum(dict_df, ["_g"], ["v"], "nv", "cum")
+    m = ranked.agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum("n2v").cast("long").alias("n2"),
+        F.sum(
+            F.col("n1v").cast("decimal(38,0)")
+            * (2 * (F.col("cum") - F.col("nv")) + F.col("nv") + 1)
+        ).cast("long").alias("r1_x2"),
+        F.sum(
+            F.col("nv").cast("decimal(38,0)") * F.col("nv") * F.col("nv") - F.col("nv")
+        ).cast("long").alias("tie_t"),
+    )
+    return m.selectExpr(
+        "n1",
+        "n2",
+        "CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2",
+        "tie_t",
+        """(CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)
+           / sqrt(CAST(n1 AS DOUBLE) * n2
+                  * ((CAST(n1 + n2 AS DOUBLE) + 1)
+                     - CAST(tie_t AS DOUBLE)
+                       / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))
+                  / 3.0) AS z""",
+    )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation: quality vs length, per source
+# --------------------------------------------------------------------------
+
+
+def _spearman_oracle() -> str:
+    from gluettalax_spark.operators.text import _QUALITY_DUCK
+
+    return f"""
+WITH base AS (
+  SELECT source,
+         n_chars AS x,
+         CAST(round(({_QUALITY_DUCK}) * 10000) AS BIGINT) AS y
+  FROM documents
+),
+dx AS (
+  SELECT source, x, CAST(count(*) AS BIGINT) AS cx,
+         CAST(sum(count(*)) OVER (PARTITION BY source ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumx
+  FROM base GROUP BY source, x
+),
+dy AS (
+  SELECT source, y, CAST(count(*) AS BIGINT) AS cy,
+         CAST(sum(count(*)) OVER (PARTITION BY source ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumy
+  FROM base GROUP BY source, y
+),
+pxy AS (
+  SELECT source, x, y, CAST(count(*) AS BIGINT) AS nxy
+  FROM base GROUP BY source, x, y
+),
+j AS (
+  SELECT p.source, p.nxy,
+         2 * (dx.cumx - dx.cx) + dx.cx + 1 AS rx2,
+         2 * (dy.cumy - dy.cy) + dy.cy + 1 AS ry2
+  FROM pxy p
+  JOIN dx ON dx.source = p.source AND dx.x = p.x
+  JOIN dy ON dy.source = p.source AND dy.y = p.y
+),
+m AS (
+  SELECT source,
+         CAST(sum(nxy) AS HUGEINT)                    AS n,
+         CAST(sum(CAST(nxy AS HUGEINT) * rx2)         AS HUGEINT) AS sx,
+         CAST(sum(CAST(nxy AS HUGEINT) * ry2)         AS HUGEINT) AS sy,
+         CAST(sum(CAST(nxy AS HUGEINT) * rx2 * rx2)   AS HUGEINT) AS sxx,
+         CAST(sum(CAST(nxy AS HUGEINT) * ry2 * ry2)   AS HUGEINT) AS syy,
+         CAST(sum(CAST(nxy AS HUGEINT) * rx2 * ry2)   AS HUGEINT) AS sxy
+  FROM j GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+         AS rho
+FROM m
+ORDER BY source
+"""
+
+
+@register(
+    "stats_spearman_quality_length",
+    _spearman_oracle(),
+    doc="Spearman rank correlation (quality vs n_chars) per source — exact tied ranks",
+)
+def stats_spearman_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman ρ per source with exact average-rank ties: marginal value
+    dictionaries get scale-safe per-source running counts
+    (``grouped_running_sum``), the (x, y) pair dictionary joins its two
+    marginal 2×ranks back dictionary-keyed, and Pearson-on-ranks moments
+    accumulate in DECIMAL(38,0). The 2× scale cancels in ρ, so the only
+    float math is the single final expression (the two variance factors
+    are cast to double BEFORE multiplying — their exact product needs ~57
+    digits).
+
+    Scale: three data passes (two marginal groupBys + the pair groupBy);
+    all joins and windows downstream are dictionary-sized and keyed by
+    (source, value) — nothing funnels a source through one task."""
+    from gluettalax_spark.operators.text import _quality_parts
+
+    docs = load(spark, sf_dir, "documents")
+    *_, quality = _quality_parts()
+    base = docs.select(
+        "source",
+        F.col("n_chars").alias("x"),
+        F.round(quality * 10000).cast("long").alias("y"),
+    )
+
+    def marginal(col: str, cnt: str, cum: str) -> DataFrame:
+        d = base.groupBy("source", col).agg(F.count(F.lit(1)).cast("long").alias(cnt))
+        return grouped_running_sum(d, ["source"], [col], cnt, cum)
+
+    dx = marginal("x", "cx", "cumx").select(
+        "source", "x", (2 * (F.col("cumx") - F.col("cx")) + F.col("cx") + 1).alias("rx2")
+    )
+    dy = marginal("y", "cy", "cumy").select(
+        "source", "y", (2 * (F.col("cumy") - F.col("cy")) + F.col("cy") + 1).alias("ry2")
+    )
+    pxy = base.groupBy("source", "x", "y").agg(F.count(F.lit(1)).cast("long").alias("nxy"))
+    j = pxy.join(dx, ["source", "x"]).join(dy, ["source", "y"])
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = j.groupBy("source").agg(
+        F.sum(dec("nxy")).alias("n"),
+        F.sum(dec("nxy") * F.col("rx2")).alias("sx"),
+        F.sum(dec("nxy") * F.col("ry2")).alias("sy"),
+        F.sum(dec("nxy") * F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(dec("nxy") * F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(dec("nxy") * F.col("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    return m.selectExpr(
+        "source",
+        "CAST(n AS BIGINT) AS n_docs",
+        """CAST(n * sxy - sx * sy AS DOUBLE)
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+           AS rho""",
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Chi-square homogeneity: event-type mix across the md5 A/B split
+# --------------------------------------------------------------------------
+
+_CHI2_SCALE = 1_000_000_000  # χ² terms floor-quantized to 1e-9 before summing
+
+_CHI2_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST((strpos('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 AS BIGINT)
+           AS grp,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events
+  GROUP BY event_type, grp
+),
+tot AS (
+  SELECT
+    cells.*,
+    CAST(sum(o) OVER (PARTITION BY event_type) AS HUGEINT) AS rt,
+    CAST(sum(o) OVER (PARTITION BY grp)        AS HUGEINT) AS ct,
+    CAST(sum(o) OVER ()                        AS HUGEINT) AS nn
+  FROM cells
+),
+terms AS (
+  SELECT
+    (CAST(o AS HUGEINT) * nn - rt * ct) * (CAST(o AS HUGEINT) * nn - rt * ct)
+      * {_CHI2_SCALE} // (nn * rt * ct) AS t_e9,
+    nn
+  FROM tot
+)
+SELECT
+  CAST((SELECT count(DISTINCT event_type) FROM cells) AS BIGINT) AS n_types,
+  CAST((SELECT count(DISTINCT event_type) FROM cells) - 1 AS BIGINT) AS dof,
+  CAST(sum(t_e9) AS BIGINT) AS chi2_e9,
+  CAST(CAST(sum(t_e9) AS BIGINT) AS DOUBLE) / {_CHI2_SCALE} AS chi2
+FROM terms
+GROUP BY nn
+"""
+
+
+@register(
+    "stats_chi2_type_by_split",
+    _CHI2_ORACLE,
+    doc="chi-square homogeneity of the event-type mix across the md5 A/B split",
+)
+def stats_chi2_type_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence of event_type × deterministic md5(user_id) split
+    (the `events_ab_test` assignment — an A/A design, so χ² should be
+    small, which the unit test asserts as a calibration check).
+
+    Exactness: each cell's term ``(o·N − rt·ct)² / (N·rt·ct)`` is an
+    exact rational — numerator and denominator are integer products in
+    DECIMAL(38,0)/HUGEINT — floor-quantized to 1e-9 BEFORE the sum (the
+    PSI recipe), so ``chi2_e9`` is an exact integer cross-engine; the
+    only double is the display division.
+
+    Scale: one data-scale groupBy to the types×2 grid; the marginal
+    windows run on that bounded grid."""
+    events = load(spark, sf_dir, "events")
+    cells = (
+        events.select(
+            "event_type",
+            (
+                F.expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 1), 16, 10) AS BIGINT)")
+                % 2
+            ).alias("grp"),
+        )
+        .groupBy("event_type", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    from pyspark.sql.window import Window
+
+    # The grid is ≤ (#event types × 2) rows — these windows are
+    # metadata-scale by construction.
+    tot = cells.select(
+        "event_type",
+        "grp",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).cast("decimal(38,0)").alias("rt"),
+        F.sum("o").over(Window.partitionBy("grp")).cast("decimal(38,0)").alias("ct"),
+        F.sum("o").over(Window.partitionBy()).cast("decimal(38,0)").alias("nn"),
+    )
+    terms = tot.select(
+        "nn",
+        F.expr(
+            f"""(CAST(o AS DECIMAL(38,0)) * nn - rt * ct)
+                * (CAST(o AS DECIMAL(38,0)) * nn - rt * ct)
+                * {_CHI2_SCALE} div (nn * rt * ct)"""
+        ).alias("t_e9"),
+        F.col("event_type"),
+    )
+    return terms.groupBy("nn").agg(
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        (F.countDistinct("event_type") - 1).cast("long").alias("dof"),
+        F.sum("t_e9").cast("long").alias("chi2_e9"),
+        (F.sum("t_e9").cast("long").cast("double") / _CHI2_SCALE).alias("chi2"),
+    ).drop("nn").select("n_types", "dof", "chi2_e9", "chi2")

@@ -2679,3 +2679,136 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models") —
+# the published heuristic filter battery, per source
+# --------------------------------------------------------------------------
+
+_GOPHER_ORACLE = """
+WITH feat AS (
+  SELECT
+    source,
+    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nw,
+    CAST(list_sum(list_transform(regexp_extract_all(text, '\\S+'), w -> length(w))) AS BIGINT) AS wchars,
+    CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+                         w -> regexp_matches(lower(w), '[a-z]'))) AS BIGINT) AS n_alpha,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_sym,
+    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(string_split(text, chr(10)),
+                         l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
+    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a|in)\\b')) AS BIGINT) AS n_stop
+  FROM documents
+),
+rules AS (
+  SELECT
+    source,
+    CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END AS r_wc,
+    CASE WHEN wchars >= 3 * nw AND wchars <= 10 * nw THEN 1 ELSE 0 END AS r_mwl,
+    CASE WHEN 10 * n_sym <= nw THEN 1 ELSE 0 END AS r_sym,
+    CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 1 ELSE 0 END AS r_bullet,
+    CASE WHEN 10 * n_alpha >= 8 * nw THEN 1 ELSE 0 END AS r_alpha,
+    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+  FROM feat
+)
+SELECT
+  source,
+  CAST(count(*) AS BIGINT)      AS n_docs,
+  CAST(sum(r_wc) AS BIGINT)     AS pass_word_count,
+  CAST(sum(r_mwl) AS BIGINT)    AS pass_mean_word_len,
+  CAST(sum(r_sym) AS BIGINT)    AS pass_symbol_ratio,
+  CAST(sum(r_bullet) AS BIGINT) AS pass_bullet_lines,
+  CAST(sum(r_alpha) AS BIGINT)  AS pass_alpha_words,
+  CAST(sum(r_stop) AS BIGINT)   AS pass_stopwords,
+  CAST(sum(r_wc * r_mwl * r_sym * r_bullet * r_alpha * r_stop) AS BIGINT) AS pass_all,
+  CAST(sum(r_wc * r_mwl * r_sym * r_bullet * r_alpha * r_stop) * 1000000
+       // count(*) AS BIGINT) AS pass_all_ppm
+FROM rules
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_gopher_quality",
+    _GOPHER_ORACLE,
+    doc="Gopher rule-battery pass rates per source (Rae et al. 2021 heuristics)",
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The six Gopher document filters as pure integer predicates —
+    word count in [50, 100k], mean word length in [3, 10] (integer
+    cross-multiplication, no division), symbol-to-word ratio ≤ 0.1
+    ('#' + '…'-as-'...'), ≤ 90% bullet-led lines, ≥ 80% alphabetic
+    words, ≥ 2 stop words (the shared 7-stopword list) — aggregated to
+    per-source pass counts and an exact pass-all ppm.
+
+    Every rule decision is an integer comparison, so the whole output is
+    hash-exact cross-engine; one scan, one per-source hash aggregate —
+    the same shape at 100 TB (the regexes are per-row projections that
+    pipeline inside the scan stage)."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.expr(r"regexp_extract_all(text, '\\S+', 0)")
+    nw = F.size(ws).cast("long")
+    wchars = F.expr(
+        r"aggregate(regexp_extract_all(text, '\\S+', 0), 0L, (a, w) -> a + length(w))"
+    )
+    n_alpha = F.size(
+        F.expr(r"filter(regexp_extract_all(text, '\\S+', 0), w -> lower(w) rlike '[a-z]')")
+    ).cast("long")
+    n_sym = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
+        + (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(F.expr(r"filter(split(text, '\n'), l -> ltrim(l) rlike '^[-*•]')")).cast(
+        "long"
+    )
+    n_stop = F.expr(
+        r"CAST(size(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a|in)\\b', 0)) AS LONG)"
+    )
+    feat = docs.select(
+        "source",
+        nw.alias("nw"),
+        wchars.alias("wchars"),
+        n_alpha.alias("n_alpha"),
+        n_sym.alias("n_sym"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet"),
+        n_stop.alias("n_stop"),
+    )
+    r = feat.select(
+        "source",
+        F.when((F.col("nw") >= 50) & (F.col("nw") <= 100000), 1).otherwise(0).alias("r_wc"),
+        F.when(
+            (F.col("wchars") >= 3 * F.col("nw")) & (F.col("wchars") <= 10 * F.col("nw")), 1
+        ).otherwise(0).alias("r_mwl"),
+        F.when(10 * F.col("n_sym") <= F.col("nw"), 1).otherwise(0).alias("r_sym"),
+        F.when(10 * F.col("n_bullet") <= 9 * F.col("n_lines"), 1).otherwise(0).alias("r_bullet"),
+        F.when(10 * F.col("n_alpha") >= 8 * F.col("nw"), 1).otherwise(0).alias("r_alpha"),
+        F.when(F.col("n_stop") >= 2, 1).otherwise(0).alias("r_stop"),
+    )
+    all_pass = (
+        F.col("r_wc") * F.col("r_mwl") * F.col("r_sym")
+        * F.col("r_bullet") * F.col("r_alpha") * F.col("r_stop")
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("r_wc").cast("long").alias("pass_word_count"),
+            F.sum("r_mwl").cast("long").alias("pass_mean_word_len"),
+            F.sum("r_sym").cast("long").alias("pass_symbol_ratio"),
+            F.sum("r_bullet").cast("long").alias("pass_bullet_lines"),
+            F.sum("r_alpha").cast("long").alias("pass_alpha_words"),
+            F.sum("r_stop").cast("long").alias("pass_stopwords"),
+            F.sum(all_pass).cast("long").alias("pass_all"),
+            F.expr(
+                "CAST(sum(r_wc * r_mwl * r_sym * r_bullet * r_alpha * r_stop) * 1000000"
+                " div count(1) AS BIGINT)"
+            ).alias("pass_all_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -81,6 +81,11 @@ _ROTATION_ROUND = 8
 
 _NEW_THIS_ROUND: tuple[str, ...] = (
     "jobs_run_history_stats",
+    "stats_mannwhitney_events",
+    "stats_spearman_quality_length",
+    "stats_chi2_type_by_split",
+    "graph_modularity",
+    "text_gopher_quality",
 )
 
 

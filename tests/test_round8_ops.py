@@ -6,6 +6,10 @@ operator on its scale path."""
 
 from __future__ import annotations
 
+import math
+import re
+from collections import defaultdict
+
 import pandas as pd
 
 from gluettalax_spark.registry import queries
@@ -104,3 +108,202 @@ def test_run_history_roundtrips_through_list_runs(spark, sf_dir):
     # newest-first (D6 ordering)
     starts = [r["started_on"] for r in rows]
     assert starts == sorted(starts, reverse=True)
+
+
+# --------------------------------------------------------------------------
+# stats_mannwhitney_events
+# --------------------------------------------------------------------------
+
+
+def test_mannwhitney_matches_python_recompute(spark, sf_dir):
+    """Re-derive U, the tie term, and z with pandas average ranks —
+    a different rank algorithm than the dictionary construction."""
+    row = queries()["stats_mannwhitney_events"](spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ev = ev[ev["event_type"].isin(["click", "purchase"])].copy()
+    ev["v"] = (ev["value"] * 100).round().astype("int64")
+    ev["r"] = ev["v"].rank(method="average")
+    a = ev[ev["event_type"] == "click"]
+    n1, n2 = len(a), len(ev) - len(a)
+    r1_x2 = int(round(2 * a["r"].sum()))
+    u1_x2 = r1_x2 - n1 * (n1 + 1)
+    tie_t = sum(t**3 - t for t in ev["v"].value_counts())
+    n = n1 + n2
+    z = (u1_x2 - float(n1) * n2) / math.sqrt(
+        float(n1) * n2 * ((float(n) + 1) - float(tie_t) / (float(n) * (float(n) - 1))) / 3.0
+    )
+    assert (row["n1"], row["n2"], row["u1_x2"], row["tie_t"]) == (n1, n2, u1_x2, tie_t)
+    assert abs(row["z"] - z) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# stats_spearman_quality_length
+# --------------------------------------------------------------------------
+
+
+def test_spearman_matches_pandas(spark, sf_dir):
+    """pandas' spearman (average ranks + Pearson) is an entirely
+    independent implementation of the same statistic."""
+    rows = queries()["stats_spearman_quality_length"](spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    # the shared composite quality, 4-decimal quantized (text._quality_parts)
+    def qual(text: str) -> float:
+        n_chars = len(text)
+        toks = re.findall(r"\S+", text)
+        n_stop = len(re.findall(r"\b(?:the|and|of|to|is|a|in)\b", text.lower()))
+        n_punct = len(re.findall(r"[.,!?;:]", text))
+        len_score = min(n_chars / 500.0, 1.0)
+        stop_ratio = n_stop / max(len(toks), 1)
+        punct_ratio = n_punct / max(n_chars, 1)
+        return math.floor((0.5 * len_score + 0.4 * stop_ratio + 0.1 * (1.0 - punct_ratio)) * 10000 + 0.5) / 10000
+
+    docs["y"] = [round(qual(t) * 10000) for t in docs["text"]]
+    for r in rows:
+        g = docs[docs["source"] == r["source"]]
+        # average-rank Spearman = Pearson on the tied ranks (scipy-free)
+        rx = g["n_chars"].rank(method="average")
+        ry = g["y"].rank(method="average")
+        rho = rx.corr(ry)  # Pearson
+        assert r["n_docs"] == len(g)
+        assert abs(r["rho"] - rho) < 1e-9, (r["source"], r["rho"], rho)
+
+
+# --------------------------------------------------------------------------
+# stats_chi2_type_by_split
+# --------------------------------------------------------------------------
+
+
+def test_chi2_matches_exact_integer_recompute(spark, sf_dir):
+    import hashlib
+
+    row = queries()["stats_chi2_type_by_split"](spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    grp = [int(hashlib.md5(str(u).encode()).hexdigest()[0], 16) % 2 for u in ev["user_id"]]
+    cells: dict[tuple[str, int], int] = defaultdict(int)
+    for t, g in zip(ev["event_type"], grp):
+        cells[(t, g)] += 1
+    nn = sum(cells.values())
+    rt: dict[str, int] = defaultdict(int)
+    ct: dict[int, int] = defaultdict(int)
+    for (t, g), o in cells.items():
+        rt[t] += o
+        ct[g] += o
+    chi2_e9 = sum(
+        (o * nn - rt[t] * ct[g]) ** 2 * 1_000_000_000 // (nn * rt[t] * ct[g])
+        for (t, g), o in cells.items()
+    )  # exact big-int arithmetic — also proves no silent decimal wrap
+    assert row["n_types"] == len(rt)
+    assert row["dof"] == len(rt) - 1
+    assert row["chi2_e9"] == chi2_e9
+    # A/A calibration: the md5 split is independent of behavior, so the
+    # homogeneity statistic must stay near its dof-scale expectation.
+    assert row["chi2"] < 50.0
+
+
+# --------------------------------------------------------------------------
+# graph_modularity
+# --------------------------------------------------------------------------
+
+
+def _lpa_brute(sf_dir: str):
+    """Replay the deterministic LPA spec + modularity in plain Python."""
+    from gluettalax_spark.operators.graph import _LPA_ITERS, _TRI_MIN_SUPPORT, MAX_BASKET
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    op = li.drop_duplicates()
+    pair_count: dict[tuple[int, int], int] = defaultdict(int)
+    for _, g in op.groupby("l_orderkey"):
+        ps = sorted(g["l_partkey"].tolist())
+        if len(ps) > MAX_BASKET:
+            continue
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_count[(ps[i], ps[j])] += 1
+    edges = {e for e, c in pair_count.items() if c >= _TRI_MIN_SUPPORT}
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    lab = {n: n for n in adj}
+    for _ in range(_LPA_ITERS):
+        nxt = {}
+        for n in adj:
+            cnt: dict[int, int] = defaultdict(int)
+            for v in adj[n]:
+                cnt[lab[v]] += 1
+            nxt[n] = min(cnt, key=lambda l: (-cnt[l], l))
+        lab = nxt
+    m = len(edges)
+    intra = sum(1 for a, b in edges if lab[a] == lab[b])
+    dsum: dict[int, int] = defaultdict(int)
+    for n in adj:
+        dsum[lab[n]] += len(adj[n])
+    b = sum(v * v for v in dsum.values())
+    q = intra / m - b / (4.0 * m * m)
+    return len(dsum), m, intra, q
+
+
+def test_modularity_matches_python_lpa_replay(spark, sf_dir):
+    row = queries()["graph_modularity"](spark, sf_dir).collect()[0]
+    n_comm, m, intra, q = _lpa_brute(sf_dir)
+    assert (row["n_communities"], row["m_edges"], row["intra_edges"]) == (n_comm, m, intra)
+    assert abs(row["modularity"] - q) < 1e-12
+    # sanity: modularity is bounded
+    assert -0.5 <= row["modularity"] <= 1.0
+
+
+# --------------------------------------------------------------------------
+# text_gopher_quality
+# --------------------------------------------------------------------------
+
+
+def test_gopher_rules_match_python_recompute(spark, sf_dir):
+    rows = {r["source"]: r for r in queries()["text_gopher_quality"](spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    agg: dict[str, list[int]] = defaultdict(lambda: [0] * 8)
+    for src, text in zip(docs["source"], docs["text"]):
+        ws = re.findall(r"\S+", text)
+        nw = len(ws)
+        wchars = sum(len(w) for w in ws)
+        n_alpha = sum(1 for w in ws if re.search(r"[a-z]", w.lower()))
+        n_sym = text.count("#") + text.count("...")
+        lines = text.split("\n")
+        n_bullet = sum(1 for l in lines if re.match(r"^[-*•]", l.lstrip()))
+        n_stop = len(re.findall(r"\b(?:the|and|of|to|is|a|in)\b", text.lower()))
+        r = [
+            1 if 50 <= nw <= 100000 else 0,
+            1 if 3 * nw <= wchars <= 10 * nw else 0,
+            1 if 10 * n_sym <= nw else 0,
+            1 if 10 * n_bullet <= 9 * len(lines) else 0,
+            1 if 10 * n_alpha >= 8 * nw else 0,
+            1 if n_stop >= 2 else 0,
+        ]
+        a = agg[src]
+        a[0] += 1
+        for i in range(6):
+            a[1 + i] += r[i]
+        a[7] += int(all(r))
+    for src, a in agg.items():
+        got = rows[src]
+        assert (
+            got["n_docs"], got["pass_word_count"], got["pass_mean_word_len"],
+            got["pass_symbol_ratio"], got["pass_bullet_lines"], got["pass_alpha_words"],
+            got["pass_stopwords"], got["pass_all"],
+        ) == tuple(a)
+        assert got["pass_all_ppm"] == a[7] * 1_000_000 // a[0]
+
+
+def test_round8_stats_plans_stay_jvm_side(spark, sf_dir):
+    """None of the new statistics ops may fall off the codegen path into
+    Python evaluation, and none may plan a cartesian product (their only
+    crossJoins broadcast 1-row aggregates)."""
+    for name in (
+        "stats_mannwhitney_events",
+        "stats_spearman_quality_length",
+        "stats_chi2_type_by_split",
+        "graph_modularity",
+        "text_gopher_quality",
+    ):
+        plan = physical_plan(queries()[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
