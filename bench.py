@@ -155,6 +155,8 @@ HEADLINE = [
     "stats_chi2_type_by_split",
     "graph_modularity",
     "text_gopher_quality",
+    "embedding_matryoshka_audit",
+    "text_dsir_importance",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40
@@ -210,6 +212,7 @@ SCALING_SUBSET = [
     "stats_spearman_quality_length",
     "graph_modularity",
     "text_gopher_quality",
+    "text_dsir_importance",
 ]
 
 

@@ -1079,3 +1079,125 @@ def similarity_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "hamming", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation audit (Kusupati et al. 2022): how much cosine
+# structure survives keeping only the first k dimensions
+# --------------------------------------------------------------------------
+
+_MRL_KS = (8, 16, 32, 64)
+_MRL_SCALE = 1_000_000_000  # |cos_k − cos_full| floor-quantized to 1e-9
+
+_MATRYOSHKA_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(floor(v * {COV_Q}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS pid, a.qv AS qa, b.qv AS qb
+  FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0
+),
+folded AS (
+  SELECT kk.k,
+         CAST(sum(CAST(qa[i.i] AS HUGEINT) * qb[i.i])
+              FILTER (i.i <= kk.k) AS HUGEINT) AS dot_k,
+         CAST(sum(CAST(qa[i.i] AS HUGEINT) * qa[i.i])
+              FILTER (i.i <= kk.k) AS HUGEINT) AS na_k,
+         CAST(sum(CAST(qb[i.i] AS HUGEINT) * qb[i.i])
+              FILTER (i.i <= kk.k) AS HUGEINT) AS nb_k,
+         CAST(sum(CAST(qa[i.i] AS HUGEINT) * qb[i.i]) AS HUGEINT) AS dot_f,
+         CAST(sum(CAST(qa[i.i] AS HUGEINT) * qa[i.i]) AS HUGEINT) AS na_f,
+         CAST(sum(CAST(qb[i.i] AS HUGEINT) * qb[i.i]) AS HUGEINT) AS nb_f
+  FROM pairs, unnest({list(_MRL_KS)}) AS kk(k), unnest(range(1, {DIM} + 1)) AS i(i)
+  GROUP BY pairs.pid, kk.k
+),
+deltas AS (
+  SELECT k,
+         CAST(floor(abs(
+             CAST(dot_k AS DOUBLE) / sqrt(CAST(na_k AS DOUBLE) * CAST(nb_k AS DOUBLE))
+           - CAST(dot_f AS DOUBLE) / sqrt(CAST(na_f AS DOUBLE) * CAST(nb_f AS DOUBLE))
+         ) * {_MRL_SCALE}) AS BIGINT) AS d_e9
+  FROM folded
+  WHERE na_k > 0 AND nb_k > 0
+)
+SELECT CAST(k AS INTEGER) AS k,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(d_e9) AS BIGINT) AS sum_delta_e9,
+       CAST(CAST(sum(d_e9) AS BIGINT) AS DOUBLE) / count(*) / {_MRL_SCALE}
+         AS mean_abs_delta
+FROM deltas
+GROUP BY k
+ORDER BY k
+"""
+
+
+@register(
+    "embedding_matryoshka_audit",
+    _MATRYOSHKA_ORACLE,
+    doc="cosine drift when truncating embeddings to the first k dims (MRL audit)",
+)
+def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Would serving the first k dims suffice? For deterministic
+    consecutive-id pairs, compare prefix-k cosine against full cosine for
+    k ∈ {8, 16, 32, 64} — the decision audit behind Matryoshka
+    (truncatable) representations.
+
+    Exactness: coordinates floor-quantize to 2^20 (the covariance-family
+    convention), so every dot/norm is an exact DECIMAL(38,0) fold;
+    cosines are fixed IEEE expressions and |Δcos| floor-quantizes to 1e-9
+    BEFORE the sum (the PSI recipe), making the corpus total an exact
+    integer.
+
+    Scale: the pair join is id-keyed (no self-join fan-out), the per-pair
+    fold is a JVM-side zip_with/aggregate inside the scan stage, and the
+    output is 4 rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: F.floor(v * COV_Q).cast("long")).alias("qv"),
+    )
+    a = q.filter(F.col("vec_id") % 2 == 0).select(F.col("vec_id").alias("pid"), F.col("qv").alias("qa"))
+    b = q.select((F.col("vec_id") - 1).alias("pid"), F.col("qv").alias("qb"))
+    pairs = a.join(b, "pid")
+
+    def _fold(x: str, y: str, k) -> F.Column:
+        return F.expr(
+            f"aggregate(zip_with(slice({x}, 1, {k}), slice({y}, 1, {k}),"
+            f" (p, r) -> CAST(p AS DECIMAL(38,0)) * r),"
+            f" CAST(0 AS DECIMAL(38,0)), (acc, v) -> acc + v)"
+        )
+
+    with_k = pairs.select(
+        "pid", "qa", "qb", F.explode(F.array(*[F.lit(k) for k in _MRL_KS])).alias("k")
+    )
+    folded = with_k.select(
+        "k",
+        _fold("qa", "qb", "k").alias("dot_k"),
+        _fold("qa", "qa", "k").alias("na_k"),
+        _fold("qb", "qb", "k").alias("nb_k"),
+        _fold("qa", "qb", DIM).alias("dot_f"),
+        _fold("qa", "qa", DIM).alias("na_f"),
+        _fold("qb", "qb", DIM).alias("nb_f"),
+    )
+    deltas = folded.filter((F.col("na_k") > 0) & (F.col("nb_k") > 0)).select(
+        "k",
+        F.expr(
+            f"""CAST(floor(abs(
+                  CAST(dot_k AS DOUBLE) / sqrt(CAST(na_k AS DOUBLE) * CAST(nb_k AS DOUBLE))
+                - CAST(dot_f AS DOUBLE) / sqrt(CAST(na_f AS DOUBLE) * CAST(nb_f AS DOUBLE))
+                ) * {_MRL_SCALE}) AS BIGINT)"""
+        ).alias("d_e9"),
+    )
+    return (
+        deltas.groupBy(F.col("k").cast("int").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("d_e9").cast("long").alias("sum_delta_e9"),
+            (F.sum("d_e9").cast("long").cast("double") / F.count(F.lit(1)) / _MRL_SCALE).alias(
+                "mean_abs_delta"
+            ),
+        )
+        .orderBy("k")
+    )

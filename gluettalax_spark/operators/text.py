@@ -2812,3 +2812,136 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling") — unigram proxy, target = English
+# --------------------------------------------------------------------------
+
+_DSIR_TARGET_LANG = "en"
+_DSIR_SCALE = 1_000_000  # per-word log-ratio floor-quantized to micro-nats
+
+_DSIR_ORACLE = f"""
+WITH words AS (
+  SELECT d.doc_id, d.lang, w.w AS w
+  FROM documents d, unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS w(w)
+),
+vocab AS (
+  SELECT w,
+         CAST(count(*) AS BIGINT) AS c_src,
+         CAST(count(*) FILTER (lang = '{_DSIR_TARGET_LANG}') AS BIGINT) AS c_tgt
+  FROM words GROUP BY w
+),
+tot AS (
+  SELECT CAST(sum(c_src) AS BIGINT) AS s_tok,
+         CAST(sum(c_tgt) AS BIGINT) AS t_tok,
+         CAST(count(*) AS BIGINT)   AS v
+  FROM vocab
+),
+qw AS (
+  SELECT w, CAST(floor((ln(CAST(c_tgt + 1 AS DOUBLE)) - ln(CAST(c_src + 1 AS DOUBLE)))
+                       * {_DSIR_SCALE}) AS BIGINT) AS q
+  FROM vocab
+),
+dw AS (
+  SELECT words.doc_id, words.lang,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(qw.q) AS BIGINT) AS qsum
+  FROM words JOIN qw USING (w)
+  GROUP BY words.doc_id, words.lang
+),
+scored AS (
+  SELECT dw.lang,
+         dw.qsum + dw.n_tok * CAST(floor((ln(CAST(tot.s_tok + tot.v AS DOUBLE))
+                                          - ln(CAST(tot.t_tok + tot.v AS DOUBLE)))
+                                         * {_DSIR_SCALE}) AS BIGINT) AS w_micro
+  FROM dw, tot
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w_micro) AS BIGINT) AS sum_weight_micro,
+       CAST(sum(w_micro) AS DOUBLE) / count(*) / {_DSIR_SCALE} AS mean_weight
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "text_dsir_importance",
+    _DSIR_ORACLE,
+    doc=f"DSIR unigram importance weights (target lang = {_DSIR_TARGET_LANG}), per-lang rollup",
+)
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling weights: per document,
+    ``Σ_w n_w · (ln p_target(w) − ln p_source(w))`` with Laplace-smoothed
+    unigram LMs — target = English-language docs, source = the whole
+    corpus — rolled up per language. Docs whose language matches the
+    target distribution score high; the per-lang means are the
+    discriminative audit (en ≫ zh), asserted in tests.
+
+    Exactness: per-word log ratios floor-quantize to micro-nats BEFORE
+    the per-doc sum (the PSI recipe), the smoothing-normalizer offset
+    folds in as ``n_tokens × floor(1e6·(ln(S+V) − ln(T+V)))`` from a
+    broadcast 1-row total, and everything downstream is integer until
+    the display division.
+
+    Scale: one explode pass to word counts (Heaps-bounded dictionary),
+    one word-keyed join back — the BPE-family shape; no per-row Python,
+    no unbounded broadcast (the 1-row totals broadcast, the vocabulary
+    joins word-keyed)."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"),
+    )
+    vocab = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c_src"),
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0))
+        .cast("long")
+        .alias("c_tgt"),
+    )
+    tot = vocab.agg(
+        F.sum("c_src").cast("long").alias("s_tok"),
+        F.sum("c_tgt").cast("long").alias("t_tok"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    qw = vocab.select(
+        "w",
+        F.expr(
+            f"CAST(floor((ln(CAST(c_tgt + 1 AS DOUBLE)) - ln(CAST(c_src + 1 AS DOUBLE)))"
+            f" * {_DSIR_SCALE}) AS BIGINT)"
+        ).alias("q"),
+    )
+    dw = (
+        words.join(qw, "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("q").cast("long").alias("qsum"),
+        )
+    )
+    scored = dw.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        (
+            F.col("qsum")
+            + F.col("n_tok")
+            * F.expr(
+                f"CAST(floor((ln(CAST(s_tok + v AS DOUBLE)) - ln(CAST(t_tok + v AS DOUBLE)))"
+                f" * {_DSIR_SCALE}) AS BIGINT)"
+            )
+        ).alias("w_micro"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w_micro").cast("long").alias("sum_weight_micro"),
+            (F.sum("w_micro").cast("double") / F.count(F.lit(1)) / _DSIR_SCALE).alias(
+                "mean_weight"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -86,6 +86,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "stats_chi2_type_by_split",
     "graph_modularity",
     "text_gopher_quality",
+    "embedding_matryoshka_audit",
+    "text_dsir_importance",
 )
 
 

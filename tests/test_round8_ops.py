@@ -307,3 +307,89 @@ def test_round8_stats_plans_stay_jvm_side(spark, sf_dir):
         plan = physical_plan(queries()[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+# --------------------------------------------------------------------------
+# embedding_matryoshka_audit
+# --------------------------------------------------------------------------
+
+
+def test_matryoshka_matches_numpy_recompute(spark, sf_dir):
+    import numpy as np
+
+    from gluettalax_spark.operators.similarity import COV_Q
+
+    rows = {r["k"]: r for r in queries()["embedding_matryoshka_audit"](spark, sf_dir).collect()}
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    by_id = {int(v): np.floor(np.asarray(e, dtype="float64") * COV_Q).astype("int64")
+             for v, e in zip(emb["vec_id"], emb["embedding"])}
+    got: dict[int, list[int]] = {k: [0, 0] for k in (8, 16, 32, 64)}
+    for vid, qa in by_id.items():
+        if vid % 2 or (vid + 1) not in by_id:
+            continue
+        qb = by_id[vid + 1]
+        # exact big-int folds (object dtype) — also proves no decimal wrap
+        qa_o, qb_o = qa.astype(object), qb.astype(object)
+        dot_f = int((qa_o * qb_o).sum())
+        na_f, nb_f = int((qa_o * qa_o).sum()), int((qb_o * qb_o).sum())
+        cos_f = dot_f / math.sqrt(float(na_f) * float(nb_f))
+        for k in (8, 16, 32, 64):
+            na_k = int((qa_o[:k] * qa_o[:k]).sum())
+            nb_k = int((qb_o[:k] * qb_o[:k]).sum())
+            if na_k == 0 or nb_k == 0:
+                continue
+            dot_k = int((qa_o[:k] * qb_o[:k]).sum())
+            cos_k = dot_k / math.sqrt(float(na_k) * float(nb_k))
+            got[k][0] += 1
+            got[k][1] += int(math.floor(abs(cos_k - cos_f) * 1_000_000_000))
+    for k, (n, s) in got.items():
+        assert rows[k]["n_pairs"] == n, k
+        assert rows[k]["sum_delta_e9"] == s, k
+    # structural: drift shrinks as the prefix grows; full-dim drift is 0
+    deltas = [rows[k]["mean_abs_delta"] for k in (8, 16, 32, 64)]
+    assert deltas == sorted(deltas, reverse=True)
+    assert rows[64]["mean_abs_delta"] == 0.0
+
+
+# --------------------------------------------------------------------------
+# text_dsir_importance
+# --------------------------------------------------------------------------
+
+
+def test_dsir_matches_python_recompute_and_discriminates(spark, sf_dir):
+    from collections import Counter
+
+    rows = {r["lang"]: r for r in queries()["text_dsir_importance"](spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    c_src: Counter = Counter()
+    c_tgt: Counter = Counter()
+    per_doc = []
+    for lang, text in zip(docs["lang"], docs["text"]):
+        ws = re.findall(r"[a-z]+", text.lower())
+        per_doc.append((lang, ws))
+        c_src.update(ws)
+        if lang == "en":
+            c_tgt.update(ws)
+    v = len(c_src)
+    s_tok, t_tok = sum(c_src.values()), sum(c_tgt.values())
+    q = {w: math.floor((math.log(c_tgt.get(w, 0) + 1) - math.log(c + 1)) * 1_000_000)
+         for w, c in c_src.items()}
+    off = math.floor((math.log(s_tok + v) - math.log(t_tok + v)) * 1_000_000)
+    agg: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for lang, ws in per_doc:
+        w_micro = sum(q[w] for w in ws) + len(ws) * off
+        agg[lang][0] += 1
+        agg[lang][1] += w_micro
+    for lang, (n, s) in agg.items():
+        assert rows[lang]["n_docs"] == n, lang
+        assert rows[lang]["sum_weight_micro"] == s, lang
+    # the audit the operator exists for: target-language docs outscore all
+    en = rows["en"]["mean_weight"]
+    assert all(en > r["mean_weight"] for lang, r in rows.items() if lang != "en")
+
+
+def test_round8_embedding_text_plans_stay_jvm_side(spark, sf_dir):
+    for name in ("embedding_matryoshka_audit", "text_dsir_importance"):
+        plan = physical_plan(queries()[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
