@@ -21,6 +21,16 @@ correctness:
 correctness-ansi:
 	SPARK_GRAFT_ANSI=true python tools/validate_contract.py /root/testdata/sf0.01
 
+# Full contract sweep at 10x scale (deterministic scale-up of sf0.1;
+# built on demand by tools/make_scale.py). Catches magnitude-dependent
+# divergence — overflow cliffs, float-sum rounding-boundary flips — that
+# the small SFs can't. Skips the queries registered
+# fixture_scale_only=True (deliberately super-linear instrumentation
+# twins; see registry.QuerySpec.fixture_scale_only).
+correctness-sf1:
+	python tools/make_scale.py
+	SPARK_GRAFT_SKIP_FIXTURE_ONLY=true python tools/validate_contract.py $(CURDIR)/.scaledata/sf1.0
+
 # The CI-shaped gate: both contract sweeps + the full test suite.
 # A session that records gates must run THIS target, not hand-picked
 # subsets — each command's exit code stops make on failure.

@@ -409,6 +409,7 @@ ORDER BY vec_a, vec_b
     "embedding_neardup_exact",
     _NEARDUP_EXACT_ORACLE,
     doc=f"all-pairs near-dup oracle twin (cosine ≥ {NEARDUP_COS}) — fixture-scale only",
+    fixture_scale_only=True,
 )
 def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture-scale ground truth for embedding_neardup's recall: the

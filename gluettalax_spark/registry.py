@@ -35,13 +35,22 @@ class QuerySpec:
     #: only a row count; the witness columns are what make the output
     #: self-certifying anyway (VERDICT r7 residual #2).
     witness: tuple[str, ...] = ()
+    #: True for instrumentation twins that are deliberately super-linear
+    #: (e.g. an O(N²) all-pairs recall oracle) — correct at fixture scale,
+    #: never on the 100 TB path. Scale sweeps (sf ≥ 1) skip these;
+    #: everything else must stay sub-linear (BENCH_SELF ``scaling``).
+    fixture_scale_only: bool = False
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(
-    name: str, oracle: str | None, doc: str = "", witness: tuple[str, ...] = ()
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    witness: tuple[str, ...] = (),
+    fixture_scale_only: bool = False,
 ) -> Callable[[Builder], Builder]:
     """Decorator: register a query builder under ``name``.
 
@@ -58,7 +67,12 @@ def register(
                 "(register(..., witness=(...)))"
             )
         _REGISTRY[name] = QuerySpec(
-            name=name, builder=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), witness=witness
+            name=name,
+            builder=fn,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            witness=witness,
+            fixture_scale_only=fixture_scale_only,
         )
         return fn
 

@@ -7,6 +7,14 @@ way the driver's hash does; rows-only entries just execute.
 
 Usage: python tools/validate_contract.py [sf_dir] [name_filter]
 Exit code 0 iff everything matches.
+
+Env knobs for scale sweeps:
+* ``SPARK_GRAFT_SKIP_FIXTURE_ONLY=true`` — skip queries registered with
+  ``fixture_scale_only=True`` (deliberately super-linear instrumentation
+  twins, e.g. the O(N²) all-pairs near-dup recall oracle), reporting
+  them as ``skipped (fixture-scale-only)``;
+* ``SPARK_GRAFT_START_AFTER=<name>`` — resume an interrupted sweep from
+  the key after ``<name>`` in sorted order.
 """
 
 from __future__ import annotations
@@ -41,9 +49,20 @@ def main() -> int:
     print(f"entry rows: {entry_rows}")
     assert entry_rows > 0
 
+    from gluettalax_spark import registry
+
+    specs = registry.all_queries()
+    skip_fixture_only = os.environ.get("SPARK_GRAFT_SKIP_FIXTURE_ONLY", "").lower() == "true"
+    start_after = os.environ.get("SPARK_GRAFT_START_AFTER", "")
+
     bad: list[str] = []
     names = [n for n in sorted(qs) if name_filter in n]
+    if start_after:
+        names = [n for n in names if n > start_after]
     for name in names:
+        if skip_fixture_only and specs[name].fixture_scale_only:
+            print(f"  {name}: skipped (fixture-scale-only)")
+            continue
         try:
             if name in osql:
                 sp = qs[name](spark, sf_dir).toPandas()
