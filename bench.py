@@ -157,6 +157,8 @@ HEADLINE = [
     "text_gopher_quality",
     "embedding_matryoshka_audit",
     "text_dsir_importance",
+    "join_duplicate_payments",
+    "text_tfidf_source_keywords",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

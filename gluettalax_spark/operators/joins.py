@@ -425,3 +425,88 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Structured near-duplicate detection: candidate duplicate payments
+# --------------------------------------------------------------------------
+
+DUP_PAY_CENTS = 10_000  # amounts within $100
+DUP_PAY_DAYS = 90       # order dates within 90 days
+_DUP_PAY_BAND = DUP_PAY_CENTS  # band width == tolerance → ±1 band suffices
+
+_DUP_PAY_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderdate AS d
+  FROM orders
+)
+SELECT a.c AS custkey,
+       a.k AS order_a,
+       b.k AS order_b,
+       a.cents AS cents_a,
+       b.cents AS cents_b,
+       CAST(abs(date_diff('day', a.d, b.d)) AS BIGINT) AS day_gap
+FROM o a JOIN o b
+  ON a.c = b.c AND a.k < b.k
+ AND abs(a.cents - b.cents) <= {DUP_PAY_CENTS}
+ AND abs(date_diff('day', a.d, b.d)) <= {DUP_PAY_DAYS}
+ORDER BY custkey, order_a, order_b
+"""
+
+
+@register(
+    "join_duplicate_payments",
+    _DUP_PAY_ORACLE,
+    doc=f"duplicate-payment candidates: same customer, amounts within ${DUP_PAY_CENTS // 100}, {DUP_PAY_DAYS} days",
+)
+def join_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured near-dup (the invoice-audit counterpart of the text
+    dedup family): order pairs from one customer whose amounts agree
+    within $100 and dates within 90 days.
+
+    Scale shape: NOT the oracle's inequality self-join — amounts
+    band-quantize at the tolerance width, one side explodes its band ±1
+    (each qualifying pair meets on exactly ONE band value, so no
+    post-join dedup), and the join is an equi-join on (custkey, band).
+    A cluster joins this shuffle-hash on a key whose group size is a
+    customer's orders inside one $100 band — bounded — where the naive
+    per-customer self-join degrades quadratically on bulk payers.
+    Exactness: integer cents and whole-day gaps end-to-end."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").alias("d"),
+    )
+    left = o.withColumn("band", F.expr(f"cents div {_DUP_PAY_BAND}"))
+    right = o.select(
+        F.col("k").alias("kb"),
+        F.col("c"),
+        F.col("cents").alias("cents_b"),
+        F.col("d").alias("db"),
+        F.explode(
+            F.expr(
+                f"array(cents div {_DUP_PAY_BAND} - 1, cents div {_DUP_PAY_BAND},"
+                f" cents div {_DUP_PAY_BAND} + 1)"
+            )
+        ).alias("band"),
+    )
+    return (
+        left.join(right, ["c", "band"])
+        .filter(
+            (F.col("k") < F.col("kb"))
+            & (F.abs(F.col("cents") - F.col("cents_b")) <= DUP_PAY_CENTS)
+            & (F.abs(F.datediff(F.col("d"), F.col("db"))) <= DUP_PAY_DAYS)
+        )
+        .select(
+            F.col("c").alias("custkey"),
+            F.col("k").alias("order_a"),
+            F.col("kb").alias("order_b"),
+            F.col("cents").alias("cents_a"),
+            "cents_b",
+            F.abs(F.datediff(F.col("d"), F.col("db"))).cast("long").alias("day_gap"),
+        )
+        .orderBy("custkey", "order_a", "order_b")
+    )

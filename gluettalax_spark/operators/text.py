@@ -2945,3 +2945,92 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction: top terms per source
+# --------------------------------------------------------------------------
+
+_TFIDF_TOPK = 10
+_TFIDF_SCALE = 1_000_000  # idf floor-quantized to micro-nats
+
+_TFIDF_ORACLE = f"""
+WITH words AS (
+  SELECT d.doc_id, d.source, w.w AS w
+  FROM documents d, unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS w(w)
+),
+df AS (
+  SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfreq FROM words GROUP BY w
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+idf AS (
+  SELECT w, CAST(floor(ln(CAST(nd.n_docs + 1 AS DOUBLE) / (dfreq + 1))
+                       * {_TFIDF_SCALE}) AS BIGINT) AS idf_micro
+  FROM df, nd
+),
+tf AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY source, w
+),
+scored AS (
+  SELECT tf.source, tf.w AS term, tf.tf, idf.idf_micro,
+         tf.tf * idf.idf_micro AS score_micro
+  FROM tf JOIN idf USING (w)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY score_micro DESC, term) AS rank
+  FROM scored
+)
+SELECT source, CAST(rank AS BIGINT) AS rank, term, tf,
+       idf_micro, CAST(score_micro AS BIGINT) AS score_micro
+FROM ranked WHERE rank <= {_TFIDF_TOPK}
+ORDER BY source, rank
+"""
+
+
+@register(
+    "text_tfidf_source_keywords",
+    _TFIDF_ORACLE,
+    doc=f"top-{_TFIDF_TOPK} TF-IDF keywords per source — integer micro-nat scores",
+)
+def text_tfidf_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keyword extraction: term score = tf(term, source) ×
+    floor(1e6·ln((N+1)/(df+1))) — the classic TF-IDF with the idf
+    quantized to integer micro-nats, so scores (and therefore the
+    ranking and its deterministic (score desc, term) tie-break) are
+    exact integers cross-engine.
+
+    Scale: one explode pass feeds both the document-frequency dictionary
+    and the (source, term) tf table; the idf join is term-keyed; the
+    top-k window partitions by source over the vocab-bounded score
+    table (Heaps' law — dictionary scale, not corpus scale)."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"),
+    ).localCheckpoint(eager=False)  # one materialized explode feeds df AND tf
+    dfreq = words.groupBy("w").agg(F.countDistinct("doc_id").cast("long").alias("dfreq"))
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(nd)).select(
+        "w",
+        F.expr(
+            f"CAST(floor(ln(CAST(n_docs + 1 AS DOUBLE) / (dfreq + 1))"
+            f" * {_TFIDF_SCALE}) AS BIGINT)"
+        ).alias("idf_micro"),
+    )
+    tf = words.groupBy("source", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    scored = tf.join(idf, "w").select(
+        "source",
+        F.col("w").alias("term"),
+        "tf",
+        "idf_micro",
+        (F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+    )
+    w_rank = Window.partitionBy("source").orderBy(F.desc("score_micro"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= _TFIDF_TOPK)
+        .select("source", "rank", "term", "tf", "idf_micro", F.col("score_micro").cast("long"))
+        .orderBy("source", "rank")
+    )

@@ -102,6 +102,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "text_gopher_quality",
     "embedding_matryoshka_audit",
     "text_dsir_importance",
+    "join_duplicate_payments",
+    "text_tfidf_source_keywords",
 )
 
 

@@ -393,3 +393,93 @@ def test_round8_embedding_text_plans_stay_jvm_side(spark, sf_dir):
         plan = physical_plan(queries()[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+# --------------------------------------------------------------------------
+# join_duplicate_payments
+# --------------------------------------------------------------------------
+
+
+def test_duplicate_payments_matches_python_recompute(spark, sf_dir):
+    rows = queries()["join_duplicate_payments"](spark, sf_dir).collect()
+    got = sorted((r["custkey"], r["order_a"], r["order_b"], r["cents_a"], r["cents_b"], r["day_gap"])
+                 for r in rows)
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    want = []
+    for _, g in o.groupby("o_custkey"):
+        recs = g.sort_values("o_orderkey")[["o_orderkey", "cents", "o_orderdate"]].values.tolist()
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                (ka, ca, da), (kb, cb, db) = recs[i], recs[j]
+                gap = abs((da - db).days)
+                if abs(ca - cb) <= 10_000 and gap <= 90:
+                    want.append((int(g["o_custkey"].iloc[0]), int(ka), int(kb), int(ca), int(cb), gap))
+    assert got == sorted(want)
+
+
+def test_duplicate_payments_band_boundary_pair_found_once(spark, tmp_path):
+    """A qualifying pair whose amounts land in ADJACENT bands must be
+    found, and found exactly once — the fixture may not engage the
+    boundary at every SF, so pin it synthetically (round-7 lesson:
+    caps/edges that change output need a synthetic replay)."""
+    import datetime
+
+    rows = [
+        # same band
+        (1, 100, 33590_00 / 100.0, datetime.datetime(2024, 1, 1)),
+        (1, 101, 33595_00 / 100.0, datetime.datetime(2024, 1, 10)),
+        # adjacent bands: 99.99 vs 100.50 -> bands 0 and 1, diff <= $100
+        (2, 200, 99.99, datetime.datetime(2024, 2, 1)),
+        (2, 201, 100.50, datetime.datetime(2024, 2, 5)),
+        # outside tolerance: diff > $100
+        (3, 300, 10.00, datetime.datetime(2024, 3, 1)),
+        (3, 301, 500.00, datetime.datetime(2024, 3, 2)),
+        # outside window: 91+ days apart
+        (4, 400, 50.00, datetime.datetime(2024, 1, 1)),
+        (4, 401, 50.00, datetime.datetime(2024, 6, 1)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"])
+    # Spark rejects pandas' default nanosecond parquet timestamps
+    pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+    pdf.to_parquet(tmp_path / "orders.parquet")
+    got = queries()["join_duplicate_payments"](spark, str(tmp_path)).collect()
+    pairs = [(r["custkey"], r["order_a"], r["order_b"]) for r in got]
+    assert pairs == [(1, 100, 101), (2, 200, 201)]
+
+
+def test_duplicate_payments_plan_is_equi_join(spark, sf_dir):
+    """The scale story: the band construction must compile to a hash/sort
+    equi-join — never the nested-loop the oracle's inequality join
+    implies."""
+    plan = physical_plan(queries()["join_duplicate_payments"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+# --------------------------------------------------------------------------
+# text_tfidf_source_keywords
+# --------------------------------------------------------------------------
+
+
+def test_tfidf_source_keywords_match_python_recompute(spark, sf_dir):
+    from collections import Counter
+
+    rows = queries()["text_tfidf_source_keywords"](spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    n_docs = len(docs)
+    dfreq: Counter = Counter()
+    tf: dict[str, Counter] = defaultdict(Counter)
+    for src, text in zip(docs["source"], docs["text"]):
+        ws = re.findall(r"[a-z]+", text.lower())
+        tf[src].update(ws)
+        dfreq.update(set(ws))
+    idf = {w: math.floor(math.log((n_docs + 1) / (c + 1)) * 1_000_000) for w, c in dfreq.items()}
+    want = []
+    for src, cnt in tf.items():
+        scored = sorted(((-c * idf[w], w, c) for w, c in cnt.items()))[:10]
+        for rank, (neg, w, c) in enumerate(scored, start=1):
+            want.append((src, rank, w, c, idf[w], -neg))
+    got = [(r["source"], r["rank"], r["term"], r["tf"], r["idf_micro"], r["score_micro"])
+           for r in rows]
+    assert got == sorted(want)
