@@ -464,6 +464,7 @@ STREAMING_SUBSET = [
     ("streaming_heavy_hitters", "update"),
     ("streaming_sessionize_event_time", "update"),
     ("streaming_user_running_totals", "update"),
+    ("streaming_rolling_zscore", "update"),
     ("streaming_tumbling_counts", "append"),
 ]
 

@@ -1868,3 +1868,112 @@ def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("chars").cast("long").alias("max_shard_chars"),
         F.expr("(max(chars) * count(1) * 1000000L) div sum(chars)").alias("chars_balance_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# XYZ demand-variability classification (the ABC analysis companion)
+# --------------------------------------------------------------------------
+
+_XYZ_ORACLE = """
+WITH li AS (
+  SELECT l_partkey AS p,
+         year(l_shipdate) * 12 + month(l_shipdate) AS mi,
+         CAST(round(l_quantity) AS BIGINT) AS q
+  FROM lineitem
+),
+bounds AS (SELECT min(mi) AS lo, max(mi) AS hi FROM li),
+grid AS (
+  SELECT p.p, m.mi
+  FROM (SELECT DISTINCT p FROM li) p, bounds, unnest(range(bounds.lo, bounds.hi + 1)) AS m(mi)
+),
+demand AS (SELECT p, mi, CAST(sum(q) AS BIGINT) AS q FROM li GROUP BY p, mi),
+dense AS (
+  SELECT g.p, coalesce(d.q, 0) AS q
+  FROM grid g LEFT JOIN demand d ON d.p = g.p AND d.mi = g.mi
+),
+moments AS (
+  SELECT p,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS s,
+         CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS qq
+  FROM dense GROUP BY p
+),
+classed AS (
+  SELECT p, s,
+         CASE
+           WHEN s = 0 THEN 'Z'
+           WHEN 4 * (n * qq - CAST(s AS HUGEINT) * s) <= CAST(s AS HUGEINT) * s THEN 'X'
+           WHEN (n * qq - CAST(s AS HUGEINT) * s) <= CAST(s AS HUGEINT) * s THEN 'Y'
+           ELSE 'Z'
+         END AS xyz_class
+  FROM moments
+)
+SELECT xyz_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(s) AS BIGINT) AS total_demand
+FROM classed
+GROUP BY xyz_class
+ORDER BY xyz_class
+"""
+
+
+@register(
+    "orders_demand_variability_xyz",
+    _XYZ_ORACLE,
+    doc="XYZ demand-variability classes per part (CV over the dense monthly grid)",
+)
+def orders_demand_variability_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supply-chain companion to `orders_abc_analysis`: classify each
+    part's monthly demand stability — X (CV ≤ 0.5), Y (CV ≤ 1), Z
+    (erratic or zero demand). The CV decision is an integer
+    cross-multiplication on exact moments — ``CV² = (nΣq² − S²)/S²``, so
+    X ⇔ ``4(nΣq² − S²) ≤ S²`` — never a float variance.
+
+    The monthly grid is DENSE (idle months count as q=0 — the sparse
+    form silently understates variability, the round-7 CUSUM lesson):
+    every part crosses the broadcast 1-row calendar bounds, then left-
+    joins its observed demand. Grid size = parts × months — the month
+    axis is a calendar constant, so the grid grows linearly with the
+    part dimension, not with lineitem."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("mi"),
+        F.round("l_quantity").cast("long").alias("q"),
+    )
+    bounds = li.agg(F.min("mi").alias("lo"), F.max("mi").alias("hi"))
+    grid = (
+        li.select("p")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("p", F.explode(F.sequence("lo", "hi")).alias("mi"))
+    )
+    demand = li.groupBy("p", "mi").agg(F.sum("q").cast("long").alias("q"))
+    dense = grid.join(demand, ["p", "mi"], "left").select(
+        "p", F.coalesce(F.col("q"), F.lit(0)).alias("q")
+    )
+    moments = dense.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("qq"),
+    )
+    classed = moments.select(
+        "s",
+        F.expr(
+            """CASE
+                 WHEN s = 0 THEN 'Z'
+                 WHEN 4 * (n * qq - CAST(s AS DECIMAL(38,0)) * s)
+                      <= CAST(s AS DECIMAL(38,0)) * s THEN 'X'
+                 WHEN (n * qq - CAST(s AS DECIMAL(38,0)) * s)
+                      <= CAST(s AS DECIMAL(38,0)) * s THEN 'Y'
+                 ELSE 'Z'
+               END"""
+        ).alias("xyz_class"),
+    )
+    return (
+        classed.groupBy("xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("s").cast("long").alias("total_demand"),
+        )
+        .orderBy("xyz_class")
+    )

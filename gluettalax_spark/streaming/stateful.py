@@ -720,3 +720,101 @@ def streaming_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming per-entity rolling z-score anomalies
+# --------------------------------------------------------------------------
+
+ZSCORE_OUTPUT_SCHEMA = (
+    "user_id long, event_type string, n_seen long, n_scored long, n_anomalies long, n_late long"
+)
+_ZSCORE_STATE_SCHEMA = (
+    "ts array<long>, ids array<long>, cents array<long>, "
+    "n_seen long, n_scored long, n_anomalies long, n_late long"
+)
+
+
+def _make_rolling_zscore_fn(zwin: int, zk: int):
+    """Closure-built (workers can't import this package). Per
+    (user, event_type), keep the trailing ``zwin`` (ts, id, cents)
+    triples and score each IN-ORDER arrival against the window preceding
+    it with the batch operator's exact integer cross-multiplication —
+    ``(n·x − s1)²·n > k²·(n·s2 − s1²)·n`` in Python big ints, so the
+    decision is bit-identical to `events_rolling_zscore`.
+
+    Unlike the trailing-EWMA buffer (whose FINAL value is merge-exact
+    under any arrival order), running anomaly COUNTERS depend on every
+    event's own position-time window: an arrival older than the buffer's
+    newest point can no longer be scored against its true history, so it
+    is counted in ``n_late`` and excluded — the side-channel semantics a
+    production detector applies to late data. Within a micro-batch,
+    rows are sorted by (ts, id); with event-time-ordered batches (the
+    availableNow fixture drive) ``n_late`` is 0 and the per-type sums
+    equal the batch answer exactly (test-pinned)."""
+
+    def update(key, pdfs, state):
+        import math as _math
+
+        import pandas as _pd
+
+        if state.exists:
+            ts, ids, cents, n_seen, n_scored, n_anom, n_late = state.get
+            buf = list(zip(ts, ids, cents))
+        else:
+            buf, n_seen, n_scored, n_anom, n_late = [], 0, 0, 0, 0
+        rows = []
+        for pdf in pdfs:
+            t_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            cs = [int(_math.floor(v * 100 + 0.5)) for v in pdf["value"]]
+            rows.extend(zip(t_us, pdf["event_id"].tolist(), cs))
+        rows.sort()
+        for t, i, c in rows:
+            n_seen += 1
+            if buf and (t, i) < (buf[-1][0], buf[-1][1]):
+                n_late += 1
+                continue
+            win = buf[-zwin:]
+            n = len(win)
+            if n >= 4:
+                n_scored += 1
+                s1 = sum(v for _, _, v in win)
+                s2 = sum(v * v for _, _, v in win)
+                if (n * c - s1) ** 2 * n > zk * zk * (n * s2 - s1 * s1) * n:
+                    n_anom += 1
+            buf.append((t, i, c))
+            buf = buf[-zwin:]
+        state.update((
+            [t for t, _, _ in buf], [i for _, i, _ in buf], [c for _, _, c in buf],
+            n_seen, n_scored, n_anom, n_late,
+        ))
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "n_seen": [n_seen],
+                "n_scored": [n_scored],
+                "n_anomalies": [n_anom],
+                "n_late": [n_late],
+            }
+        )
+
+    return update
+
+
+def streaming_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch `events_rolling_zscore` — live
+    per-entity anomaly counters with bounded state (≤ window triples +
+    four counters per (user, type) key)."""
+    from gluettalax_spark.operators.stats import _ZK, _ZWIN
+
+    stream = read_events_stream(spark, sf_dir).filter("value IS NOT NULL").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    return stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        _make_rolling_zscore_fn(_ZWIN, _ZK),
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=_ZSCORE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

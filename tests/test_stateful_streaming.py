@@ -435,3 +435,71 @@ def test_streaming_cusum_final_equals_batch(spark, sf_dir):
         assert (s.n_days, s.total, s.cp_day, s.s_peak) == (
             b["n_days"], b["total"], b["cp_day"], b["s_peak"]
         ), et
+
+
+def test_streaming_rolling_zscore_equals_batch_exact(spark, sf_dir):
+    """Once the stream drains (event-time-ordered availableNow drive, so
+    n_late must be 0), the per-type sums of the final per-key counters
+    must equal the batch events_rolling_zscore's n_scored/n_anomalies —
+    the same integer cross-multiplied decision, replayed incrementally
+    with bounded state."""
+    from collections import defaultdict
+
+    from gluettalax_spark.registry import queries
+    from gluettalax_spark.streaming.stateful import streaming_rolling_zscore
+
+    stream_df = streaming_rolling_zscore(spark, sf_dir)
+    assert stream_df.isStreaming
+    rows = run_stream_to_memory(spark, stream_df, "zscore_smoke", output_mode="update").collect()
+    assert rows
+
+    latest = {}
+    for r in rows:
+        key = (r.user_id, r.event_type)
+        if key not in latest or r.n_seen > latest[key].n_seen:
+            latest[key] = r
+
+    scored = defaultdict(int)
+    anomalies = defaultdict(int)
+    for r in latest.values():
+        assert r.n_late == 0, r  # ordered drive → nothing uncounted
+        scored[r.event_type] += r.n_scored
+        anomalies[r.event_type] += r.n_anomalies
+
+    batch = {r.event_type: r for r in queries()["events_rolling_zscore"](spark, sf_dir).collect()}
+    assert set(scored) <= set(batch)
+    for et, b in batch.items():
+        assert scored.get(et, 0) == b.n_scored, et
+        assert anomalies.get(et, 0) == b.n_anomalies, et
+
+
+def test_streaming_rolling_zscore_sidelines_late_rows(spark, sf_dir):
+    """An arrival older than the buffer's newest point cannot be scored
+    against its true trailing window — it must land in n_late, never in
+    the scored/anomaly counters (the documented late-data semantics)."""
+    import pandas as pd
+
+    from gluettalax_spark.streaming.stateful import _make_rolling_zscore_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    fn = _make_rolling_zscore_fn(16, 3)
+    state = FakeState()
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:05", "2024-01-01 00:00:06", "2024-01-01 00:00:07",
+         "2024-01-01 00:00:08", "2024-01-01 00:00:09"]
+    )
+    first = pd.DataFrame({"ts": ts, "event_id": [1, 2, 3, 4, 5], "value": [1.0] * 5})
+    out1 = list(fn((7, "click"), [first], state))[0]
+    assert out1["n_seen"].iloc[0] == 5 and out1["n_late"].iloc[0] == 0
+
+    late = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 00:00:01"]), "event_id": [0], "value": [99.0]}
+    )
+    out2 = list(fn((7, "click"), [late], state))[0]
+    assert out2["n_late"].iloc[0] == 1
+    assert out2["n_scored"].iloc[0] == out1["n_scored"].iloc[0]  # not scored
