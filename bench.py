@@ -159,6 +159,9 @@ HEADLINE = [
     "text_dsir_importance",
     "join_duplicate_payments",
     "text_tfidf_source_keywords",
+    "orders_demand_variability_xyz",
+    "events_markov_entropy_rate",
+    "orders_gini_customers",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

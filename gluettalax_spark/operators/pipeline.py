@@ -1977,3 +1977,68 @@ def orders_demand_variability_xyz(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("xyz_class")
     )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of customer spend (inequality audit)
+# --------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey AS c,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, c) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM spend
+),
+m AS (
+  SELECT CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(CAST(rn AS HUGEINT) * cents) AS HUGEINT) AS a
+  FROM ranked
+)
+SELECT n AS n_customers,
+       s AS total_cents,
+       2.0 * CAST(a AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+         - (CAST(n AS DOUBLE) + 1) / n AS gini
+FROM m
+"""
+
+
+@register(
+    "orders_gini_customers",
+    _GINI_ORACLE,
+    doc="Gini coefficient of customer spend — exact-rank moment formula",
+)
+def orders_gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-concentration audit (the single-number cousin of
+    `customer_pareto`): ``G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n`` over
+    ascending-sorted spend. The rank moment ``Σ i·xᵢ`` is invariant
+    under tie permutation (equal x), so the exact integer moments pin
+    the statistic bit-for-bit; the only float math is the final
+    expression.
+
+    Scale: ranks come from the range-partitioned `exact_global_rank`
+    machinery — no single-task global window anywhere; the moments are
+    one hash aggregate over the ranked run."""
+    from gluettalax_spark.operators.rank import exact_global_rank
+
+    spend = load(spark, sf_dir, "orders").groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+    )
+    ranked = exact_global_rank(spend, ["cents", "c"], "rn")
+    m = ranked.agg(
+        F.max("_n").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("rn").cast("decimal(38,0)") * F.col("cents")).alias("a"),
+    )
+    return m.selectExpr(
+        "n AS n_customers",
+        "s AS total_cents",
+        """2.0 * CAST(a AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+           - (CAST(n AS DOUBLE) + 1) / n AS gini""",
+    )

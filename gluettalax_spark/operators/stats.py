@@ -2109,3 +2109,91 @@ def orders_repeat_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# --------------------------------------------------------------------------
+# Markov entropy rate of user event sequences
+# --------------------------------------------------------------------------
+
+_MER_SCALE = 100_000_000  # per-transition entropy terms quantized to 1e-8
+
+_MARKOV_ENTROPY_ORACLE = f"""
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS nij
+  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+),
+tot AS (
+  SELECT counts.*,
+         CAST(sum(nij) OVER (PARTITION BY from_type) AS BIGINT) AS ni,
+         CAST(sum(nij) OVER () AS BIGINT) AS nn
+  FROM counts
+),
+terms AS (
+  SELECT nn,
+         CAST(floor(CAST(nij AS DOUBLE) / nn
+                    * ln(CAST(ni AS DOUBLE) / nij) * {_MER_SCALE}) AS BIGINT) AS t_e8,
+         from_type
+  FROM tot
+)
+SELECT
+  CAST(max(nn) AS BIGINT) AS n_transitions,
+  CAST(count(DISTINCT from_type) AS BIGINT) AS n_states,
+  CAST(sum(t_e8) AS BIGINT) AS entropy_rate_e8,
+  CAST(CAST(sum(t_e8) AS BIGINT) AS DOUBLE) / {_MER_SCALE}
+    / ln(CAST(count(DISTINCT from_type) AS DOUBLE)) AS normalized_entropy
+FROM terms
+"""
+
+
+@register(
+    "events_markov_entropy_rate",
+    _MARKOV_ENTROPY_ORACLE,
+    doc="entropy rate of the user event-type Markov chain (integer 1e-8 terms)",
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How predictable is the next user action? The empirical entropy
+    rate of the first-order chain, ``H = Σ_ij (n_ij/N)·ln(n_i/n_ij)`` —
+    1.0 normalized means actions are uniform noise, near 0 means the
+    funnel is deterministic. Complements `events_markov_transitions`
+    (the matrix) with the single-number monitor a drift alert wants.
+
+    Exactness: per-cell terms floor-quantize to 1e-8 (the PSI/char-
+    entropy recipe) so the sum is an exact integer; the k²-cell grid is
+    bounded by the event-type vocabulary, so the windows run at
+    metadata scale. One data pass (the lead window, user-partitioned),
+    identical to the transition-matrix shape."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    tot = counts.select(
+        "from_type",
+        "nij",
+        F.sum("nij").over(Window.partitionBy("from_type")).cast("long").alias("ni"),
+        F.sum("nij").over(Window.partitionBy()).cast("long").alias("nn"),
+    )
+    terms = tot.select(
+        "nn",
+        "from_type",
+        F.expr(
+            f"CAST(floor(CAST(nij AS DOUBLE) / nn"
+            f" * ln(CAST(ni AS DOUBLE) / nij) * {_MER_SCALE}) AS BIGINT)"
+        ).alias("t_e8"),
+    )
+    return terms.agg(
+        F.max("nn").cast("long").alias("n_transitions"),
+        F.countDistinct("from_type").cast("long").alias("n_states"),
+        F.sum("t_e8").cast("long").alias("entropy_rate_e8"),
+        F.expr(
+            f"CAST(CAST(sum(t_e8) AS BIGINT) AS DOUBLE) / {_MER_SCALE}"
+            f" / ln(CAST(count(DISTINCT from_type) AS DOUBLE))"
+        ).alias("normalized_entropy"),
+    )

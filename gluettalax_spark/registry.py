@@ -104,6 +104,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "text_dsir_importance",
     "join_duplicate_payments",
     "text_tfidf_source_keywords",
+    "orders_demand_variability_xyz",
+    "events_markov_entropy_rate",
+    "orders_gini_customers",
 )
 
 

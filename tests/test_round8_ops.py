@@ -483,3 +483,83 @@ def test_tfidf_source_keywords_match_python_recompute(spark, sf_dir):
     got = [(r["source"], r["rank"], r["term"], r["tf"], r["idf_micro"], r["score_micro"])
            for r in rows]
     assert got == sorted(want)
+
+
+# --------------------------------------------------------------------------
+# orders_demand_variability_xyz / events_markov_entropy_rate /
+# orders_gini_customers
+# --------------------------------------------------------------------------
+
+
+def test_xyz_matches_python_recompute(spark, sf_dir):
+    rows = {r["xyz_class"]: r for r in queries()["orders_demand_variability_xyz"](spark, sf_dir).collect()}
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_shipdate", "l_quantity"])
+    li["mi"] = li["l_shipdate"].dt.year * 12 + li["l_shipdate"].dt.month
+    li["q"] = li["l_quantity"].round().astype("int64")
+    lo, hi = int(li["mi"].min()), int(li["mi"].max())
+    n = hi - lo + 1
+    want: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for p, g in li.groupby("l_partkey"):
+        monthly = g.groupby("mi")["q"].sum()
+        s = int(monthly.sum())
+        qq = int((monthly**2).sum())  # zero months add nothing to either moment
+        if s == 0:
+            cls = "Z"
+        elif 4 * (n * qq - s * s) <= s * s:
+            cls = "X"
+        elif (n * qq - s * s) <= s * s:
+            cls = "Y"
+        else:
+            cls = "Z"
+        want[cls][0] += 1
+        want[cls][1] += s
+    for cls, (np_, dem) in want.items():
+        assert rows[cls]["n_parts"] == np_, cls
+        assert rows[cls]["total_demand"] == dem, cls
+    assert sum(v[0] for v in want.values()) == sum(r["n_parts"] for r in rows.values())
+
+
+def test_markov_entropy_matches_python_recompute(spark, sf_dir):
+    row = queries()["events_markov_entropy_rate"](spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    nij: dict[tuple[str, str], int] = defaultdict(int)
+    for _, g in ev.groupby("user_id"):
+        ts = g["event_type"].tolist()
+        for a, b in zip(ts, ts[1:]):
+            nij[(a, b)] += 1
+    nn = sum(nij.values())
+    ni: dict[str, int] = defaultdict(int)
+    for (a, _), c in nij.items():
+        ni[a] += c
+    e8 = sum(math.floor(c / nn * math.log(ni[a] / c) * 100_000_000) for (a, _), c in nij.items())
+    assert row["n_transitions"] == nn
+    assert row["n_states"] == len(ni)
+    assert row["entropy_rate_e8"] == e8
+    assert 0.0 <= row["normalized_entropy"] <= 1.0 + 1e-12
+
+
+def test_gini_matches_python_recompute(spark, sf_dir):
+    row = queries()["orders_gini_customers"](spark, sf_dir).collect()[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    spend = o.groupby("o_custkey")["cents"].sum().sort_values(kind="stable")
+    n = len(spend)
+    s = int(spend.sum())
+    a = sum(i * int(x) for i, x in enumerate(spend.values, start=1))
+    gini = 2.0 * float(a) / (float(n) * float(s)) - (float(n) + 1) / n
+    assert row["n_customers"] == n and row["total_cents"] == s
+    assert abs(row["gini"] - gini) < 1e-12
+    assert 0.0 <= row["gini"] < 1.0
+
+
+def test_round8_wave2_plans_stay_jvm_side(spark, sf_dir):
+    for name in (
+        "orders_demand_variability_xyz",
+        "events_markov_entropy_rate",
+        "orders_gini_customers",
+        "join_duplicate_payments",
+        "text_tfidf_source_keywords",
+    ):
+        plan = physical_plan(queries()[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
