@@ -162,6 +162,7 @@ HEADLINE = [
     "orders_demand_variability_xyz",
     "events_markov_entropy_rate",
     "orders_gini_customers",
+    "text_bigram_kn_logppl",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40
@@ -218,6 +219,7 @@ SCALING_SUBSET = [
     "graph_modularity",
     "text_gopher_quality",
     "text_dsir_importance",
+    "text_bigram_kn_logppl",
 ]
 
 

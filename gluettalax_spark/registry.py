@@ -107,6 +107,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "orders_demand_variability_xyz",
     "events_markov_entropy_rate",
     "orders_gini_customers",
+    "text_bigram_kn_logppl",
 )
 
 

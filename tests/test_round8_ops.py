@@ -563,3 +563,46 @@ def test_round8_wave2_plans_stay_jvm_side(spark, sf_dir):
     ):
         plan = physical_plan(queries()[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+# --------------------------------------------------------------------------
+# text_bigram_kn_logppl
+# --------------------------------------------------------------------------
+
+
+def test_kn_logppl_matches_python_recompute(spark, sf_dir):
+    """Full big-int replay of the Kneser-Ney construction — train/test
+    split, discounted counts, continuation unigram — in plain Python."""
+    from collections import Counter
+
+    row = queries()["text_bigram_kn_logppl"](spark, sf_dir).collect()[0]
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    c_ab: Counter = Counter()
+    test: Counter = Counter()
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        ws = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if len(t) >= 3]
+        grams = list(zip(ws, ws[1:]))
+        (c_ab if did % 10 < 8 else test).update(grams)
+    c_v: Counter = Counter()
+    n1v: Counter = Counter()
+    n1w: Counter = Counter()
+    for (a, b), c in c_ab.items():
+        c_v[a] += c
+        n1v[a] += 1
+        n1w[b] += 1
+    tt = len(c_ab)
+    n_eval = n_oov = s_micro = 0
+    for (a, b), m in test.items():
+        if a not in c_v or b not in n1w:
+            n_oov += m
+            continue
+        num = max(4 * c_ab.get((a, b), 0) - 3, 0) * tt + 3 * n1v[a] * n1w[b]
+        den = 4 * c_v[a] * tt
+        n_eval += m
+        s_micro += m * math.floor(math.log(den / num) * 1_000_000)
+    assert row["n_eval_bigrams"] == n_eval
+    assert row["n_oov_bigrams"] == n_oov
+    assert row["sum_micronats"] == s_micro
+    assert abs(row["avg_nats"] - s_micro / 1_000_000 / n_eval) < 1e-12
+    # KN must beat (or match) the uniform baseline over train bigram types
+    assert row["avg_nats"] < math.log(tt)
