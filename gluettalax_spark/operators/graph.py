@@ -613,23 +613,23 @@ def _lpa_cte_prefix() -> str:
     ``lab{_LPA_ITERS}`` CTE plus ``edges``/``e0`` for reuse; callers
     append their own final SELECT (community sizes, modularity, ...)."""
     parts = [
-        f"""WITH op AS (SELECT o, p FROM {_DUCK_CAPPED_OP}),
-e0 AS (
+        f"""WITH op AS MATERIALIZED (SELECT o, p FROM {_DUCK_CAPPED_OP}),
+e0 AS MATERIALIZED (
   SELECT a.p AS pa, b.p AS pb FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
   GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}
 ),
-edges AS (SELECT pa AS u, pb AS v FROM e0 UNION ALL SELECT pb AS u, pa AS v FROM e0),
-lab0 AS (SELECT DISTINCT u AS node, u AS lab FROM edges)"""
+edges AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e0 UNION ALL SELECT pb AS u, pa AS v FROM e0),
+lab0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab FROM edges)"""
     ]
     cur = "lab0"
     for i in range(1, _LPA_ITERS + 1):
         parts.append(
             f""",
-agg{i} AS (
+agg{i} AS MATERIALIZED (
   SELECT e.u AS node, l.lab, count(*) AS c
   FROM edges e JOIN {cur} l ON l.node = e.v GROUP BY 1, 2
 ),
-lab{i} AS (
+lab{i} AS MATERIALIZED (
   SELECT node, lab FROM (
     SELECT node, lab, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
     FROM agg{i}

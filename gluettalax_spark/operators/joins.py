@@ -30,7 +30,8 @@ from gluettalax_spark.tables import load
 _REVENUE_BY_REGION_ORACLE = """
 SELECT
   r_name                                                AS region,
-  round(sum(l_extendedprice * (1 - l_discount)), 2)     AS revenue,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       AS DOUBLE) / 100.0                                AS revenue,
   count(*)                                              AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -61,7 +62,14 @@ def join_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            # integer-cents sum: the float fold crosses the 2-decimal
+            # rounding boundary at sf1.0 group sizes
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.col("revenue").desc(), F.col("region"))

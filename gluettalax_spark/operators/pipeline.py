@@ -1734,7 +1734,7 @@ classed AS (
 SELECT abc_class,
        CAST(count(*) AS BIGINT)      AS n_parts,
        CAST(sum(cents) AS BIGINT)    AS revenue_cents,
-       CAST(sum(cents) * 1000000 // max(t) AS BIGINT) AS share_ppm
+       CAST(CAST(sum(cents) AS HUGEINT) * 1000000 // max(t) AS BIGINT) AS share_ppm
 FROM classed
 GROUP BY abc_class
 ORDER BY abc_class
@@ -1792,7 +1792,10 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_parts"),
             F.sum("cents").cast("long").alias("revenue_cents"),
-            F.expr("(sum(cents) * 1000000L) div max(t)").alias("share_ppm"),
+            # cents totals * 1e6 pass 2^63 at 10x scale — widen first
+            F.expr(
+                "CAST(CAST(sum(cents) AS DECIMAL(38,0)) * 1000000 div max(t) AS BIGINT)"
+            ).alias("share_ppm"),
         )
         .orderBy("abc_class")
     )

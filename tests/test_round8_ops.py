@@ -606,3 +606,45 @@ def test_kn_logppl_matches_python_recompute(spark, sf_dir):
     assert abs(row["avg_nats"] - s_micro / 1_000_000 / n_eval) < 1e-12
     # KN must beat (or match) the uniform baseline over train bigram types
     assert row["avg_nats"] < math.log(tt)
+
+
+# --------------------------------------------------------------------------
+# semantic_dedup over-cap star degradation (engaged from sf1.0 up)
+# --------------------------------------------------------------------------
+
+
+def test_semantic_dedup_overcap_emits_star_pairs_only(spark, sf_dir):
+    """Force the band cap (max_bucket=2) so every cluster degrades: each
+    over-cap cluster must emit only (rep=min vec_id, member) pairs —
+    linear, never the clique — with the same integer-quantized scores.
+    The sf1.0 sweep engages this for real (clusters reach ~2900 > 512);
+    this pins the semantics at any SF."""
+    from pyspark.sql import functions as F
+
+    from gluettalax_spark.operators.semantic import (
+        _seed_centroids,
+        assign_clusters,
+        semantic_dedup,
+    )
+    from gluettalax_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    reps = {
+        r.cluster_id: r.rep
+        for r in assign_clusters(emb, _seed_centroids(load(spark, sf_dir, "embeddings")))
+        .groupBy("cluster_id")
+        .agg(F.min("vec_id").alias("rep"))
+        .collect()
+    }
+
+    capped = {(r.cluster_id, r.vec_a, r.vec_b, r.cosine)
+              for r in semantic_dedup(spark, sf_dir, max_bucket=2).collect()}
+    full = {(r.cluster_id, r.vec_a, r.vec_b, r.cosine)
+            for r in semantic_dedup(spark, sf_dir).collect()}
+
+    # star shape: only (rep, member) pairs survive; and they are exactly
+    # the full-clique pairs anchored at the cluster representative
+    # (same integer-quantized scores — set equality pins both).
+    assert capped == {t for t in full if t[1] == reps[t[0]]}
+    for cid, a, b, _ in capped:
+        assert a == reps[cid] and a < b
