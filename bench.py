@@ -163,6 +163,7 @@ HEADLINE = [
     "events_markov_entropy_rate",
     "orders_gini_customers",
     "text_bigram_kn_logppl",
+    "text_langid_confusion",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -3172,3 +3172,65 @@ def text_bigram_kn_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / sum(CASE WHEN evaluable THEN m ELSE 0 END)"
         ).alias("avg_nats"),
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix + per-class precision/recall
+# --------------------------------------------------------------------------
+
+_LANGID_EVAL_ORACLE = rf"""
+WITH pred AS ({_LANG_ID_ORACLE.strip().replace("ORDER BY doc_id", "").rstrip()}
+),
+cells AS (
+  SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY lang_true, lang_pred
+),
+m AS (
+  SELECT cells.*,
+         CAST(sum(n) OVER (PARTITION BY lang_true) AS BIGINT) AS n_true,
+         CAST(sum(n) OVER (PARTITION BY lang_pred) AS BIGINT) AS n_pred
+  FROM cells
+)
+SELECT lang_true, lang_pred, n,
+       CAST(n * 1000000 // n_true AS BIGINT) AS recall_ppm,
+       CAST(n * 1000000 // n_pred AS BIGINT) AS precision_ppm
+FROM m
+ORDER BY lang_true, lang_pred
+"""
+
+
+@register(
+    "text_langid_confusion",
+    _LANGID_EVAL_ORACLE,
+    doc="language-ID confusion matrix with integer-ppm per-class precision/recall",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a first-class operator: the marker-word
+    language ID (`text_lang_id`) scored against the fixture's `lang`
+    labels — the (true, predicted) count matrix with per-cell recall
+    (share of the true class) and precision (share of the predicted
+    class) in exact integer ppm. The matrix is the curation diagnostic:
+    which language pairs the heuristic confuses tells you where the
+    marker lists need depth.
+
+    Scale: one scan through the `text_lang_id` projection, one hash
+    aggregate to the ≤ 6×6 grid; the marginal windows run on that
+    bounded grid."""
+    pred = text_lang_id(spark, sf_dir)
+    cells = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    m = cells.select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.sum("n").over(Window.partitionBy("lang_true")).cast("long").alias("n_true"),
+        F.sum("n").over(Window.partitionBy("lang_pred")).cast("long").alias("n_pred"),
+    )
+    return m.select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.expr("CAST(n * 1000000 div n_true AS BIGINT)").alias("recall_ppm"),
+        F.expr("CAST(n * 1000000 div n_pred AS BIGINT)").alias("precision_ppm"),
+    ).orderBy("lang_true", "lang_pred")

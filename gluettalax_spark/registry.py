@@ -108,6 +108,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "events_markov_entropy_rate",
     "orders_gini_customers",
     "text_bigram_kn_logppl",
+    "text_langid_confusion",
 )
 
 

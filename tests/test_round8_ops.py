@@ -648,3 +648,39 @@ def test_semantic_dedup_overcap_emits_star_pairs_only(spark, sf_dir):
     assert capped == {t for t in full if t[1] == reps[t[0]]}
     for cid, a, b, _ in capped:
         assert a == reps[cid] and a < b
+
+
+# --------------------------------------------------------------------------
+# text_langid_confusion
+# --------------------------------------------------------------------------
+
+
+def test_langid_confusion_matches_recompute_and_diagonal_dominates(spark, sf_dir):
+    rows = queries()["text_langid_confusion"](spark, sf_dir).collect()
+    pred = queries()["text_lang_id"](spark, sf_dir).collect()
+    cells: dict[tuple[str, str], int] = defaultdict(int)
+    for p in pred:
+        cells[(p.lang_true, p.lang_pred)] += 1
+    n_true: dict[str, int] = defaultdict(int)
+    n_pred: dict[str, int] = defaultdict(int)
+    for (t, p), n in cells.items():
+        n_true[t] += n
+        n_pred[p] += n
+    assert len(rows) == len(cells)
+    for r in rows:
+        n = cells[(r.lang_true, r.lang_pred)]
+        assert r.n == n
+        assert r.recall_ppm == n * 1_000_000 // n_true[r.lang_true]
+        assert r.precision_ppm == n * 1_000_000 // n_pred[r.lang_pred]
+    # marginals are consistent: recall_ppm sums to ~1e6 per true class
+    # (integer floor division loses at most (k-1) ppm per class)
+    by_true: dict[str, int] = defaultdict(int)
+    counts: dict[str, int] = defaultdict(int)
+    for r in rows:
+        by_true[r.lang_true] += r.recall_ppm
+        counts[r.lang_true] += 1
+    for t, s in by_true.items():
+        assert 1_000_000 - counts[t] < s <= 1_000_000, (t, s)
+    # NOTE: the fixture's texts are English-vocabulary word salad for
+    # every lang label, so the matrix legitimately shows off-diagonal
+    # mass — surfacing that is the operator's purpose, not a bug.
