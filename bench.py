@@ -164,6 +164,8 @@ HEADLINE = [
     "orders_gini_customers",
     "text_bigram_kn_logppl",
     "text_langid_confusion",
+    "supplier_lead_time_percentiles",
+    "customer_segment_migration",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

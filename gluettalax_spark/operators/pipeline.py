@@ -2045,3 +2045,89 @@ def orders_gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         """2.0 * CAST(a AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
            - (CAST(n AS DOUBLE) + 1) / n AS gini""",
     )
+
+
+# --------------------------------------------------------------------------
+# Customer spend-quartile migration between calendar halves
+# --------------------------------------------------------------------------
+
+_MIGRATION_ORACLE = """
+WITH bounds AS (
+  SELECT (min(CAST(epoch(o_orderdate) AS BIGINT) // 86400)
+        + max(CAST(epoch(o_orderdate) AS BIGINT) // 86400)) // 2 AS mid_day
+  FROM orders
+),
+spend AS (
+  SELECT o_custkey AS c,
+         CAST(epoch(o_orderdate) AS BIGINT) // 86400 < bounds.mid_day AS in_h1,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders, bounds
+  GROUP BY c, in_h1
+),
+q1 AS (
+  SELECT c, ntile(4) OVER (ORDER BY cents, c) AS q
+  FROM spend WHERE in_h1
+),
+q2 AS (
+  SELECT c, ntile(4) OVER (ORDER BY cents, c) AS q
+  FROM spend WHERE NOT in_h1
+)
+SELECT coalesce(q1.q, 0) AS quartile_h1,
+       coalesce(q2.q, 0) AS quartile_h2,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM q1 FULL OUTER JOIN q2 USING (c)
+GROUP BY quartile_h1, quartile_h2
+ORDER BY quartile_h1, quartile_h2
+"""
+
+
+@register(
+    "customer_segment_migration",
+    _MIGRATION_ORACLE,
+    doc="spend-quartile migration matrix between calendar halves (0 = absent)",
+)
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-dynamics staple: where does each spend quartile's customer
+    land in the next period? Quartile 0 means absent from that half
+    (churned / newly acquired), so the 5×5 matrix carries retention AND
+    churn in one view.
+
+    Exactness: integer cents, the calendar midpoint as exact epoch-day
+    arithmetic, and ANSI ntile(4) computed from the range-partitioned
+    exact global rank (`ntile_from_rank` replicates the engines' shared
+    assignment rule) — the matrix is integer-exact.
+
+    Scale: per-half quartiles ride `exact_global_rank` (no single-task
+    window), the halves join customer-keyed, and the output is ≤ 25
+    rows."""
+    from gluettalax_spark.operators.rank import exact_global_rank, ntile_from_rank
+
+    orders = load(spark, sf_dir, "orders")
+    day = F.expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 86400")
+    bounds = orders.agg(((F.min(day) + F.max(day)) / 2).cast("long").alias("mid_day"))
+    spend = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.col("o_custkey").alias("c"),
+            (day < F.col("mid_day")).alias("in_h1"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
+    )
+
+    def quartiles(df):
+        ranked = exact_global_rank(df, ["cents", "c"], "rn")
+        return ranked.select(
+            "c", ntile_from_rank(F.col("rn"), F.col("_n"), 4).alias("q")
+        )
+
+    q1 = quartiles(spend.filter("in_h1")).withColumnRenamed("q", "q1")
+    q2 = quartiles(spend.filter("NOT in_h1")).withColumnRenamed("q", "q2")
+    return (
+        q1.join(q2, "c", "full_outer")
+        .groupBy(
+            F.coalesce(F.col("q1"), F.lit(0)).cast("long").alias("quartile_h1"),
+            F.coalesce(F.col("q2"), F.lit(0)).cast("long").alias("quartile_h2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("quartile_h1", "quartile_h2")
+    )

@@ -109,6 +109,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "orders_gini_customers",
     "text_bigram_kn_logppl",
     "text_langid_confusion",
+    "supplier_lead_time_percentiles",
+    "customer_segment_migration",
 )
 
 

@@ -684,3 +684,60 @@ def test_langid_confusion_matches_recompute_and_diagonal_dominates(spark, sf_dir
     # NOTE: the fixture's texts are English-vocabulary word salad for
     # every lang label, so the matrix legitimately shows off-diagonal
     # mass — surfacing that is the operator's purpose, not a bug.
+
+
+# --------------------------------------------------------------------------
+# supplier_lead_time_percentiles / customer_segment_migration
+# --------------------------------------------------------------------------
+
+
+def test_lead_time_matches_python_recompute(spark, sf_dir):
+    rows = {r["supplier_nation"]: r
+            for r in queries()["supplier_lead_time_percentiles"](spark, sf_dir).collect()}
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    s = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    j = (li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+           .merge(n, left_on="s_nationkey", right_on="n_nationkey"))
+    j["lag"] = (j["l_shipdate"].values.astype("datetime64[D]")
+                - j["o_orderdate"].values.astype("datetime64[D]")).astype("int64")
+    for nat, g in j.groupby("n_name"):
+        r = rows[nat]
+        assert r["n_lines"] == len(g)
+        assert r["mean_lag_days"] == int(g["lag"].sum()) // len(g)
+        assert abs(r["p50_lag_days"] - round(g["lag"].quantile(0.5, interpolation="linear"), 2)) < 1e-9
+        assert abs(r["p95_lag_days"] - round(g["lag"].quantile(0.95, interpolation="linear"), 2)) < 1e-9
+        assert r["max_lag_days"] == int(g["lag"].max())
+
+
+def test_segment_migration_matrix_is_consistent(spark, sf_dir):
+    """Marginals sanity + exact recompute: the quartile assignment uses
+    ANSI ntile(4) over (cents, custkey), replayed here in plain Python."""
+    rows = queries()["customer_segment_migration"](spark, sf_dir).collect()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    day = o["o_orderdate"].astype("datetime64[us]").astype("int64") // (86400 * 10**6)
+    mid = (int(day.min()) + int(day.max())) // 2
+    o = o.assign(day=day, cents=(o["o_totalprice"] * 100).round().astype("int64"))
+
+    def ntile4(spend: dict[int, int]) -> dict[int, int]:
+        order = sorted(spend.items(), key=lambda kv: (kv[1], kv[0]))
+        n = len(order)
+        base, rem = divmod(n, 4)
+        out, i = {}, 0
+        for q in range(1, 5):
+            size = base + (1 if q <= rem else 0)
+            for c, _ in order[i:i + size]:
+                out[c] = q
+            i += size
+        return out
+
+    h1 = o[o["day"] < mid].groupby("o_custkey")["cents"].sum().to_dict()
+    h2 = o[o["day"] >= mid].groupby("o_custkey")["cents"].sum().to_dict()
+    q1, q2 = ntile4(h1), ntile4(h2)
+    want: dict[tuple[int, int], int] = defaultdict(int)
+    for c in set(q1) | set(q2):
+        want[(q1.get(c, 0), q2.get(c, 0))] += 1
+    got = {(r["quartile_h1"], r["quartile_h2"]): r["n_customers"] for r in rows}
+    assert got == dict(want)
