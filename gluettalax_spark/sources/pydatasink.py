@@ -258,3 +258,89 @@ class JsonlManifestDataSource(DataSource):
 def register_manifest_sink(spark) -> None:
     """Idempotent registration of the custom format with a session."""
     spark.dataSource.register(JsonlManifestDataSource)
+
+
+def compact_manifest_sink(path: str, target_rows: int = 100_000) -> dict:
+    """Small-file compaction for a committed manifest sink — the VACUUM /
+    OPTIMIZE half of the sink lifecycle (many micro-batches or tasks →
+    many tiny files → listing and open() overheads dominate reads).
+
+    Protocol mirrors the writer's two-phase commit, so compaction is
+    crash-safe at every step:
+
+    1. committed files are binned greedily to ~``target_rows`` and each
+       bin is rewritten to a private ``compact-*.tmp`` file (invisible:
+       visibility is manifest membership, not file existence);
+    2. the manifest is flipped ATOMICALLY to the compacted file list
+       (one rename — a reader sees the old set or the new set, never a
+       mix); for streaming manifests the batch ledger collapses to a
+       ``_compacted`` baseline so later batch commits rebuild ``files``
+       on top of the compacted base, not the dead entries;
+    3. only after the flip are the superseded physical files deleted — a
+       crash between 2 and 3 leaves invisible orphans, never data loss.
+
+    Cluster note: on object storage the rewrite is a distributed job and
+    the deletes are a retention sweep, but the manifest-flip protocol is
+    identical (this is precisely Delta/Iceberg OPTIMIZE + VACUUM).
+
+    Returns the new manifest. Local-filesystem driver-side by design —
+    the sink itself is the single-node demo of the cloud committer."""
+    man = _load_manifest(path)
+    files = man.get("files", [])
+    if len(files) <= 1:
+        return man
+
+    fmt = "parquet" if files[0]["file"].endswith(".parquet") else "jsonl"
+
+    # Greedy row-count bin packing in manifest order (stable).
+    bins: list[list[dict]] = [[]]
+    acc = 0
+    for f in files:
+        if bins[-1] and acc + f["rows"] > target_rows:
+            bins.append([])
+            acc = 0
+        bins[-1].append(f)
+        acc += f["rows"]
+
+    new_files: list[dict] = []
+    tmp_paths: list[str] = []
+    for i, group in enumerate(bins):
+        name = f"compact-{uuid.uuid4().hex}-{i}.{ 'parquet' if fmt == 'parquet' else 'jsonl'}"
+        tmp = os.path.join(path, name + ".tmp")
+        rows = 0
+        if fmt == "jsonl":
+            with open(tmp, "w") as out:
+                for f in group:
+                    with open(os.path.join(path, f["file"])) as src:
+                        for line in src:
+                            out.write(line)
+                            rows += 1
+        else:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tables = [
+                pq.read_table(os.path.join(path, f["file"])) for f in group
+            ]
+            merged = pa.concat_tables(tables)
+            pq.write_table(merged, tmp)
+            rows = merged.num_rows
+        assert rows == sum(f["rows"] for f in group), "compaction lost rows"
+        tmp_paths.append(tmp)
+        new_files.append({"file": name, "rows": rows})
+
+    # Make the compacted files real (still invisible — not in manifest).
+    for tmp in tmp_paths:
+        os.replace(tmp, tmp[: -len(".tmp")])
+
+    new_man = {k: v for k, v in man.items() if k not in ("files", "batches")}
+    new_man["files"] = new_files
+    if "batches" in man:
+        new_man["batches"] = {"_compacted": new_files}
+    _store_manifest(path, new_man)  # the atomic visibility flip
+
+    for f in files:  # now-invisible originals: reclaim
+        p = os.path.join(path, f["file"])
+        if os.path.exists(p):
+            os.remove(p)
+    return new_man

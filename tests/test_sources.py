@@ -467,3 +467,76 @@ def test_manifest_sink_parquet_tasks_roundtrip_binary(spark, tmp_path):
     a = sorted(map(repr, df.collect()))
     b = sorted(map(repr, back.collect()))
     assert a == b
+
+
+def test_manifest_sink_compaction_batch_and_streaming(spark, tmp_path):
+    """compact_manifest_sink must preserve every row, collapse the file
+    count to the bin target, leave no temp files, and keep streaming
+    batch commits consistent ON TOP of the compacted baseline."""
+    from gluettalax_spark.sources.pydatasink import (
+        FORMAT_NAME,
+        compact_manifest_sink,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+
+    # ---- batch manifest: 8 small files -> 2 compacted bins
+    out = str(tmp_path / "msink_c")
+    df = spark.range(200).selectExpr("id", "concat('u', id % 7) AS tag")
+    df.repartition(8).write.format(FORMAT_NAME).mode("overwrite").save(out)
+    assert len(_manifest(out)["files"]) == 8
+
+    man = compact_manifest_sink(out, target_rows=100)
+    assert 2 <= len(man["files"]) <= 3  # 200 rows / 100-row bins
+    assert sum(f["rows"] for f in man["files"]) == 200
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    # superseded physical files reclaimed; only compacted files remain
+    data_files = [f for f in os.listdir(out) if not f.startswith("_")]
+    assert all(f.startswith("compact-") for f in data_files)
+
+    back = spark.read.format(FORMAT_NAME).load(out)
+    assert sorted(r["id"] for r in back.collect()) == list(range(200))
+    assert back.schema == df.schema
+
+    # idempotence-ish: compacting a compacted sink keeps all rows visible
+    compact_manifest_sink(out, target_rows=1000)
+    assert spark.read.format(FORMAT_NAME).load(out).count() == 200
+
+    # ---- streaming manifest: batches collapse to a _compacted baseline
+    sout = str(tmp_path / "msink_s")
+    src = str(tmp_path / "src")
+    spark.range(30).selectExpr("id", "CAST(id AS STRING) AS s").write.parquet(src)
+    stream = spark.readStream.schema("id long, s string").parquet(src)
+    q = (
+        stream.writeStream.format(FORMAT_NAME)
+        .option("path", sout)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n0 = spark.read.format(FORMAT_NAME).load(sout).count()
+    assert n0 == 30
+
+    man_s = compact_manifest_sink(sout, target_rows=10)
+    assert set(man_s["batches"]) == {"_compacted"}
+    assert spark.read.format(FORMAT_NAME).load(sout).count() == 30
+
+    # a later batch commit rebuilds `files` from batches — the compacted
+    # baseline must survive alongside the new batch
+    spark.range(30, 40).selectExpr("id", "CAST(id AS STRING) AS s").write.mode(
+        "append"
+    ).parquet(src)
+    q2 = (
+        spark.readStream.schema("id long, s string")
+        .parquet(src)
+        .writeStream.format(FORMAT_NAME)
+        .option("path", sout)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = sorted(r["id"] for r in spark.read.format(FORMAT_NAME).load(sout).collect())
+    assert got == list(range(40))
