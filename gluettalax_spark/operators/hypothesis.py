@@ -317,17 +317,17 @@ def stats_chi2_type_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "grp")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
     )
-    from pyspark.sql.window import Window
-
-    # The grid is ≤ (#event types × 2) rows — these windows are
-    # metadata-scale by construction.
-    tot = cells.select(
-        "event_type",
-        "grp",
-        "o",
-        F.sum("o").over(Window.partitionBy("event_type")).cast("decimal(38,0)").alias("rt"),
-        F.sum("o").over(Window.partitionBy("grp")).cast("decimal(38,0)").alias("ct"),
-        F.sum("o").over(Window.partitionBy()).cast("decimal(38,0)").alias("nn"),
+    # Marginals as broadcast re-aggregations of the types×2 grid — the
+    # grid is enum-bounded, and the plan suite bans the global-window
+    # alternative even over bounded inputs it can't prove bounded.
+    rt = cells.groupBy("event_type").agg(F.sum("o").cast("decimal(38,0)").alias("rt"))
+    ct = cells.groupBy("grp").agg(F.sum("o").cast("decimal(38,0)").alias("ct"))
+    nn_df = cells.agg(F.sum("o").cast("decimal(38,0)").alias("nn"))
+    tot = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "grp")
+        .crossJoin(F.broadcast(nn_df))
+        .select("event_type", "grp", "o", "rt", "ct", "nn")
     )
     terms = tot.select(
         "nn",

@@ -2174,11 +2174,15 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("to_type"),
     ).filter(F.col("to_type").isNotNull())
     counts = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).cast("long").alias("nij"))
-    tot = counts.select(
-        "from_type",
-        "nij",
-        F.sum("nij").over(Window.partitionBy("from_type")).cast("long").alias("ni"),
-        F.sum("nij").over(Window.partitionBy()).cast("long").alias("nn"),
+    # Marginals as broadcast re-aggregations of the k²-cell grid (the
+    # events_markov_transitions shape) — per-type counts are enum-bounded,
+    # and the plan suite bans the global-window alternative.
+    ni = counts.groupBy("from_type").agg(F.sum("nij").cast("long").alias("ni"))
+    nn = counts.agg(F.sum("nij").cast("long").alias("nn"))
+    tot = (
+        counts.join(F.broadcast(ni), "from_type")
+        .crossJoin(F.broadcast(nn))
+        .select("from_type", "nij", "ni", "nn")
     )
     terms = tot.select(
         "nn",
