@@ -166,6 +166,12 @@ HEADLINE = [
     "text_langid_confusion",
     "supplier_lead_time_percentiles",
     "customer_segment_migration",
+    "stats_anova_oneway",
+    "stats_kruskal_wallis",
+    "events_powerlaw_mle",
+    "text_dup_ngram_fraction",
+    "quality_classifier_linear",
+    "similarity_range_radius",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

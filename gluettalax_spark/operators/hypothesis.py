@@ -344,3 +344,231 @@ def stats_chi2_type_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t_e9").cast("long").alias("chi2_e9"),
         (F.sum("t_e9").cast("long").cast("double") / _CHI2_SCALE).alias("chi2"),
     ).drop("nn").select("n_types", "dof", "chi2_e9", "chi2")
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA: event value by event type (k groups)
+# --------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH vals AS (
+  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+grp AS (
+  SELECT g,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(v) AS BIGINT)   AS s_g,
+         CAST(sum(CAST(v AS HUGEINT) * v) AS BIGINT) AS q_g
+  FROM vals GROUP BY g
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT)  AS k,
+         CAST(sum(n_g) AS BIGINT)  AS n,
+         CAST(sum(s_g) AS BIGINT)  AS s,
+         CAST(sum(q_g) AS BIGINT)  AS q,
+         CAST(sum(CAST(s_g AS HUGEINT) * s_g // n_g) AS BIGINT) AS ssbq
+  FROM grp
+)
+SELECT k, n, s, q, ssbq,
+       CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n AS ss_between,
+       CAST(q AS DOUBLE) - ssbq                         AS ss_within,
+       ((CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (k - 1))
+         / ((CAST(q AS DOUBLE) - ssbq) / (n - k))       AS f_stat,
+       (CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+         / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) AS eta_sq
+FROM m
+"""
+
+
+@register(
+    "stats_anova_oneway",
+    _ANOVA_ORACLE,
+    doc="one-way ANOVA F (event value by type) from exact integer moments",
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the event types: does mean event value differ
+    by type? The k-sample mean-comparison a curation pipeline runs before
+    trusting a per-slice aggregate (reference surface: SURVEY §2 F-agg
+    statistical profile, the k-group sibling of `events_ab_test`).
+
+    Exactness: values quantize to integer cents; per-group moments
+    (n_g, Σv, Σv²) are exact integers, and the one non-integer quantity —
+    the between-group raw sum Σ s_g²/n_g — floor-quantizes per group
+    (`s_g² div n_g`, error < 1 cent² per group, identical truncation in
+    both engines since both truncate toward zero). F and η² are single
+    shared IEEE expressions over those five integers. Magnitude note:
+    s_g² rides DECIMAL(38,0)/HUGEINT; the quotient s_g²/n_g ∝ mean²·n_g
+    stays inside int64 up to ~10⁹-row groups at cent scale — past that,
+    re-quantize to whole currency units (same recipe, coarser quantum).
+
+    Scale: ONE data-scale groupBy to the k-row (event-type-bounded) group
+    table; everything downstream is a k-row aggregate."""
+    events = load(spark, sf_dir, "events")
+    grp = (
+        events.select(
+            F.col("event_type").alias("g"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("v").cast("long").alias("s_g"),
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).cast("long").alias("q_g"),
+        )
+    )
+    m = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("q_g").cast("long").alias("q"),
+        F.sum(F.expr("CAST(s_g AS DECIMAL(38,0)) * s_g div n_g")).cast("long").alias("ssbq"),
+    )
+    return m.selectExpr(
+        "k",
+        "n",
+        "s",
+        "q",
+        "ssbq",
+        "CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n AS ss_between",
+        "CAST(q AS DOUBLE) - ssbq AS ss_within",
+        "((CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (k - 1))"
+        " / ((CAST(q AS DOUBLE) - ssbq) / (n - k)) AS f_stat",
+        "(CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+        " / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) AS eta_sq",
+    )
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis H: rank-based k-sample test (ANOVA's rank sibling)
+# --------------------------------------------------------------------------
+
+# Σ_g R_g²/(n_g·N) quantized to milli-units: quotients stay ~N·10³ —
+# inside int64 with ~10⁹× headroom over the fixture scales.
+_KW_SCALE = 1_000
+
+
+_KRUSKAL_ORACLE = f"""
+WITH vals AS (
+  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+cells AS (
+  SELECT g, v, CAST(count(*) AS BIGINT) AS n_gv
+  FROM vals GROUP BY g, v
+),
+dict AS (
+  SELECT v, CAST(sum(n_gv) AS BIGINT) AS n_v
+  FROM cells GROUP BY v
+),
+ranked AS (
+  SELECT v, n_v,
+         CAST(sum(n_v) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM dict
+),
+per_g AS (
+  SELECT c.g,
+         CAST(sum(c.n_gv) AS BIGINT) AS n_g,
+         -- 2×rank-sum: R2_g(v) = n_gv · (2·cum_before + n_v + 1)
+         CAST(sum(CAST(c.n_gv AS HUGEINT) * (2 * (r.cum - r.n_v) + r.n_v + 1)) AS BIGINT) AS r2_g
+  FROM cells c JOIN ranked r ON c.v = r.v
+  GROUP BY c.g
+),
+nn AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM per_g),
+hsum AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         -- Σ_g R_g²/(n_g·N) in milli-units, R_g = r2_g/2
+         CAST(sum(CAST(r2_g AS HUGEINT) * r2_g * {_KW_SCALE} // (4 * n_g * (SELECT n FROM nn))) AS BIGINT) AS h_milli
+  FROM per_g
+),
+ties AS (
+  SELECT CAST(sum(CAST(n_v AS HUGEINT) * n_v * n_v - n_v) AS BIGINT) AS tie_t
+  FROM dict
+)
+SELECT hsum.k, nn.n, hsum.h_milli, ties.tie_t,
+       12.0 * (CAST(hsum.h_milli AS DOUBLE) / {_KW_SCALE}) / (nn.n + 1)
+         - 3.0 * (nn.n + 1) AS h,
+       (12.0 * (CAST(hsum.h_milli AS DOUBLE) / {_KW_SCALE}) / (nn.n + 1)
+         - 3.0 * (nn.n + 1))
+         / (1.0 - CAST(ties.tie_t AS DOUBLE)
+            / (CAST(nn.n AS DOUBLE) * nn.n * nn.n - nn.n)) AS h_corrected
+FROM hsum, nn, ties
+"""
+
+
+@register(
+    "stats_kruskal_wallis",
+    _KRUSKAL_ORACLE,
+    doc="Kruskal-Wallis H (event value ranks by type) — exact tie-corrected ranks",
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the event types — the rank-based (outlier-
+    robust) k-sample sibling of `stats_anova_oneway`, generalizing the
+    Mann-Whitney construction from 2 to k groups on the same value
+    dictionary.
+
+    Exactness: 2×average-ranks stay integral under ties
+    (R2(v) = 2·cum_before + n_v + 1, the `stats_mannwhitney_events`
+    identity); Σ_g R_g²/(n_g·N) floor-quantizes to milli-units per group
+    (truncation toward zero in BOTH engines), so `h_milli` and the tie
+    term are exact integers; H and its tie correction are single shared
+    IEEE expressions.
+
+    Scale: one data-scale groupBy to the (type × cents) dictionary; the
+    running rank runs on the value dictionary via the range-partitioned
+    machinery, never a window over data rows."""
+    events = load(spark, sf_dir, "events")
+    cells = (
+        events.select(
+            F.col("event_type").alias("g"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gv"))
+    )
+    dict_df = (
+        cells.groupBy("v").agg(F.sum("n_gv").cast("long").alias("n_v")).withColumn("_g", F.lit(1))
+    )
+    ranked = grouped_running_sum(dict_df, ["_g"], ["v"], "n_v", "cum").select("v", "n_v", "cum")
+    per_g = (
+        cells.join(ranked, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("n_gv").cast("long").alias("n_g"),
+            F.sum(
+                F.col("n_gv").cast("decimal(38,0)")
+                * (2 * (F.col("cum") - F.col("n_v")) + F.col("n_v") + 1)
+            ).cast("long").alias("r2_g"),
+        )
+    )
+    nn = per_g.agg(F.sum("n_g").cast("long").alias("n"))
+    hsum = (
+        per_g.crossJoin(F.broadcast(nn))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(
+                F.expr(
+                    f"CAST(r2_g AS DECIMAL(38,0)) * r2_g * {_KW_SCALE} div (4 * n_g * n)"
+                )
+            ).cast("long").alias("h_milli"),
+            F.first("n").alias("n"),
+        )
+    )
+    ties = ranked.agg(
+        F.sum(
+            F.col("n_v").cast("decimal(38,0)") * F.col("n_v") * F.col("n_v") - F.col("n_v")
+        ).cast("long").alias("tie_t")
+    )
+    return (
+        hsum.crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "k",
+            "n",
+            "h_milli",
+            "tie_t",
+            f"12.0 * (CAST(h_milli AS DOUBLE) / {_KW_SCALE}) / (n + 1) - 3.0 * (n + 1) AS h",
+            f"(12.0 * (CAST(h_milli AS DOUBLE) / {_KW_SCALE}) / (n + 1) - 3.0 * (n + 1))"
+            " / (1.0 - CAST(tie_t AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)) AS h_corrected",
+        )
+    )

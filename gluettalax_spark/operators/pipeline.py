@@ -2131,3 +2131,140 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
         .orderBy("quartile_h1", "quartile_h2")
     )
+
+
+# --------------------------------------------------------------------------
+# Linear quality classifier over hashed n-gram features (fastText-shaped)
+# --------------------------------------------------------------------------
+
+# The hashed-feature linear classifier is the workhorse of corpus quality
+# filtering (fastText-style models scored every GPT-3/LLaMA-class corpus;
+# Joulin et al. 2016 is the public reference). The Spark-side question is
+# the PLUMBING at 100 TB — explode features, hash to a bounded bucket
+# space, fold weights per doc — so the model here is a deterministic
+# surrogate: bucket = md5(feature) mod 2^16, weight(bucket) =
+# ((bucket · 2654435761) mod 2^20) − 2^19 (a Knuth-hash spread over
+# ±2^19). Every score is then an exact integer, which is what makes the
+# op fully oracle-checkable — a trained float model would pin only
+# rows-only. Swapping real trained weights in = replacing one
+# deterministic map with a broadcast lookup; the plan is identical.
+_QC_BUCKETS = 1 << 16
+_QC_KNUTH = 2654435761
+_QC_WRANGE = 1 << 20
+
+
+def _qc_oracle() -> str:
+    from gluettalax_spark.operators.dedup import _duck_hex_int
+
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, source, unnest(w) AS f FROM toks
+  UNION ALL
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])) AS f
+  FROM toks WHERE len(w) >= 2
+),
+hashed AS (
+  SELECT doc_id, source, md5(f) AS m FROM feats
+),
+scored_feat AS (
+  SELECT doc_id, source,
+         (({_duck_hex_int(1, 15)} % {_QC_BUCKETS}) * {_QC_KNUTH})
+           % {_QC_WRANGE} - {_QC_WRANGE // 2} AS wgt
+  FROM hashed
+),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(wgt) AS BIGINT) AS sum_w,
+         CAST(CAST(sum(wgt) AS BIGINT) * 1000 // count(*) AS BIGINT) AS logit_milli
+  FROM scored_feat GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN logit_milli > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+       CAST(sum(CASE WHEN logit_milli > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         AS pos_share_ppm,
+       CAST(sum(logit_milli) // count(*) AS BIGINT) AS mean_logit_milli,
+       CAST(sum(n_feats) AS BIGINT) AS total_features
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "quality_classifier_linear",
+    _qc_oracle(),
+    doc="hashed-feature linear quality classifier (fastText-shaped), scored per source",
+)
+def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a linear bag-of-features quality classifier to every
+    document: unigram + bigram features hash into 2^16 buckets, each
+    bucket carries an integer weight, a doc's logit is the mean feature
+    weight, and the per-source rollup reports positive share and mean
+    logit — the classifier-based quality-filtering stage of an LLM data
+    pipeline (surrogate weights; see module comment).
+
+    Exactness: bucket ids ride md5 15-hex → int64 (oracle hashes
+    identically); the weight map, per-doc mean (milli-scaled floor div,
+    truncation identical cross-engine), and every rollup are exact
+    integers end-to-end — no float anywhere.
+
+    Scale: features explode map-side from the document scan (no join),
+    the only wide exchange is the doc-keyed aggregate, and the weight
+    map is a closed-form expression — at 100 TB with a real model it
+    becomes a 2^16-row broadcast join, same plan."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')").alias("w"),
+    )
+    uni = toks.select("doc_id", "source", F.explode("w").alias("f"))
+    bi = toks.filter(F.size("w") >= 2).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], '_', w[i]))")
+        ).alias("f"),
+    )
+    feats = uni.unionAll(bi)
+    scored_feat = feats.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"((CAST(conv(substr(md5(f), 1, 15), 16, 10) AS BIGINT) % {_QC_BUCKETS})"
+            f" * {_QC_KNUTH}) % {_QC_WRANGE} - {_QC_WRANGE // 2}"
+        ).alias("wgt"),
+    )
+    per_doc = scored_feat.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_feats"),
+        F.sum("wgt").cast("long").alias("sum_w"),
+        F.expr("CAST(CAST(sum(wgt) AS BIGINT) * 1000 div count(*) AS BIGINT)").alias(
+            "logit_milli"
+        ),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("logit_milli") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_positive"),
+            F.expr(
+                "CAST(sum(CASE WHEN logit_milli > 0 THEN 1 ELSE 0 END) * 1000000"
+                " div count(*) AS BIGINT)"
+            ).alias("pos_share_ppm"),
+            F.expr("CAST(sum(logit_milli) div count(*) AS BIGINT)").alias(
+                "mean_logit_milli"
+            ),
+            F.sum("n_feats").cast("long").alias("total_features"),
+        )
+        .orderBy("source")
+    )

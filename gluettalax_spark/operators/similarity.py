@@ -1202,3 +1202,96 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact ε-ball range search (the radius sibling of the top-k ANN ladder)
+# --------------------------------------------------------------------------
+
+_RANGE_NQ = 20  # query set: vec_id < 20 (the ANN ladder's convention)
+# Radius on the 2^20-quantized grid: ~5% of pairs at fixture scale, i.e.
+# a real-unit L2 radius of ~1.21 on the unit-ish fixture vectors.
+_RANGE_R2 = 1_600_000_000_000
+
+
+_RANGE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(floor(v * {COV_Q}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+probes AS (SELECT vec_id, qv FROM q WHERE vec_id < {_RANGE_NQ}),
+pairs AS (
+  SELECT p.vec_id,
+         e.vec_id AS nbr,
+         CAST(list_sum(list_transform(range(1, {_COV_DIM} + 1),
+              i -> (p.qv[i] - e.qv[i]) * (p.qv[i] - e.qv[i]))) AS BIGINT) AS d2
+  FROM probes p, q e
+  WHERE e.vec_id <> p.vec_id
+)
+SELECT vec_id,
+       CAST(sum(CASE WHEN d2 <= {_RANGE_R2} THEN 1 ELSE 0 END) AS BIGINT) AS n_neighbors,
+       CAST(coalesce(min(d2) FILTER (WHERE d2 <= {_RANGE_R2}), -1) AS BIGINT) AS min_d2,
+       CAST(coalesce(sum(nbr) FILTER (WHERE d2 <= {_RANGE_R2}), 0) AS BIGINT) AS sum_nbr_ids
+FROM pairs
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+@register(
+    "similarity_range_radius",
+    _RANGE_ORACLE,
+    doc=f"exact ε-ball range search (quantized L2, {_RANGE_NQ} probes) — fully oracle-checked",
+)
+def similarity_range_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (ε-ball) similarity search: for each probe vector, count and
+    checksum the corpus vectors within a fixed L2 radius — the "find
+    everything near this" sibling of the top-k ladder (radius recall is
+    what near-dup mining actually wants: top-k misses dense neighborhoods
+    and over-returns in sparse ones).
+
+    Exactness: coordinates floor-quantize to 2^20 (the covariance-family
+    convention), so every pairwise distance is an exact integer
+    (|diff| < 2^21 ⇒ d² ≤ 64·2^42 < 2^48 — no overflow), making this and
+    `similarity_topk_hamming` the two FULLY oracle-checked similarity
+    rungs (the float rungs are recall-witnessed only).
+
+    Scale: the probe set is a {_RANGE_NQ}-row broadcast into the
+    embeddings scan — zero shuffle of the corpus side; each distance is
+    one JVM-side zip_with/aggregate fold inside the scan stage; the
+    result aggregate carries {_RANGE_NQ} keys. At 100 TB this is the
+    linear-scan baseline; the IVF rungs show the pruned path."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(f"transform(embedding, v -> CAST(floor(v * {COV_Q}) AS BIGINT))").alias("qv"),
+    )
+    probes = emb.filter(F.col("vec_id") < _RANGE_NQ).select(
+        F.col("vec_id").alias("p_id"), F.col("qv").alias("pv")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("p_id"))
+        .select(
+            F.col("p_id"),
+            F.col("vec_id").alias("nbr"),
+            F.expr(
+                "CAST(aggregate(zip_with(pv, qv, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (acc, v) -> acc + v) AS BIGINT)"
+            ).alias("d2"),
+        )
+    )
+    return (
+        pairs.groupBy(F.col("p_id").alias("vec_id"))
+        .agg(
+            F.sum(F.when(F.col("d2") <= _RANGE_R2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_neighbors"),
+            F.coalesce(
+                F.min(F.when(F.col("d2") <= _RANGE_R2, F.col("d2"))), F.lit(-1)
+            ).cast("long").alias("min_d2"),
+            F.coalesce(
+                F.sum(F.when(F.col("d2") <= _RANGE_R2, F.col("nbr"))), F.lit(0)
+            ).cast("long").alias("sum_nbr_ids"),
+        )
+        .orderBy("vec_id")
+    )

@@ -2272,3 +2272,86 @@ def supplier_lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("supplier_nation")
     )
+
+
+# --------------------------------------------------------------------------
+# Power-law tail MLE (Hill / Clauset-Shalizi-Newman alpha) on user activity
+# --------------------------------------------------------------------------
+
+_PL_XMIN = 5  # tail threshold: users with ≥ 5 events
+_PL_SCALE = 1_000_000  # ln terms floor-quantized to micro-nats
+
+
+_POWERLAW_ORACLE = f"""
+WITH activity AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+dict AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS m
+  FROM activity WHERE c >= {_PL_XMIN} GROUP BY c
+),
+terms AS (
+  SELECT c, m,
+         CAST(floor(ln(CAST(c AS DOUBLE) / {_PL_XMIN}.0) * {_PL_SCALE}) AS BIGINT) AS lnq
+  FROM dict
+),
+m AS (
+  SELECT CAST(sum(m) AS BIGINT) AS n_tail,
+         CAST(count(*) AS BIGINT) AS k_distinct,
+         CAST(sum(m * lnq) AS BIGINT) AS s_micro
+  FROM terms
+)
+SELECT n_tail, k_distinct, s_micro,
+       {_PL_XMIN} AS xmin,
+       1.0 + CAST(n_tail AS DOUBLE) * {_PL_SCALE} / s_micro AS alpha,
+       (CAST(n_tail AS DOUBLE) * {_PL_SCALE} / s_micro) / sqrt(CAST(n_tail AS DOUBLE)) AS se
+FROM m
+"""
+
+
+@register(
+    "events_powerlaw_mle",
+    _POWERLAW_ORACLE,
+    doc=f"power-law tail exponent MLE (Hill estimator, xmin={_PL_XMIN}) on user activity",
+)
+def events_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous power-law tail exponent for the per-user activity
+    distribution: alpha = 1 + n / Σ ln(c_u/xmin) over users with c_u ≥
+    xmin — the Hill / Clauset-Shalizi-Newman MLE, the estimator sibling
+    of `corpus_token_zipf`'s log-log OLS (MLE beats regression on the
+    tail; publishing both is exactly what the CSN paper prescribes).
+    `se` is the asymptotic standard error (alpha−1)/√n.
+
+    Exactness: the activity histogram is a bounded dictionary (distinct
+    activity counts ≪ users — Heaps-style), ln evaluates once per
+    dictionary entry and floor-quantizes to micro-nats (the repo-wide
+    ln recipe), multiplicities are exact integers, and alpha/se are
+    single shared IEEE expressions over two exact integers.
+
+    Scale: one data-scale groupBy(user_id) — everything after runs on
+    the count dictionary."""
+    events = load(spark, sf_dir, "events")
+    activity = events.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dict_df = (
+        activity.filter(F.col("c") >= _PL_XMIN)
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    terms = dict_df.withColumn(
+        "lnq",
+        F.expr(f"CAST(floor(ln(CAST(c AS DOUBLE) / {_PL_XMIN}.0) * {_PL_SCALE}) AS BIGINT)"),
+    )
+    m = terms.agg(
+        F.sum("m").cast("long").alias("n_tail"),
+        F.count(F.lit(1)).cast("long").alias("k_distinct"),
+        F.sum(F.col("m") * F.col("lnq")).cast("long").alias("s_micro"),
+    )
+    return m.selectExpr(
+        "n_tail",
+        "k_distinct",
+        "s_micro",
+        f"{_PL_XMIN} AS xmin",
+        f"1.0 + CAST(n_tail AS DOUBLE) * {_PL_SCALE} / s_micro AS alpha",
+        f"(CAST(n_tail AS DOUBLE) * {_PL_SCALE} / s_micro) / sqrt(CAST(n_tail AS DOUBLE)) AS se",
+    )

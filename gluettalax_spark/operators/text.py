@@ -3234,3 +3234,135 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n * 1000000 div n_true AS BIGINT)").alias("recall_ppm"),
         F.expr("CAST(n * 1000000 div n_pred AS BIGINT)").alias("precision_ppm"),
     ).orderBy("lang_true", "lang_pred")
+
+
+
+# --------------------------------------------------------------------------
+# Cross-document duplicate n-gram fraction (Gopher/RefinedWeb dup signal)
+# --------------------------------------------------------------------------
+
+_DUP_NGRAM_THRESH_PPM = 200_000  # "heavily templated" flag: >20% dup positions
+
+
+def _dup_ngram_oracle() -> str:
+    from gluettalax_spark.operators.dedup import _duck_hex_int
+
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+           range(1, len(tokens) - 1),
+           i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+         )) AS s
+  FROM toks
+  WHERE len(tokens) >= 3
+),
+hashed AS (
+  SELECT doc_id, source, md5(s) AS m FROM sh
+),
+occ AS (
+  SELECT doc_id, source, {_duck_hex_int(1, 15)} AS h,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM hashed GROUP BY 1, 2, 3
+),
+dup AS (
+  SELECT h FROM occ GROUP BY h HAVING count(*) >= 2
+),
+per_doc AS (
+  SELECT o.doc_id, o.source,
+         CAST(sum(o.cnt) AS BIGINT) AS tot_pos,
+         CAST(coalesce(sum(o.cnt) FILTER (WHERE d.h IS NOT NULL), 0) AS BIGINT) AS dup_pos
+  FROM occ o LEFT JOIN dup d ON o.h = d.h
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT source, tot_pos, dup_pos,
+         CAST(dup_pos * 1000000 // tot_pos AS BIGINT) AS doc_ppm
+  FROM per_doc
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_ppm) // count(*) AS BIGINT) AS mean_dup_ppm,
+       CAST(sum(CASE WHEN doc_ppm >= {_DUP_NGRAM_THRESH_PPM} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_templated,
+       CAST(sum(dup_pos) AS BIGINT) AS dup_positions,
+       CAST(sum(tot_pos) AS BIGINT) AS total_positions
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_dup_ngram_fraction",
+    _dup_ngram_oracle(),
+    doc="per-source duplicate word-3-gram fraction (cross-document)",
+)
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate n-gram fraction — the Gopher/RefinedWeb
+    repetition signal at corpus scope (within-doc repetition is
+    `text_repetition_filter`; THIS measures template/boilerplate sharing
+    ACROSS documents): for each doc, the fraction of its word-3-gram
+    positions whose shingle also appears in at least one OTHER document,
+    summarized per source (Rae et al. 2021 §A1.2 "duplicate n-gram
+    fraction"; the RefinedWeb dedup ablations — public papers).
+
+    Exactness: shingle identity rides the md5 15-hex → int64 convention
+    (the oracle hashes identically, so both engines agree even on the
+    astronomically-unlikely collision); every count and floor-div is an
+    exact integer, truncation identical cross-engine.
+
+    Scale: reuses `shingles_exploded` (one doc_id shuffle), one groupBy
+    on the shingle hash — the same exchange a 100 TB dedup pass already
+    pays — then a shuffle hash-join back on h (the dup set is NOT assumed
+    broadcastable: boilerplate-heavy corpora have huge dup sets) and
+    doc-keyed aggregates. Nothing all-pairs. The per-(doc,h) table is
+    localCheckpointed so the dup-set scan and the join-back share one
+    materialization instead of re-running the shingle explode."""
+    from gluettalax_spark.operators.dedup import shingles_exploded
+
+    sh = shingles_exploded(spark, sf_dir, carry=("source",))
+    occ = (
+        sh.select(
+            "doc_id",
+            "source",
+            F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("h"),
+        )
+        .groupBy("doc_id", "source", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    dup = (
+        occ.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs_h"))
+        .filter(F.col("n_docs_h") >= 2)
+        .select("h")
+    )
+    flagged = occ.join(dup.withColumn("is_dup", F.lit(1)), "h", "left")
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.sum("cnt").cast("long").alias("tot_pos"),
+        F.coalesce(F.sum(F.when(F.col("is_dup") == 1, F.col("cnt"))), F.lit(0))
+        .cast("long")
+        .alias("dup_pos"),
+    )
+    scored = per_doc.withColumn(
+        "doc_ppm", F.expr("CAST(dup_pos * 1000000 div tot_pos AS BIGINT)")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("CAST(sum(doc_ppm) div count(*) AS BIGINT)").alias("mean_dup_ppm"),
+            F.sum(
+                F.when(F.col("doc_ppm") >= _DUP_NGRAM_THRESH_PPM, 1).otherwise(0)
+            ).cast("long").alias("n_templated"),
+            F.sum("dup_pos").cast("long").alias("dup_positions"),
+            F.sum("tot_pos").cast("long").alias("total_positions"),
+        )
+        .orderBy("source")
+    )

@@ -111,6 +111,12 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "text_langid_confusion",
     "supplier_lead_time_percentiles",
     "customer_segment_migration",
+    "stats_anova_oneway",
+    "stats_kruskal_wallis",
+    "events_powerlaw_mle",
+    "text_dup_ngram_fraction",
+    "quality_classifier_linear",
+    "similarity_range_radius",
 )
 
 
