@@ -172,6 +172,11 @@ HEADLINE = [
     "text_dup_ngram_fraction",
     "quality_classifier_linear",
     "similarity_range_radius",
+    "events_did_uplift",
+    "events_attribution_position",
+    "text_ppl_buckets",
+    "stats_kendall_tau_binned",
+    "events_survival_km",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -572,3 +572,143 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (1.0 - CAST(tie_t AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)) AS h_corrected",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-b on a decile grid: doc length vs stopword density
+# --------------------------------------------------------------------------
+
+_KT_BINS = 10
+
+
+_KENDALL_ORACLE = rf"""
+WITH feat AS (
+  SELECT doc_id,
+         n_chars AS x,
+         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|a|in)\b')) AS BIGINT)
+           * 1000000
+           // greatest(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')), 1)
+           AS y
+  FROM documents
+),
+binned AS (
+  SELECT ntile({_KT_BINS}) OVER (ORDER BY x, doc_id) AS bx,
+         ntile({_KT_BINS}) OVER (ORDER BY y, doc_id) AS by_
+  FROM feat
+),
+grid AS (
+  SELECT bx, by_, CAST(count(*) AS BIGINT) AS f
+  FROM binned GROUP BY bx, by_
+),
+pairs AS (
+  SELECT
+    CAST(sum(CASE WHEN a.bx < b.bx AND a.by_ < b.by_ THEN a.f * b.f ELSE 0 END) AS BIGINT) AS c_pairs,
+    CAST(sum(CASE WHEN a.bx < b.bx AND a.by_ > b.by_ THEN a.f * b.f ELSE 0 END) AS BIGINT) AS d_pairs
+  FROM grid a, grid b
+),
+marg AS (
+  SELECT
+    CAST(sum(f) AS BIGINT) AS n,
+    CAST((SELECT sum(fx * (fx - 1) / 2) FROM (SELECT sum(f) AS fx FROM grid GROUP BY bx)) AS BIGINT) AS tie_x,
+    CAST((SELECT sum(fy * (fy - 1) / 2) FROM (SELECT sum(f) AS fy FROM grid GROUP BY by_)) AS BIGINT) AS tie_y
+  FROM grid
+)
+SELECT m.n, p.c_pairs, p.d_pairs, m.tie_x, m.tie_y,
+       (CAST(p.c_pairs AS DOUBLE) - p.d_pairs)
+         / sqrt((CAST(m.n AS DOUBLE) * (m.n - 1) / 2 - m.tie_x)
+                * (CAST(m.n AS DOUBLE) * (m.n - 1) / 2 - m.tie_y)) AS tau_b
+FROM pairs p, marg m
+"""
+
+
+@register(
+    "stats_kendall_tau_binned",
+    _KENDALL_ORACLE,
+    doc=f"Kendall tau-b (decile-binned) between doc length and stopword density",
+)
+def stats_kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between document length (chars) and stopword density
+    (integer ppm) after decile binning — the ordinal-association sibling
+    of `stats_spearman_quality_length`. Exact Kendall on raw values is an
+    inversion count (a sort-merge, hostile to SQL engines at scale);
+    binning both margins to deciles first is the standard scalable form:
+    tau-b on the binned table is exact, and the {_KT_BINS}×{_KT_BINS}
+    contingency grid makes concordant/discordant counting a bounded
+    crossJoin of the grid with itself.
+
+    Exactness: both decile assignments ride the exact-global-rank + ANSI
+    ntile identity (a total order with doc_id tiebreak, identical in
+    DuckDB); C, D, and the tie terms are exact integers off the grid;
+    tau_b is one shared IEEE expression.
+
+    Scale: two range-partitioned rank passes (never a single-task
+    window), one groupBy to the 100-cell grid, and grid×grid is a
+    bounded broadcast crossJoin — nothing pairwise ever touches data
+    rows."""
+    from gluettalax_spark.operators.rank import exact_global_rank, ntile_from_rank
+
+    docs = load(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        F.expr(
+            r"CAST(size(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a|in)\\b', 0)) AS BIGINT)"
+            r" * 1000000"
+            r" div greatest(size(filter(split(lower(text), '\\s+'), t -> t != '')), 1)"
+        ).alias("y"),
+    ).localCheckpoint(eager=False)
+    rx = exact_global_rank(feat, [F.col("x"), F.col("doc_id")], "rx")
+    bx = rx.select(
+        "doc_id", "y", ntile_from_rank(F.col("rx"), F.col("_n"), _KT_BINS).alias("bx")
+    )
+    ry = exact_global_rank(bx, [F.col("y"), F.col("doc_id")], "ry")
+    binned = ry.select(
+        "bx", ntile_from_rank(F.col("ry"), F.col("_n"), _KT_BINS).alias("by_")
+    )
+    grid = binned.groupBy("bx", "by_").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    a = grid.select(
+        F.col("bx").alias("abx"), F.col("by_").alias("aby"), F.col("f").alias("af")
+    )
+    b = grid.select(
+        F.col("bx").alias("bbx"), F.col("by_").alias("bby"), F.col("f").alias("bf")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when(
+                (F.col("abx") < F.col("bbx")) & (F.col("aby") < F.col("bby")),
+                F.col("af") * F.col("bf"),
+            ).otherwise(0)
+        ).cast("long").alias("c_pairs"),
+        F.sum(
+            F.when(
+                (F.col("abx") < F.col("bbx")) & (F.col("aby") > F.col("bby")),
+                F.col("af") * F.col("bf"),
+            ).otherwise(0)
+        ).cast("long").alias("d_pairs"),
+    )
+    tx = (
+        grid.groupBy("bx")
+        .agg(F.sum("f").alias("fx"))
+        .agg(F.sum(F.expr("fx * (fx - 1) div 2")).cast("long").alias("tie_x"))
+    )
+    ty = (
+        grid.groupBy("by_")
+        .agg(F.sum("f").alias("fy"))
+        .agg(F.sum(F.expr("fy * (fy - 1) div 2")).cast("long").alias("tie_y"))
+    )
+    n_df = grid.agg(F.sum("f").cast("long").alias("n"))
+    return (
+        pairs.crossJoin(F.broadcast(n_df))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .selectExpr(
+            "n",
+            "c_pairs",
+            "d_pairs",
+            "tie_x",
+            "tie_y",
+            "(CAST(c_pairs AS DOUBLE) - d_pairs)"
+            " / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2 - tie_x)"
+            " * (CAST(n AS DOUBLE) * (n - 1) / 2 - tie_y)) AS tau_b",
+        )
+    )

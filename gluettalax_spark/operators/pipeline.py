@@ -2268,3 +2268,151 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution
+# --------------------------------------------------------------------------
+
+_POS_FIRST_PPM = 400_000  # first- and last-touch shares of the U
+_POS_MID_POOL_PPM = 200_000  # pool split across the middle touches
+
+
+_POSITION_ATTRIB_ORACLE = f"""
+WITH tagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+         CASE WHEN event_type IN ('click', 'view') THEN event_type END AS channel
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase')
+),
+pathed AS (
+  SELECT *,
+         CAST(sum(is_purchase) OVER (PARTITION BY user_id ORDER BY ts, is_purchase, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - is_purchase AS BIGINT)
+           AS path_id
+  FROM tagged
+),
+purchases AS (
+  SELECT user_id, path_id FROM pathed WHERE is_purchase = 1
+),
+touches AS (
+  SELECT user_id, path_id, channel,
+         CAST(row_number() OVER (PARTITION BY user_id, path_id ORDER BY ts, event_id) AS BIGINT) AS pos,
+         CAST(count(*) OVER (PARTITION BY user_id, path_id) AS BIGINT) AS n
+  FROM pathed WHERE is_purchase = 0
+),
+credited AS (
+  SELECT t.channel,
+         CASE
+           WHEN t.n = 1 THEN 1000000
+           WHEN t.n = 2 THEN 500000
+           WHEN t.pos = 1 THEN {_POS_FIRST_PPM}
+                + ({_POS_MID_POOL_PPM} - ({_POS_MID_POOL_PPM} // (t.n - 2)) * (t.n - 2))
+           WHEN t.pos = t.n THEN {_POS_FIRST_PPM}
+           ELSE {_POS_MID_POOL_PPM} // (t.n - 2)
+         END AS w_ppm
+  FROM touches t JOIN purchases p
+    ON t.user_id = p.user_id AND t.path_id = p.path_id
+),
+organic AS (
+  SELECT 'organic' AS channel, 1000000 AS w_ppm
+  FROM purchases p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM touches t
+    WHERE t.user_id = p.user_id AND t.path_id = p.path_id
+  )
+),
+allc AS (SELECT * FROM credited UNION ALL SELECT * FROM organic)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_credited,
+       CAST(sum(CAST(w_ppm AS BIGINT)) AS BIGINT) AS credit_ppm
+FROM allc
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+@register(
+    "events_attribution_position",
+    _POSITION_ATTRIB_ORACLE,
+    doc="U-shaped (position-based) multi-touch attribution — exact ppm credits",
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (40/20/40 "U-shaped") multi-touch attribution: each
+    purchase's credit splits across ALL touches on its path — 40% to the
+    first, 40% to the last, the middle 20% pooled equally across interior
+    touches — the multi-touch sibling of `events_attribution_last_touch`.
+    Paths are purchase-to-purchase episodes (gaps-and-islands on the
+    per-user event stream); pathless purchases credit 'organic'.
+
+    Exactness: weights are integer ppm; the middle pool uses floor
+    division with the remainder assigned to the FIRST touch, so every
+    path's credits sum to exactly 1,000,000 — the invariant the pytest
+    pins (total credit = 10⁶ × purchases, integer-exact cross-engine).
+
+    Scale: the path id is a per-user running sum (user-partitioned
+    window, per-user rows are bounded); position/length windows run per
+    (user, path); the credit join is equi on (user_id, path_id). No
+    range join, nothing all-pairs, all counts integer."""
+    events = load(spark, sf_dir, "events")
+    tagged = events.filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_purchase"),
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        ).alias("channel"),
+    )
+    w_path = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pathed = tagged.withColumn(
+        "path_id", (F.sum("is_purchase").over(w_path) - F.col("is_purchase")).cast("long")
+    ).localCheckpoint(eager=False)
+    purchases = pathed.filter(F.col("is_purchase") == 1).select("user_id", "path_id")
+    w_pos = Window.partitionBy("user_id", "path_id").orderBy("ts", "event_id")
+    w_n = Window.partitionBy("user_id", "path_id")
+    touches = pathed.filter(F.col("is_purchase") == 0).select(
+        "user_id",
+        "path_id",
+        "channel",
+        F.row_number().over(w_pos).cast("long").alias("pos"),
+        F.count(F.lit(1)).over(w_n).cast("long").alias("n"),
+    )
+    mid_w = f"({_POS_MID_POOL_PPM} div (n - 2))"
+    credited = touches.join(purchases, ["user_id", "path_id"]).select(
+        "channel",
+        F.expr(
+            f"""CASE
+                  WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN pos = 1 THEN {_POS_FIRST_PPM}
+                       + ({_POS_MID_POOL_PPM} - {mid_w} * (n - 2))
+                  WHEN pos = n THEN {_POS_FIRST_PPM}
+                  ELSE {mid_w}
+                END"""
+        ).alias("w_ppm"),
+    )
+    organic = (
+        purchases.join(
+            touches.select("user_id", "path_id").distinct(),
+            ["user_id", "path_id"],
+            "left_anti",
+        )
+        .select(F.lit("organic").alias("channel"), F.lit(1_000_000).alias("w_ppm"))
+    )
+    allc = credited.unionAll(organic)
+    return (
+        allc.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_credited"),
+            F.sum(F.col("w_ppm").cast("long")).cast("long").alias("credit_ppm"),
+        )
+        .orderBy("channel")
+    )

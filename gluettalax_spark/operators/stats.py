@@ -2355,3 +2355,263 @@ def events_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"1.0 + CAST(n_tail AS DOUBLE) * {_PL_SCALE} / s_micro AS alpha",
         f"(CAST(n_tail AS DOUBLE) * {_PL_SCALE} / s_micro) / sqrt(CAST(n_tail AS DOUBLE)) AS se",
     )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences uplift readout (A/B × pre/post)
+# --------------------------------------------------------------------------
+
+_DID_ORACLE = """
+WITH bounds AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+),
+tagged AS (
+  SELECT CASE WHEN (strpos('0123456789abcdef',
+                    substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+              THEN 0 ELSE 1 END AS grp,
+         CASE WHEN epoch_us(ts) < b.mid THEN 0 ELSE 1 END AS period,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events, bounds b
+),
+cells AS (
+  SELECT grp, period,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT)   AS s
+  FROM tagged GROUP BY grp, period
+),
+wide AS (
+  SELECT
+    CAST(sum(CASE WHEN grp = 0 AND period = 0 THEN n END) AS BIGINT) AS n_a_pre,
+    CAST(sum(CASE WHEN grp = 0 AND period = 0 THEN s END) AS BIGINT) AS s_a_pre,
+    CAST(sum(CASE WHEN grp = 0 AND period = 1 THEN n END) AS BIGINT) AS n_a_post,
+    CAST(sum(CASE WHEN grp = 0 AND period = 1 THEN s END) AS BIGINT) AS s_a_post,
+    CAST(sum(CASE WHEN grp = 1 AND period = 0 THEN n END) AS BIGINT) AS n_b_pre,
+    CAST(sum(CASE WHEN grp = 1 AND period = 0 THEN s END) AS BIGINT) AS s_b_pre,
+    CAST(sum(CASE WHEN grp = 1 AND period = 1 THEN n END) AS BIGINT) AS n_b_post,
+    CAST(sum(CASE WHEN grp = 1 AND period = 1 THEN s END) AS BIGINT) AS s_b_post
+  FROM cells
+)
+SELECT *,
+       (CAST(s_b_post AS DOUBLE) / n_b_post - CAST(s_b_pre AS DOUBLE) / n_b_pre)
+         - (CAST(s_a_post AS DOUBLE) / n_a_post - CAST(s_a_pre AS DOUBLE) / n_a_pre)
+         AS did_cents
+FROM wide
+"""
+
+
+@register(
+    "events_did_uplift",
+    _DID_ORACLE,
+    doc="difference-in-differences uplift (hash A/B × time midpoint pre/post)",
+)
+def events_did_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the causal-uplift readout for a rollout
+    that switches on mid-experiment — (post−pre) change for the treated
+    hash bucket minus the same change for the control bucket, on mean
+    event value. Reuses the repo's deterministic md5-parity assignment
+    (`events_ab_test`) and epoch-microsecond midpoint (`events_drift_psi`)
+    so assignment and period are reproducible in every engine. Since the
+    hash split is independent of time, this doubles as an A/A
+    calibration: did_cents should sit near zero.
+
+    Exactness: all eight cell moments are exact integers (cents,
+    microseconds); `did_cents` is one shared IEEE expression over them.
+
+    Scale: one data-scale aggregate to the 2×2 grid (map-side partials),
+    the min/max bounds row broadcast into the scan — nothing else."""
+    events = load(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("mid")
+    )
+    tagged = events.crossJoin(F.broadcast(bounds)).select(
+        (
+            F.expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 1), 16, 10) AS BIGINT)")
+            % 2
+        ).alias("grp"),
+        F.when(F.unix_micros("ts") < F.col("mid"), 0).otherwise(1).alias("period"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    cells = tagged.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+    )
+    wide = cells.agg(
+        *[
+            F.sum(
+                F.when((F.col("grp") == g) & (F.col("period") == p), F.col(c))
+            ).cast("long").alias(f"{c}_{gl}_{pl}")
+            for g, gl in ((0, "a"), (1, "b"))
+            for p, pl in ((0, "pre"), (1, "post"))
+            for c in ("n", "s")
+        ]
+    )
+    return wide.selectExpr(
+        "n_a_pre", "s_a_pre", "n_a_post", "s_a_post",
+        "n_b_pre", "s_b_pre", "n_b_post", "s_b_post",
+        "(CAST(s_b_post AS DOUBLE) / n_b_post - CAST(s_b_pre AS DOUBLE) / n_b_pre)"
+        " - (CAST(s_a_post AS DOUBLE) / n_a_post - CAST(s_a_pre AS DOUBLE) / n_a_pre)"
+        " AS did_cents",
+    )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival: signup → first purchase, right-censored
+# --------------------------------------------------------------------------
+
+_KM_DAY_US = 86_400 * 1_000_000
+_KM_SCALE = 1_000_000  # ln(1 - d/n) floor-quantized to micro-nats
+
+
+_KM_ORACLE = f"""
+WITH horizon AS (SELECT max(epoch_us(ts)) AS h FROM events),
+entry AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id, min(epoch_us(p.ts)) AS t1
+  FROM entry e JOIN events p
+    ON p.user_id = e.user_id AND p.event_type = 'purchase'
+   AND epoch_us(p.ts) >= e.t0
+  GROUP BY e.user_id
+),
+subjects AS (
+  SELECT e.user_id,
+         CASE WHEN c.t1 IS NOT NULL THEN 1 ELSE 0 END AS observed,
+         CAST(CASE WHEN c.t1 IS NOT NULL THEN (c.t1 - e.t0) // {_KM_DAY_US}
+                   ELSE (h.h - e.t0) // {_KM_DAY_US} END AS BIGINT) AS dur
+  FROM entry e LEFT JOIN conv c ON c.user_id = e.user_id, horizon h
+),
+days AS (
+  SELECT dur AS day,
+         CAST(sum(observed) AS BIGINT) AS d,
+         CAST(sum(1 - observed) AS BIGINT) AS c
+  FROM subjects GROUP BY dur
+),
+risk AS (
+  SELECT day, d, c,
+         CAST((SELECT count(*) FROM subjects) -
+              coalesce(sum(d + c) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM days
+),
+steps AS (
+  SELECT day, n_risk, d, c,
+         CASE WHEN d = n_risk THEN 1 ELSE 0 END AS absorbed,
+         CASE WHEN d = n_risk THEN 0
+              ELSE CAST(floor(ln(CAST(n_risk - d AS DOUBLE) / n_risk) * {_KM_SCALE}) AS BIGINT)
+         END AS lnq
+  FROM risk WHERE d > 0
+),
+km AS (
+  SELECT day, n_risk, d, absorbed,
+         CAST(sum(lnq) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ln_s_micro,
+         CAST(sum(absorbed) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_absorbed
+  FROM steps
+)
+SELECT day, n_risk, d, ln_s_micro,
+       CASE WHEN n_absorbed > 0 THEN 0.0
+            ELSE round(exp(CAST(ln_s_micro AS DOUBLE) / {_KM_SCALE}), 6) END AS survival
+FROM km
+ORDER BY day
+"""
+
+
+@register(
+    "events_survival_km",
+    _KM_ORACLE,
+    doc="Kaplan-Meier survival curve (signup → first purchase, right-censored)",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate for time-to-conversion: subjects
+    enter at their first signup, the event is their first purchase at or
+    after entry, and everyone else is right-censored at the corpus
+    horizon — THE standard censored-duration readout (activation delay,
+    churn, time-to-second-order all take this exact shape), which naive
+    "mean days to convert" gets wrong by dropping censored users.
+
+    Exactness: durations are exact integer days (microsecond floor-div);
+    the at-risk counts come from an integer running sum over the day
+    dictionary; each step's ln(1 − d/n) floor-quantizes to micro-nats so
+    the cumulative log-survival is an exact integer; the displayed
+    survival is one exp() per row, rounded to 6 dp in both engines
+    (exp differs by a last ulp across libms; the round(…, n) display
+    convention from `text_unigram_logppl`).
+
+    Scale: entry/conversion are user-keyed aggregates and one user-keyed
+    join; everything after lives on the day dictionary (bounded by the
+    corpus day span), where the running sums ride the range-partitioned
+    rank machinery — no single-task window over subjects."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    events = load(spark, sf_dir, "events")
+    horizon = events.agg(F.max(F.unix_micros("ts")).alias("h"))
+    entry = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t0"))
+    )
+    conv = (
+        entry.join(
+            events.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.unix_micros("ts").alias("tp")
+            ),
+            "user_id",
+        )
+        .filter(F.col("tp") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("t1"))
+    )
+    subjects = (
+        entry.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("observed"),
+            F.expr(
+                f"CAST(CASE WHEN t1 IS NOT NULL THEN (t1 - t0) div {_KM_DAY_US}"
+                f" ELSE (h - t0) div {_KM_DAY_US} END AS BIGINT)"
+            ).alias("dur"),
+        )
+    )
+    days = subjects.groupBy(F.col("dur").alias("day")).agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.sum(1 - F.col("observed")).cast("long").alias("c"),
+    ).withColumn("_g", F.lit(1))
+    total = subjects.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    cum = grouped_running_sum(
+        days.withColumn("dc", F.col("d") + F.col("c")), ["_g"], ["day"], "dc", "cum_dc"
+    )
+    risk = cum.crossJoin(F.broadcast(total)).select(
+        "day",
+        "d",
+        "c",
+        (F.col("n_total") - (F.col("cum_dc") - F.col("dc"))).cast("long").alias("n_risk"),
+    )
+    steps = risk.filter(F.col("d") > 0).select(
+        "day",
+        "n_risk",
+        "d",
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0).alias("absorbed"),
+        F.expr(
+            f"""CASE WHEN d = n_risk THEN 0
+                 ELSE CAST(floor(ln(CAST(n_risk - d AS DOUBLE) / n_risk) * {_KM_SCALE}) AS BIGINT)
+                END"""
+        ).alias("lnq"),
+    ).withColumn("_g", F.lit(1))
+    km = grouped_running_sum(steps, ["_g"], ["day"], "lnq", "ln_s_micro")
+    km = grouped_running_sum(km, ["_g"], ["day"], "absorbed", "n_absorbed")
+    return (
+        km.select(
+            "day",
+            "n_risk",
+            "d",
+            F.col("ln_s_micro").cast("long").alias("ln_s_micro"),
+            F.expr(
+                f"""CASE WHEN n_absorbed > 0 THEN 0.0
+                     ELSE round(exp(CAST(ln_s_micro AS DOUBLE) / {_KM_SCALE}), 6) END"""
+            ).alias("survival"),
+        )
+        .orderBy("day")
+    )

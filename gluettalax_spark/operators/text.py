@@ -3366,3 +3366,150 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity buckets (head / middle / tail per language)
+# --------------------------------------------------------------------------
+
+_CCNET_KEY_SCALE = 1_000  # per-token micro-nats → nano-nats: the tercile sort key
+
+
+_PPL_BUCKETS_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) >= 3) AS tokens
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+uni AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+q AS (
+  SELECT term, CAST(floor(ln(c / t.t) * {PPL_Q}) AS BIGINT) AS q_lnp
+  FROM uni CROSS JOIN total t
+),
+per_doc AS (
+  SELECT f.doc_id,
+         CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+         CAST(sum(f.tf * q.q_lnp) AS BIGINT) AS q_sum
+  FROM tf f JOIN q USING (term)
+  GROUP BY f.doc_id
+),
+scored AS (
+  SELECT d.doc_id, t2.lang, d.n_tokens,
+         CAST(d.q_sum * {_CCNET_KEY_SCALE} // d.n_tokens AS BIGINT) AS key_nano
+  FROM per_doc d
+  JOIN (SELECT DISTINCT doc_id, lang FROM documents) t2 USING (doc_id)
+),
+tiled AS (
+  SELECT lang, key_nano, n_tokens,
+         ntile(3) OVER (PARTITION BY lang ORDER BY key_nano, doc_id) AS tile
+  FROM scored
+)
+SELECT lang,
+       CASE tile WHEN 3 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(min(key_nano) AS BIGINT) AS min_key_nano,
+       CAST(max(key_nano) AS BIGINT) AS max_key_nano
+FROM tiled
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
+@register(
+    "text_ppl_buckets",
+    _PPL_BUCKETS_ORACLE,
+    doc="CCNet-style per-language perplexity terciles (head/middle/tail)",
+)
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's curation move (Wenzek et al. 2020 — public paper): score
+    every document with the corpus LM proxy (`text_unigram_logppl`'s
+    integer micro-nat machinery), split EACH LANGUAGE into perplexity
+    terciles, and report the head/middle/tail composition — the standard
+    way a pipeline decides which slice of a crawl to keep per language.
+
+    Exactness: the sort key is integer nano-nats per token
+    (q_sum·1000 div n_tokens — truncation identical cross-engine); tercile
+    assignment follows the ANSI ntile identity (`ntile_from_rank`), which
+    matches DuckDB's ntile(3) exactly for a total order; every output is
+    an integer.
+
+    Scale: per-language ranking never funnels a language through one
+    task — the rank comes from `grouped_running_sum` over the
+    (lang, key) dictionary; the only windows partition by (lang, key)
+    (tie blocks, hash-thin by construction). ntile is then pure
+    arithmetic from (rank, per-lang total)."""
+    from gluettalax_spark.operators.rank import grouped_running_sum, ntile_from_rank
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) >= 3)"
+        ).alias("tokens"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    uni = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
+    total = uni.agg(F.sum("c").cast("double").alias("t"))
+    q = uni.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.expr(f"CAST(floor(ln(c / t) * {PPL_Q}) AS BIGINT)").alias("q_lnp"),
+    )
+    per_doc = (
+        tf.join(q, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("q_lnp")).cast("long").alias("q_sum"),
+        )
+    )
+    scored = per_doc.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(f"CAST(q_sum * {_CCNET_KEY_SCALE} div n_tokens AS BIGINT)").alias(
+            "key_nano"
+        ),
+    ).localCheckpoint(eager=False)
+    dict_df = scored.groupBy("lang", "key_nano").agg(
+        F.count(F.lit(1)).cast("long").alias("n_k")
+    )
+    cum = grouped_running_sum(dict_df, ["lang"], ["key_nano"], "n_k", "cum")
+    n_lang = scored.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_lang"))
+    w_tie = Window.partitionBy("lang", "key_nano").orderBy("doc_id")
+    ranked = (
+        scored.join(cum.select("lang", "key_nano", "n_k", "cum"), ["lang", "key_nano"])
+        .join(F.broadcast(n_lang), "lang")
+        .withColumn(
+            "rnk", (F.col("cum") - F.col("n_k") + F.row_number().over(w_tie)).cast("long")
+        )
+    )
+    tiled = ranked.withColumn(
+        "tile", ntile_from_rank(F.col("rnk"), F.col("n_lang"), 3)
+    ).withColumn(
+        "bucket",
+        F.when(F.col("tile") == 3, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail"),
+    )
+    return (
+        tiled.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.min("key_nano").cast("long").alias("min_key_nano"),
+            F.max("key_nano").cast("long").alias("max_key_nano"),
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -117,6 +117,11 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "text_dup_ngram_fraction",
     "quality_classifier_linear",
     "similarity_range_radius",
+    "events_did_uplift",
+    "events_attribution_position",
+    "text_ppl_buckets",
+    "stats_kendall_tau_binned",
+    "events_survival_km",
 )
 
 

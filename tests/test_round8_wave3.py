@@ -254,3 +254,231 @@ def test_kruskal_rank_runs_on_dictionary_not_rows(spark, sf_dir):
     # window over the events scan would show as 'Window' directly over
     # a FileScan subtree with no preceding HashAggregate
     assert "HashAggregate" in plan
+
+
+# --------------------------------------------------------------------------
+# events_did_uplift
+# --------------------------------------------------------------------------
+
+
+def test_did_matches_python_recompute_and_aa_calibrates(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    mid = (int(us.min()) + int(us.max())) // 2
+    grp = ev["user_id"].astype(str).map(
+        lambda u: int(hashlib.md5(u.encode()).hexdigest()[0], 16) % 2
+    )
+    period = (us >= mid).astype(int)
+    v = (ev["value"] * 100).round().astype("int64")
+    cells = {}
+    for g in (0, 1):
+        for p in (0, 1):
+            sel = (grp == g) & (period == p)
+            cells[(g, p)] = (int(sel.sum()), int(v[sel].sum()))
+    row = queries()["events_did_uplift"](spark, sf_dir).collect()[0]
+    assert (row["n_a_pre"], row["s_a_pre"]) == cells[(0, 0)]
+    assert (row["n_b_post"], row["s_b_post"]) == cells[(1, 1)]
+    did = (cells[(1, 1)][1] / cells[(1, 1)][0] - cells[(1, 0)][1] / cells[(1, 0)][0]) - (
+        cells[(0, 1)][1] / cells[(0, 1)][0] - cells[(0, 0)][1] / cells[(0, 0)][0]
+    )
+    assert row["did_cents"] == did
+    # A/A calibration: hash split is independent of time, so |DiD| is small
+    # relative to the mean value (~50000 cents)
+    assert abs(row["did_cents"]) < 5000
+
+
+# --------------------------------------------------------------------------
+# events_attribution_position
+# --------------------------------------------------------------------------
+
+
+def test_position_attribution_credit_conserved(spark, sf_dir):
+    """Every purchase distributes exactly 1,000,000 ppm across its path
+    (the floor remainder goes to the first touch) — total credit must be
+    10⁶ × purchases, integer-exact."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    n_purchases = int((ev["event_type"] == "purchase").sum())
+    rows = queries()["events_attribution_position"](spark, sf_dir).collect()
+    assert sum(r["credit_ppm"] for r in rows) == 1_000_000 * n_purchases
+    channels = {r["channel"] for r in rows}
+    assert channels <= {"click", "view", "organic"}
+
+
+def test_position_attribution_matches_python_recompute(spark, sf_dir):
+    ev = (
+        pd.read_parquet(f"{sf_dir}/events.parquet")
+        .query("event_type in ('click', 'view', 'purchase')")
+        .assign(us=lambda d: d["ts"].astype("datetime64[us]").astype("int64"))
+        .sort_values(["user_id", "us", "event_type", "event_id"])
+    )
+    # order within a user must match (ts, is_purchase, event_id)
+    credit = Counter()
+    ncred = Counter()
+    for _, g in ev.groupby("user_id"):
+        recs = sorted(
+            g.itertuples(),
+            key=lambda r: (r.us, 1 if r.event_type == "purchase" else 0, r.event_id),
+        )
+        path = []
+        for r in recs:
+            if r.event_type == "purchase":
+                n = len(path)
+                if n == 0:
+                    credit["organic"] += 1_000_000
+                    ncred["organic"] += 1
+                elif n == 1:
+                    credit[path[0]] += 1_000_000
+                    ncred[path[0]] += 1
+                elif n == 2:
+                    for c in path:
+                        credit[c] += 500_000
+                        ncred[c] += 1
+                else:
+                    mid_w = 200_000 // (n - 2)
+                    rem = 200_000 - mid_w * (n - 2)
+                    for i, c in enumerate(path):
+                        w = (
+                            400_000 + rem
+                            if i == 0
+                            else 400_000
+                            if i == n - 1
+                            else mid_w
+                        )
+                        credit[c] += w
+                        ncred[c] += 1
+                path = []
+            else:
+                path.append(r.event_type)
+    rows = queries()["events_attribution_position"](spark, sf_dir).collect()
+    got = {r["channel"]: (r["n_credited"], r["credit_ppm"]) for r in rows}
+    assert got == {c: (ncred[c], credit[c]) for c in credit}
+
+
+# --------------------------------------------------------------------------
+# text_ppl_buckets
+# --------------------------------------------------------------------------
+
+
+def test_ppl_buckets_partition_docs_evenly_per_lang(spark, sf_dir):
+    rows = queries()["text_ppl_buckets"](spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    per_lang = defaultdict(dict)
+    for r in rows:
+        per_lang[r["lang"]][r["bucket"]] = r["n_docs"]
+    for lang, buckets in per_lang.items():
+        n = sum(buckets.values())
+        # ntile(3): bucket sizes differ by at most 1
+        assert max(buckets.values()) - min(buckets.values()) <= 1, (lang, buckets)
+        # scored docs = docs of that lang with ≥1 length-3 alnum token
+        assert n <= int((docs["lang"] == lang).sum())
+    # head has HIGHER key (closer to zero ⇒ lower perplexity) than tail
+    for r_head in rows:
+        if r_head["bucket"] != "head":
+            continue
+        for r_tail in rows:
+            if r_tail["lang"] == r_head["lang"] and r_tail["bucket"] == "tail":
+                assert r_head["min_key_nano"] >= r_tail["max_key_nano"]
+
+
+# --------------------------------------------------------------------------
+# stats_kendall_tau_binned
+# --------------------------------------------------------------------------
+
+
+def test_kendall_matches_python_recompute(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    import re as _re
+
+    stop = _re.compile(r"\b(the|and|of|to|is|a|in)\b")
+    x = docs["n_chars"].to_numpy()
+    y = np.array(
+        [
+            len(stop.findall(t.lower())) * 1_000_000 // max(len([w for w in t.lower().split() if w]), 1)
+            for t in docs["text"]
+        ]
+    )
+    ids = docs["doc_id"].to_numpy()
+
+    def ntile(vals, k):
+        order = np.lexsort((ids, vals))
+        n = len(vals)
+        base, rem = divmod(n, k)
+        out = np.empty(n, dtype=int)
+        start = 0
+        for tile in range(1, k + 1):
+            size = base + (1 if tile <= rem else 0)
+            out[order[start : start + size]] = tile
+            start += size
+        return out
+
+    bx, by = ntile(x, 10), ntile(y, 10)
+    grid = Counter(zip(bx, by))
+    c = d = 0
+    for (i, j), f in grid.items():
+        for (i2, j2), f2 in grid.items():
+            if i < i2 and j < j2:
+                c += f * f2
+            elif i < i2 and j > j2:
+                d += f * f2
+    n = len(x)
+    tie_x = sum(f * (f - 1) // 2 for f in Counter(bx).values())
+    tie_y = sum(f * (f - 1) // 2 for f in Counter(by).values())
+    row = queries()["stats_kendall_tau_binned"](spark, sf_dir).collect()[0]
+    assert (row["n"], row["c_pairs"], row["d_pairs"], row["tie_x"], row["tie_y"]) == (
+        n, c, d, tie_x, tie_y,
+    )
+    assert row["tau_b"] == (c - d) / math.sqrt(
+        (n * (n - 1) / 2 - tie_x) * (n * (n - 1) / 2 - tie_y)
+    )
+
+
+# --------------------------------------------------------------------------
+# events_survival_km
+# --------------------------------------------------------------------------
+
+
+def test_km_matches_python_recompute(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev = ev.assign(us=us)
+    horizon = int(us.max())
+    entry = ev[ev["event_type"] == "signup"].groupby("user_id")["us"].min()
+    durs = []
+    for uid, t0 in entry.items():
+        p = ev[(ev["event_type"] == "purchase") & (ev["user_id"] == uid) & (ev["us"] >= t0)]
+        if len(p):
+            durs.append(((int(p["us"].min()) - int(t0)) // 86_400_000_000, 1))
+        else:
+            durs.append(((horizon - int(t0)) // 86_400_000_000, 0))
+    days = sorted({d for d, o in durs if o == 1})
+    rows = queries()["events_survival_km"](spark, sf_dir).collect()
+    assert [r["day"] for r in rows] == days
+    surv = 1.0
+    ln_micro = 0
+    for r in rows:
+        at_risk = sum(1 for d, _ in durs if d >= r["day"])
+        d_t = sum(1 for d, o in durs if d == r["day"] and o == 1)
+        assert (r["n_risk"], r["d"]) == (at_risk, d_t)
+        if d_t < at_risk:
+            ln_micro += math.floor(math.log((at_risk - d_t) / at_risk) * 1_000_000)
+            assert r["ln_s_micro"] == ln_micro
+            assert r["survival"] == round(math.exp(ln_micro / 1_000_000), 6)
+        else:
+            assert r["survival"] == 0.0
+    # survival is monotone non-increasing
+    s = [r["survival"] for r in rows]
+    assert all(a >= b for a, b in zip(s, s[1:]))
+
+
+def test_wave3b_plans_stay_jvm_side(spark, sf_dir):
+    qs = queries()
+    for name in (
+        "events_did_uplift",
+        "events_attribution_position",
+        "text_ppl_buckets",
+        "stats_kendall_tau_binned",
+        "events_survival_km",
+    ):
+        plan = physical_plan(qs[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
