@@ -177,6 +177,7 @@ HEADLINE = [
     "text_ppl_buckets",
     "stats_kendall_tau_binned",
     "events_survival_km",
+    "stats_cohens_kappa",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40
@@ -486,6 +487,7 @@ STREAMING_SUBSET = [
     ("streaming_sessionize_event_time", "update"),
     ("streaming_user_running_totals", "update"),
     ("streaming_rolling_zscore", "update"),
+    ("streaming_anova_moments", "update"),
     ("streaming_tumbling_counts", "append"),
 ]
 

@@ -3513,3 +3513,89 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa: chance-corrected agreement of the language-ID heuristic
+# --------------------------------------------------------------------------
+
+_KAPPA_ORACLE = rf"""
+WITH pred AS ({_LANG_ID_ORACLE.strip().replace("ORDER BY doc_id", "").rstrip()}
+),
+cells AS (
+  SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY lang_true, lang_pred
+),
+rowm AS (SELECT lang_true AS c, CAST(sum(n) AS BIGINT) AS n_true FROM cells GROUP BY 1),
+colm AS (SELECT lang_pred AS c, CAST(sum(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1),
+m AS (
+  SELECT
+    CAST((SELECT sum(n) FROM cells) AS BIGINT) AS n,
+    CAST((SELECT coalesce(sum(n), 0) FROM cells WHERE lang_true = lang_pred) AS BIGINT) AS agree,
+    CAST((SELECT sum(CAST(coalesce(r.n_true, 0) AS HUGEINT) * coalesce(cl.n_pred, 0))
+          FROM rowm r FULL JOIN colm cl USING (c)) AS BIGINT) AS pe_num
+)
+SELECT n, agree, pe_num,
+       CAST(agree AS DOUBLE) / n AS po,
+       CAST(pe_num AS DOUBLE) / n / n AS pe,
+       (CAST(n AS DOUBLE) * agree - pe_num) / (CAST(n AS DOUBLE) * n - pe_num) AS kappa
+FROM m
+"""
+
+
+@register(
+    "stats_cohens_kappa",
+    _KAPPA_ORACLE,
+    doc="Cohen's kappa: chance-corrected agreement of lang-ID vs gold labels",
+)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the marker-word language-ID against the fixture's
+    gold labels — the chance-corrected agreement score that belongs next
+    to `text_langid_confusion`'s raw precision/recall (accuracy flatters
+    a classifier whenever one class dominates; kappa subtracts the
+    agreement a label-marginal-preserving random rater would get).
+
+    Exactness: agreement and the expected-agreement numerator
+    Σ_c row_c·col_c are exact integers (the product rides
+    DECIMAL(38,0)/HUGEINT); po, pe, and kappa = (N·agree − pe_num) /
+    (N² − pe_num) are single shared IEEE expressions.
+
+    Scale: one scan through the `text_lang_id` projection, one hash
+    aggregate to the ≤ 6×6 grid; marginals are broadcast re-aggregations
+    of that bounded grid (never a global window)."""
+    pred = text_lang_id(spark, sf_dir)
+    cells = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=False)
+    rowm = cells.groupBy(F.col("lang_true").alias("c")).agg(
+        F.sum("n").cast("long").alias("n_true")
+    )
+    colm = cells.groupBy(F.col("lang_pred").alias("c")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    pe_num = (
+        rowm.join(colm, "c", "full")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("n_true"), F.lit(0)).cast("decimal(38,0)")
+                * F.coalesce(F.col("n_pred"), F.lit(0))
+            ).cast("long").alias("pe_num")
+        )
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum(F.when(F.col("lang_true") == F.col("lang_pred"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe_num))
+        .selectExpr(
+            "n",
+            "agree",
+            "pe_num",
+            "CAST(agree AS DOUBLE) / n AS po",
+            "CAST(pe_num AS DOUBLE) / n / n AS pe",
+            "(CAST(n AS DOUBLE) * agree - pe_num) / (CAST(n AS DOUBLE) * n - pe_num) AS kappa",
+        )
+    )

@@ -122,6 +122,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "text_ppl_buckets",
     "stats_kendall_tau_binned",
     "events_survival_km",
+    "stats_cohens_kappa",
+    "multimodal_phash_neardup",
 )
 
 

@@ -818,3 +818,66 @@ def streaming_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming ANOVA moments: incremental per-type (n, Σv, Σv²)
+# --------------------------------------------------------------------------
+
+ANOVA_OUTPUT_SCHEMA = "event_type string, n_g long, s_g long, q_g decimal(38,0), ssbq_g long"
+_ANOVA_STATE_SCHEMA = "n long, s long, q decimal(38,0)"
+
+
+def _make_anova_moments_fn():
+    """State per event type: the three exact moments (count, cents sum,
+    cents sum-of-squares). Every update folds the micro-batch's values in
+    integer arithmetic and re-emits the type's moments PLUS its
+    floor-quantized between-group term s²//n — the same quantity the
+    batch `stats_anova_oneway` sums, so the final per-type emissions
+    recombine into a bit-equal F statistic."""
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        n, s, q = state.get if state.exists else (0, 0, 0)
+        n, s, q = int(n), int(s), int(q)
+        for pdf in pdfs:
+            v = (pdf["value"] * 100).round().astype("int64")
+            n += len(v)
+            s += int(v.sum())
+            q += int((v.astype(object) ** 2).sum())
+        from decimal import Decimal as _D
+
+        state.update((n, s, _D(q)))
+        yield _pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_g": [n],
+                "s_g": [s],
+                "q_g": [_D(q)],
+                "ssbq_g": [s * s // n],
+            }
+        )
+
+    return update
+
+
+def streaming_anova_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `stats_anova_oneway`: per-event-type running
+    moments (n, Σ cents, Σ cents²) — 3 numbers of state per type, the
+    textbook incrementally-maintainable aggregate — re-emitted every
+    micro-batch together with the floor-quantized between-group term.
+    The final emission per type recombines (client- or test-side) into
+    the identical ANOVA F as the batch pass over the same data: the
+    live form of "is a slice's mean drifting away from the others".
+
+    State is strictly bounded: one (long, long, decimal) triple per
+    event type."""
+    stream = read_events_stream(spark, sf_dir).select("event_type", "value")
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _make_anova_moments_fn(),
+        outputStructType=ANOVA_OUTPUT_SCHEMA,
+        stateStructType=_ANOVA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

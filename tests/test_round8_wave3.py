@@ -482,3 +482,101 @@ def test_wave3b_plans_stay_jvm_side(spark, sf_dir):
         plan = physical_plan(qs[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+# --------------------------------------------------------------------------
+# stats_cohens_kappa
+# --------------------------------------------------------------------------
+
+
+def test_kappa_matches_confusion_recompute(spark, sf_dir):
+    """Kappa must recombine exactly from the already-verified confusion
+    matrix (text_langid_confusion is oracle-checked)."""
+    cells = queries()["text_langid_confusion"](spark, sf_dir).collect()
+    n = sum(r["n"] for r in cells)
+    agree = sum(r["n"] for r in cells if r["lang_true"] == r["lang_pred"])
+    row_m = Counter()
+    col_m = Counter()
+    for r in cells:
+        row_m[r["lang_true"]] += r["n"]
+        col_m[r["lang_pred"]] += r["n"]
+    pe_num = sum(row_m[c] * col_m[c] for c in set(row_m) | set(col_m))
+    row = queries()["stats_cohens_kappa"](spark, sf_dir).collect()[0]
+    assert (row["n"], row["agree"], row["pe_num"]) == (n, agree, pe_num)
+    assert row["kappa"] == (n * agree - pe_num) / (n * n - pe_num)
+    # kappa is a proper chance-corrected score: bounded, and at the tiny
+    # fixture SF the marker heuristic sits NEAR chance (|kappa| small) —
+    # the informative pin is the exact integer recombination above.
+    assert -1.0 <= row["kappa"] <= 1.0
+
+
+# --------------------------------------------------------------------------
+# multimodal_phash_neardup — full Python re-derivation (rows-only witness)
+# --------------------------------------------------------------------------
+
+
+def _py_phash(payload: bytes) -> int:
+    tot = sum(payload)
+    h = 0
+    for i in range(64):
+        if 64 * sum(payload[i::64]) > tot:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def test_phash_neardup_matches_python_rederivation(spark, sf_dir):
+    """Re-derive kernel + banding + Hamming verify end-to-end from the
+    raw bytes: the rows-only output's witness columns (phash_a, phash_b,
+    hamming) must match exactly."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    ph = {int(r.doc_id): _py_phash(r.text.encode()) for r in docs.itertuples()}
+    buckets = defaultdict(list)
+    for d, h in ph.items():
+        uh = h & ((1 << 64) - 1)
+        for band in range(4):
+            buckets[(band, (uh >> (band * 16)) & 0xFFFF)].append(d)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    expect = sorted(
+        (a, b, bin((ph[a] ^ ph[b]) & ((1 << 64) - 1)).count("1"), ph[a], ph[b])
+        for a, b in pairs
+        if bin((ph[a] ^ ph[b]) & ((1 << 64) - 1)).count("1") <= 3
+    )
+    rows = queries()["multimodal_phash_neardup"](spark, sf_dir).collect()
+    got = [
+        (r["doc_a"], r["doc_b"], r["hamming"], r["phash_a"], r["phash_b"]) for r in rows
+    ]
+    assert got == expect
+    assert len(got) > 0  # the fixture does contain near-dup payloads
+
+
+def test_phash_banding_is_complete_for_hamming_3(spark, sf_dir):
+    """Pigeonhole: every pair with Hamming ≤ 3 must share at least one
+    16-bit band, so banding loses nothing at the emitted radius."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    ph = {int(r.doc_id): _py_phash(r.text.encode()) for r in docs.itertuples()}
+    ids = sorted(ph)
+    rows = queries()["multimodal_phash_neardup"](spark, sf_dir).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    # brute-force ALL pairs at fixture scale
+    brute = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if bin((ph[a] ^ ph[b]) & ((1 << 64) - 1)).count("1") <= 3:
+                brute.add((a, b))
+    assert got == brute
+
+
+def test_phash_plan_payload_bytes_never_shuffle(spark, sf_dir):
+    plan = physical_plan(queries()["multimodal_phash_neardup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the fingerprint table is checkpointed (Scan ExistingRDD): the band
+    # self-join reuses one materialization instead of re-running the
+    # Python kernel per side — and nothing downstream re-enters Python.
+    assert "ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan

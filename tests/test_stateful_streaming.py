@@ -503,3 +503,30 @@ def test_streaming_rolling_zscore_sidelines_late_rows(spark, sf_dir):
     out2 = list(fn((7, "click"), [late], state))[0]
     assert out2["n_late"].iloc[0] == 1
     assert out2["n_scored"].iloc[0] == out1["n_scored"].iloc[0]  # not scored
+
+
+def test_streaming_anova_final_equals_batch(spark, sf_dir):
+    """The final per-type emissions must recombine into the batch
+    `stats_anova_oneway` row bit-for-bit: same integer moments, same
+    floor-quantized between-group sum, same F."""
+    from gluettalax_spark.registry import queries
+    from gluettalax_spark.streaming.stateful import streaming_anova_moments
+
+    stream_df = streaming_anova_moments(spark, sf_dir)
+    assert stream_df.isStreaming
+    result = run_stream_to_memory(spark, stream_df, "anova_twin", output_mode="update")
+    # update mode re-emits per micro-batch: the LAST emission per type is
+    # final state (rows arrive in batch order; collect preserves it).
+    final = {}
+    for r in result.collect():
+        final[r.event_type] = (r.n_g, r.s_g, int(r.q_g), r.ssbq_g)
+    batch = queries()["stats_anova_oneway"](spark, sf_dir).collect()[0]
+    assert batch["k"] == len(final)
+    assert batch["n"] == sum(v[0] for v in final.values())
+    assert batch["s"] == sum(v[1] for v in final.values())
+    assert batch["q"] == sum(v[2] for v in final.values())
+    assert batch["ssbq"] == sum(v[3] for v in final.values())
+    k, n = batch["k"], batch["n"]
+    ssb = float(batch["ssbq"]) - float(batch["s"]) * batch["s"] / n
+    ssw = float(batch["q"]) - batch["ssbq"]
+    assert batch["f_stat"] == (ssb / (k - 1)) / (ssw / (n - k))
