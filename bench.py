@@ -178,6 +178,8 @@ HEADLINE = [
     "stats_kendall_tau_binned",
     "events_survival_km",
     "stats_cohens_kappa",
+    "join_asof_nearest",
+    "orders_bootstrap_ci_poisson",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -518,3 +518,120 @@ def join_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "order_a", "order_b")
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join, nearest direction (merge_asof(..., direction='nearest'))
+# --------------------------------------------------------------------------
+
+_ASOF_NEAREST_ORACLE = """
+WITH errors AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'error'
+),
+purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT
+    p.event_id,
+    p.user_id,
+    epoch_us(p.ts) - max(CASE WHEN e.ts <= p.ts THEN epoch_us(e.ts) END) AS d_back,
+    min(CASE WHEN e.ts >= p.ts THEN epoch_us(e.ts) END) - epoch_us(p.ts) AS d_fwd
+  FROM purchases p
+  LEFT JOIN errors e ON e.user_id = p.user_id
+  GROUP BY p.event_id, p.user_id, p.ts
+)
+SELECT event_id, user_id,
+       CASE
+         WHEN d_back IS NULL AND d_fwd IS NULL THEN 'none'
+         WHEN d_fwd IS NULL THEN 'backward'
+         WHEN d_back IS NULL THEN 'forward'
+         WHEN d_back <= d_fwd THEN 'backward'
+         ELSE 'forward'
+       END AS direction,
+       CAST(CASE
+         WHEN d_back IS NULL AND d_fwd IS NULL THEN NULL
+         WHEN d_fwd IS NULL THEN d_back
+         WHEN d_back IS NULL THEN d_fwd
+         WHEN d_back <= d_fwd THEN d_back
+         ELSE d_fwd
+       END AS BIGINT) AS delta_us
+FROM cand
+ORDER BY event_id
+"""
+
+
+@register(
+    "join_asof_nearest",
+    _ASOF_NEAREST_ORACLE,
+    doc="as-of join, nearest error either side (backward wins ties)",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof(direction='nearest') semantics: each purchase matches
+    its temporally closest error in EITHER direction (backward wins
+    ties) — completing the asof family next to `join_asof` (backward)
+    and `join_asof_tolerance`. Same no-range-join plan: tag, union, one
+    per-user sort, then a fill-forward last() AND a fill-backward
+    first() over the merged stream — two mirrored windows on one
+    shuffle, O(n log n) per key where the oracle's LEFT JOIN + min/max
+    is O(n·m) per key.
+
+    Exactness: deltas are exact integer microseconds; the
+    direction/tie rule is pure integer comparison."""
+    events = load(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("err_us"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("err_us"),
+    )
+    merged = errors.withColumn("is_purchase", F.lit(0)).unionByName(
+        purchases.withColumn("is_purchase", F.lit(1))
+    )
+    order = [F.col("ts"), F.col("is_purchase"), F.col("event_id")]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        merged.withColumn("prev_err", F.last("err_us", ignorenulls=True).over(w_back))
+        .withColumn("next_err", F.first("err_us", ignorenulls=True).over(w_fwd))
+        .filter(F.col("is_purchase") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            (F.unix_micros("ts") - F.col("prev_err")).alias("d_back"),
+            (F.col("next_err") - F.unix_micros("ts")).alias("d_fwd"),
+        )
+        .selectExpr(
+            "event_id",
+            "user_id",
+            """CASE
+                 WHEN d_back IS NULL AND d_fwd IS NULL THEN 'none'
+                 WHEN d_fwd IS NULL THEN 'backward'
+                 WHEN d_back IS NULL THEN 'forward'
+                 WHEN d_back <= d_fwd THEN 'backward'
+                 ELSE 'forward'
+               END AS direction""",
+            """CAST(CASE
+                 WHEN d_back IS NULL AND d_fwd IS NULL THEN NULL
+                 WHEN d_fwd IS NULL THEN d_back
+                 WHEN d_back IS NULL THEN d_fwd
+                 WHEN d_back <= d_fwd THEN d_back
+                 ELSE d_fwd
+               END AS BIGINT) AS delta_us""",
+        )
+        .orderBy("event_id")
+    )

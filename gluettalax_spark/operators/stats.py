@@ -2615,3 +2615,117 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (deterministic hash replicates)
+# --------------------------------------------------------------------------
+
+_BOOT_B = 32  # replicates
+# Poisson(1) CDF thresholds on the 2^20 grid (floor(CDF(k)·2^20), k=0..4;
+# weights cap at 5). Precomputed constants — identical literals in both
+# engines, so replicate weights are pure integer comparisons.
+_BOOT_CUTS = (385749, 771499, 964373, 1028665, 1044738)
+_BOOT_LO_IDX = 2   # 2nd/31st order statistics of 32 replicate means:
+_BOOT_HI_IDX = 31  # a ~94% percentile-bootstrap interval
+
+
+def _boot_weight_case(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_BOOT_CUTS)
+    )
+    return f"CASE {cases} ELSE 5 END"
+
+
+_BOOT_ORACLE = f"""
+WITH rep AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents, b.b AS b
+  FROM orders, unnest(range(0, {_BOOT_B})) AS b(b)
+),
+weighted AS (
+  SELECT b, cents,
+         {_boot_weight_case(
+             "((strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || '_' || CAST(b AS VARCHAR)), 1, 1)) - 1) * 65536"
+             " + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || '_' || CAST(b AS VARCHAR)), 2, 1)) - 1) * 4096"
+             " + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || '_' || CAST(b AS VARCHAR)), 3, 1)) - 1) * 256"
+             " + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || '_' || CAST(b AS VARCHAR)), 4, 1)) - 1) * 16"
+             " + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || '_' || CAST(b AS VARCHAR)), 5, 1)) - 1))"
+         )} AS w
+  FROM rep
+),
+means AS (
+  SELECT b,
+         CAST(sum(CAST(w AS BIGINT) * cents) AS BIGINT) AS s,
+         CAST(sum(w) AS BIGINT) AS n
+  FROM weighted GROUP BY b
+),
+sorted AS (
+  SELECT list_sort(list(CAST(s AS DOUBLE) / n)) AS ms FROM means
+),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+  FROM orders
+)
+SELECT base.n_orders,
+       CAST(base.cents_sum AS DOUBLE) / base.n_orders / 100 AS mean_price,
+       {_BOOT_B} AS n_replicates,
+       sorted.ms[{_BOOT_LO_IDX}] / 100 AS ci_lo,
+       sorted.ms[{_BOOT_HI_IDX}] / 100 AS ci_hi
+FROM base, sorted
+"""
+
+
+@register(
+    "orders_bootstrap_ci_poisson",
+    _BOOT_ORACLE,
+    doc=f"Poisson-bootstrap CI for mean order price ({_BOOT_B} hash-deterministic replicates)",
+)
+def orders_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean order price
+    via the POISSON bootstrap — the resampling scheme that works on
+    streams and shards (each row independently enters replicate b with a
+    Poisson(1) multiplicity; Chamandy et al. 2012, public) — here made
+    fully deterministic: the multiplicity is the Poisson(1) inverse CDF
+    evaluated on a 20-bit integer carved from md5(orderkey, replicate),
+    so both engines draw IDENTICAL "random" weights with no RNG at all.
+
+    Exactness: weights and weighted sums are exact integers; each
+    replicate mean is one double division; the CI bounds are order
+    statistics of the 32-value sorted replicate array (array_sort of
+    doubles — total order, no fold).
+
+    Scale: the ×{_BOOT_B} explode is map-side (no join); each replicate
+    is a 2-long partial aggregate, so the whole bootstrap costs one
+    shuffle of {_BOOT_B} keys × 2 longs regardless of corpus size — the
+    reason the Poisson bootstrap is THE bootstrap at 100 TB."""
+    orders = load(spark, sf_dir, "orders")
+    u_expr = (
+        "CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING), '_', CAST(b AS STRING))), 1, 5), 16, 10) AS BIGINT)"
+    )
+    rep = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b"),
+    )
+    weighted = rep.select(
+        "b", "cents", F.expr(_boot_weight_case(u_expr)).alias("w")
+    )
+    means = weighted.groupBy("b").agg(
+        F.sum(F.col("w").cast("long") * F.col("cents")).cast("long").alias("s"),
+        F.sum("w").cast("long").alias("n"),
+    )
+    sorted_ms = means.agg(
+        F.array_sort(F.collect_list(F.col("s").cast("double") / F.col("n"))).alias("ms")
+    )
+    base = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents_sum"),
+    )
+    return base.crossJoin(F.broadcast(sorted_ms)).selectExpr(
+        "n_orders",
+        "CAST(cents_sum AS DOUBLE) / n_orders / 100 AS mean_price",
+        f"{_BOOT_B} AS n_replicates",
+        f"ms[{_BOOT_LO_IDX - 1}] / 100 AS ci_lo",
+        f"ms[{_BOOT_HI_IDX - 1}] / 100 AS ci_hi",
+    )

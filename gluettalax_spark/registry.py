@@ -124,6 +124,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "events_survival_km",
     "stats_cohens_kappa",
     "multimodal_phash_neardup",
+    "join_asof_nearest",
+    "orders_bootstrap_ci_poisson",
 )
 
 

@@ -580,3 +580,84 @@ def test_phash_plan_payload_bytes_never_shuffle(spark, sf_dir):
     # Python kernel per side — and nothing downstream re-enters Python.
     assert "ExistingRDD" in plan
     assert "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# join_asof_nearest
+# --------------------------------------------------------------------------
+
+
+def test_asof_nearest_matches_python_recompute(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev = ev.assign(us=us)
+    errs = defaultdict(list)
+    for r in ev[ev["event_type"] == "error"].itertuples():
+        errs[r.user_id].append(r.us)
+    expect = []
+    for r in ev[ev["event_type"] == "purchase"].itertuples():
+        ts = r.us
+        back = [ts - e for e in errs.get(r.user_id, []) if e <= ts]
+        fwd = [e - ts for e in errs.get(r.user_id, []) if e >= ts]
+        d_back = min(back) if back else None
+        d_fwd = min(fwd) if fwd else None
+        if d_back is None and d_fwd is None:
+            expect.append((r.event_id, r.user_id, "none", None))
+        elif d_fwd is None or (d_back is not None and d_back <= d_fwd):
+            expect.append((r.event_id, r.user_id, "backward", d_back))
+        else:
+            expect.append((r.event_id, r.user_id, "forward", d_fwd))
+    expect.sort()
+    rows = queries()["join_asof_nearest"](spark, sf_dir).collect()
+    got = [(r["event_id"], r["user_id"], r["direction"], r["delta_us"]) for r in rows]
+    assert got == expect
+    # the nearest direction genuinely uses both sides on this fixture
+    dirs = {d for _, _, d, _ in got}
+    assert "backward" in dirs and "forward" in dirs
+
+
+def test_asof_nearest_plan_has_no_range_join(spark, sf_dir):
+    plan = physical_plan(queries()["join_asof_nearest"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # no O(n·m) fallback
+    assert "Window" in plan  # the two mirrored fill windows
+
+
+# --------------------------------------------------------------------------
+# orders_bootstrap_ci_poisson
+# --------------------------------------------------------------------------
+
+
+def test_bootstrap_matches_python_recompute(spark, sf_dir):
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    keys = orders["o_orderkey"].astype(str)
+    cuts = (385749, 771499, 964373, 1028665, 1044738)
+
+    def w(key: str, b: int) -> int:
+        u = int(hashlib.md5(f"{key}_{b}".encode()).hexdigest()[:5], 16)
+        for k, c in enumerate(cuts):
+            if u < c:
+                return k
+        return 5
+
+    means = []
+    for b in range(32):
+        ws = np.array([w(k, b) for k in keys], dtype="int64")
+        means.append(float((ws * cents.to_numpy()).sum()) / int(ws.sum()))
+    means.sort()
+    row = queries()["orders_bootstrap_ci_poisson"](spark, sf_dir).collect()[0]
+    assert row["n_orders"] == len(orders)
+    assert row["mean_price"] == int(cents.sum()) / len(orders) / 100
+    assert row["ci_lo"] == means[1] / 100
+    assert row["ci_hi"] == means[30] / 100
+    # the interval brackets the point estimate
+    assert row["ci_lo"] <= row["mean_price"] <= row["ci_hi"]
+
+
+def test_bootstrap_plan_is_one_shuffle_of_replicate_keys(spark, sf_dir):
+    plan = physical_plan(queries()["orders_bootstrap_ci_poisson"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the explode is map-side: Generate under the scan, no join before the agg
+    assert "Generate explode" in plan
