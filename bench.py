@@ -237,6 +237,11 @@ SCALING_SUBSET = [
     "text_gopher_quality",
     "text_dsir_importance",
     "text_bigram_kn_logppl",
+    "text_dup_ngram_fraction",
+    "quality_classifier_linear",
+    "stats_kruskal_wallis",
+    "similarity_range_radius",
+    "multimodal_phash_neardup",
 ]
 
 

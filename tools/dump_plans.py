@@ -103,6 +103,18 @@ SHOWCASE = {
     "agg_weighted_median": "values collapse map-side; running weight via grouped_running_sum; integer crossing fold",
     "events_benford_audit": "first digit from the integer-cents string; nine-row aggregate + 1-row total",
     "orders_repeat_cohort": "one groupBy(customer) folds first-month/count/LTV; months-sized cohort agg; window-free",
+    "stats_anova_oneway": "one data-scale groupBy to the k-row moment table; F from five exact integers",
+    "stats_kruskal_wallis": "cents dictionary + grouped_running_sum rank; milli-quantized H sum per group",
+    "text_dup_ngram_fraction": "shingle explode -> (doc,h) agg checkpointed once; dup set hash-joined back (never broadcast-assumed)",
+    "quality_classifier_linear": "features explode map-side in the scan stage; only the doc-keyed agg shuffles",
+    "similarity_range_radius": "20-probe broadcast; zip_with/aggregate integer distance inside the scan stage",
+    "events_attribution_position": "per-user path ids via running sum; (user,path) windows; equi-join credits (no range join)",
+    "text_ppl_buckets": "per-lang rank from the (lang,key) dictionary; ANSI ntile arithmetic; tie-block windows only",
+    "stats_kendall_tau_binned": "two range-partition rank passes; 100-cell grid x grid broadcast crossJoin",
+    "events_survival_km": "user-keyed entry/conversion joins; day-dictionary running sums; absorbing step explicit",
+    "join_asof_nearest": "two mirrored fill windows on one tag-union sort; no BroadcastNestedLoopJoin",
+    "orders_bootstrap_ci_poisson": "map-side x32 explode; 32-key two-long aggregate; order-statistic CI from one sorted array",
+    "multimodal_phash_neardup": "mapInPandas kernel checkpointed; band equi-join with skew cap; xor+popcount verify",
 }
 
 
@@ -147,7 +159,8 @@ def main() -> None:
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(path, "w") as f:
         f.write("\n".join(out))
-    print(f"wrote {path} ({len(out)} lines)")
+    n_lines = sum(s.count("\n") + 1 for s in out)
+    print(f"wrote {path} ({n_lines} lines)")
 
 
 if __name__ == "__main__":
