@@ -2226,15 +2226,21 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')").alias("w"),
     )
-    uni = toks.select("doc_id", "source", F.explode("w").alias("f"))
-    bi = toks.filter(F.size("w") >= 2).select(
+    # ONE scan + ONE Generate: unigrams and bigrams concat into a single
+    # feature array before the explode (a union would scan documents
+    # twice). sequence(1, size-1) is guarded — Spark generates DESCENDING
+    # sequences when stop < start, so size<2 must short-circuit to [].
+    feats = toks.select(
         "doc_id",
         "source",
         F.explode(
-            F.expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], '_', w[i]))")
+            F.expr(
+                "concat(w, CASE WHEN size(w) >= 2 THEN"
+                " transform(sequence(1, size(w) - 1), i -> concat(w[i-1], '_', w[i]))"
+                " ELSE array() END)"
+            )
         ).alias("f"),
     )
-    feats = uni.unionAll(bi)
     scored_feat = feats.select(
         "doc_id",
         "source",
