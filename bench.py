@@ -180,6 +180,8 @@ HEADLINE = [
     "stats_cohens_kappa",
     "join_asof_nearest",
     "orders_bootstrap_ci_poisson",
+    "graph_hits_bipartite",
+    "quality_signal_agreement",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

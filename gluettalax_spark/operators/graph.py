@@ -1293,3 +1293,95 @@ def assortativity_from_edges(raw_edges: DataFrame) -> DataFrame:
         F.expr("cast(mm div 2 as bigint)").alias("n_edges"),
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (bipartite customer → part, 2 unrolled rounds)
+# --------------------------------------------------------------------------
+
+_HITS_TOPK = 20
+
+
+_HITS_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+h1 AS (SELECT c, CAST(count(*) AS BIGINT) AS h1 FROM edges GROUP BY c),
+a1 AS (
+  SELECT e.p, CAST(sum(h1.h1) AS BIGINT) AS a1
+  FROM edges e JOIN h1 ON h1.c = e.c GROUP BY e.p
+),
+h2 AS (
+  SELECT e.c, CAST(sum(a1.a1) AS BIGINT) AS h2
+  FROM edges e JOIN a1 ON a1.p = e.p GROUP BY e.c
+),
+a2 AS (
+  SELECT e.p, CAST(sum(h2.h2) AS BIGINT) AS a2
+  FROM edges e JOIN h2 ON h2.c = e.c GROUP BY e.p
+)
+SELECT a2.p AS part_key, a1.a1, a2.a2,
+       CAST(count(*) OVER () AS BIGINT) AS n_parts_total
+FROM a2 JOIN a1 ON a1.p = a2.p
+ORDER BY a2.a2 DESC, part_key
+LIMIT {_HITS_TOPK}
+"""
+
+
+@register(
+    "graph_hits_bipartite",
+    _HITS_ORACLE,
+    doc=f"HITS authorities (2 unrolled integer rounds) on the customer→part graph, top {_HITS_TOPK}",
+)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999 — public) on the bipartite purchase graph:
+    customers are hubs, parts are authorities; two mutual-reinforcement
+    rounds — h₁ = out-degree, a₁ = Σ h₁ over buyers, h₂ = Σ a₁ over
+    bought parts, a₂ = Σ h₂ — rank the top-{_HITS_TOPK} authority parts.
+    The link-analysis sibling of `graph_pagerank`: PageRank needs a
+    fixed point (rows-only, numpy-pinned); HITS truncated to a fixed
+    round count stays EXACT-integer and fully oracle-checkable, because
+    without normalization each score is just a path-count — a₂(p) =
+    #(3-step paths ending at p) weighted by edge multiplicity.
+
+    Exactness: every score is an exact BIGINT path count (degrees ≤10³
+    ⇒ a₂ ≤ ~10⁹ at fixture scales; DECIMAL headroom documented for
+    deeper unrolls). Top-k is (a₂ desc, part_key) — total order.
+
+    Scale: the edge list is the only data-scale table; each round is
+    ONE equi-join of the static edge table with a (node, long) score
+    table — both hash-partitioned on the join key (bucket the edge
+    table at cluster scale and the static side never reshuffles) — plus
+    one aggregate. The final top-k is TakeOrderedAndProject."""
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h1 = edges.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("h1"))
+    a1 = (
+        edges.join(h1, "c")
+        .groupBy("p")
+        .agg(F.sum("h1").cast("long").alias("a1"))
+    )
+    h2 = (
+        edges.join(a1, "p")
+        .groupBy("c")
+        .agg(F.sum("a1").cast("long").alias("h2"))
+    )
+    a2 = (
+        edges.join(h2, "c")
+        .groupBy("p")
+        .agg(F.sum("h2").cast("long").alias("a2"))
+    )
+    n_parts = a2.agg(F.count(F.lit(1)).cast("long").alias("n_parts_total"))
+    return (
+        a2.join(a1, "p")
+        .crossJoin(F.broadcast(n_parts))
+        .select(F.col("p").alias("part_key"), "a1", "a2", "n_parts_total")
+        .orderBy(F.col("a2").desc(), "part_key")
+        .limit(_HITS_TOPK)
+    )

@@ -2198,6 +2198,43 @@ ORDER BY source
 """
 
 
+def classifier_doc_logits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_feats, logit_milli) — the per-document scores
+    behind `quality_classifier_linear`, exposed for composite
+    diagnostics (`quality_signal_agreement`). Integer-exact."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')").alias("w"),
+    )
+    feats = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "concat(w, CASE WHEN size(w) >= 2 THEN"
+                " transform(sequence(1, size(w) - 1), i -> concat(w[i-1], '_', w[i]))"
+                " ELSE array() END)"
+            )
+        ).alias("f"),
+    )
+    scored_feat = feats.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"((CAST(conv(substr(md5(f), 1, 15), 16, 10) AS BIGINT) % {_QC_BUCKETS})"
+            f" * {_QC_KNUTH}) % {_QC_WRANGE} - {_QC_WRANGE // 2}"
+        ).alias("wgt"),
+    )
+    return scored_feat.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_feats"),
+        F.expr("CAST(CAST(sum(wgt) AS BIGINT) * 1000 div count(*) AS BIGINT)").alias(
+            "logit_milli"
+        ),
+    )
+
+
 @register(
     "quality_classifier_linear",
     _qc_oracle(),
@@ -2220,42 +2257,7 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only wide exchange is the doc-keyed aggregate, and the weight
     map is a closed-form expression — at 100 TB with a real model it
     becomes a 2^16-row broadcast join, same plan."""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')").alias("w"),
-    )
-    # ONE scan + ONE Generate: unigrams and bigrams concat into a single
-    # feature array before the explode (a union would scan documents
-    # twice). sequence(1, size-1) is guarded — Spark generates DESCENDING
-    # sequences when stop < start, so size<2 must short-circuit to [].
-    feats = toks.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.expr(
-                "concat(w, CASE WHEN size(w) >= 2 THEN"
-                " transform(sequence(1, size(w) - 1), i -> concat(w[i-1], '_', w[i]))"
-                " ELSE array() END)"
-            )
-        ).alias("f"),
-    )
-    scored_feat = feats.select(
-        "doc_id",
-        "source",
-        F.expr(
-            f"((CAST(conv(substr(md5(f), 1, 15), 16, 10) AS BIGINT) % {_QC_BUCKETS})"
-            f" * {_QC_KNUTH}) % {_QC_WRANGE} - {_QC_WRANGE // 2}"
-        ).alias("wgt"),
-    )
-    per_doc = scored_feat.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_feats"),
-        F.sum("wgt").cast("long").alias("sum_w"),
-        F.expr("CAST(CAST(sum(wgt) AS BIGINT) * 1000 div count(*) AS BIGINT)").alias(
-            "logit_milli"
-        ),
-    )
+    per_doc = classifier_doc_logits(spark, sf_dir)
     return (
         per_doc.groupBy("source")
         .agg(
@@ -2421,4 +2423,153 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("w_ppm").cast("long")).cast("long").alias("credit_ppm"),
         )
         .orderBy("channel")
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-signal agreement: classifier terciles × perplexity terciles
+# --------------------------------------------------------------------------
+
+
+def _qsa_oracle() -> str:
+    from gluettalax_spark.operators.dedup import _duck_hex_int
+
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, unnest(w) AS f FROM toks
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])) AS f
+  FROM toks WHERE len(w) >= 2
+),
+hashed AS (SELECT doc_id, md5(f) AS m FROM feats),
+cls AS (
+  SELECT doc_id,
+         CAST(CAST(sum((({_duck_hex_int(1, 15)} % {_QC_BUCKETS}) * {_QC_KNUTH})
+                  % {_QC_WRANGE} - {_QC_WRANGE // 2}) AS BIGINT) * 1000
+              // count(*) AS BIGINT) AS logit_milli
+  FROM hashed GROUP BY doc_id
+),
+ptoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) >= 3) AS tokens
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM ptoks)
+  GROUP BY doc_id, term
+),
+uni AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+q AS (
+  SELECT term, CAST(floor(ln(c / t.t) * 1000000) AS BIGINT) AS q_lnp
+  FROM uni CROSS JOIN total t
+),
+ppl AS (
+  SELECT f.doc_id,
+         CAST(CAST(sum(f.tf * q.q_lnp) AS BIGINT) * 1000
+              // CAST(sum(f.tf) AS BIGINT) AS BIGINT) AS key_nano
+  FROM tf f JOIN q USING (term)
+  GROUP BY f.doc_id
+),
+joined AS (
+  SELECT cls.doc_id, cls.logit_milli, ppl.key_nano
+  FROM cls JOIN ppl ON cls.doc_id = ppl.doc_id
+),
+tiled AS (
+  SELECT ntile(3) OVER (ORDER BY logit_milli, doc_id) AS b_cls,
+         ntile(3) OVER (ORDER BY key_nano, doc_id)    AS b_ppl
+  FROM joined
+),
+grid AS (
+  SELECT b_cls, b_ppl, CAST(count(*) AS BIGINT) AS n FROM tiled GROUP BY 1, 2
+),
+m AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n,
+         CAST(coalesce(sum(n) FILTER (WHERE b_cls = b_ppl), 0) AS BIGINT) AS agree,
+         CAST((SELECT sum(CAST(r.rn AS HUGEINT) * c.cn) FROM
+               (SELECT b_cls AS t, sum(n) AS rn FROM grid GROUP BY 1) r
+               JOIN (SELECT b_ppl AS t, sum(n) AS cn FROM grid GROUP BY 1) c USING (t))
+              AS BIGINT) AS pe_num
+  FROM grid
+)
+SELECT m.n, m.agree, m.pe_num,
+       {", ".join(
+           f"CAST((SELECT coalesce(sum(n), 0) FROM grid WHERE b_cls = {i} AND b_ppl = {j}) AS BIGINT) AS c_{i}{j}"
+           for i in (1, 2, 3) for j in (1, 2, 3)
+       )},
+       (CAST(m.n AS DOUBLE) * m.agree - m.pe_num)
+         / (CAST(m.n AS DOUBLE) * m.n - m.pe_num) AS kappa
+FROM m
+"""
+
+
+@register(
+    "quality_signal_agreement",
+    _qsa_oracle(),
+    doc="agreement of classifier vs perplexity quality terciles (3×3 grid + kappa)",
+)
+def quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do two INDEPENDENT quality signals agree on which documents are
+    good? The classifier logit (`quality_classifier_linear`) and the
+    unigram-perplexity key (`text_ppl_buckets`) each split the corpus
+    into global terciles; the 3×3 tercile grid plus Cohen's kappa is the
+    calibration readout a curation team checks before letting one signal
+    gate what the other trained on (near-zero kappa here = the signals
+    are orthogonal; strongly negative = one of them is inverted).
+
+    Exactness: both per-doc scores are exact integers (helpers
+    `classifier_doc_logits` / `ppl_doc_keys`); terciles ride the
+    exact-global-rank + ANSI ntile identity; the grid, agreement, and
+    expected-agreement numerator are exact integers; kappa is one
+    shared IEEE expression.
+
+    Scale: two per-doc score passes (each one doc-keyed aggregate), one
+    doc-keyed join, two range-partitioned rank passes, a 9-cell grid."""
+    from gluettalax_spark.operators.rank import exact_global_rank, ntile_from_rank
+    from gluettalax_spark.operators.text import ppl_doc_keys
+
+    logits = classifier_doc_logits(spark, sf_dir).select("doc_id", "logit_milli")
+    keys = ppl_doc_keys(spark, sf_dir).select("doc_id", "key_nano")
+    joined = logits.join(keys, "doc_id").localCheckpoint(eager=False)
+    r1 = exact_global_rank(joined, [F.col("logit_milli"), F.col("doc_id")], "r_cls")
+    t1 = r1.select(
+        "doc_id", "key_nano", ntile_from_rank(F.col("r_cls"), F.col("_n"), 3).alias("b_cls")
+    )
+    r2 = exact_global_rank(t1, [F.col("key_nano"), F.col("doc_id")], "r_ppl")
+    tiled = r2.select(
+        "b_cls", ntile_from_rank(F.col("r_ppl"), F.col("_n"), 3).alias("b_ppl")
+    )
+    grid = tiled.groupBy("b_cls", "b_ppl").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = grid.localCheckpoint(eager=False)
+    rowm = grid.groupBy(F.col("b_cls").alias("t")).agg(F.sum("n").alias("rn"))
+    colm = grid.groupBy(F.col("b_ppl").alias("t")).agg(F.sum("n").alias("cn"))
+    pe = rowm.join(colm, "t").agg(
+        F.sum(F.col("rn").cast("decimal(38,0)") * F.col("cn")).cast("long").alias("pe_num")
+    )
+    cells = grid.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("b_cls") == F.col("b_ppl"), F.col("n"))), F.lit(0)
+        ).cast("long").alias("agree"),
+        *[
+            F.coalesce(
+                F.sum(F.when((F.col("b_cls") == i) & (F.col("b_ppl") == j), F.col("n"))),
+                F.lit(0),
+            ).cast("long").alias(f"c_{i}{j}")
+            for i in (1, 2, 3)
+            for j in (1, 2, 3)
+        ],
+    )
+    return cells.crossJoin(F.broadcast(pe)).selectExpr(
+        "n",
+        "agree",
+        "pe_num",
+        *[f"c_{i}{j}" for i in (1, 2, 3) for j in (1, 2, 3)],
+        "(CAST(n AS DOUBLE) * agree - pe_num) / (CAST(n AS DOUBLE) * n - pe_num) AS kappa",
     )

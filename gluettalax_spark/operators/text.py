@@ -3422,31 +3422,12 @@ ORDER BY lang, bucket
 """
 
 
-@register(
-    "text_ppl_buckets",
-    _PPL_BUCKETS_ORACLE,
-    doc="CCNet-style per-language perplexity terciles (head/middle/tail)",
-)
-def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet's curation move (Wenzek et al. 2020 — public paper): score
-    every document with the corpus LM proxy (`text_unigram_logppl`'s
-    integer micro-nat machinery), split EACH LANGUAGE into perplexity
-    terciles, and report the head/middle/tail composition — the standard
-    way a pipeline decides which slice of a crawl to keep per language.
-
-    Exactness: the sort key is integer nano-nats per token
-    (q_sum·1000 div n_tokens — truncation identical cross-engine); tercile
-    assignment follows the ANSI ntile identity (`ntile_from_rank`), which
-    matches DuckDB's ntile(3) exactly for a total order; every output is
-    an integer.
-
-    Scale: per-language ranking never funnels a language through one
-    task — the rank comes from `grouped_running_sum` over the
-    (lang, key) dictionary; the only windows partition by (lang, key)
-    (tie blocks, hash-thin by construction). ntile is then pure
-    arithmetic from (rank, per-lang total)."""
-    from gluettalax_spark.operators.rank import grouped_running_sum, ntile_from_rank
-
+def ppl_doc_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_tokens, key_nano) — the per-document integer
+    perplexity sort keys behind `text_ppl_buckets`, exposed for
+    composite diagnostics (`quality_signal_agreement`). key_nano =
+    q_sum·1000 div n_tokens (nano-nats per token; more negative =
+    higher perplexity). Integer-exact."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -3474,14 +3455,42 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("tf") * F.col("q_lnp")).cast("long").alias("q_sum"),
         )
     )
-    scored = per_doc.join(docs.select("doc_id", "lang"), "doc_id").select(
+    return per_doc.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id",
         "lang",
         "n_tokens",
         F.expr(f"CAST(q_sum * {_CCNET_KEY_SCALE} div n_tokens AS BIGINT)").alias(
             "key_nano"
         ),
-    ).localCheckpoint(eager=False)
+    )
+
+
+@register(
+    "text_ppl_buckets",
+    _PPL_BUCKETS_ORACLE,
+    doc="CCNet-style per-language perplexity terciles (head/middle/tail)",
+)
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's curation move (Wenzek et al. 2020 — public paper): score
+    every document with the corpus LM proxy (`text_unigram_logppl`'s
+    integer micro-nat machinery), split EACH LANGUAGE into perplexity
+    terciles, and report the head/middle/tail composition — the standard
+    way a pipeline decides which slice of a crawl to keep per language.
+
+    Exactness: the sort key is integer nano-nats per token
+    (q_sum·1000 div n_tokens — truncation identical cross-engine); tercile
+    assignment follows the ANSI ntile identity (`ntile_from_rank`), which
+    matches DuckDB's ntile(3) exactly for a total order; every output is
+    an integer.
+
+    Scale: per-language ranking never funnels a language through one
+    task — the rank comes from `grouped_running_sum` over the
+    (lang, key) dictionary; the only windows partition by (lang, key)
+    (tie blocks, hash-thin by construction). ntile is then pure
+    arithmetic from (rank, per-lang total)."""
+    from gluettalax_spark.operators.rank import grouped_running_sum, ntile_from_rank
+
+    scored = ppl_doc_keys(spark, sf_dir).localCheckpoint(eager=False)
     dict_df = scored.groupBy("lang", "key_nano").agg(
         F.count(F.lit(1)).cast("long").alias("n_k")
     )

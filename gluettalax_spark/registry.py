@@ -126,6 +126,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "multimodal_phash_neardup",
     "join_asof_nearest",
     "orders_bootstrap_ci_poisson",
+    "graph_hits_bipartite",
+    "quality_signal_agreement",
 )
 
 

@@ -661,3 +661,64 @@ def test_bootstrap_plan_is_one_shuffle_of_replicate_keys(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the explode is map-side: Generate under the scan, no join before the agg
     assert "Generate explode" in plan
+
+
+# --------------------------------------------------------------------------
+# graph_hits_bipartite
+# --------------------------------------------------------------------------
+
+
+def test_hits_matches_python_recompute(spark, sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    e = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")[
+        ["o_custkey", "l_partkey"]
+    ].drop_duplicates()
+    h1 = Counter(e["o_custkey"])
+    a1 = Counter()
+    for c, p in e.itertuples(index=False):
+        a1[p] += h1[c]
+    h2 = Counter()
+    for c, p in e.itertuples(index=False):
+        h2[c] += a1[p]
+    a2 = Counter()
+    for c, p in e.itertuples(index=False):
+        a2[p] += h2[c]
+    top = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = queries()["graph_hits_bipartite"](spark, sf_dir).collect()
+    got = [(r["part_key"], r["a2"]) for r in rows]
+    assert got == [(p, s) for p, s in top]
+    assert all(r["n_parts_total"] == len(a2) for r in rows)
+    assert all(r["a1"] == a1[r["part_key"]] for r in rows)
+
+
+def test_hits_plan_is_topk_not_global_sort(spark, sf_dir):
+    plan = physical_plan(queries()["graph_hits_bipartite"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# quality_signal_agreement
+# --------------------------------------------------------------------------
+
+
+def test_signal_agreement_consistency(spark, sf_dir):
+    """The grid must be internally consistent and consistent with the
+    two (already-verified) constituent signals: cell counts sum to n,
+    the diagonal sums to agree, per-axis marginals are near-equal
+    (ntile(3) property), and kappa recombines exactly."""
+    row = queries()["quality_signal_agreement"](spark, sf_dir).collect()[0]
+    cells = {(i, j): row[f"c_{i}{j}"] for i in (1, 2, 3) for j in (1, 2, 3)}
+    assert sum(cells.values()) == row["n"]
+    assert sum(cells[(i, i)] for i in (1, 2, 3)) == row["agree"]
+    rowm = {i: sum(cells[(i, j)] for j in (1, 2, 3)) for i in (1, 2, 3)}
+    colm = {j: sum(cells[(i, j)] for i in (1, 2, 3)) for j in (1, 2, 3)}
+    assert max(rowm.values()) - min(rowm.values()) <= 1
+    assert max(colm.values()) - min(colm.values()) <= 1
+    assert row["pe_num"] == sum(rowm[t] * colm[t] for t in (1, 2, 3))
+    n = row["n"]
+    assert row["kappa"] == (n * row["agree"] - row["pe_num"]) / (n * n - row["pe_num"])
+    # joined docs = docs scored by BOTH signals
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert 0 < n <= len(docs)
