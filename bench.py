@@ -182,6 +182,8 @@ HEADLINE = [
     "orders_bootstrap_ci_poisson",
     "graph_hits_bipartite",
     "quality_signal_agreement",
+    "events_sequence_match",
+    "text_rake_keyphrases",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

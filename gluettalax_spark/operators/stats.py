@@ -2729,3 +2729,108 @@ def orders_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ms[{_BOOT_LO_IDX - 1}] / 100 AS ci_lo",
         f"ms[{_BOOT_HI_IDX - 1}] / 100 AS ci_hi",
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence-pattern matching over per-user event strings (MATCH_RECOGNIZE)
+# --------------------------------------------------------------------------
+
+# Each event type maps to one character; a user's history becomes one
+# ordered string and patterns are plain regexes over it. This is the
+# portable emulation of SQL MATCH_RECOGNIZE (Spark has no native one).
+_SEQ_CHAR = {"view": "V", "click": "C", "purchase": "P", "error": "E", "signup": "S"}
+_SEQ_PATTERNS = (
+    ("view_click_buy", "VC*P"),        # view, then clicks, then purchase
+    ("strict_funnel", "VCP"),           # immediately adjacent funnel
+    ("buy_then_error", "P[^P]*E"),      # purchase followed by an error
+    ("double_purchase", "P[VCES]*P"),   # repeat purchase with no churn gap
+)
+
+
+def _seq_char_case(col: str) -> str:
+    whens = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _SEQ_CHAR.items())
+    return f"CASE {col} {whens} END"
+
+
+_SEQ_ORACLE = f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg({_seq_char_case("event_type")}, '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM seqs),
+hits AS (
+  {" UNION ALL ".join(
+      f"SELECT '{name}' AS pattern, CAST(count(*) FILTER (WHERE regexp_matches(s, '{rx}')) AS BIGINT) AS n_matched FROM seqs"
+      for name, rx in _SEQ_PATTERNS
+  )}
+)
+SELECT h.pattern, h.n_matched, t.n_users,
+       CAST(h.n_matched * 1000000 // t.n_users AS BIGINT) AS share_ppm
+FROM hits h, tot t
+ORDER BY h.pattern
+"""
+
+
+@register(
+    "events_sequence_match",
+    _SEQ_ORACLE,
+    doc="MATCH_RECOGNIZE-style regex patterns over per-user event sequences",
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence patterns — "viewed, clicked around, then
+    bought", "bought then hit an error", "repeat purchase" — matched as
+    regexes over each user's time-ordered event-type string: the
+    portable emulation of SQL:2016 MATCH_RECOGNIZE (Flink/Oracle have
+    it; Spark doesn't — one ordered collect per user and plain regexes
+    recover the row-pattern-matching capability for bounded-per-key
+    histories).
+
+    Exactness: the per-user string is built from a total order
+    (ts, event_id); the regexes are anchored-free containment tests
+    evaluated identically by Java regex and RE2 (the character classes
+    here avoid engine-divergent syntax); all counts integer, share in
+    exact ppm.
+
+    Scale: one groupBy(user) building a bounded per-user string (event
+    histories are bounded per key; for unbounded streams the streaming
+    sessionize twins bound them by window), then {len(_SEQ_PATTERNS)}
+    constant regex probes map-side over the (user, string) table and a
+    patterns-sized aggregate. Nothing all-pairs, no window."""
+    events = load(spark, sf_dir, "events")
+    seqs = (
+        events.select(
+            "user_id",
+            F.struct("ts", "event_id", F.expr(_seq_char_case("event_type")).alias("ch")).alias(
+                "rec"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr("concat_ws('', transform(array_sort(collect_list(rec)), r -> r.ch))").alias(
+                "s"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = seqs.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    per_pattern = [
+        seqs.agg(
+            F.lit(name).alias("pattern"),
+            F.sum(F.when(F.col("s").rlike(rx), 1).otherwise(0)).cast("long").alias("n_matched"),
+        )
+        for name, rx in _SEQ_PATTERNS
+    ]
+    hits = per_pattern[0]
+    for df in per_pattern[1:]:
+        hits = hits.unionAll(df)
+    return (
+        hits.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "pattern",
+            "n_matched",
+            "n_users",
+            "CAST(n_matched * 1000000 div n_users AS BIGINT) AS share_ppm",
+        )
+        .orderBy("pattern")
+    )

@@ -3608,3 +3608,118 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(CAST(n AS DOUBLE) * agree - pe_num) / (CAST(n AS DOUBLE) * n - pe_num) AS kappa",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyphrase extraction (degree/frequency scores, stopword phrasing)
+# --------------------------------------------------------------------------
+
+_RAKE_STOPS = "the|and|of|to|is|a|in"
+# Delimiters: stopword tokens and any non-alnum run EXCEPT the single
+# spaces that bind a phrase together. Same RE2/Java-safe pattern both
+# engines.
+_RAKE_SPLIT = rf"(\b({_RAKE_STOPS})\b|[^a-z0-9 ]+)"
+_RAKE_TOPK = 20
+
+
+_RAKE_ORACLE = rf"""
+WITH frags AS (
+  SELECT doc_id,
+         trim(regexp_replace(unnest(string_split_regex(lower(text), '{_RAKE_SPLIT}')), ' +', ' ', 'g')) AS phrase
+  FROM documents
+),
+phrases AS (SELECT doc_id, phrase FROM frags WHERE phrase <> ''),
+pw AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS w,
+         len(string_split(phrase, ' ')) AS plen
+  FROM phrases
+),
+wstats AS (
+  SELECT w,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS deg
+  FROM pw GROUP BY w
+),
+wscore AS (
+  SELECT w, CAST(deg * 1000000 // freq AS BIGINT) AS s_micro FROM wstats
+),
+dphrase AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences FROM phrases GROUP BY phrase
+),
+dpw AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM dphrase
+),
+scored AS (
+  SELECT d.phrase, d.n_occurrences,
+         CAST(sum(ws.s_micro) AS BIGINT) AS score_micro
+  FROM dphrase d JOIN dpw USING (phrase) JOIN wscore ws ON ws.w = dpw.w
+  GROUP BY d.phrase, d.n_occurrences
+)
+SELECT phrase, n_occurrences, score_micro
+FROM scored
+ORDER BY score_micro DESC, phrase
+LIMIT {_RAKE_TOPK}
+"""
+
+
+@register(
+    "text_rake_keyphrases",
+    _RAKE_ORACLE,
+    doc=f"RAKE keyphrase extraction — top {_RAKE_TOPK} degree/frequency-scored phrases",
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rose et al. 2010 — public) keyphrase extraction: candidate
+    phrases are the maximal runs between stopwords/punctuation; each
+    word scores degree/frequency (degree = Σ length of phrases it
+    appears in), a phrase scores the sum of its words — the multiword
+    sibling of `text_tfidf_keywords` (TF-IDF ranks words; RAKE ranks
+    PHRASES, the collocation-aware extraction a corpus-labeling pass
+    wants).
+
+    Exactness: freq/deg are exact integers; each word score
+    floor-quantizes to micro-units (deg·10⁶ div freq — truncation
+    identical cross-engine) so phrase scores are exact integer sums;
+    top-k is the (score, phrase) total order.
+
+    Scale: the phrase explode is map-side from the document scan; word
+    stats are one word-keyed aggregate; distinct-phrase scoring joins
+    the phrase-word table to the word-score table (both word/phrase
+    keyed) — no windows, nothing all-pairs; top-k plans as
+    TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents")
+    frags = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), _RAKE_SPLIT)).alias("raw"),
+    ).select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.col("raw"), " +", " ")).alias("phrase"),
+    )
+    phrases = frags.filter(F.col("phrase") != "").localCheckpoint(eager=False)
+    pw = phrases.select(
+        "phrase",
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+        F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+    )
+    wscore = (
+        pw.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .select("w", F.expr("CAST(deg * 1000000 div freq AS BIGINT)").alias("s_micro"))
+    )
+    dphrase = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    dpw = dphrase.select("phrase", F.explode(F.split(F.col("phrase"), " ")).alias("w"))
+    scored = (
+        dpw.join(wscore, "w")
+        .groupBy("phrase")
+        .agg(F.sum("s_micro").cast("long").alias("score_micro"))
+        .join(dphrase, "phrase")
+    )
+    return (
+        scored.select("phrase", "n_occurrences", "score_micro")
+        .orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(_RAKE_TOPK)
+    )

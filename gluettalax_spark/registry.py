@@ -128,6 +128,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "orders_bootstrap_ci_poisson",
     "graph_hits_bipartite",
     "quality_signal_agreement",
+    "events_sequence_match",
+    "text_rake_keyphrases",
 )
 
 

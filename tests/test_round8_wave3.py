@@ -722,3 +722,73 @@ def test_signal_agreement_consistency(spark, sf_dir):
     # joined docs = docs scored by BOTH signals
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
     assert 0 < n <= len(docs)
+
+
+# --------------------------------------------------------------------------
+# events_sequence_match
+# --------------------------------------------------------------------------
+
+
+def test_sequence_match_matches_python_recompute(spark, sf_dir):
+    import re as _re
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev.assign(us=ev["ts"].astype("datetime64[us]").astype("int64"))
+    char = {"view": "V", "click": "C", "purchase": "P", "error": "E", "signup": "S"}
+    seqs = {}
+    for uid, g in ev.groupby("user_id"):
+        recs = sorted(g.itertuples(), key=lambda r: (r.us, r.event_id))
+        seqs[uid] = "".join(char[r.event_type] for r in recs)
+    pats = {
+        "view_click_buy": "VC*P",
+        "strict_funnel": "VCP",
+        "buy_then_error": "P[^P]*E",
+        "double_purchase": "P[VCES]*P",
+    }
+    rows = queries()["events_sequence_match"](spark, sf_dir).collect()
+    got = {r["pattern"]: (r["n_matched"], r["n_users"], r["share_ppm"]) for r in rows}
+    n_users = len(seqs)
+    for name, rx in pats.items():
+        n = sum(1 for s in seqs.values() if _re.search(rx, s))
+        assert got[name] == (n, n_users, n * 1_000_000 // n_users), name
+    # the patterns discriminate: strict funnel ⊆ relaxed funnel
+    assert got["strict_funnel"][0] <= got["view_click_buy"][0]
+    assert any(v[0] > 0 for v in got.values())
+
+
+# --------------------------------------------------------------------------
+# text_rake_keyphrases
+# --------------------------------------------------------------------------
+
+
+def test_rake_matches_python_recompute(spark, sf_dir):
+    import re as _re
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    split = _re.compile(r"(\b(the|and|of|to|is|a|in)\b|[^a-z0-9 ]+)")
+    phrases = []
+    for t in docs["text"]:
+        for frag in split.split(t.lower()):
+            if frag is None or split.fullmatch(frag or ""):
+                continue
+            p = _re.sub(" +", " ", frag).strip()
+            if p:
+                phrases.append(p)
+    freq = Counter()
+    deg = Counter()
+    for p in phrases:
+        ws = p.split(" ")
+        for w in ws:
+            freq[w] += 1
+            deg[w] += len(ws)
+    s_micro = {w: deg[w] * 1_000_000 // freq[w] for w in freq}
+    occ = Counter(phrases)
+    scored = [
+        (sum(s_micro[w] for w in p.split(" ")), p, n) for p, n in occ.items()
+    ]
+    top = sorted(scored, key=lambda x: (-x[0], x[1]))[:20]
+    rows = queries()["text_rake_keyphrases"](spark, sf_dir).collect()
+    got = [(r["score_micro"], r["phrase"], r["n_occurrences"]) for r in rows]
+    assert got == top
+    # multiword phrases exist (the point of RAKE over word TF-IDF)
+    assert any(" " in p for _, p, _ in got)
