@@ -115,6 +115,10 @@ SHOWCASE = {
     "join_asof_nearest": "two mirrored fill windows on one tag-union sort; no BroadcastNestedLoopJoin",
     "orders_bootstrap_ci_poisson": "map-side x32 explode; 32-key two-long aggregate; order-statistic CI from one sorted array",
     "multimodal_phash_neardup": "mapInPandas kernel checkpointed; band equi-join with skew cap; xor+popcount verify",
+    "graph_hits_bipartite": "each HITS round = one equi-join of the static edges with a (node,long) score table; TakeOrderedAndProject top-k",
+    "quality_signal_agreement": "two doc-keyed score passes; one doc join; two range-partition ranks; 9-cell grid",
+    "events_sequence_match": "one groupBy(user) builds the bounded string; regex probes map-side; patterns-sized agg",
+    "text_rake_keyphrases": "map-side phrase explode; word-/phrase-keyed aggs; TakeOrderedAndProject top-k",
 }
 
 
