@@ -184,6 +184,9 @@ HEADLINE = [
     "quality_signal_agreement",
     "events_sequence_match",
     "text_rake_keyphrases",
+    "stats_brown_forsythe",
+    "text_heaps_law_fit",
+    "events_periodogram_dft",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -712,3 +712,122 @@ def stats_kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (CAST(n AS DOUBLE) * (n - 1) / 2 - tie_y)) AS tau_b",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Brown-Forsythe (Levene-median) test: variance homogeneity across groups
+# --------------------------------------------------------------------------
+
+_BF_ORACLE = """
+WITH vals AS (
+  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+cells AS (
+  SELECT g, v, CAST(count(*) AS BIGINT) AS n_gv FROM vals GROUP BY g, v
+),
+ranked AS (
+  SELECT g, v, n_gv,
+         CAST(sum(n_gv) OVER (PARTITION BY g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(n_gv) OVER (PARTITION BY g) AS BIGINT) AS n_g
+  FROM cells
+),
+med AS (
+  -- lower median: smallest v with 2*cum >= n_g (deterministic for even n)
+  SELECT g, min(v) AS m
+  FROM ranked WHERE 2 * cum >= n_g GROUP BY g
+),
+z AS (
+  SELECT c.g, abs(c.v - med.m) AS z, c.n_gv
+  FROM cells c JOIN med ON med.g = c.g
+),
+grp AS (
+  SELECT g,
+         CAST(sum(n_gv) AS BIGINT) AS n_g,
+         CAST(sum(CAST(z AS HUGEINT) * n_gv) AS BIGINT) AS s_g,
+         CAST(sum(CAST(z AS HUGEINT) * z * n_gv) AS BIGINT) AS q_g
+  FROM z GROUP BY g
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(s_g) AS BIGINT) AS s,
+         CAST(sum(q_g) AS BIGINT) AS q,
+         CAST(sum(CAST(s_g AS HUGEINT) * s_g // n_g) AS BIGINT) AS ssbq
+  FROM grp
+)
+SELECT k, n, s, q, ssbq,
+       ((CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (k - 1))
+         / ((CAST(q AS DOUBLE) - ssbq) / (n - k)) AS f_stat
+FROM m
+"""
+
+
+@register(
+    "stats_brown_forsythe",
+    _BF_ORACLE,
+    doc="Brown-Forsythe variance-homogeneity F (|x − group median| ANOVA)",
+)
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test: are the event-value
+    VARIANCES equal across types? The assumption check that belongs next
+    to `stats_anova_oneway` (ANOVA assumes homoscedasticity) — run the
+    ANOVA F on z = |x − median_g| instead of x, with the median (not the
+    mean) making it robust.
+
+    Exactness: per-group medians come off the (type × cents) dictionary
+    via a per-group running sum — the LOWER median (smallest v with
+    2·cum ≥ n) so even-sized groups are deterministic; z values are
+    exact non-negative integers, the moment machinery is byte-for-byte
+    the `stats_anova_oneway` recipe (floor-div between-group term,
+    single shared IEEE F expression).
+
+    Scale: one data-scale groupBy to the (type × cents) dictionary;
+    the per-group windows here run ON the dictionary (cents cardinality
+    per type, not rows). The dictionary windows partition by type —
+    value-dictionary-bounded, the `stats_mannwhitney_events` shape."""
+    events = load(spark, sf_dir, "events")
+    cells = (
+        events.select(
+            F.col("event_type").alias("g"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gv"))
+        .localCheckpoint(eager=False)
+    )
+    ranked = grouped_running_sum(cells, ["g"], ["v"], "n_gv", "cum")
+    n_g_df = cells.groupBy("g").agg(F.sum("n_gv").cast("long").alias("n_g"))
+    med = (
+        ranked.join(F.broadcast(n_g_df), "g")
+        .filter(2 * F.col("cum") >= F.col("n_g"))
+        .groupBy("g")
+        .agg(F.min("v").alias("m"))
+    )
+    z = cells.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("m")).alias("z"), "n_gv"
+    )
+    grp = z.groupBy("g").agg(
+        F.sum("n_gv").cast("long").alias("n_g"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("n_gv")).cast("long").alias("s_g"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z") * F.col("n_gv"))
+        .cast("long")
+        .alias("q_g"),
+    )
+    m = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("q_g").cast("long").alias("q"),
+        F.sum(F.expr("CAST(s_g AS DECIMAL(38,0)) * s_g div n_g")).cast("long").alias("ssbq"),
+    )
+    return m.selectExpr(
+        "k",
+        "n",
+        "s",
+        "q",
+        "ssbq",
+        "((CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (k - 1))"
+        " / ((CAST(q AS DOUBLE) - ssbq) / (n - k)) AS f_stat",
+    )

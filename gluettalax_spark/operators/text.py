@@ -3723,3 +3723,132 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), "phrase")
         .limit(_RAKE_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps-law fit: vocabulary growth V(t) = K·t^beta over the corpus prefix
+# --------------------------------------------------------------------------
+
+_HEAPS_Q = 1_000_000  # ln quantization: micro-nats
+
+
+_HEAPS_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS t
+  FROM documents
+),
+doc_tokens AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM toks GROUP BY doc_id
+),
+first_seen AS (
+  SELECT doc_id AS d, CAST(count(*) AS BIGINT) AS novel
+  FROM (SELECT t, min(doc_id) AS doc_id FROM toks GROUP BY t) GROUP BY doc_id
+),
+curve AS (
+  SELECT dt.doc_id,
+         CAST(sum(dt.n_tok) OVER (ORDER BY dt.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS t_cum,
+         CAST(sum(coalesce(fs.novel, 0)) OVER (ORDER BY dt.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS v_cum
+  FROM doc_tokens dt LEFT JOIN first_seen fs ON fs.d = dt.doc_id
+),
+pts AS (
+  SELECT CAST(floor(ln(CAST(t_cum AS DOUBLE)) * {_HEAPS_Q}) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(v_cum AS DOUBLE)) * {_HEAPS_Q}) AS BIGINT) AS y
+  FROM curve WHERE t_cum > 0 AND v_cum > 0
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy
+  FROM pts
+)
+SELECT n, sx, sy,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS beta,
+       round(exp((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
+                * sx) / n / {_HEAPS_Q}), 6) AS k_coef
+FROM m
+"""
+
+
+@register(
+    "text_heaps_law_fit",
+    _HEAPS_ORACLE,
+    doc="Heaps-law vocabulary-growth fit V(t)=K·t^β over the corpus prefix curve",
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law fit — how fast does the vocabulary grow as the corpus
+    grows? β (typically 0.4–0.6 for natural text) is the other half of
+    the tokenizer-sizing story next to `corpus_token_zipf` and
+    `text_vocab_coverage`: it predicts the vocabulary a 100 TB crawl
+    will need from the prefix curve of a sample.
+
+    The prefix curve: docs ordered by doc_id; t(d) = cumulative tokens,
+    V(d) = cumulative distinct terms = running sum of each term's
+    FIRST-occurrence marker (min doc_id per term — one term-keyed
+    aggregate, then a doc-keyed running sum; no per-prefix re-distinct).
+    Log-log OLS over all prefix points gives β and K.
+
+    Exactness: both logs floor-quantize to micro-nats per point; the
+    OLS moments are exact DECIMAL(38,0)/HUGEINT sums; β is one shared
+    IEEE expression and K's exp() display rounds to 6 dp in both
+    engines (the round(…, n) convention).
+
+    Scale: one token explode, one term-keyed aggregate (the same
+    exchange the vocabulary already pays), and doc-keyed running sums
+    on the range-partitioned rank machinery — never a single-task
+    window over docs."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')")
+        ).alias("t"),
+    )
+    doc_tokens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    first_seen = (
+        toks.groupBy("t")
+        .agg(F.min("doc_id").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("novel"))
+    )
+    joined = (
+        doc_tokens.join(first_seen, doc_tokens["doc_id"] == first_seen["d"], "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce(F.col("novel"), F.lit(0)).cast("long").alias("novel"),
+        )
+        .withColumn("_g", F.lit(1))
+    )
+    c1 = grouped_running_sum(joined, ["_g"], ["doc_id"], "n_tok", "t_cum")
+    c2 = grouped_running_sum(c1, ["_g"], ["doc_id"], "novel", "v_cum")
+    pts = c2.filter((F.col("t_cum") > 0) & (F.col("v_cum") > 0)).select(
+        F.expr(f"CAST(floor(ln(CAST(t_cum AS DOUBLE)) * {_HEAPS_Q}) AS BIGINT)").alias("x"),
+        F.expr(f"CAST(floor(ln(CAST(v_cum AS DOUBLE)) * {_HEAPS_Q}) AS BIGINT)").alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    return m.selectExpr(
+        "n",
+        "sx",
+        "sy",
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS beta",
+        f"""round(exp((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
+                * sx) / n / {_HEAPS_Q}), 6) AS k_coef""",
+    )

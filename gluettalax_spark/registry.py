@@ -130,6 +130,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "quality_signal_agreement",
     "events_sequence_match",
     "text_rake_keyphrases",
+    "stats_brown_forsythe",
+    "text_heaps_law_fit",
+    "events_periodogram_dft",
 )
 
 

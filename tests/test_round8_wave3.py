@@ -792,3 +792,117 @@ def test_rake_matches_python_recompute(spark, sf_dir):
     assert got == top
     # multiword phrases exist (the point of RAKE over word TF-IDF)
     assert any(" " in p for _, p, _ in got)
+
+
+# --------------------------------------------------------------------------
+# stats_brown_forsythe
+# --------------------------------------------------------------------------
+
+
+def test_brown_forsythe_matches_python_recompute(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    df = pd.DataFrame(
+        {"g": ev["event_type"], "v": (ev["value"] * 100).round().astype("int64")}
+    )
+    zs = {}
+    for g, grp in df.groupby("g"):
+        vs = sorted(grp["v"])
+        # lower median: smallest v with 2*cum >= n
+        n = len(vs)
+        cum = 0
+        med = None
+        for v, c in sorted(Counter(vs).items()):
+            cum += c
+            if 2 * cum >= n:
+                med = v
+                break
+        zs[g] = [abs(v - med) for v in vs]
+    k = len(zs)
+    n = sum(len(z) for z in zs.values())
+    s = sum(sum(z) for z in zs.values())
+    q = sum(sum(x * x for x in z) for z in zs.values())
+    ssbq = sum(sum(z) ** 2 // len(z) for z in zs.values())
+    row = queries()["stats_brown_forsythe"](spark, sf_dir).collect()[0]
+    assert (row["k"], row["n"], row["s"], row["q"], row["ssbq"]) == (k, n, s, q, ssbq)
+    ssb = float(ssbq) - float(s) * s / n
+    ssw = float(q) - ssbq
+    assert row["f_stat"] == (ssb / (k - 1)) / (ssw / (n - k))
+
+
+# --------------------------------------------------------------------------
+# text_heaps_law_fit
+# --------------------------------------------------------------------------
+
+
+def test_heaps_matches_python_recompute_and_beta_sane(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet").sort_values("doc_id")
+    seen = set()
+    t_cum = v_cum = 0
+    pts = []
+    for text in docs["text"]:
+        ws = [w for w in text.lower().split() if w]
+        t_cum += len(ws)
+        for w in ws:
+            if w not in seen:
+                seen.add(w)
+                v_cum += 1
+        if t_cum > 0 and v_cum > 0:
+            pts.append(
+                (
+                    math.floor(math.log(t_cum) * 1_000_000),
+                    math.floor(math.log(v_cum) * 1_000_000),
+                )
+            )
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    row = queries()["text_heaps_law_fit"](spark, sf_dir).collect()[0]
+    assert (row["n"], row["sx"], row["sy"]) == (n, sx, sy)
+    assert row["beta"] == (n * float(sxy) - float(sx) * sy) / (
+        n * float(sxx) - float(sx) * sx
+    )
+    # sublinear vocabulary growth — the Heaps regime
+    assert 0.0 < row["beta"] < 1.0
+
+
+# --------------------------------------------------------------------------
+# events_periodogram_dft
+# --------------------------------------------------------------------------
+
+
+def test_periodogram_matches_python_recompute(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    days = ev["ts"].astype("datetime64[us]").dt.normalize()
+    d0 = days.min()
+    t_idx = ((days - d0).dt.days).to_numpy()
+    n_days = int(t_idx.max()) + 1
+    x = np.zeros(n_days, dtype="int64")
+    for t in t_idx:
+        x[t] += 1
+    rows = queries()["events_periodogram_dft"](spark, sf_dir).collect()
+    got = {r["period_days"]: r for r in rows}
+    for p in (5, 7, 14, 30):
+        a = sum(
+            int(x[t]) * math.floor(math.cos(2 * math.pi * t / p) * 1_000_000)
+            for t in range(n_days)
+        )
+        b = sum(
+            int(x[t]) * math.floor(math.sin(2 * math.pi * t / p) * 1_000_000)
+            for t in range(n_days)
+        )
+        r = got[p]
+        assert (r["n_days"], r["a_micro"], r["b_micro"]) == (n_days, a, b), p
+        assert r["power"] == round(
+            ((a / 1e6) ** 2 + (b / 1e6) ** 2) / n_days, 4
+        )
+
+
+def test_wave7_plans_stay_jvm_side(spark, sf_dir):
+    qs = queries()
+    for name in ("stats_brown_forsythe", "text_heaps_law_fit", "events_periodogram_dft"):
+        plan = physical_plan(qs[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
