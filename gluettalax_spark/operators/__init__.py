@@ -27,6 +27,7 @@ from gluettalax_spark.operators import (  # noqa: F401
     text,
     tpch,
     tpch_ext,
+    tseries,
     tpch_ext2,
     tpch_ext3,
     windows,

@@ -831,3 +831,304 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "((CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (k - 1))"
         " / ((CAST(q AS DOUBLE) - ssbq) / (n - k)) AS f_stat",
     )
+
+
+# --------------------------------------------------------------------------
+# Welch's t-test: unequal-variance two-sample mean comparison
+# --------------------------------------------------------------------------
+
+_WELCH_A, _WELCH_B = "click", "purchase"
+
+_WELCH_ORACLE = f"""
+WITH vals AS (
+  SELECT CASE WHEN event_type = '{_WELCH_A}' THEN 0 ELSE 1 END AS side,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('{_WELCH_A}', '{_WELCH_B}')
+),
+m AS (
+  SELECT
+    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN side = 0 THEN v ELSE 0 END) AS BIGINT) AS s1,
+    CAST(sum(CASE WHEN side = 1 THEN v ELSE 0 END) AS BIGINT) AS s2,
+    CAST(sum(CASE WHEN side = 0 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS BIGINT) AS q1,
+    CAST(sum(CASE WHEN side = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS BIGINT) AS q2
+  FROM vals
+)
+SELECT n1, n2, s1, s2, q1, q2,
+  round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+        / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1
+             + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)) / n2), 6)
+    AS t_stat,
+  round((((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1
+       + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)) / n2)
+        * ((((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1
+          + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)) / n2))
+        / ((((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1)
+           * (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1) / (n1 - 1)
+         + (((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)) / n2)
+           * (((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)) / n2) / (n2 - 1)), 4)
+    AS df_welch
+FROM m
+"""
+
+
+@register(
+    "stats_welch_ttest",
+    _WELCH_ORACLE,
+    doc="Welch's unequal-variance t-test (click vs purchase values) from exact moments",
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test — the default two-sample mean comparison when
+    variances differ (it dominates Student's t in practice; scipy's
+    ``ttest_ind(equal_var=False)``). Complements `stats_mannwhitney_events`
+    (rank-based) with the parametric check on the same pair of groups.
+
+    Exactness: the six sufficient statistics (n, Σv, Σv² per side) are
+    exact integers off one conditional aggregate; t and the
+    Welch–Satterthwaite df are each ONE fixed IEEE expression over them,
+    rounded for display — deterministic cross-engine, no float fold.
+
+    Scale: a single scan with a map-side-combinable 6-number aggregate;
+    nothing shuffles but one row of partials per task."""
+    events = load(spark, sf_dir, "events")
+    vals = events.filter(F.col("event_type").isin(_WELCH_A, _WELCH_B)).select(
+        F.when(F.col("event_type") == _WELCH_A, 0).otherwise(1).alias("side"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    m = vals.agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("side") == 0, F.col("v")).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(F.col("side") == 1, F.col("v")).otherwise(0)).cast("long").alias("s2"),
+        F.sum(
+            F.when(F.col("side") == 0, F.col("v").cast("decimal(38,0)") * F.col("v")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        )
+        .cast("long")
+        .alias("q1"),
+        F.sum(
+            F.when(F.col("side") == 1, F.col("v").cast("decimal(38,0)") * F.col("v")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        )
+        .cast("long")
+        .alias("q2"),
+    )
+    # se_i = var_i / n_i spelled once per side, inlined everywhere so both
+    # engines evaluate the identical expression tree.
+    se1 = "(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1)"
+    se2 = "(((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)) / n2)"
+    return m.selectExpr(
+        "n1",
+        "n2",
+        "s1",
+        "s2",
+        "q1",
+        "q2",
+        f"round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)"
+        f" / sqrt({se1} + {se2}), 6) AS t_stat",
+        f"round(({se1} + {se2}) * (({se1} + {se2}))"
+        f" / ({se1} * {se1} / (n1 - 1) + {se2} * {se2} / (n2 - 1)), 4) AS df_welch",
+    )
+
+
+# --------------------------------------------------------------------------
+# Jarque-Bera normality test: skewness/kurtosis of order totals
+# --------------------------------------------------------------------------
+
+# Inlined sub-expressions (identical text both engines): mean and the
+# central moments as FIXED sequences of IEEE ops over the exact sums.
+_JB_MEAN = "(CAST(s1 AS DOUBLE) / n)"
+_JB_M2 = f"((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n)"
+_JB_M3 = (
+    f"(CAST(s3 AS DOUBLE) / n - 3.0 * {_JB_MEAN} * (CAST(s2 AS DOUBLE) / n)"
+    f" + 2.0 * {_JB_MEAN} * {_JB_MEAN} * {_JB_MEAN})"
+)
+_JB_M4 = (
+    f"(CAST(s4 AS DOUBLE) / n - 4.0 * {_JB_MEAN} * (CAST(s3 AS DOUBLE) / n)"
+    f" + 6.0 * {_JB_MEAN} * {_JB_MEAN} * (CAST(s2 AS DOUBLE) / n)"
+    f" - 3.0 * {_JB_MEAN} * {_JB_MEAN} * {_JB_MEAN} * {_JB_MEAN})"
+)
+_JB_SKEW = f"({_JB_M3} / ({_JB_M2} * sqrt({_JB_M2})))"
+_JB_KURT = f"({_JB_M4} / ({_JB_M2} * {_JB_M2}) - 3.0)"
+
+_JB_SELECT = f"""
+SELECT n, s1,
+  round({_JB_MEAN}, 4) AS mean_price,
+  round({_JB_M2}, 4) AS m2,
+  round({_JB_SKEW}, 6) AS skewness,
+  round({_JB_KURT}, 6) AS kurtosis_excess,
+  round(n / 6.0 * ({_JB_SKEW} * {_JB_SKEW} + {_JB_KURT} * {_JB_KURT} / 4.0), 4) AS jb_stat
+FROM m
+"""
+
+_JB_ORACLE = f"""
+WITH vals AS (
+  SELECT CAST(round(o_totalprice) AS BIGINT) AS v FROM orders
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s1,
+         CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2,
+         CAST(sum(CAST(v AS HUGEINT) * v * v) AS HUGEINT) AS s3,
+         CAST(sum(CAST(v AS HUGEINT) * v * v * v) AS HUGEINT) AS s4
+  FROM vals
+)
+{_JB_SELECT}
+"""
+
+
+@register(
+    "stats_jarque_bera",
+    _JB_ORACLE,
+    doc="Jarque-Bera normality test of order totals from four exact raw moments",
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on order totals — the standard
+    moment-based check (n/6·(S² + K²/4), S = skewness, K = excess
+    kurtosis) a pipeline runs before leaning on any normal-theory
+    interval. The fixture's totals are near-uniform — symmetric but
+    flat-topped (K ≈ −1.2) — so JB rejects on the kurtosis term alone;
+    the unit test pins |S| small, K < 0, JB large as the calibration.
+
+    Exactness: prices quantize to whole dollars and the four raw power
+    sums accumulate exactly in DECIMAL(38,0) (DuckDB HUGEINT) — v⁴ ≤
+    1.3e23 so even a 10⁹-row corpus stays under 1e38 with headroom (the
+    documented magnitude bound for the s4 decimal). Central moments,
+    skewness, kurtosis, and JB are each ONE fixed IEEE expression over
+    the exact sums (shared text both engines), rounded for display.
+
+    Scale: one scan, one 5-number map-side-combinable aggregate — the
+    `orders_price_trend_ols` moment recipe taken to fourth order."""
+    orders = load(spark, sf_dir, "orders")
+    vals = orders.select(F.round(F.col("o_totalprice")).cast("long").alias("v"))
+    vd = F.col("v").cast("decimal(38,0)")
+    m = vals.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(vd * F.col("v")).cast("decimal(38,0)").alias("s2"),
+        F.sum(vd * F.col("v") * F.col("v")).cast("decimal(38,0)").alias("s3"),
+        F.sum(vd * F.col("v") * F.col("v") * F.col("v")).cast("decimal(38,0)").alias("s4"),
+    )
+    return m.selectExpr(
+        "n",
+        "s1",
+        f"round({_JB_MEAN}, 4) AS mean_price",
+        f"round({_JB_M2}, 4) AS m2",
+        f"round({_JB_SKEW}, 6) AS skewness",
+        f"round({_JB_KURT}, 6) AS kurtosis_excess",
+        f"round(n / 6.0 * ({_JB_SKEW} * {_JB_SKEW} + {_JB_KURT} * {_JB_KURT} / 4.0), 4)"
+        " AS jb_stat",
+    )
+
+
+# --------------------------------------------------------------------------
+# Cramér's V: association strength over a types × 4-way split grid
+# --------------------------------------------------------------------------
+
+_CRAMER_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST((strpos('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 4 AS BIGINT)
+           AS grp,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events
+  GROUP BY event_type, grp
+),
+tot AS (
+  SELECT
+    cells.*,
+    CAST(sum(o) OVER (PARTITION BY event_type) AS HUGEINT) AS rt,
+    CAST(sum(o) OVER (PARTITION BY grp)        AS HUGEINT) AS ct,
+    CAST(sum(o) OVER ()                        AS HUGEINT) AS nn
+  FROM cells
+),
+terms AS (
+  SELECT
+    (CAST(o AS HUGEINT) * nn - rt * ct) * (CAST(o AS HUGEINT) * nn - rt * ct)
+      * {_CHI2_SCALE} // (nn * rt * ct) AS t_e9,
+    nn
+  FROM tot
+)
+SELECT
+  CAST((SELECT count(DISTINCT event_type) FROM cells) AS BIGINT) AS n_types,
+  CAST((SELECT count(DISTINCT grp) FROM cells) AS BIGINT) AS n_splits,
+  CAST(nn AS BIGINT) AS n,
+  CAST(sum(t_e9) AS BIGINT) AS chi2_e9,
+  round(sqrt((CAST(CAST(sum(t_e9) AS BIGINT) AS DOUBLE) / {_CHI2_SCALE})
+             / (CAST(nn AS DOUBLE)
+                * (least((SELECT count(DISTINCT event_type) FROM cells),
+                         (SELECT count(DISTINCT grp) FROM cells)) - 1))), 6) AS cramers_v
+FROM terms
+GROUP BY nn
+"""
+
+
+@register(
+    "stats_cramers_v",
+    _CRAMER_ORACLE,
+    doc="Cramér's V association strength (event type × md5 4-way split)",
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the [0, 1]-normalized effect size for a contingency
+    table (V = sqrt(χ² / (N·(min(r,c)−1)))), the statistic you report
+    NEXT to a χ² p-value because χ² grows with N while V does not. The
+    grid widens `stats_chi2_type_by_split`'s A/B to a 4-way md5 split,
+    so min(r,c)−1 = 3 and V exercises the non-binary normalizer; the
+    split is an A/A design, so the unit test pins V ≈ 0 (calibration).
+
+    Exactness: the χ² terms reuse the 1e-9 floor-quantization recipe —
+    ``chi2_e9`` is an exact integer both engines; V is one fixed IEEE
+    expression over it, rounded for display.
+
+    Scale: one data-scale groupBy to the types×4 grid; marginals are
+    broadcast re-aggregations of that bounded grid."""
+    events = load(spark, sf_dir, "events")
+    cells = (
+        events.select(
+            "event_type",
+            (
+                F.expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 1), 16, 10) AS BIGINT)")
+                % 4
+            ).alias("grp"),
+        )
+        .groupBy("event_type", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").cast("decimal(38,0)").alias("rt"))
+    ct = cells.groupBy("grp").agg(F.sum("o").cast("decimal(38,0)").alias("ct"))
+    nn_df = cells.agg(F.sum("o").cast("decimal(38,0)").alias("nn"))
+    dims = cells.agg(
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.countDistinct("grp").cast("long").alias("n_splits"),
+    )
+    tot = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "grp")
+        .crossJoin(F.broadcast(nn_df))
+        .select("o", "rt", "ct", "nn")
+    )
+    terms = tot.select(
+        "nn",
+        F.expr(
+            f"""(CAST(o AS DECIMAL(38,0)) * nn - rt * ct)
+                * (CAST(o AS DECIMAL(38,0)) * nn - rt * ct)
+                * {_CHI2_SCALE} div (nn * rt * ct)"""
+        ).alias("t_e9"),
+    )
+    chi2 = terms.groupBy("nn").agg(F.sum("t_e9").cast("long").alias("chi2_e9"))
+    return (
+        chi2.crossJoin(F.broadcast(dims))
+        .selectExpr(
+            "n_types",
+            "n_splits",
+            "CAST(nn AS BIGINT) AS n",
+            "chi2_e9",
+            f"round(sqrt((CAST(chi2_e9 AS DOUBLE) / {_CHI2_SCALE})"
+            " / (CAST(nn AS DOUBLE) * (least(n_types, n_splits) - 1))), 6) AS cramers_v",
+        )
+    )

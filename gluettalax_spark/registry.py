@@ -133,6 +133,11 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "stats_brown_forsythe",
     "text_heaps_law_fit",
     "events_periodogram_dft",
+    "stats_welch_ttest",
+    "stats_jarque_bera",
+    "stats_cramers_v",
+    "stats_ljung_box",
+    "stats_theil_sen",
 )
 
 

@@ -1,0 +1,230 @@
+"""Third-engine recomputes + plan pins for the round-8 wave-4 additions
+(Welch's t, Jarque-Bera, Cramér's V, Ljung-Box, Theil-Sen).
+
+The DuckDB oracle compare is the driver's job; these tests re-derive the
+same answers in plain Python/pandas/numpy and pin the plan shapes that
+keep each operator on its scale path."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from gluettalax_spark.registry import queries
+from tests.test_plans import physical_plan
+
+
+# --------------------------------------------------------------------------
+# stats_welch_ttest
+# --------------------------------------------------------------------------
+
+
+def test_welch_matches_python_recompute(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    v = (ev["value"] * 100).round().astype("int64")
+    a = v[ev["event_type"] == "click"]
+    b = v[ev["event_type"] == "purchase"]
+    row = queries()["stats_welch_ttest"](spark, sf_dir).collect()[0]
+    assert (row["n1"], row["n2"]) == (len(a), len(b))
+    assert (row["s1"], row["s2"]) == (int(a.sum()), int(b.sum()))
+    assert (row["q1"], row["q2"]) == (
+        int((a.astype(object) ** 2).sum()),
+        int((b.astype(object) ** 2).sum()),
+    )
+    va = a.var(ddof=1)
+    vb = b.var(ddof=1)
+    t = (a.mean() - b.mean()) / math.sqrt(va / len(a) + vb / len(b))
+    assert abs(row["t_stat"] - t) < 1e-4
+    se = va / len(a) + vb / len(b)
+    df = se * se / ((va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1))
+    assert abs(row["df_welch"] - df) < 1e-2
+    # A near-symmetric synthetic fixture: |t| should be modest but df huge
+    assert row["df_welch"] > 50
+
+
+def test_welch_single_aggregate_plan(spark, sf_dir):
+    plan = physical_plan(queries()["stats_welch_ttest"](spark, sf_dir))
+    assert "Join" not in plan  # one conditional aggregate, no reshuffle joins
+    assert plan.count("Exchange") <= 1
+
+
+# --------------------------------------------------------------------------
+# stats_jarque_bera
+# --------------------------------------------------------------------------
+
+
+def test_jarque_bera_matches_python_recompute(spark, sf_dir):
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    # SQL round() is HALF_UP; numpy/pandas round is banker's — match SQL
+    v = np.floor(orders["o_totalprice"].to_numpy() + 0.5).astype("int64")
+    n = len(v)
+    m = v.mean()
+    m2 = ((v - m) ** 2).mean()
+    m3 = ((v - m) ** 3).mean()
+    m4 = ((v - m) ** 4).mean()
+    skew = m3 / m2**1.5
+    kurt = m4 / m2**2 - 3.0
+    jb = n / 6.0 * (skew**2 + kurt**2 / 4.0)
+    row = queries()["stats_jarque_bera"](spark, sf_dir).collect()[0]
+    assert row["n"] == n and row["s1"] == int(v.sum())
+    assert abs(row["skewness"] - skew) < 1e-4
+    assert abs(row["kurtosis_excess"] - kurt) < 1e-4
+    assert abs(row["jb_stat"] - jb) / max(jb, 1.0) < 1e-3
+    # calibration: fixture totals are near-uniform — symmetric (small
+    # skew) but flat-topped (negative excess kurtosis ≈ -1.2), so JB
+    # still rejects normality, driven by the kurtosis term
+    assert abs(row["skewness"]) < 0.5
+    assert row["kurtosis_excess"] < -0.5
+    assert row["jb_stat"] > 10
+
+
+def test_jarque_bera_plan_is_one_aggregate(spark, sf_dir):
+    plan = physical_plan(queries()["stats_jarque_bera"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+# --------------------------------------------------------------------------
+# stats_cramers_v
+# --------------------------------------------------------------------------
+
+
+def test_cramers_v_matches_python_recompute(spark, sf_dir):
+    import hashlib
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    grp = ev["user_id"].map(
+        lambda u: int(hashlib.md5(str(u).encode()).hexdigest()[0], 16) % 4
+    )
+    tab = pd.crosstab(ev["event_type"], grp)
+    o = tab.to_numpy().astype(object)
+    n = int(o.sum())
+    rt = o.sum(axis=1)
+    ct = o.sum(axis=0)
+    chi2_e9 = 0
+    for i in range(o.shape[0]):
+        for j in range(o.shape[1]):
+            num = (o[i][j] * n - rt[i] * ct[j]) ** 2 * 1_000_000_000
+            chi2_e9 += num // (n * rt[i] * ct[j])
+    row = queries()["stats_cramers_v"](spark, sf_dir).collect()[0]
+    assert row["chi2_e9"] == chi2_e9
+    assert row["n"] == n
+    assert (row["n_types"], row["n_splits"]) == (o.shape[0], o.shape[1])
+    v = math.sqrt((chi2_e9 / 1e9) / (n * (min(o.shape) - 1)))
+    assert abs(row["cramers_v"] - v) < 1e-5
+    # A/A calibration: the md5 split is independent of type, so V ≈ 0
+    assert row["cramers_v"] < 0.1
+
+
+# --------------------------------------------------------------------------
+# stats_ljung_box
+# --------------------------------------------------------------------------
+
+
+def _daily_counts(sf_dir: str) -> np.ndarray:
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    day = orders["o_orderdate"].dt.normalize()
+    counts = day.value_counts().sort_index()
+    full = pd.date_range(counts.index.min(), counts.index.max(), freq="D")
+    return counts.reindex(full, fill_value=0).to_numpy().astype("int64")
+
+
+def test_ljung_box_matches_python_recompute(spark, sf_dir):
+    x = _daily_counts(sf_dir)
+    n = len(x)
+    s = int(x.sum())
+    d = (n * x.astype(object) - s).astype(object)
+    den = int(sum(int(v) * int(v) for v in d))
+    row = queries()["stats_ljung_box"](spark, sf_dir).collect()[0]
+    assert row["n_days"] == n and row["total_orders"] == s
+    q = 0.0
+    for k in range(1, 8):
+        num = int(sum(int(d[t]) * int(d[t + k]) for t in range(n - k)))
+        acf = num / den
+        assert abs(row[f"acf_{k}"] - acf) < 1e-5
+        q += acf * acf / (n - k)
+    q *= n * (n + 2)
+    assert abs(row["q_stat"] - q) / max(abs(q), 1.0) < 1e-3
+
+
+def test_ljung_box_grid_is_dense(spark, sf_dir):
+    """Idle days must enter the series as zeros — the sparse form biases
+    every lag product (same trap class as events_changepoint_cusum)."""
+    x = _daily_counts(sf_dir)
+    row = queries()["stats_ljung_box"](spark, sf_dir).collect()[0]
+    # n_days is the CALENDAR span, not the distinct-active-day count
+    assert row["n_days"] == len(x)
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    active = orders["o_orderdate"].dt.normalize().nunique()
+    if active < len(x):  # fixture has idle days at small SFs
+        assert row["n_days"] > active
+
+
+# --------------------------------------------------------------------------
+# stats_theil_sen
+# --------------------------------------------------------------------------
+
+
+def test_theil_sen_matches_python_recompute(spark, sf_dir):
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    m = (orders["o_orderdate"].dt.year - 1992) * 12 + (orders["o_orderdate"].dt.month - 1)
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    monthly = pd.DataFrame({"m": m, "r": cents}).groupby("m")["r"].sum().sort_index()
+    ms = monthly.index.to_numpy()
+    rs = monthly.to_numpy()
+    slopes = []
+    for i in range(len(ms)):
+        for j in range(i + 1, len(ms)):
+            slopes.append(math.floor(1e6 * ((rs[j] - rs[i]) / (ms[j] - ms[i]))))
+    slopes.sort()
+    n_pairs = len(slopes)
+    med = slopes[(n_pairs + 1) // 2 - 1]
+    row = queries()["stats_theil_sen"](spark, sf_dir).collect()[0]
+    assert row["n_months"] == len(ms)
+    assert row["n_pairs"] == n_pairs
+    assert row["sen_slope_micro"] == med
+    assert abs(row["sen_slope_dollars"] - med / 1e6 / 100.0) < 1e-3
+
+
+def test_theil_sen_robust_to_outlier_month(spark, sf_dir):
+    """The estimator's whole point: a single corrupted month must not
+    move the slope the way it moves OLS. Verified on the recomputed
+    series (pure Python) — corrupt one month's revenue 100× and check
+    the Theil-Sen slope moves by far less than the OLS slope does."""
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    m = (orders["o_orderdate"].dt.year - 1992) * 12 + (orders["o_orderdate"].dt.month - 1)
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    monthly = pd.DataFrame({"m": m, "r": cents}).groupby("m")["r"].sum().sort_index()
+    ms = monthly.index.to_numpy().astype(float)
+    rs = monthly.to_numpy().astype(float)
+
+    def sen(ms, rs):
+        sl = [
+            (rs[j] - rs[i]) / (ms[j] - ms[i])
+            for i in range(len(ms))
+            for j in range(i + 1, len(ms))
+        ]
+        sl.sort()
+        return sl[(len(sl) + 1) // 2 - 1]
+
+    def ols(ms, rs):
+        return np.polyfit(ms, rs, 1)[0]
+
+    base_sen, base_ols = sen(ms, rs), ols(ms, rs)
+    rs2 = rs.copy()
+    rs2[len(rs2) // 2] *= 100.0
+    scale = float(np.mean(np.abs(rs)))
+    d_sen = abs(sen(ms, rs2) - base_sen) / scale
+    d_ols = abs(ols(ms, rs2) - base_ols) / scale
+    assert d_sen < d_ols / 5
+
+
+def test_tseries_plans_stay_bounded(spark, sf_dir):
+    """Both tseries ops collapse to the calendar grid in their FIRST
+    aggregate; no data-scale join, window, or cartesian survives."""
+    for name in ("stats_ljung_box", "stats_theil_sen"):
+        plan = physical_plan(queries()[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan
