@@ -1286,3 +1286,105 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs(F.col("est_ppm") - F.col("true_ppm"))).cast("long").alias("max_err_ppm"),
         F.expr("sum(true_ppm) div nullif(count(1), 0)").alias("mean_true_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty decay (corpus-growth observability)
+# --------------------------------------------------------------------------
+
+_NOVELTY_BUCKETS = 10
+
+_NOVELTY_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hashed AS (SELECT doc_id, md5(s) AS m FROM ex0),
+ex AS (SELECT DISTINCT doc_id, {_duck_hex_int(1, 15)} AS hs FROM hashed),
+firsts AS (
+  SELECT doc_id, hs,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY hs) THEN 1 ELSE 0 END AS novel
+  FROM ex
+),
+perdoc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_sh,
+         CAST(sum(novel) AS BIGINT) AS n_novel
+  FROM firsts GROUP BY doc_id
+),
+bounds AS (
+  SELECT CAST(min(doc_id) AS BIGINT) AS lo,
+         CAST(max(doc_id) - min(doc_id) + 1 AS BIGINT) AS span
+  FROM documents
+)
+SELECT CAST({_NOVELTY_BUCKETS} * (p.doc_id - b.lo) // b.span AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+       CAST(sum(n_novel) AS BIGINT) AS n_novel,
+       CAST(CAST(sum(n_novel) AS HUGEINT) * 1000000 // sum(n_sh) AS BIGINT) AS novelty_ppm
+FROM perdoc p, bounds b
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+@register(
+    "text_ngram_novelty_decay",
+    _NOVELTY_ORACLE,
+    doc="fraction of first-seen word-3-grams per doc-id decile (novelty decay curve)",
+)
+def text_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty decay: for each doc-id decile (ingestion-order proxy), the
+    fraction of its word-3-gram instances whose FIRST corpus occurrence
+    is in that document. The memorization/contamination observability
+    curve — on a growing crawl, novelty decays as the n-gram space
+    saturates (the same statistic Heaps' law models at the token level,
+    `text_heaps_law_fit`); a bucket that spikes back up marks a
+    distribution shift, one that collapses marks a duplication event.
+
+    Exactness: shingles share the 60-bit md5 keyspace with
+    `corpus_span_overlap` (bit-exact compare even under collisions);
+    "first occurrence" is min(doc_id) per shingle — deterministic, no
+    timestamp needed; the per-bucket rate is ONE floor division of exact
+    counts in ppm. Deciles are id-RANGE buckets (exact integer div), not
+    rank buckets, so the bucketing is join-free at any scale.
+
+    Scale: one distinct (doc, shingle) shuffle, one window over the
+    shingle key (computed once, never self-joined — the span-overlap
+    shape), one doc-grain aggregate, one 10-row rollup."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    ex = (
+        shingles_exploded(spark, sf_dir)
+        .select("doc_id", F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("hs"))
+        .distinct()
+    )
+    w = Window.partitionBy("hs")
+    per_doc = (
+        ex.withColumn("first_doc", F.min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sh"),
+            F.sum(F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    bounds = docs.agg(
+        F.min("doc_id").cast("long").alias("lo"),
+        (F.max("doc_id") - F.min("doc_id") + 1).cast("long").alias("span"),
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.expr(f"CAST({_NOVELTY_BUCKETS} * (doc_id - lo) div span AS BIGINT)").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_sh").cast("long").alias("n_shingles"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+            F.expr(
+                "CAST(CAST(sum(n_novel) AS DECIMAL(38,0)) * 1000000 div sum(n_sh) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("bucket")
+    )

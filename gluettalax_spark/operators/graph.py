@@ -1385,3 +1385,151 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("a2").desc(), "part_key")
         .limit(_HITS_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Clustering coefficient (global + average local) on the co-occurrence graph
+# --------------------------------------------------------------------------
+
+_CLUSTER_COEF_ORACLE = f"""
+WITH op AS MATERIALIZED (
+  SELECT o, p FROM {_DUCK_CAPPED_OP}
+), e AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= {_TRI_MIN_SUPPORT}
+), deg AS MATERIALIZED (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT pa AS n FROM e UNION ALL SELECT pb AS n FROM e
+  ) GROUP BY n
+), tri AS MATERIALIZED (
+  SELECT x.pa AS a, x.pb AS b, y.pb AS c
+  FROM e x JOIN e y ON y.pa = x.pb
+         JOIN e z ON z.pa = x.pa AND z.pb = y.pb
+), tn AS MATERIALIZED (
+  SELECT unnest([a, b, c]) AS n FROM tri
+), tcount AS MATERIALIZED (
+  SELECT n, CAST(count(*) AS BIGINT) AS t FROM tn GROUP BY n
+), pernode AS MATERIALIZED (
+  SELECT deg.n, deg.d, coalesce(tcount.t, 0) AS t
+  FROM deg LEFT JOIN tcount ON tcount.n = deg.n
+), elig AS MATERIALIZED (
+  SELECT CAST(2 * CAST(t AS HUGEINT) * 1000000000
+              // (CAST(d AS HUGEINT) * (d - 1)) AS BIGINT) AS cc_e9
+  FROM pernode WHERE d >= 2
+)
+SELECT
+  CAST((SELECT count(*) FROM pernode) AS BIGINT) AS n_nodes,
+  CAST((SELECT count(*) FROM elig) AS BIGINT) AS n_eligible,
+  CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
+  CAST((SELECT sum(CAST(d AS HUGEINT) * (d - 1) // 2) FROM pernode) AS BIGINT) AS n_wedges,
+  CAST((SELECT sum(cc_e9) FROM elig) AS BIGINT) AS sum_local_cc_e9,
+  round(3.0 * (SELECT count(*) FROM tri)
+        / (SELECT CAST(sum(CAST(d AS HUGEINT) * (d - 1) // 2) AS DOUBLE) FROM pernode), 6)
+    AS global_cc,
+  round(CAST((SELECT sum(cc_e9) FROM elig) AS DOUBLE)
+        / (SELECT count(*) FROM elig) / 1000000000.0, 6) AS avg_local_cc
+"""
+
+
+@register(
+    "graph_clustering_coefficient",
+    _CLUSTER_COEF_ORACLE,
+    doc="global + average-local clustering coefficient (per-node exact triangle credit)",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watts-Strogatz clustering coefficients over the part co-occurrence
+    graph: global C = 3·triangles/wedges AND the average LOCAL
+    coefficient (mean over nodes with degree ≥ 2 of 2·t_v/(d_v·(d_v−1)))
+    — the two standard "how clique-ish is this graph" readouts, which
+    deliberately disagree on hub-heavy graphs (global is wedge-weighted,
+    local is node-weighted). Extends `graph_triangle_count` from one
+    scalar to per-node triangle credit.
+
+    Exactness: each triangle credits its 3 nodes via an explode off the
+    closed-wedge triples (exact integers); each local coefficient
+    floor-quantizes to 1e-9 BEFORE the sum (the PSI/χ² recipe — a float
+    mean of per-node ratios would be accumulation-order-dependent), so
+    ``sum_local_cc_e9`` is an exact integer cross-engine; the two
+    averages are single IEEE expressions over exact sums.
+
+    Scale: the degree-oriented wedge join bounds fan-out by sqrt(2m)
+    (Suri & Vassilvitskii); per-node credit is one explode + groupBy on
+    triangle rows (≤ wedge count); everything else is node-grain."""
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("pa").alias("n"))
+        .unionAll(edges.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    is_fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    ed = (
+        edges.join(deg.withColumnRenamed("n", "pa").withColumnRenamed("d", "da"), "pa")
+        .join(deg.withColumnRenamed("n", "pb").withColumnRenamed("d", "db"), "pb")
+        .select(
+            F.when(is_fwd, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(is_fwd, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+            F.greatest("da", "db").alias("deg_dst"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w1, w2 = ed.alias("w1"), ed.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (
+            (F.col("w1.deg_dst") < F.col("w2.deg_dst"))
+            | (
+                (F.col("w1.deg_dst") == F.col("w2.deg_dst"))
+                & (F.col("w1.dst") < F.col("w2.dst"))
+            )
+        ),
+    ).select(
+        F.col("w1.src").alias("wsrc"), F.col("w1.dst").alias("ta"), F.col("w2.dst").alias("tb")
+    )
+    closed = wedges.join(
+        ed.select(F.col("src").alias("ta"), F.col("dst").alias("tb")), ["ta", "tb"], "leftsemi"
+    ).localCheckpoint(eager=False)
+
+    tcount = (
+        closed.select(F.explode(F.array("wsrc", "ta", "tb")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    pernode = deg.join(tcount, "n", "left").select(
+        "d", F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("t")
+    )
+    elig = pernode.filter(F.col("d") >= 2).select(
+        F.expr(
+            "CAST(2 * CAST(t AS DECIMAL(38,0)) * 1000000000"
+            " div (CAST(d AS DECIMAL(38,0)) * (d - 1)) AS BIGINT)"
+        ).alias("cc_e9")
+    )
+    node_stats = pernode.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * (d - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    elig_stats = elig.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eligible"),
+        F.sum("cc_e9").cast("long").alias("sum_local_cc_e9"),
+    )
+    tri_stats = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return (
+        node_stats.crossJoin(tri_stats)
+        .crossJoin(elig_stats)
+        .selectExpr(
+            "n_nodes",
+            "n_eligible",
+            "n_triangles",
+            "n_wedges",
+            "sum_local_cc_e9",
+            "round(3.0 * n_triangles / CAST(n_wedges AS DOUBLE), 6) AS global_cc",
+            "round(CAST(sum_local_cc_e9 AS DOUBLE) / n_eligible / 1000000000.0, 6)"
+            " AS avg_local_cc",
+        )
+    )

@@ -2956,3 +2956,86 @@ def events_periodogram_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
             + CAST(b_micro AS DOUBLE) / {_DFT_Q} * (CAST(b_micro AS DOUBLE) / {_DFT_Q}))
             / n_days, 4) AS power""",
     ).orderBy("period_days")
+
+
+# --------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration of revenue per market segment
+# --------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH cust_rev AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+seg AS (
+  SELECT segment,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(rev) AS HUGEINT) AS tot,
+         CAST(sum(rev * rev) AS HUGEINT) AS sq,
+         CAST(max(rev) AS HUGEINT) AS top1
+  FROM cust_rev GROUP BY segment
+)
+SELECT segment, n_customers,
+       CAST(tot AS BIGINT) AS total_cents,
+       CAST(sq * 1000000 // (tot * tot) AS BIGINT) AS hhi_ppm,
+       CAST(top1 * 1000000 // tot AS BIGINT) AS top1_share_ppm,
+       round(1000000.0 / CAST(sq * 1000000 // (tot * tot) AS DOUBLE), 4)
+         AS effective_n_customers
+FROM seg
+ORDER BY segment
+"""
+
+
+@register(
+    "orders_herfindahl",
+    _HHI_ORACLE,
+    doc="Herfindahl-Hirschman revenue concentration per market segment (exact ppm)",
+)
+def orders_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman Index of customer revenue concentration per
+    market segment — HHI = Σ share_i² (here in exact ppm), the standard
+    antitrust/concentration readout, plus the top-1 share and the
+    equivalent number of equal-size customers (1/HHI). The fixture's
+    demand is near-uniform, so HHI ≈ 1e6/n — the unit test pins that
+    calibration and the exact-rational identity.
+
+    Exactness: per-customer revenue is integer cents; HHI forms as ONE
+    floor division of exact decimals — (Σ rev²)·10⁶ div (Σ rev)² — never
+    a float sum of per-customer shares (whose accumulation order would
+    diverge cross-engine). Non-negative throughout, so Spark ``div`` and
+    DuckDB ``//`` agree. Magnitude bound: per-customer rev ≤ ~2e8 cents
+    (bounded by orders-per-customer, a data-model constant), so Σ rev² ≤
+    4e16·|customers| ≈ 1e23 at SF100 — DECIMAL(38,0) headroom.
+
+    Scale: the orders→customer join is key-partitioned (AQE picks
+    broadcast only while the dim is small); one groupBy to the
+    (segment × customer) grain, then a 4-number aggregate to segments."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    cust_rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("segment", "o_custkey")
+        .agg(F.sum("cents").cast("decimal(38,0)").alias("rev"))
+    )
+    seg = cust_rev.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("rev").cast("decimal(38,0)").alias("tot"),
+        F.sum(F.col("rev") * F.col("rev")).cast("decimal(38,0)").alias("sq"),
+        F.max("rev").cast("decimal(38,0)").alias("top1"),
+    )
+    return seg.selectExpr(
+        "segment",
+        "n_customers",
+        "CAST(tot AS BIGINT) AS total_cents",
+        "CAST(sq * 1000000 div (tot * tot) AS BIGINT) AS hhi_ppm",
+        "CAST(top1 * 1000000 div tot AS BIGINT) AS top1_share_ppm",
+        "round(1000000.0 / CAST(sq * 1000000 div (tot * tot) AS DOUBLE), 4)"
+        " AS effective_n_customers",
+    ).orderBy("segment")

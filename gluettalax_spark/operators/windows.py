@@ -656,3 +656,97 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("best_streak")
     )
+
+
+# --------------------------------------------------------------------------
+# Bounce rate by landing event type (single-event-session share)
+# --------------------------------------------------------------------------
+
+_BOUNCE_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '{_SESSIONIZE_GAP_MIN}' MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_type, new_session,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, session_no,
+         max(CASE WHEN new_session = 1 THEN event_type END) AS landing_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sessions GROUP BY user_id, session_no
+)
+SELECT landing_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT) AS n_bounces,
+       CAST(CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS HUGEINT) * 1000000
+            // count(*) AS BIGINT) AS bounce_ppm,
+       round(CAST(sum(n_events) AS DOUBLE) / count(*), 4) AS avg_session_events
+FROM per_session
+GROUP BY landing_type
+ORDER BY landing_type
+"""
+
+
+@register(
+    "events_bounce_rate_sessions",
+    _BOUNCE_ORACLE,
+    doc="bounce rate (single-event-session share) by landing event type",
+)
+def events_bounce_rate_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by LANDING event type: the share of 30-min-gap
+    sessions that contain exactly one event, keyed by the type of the
+    event that OPENED the session — the standard web-analytics readout
+    (GA-style), and the product counterpart of `events_sessionize_batch`
+    (same gap rule, rolled up instead of top-k'd).
+
+    The landing row needs no ranking join: it IS the ``new_session = 1``
+    row, so one conditional max per session recovers it — exactly one
+    such row exists per session by construction.
+
+    Exactness: bounce rate is ONE floor division of exact counts (ppm);
+    the only double is the rounded display average.
+
+    Scale: both windows partition by user_id (the safe class — per-task
+    work bounded by one user's history) and share one exchange+sort with
+    the session numbering; then a (user × session) aggregate and a
+    types-bounded rollup."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > _SESSIONIZE_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn("session_no", F.sum("new_session").over(w))
+    per_session = sessions.groupBy("user_id", "session_no").agg(
+        F.max(F.when(F.col("new_session") == 1, F.col("event_type"))).alias("landing_type"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return (
+        per_session.groupBy("landing_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("long").alias("n_bounces"),
+            F.expr(
+                "CAST(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DECIMAL(38,0))"
+                " * 1000000 div count(1) AS BIGINT)"
+            ).alias("bounce_ppm"),
+            F.round(F.sum("n_events").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_session_events"
+            ),
+        )
+        .orderBy("landing_type")
+    )

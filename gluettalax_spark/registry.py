@@ -138,6 +138,10 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "stats_cramers_v",
     "stats_ljung_box",
     "stats_theil_sen",
+    "orders_herfindahl",
+    "graph_clustering_coefficient",
+    "text_ngram_novelty_decay",
+    "events_bounce_rate_sessions",
 )
 
 

@@ -228,3 +228,174 @@ def test_tseries_plans_stay_bounded(spark, sf_dir):
         plan = physical_plan(queries()[name](spark, sf_dir))
         assert "CartesianProduct" not in plan
         assert "Window" not in plan
+
+
+# --------------------------------------------------------------------------
+# orders_herfindahl
+# --------------------------------------------------------------------------
+
+
+def test_herfindahl_matches_python_recompute(spark, sf_dir):
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = np.floor(j["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+    rows = {
+        r["segment"]: r
+        for r in queries()["orders_herfindahl"](spark, sf_dir).collect()
+    }
+    for seg, g in j.groupby("c_mktsegment"):
+        rev = g.groupby("o_custkey")["cents"].sum()
+        tot = int(rev.sum())
+        sq = int(sum(int(v) * int(v) for v in rev))
+        hhi = sq * 1_000_000 // (tot * tot)
+        r = rows[seg]
+        assert r["n_customers"] == len(rev)
+        assert r["total_cents"] == tot
+        assert r["hhi_ppm"] == hhi
+        assert r["top1_share_ppm"] == int(rev.max()) * 1_000_000 // tot
+        # near-uniform fixture: HHI ≈ 1e6/n (within 3x)
+        assert hhi < 3 * (1_000_000 // len(rev) + 1)
+
+
+# --------------------------------------------------------------------------
+# graph_clustering_coefficient
+# --------------------------------------------------------------------------
+
+
+def test_clustering_coefficient_matches_brute(spark, sf_dir):
+    """Brute-force per-node triangle/wedge recompute from the capped,
+    support-pruned edge set (replayed exactly as the builder defines it)."""
+    from collections import defaultdict
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    op = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    sizes = op.groupby("l_orderkey")["l_partkey"].nunique()
+    keep = set(sizes[sizes <= 256].index)
+    op = op[op["l_orderkey"].isin(keep)]
+    from itertools import combinations
+
+    pair_count = defaultdict(int)
+    for _, g in op.groupby("l_orderkey"):
+        for a, b in combinations(sorted(g["l_partkey"]), 2):
+            pair_count[(a, b)] += 1
+    edges = {e for e, c in pair_count.items() if c >= 2}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri_per_node = defaultdict(int)
+    n_tri = 0
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c counts each triangle once
+                n_tri += 1
+                tri_per_node[a] += 1
+                tri_per_node[b] += 1
+                tri_per_node[c] += 1
+    n_wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    elig = [n for n in adj if len(adj[n]) >= 2]
+    sum_cc = sum(
+        2 * tri_per_node[n] * 1_000_000_000 // (len(adj[n]) * (len(adj[n]) - 1))
+        for n in elig
+    )
+    row = queries()["graph_clustering_coefficient"](spark, sf_dir).collect()[0]
+    assert row["n_nodes"] == len(adj)
+    assert row["n_triangles"] == n_tri
+    assert row["n_wedges"] == n_wedges
+    assert row["n_eligible"] == len(elig)
+    assert row["sum_local_cc_e9"] == sum_cc
+    assert 0.0 <= row["global_cc"] <= 1.0
+    assert 0.0 <= row["avg_local_cc"] <= 1.0
+
+
+def test_clustering_coefficient_plan_no_cartesian(spark, sf_dir):
+    plan = physical_plan(queries()["graph_clustering_coefficient"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# text_ngram_novelty_decay
+# --------------------------------------------------------------------------
+
+
+def test_novelty_decay_matches_python_recompute(spark, sf_dir):
+    import hashlib
+    import re
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    lo = int(docs["doc_id"].min())
+    span = int(docs["doc_id"].max()) - lo + 1
+    doc_sh = {}
+    for _, r in docs.iterrows():
+        toks = [t for t in re.split(r"\s+", r["text"].lower()) if t]
+        if len(toks) < 3:
+            continue
+        hs = {
+            int(hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()[:15], 16)
+            for i in range(len(toks) - 2)
+        }
+        doc_sh[int(r["doc_id"])] = hs
+    first = {}
+    for d in sorted(doc_sh):
+        for h in doc_sh[d]:
+            first.setdefault(h, d)
+    buckets = {}
+    for d, hs in doc_sh.items():
+        b = 10 * (d - lo) // span
+        nb = buckets.setdefault(b, [0, 0, 0])
+        nb[0] += 1
+        nb[1] += len(hs)
+        nb[2] += sum(1 for h in hs if first[h] == d)
+    rows = {r["bucket"]: r for r in queries()["text_ngram_novelty_decay"](spark, sf_dir).collect()}
+    assert set(rows) == set(buckets)
+    for b, (nd, nsh, nnov) in buckets.items():
+        r = rows[b]
+        assert (r["n_docs"], r["n_shingles"], r["n_novel"]) == (nd, nsh, nnov)
+        assert r["novelty_ppm"] == nnov * 1_000_000 // nsh
+    # decay calibration: the first bucket is the most novel
+    assert rows[0]["novelty_ppm"] == max(r["novelty_ppm"] for r in rows.values())
+
+
+# --------------------------------------------------------------------------
+# events_bounce_rate_sessions
+# --------------------------------------------------------------------------
+
+
+def test_bounce_rate_matches_python_recompute(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=30)
+    stats = {}
+    for _, g in ev.groupby("user_id"):
+        cur_landing, cur_n, prev_ts = None, 0, None
+        sessions = []
+        for _, r in g.iterrows():
+            if prev_ts is None or (r["ts"] - prev_ts) > gap:
+                if cur_landing is not None:
+                    sessions.append((cur_landing, cur_n))
+                cur_landing, cur_n = r["event_type"], 0
+            cur_n += 1
+            prev_ts = r["ts"]
+        sessions.append((cur_landing, cur_n))
+        for landing, n in sessions:
+            s = stats.setdefault(landing, [0, 0, 0])
+            s[0] += 1
+            s[1] += 1 if n == 1 else 0
+            s[2] += n
+    rows = {
+        r["landing_type"]: r
+        for r in queries()["events_bounce_rate_sessions"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(stats)
+    for t, (ns, nb, ne) in stats.items():
+        r = rows[t]
+        assert (r["n_sessions"], r["n_bounces"]) == (ns, nb)
+        assert r["bounce_ppm"] == nb * 1_000_000 // ns
+        assert abs(r["avg_session_events"] - ne / ns) < 1e-3
+
+
+def test_bounce_rate_windows_are_user_partitioned(spark, sf_dir):
+    plan = physical_plan(queries()["events_bounce_rate_sessions"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # one exchange feeds both windows + the session aggregate
+    assert plan.count("hashpartitioning(user_id") >= 1
