@@ -502,6 +502,7 @@ STREAMING_SUBSET = [
     ("streaming_user_running_totals", "update"),
     ("streaming_rolling_zscore", "update"),
     ("streaming_anova_moments", "update"),
+    ("streaming_markov_transitions", "update"),
     ("streaming_tumbling_counts", "append"),
 ]
 

@@ -1132,3 +1132,187 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(nn AS DOUBLE) * (least(n_types, n_splits) - 1))), 6) AS cramers_v",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-type A/B mean tests
+# --------------------------------------------------------------------------
+
+# Spark parses a bare 0.05 literal as DECIMAL(2,2) (DuckDB as DOUBLE) —
+# the explicit cast keeps the threshold arithmetic double in BOTH engines.
+_BH_ALPHA = "CAST(0.05 AS DOUBLE)"
+
+
+def _p_two_sided(y: str) -> str:
+    """Two-sided normal p-value 2·(1−Φ(|z|)) = erfc(|z|/√2) via the
+    Abramowitz-Stegun 7.1.26 polynomial — ONE fixed IEEE expression
+    (identical text both engines), rounded to 6 so the single libm
+    ``exp`` call can't leak last-ulp differences into the BH compare
+    (the text_unigram_logppl / survival-KM convention). ``y`` must be
+    the |z|/√2 sub-expression."""
+    t = f"(1.0 / (1.0 + 0.3275911 * ({y})))"
+    poly = (
+        f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * (1.421413741"
+        f" + {t} * (-1.453152027 + {t} * 1.061405429)))))"
+    )
+    return f"round({poly} * exp(-({y}) * ({y})), 6)"
+
+
+# Welch z per event type over the md5 A/B split, from exact moments.
+_BH_Z = (
+    "((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)"
+    " / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1"
+    "      + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)) / n2))"
+)
+_BH_P = _p_two_sided(f"abs({_BH_Z}) / sqrt(2.0)")
+
+_BH_ORACLE = f"""
+WITH split AS (
+  SELECT event_type,
+         CAST((strpos('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 AS BIGINT)
+           AS grp,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+m AS (
+  SELECT event_type,
+    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN grp = 0 THEN v ELSE 0 END) AS BIGINT) AS s1,
+    CAST(sum(CASE WHEN grp = 1 THEN v ELSE 0 END) AS BIGINT) AS s2,
+    CAST(sum(CASE WHEN grp = 0 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS BIGINT) AS q1,
+    CAST(sum(CASE WHEN grp = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS BIGINT) AS q2
+  FROM split GROUP BY event_type
+),
+scored AS (
+  SELECT event_type, n1, n2,
+         round({_BH_Z}, 6) AS z,
+         {_BH_P} AS p_value
+  FROM m
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tests FROM scored),
+ranked AS (
+  SELECT a.event_type, a.n1, a.n2, a.z, a.p_value,
+         CAST(count(*) AS BIGINT) AS p_rank
+  FROM scored a JOIN scored b
+    ON b.p_value < a.p_value OR (b.p_value = a.p_value AND b.event_type <= a.event_type)
+  GROUP BY a.event_type, a.n1, a.n2, a.z, a.p_value
+),
+cutoff AS (
+  SELECT coalesce(max(CASE WHEN p_value * n_tests <= p_rank * {_BH_ALPHA}
+                           THEN p_rank END), 0) AS max_rank
+  FROM ranked, tot
+)
+SELECT r.event_type, r.n1, r.n2, r.z, r.p_value, r.p_rank,
+       round(r.p_rank * {_BH_ALPHA} / t.n_tests, 6) AS bh_threshold,
+       CAST(r.p_rank <= c.max_rank AS BOOLEAN) AS rejected
+FROM ranked r, tot t, cutoff c
+ORDER BY r.p_rank
+"""
+
+
+@register(
+    "stats_multiple_testing_bh",
+    _BH_ORACLE,
+    doc="Benjamini-Hochberg FDR step-up over per-type A/B Welch z-tests",
+)
+def stats_multiple_testing_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg multiple-testing correction — run one Welch
+    z-test per event type across the deterministic md5 A/B split, then
+    the FDR step-up (reject all tests ranked ≤ max{i : p_i ≤ i·α/m},
+    α = 0.05). THE guardrail for metric dashboards: five simultaneous
+    A/B readouts at α=0.05 false-positive ~23% of the time uncorrected.
+    The split is user-level A/A, but the z-test runs on EVENTS — at
+    small fixture scales the user pool is tiny and intra-user value
+    correlation makes some types reject, which is precisely the
+    cluster-randomization bias this guardrail exists to surface (the
+    unit test re-derives the step-up decisions rather than pinning a
+    discovery count).
+
+    Cross-engine p-values: Φ has no SQL builtin, so both engines
+    evaluate the SAME Abramowitz-Stegun erfc polynomial (7.1.26, max
+    error 1.5e-7) — one fixed IEEE expression whose single ``exp`` call
+    is rounded away at 6 dp. Ranks come from a 5×5 self-join on the
+    types grid, NOT a global window (the bounded-grid discipline);
+    the step-up compare is cross-multiplied (p·m ≤ i·α).
+
+    Scale: one data-scale conditional aggregate to the types×2 moment
+    grid; everything after is k-row."""
+    events = load(spark, sf_dir, "events")
+    split = events.select(
+        "event_type",
+        (
+            F.expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 1), 16, 10) AS BIGINT)")
+            % 2
+        ).alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    m = split.groupBy("event_type").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("grp") == 0, F.col("v")).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("v")).otherwise(0)).cast("long").alias("s2"),
+        F.sum(
+            F.when(F.col("grp") == 0, F.col("v").cast("decimal(38,0)") * F.col("v")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        )
+        .cast("long")
+        .alias("q1"),
+        F.sum(
+            F.when(F.col("grp") == 1, F.col("v").cast("decimal(38,0)") * F.col("v")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        )
+        .cast("long")
+        .alias("q2"),
+    )
+    scored = m.selectExpr(
+        "event_type",
+        "n1",
+        "n2",
+        f"round({_BH_Z}, 6) AS z",
+        f"{_BH_P} AS p_value",
+    ).localCheckpoint(eager=False)
+    tot = scored.agg(F.count(F.lit(1)).cast("long").alias("n_tests"))
+    b = scored.select(
+        F.col("p_value").alias("bp"), F.col("event_type").alias("bt")
+    )
+    ranked = (
+        scored.join(
+            F.broadcast(b),
+            (F.col("bp") < F.col("p_value"))
+            | ((F.col("bp") == F.col("p_value")) & (F.col("bt") <= F.col("event_type"))),
+        )
+        .groupBy("event_type", "n1", "n2", "z", "p_value")
+        .agg(F.count(F.lit(1)).cast("long").alias("p_rank"))
+        .localCheckpoint(eager=False)
+    )
+    cutoff = ranked.crossJoin(F.broadcast(tot)).agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.expr(f"p_value * n_tests <= p_rank * {_BH_ALPHA}"), F.col("p_rank")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("max_rank")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(cutoff))
+        .selectExpr(
+            "event_type",
+            "n1",
+            "n2",
+            "z",
+            "p_value",
+            "p_rank",
+            f"round(p_rank * {_BH_ALPHA} / n_tests, 6) AS bh_threshold",
+            "CAST(p_rank <= max_rank AS BOOLEAN) AS rejected",
+        )
+        .orderBy("p_rank")
+    )

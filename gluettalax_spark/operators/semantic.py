@@ -398,3 +398,111 @@ def semantic_dedup(
     )
 
     return clique.unionByName(star_scored).orderBy("cluster_id", "vec_a", "vec_b")
+
+
+# --------------------------------------------------------------------------
+# Simplified silhouette score per cluster (clustering-quality readout)
+# --------------------------------------------------------------------------
+
+_SILHOUETTE_ORACLE = f"""
+WITH {_DUCK_SEEDS.strip()},
+scored1 AS (
+  SELECT v.vec_id, s.cluster_id,
+         round({_duck_sqdist('v.embedding', 's.c_emb')}, 4) AS dist
+  FROM embeddings v CROSS JOIN seeds s
+),
+ranked AS (
+  SELECT vec_id, cluster_id, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+  FROM scored1
+),
+ab AS (
+  SELECT vec_id,
+         max(CASE WHEN rn = 1 THEN cluster_id END) AS cluster_id,
+         max(CASE WHEN rn = 1 THEN dist END) AS a,
+         max(CASE WHEN rn = 2 THEN dist END) AS b
+  FROM ranked WHERE rn <= 2 GROUP BY vec_id
+),
+s AS (
+  SELECT cluster_id,
+         CAST(round(a * 10000.0) AS BIGINT) AS a_e4,
+         CASE WHEN greatest(a, b) = 0 THEN 0
+              ELSE CAST(floor(1000000.0 * ((b - a) / greatest(a, b))) AS BIGINT)
+         END AS s_e6
+  FROM ab
+)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(s_e6) AS BIGINT) AS sum_s_e6,
+       round(CAST(sum(s_e6) AS DOUBLE) / count(*) / 1000000.0, 6) AS silhouette,
+       round(CAST(sum(a_e4) AS DOUBLE) / count(*) / 10000.0, 4) AS avg_intra_dist
+FROM s
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
+@register(
+    "similarity_silhouette",
+    _SILHOUETTE_ORACLE,
+    doc="simplified silhouette (centroid-based) per seed cluster — clustering quality",
+)
+def similarity_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette (Hruschka et al.): per point,
+    s = (b − a)/max(a, b) with a = distance to the OWN centroid and
+    b = distance to the nearest OTHER centroid — the O(N·k) form of the
+    O(N²) classic, the only one that exists at corpus scale. Rolled up
+    per cluster: the standard "which clusters are real" readout over
+    `semantic_cluster_assign`'s seed clustering (near-orthogonal fixture
+    ⇒ weak clusters ⇒ silhouette near 0, except the seeds themselves —
+    a=0, s=1 — which the unit test pins).
+
+    Exactness: a and b reuse the assignment's rounded-to-4dp distances
+    and (dist, cluster_id) comparator (sub-ulp-noise-free); each point's
+    s floor-quantizes to 1e-6 BEFORE the sum (the PSI recipe), so
+    ``sum_s_e6`` is an exact integer; the per-cluster means are single
+    IEEE divisions.
+
+    Scale: the k-row centroid table broadcasts; per-vector work is one
+    k-element sorted collect (k ≤ 8 here, ~100k in production — still a
+    bounded aggregate); one cluster-grain rollup. No window over data."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = _seed_centroids(emb)
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.struct(
+            F.round(_sqdist(F.col("embedding"), F.col("c_emb")), 4).alias("dist"),
+            F.col("cluster_id"),
+        ).alias("cand"),
+    )
+    ab = (
+        scored.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list("cand")).alias("cands"))
+        .select(
+            F.col("cands")[0]["cluster_id"].alias("cluster_id"),
+            F.col("cands")[0]["dist"].alias("a"),
+            F.col("cands")[1]["dist"].alias("b"),
+        )
+    )
+    s = ab.select(
+        "cluster_id",
+        F.expr("CAST(round(a * 10000.0) AS BIGINT)").alias("a_e4"),
+        F.expr(
+            "CASE WHEN greatest(a, b) = 0 THEN 0"
+            " ELSE CAST(floor(1000000.0 * ((b - a) / greatest(a, b))) AS BIGINT) END"
+        ).alias("s_e6"),
+    )
+    return (
+        s.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("s_e6").cast("long").alias("sum_s_e6"),
+            F.round(F.sum("s_e6").cast("double") / F.count(F.lit(1)) / 1000000.0, 6).alias(
+                "silhouette"
+            ),
+            F.round(F.sum("a_e4").cast("double") / F.count(F.lit(1)) / 10000.0, 4).alias(
+                "avg_intra_dist"
+            ),
+        )
+        .orderBy("cluster_id")
+    )

@@ -3852,3 +3852,169 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
                 * sx) / n / {_HEAPS_Q}), 6) AS k_coef""",
     )
+
+
+# --------------------------------------------------------------------------
+# BPE APPLY: tokenize the corpus with the trained merge table, per source
+# --------------------------------------------------------------------------
+
+
+def _bpe_apply_oracle(rounds: int) -> str:
+    """DuckDB twin of `text_bpe_apply`: the same unrolled MATERIALIZED
+    merge chain as `_bpe_train_oracle` (minus the per-round outputs),
+    then the final symbol dictionary joined to per-source word counts."""
+    parts = [
+        r"""WITH freq0 AS MATERIALIZED (
+  SELECT w, c,
+         '  ' || array_to_string(regexp_extract_all(w, '.'), '  ') || '  ' AS sym
+  FROM (
+    SELECT w || '>' AS w, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+    GROUP BY w
+  )
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"freq{k - 1}"
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT s[CAST(i AS INTEGER)] AS l, s[CAST(i AS INTEGER) + 1] AS r,
+         CAST(sum(c) AS BIGINT) AS score
+  FROM (SELECT c, string_split(trim(sym), '  ') AS s FROM {prev}) q,
+       unnest(range(1, len(q.s))) AS t(i)
+  GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (
+  SELECT l, r, score FROM p{k} ORDER BY score DESC, l, r LIMIT 1
+),
+freq{k} AS MATERIALIZED (
+  SELECT w, c,
+         replace(sym, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS sym
+  FROM {prev}, b{k} b
+)"""
+        )
+    parts.append(
+        f"""src_freq AS MATERIALIZED (
+  SELECT source, w || '>' AS w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents)
+  GROUP BY 1, 2
+),
+dict AS MATERIALIZED (
+  SELECT w, CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS n_sym
+  FROM freq{rounds}
+)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT s.source,
+       CAST(sum(s.c) AS BIGINT) AS n_words,
+       CAST(sum(s.c * len(s.w)) AS BIGINT) AS n_chars,
+       CAST(sum(s.c * d.n_sym) AS BIGINT) AS n_tokens,
+       CAST(CAST(sum(s.c * d.n_sym) AS HUGEINT) * 1000000
+            // sum(s.c * len(s.w)) AS BIGINT) AS tokens_per_char_ppm
+FROM src_freq s JOIN dict d ON d.w = s.w
+GROUP BY s.source
+ORDER BY s.source
+"""
+    )
+
+
+@register(
+    "text_bpe_apply",
+    _bpe_apply_oracle(BPE_TRAIN_ROUNDS),
+    doc=f"apply the {BPE_TRAIN_ROUNDS}-merge trained BPE to the corpus; per-source token budget",
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY — the inference half of the tokenizer whose training
+    loop is `text_bpe_train`: tokenize every document with the learned
+    merge table and report the per-source token budget (words, chars,
+    post-merge tokens, and tokens-per-char in exact ppm) — the number a
+    data team quotes when they say "this source costs N tokens".
+
+    The key scale property of dictionary-space BPE: applying the merges
+    never touches running text either. Per-source WORD counts join the
+    trained (word → symbol-count) dictionary — both vocab-sized — so
+    "apply" is an equi-join, not a second corpus pass; the only
+    data-scale work is the per-source word count (one shuffle).
+
+    Exactness: merge training replays `text_bpe_train` byte-for-byte
+    (same separator encoding, same (score desc, l, r) tie-break); token
+    counts are exact integers; the budget ratio is ONE floor division
+    in ppm. The unit test pins apply's corpus-wide total equal to the
+    train op's final ``tokens_after`` — the two operators must agree."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w")
+    )
+    freq = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(F.concat(F.col("w"), F.lit(">")).alias("w"), "c")
+    )
+    cur = freq.select(
+        "w",
+        "c",
+        F.concat(
+            F.lit("  "),
+            F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "  "),
+            F.lit("  "),
+        ).alias("sym"),
+    ).localCheckpoint()
+    for _ in range(BPE_TRAIN_ROUNDS):
+        pairs = (
+            cur.withColumn("syms", F.expr(_SYMS))
+            .filter(F.expr("size(syms) >= 2"))
+            .select(
+                "c",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .select("c", "p.l", "p.r")
+        )
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("c").cast("long").alias("score"))
+            .orderBy(F.desc("score"), "l", "r")
+            .limit(1)
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best.select("l", "r")))
+            .select(
+                "w",
+                "c",
+                F.expr(
+                    "replace(sym, concat(' ', l, '  ', r, ' '), concat(' ', l, r, ' '))"
+                ).alias("sym"),
+            )
+            .localCheckpoint()
+        )
+    dict_df = cur.select("w", F.size(F.expr(_SYMS)).cast("long").alias("n_sym"))
+    src_freq = (
+        docs.select(
+            "source",
+            F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w0"),
+        )
+        .select("source", F.concat(F.col("w0"), F.lit(">")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        src_freq.join(dict_df, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.length("w")).cast("long").alias("n_chars"),
+            F.sum(F.col("c") * F.col("n_sym")).cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST(CAST(sum(c * n_sym) AS DECIMAL(38,0)) * 1000000"
+                " div sum(c * length(w)) AS BIGINT)"
+            ).alias("tokens_per_char_ppm"),
+        )
+        .orderBy("source")
+    )

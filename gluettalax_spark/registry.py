@@ -142,6 +142,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "graph_clustering_coefficient",
     "text_ngram_novelty_decay",
     "events_bounce_rate_sessions",
+    "text_bpe_apply",
+    "similarity_silhouette",
+    "stats_multiple_testing_bh",
 )
 
 

@@ -881,3 +881,70 @@ def streaming_anova_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming twin: per-user Markov transition counts
+# --------------------------------------------------------------------------
+
+MARKOV_OUTPUT_SCHEMA = "user_id long, from_type string, to_type string, n long"
+_MARKOV_STATE_SCHEMA = "last_type string, counts_json string"
+
+
+def _make_markov_fn():
+    """State per user: the LAST event type seen (the chain head carried
+    across micro-batches) plus the user's transition-count map as a JSON
+    blob — bounded by k² event-type pairs (25 here), never by history
+    length. Each update sorts the micro-batch by (ts, event_id) — the
+    batch op's window order — folds the new transitions, and re-emits
+    the user's full count map; the FINAL emission per user therefore
+    recombines (summed over users) into the batch
+    `events_markov_transitions` counts exactly."""
+
+    def update(key, pdfs, state):
+        import json as _json
+
+        import pandas as _pd
+
+        last_type, counts_json = state.get if state.exists else (None, "{}")
+        counts = {tuple(k.split(" ")): v for k, v in _json.loads(counts_json).items()}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for t in pdf["event_type"]:
+                if last_type is not None:
+                    k2 = (last_type, t)
+                    counts[k2] = counts.get(k2, 0) + 1
+                last_type = t
+        state.update(
+            (last_type, _json.dumps({" ".join(k): v for k, v in counts.items()}))
+        )
+        if counts:
+            items = sorted(counts.items())
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(items),
+                    "from_type": [k[0] for k, _ in items],
+                    "to_type": [k[1] for k, _ in items],
+                    "n": [v for _, v in items],
+                }
+            )
+
+    return update
+
+
+def streaming_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `events_markov_transitions`: per-user transition
+    counts maintained live — the next-action-model feature stream. State
+    per user is one string (chain head) + one bounded k²-entry count map:
+    the mergeable summary that makes per-user sequence statistics
+    streamable without keeping history. Summing each user's final
+    emission over users reproduces the batch transition matrix exactly
+    (pinned in tests)."""
+    stream = read_events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _make_markov_fn(),
+        outputStructType=MARKOV_OUTPUT_SCHEMA,
+        stateStructType=_MARKOV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

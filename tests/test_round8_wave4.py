@@ -399,3 +399,149 @@ def test_bounce_rate_windows_are_user_partitioned(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # one exchange feeds both windows + the session aggregate
     assert plan.count("hashpartitioning(user_id") >= 1
+
+
+# --------------------------------------------------------------------------
+# text_bpe_apply
+# --------------------------------------------------------------------------
+
+
+def test_bpe_apply_totals_equal_train_final(spark, sf_dir):
+    """Apply and train must agree: the corpus-wide post-merge token count
+    from apply's per-source budgets equals the train op's final
+    tokens_after — the two operators share one merge table by spec."""
+    rows = queries()["text_bpe_apply"](spark, sf_dir).collect()
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    train = queries()["text_bpe_train"](spark, sf_dir).collect()
+    assert total_tokens == train[-1]["tokens_after"]
+    for r in rows:
+        assert r["n_tokens"] <= r["n_chars"]  # merges only shrink
+        assert r["tokens_per_char_ppm"] == r["n_tokens"] * 1_000_000 // r["n_chars"]
+
+
+def test_bpe_apply_matches_python_bpe(spark, sf_dir):
+    """Greedy list-based BPE recompute (train on word dict, apply to
+    per-source words) — independent of the separator-encoding trick."""
+    import re
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    words = Counter()
+    src_words = Counter()
+    for _, r in docs.iterrows():
+        for w in re.findall(r"[a-z]+", r["text"].lower()):
+            words[w + ">"] += 1
+            src_words[(r["source"], w + ">")] += 1
+    syms = {w: list(w) for w in words}
+    for _ in range(6):
+        pc = Counter()
+        for w, s in syms.items():
+            c = words[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        (l, r), _sc = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        for w, s in syms.items():
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    expected = {}
+    for (src, w), c in src_words.items():
+        e = expected.setdefault(src, [0, 0, 0])
+        e[0] += c
+        e[1] += c * len(w)
+        e[2] += c * len(syms[w])
+    rows = {r["source"]: r for r in queries()["text_bpe_apply"](spark, sf_dir).collect()}
+    assert set(rows) == set(expected)
+    for src, (nw, nc, nt) in expected.items():
+        r = rows[src]
+        assert (r["n_words"], r["n_chars"], r["n_tokens"]) == (nw, nc, nt)
+
+
+# --------------------------------------------------------------------------
+# similarity_silhouette
+# --------------------------------------------------------------------------
+
+
+def test_silhouette_matches_python_recompute(spark, sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64) for _, r in emb.iterrows()}
+    seeds = {k: vecs[k] for k in sorted(vecs) if k < 8}
+    agg = {}
+    for vid, v in vecs.items():
+        cands = sorted(
+            (round(float(((v - c) ** 2).sum()), 4), cid) for cid, c in seeds.items()
+        )
+        (a, cid), (b, _) = cands[0], cands[1]
+        s_e6 = 0 if max(a, b) == 0 else math.floor(1e6 * ((b - a) / max(a, b)))
+        e = agg.setdefault(cid, [0, 0, 0])
+        e[0] += 1
+        e[1] += s_e6
+        e[2] += round(a * 10000.0)
+    rows = {r["cluster_id"]: r for r in queries()["similarity_silhouette"](spark, sf_dir).collect()}
+    assert set(rows) == set(agg)
+    for cid, (n, ss, sa) in agg.items():
+        r = rows[cid]
+        assert (r["n_members"], r["sum_s_e6"]) == (n, ss)
+        assert abs(r["silhouette"] - ss / n / 1e6) < 1e-5
+        assert abs(r["avg_intra_dist"] - sa / n / 1e4) < 1e-3
+    # seed points sit AT their centroid (a=0 -> s=1); near-orthogonal
+    # fixture keeps everything else near 0, so means stay within (0, 1]
+    assert all(0.0 <= r["silhouette"] <= 1.0 for r in rows.values())
+
+
+# --------------------------------------------------------------------------
+# stats_multiple_testing_bh
+# --------------------------------------------------------------------------
+
+
+def test_bh_pvalues_and_stepup_match_recompute(spark, sf_dir):
+    import hashlib
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    grp = ev["user_id"].map(lambda u: int(hashlib.md5(str(u).encode()).hexdigest()[0], 16) % 2)
+    v = (ev["value"] * 100).round().astype("int64")
+    stats = {}
+    for t, g in pd.DataFrame({"t": ev["event_type"], "g": grp, "v": v}).groupby("t"):
+        a, b = g[g["g"] == 0]["v"], g[g["g"] == 1]["v"]
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        z = (a.mean() - b.mean()) / math.sqrt(va / len(a) + vb / len(b))
+        p = math.erfc(abs(z) / math.sqrt(2))
+        stats[t] = (len(a), len(b), z, p)
+    rows = queries()["stats_multiple_testing_bh"](spark, sf_dir).collect()
+    assert len(rows) == len(stats)
+    m = len(stats)
+    for r in rows:
+        n1, n2, z, p = stats[r["event_type"]]
+        assert (r["n1"], r["n2"]) == (n1, n2)
+        assert abs(r["z"] - z) < 1e-4
+        # A&S 7.1.26 has max abs error 1.5e-7; both sides rounded to 6
+        assert abs(r["p_value"] - p) < 5e-6
+        assert abs(r["bh_threshold"] - r["p_rank"] * 0.05 / m) < 1e-6
+    # re-derive the step-up decisions from the reported (rank, p) pairs
+    ranked = sorted(rows, key=lambda r: r["p_rank"])
+    max_rank = max(
+        (r["p_rank"] for r in ranked if r["p_value"] * m <= r["p_rank"] * 0.05), default=0
+    )
+    for r in ranked:
+        assert r["rejected"] == (r["p_rank"] <= max_rank)
+
+
+def test_bh_stepup_rejects_monotone_prefix(spark, sf_dir):
+    """BH rejections are always a prefix of the p-ranked list."""
+    rows = sorted(
+        queries()["stats_multiple_testing_bh"](spark, sf_dir).collect(),
+        key=lambda r: r["p_rank"],
+    )
+    seen_accept = False
+    for r in rows:
+        if not r["rejected"]:
+            seen_accept = True
+        else:
+            assert not seen_accept

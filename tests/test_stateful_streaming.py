@@ -530,3 +530,70 @@ def test_streaming_anova_final_equals_batch(spark, sf_dir):
     ssb = float(batch["ssbq"]) - float(batch["s"]) * batch["s"] / n
     ssw = float(batch["q"]) - batch["ssbq"]
     assert batch["f_stat"] == (ssb / (k - 1)) / (ssw / (n - k))
+
+
+def test_streaming_markov_final_equals_batch(spark, sf_dir):
+    """Summing each user's FINAL transition-count emission over users
+    must reproduce the batch `events_markov_transitions` matrix exactly
+    (counts and totals; the batch op's p is n/n_from over those)."""
+    from gluettalax_spark.registry import queries
+    from gluettalax_spark.streaming.stateful import streaming_markov_transitions
+
+    stream_df = streaming_markov_transitions(spark, sf_dir)
+    assert stream_df.isStreaming
+    result = run_stream_to_memory(spark, stream_df, "markov_twin", output_mode="update")
+    # update mode re-emits per micro-batch: the LAST emission per
+    # (user, from, to) is the final count for that user.
+    final = {}
+    for r in result.collect():
+        final[(r.user_id, r.from_type, r.to_type)] = r.n
+    combined = {}
+    for (_, f, t), n in final.items():
+        combined[(f, t)] = combined.get((f, t), 0) + n
+    batch = queries()["events_markov_transitions"](spark, sf_dir).collect()
+    batch_counts = {(r.from_type, r.to_type): r.n for r in batch}
+    assert combined == batch_counts
+    # per-from totals recombine too
+    batch_tot = {r.from_type: r.n_from for r in batch}
+    stream_tot = {}
+    for (f, _), n in combined.items():
+        stream_tot[f] = stream_tot.get(f, 0) + n
+    assert stream_tot == batch_tot
+
+
+def test_streaming_markov_state_is_bounded(spark, sf_dir):
+    """The state blob per user is the chain head + at most k^2 counter
+    entries — independent of how many events the user has."""
+    import json
+
+    import pandas as pd
+
+    from gluettalax_spark.streaming.stateful import _make_markov_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = _make_markov_fn()
+    state = FakeState()
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=n, freq="s"),
+            "event_id": range(n),
+            "event_type": ["click", "view", "purchase", "error", "signup"] * (n // 5),
+        }
+    )
+    out = list(fn((1,), [pdf], state))[0]
+    counts = json.loads(state._v[1])
+    assert len(counts) <= 25
+    assert out["n"].sum() == n - 1  # every adjacent pair counted once
