@@ -3039,3 +3039,104 @@ def orders_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(1000000.0 / CAST(sq * 1000000 div (tot * tot) AS DOUBLE), 4)"
         " AS effective_n_customers",
     ).orderBy("segment")
+
+
+# --------------------------------------------------------------------------
+# View-to-purchase conversion delay percentiles
+# --------------------------------------------------------------------------
+
+_TTC_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us
+  FROM events
+),
+delays AS (
+  SELECT epoch_us(ts) - last_view_us AS delay_us
+  FROM marked
+  WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
+),
+purch AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.n_purchases,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(CAST(count(*) AS HUGEINT) * 1000000 // p.n_purchases AS BIGINT)
+         AS matched_ppm,
+       CAST(sum(delay_us) // count(*) AS BIGINT) AS mean_delay_us,
+       round(quantile_cont(delay_us, 0.5), 2) AS p50_delay_us,
+       round(quantile_cont(delay_us, 0.9), 2) AS p90_delay_us,
+       CAST(max(delay_us) AS BIGINT) AS max_delay_us
+FROM delays, purch p
+GROUP BY p.n_purchases
+"""
+
+
+@register(
+    "events_time_to_convert",
+    _TTC_ORACLE,
+    doc="view-to-purchase conversion delay stats (fill-forward match, exact microseconds)",
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: for every purchase, the delay since the SAME
+    user's most recent preceding view — the funnel-latency profile
+    behind attribution-window tuning (`events_attribution_last_touch`
+    fixes a 30-min window; this measures what the window SHOULD be) and
+    the batch twin of the stream-stream `events_conversion_pairs` join.
+
+    Matching is ONE fill-forward window (last view timestamp carried
+    forward per user), never a per-purchase range join — the
+    attribution-op shape. Exactness: delays are integer epoch-micro
+    differences; mean is integer division; p50/p90 share the
+    continuous-interpolation definition (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, the `events_interarrival_by_type` precedent);
+    the match rate is one floor division in ppm.
+
+    Scale: the window partitions by user_id (bounded per-task work);
+    the summary is a single-group aggregate whose exact percentile sort
+    is delay-count-sized — swap percentile_approx at corpus scale."""
+    events = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        _W.unboundedPreceding, 0
+    )
+    marked = events.withColumn(
+        "last_view_us",
+        F.last(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts")), ignorenulls=True
+        ).over(w),
+    )
+    delays = marked.filter(
+        (F.col("event_type") == "purchase") & F.col("last_view_us").isNotNull()
+    ).select((F.unix_micros("ts") - F.col("last_view_us")).alias("delay_us"))
+    purch = events.filter(F.col("event_type") == "purchase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases")
+    )
+    return (
+        delays.crossJoin(F.broadcast(purch))
+        .groupBy("n_purchases")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.expr(
+                "CAST(CAST(count(1) AS DECIMAL(38,0)) * 1000000"
+                " div any_value(n_purchases) AS BIGINT)"
+            ).alias("matched_ppm"),
+            F.expr("CAST(sum(delay_us) div count(1) AS BIGINT)").alias("mean_delay_us"),
+            F.round(F.expr("percentile(delay_us, 0.5)"), 2).alias("p50_delay_us"),
+            F.round(F.expr("percentile(delay_us, 0.9)"), 2).alias("p90_delay_us"),
+            F.max("delay_us").cast("long").alias("max_delay_us"),
+        )
+        .select(
+            "n_purchases",
+            "n_converted",
+            "matched_ppm",
+            "mean_delay_us",
+            "p50_delay_us",
+            "p90_delay_us",
+            "max_delay_us",
+        )
+    )

@@ -243,3 +243,326 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(CAST(element_at(ls, CAST((n_pairs + 1) div 2 AS INT)) AS DOUBLE)"
         " / 1000000.0 / 100.0, 4) AS sen_slope_dollars",
     )
+
+
+# --------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis of daily revenue
+# --------------------------------------------------------------------------
+
+_HURST_WS = (8, 16, 32, 64)  # window sizes; log2 = 3, 4, 5, 6
+
+# Fixed-x OLS: with x = log2(w) = (3,4,5,6), slope = sum((x-4.5)*y)/5.
+_HURST_COEF = {8: "-1.5", 16: "-0.5", 32: "0.5", 64: "1.5"}
+_HURST_LY = {
+    w: f"(ln(CAST(rs_{w} AS DOUBLE) / cnt_{w} / 1000000.0) / ln(2.0))" for w in _HURST_WS
+}
+_HURST_H = (
+    "round(("
+    + " + ".join(f"{_HURST_COEF[w]} * {_HURST_LY[w]}" for w in _HURST_WS)
+    + ") / 5.0, 6) AS hurst_h"
+)
+_HURST_FINAL = (
+    [f"cnt_{w}" for w in _HURST_WS]
+    + [f"rs_{w}" for w in _HURST_WS]
+    + [f"round({_HURST_LY[w]}, 6) AS log2_rs_{w}" for w in _HURST_WS]
+    + [_HURST_H]
+)
+
+_HURST_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+bounds AS (
+  SELECT min(day) AS d0, CAST(date_diff('day', min(day), max(day)) AS BIGINT) AS span
+  FROM daily
+),
+grid AS MATERIALIZED (
+  SELECT t, coalesce(daily.x, 0) AS x
+  FROM (SELECT unnest(range(0, span + 1)) AS t, d0 FROM bounds) g
+  LEFT JOIN daily ON daily.day = g.d0 + g.t * INTERVAL 1 DAY
+),
+tagged AS MATERIALIZED (
+  SELECT w, t // w AS win, t, CAST(x AS HUGEINT) AS x
+  FROM grid, (SELECT unnest([{", ".join(str(w) for w in _HURST_WS)}]) AS w)
+),
+full_wins AS MATERIALIZED (
+  SELECT w, win, CAST(sum(x) AS HUGEINT) AS s_w, CAST(sum(x * x) AS HUGEINT) AS q_w
+  FROM tagged GROUP BY w, win HAVING count(*) = w
+),
+dev AS (
+  SELECT g.w, g.win, g.t, CAST(g.w * g.x - f.s_w AS HUGEINT) AS d,
+         f.s_w, f.q_w
+  FROM tagged g JOIN full_wins f ON f.w = g.w AND f.win = g.win
+),
+cum AS (
+  SELECT w, win, s_w, q_w,
+         CAST(sum(d) OVER (PARTITION BY w, win ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS z
+  FROM dev
+),
+win_stats AS (
+  SELECT w, win,
+         CAST(max(z) - min(z) AS HUGEINT) AS rng,
+         CAST(any_value(w) * any_value(q_w)
+              - any_value(s_w) * any_value(s_w) AS HUGEINT) AS varterm
+  FROM cum GROUP BY w, win
+),
+per_win AS (
+  -- R/S = (max Z - min Z) / sqrt(w*Q - S^2); both exact HUGEINTs, one
+  -- IEEE division, floor-quantized to 1e-6 before averaging windows.
+  -- Zero-variance (all-idle) windows have no defined R/S — excluded
+  -- (also: Spark 4 ANSI raises on ANY division by zero).
+  SELECT w, win,
+         CAST(floor(1000000.0 * (CAST(rng AS DOUBLE)
+              / sqrt(CAST(varterm AS DOUBLE)))) AS BIGINT) AS rs_e6
+  FROM win_stats WHERE varterm > 0
+),
+piv AS (
+  SELECT
+    {", ".join(f"CAST(sum(CASE WHEN w = {w} THEN 1 ELSE 0 END) AS BIGINT) AS cnt_{w}, CAST(sum(CASE WHEN w = {w} THEN rs_e6 END) AS BIGINT) AS rs_{w}" for w in _HURST_WS)}
+  FROM per_win
+)
+SELECT {", ".join(_HURST_FINAL)}
+FROM piv
+"""
+
+
+@register(
+    "stats_hurst_exponent",
+    _HURST_ORACLE,
+    doc="Hurst exponent (rescaled-range analysis) of daily revenue",
+)
+def stats_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by classic R/S (rescaled-range) analysis on the
+    daily-revenue series: chunk the dense calendar grid into windows of
+    8/16/32/64 days, compute each window's rescaled range R/S, average
+    per size, and fit log2(R/S) against log2(w). H around 0.5 means a
+    memoryless series; persistent trends push H toward 1 — the
+    long-memory diagnostic next to `stats_ljung_box`'s short-lag test.
+
+    Exactness: within a window, deviations use the w-scaling trick
+    d_i = w*x_i - S (no float mean); the cumulative walk Z and the range
+    max(Z)-min(Z) are exact integers, and R/S = range / sqrt(w*Q - S^2)
+    is ONE IEEE expression floor-quantized to 1e-6 BEFORE the
+    across-windows average (a float mean over windows would be
+    accumulation-order-dependent). The final fit needs no ranks: x =
+    log2(w) is the CONSTANT vector (3,4,5,6), so the OLS slope collapses
+    to a fixed linear combination sum((x-4.5)*ln(mean RS)/ln 2)/5 — one
+    deterministic expression.
+
+    Scale: one data-scale groupBy(day); the grid, the window tagging
+    (4x grid rows), the running walk (partitioned by (w, window) — each
+    partition is at most 64 rows), and the 4-row pivot are all
+    calendar-bounded."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"),
+        F.datediff(F.max("day"), F.min("day")).cast("long").alias("span"),
+    )
+    grid = (
+        bounds.select("d0", F.explode(F.sequence(F.lit(0).cast("long"), F.col("span"))).alias("t"))
+        .join(
+            daily.withColumnRenamed("day", "dday"),
+            F.expr("dday = date_add(d0, CAST(t AS INT))"),
+            "left",
+        )
+        .select("t", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    ws = spark.createDataFrame([(w,) for w in _HURST_WS], "w long")
+    tagged = grid.crossJoin(F.broadcast(ws)).select(
+        "w", F.expr("t div w").alias("win"), "t", F.col("x").cast("decimal(38,0)").alias("x")
+    )
+    full_wins = (
+        tagged.groupBy("w", "win")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_win"),
+            F.sum("x").cast("decimal(38,0)").alias("s_w"),
+            F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("q_w"),
+        )
+        .filter(F.col("n_in_win") == F.col("w"))
+        .drop("n_in_win")
+    )
+    dev = tagged.join(full_wins, ["w", "win"]).select(
+        "w",
+        "win",
+        "t",
+        (F.col("w") * F.col("x") - F.col("s_w")).cast("decimal(38,0)").alias("d"),
+        "s_w",
+        "q_w",
+    )
+    from pyspark.sql.window import Window as _W
+
+    cum_w = _W.partitionBy("w", "win").orderBy("t").rowsBetween(_W.unboundedPreceding, 0)
+    cum = dev.withColumn("z", F.sum("d").over(cum_w))
+    win_stats = cum.groupBy("w", "win").agg(
+        (F.max("z") - F.min("z")).cast("decimal(38,0)").alias("rng"),
+        F.expr(
+            "CAST(any_value(w) * any_value(q_w)"
+            " - any_value(s_w) * any_value(s_w) AS DECIMAL(38,0))"
+        ).alias("varterm"),
+    )
+    # zero-variance (all-idle) windows carry no defined R/S — excluded
+    # (and Spark 4 ANSI raises on any division by zero)
+    per_win = win_stats.filter(F.col("varterm") > 0).select(
+        "w",
+        "win",
+        F.expr(
+            "CAST(floor(1000000.0 * (CAST(rng AS DOUBLE)"
+            " / sqrt(CAST(varterm AS DOUBLE)))) AS BIGINT)"
+        ).alias("rs_e6"),
+    )
+    piv = per_win.agg(
+        *[
+            c
+            for w in _HURST_WS
+            for c in (
+                F.sum(F.when(F.col("w") == w, 1).otherwise(0)).cast("long").alias(f"cnt_{w}"),
+                F.sum(F.when(F.col("w") == w, F.col("rs_e6"))).cast("long").alias(f"rs_{w}"),
+            )
+        ]
+    )
+    return piv.selectExpr(*_HURST_FINAL)
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test for randomness of daily revenue
+# --------------------------------------------------------------------------
+
+# mu and sigma of the run count under H0, inlined identically both
+# engines (single IEEE expressions over the exact integers).
+# The leading CAST makes the whole expression DOUBLE in BOTH engines —
+# Spark parses a bare 2.0 literal as DECIMAL (the stats_multiple_testing
+# lesson) and decimal arithmetic would ride through the output dtype.
+_RUNS_MU = "(2.0 * CAST(n1 AS DOUBLE) * n2 / n + 1.0)"
+_RUNS_SIG = (
+    "sqrt((2.0 * CAST(n1 AS DOUBLE) * n2) * (2.0 * CAST(n1 AS DOUBLE) * n2 - n)"
+    " / (CAST(n AS DOUBLE) * n * (n - 1)))"
+)
+
+_RUNS_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+bounds AS (
+  SELECT min(day) AS d0, CAST(date_diff('day', min(day), max(day)) AS BIGINT) AS span
+  FROM daily
+),
+grid AS MATERIALIZED (
+  SELECT t, coalesce(daily.x, 0) AS x
+  FROM (SELECT unnest(range(0, span + 1)) AS t, d0 FROM bounds) g
+  LEFT JOIN daily ON daily.day = g.d0 + g.t * INTERVAL 1 DAY
+),
+med AS (
+  SELECT ls[CAST((n + 1) // 2 AS BIGINT)] AS m
+  FROM (SELECT list_sort(list(x)) AS ls, count(*) AS n FROM grid)
+),
+signs AS MATERIALIZED (
+  SELECT t, CASE WHEN x > med.m THEN 1 ELSE 0 END AS s FROM grid, med
+),
+changes AS (
+  SELECT CAST(sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+  FROM signs a JOIN signs b ON b.t = a.t - 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(s) AS BIGINT) AS n1,
+         CAST(count(*) - sum(s) AS BIGINT) AS n2
+  FROM signs
+)
+SELECT m.n, m.n1, m.n2,
+       CAST(c.n_changes + 1 AS BIGINT) AS n_runs,
+       round({_RUNS_MU}, 4) AS mu_runs,
+       round((CAST(c.n_changes + 1 AS DOUBLE) - {_RUNS_MU}) / {_RUNS_SIG}, 6) AS z
+FROM m, changes c
+"""
+
+
+@register(
+    "stats_runs_test",
+    _RUNS_ORACLE,
+    doc="Wald-Wolfowitz runs test (above/below median) on daily revenue",
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test: is the daily-revenue series random
+    around its median, or do above/below stretches cluster (trend,
+    regime) / alternate (over-dispersion)? The non-parametric
+    complement of `stats_ljung_box` — it sees ANY dependence that
+    changes run structure, with no moment assumptions.
+
+    Conventions (identical both engines, documented as the spec): the
+    reference level is the LOWER median of the dense grid; days equal
+    to the median count as "below" (no tie-dropping — deterministic);
+    runs = sign changes on the t-ordered grid + 1.
+
+    Exactness: the median comes off a bounded sorted array (the
+    `stats_theil_sen` shape); run counting is an exact integer sum over
+    the grid's adjacent-day self-join (the `stats_ljung_box` lag shape,
+    never a global window); mu/sigma/z are single IEEE expressions over
+    (n, n1, n2, runs).
+
+    Scale: one data-scale groupBy(day); everything else is
+    calendar-bounded."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"),
+        F.datediff(F.max("day"), F.min("day")).cast("long").alias("span"),
+    )
+    grid = (
+        bounds.select("d0", F.explode(F.sequence(F.lit(0).cast("long"), F.col("span"))).alias("t"))
+        .join(
+            daily.withColumnRenamed("day", "dday"),
+            F.expr("dday = date_add(d0, CAST(t AS INT))"),
+            "left",
+        )
+        .select("t", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    med = grid.agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sort_array(F.collect_list("x")).alias("ls"),
+    ).selectExpr("element_at(ls, CAST((ng + 1) div 2 AS INT)) AS m")
+    signs = (
+        grid.crossJoin(F.broadcast(med))
+        .select("t", F.when(F.col("x") > F.col("m"), 1).otherwise(0).alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    b = signs.select(F.col("t").alias("bt"), F.col("s").alias("bs"))
+    changes = signs.join(F.broadcast(b), F.expr("bt = t - 1")).agg(
+        F.sum(F.when(F.col("s") != F.col("bs"), 1).otherwise(0)).cast("long").alias("n_changes")
+    )
+    m = signs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n2"),
+    )
+    return m.crossJoin(F.broadcast(changes)).selectExpr(
+        "n",
+        "n1",
+        "n2",
+        "CAST(n_changes + 1 AS BIGINT) AS n_runs",
+        f"round({_RUNS_MU}, 4) AS mu_runs",
+        f"round((CAST(n_changes + 1 AS DOUBLE) - {_RUNS_MU}) / {_RUNS_SIG}, 6) AS z",
+    )

@@ -145,6 +145,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "text_bpe_apply",
     "similarity_silhouette",
     "stats_multiple_testing_bh",
+    "stats_hurst_exponent",
+    "stats_runs_test",
+    "events_time_to_convert",
 )
 
 

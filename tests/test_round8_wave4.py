@@ -545,3 +545,112 @@ def test_bh_stepup_rejects_monotone_prefix(spark, sf_dir):
             seen_accept = True
         else:
             assert not seen_accept
+
+
+# --------------------------------------------------------------------------
+# stats_hurst_exponent
+# --------------------------------------------------------------------------
+
+
+def _daily_revenue(sf_dir: str) -> np.ndarray:
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+    df = pd.DataFrame({"day": orders["o_orderdate"].dt.normalize(), "c": cents})
+    daily = df.groupby("day")["c"].sum().sort_index()
+    full = pd.date_range(daily.index.min(), daily.index.max(), freq="D")
+    return daily.reindex(full, fill_value=0).to_numpy().astype("int64")
+
+
+def test_hurst_matches_python_recompute(spark, sf_dir):
+    x = _daily_revenue(sf_dir)
+    row = queries()["stats_hurst_exponent"](spark, sf_dir).collect()[0]
+    lys = {}
+    for w in (8, 16, 32, 64):
+        rs_sum, cnt = 0, 0
+        for i in range(0, len(x) - w + 1, w):
+            win = x[i : i + w].astype(object)
+            s, q = int(win.sum()), int(sum(int(v) * int(v) for v in win))
+            varterm = w * q - s * s
+            if varterm <= 0:
+                continue
+            z, zmin, zmax = 0, 0, 0
+            for v in win:
+                z += w * int(v) - s
+                zmin, zmax = min(zmin, z), max(zmax, z)
+            rs_sum += math.floor(1e6 * ((zmax - zmin) / math.sqrt(varterm)))
+            cnt += 1
+        assert row[f"cnt_{w}"] == cnt
+        assert row[f"rs_{w}"] == rs_sum
+        ly = math.log(rs_sum / cnt / 1e6) / math.log(2)
+        lys[w] = ly
+        assert abs(row[f"log2_rs_{w}"] - ly) < 1e-5
+    h = (-1.5 * lys[8] - 0.5 * lys[16] + 0.5 * lys[32] + 1.5 * lys[64]) / 5.0
+    assert abs(row["hurst_h"] - h) < 1e-5
+    # near-uniform daily revenue is memoryless: H in a loose (0, 1) band
+    # centered near 0.5
+    assert 0.2 < row["hurst_h"] < 0.9
+
+
+def test_hurst_rs_grows_with_window(spark, sf_dir):
+    """R/S must grow with window size (H > 0) — the monotone sanity."""
+    row = queries()["stats_hurst_exponent"](spark, sf_dir).collect()[0]
+    means = [row[f"rs_{w}"] / row[f"cnt_{w}"] for w in (8, 16, 32, 64)]
+    assert means == sorted(means)
+
+
+# --------------------------------------------------------------------------
+# stats_runs_test
+# --------------------------------------------------------------------------
+
+
+def test_runs_test_matches_python_recompute(spark, sf_dir):
+    x = _daily_revenue(sf_dir)
+    n = len(x)
+    med = sorted(x)[(n + 1) // 2 - 1]
+    s = (x > med).astype(int)
+    n1 = int(s.sum())
+    n2 = n - n1
+    runs = 1 + int((s[1:] != s[:-1]).sum())
+    row = queries()["stats_runs_test"](spark, sf_dir).collect()[0]
+    assert (row["n"], row["n1"], row["n2"], row["n_runs"]) == (n, n1, n2, runs)
+    mu = 2.0 * n1 * n2 / n + 1.0
+    sig = math.sqrt((2.0 * n1 * n2) * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0)))
+    assert abs(row["mu_runs"] - mu) < 1e-3
+    assert abs(row["z"] - (runs - mu) / sig) < 1e-4
+    # randomness calibration on the synthetic series
+    assert abs(row["z"]) < 4
+
+
+# --------------------------------------------------------------------------
+# events_time_to_convert
+# --------------------------------------------------------------------------
+
+
+def test_time_to_convert_matches_python_recompute(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(["user_id", "ts", "event_id"])
+    delays = []
+    n_purch = 0
+    for _, g in ev.groupby("user_id"):
+        last_view = None
+        for _, r in g.iterrows():
+            if r["event_type"] == "view":
+                last_view = r["ts"].value // 1000  # ns -> us
+            elif r["event_type"] == "purchase":
+                n_purch += 1
+                if last_view is not None:
+                    delays.append(r["ts"].value // 1000 - last_view)
+    row = queries()["events_time_to_convert"](spark, sf_dir).collect()[0]
+    assert row["n_purchases"] == n_purch
+    assert row["n_converted"] == len(delays)
+    assert row["matched_ppm"] == len(delays) * 1_000_000 // n_purch
+    assert row["mean_delay_us"] == sum(delays) // len(delays)
+    assert row["max_delay_us"] == max(delays)
+    assert abs(row["p50_delay_us"] - np.percentile(delays, 50, method="linear")) < 1
+    assert abs(row["p90_delay_us"] - np.percentile(delays, 90, method="linear")) < 1
+
+
+def test_time_to_convert_no_range_join(spark, sf_dir):
+    plan = physical_plan(queries()["events_time_to_convert"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the match is one fill-forward window, not a per-purchase range join
+    assert plan.count("hashpartitioning(user_id") >= 1
