@@ -2573,3 +2573,155 @@ def quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"c_{i}{j}" for i in (1, 2, 3) for j in (1, 2, 3)],
         "(CAST(n AS DOUBLE) * agree - pe_num) / (CAST(n AS DOUBLE) * n - pe_num) AS kappa",
     )
+
+
+# --------------------------------------------------------------------------
+# Classifier AUC against the heuristic quality label (rank-sum identity)
+# --------------------------------------------------------------------------
+
+
+def _auc_oracle() -> str:
+    from gluettalax_spark.operators.dedup import _duck_hex_int
+    from gluettalax_spark.operators.text import _QUALITY_DUCK
+
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, unnest(w) AS f FROM toks
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])) AS f
+  FROM toks WHERE len(w) >= 2
+),
+hashed AS (SELECT doc_id, md5(f) AS m FROM feats),
+logits AS (
+  SELECT doc_id,
+         CAST(CAST(sum((({_duck_hex_int(1, 15)} % {_QC_BUCKETS}) * {_QC_KNUTH})
+                        % {_QC_WRANGE} - {_QC_WRANGE // 2}) AS BIGINT)
+              * 1000 // count(*) AS BIGINT) AS logit_milli
+  FROM hashed GROUP BY doc_id
+),
+quality AS (
+  SELECT doc_id, CAST(round(({_QUALITY_DUCK}) * 10000) AS BIGINT) AS q_int
+  FROM documents
+),
+j AS MATERIALIZED (
+  SELECT l.logit_milli, q.q_int FROM logits l JOIN quality q USING (doc_id)
+),
+qdict AS (
+  SELECT q_int, CAST(count(*) AS BIGINT) AS nq,
+         CAST(sum(count(*)) OVER (ORDER BY q_int
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumq,
+         CAST(sum(count(*)) OVER () AS BIGINT) AS nall
+  FROM j GROUP BY q_int
+),
+med AS (SELECT min(q_int) AS m FROM qdict WHERE 2 * cumq >= nall),
+labeled AS (
+  SELECT j.logit_milli AS v,
+         CASE WHEN j.q_int > med.m THEN 1 ELSE 0 END AS in_pos
+  FROM j, med
+),
+dict AS (
+  SELECT v, CAST(sum(in_pos) AS BIGINT) AS n1v, CAST(count(*) AS BIGINT) AS nv
+  FROM labeled GROUP BY v
+),
+ranked AS (
+  SELECT *, CAST(sum(nv) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM dict
+),
+m AS (
+  SELECT CAST(sum(n1v) AS BIGINT) AS n_pos,
+         CAST(sum(nv - n1v) AS BIGINT) AS n_neg,
+         CAST(sum(CAST(n1v AS HUGEINT) * (2 * (cum - nv) + nv + 1)) AS BIGINT) AS r1_x2
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       CAST(r1_x2 - n_pos * (n_pos + 1) AS BIGINT) AS u_x2,
+       round(CAST(r1_x2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2.0 * CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc,
+       round(CAST(r1_x2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0, 6) AS gini
+FROM m
+"""
+
+
+@register(
+    "quality_classifier_auc",
+    _auc_oracle(),
+    doc="classifier AUC vs the heuristic-quality top-half label (exact rank-sum)",
+)
+def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the hashed-feature classifier's logit against the
+    binary label "heuristic quality above corpus median" — THE
+    model-eval number for a quality filter, computed by the rank-sum
+    identity AUC = U/(n_pos*n_neg) instead of a threshold sweep. At
+    scale the sweep materializes per-threshold confusion matrices; the
+    U form is one value-dictionary pass — the same exact tie-corrected
+    rank machinery as `stats_mannwhitney_events` (AUC IS the
+    Mann-Whitney statistic, normalized).
+
+    The label median is the LOWER median of the quality ints off a
+    bounded value dictionary (quality quantizes to 1e4 steps); ties in
+    logit values get average ranks via the 2x-rank identity, so u_x2 is
+    an exact integer cross-engine; AUC/Gini are single IEEE divisions.
+
+    Scale: the classifier pass is the `quality_classifier_linear`
+    explode (data-scale, one shuffle to doc grain); the AUC itself runs
+    on the logit dictionary. The deterministic-surrogate weights make
+    the whole readout oracle-checkable end to end."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+    from gluettalax_spark.operators.text import _quality_parts
+
+    docs = load(spark, sf_dir, "documents")
+    _, _, _, quality = _quality_parts()
+    q = docs.select("doc_id", F.round(quality * 10000).cast("long").alias("q_int"))
+    logits = classifier_doc_logits(spark, sf_dir).select("doc_id", "logit_milli")
+    j = logits.join(q, "doc_id").localCheckpoint(eager=False)
+
+    qdict = (
+        j.groupBy("q_int")
+        .agg(F.count(F.lit(1)).cast("long").alias("nq"))
+        .withColumn("_g", F.lit(1))
+    )
+    qranked = grouped_running_sum(qdict, ["_g"], ["q_int"], "nq", "cumq")
+    nall = qdict.agg(F.sum("nq").cast("long").alias("nall"))
+    med = (
+        qranked.crossJoin(F.broadcast(nall))
+        .filter(2 * F.col("cumq") >= F.col("nall"))
+        .agg(F.min("q_int").alias("m"))
+    )
+    labeled = j.crossJoin(F.broadcast(med)).select(
+        F.col("logit_milli").alias("v"),
+        F.when(F.col("q_int") > F.col("m"), 1).otherwise(0).alias("in_pos"),
+    )
+    dict_df = (
+        labeled.groupBy("v")
+        .agg(
+            F.sum("in_pos").cast("long").alias("n1v"),
+            F.count(F.lit(1)).cast("long").alias("nv"),
+        )
+        .withColumn("_g", F.lit(1))
+    )
+    ranked = grouped_running_sum(dict_df, ["_g"], ["v"], "nv", "cum")
+    m = ranked.agg(
+        F.sum("n1v").cast("long").alias("n_pos"),
+        F.sum(F.col("nv") - F.col("n1v")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("n1v").cast("decimal(38,0)")
+            * (2 * (F.col("cum") - F.col("nv")) + F.col("nv") + 1)
+        )
+        .cast("long")
+        .alias("r1_x2"),
+    )
+    return m.selectExpr(
+        "n_pos",
+        "n_neg",
+        "CAST(r1_x2 - n_pos * (n_pos + 1) AS BIGINT) AS u_x2",
+        "round(CAST(r1_x2 - n_pos * (n_pos + 1) AS DOUBLE)"
+        " / (2.0 * CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc",
+        "round(CAST(r1_x2 - n_pos * (n_pos + 1) AS DOUBLE)"
+        " / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0, 6) AS gini",
+    )

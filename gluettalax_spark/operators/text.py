@@ -4018,3 +4018,106 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Term burstiness: variance-to-mean ratio of per-document counts
+# --------------------------------------------------------------------------
+
+_BURST_TOP_TERMS = 50
+
+_BURSTINESS_ORACLE = f"""
+WITH term_doc AS MATERIALIZED (
+  SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents)
+  GROUP BY w, doc_id
+),
+totals AS (
+  SELECT w, CAST(sum(c) AS BIGINT) AS total FROM term_doc GROUP BY w
+),
+top_terms AS MATERIALIZED (
+  SELECT w, total FROM totals ORDER BY total DESC, w LIMIT {_BURST_TOP_TERMS}
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+per_term AS (
+  SELECT t.w, any_value(t.total) AS total,
+         CAST(count(*) AS BIGINT) AS n_docs_with,
+         CAST(sum(CAST(d.c AS HUGEINT) * d.c) AS HUGEINT) AS s2
+  FROM term_doc d JOIN top_terms t ON t.w = d.w
+  GROUP BY t.w
+)
+SELECT w AS term, total, n_docs_with,
+       CAST((CAST(nn.n_docs AS HUGEINT) * s2 - CAST(total AS HUGEINT) * total)
+            * 1000000 // (CAST(nn.n_docs AS HUGEINT) * total) AS BIGINT) AS vmr_e6,
+       round(CAST((CAST(nn.n_docs AS HUGEINT) * s2 - CAST(total AS HUGEINT) * total)
+            * 1000000 // (CAST(nn.n_docs AS HUGEINT) * total) AS DOUBLE) / 1000000.0, 4)
+         AS vmr
+FROM per_term, nn
+ORDER BY vmr_e6 DESC, term
+LIMIT 20
+"""
+
+
+@register(
+    "text_burstiness",
+    _BURSTINESS_ORACLE,
+    doc=f"term burstiness (VMR of per-doc counts) for the top-{_BURST_TOP_TERMS} terms",
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale): the variance-to-mean ratio of a
+    term's per-document count, zeros included — VMR = 1 is Poisson
+    (function words), VMR >> 1 marks content/topic terms that cluster in
+    few documents. The corpus statistic behind stopword induction and
+    tf-idf sanity checks, computed for the top-50 frequent terms and
+    ranked by burstiness.
+
+    Exactness: VMR = (N·Σc² − T²)/(N·T) is ONE floor division of exact
+    integers in 1e-6 units (Cauchy-Schwarz keeps the numerator
+    non-negative, so Spark ``div`` and DuckDB ``//`` agree); ranking
+    ties break on the exact integer then term.
+
+    Scale: ONE corpus scan builds the (term × doc) count table
+    (checkpointed — it feeds both the totals and the per-term moments);
+    the top-50 slice is TakeOrderedAndProject; the moment pass joins
+    term-keyed against the 50-term broadcast. Zeros never materialize —
+    the algebra counts them through N."""
+    docs = load(spark, sf_dir, "documents")
+    term_doc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"),
+        )
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = term_doc.groupBy("w").agg(F.sum("c").cast("long").alias("total"))
+    top_terms = totals.orderBy(F.desc("total"), "w").limit(_BURST_TOP_TERMS)
+    nn = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    per_term = (
+        term_doc.join(F.broadcast(top_terms), "w")
+        .groupBy("w")
+        .agg(
+            F.expr("any_value(total)").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n_docs_with"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("s2"),
+        )
+    )
+    return (
+        per_term.crossJoin(F.broadcast(nn))
+        .selectExpr(
+            "w AS term",
+            "total",
+            "n_docs_with",
+            "CAST((CAST(n_docs AS DECIMAL(38,0)) * s2 - CAST(total AS DECIMAL(38,0)) * total)"
+            " * 1000000 div (CAST(n_docs AS DECIMAL(38,0)) * total) AS BIGINT) AS vmr_e6",
+            "round(CAST((CAST(n_docs AS DECIMAL(38,0)) * s2 - CAST(total AS DECIMAL(38,0)) * total)"
+            " * 1000000 div (CAST(n_docs AS DECIMAL(38,0)) * total) AS DOUBLE) / 1000000.0, 4)"
+            " AS vmr",
+        )
+        .orderBy(F.desc("vmr_e6"), "term")
+        .limit(20)
+    )

@@ -148,6 +148,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "stats_hurst_exponent",
     "stats_runs_test",
     "events_time_to_convert",
+    "quality_classifier_auc",
+    "text_burstiness",
 )
 
 

@@ -654,3 +654,96 @@ def test_time_to_convert_no_range_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the match is one fill-forward window, not a per-purchase range join
     assert plan.count("hashpartitioning(user_id") >= 1
+
+
+# --------------------------------------------------------------------------
+# quality_classifier_auc
+# --------------------------------------------------------------------------
+
+
+def test_classifier_auc_matches_sklearn_free_recompute(spark, sf_dir):
+    """Re-derive AUC the pedestrian way (pairwise comparisons with 0.5
+    tie credit) from per-doc logits and quality labels recomputed in
+    pure Python — independent of the rank-sum identity."""
+    import hashlib
+    import re
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    logits, quals = {}, {}
+    for _, r in docs.iterrows():
+        text = r["text"]
+        w = [t for t in re.split(r"\s+", text.lower()) if t]
+        feats = list(w) + [f"{w[i]}_{w[i+1]}" for i in range(len(w) - 1)]
+        if not feats:
+            continue
+        tot = 0
+        for f in feats:
+            b = int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % (1 << 16)
+            tot += (b * 2654435761) % (1 << 20) - (1 << 19)
+        logits[int(r["doc_id"])] = tot * 1000 // len(feats)
+        n_chars = len(text)
+        n_tok = max(len(re.findall(r"\S+", text)), 1)
+        n_stop = len(re.findall(r"\b(the|and|of|to|is|a|in)\b", text.lower()))
+        n_punct = len(re.findall(r"[.,!?;:]", text))
+        q = (
+            0.5 * min(n_chars / 500.0, 1.0)
+            + 0.4 * (n_stop / n_tok)
+            + 0.1 * (1.0 - n_punct / max(n_chars, 1))
+        )
+        quals[int(r["doc_id"])] = math.floor(q * 10000 + 0.5)
+    ids = sorted(logits)
+    qv = sorted(quals[i] for i in ids)
+    med = qv[(len(qv) + 1) // 2 - 1]
+    pos = [logits[i] for i in ids if quals[i] > med]
+    neg = [logits[i] for i in ids if quals[i] <= med]
+    u = 0.0
+    for p in pos:
+        for n in neg:
+            u += 1.0 if p > n else (0.5 if p == n else 0.0)
+    auc = u / (len(pos) * len(neg))
+    row = queries()["quality_classifier_auc"](spark, sf_dir).collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
+    assert row["u_x2"] == int(round(2 * u))
+    assert abs(row["auc"] - auc) < 1e-5
+    assert abs(row["gini"] - (2 * auc - 1)) < 1e-5
+    assert 0.0 <= row["auc"] <= 1.0
+
+
+# --------------------------------------------------------------------------
+# text_burstiness
+# --------------------------------------------------------------------------
+
+
+def test_burstiness_matches_python_recompute(spark, sf_dir):
+    import re
+    from collections import Counter, defaultdict
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    n_docs = len(docs)
+    per_term_doc = defaultdict(Counter)
+    totals = Counter()
+    for _, r in docs.iterrows():
+        for w in re.findall(r"[a-z]+", r["text"].lower()):
+            per_term_doc[w][int(r["doc_id"])] += 1
+            totals[w] += 1
+    top = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    rows_exp = []
+    for w, tot in top:
+        s2 = sum(c * c for c in per_term_doc[w].values())
+        vmr_e6 = (n_docs * s2 - tot * tot) * 1_000_000 // (n_docs * tot)
+        rows_exp.append((w, tot, len(per_term_doc[w]), vmr_e6))
+    rows_exp.sort(key=lambda t: (-t[3], t[0]))
+    got = queries()["text_burstiness"](spark, sf_dir).collect()
+    assert len(got) == 20
+    for r, (w, tot, ndw, vmr) in zip(got, rows_exp[:20]):
+        assert (r["term"], r["total"], r["n_docs_with"], r["vmr_e6"]) == (w, tot, ndw, vmr)
+    # function words are near-Poisson; bursty terms exceed them — the
+    # top-ranked VMR must be at least the median VMR of the top-50 pool
+    vmrs = sorted(t[3] for t in rows_exp)
+    assert got[0]["vmr_e6"] >= vmrs[len(vmrs) // 2]
+
+
+def test_burstiness_plan_single_corpus_scan(spark, sf_dir):
+    plan = physical_plan(queries()["text_burstiness"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
