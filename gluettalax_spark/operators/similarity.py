@@ -1295,3 +1295,86 @@ def similarity_range_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Metadata-filtered exact k-NN (search within the probe's label)
+# --------------------------------------------------------------------------
+
+_FILT_K = 5
+
+_FILTERED_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, v -> CAST(floor(v * {COV_Q}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+probes AS (SELECT vec_id, label, qv FROM q WHERE vec_id < {_RANGE_NQ}),
+pairs AS (
+  SELECT p.vec_id,
+         e.vec_id AS nbr,
+         CAST(list_sum(list_transform(range(1, {_COV_DIM} + 1),
+              i -> (p.qv[i] - e.qv[i]) * (p.qv[i] - e.qv[i]))) AS BIGINT) AS d2
+  FROM probes p JOIN q e ON e.label = p.label AND e.vec_id <> p.vec_id
+),
+ranked AS (
+  SELECT vec_id, nbr, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, nbr) AS rk
+  FROM pairs
+)
+SELECT vec_id, CAST(rk AS BIGINT) AS rk, nbr, d2
+FROM ranked WHERE rk <= {_FILT_K}
+ORDER BY vec_id, rk
+"""
+
+
+@register(
+    "similarity_topk_filtered",
+    _FILTERED_ORACLE,
+    doc=f"label-filtered exact k-NN (top-{_FILT_K} within the probe's label) — fully oracle-checked",
+)
+def similarity_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED nearest-neighbor search: each probe retrieves
+    its top-{_FILT_K} neighbors restricted to rows sharing its label —
+    the production "filtered ANN" shape (vector search with a WHERE
+    clause), which pre-filter engines handle by pushing the predicate
+    INTO the scan rather than over-fetching and post-filtering. Here the
+    filter is an equi-join on the label key, so the candidate set never
+    includes a wrong-label row — the exact-pre-filter plan.
+
+    Exactness: the third fully oracle-checked similarity rung (after
+    hamming and range): coordinates floor-quantize to 2^20 so every
+    distance is an exact integer; ranking ties break on (d2, nbr).
+
+    Scale: probes broadcast label-keyed into the corpus scan; ranking
+    partitions by probe id ({_RANGE_NQ} bounded partitions). The label
+    here plays the role of the IVF cell in `similarity_topk_ivf` —
+    filtered search IS cell-pruned search with a semantic cell."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(f"transform(embedding, v -> CAST(floor(v * {COV_Q}) AS BIGINT))").alias("qv"),
+    )
+    probes = emb.filter(F.col("vec_id") < _RANGE_NQ).select(
+        F.col("vec_id").alias("p_id"), F.col("label").alias("p_label"), F.col("qv").alias("pv")
+    )
+    pairs = (
+        emb.join(F.broadcast(probes), (F.col("label") == F.col("p_label")) & (F.col("vec_id") != F.col("p_id")))
+        .select(
+            F.col("p_id"),
+            F.col("vec_id").alias("nbr"),
+            F.expr(
+                "CAST(aggregate(zip_with(pv, qv, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (acc, v) -> acc + v) AS BIGINT)"
+            ).alias("d2"),
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("p_id").orderBy("d2", "nbr")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _FILT_K)
+        .select(F.col("p_id").alias("vec_id"), "rk", "nbr", "d2")
+        .orderBy("vec_id", "rk")
+    )

@@ -750,3 +750,114 @@ def events_bounce_rate_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("landing_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Peak session concurrency (interval stacking over sessionized events)
+# --------------------------------------------------------------------------
+
+_CONCURRENCY_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '{_SESSIONIZE_GAP_MIN}' MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no,
+         ts
+  FROM marked
+),
+spans AS (
+  SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1
+  FROM sessions GROUP BY user_id, session_no
+),
+deltas AS (
+  SELECT t0 AS t, 1 AS delta, -1 AS neg FROM spans
+  UNION ALL
+  SELECT t1 AS t, -1 AS delta, 1 AS neg FROM spans
+),
+running AS (
+  SELECT t, sum(delta) OVER (ORDER BY t, neg
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+  FROM deltas
+),
+peak AS (SELECT max(cur) AS peak FROM running)
+SELECT
+  CAST((SELECT count(*) FROM spans) AS BIGINT) AS n_sessions,
+  CAST(p.peak AS BIGINT) AS peak_concurrency,
+  strftime(make_timestamp((SELECT min(t) FROM running WHERE cur = p.peak)),
+           '%Y-%m-%d %H:%M:%S') AS peak_at
+FROM peak p
+"""
+
+
+@register(
+    "events_peak_concurrency",
+    _CONCURRENCY_ORACLE,
+    doc="peak concurrent 30-min-gap sessions via +1/-1 interval stacking",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency: the maximum number of 30-min-gap sessions open
+    at the same instant — the capacity-planning number (licenses,
+    connection pools, live-ops dashboards). Classic interval stacking:
+    each session contributes +1 at its start and -1 at its end; the
+    running sum over the merged, time-ordered deltas IS the concurrency
+    curve, and its max is the answer — no interval self-join, ever.
+
+    Tie rule (part of the spec, identical both engines): same-instant
+    starts sort before ends (ascending (t, -delta)), so touching
+    sessions count as overlapping. Within a tie group all deltas are
+    equal, so the multiset of running values — hence the max and its
+    first timestamp — is permutation-invariant even though per-row
+    peer order is not.
+
+    Scale: sessionization is the user-partitioned window pair; the
+    global running sum goes through the range-partitioned
+    `grouped_running_sum` machinery (never a single-task window over
+    2x sessions rows); the peak lookup is one aggregate + one filter."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > _SESSIONIZE_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn("session_no", F.sum("new_session").over(w))
+    spans = sessions.groupBy("user_id", "session_no").agg(
+        F.unix_micros(F.min("ts")).alias("t0"), F.unix_micros(F.max("ts")).alias("t1")
+    ).localCheckpoint(eager=False)
+    deltas = spans.select(
+        F.col("t0").alias("t"), F.lit(1).alias("delta"), F.lit(-1).alias("neg")
+    ).unionAll(
+        spans.select(F.col("t1").alias("t"), F.lit(-1).alias("delta"), F.lit(1).alias("neg"))
+    )
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    running = grouped_running_sum(
+        deltas.withColumn("_g", F.lit(1)), ["_g"], ["t", "neg"], "delta", "cur"
+    )
+    peak = running.agg(F.max("cur").cast("long").alias("peak"))
+    peak_at = (
+        running.crossJoin(F.broadcast(peak))
+        .filter(F.col("cur") == F.col("peak"))
+        .agg(F.min("t").alias("pt"))
+        .select(
+            F.date_format(F.expr("timestamp_micros(pt)"), "yyyy-MM-dd HH:mm:ss").alias("peak_at")
+        )
+    )
+    n_sess = spans.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    return (
+        n_sess.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(peak_at))
+        .select("n_sessions", F.col("peak").alias("peak_concurrency"), "peak_at")
+    )

@@ -150,6 +150,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "events_time_to_convert",
     "quality_classifier_auc",
     "text_burstiness",
+    "similarity_topk_filtered",
+    "events_peak_concurrency",
 )
 
 

@@ -747,3 +747,76 @@ def test_burstiness_plan_single_corpus_scan(spark, sf_dir):
     plan = physical_plan(queries()["text_burstiness"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# --------------------------------------------------------------------------
+# similarity_topk_filtered
+# --------------------------------------------------------------------------
+
+
+def test_filtered_knn_matches_python_brute(spark, sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs, labels = {}, {}
+    for _, r in emb.iterrows():
+        vid = int(r["vec_id"])
+        vecs[vid] = np.floor(np.asarray(r["embedding"], dtype=np.float64) * (1 << 20)).astype(
+            "int64"
+        )
+        labels[vid] = int(r["label"])
+    expected = []
+    for p in sorted(v for v in vecs if v < 20):
+        cands = []
+        for e in vecs:
+            if e == p or labels[e] != labels[p]:
+                continue
+            d = vecs[p] - vecs[e]
+            cands.append((int((d * d).sum()), e))
+        cands.sort()
+        for rk, (d2, nbr) in enumerate(cands[:5], start=1):
+            expected.append((p, rk, nbr, d2))
+    got = [
+        (r["vec_id"], r["rk"], r["nbr"], r["d2"])
+        for r in queries()["similarity_topk_filtered"](spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_filtered_knn_returns_only_matching_labels(spark, sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    labels = dict(zip(emb["vec_id"].astype(int), emb["label"].astype(int)))
+    for r in queries()["similarity_topk_filtered"](spark, sf_dir).collect():
+        assert labels[r["vec_id"]] == labels[r["nbr"]]
+        assert r["nbr"] != r["vec_id"]
+
+
+# --------------------------------------------------------------------------
+# events_peak_concurrency
+# --------------------------------------------------------------------------
+
+
+def test_peak_concurrency_matches_python_recompute(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=30)
+    spans = []
+    for _, g in ev.groupby("user_id"):
+        start = prev = None
+        for _, r in g.iterrows():
+            if prev is None or (r["ts"] - prev) > gap:
+                if start is not None:
+                    spans.append((start.value // 1000, prev.value // 1000))
+                start = r["ts"]
+            prev = r["ts"]
+        spans.append((start.value // 1000, prev.value // 1000))
+    deltas = [(t0, -1, 1) for t0, _ in spans] + [(t1, 1, -1) for _, t1 in spans]
+    deltas.sort()  # (t, neg, delta): starts (neg=-1) before ends at same t
+    cur = peak = 0
+    peak_t = None
+    for t, _, d in deltas:
+        cur += d
+        if cur > peak:
+            peak, peak_t = cur, t
+    row = queries()["events_peak_concurrency"](spark, sf_dir).collect()[0]
+    assert row["n_sessions"] == len(spans)
+    assert row["peak_concurrency"] == peak
+    expected_at = pd.Timestamp(peak_t, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+    assert row["peak_at"] == expected_at
