@@ -2725,3 +2725,108 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(CAST(r1_x2 - n_pos * (n_pos + 1) AS DOUBLE)"
         " / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0, 6) AS gini",
     )
+
+
+# --------------------------------------------------------------------------
+# Budget-constrained source selection (greedy fill by quality rank)
+# --------------------------------------------------------------------------
+
+
+def _mix_budget_oracle() -> str:
+    from gluettalax_spark.operators.text import _QUALITY_DUCK
+
+    return f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+         CAST(round(({_QUALITY_DUCK}) * 10000) AS BIGINT) AS q_int
+  FROM documents
+),
+per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(q_int) * 100 // count(*) AS BIGINT) AS qmean_e6
+  FROM per_doc GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM per_source),
+ranked AS (
+  SELECT *, CAST(sum(n_tokens) OVER (ORDER BY qmean_e6 DESC, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM per_source
+)
+SELECT r.source, r.n_docs, r.qmean_e6, r.n_tokens,
+       CAST(r.cum - r.n_tokens AS BIGINT) AS cum_before,
+       CAST(least(r.n_tokens, greatest(CAST(0 AS BIGINT),
+            t.budget - (r.cum - r.n_tokens))) AS BIGINT) AS taken_tokens,
+       CAST(CAST(least(r.n_tokens, greatest(CAST(0 AS BIGINT),
+            t.budget - (r.cum - r.n_tokens))) AS HUGEINT) * 1000000
+            // r.n_tokens AS BIGINT) AS take_frac_ppm
+FROM ranked r, tot t
+ORDER BY r.qmean_e6 DESC, r.source
+"""
+
+
+@register(
+    "corpus_mix_budget",
+    _mix_budget_oracle(),
+    doc="greedy quality-ranked source selection under a 50% token budget",
+)
+def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained data selection: rank sources by mean heuristic
+    quality and greedily fill a token budget (here 50% of the corpus) —
+    the decision table a pretraining-data team produces when the compute
+    budget forces a cut (the rank-and-fill baseline that DoReMi-style
+    learned mixtures are compared against). Output per source: quality
+    rank order, token count, cumulative tokens before it, tokens taken,
+    and the taken fraction — the boundary source gets a partial take,
+    everything below it zero.
+
+    Exactness: token counts are exact integers; mean quality quantizes
+    via one floor division (1e-6 units of the 0-1 score); the greedy
+    fill is pure integer min/max over an exact running sum; the take
+    fraction is one floor division in ppm.
+
+    Scale: one corpus scan to source grain (map-side combinable);
+    the rank-and-fill runs on the SOURCE dictionary (20 rows here,
+    thousands in production — the `grouped_running_sum` machinery keeps
+    even that path range-partitioned, never a single-task window)."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+    from gluettalax_spark.operators.text import _quality_parts
+
+    docs = load(spark, sf_dir, "documents")
+    _, _, _, quality = _quality_parts()
+    per_doc = docs.select(
+        "source",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long").alias("n_tok"),
+        F.round(quality * 10000).cast("long").alias("q_int"),
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.expr("CAST(sum(q_int) * 100 div count(1) AS BIGINT)").alias("qmean_e6"),
+    )
+    tot = per_source.agg(F.expr("CAST(sum(n_tokens) div 2 AS BIGINT)").alias("budget"))
+    ranked = grouped_running_sum(
+        per_source.withColumn("_g", F.lit(1)).withColumn("neg_q", -F.col("qmean_e6")),
+        ["_g"],
+        ["neg_q", "source"],
+        "n_tokens",
+        "cum",
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "n_docs",
+            "qmean_e6",
+            "n_tokens",
+            "CAST(cum - n_tokens AS BIGINT) AS cum_before",
+            "CAST(least(n_tokens, greatest(CAST(0 AS BIGINT),"
+            " budget - (cum - n_tokens))) AS BIGINT) AS taken_tokens",
+            "CAST(CAST(least(n_tokens, greatest(CAST(0 AS BIGINT),"
+            " budget - (cum - n_tokens))) AS DECIMAL(38,0)) * 1000000"
+            " div n_tokens AS BIGINT) AS take_frac_ppm",
+        )
+        .orderBy(F.desc("qmean_e6"), "source")
+    )

@@ -205,3 +205,85 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(count1(big.subtract(urgent), "except"))
         .orderBy("op")
     )
+
+
+# --------------------------------------------------------------------------
+# Skyline (Pareto frontier): max size, min price over parts
+# --------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH pts AS (
+  SELECT p_partkey, p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part
+)
+SELECT p.p_partkey, p.p_size, p.price_cents,
+       round(p.price_cents / 100.0, 2) AS price
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.p_size >= p.p_size AND q.price_cents <= p.price_cents
+    AND (q.p_size > p.p_size OR q.price_cents < p.price_cents)
+)
+ORDER BY p.p_size DESC, p.price_cents, p.p_partkey
+"""
+
+
+@register(
+    "part_skyline_pareto",
+    _SKYLINE_ORACLE,
+    doc="skyline query (Pareto frontier: max size, min price) via the size-dictionary sweep",
+)
+def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query (Borzsony et al., ICDE'01): the
+    parts not dominated on (size UP, price DOWN) — the classic
+    multi-criteria shortlist operator ("biggest part at every price
+    point"). Tie spec: equal (size, price) rows are mutually
+    non-dominating and ALL survive.
+
+    The scalable form needs no pairwise comparison: a row survives iff
+    (a) its price equals the min price WITHIN its size (strictly cheaper
+    same-size rows dominate it) and (b) its price is strictly below the
+    min price over all LARGER sizes. Both conditions live on the SIZE
+    DICTIONARY (p_size is a small-domain attribute), so after one
+    data-scale groupBy(size) the sweep is a dictionary-sized running
+    min — the oracle instead runs the O(n^2) NOT EXISTS definition,
+    so the compare also proves the sweep math.
+
+    Exactness: prices quantize to integer cents; the frontier is a set
+    of exact comparisons — no floats anywhere in the decision."""
+    part = load(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    ).localCheckpoint(eager=False)
+    size_min = (
+        pts.groupBy("p_size")
+        .agg(F.min("price_cents").alias("min_price"))
+        .localCheckpoint(eager=False)
+    )
+    # strict-prefix min over larger sizes, on the bounded size dictionary
+    b = size_min.select(F.col("p_size").alias("bs"), F.col("min_price").alias("bp"))
+    prefix = (
+        size_min.join(F.broadcast(b), F.col("bs") > F.col("p_size"), "left")
+        .groupBy("p_size", "min_price")
+        .agg(F.min("bp").alias("min_price_larger"))
+    )
+    return (
+        pts.join(F.broadcast(prefix), "p_size")
+        .filter(
+            (F.col("price_cents") == F.col("min_price"))
+            & (
+                F.col("min_price_larger").isNull()
+                | (F.col("price_cents") < F.col("min_price_larger"))
+            )
+        )
+        .select(
+            "p_partkey",
+            "p_size",
+            "price_cents",
+            F.round(F.col("price_cents") / 100.0, 2).alias("price"),
+        )
+        .orderBy(F.desc("p_size"), "price_cents", "p_partkey")
+    )

@@ -152,6 +152,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "text_burstiness",
     "similarity_topk_filtered",
     "events_peak_concurrency",
+    "part_skyline_pareto",
+    "corpus_mix_budget",
 )
 
 

@@ -820,3 +820,91 @@ def test_peak_concurrency_matches_python_recompute(spark, sf_dir):
     assert row["peak_concurrency"] == peak
     expected_at = pd.Timestamp(peak_t, unit="us").strftime("%Y-%m-%d %H:%M:%S")
     assert row["peak_at"] == expected_at
+
+
+# --------------------------------------------------------------------------
+# part_skyline_pareto
+# --------------------------------------------------------------------------
+
+
+def test_skyline_matches_brute_force_dominance(spark, sf_dir):
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    pts = [
+        (int(r["p_partkey"]), int(r["p_size"]), int(math.floor(r["p_retailprice"] * 100 + 0.5)))
+        for _, r in part.iterrows()
+    ]
+    frontier = []
+    for k, s, p in pts:
+        dominated = any(
+            qs >= s and qp <= p and (qs > s or qp < p) for _, qs, qp in pts
+        )
+        if not dominated:
+            frontier.append((k, s, p))
+    frontier.sort(key=lambda t: (-t[1], t[2], t[0]))
+    got = [
+        (r["p_partkey"], r["p_size"], r["price_cents"])
+        for r in queries()["part_skyline_pareto"](spark, sf_dir).collect()
+    ]
+    assert got == frontier
+    # frontier invariant: strictly decreasing price as size decreases
+    # (among distinct sizes)
+    by_size = {}
+    for _, s, p in frontier:
+        by_size.setdefault(s, p)
+    sizes = sorted(by_size, reverse=True)
+    prices = [by_size[s] for s in sizes]
+    assert prices == sorted(prices, reverse=True)
+
+
+# --------------------------------------------------------------------------
+# corpus_mix_budget
+# --------------------------------------------------------------------------
+
+
+def test_mix_budget_greedy_fill_invariants(spark, sf_dir):
+    rows = queries()["corpus_mix_budget"](spark, sf_dir).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = total // 2
+    # output is quality-ranked; cum_before is the running sum in that order
+    cum = 0
+    for r in rows:
+        assert r["cum_before"] == cum
+        cum += r["n_tokens"]
+        expected_take = min(r["n_tokens"], max(0, budget - r["cum_before"]))
+        assert r["taken_tokens"] == expected_take
+        assert r["take_frac_ppm"] == expected_take * 1_000_000 // r["n_tokens"]
+    qs = [r["qmean_e6"] for r in rows]
+    assert qs == sorted(qs, reverse=True)
+    # the greedy fill exhausts the budget exactly
+    assert sum(r["taken_tokens"] for r in rows) == budget
+    # exactly one boundary source is partially taken
+    partial = [r for r in rows if 0 < r["taken_tokens"] < r["n_tokens"]]
+    assert len(partial) <= 1
+
+
+def test_mix_budget_matches_python_recompute(spark, sf_dir):
+    import re
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    agg = {}
+    for _, r in docs.iterrows():
+        text = r["text"]
+        n_tok = len(re.findall(r"\S+", text))
+        n_chars = len(text)
+        n_stop = len(re.findall(r"\b(the|and|of|to|is|a|in)\b", text.lower()))
+        n_punct = len(re.findall(r"[.,!?;:]", text))
+        q = (
+            0.5 * min(n_chars / 500.0, 1.0)
+            + 0.4 * (n_stop / max(n_tok, 1))
+            + 0.1 * (1.0 - n_punct / max(n_chars, 1))
+        )
+        e = agg.setdefault(r["source"], [0, 0, 0])
+        e[0] += 1
+        e[1] += n_tok
+        e[2] += math.floor(q * 10000 + 0.5)
+    rows = {r["source"]: r for r in queries()["corpus_mix_budget"](spark, sf_dir).collect()}
+    assert set(rows) == set(agg)
+    for src, (nd, nt, sq) in agg.items():
+        r = rows[src]
+        assert (r["n_docs"], r["n_tokens"]) == (nd, nt)
+        assert r["qmean_e6"] == sq * 100 // nd
