@@ -187,6 +187,27 @@ HEADLINE = [
     "stats_brown_forsythe",
     "text_heaps_law_fit",
     "events_periodogram_dft",
+    "stats_welch_ttest",
+    "stats_jarque_bera",
+    "stats_cramers_v",
+    "stats_ljung_box",
+    "stats_theil_sen",
+    "orders_herfindahl",
+    "graph_clustering_coefficient",
+    "text_ngram_novelty_decay",
+    "events_bounce_rate_sessions",
+    "text_bpe_apply",
+    "similarity_silhouette",
+    "stats_multiple_testing_bh",
+    "stats_hurst_exponent",
+    "stats_runs_test",
+    "events_time_to_convert",
+    "quality_classifier_auc",
+    "text_burstiness",
+    "similarity_topk_filtered",
+    "events_peak_concurrency",
+    "part_skyline_pareto",
+    "corpus_mix_budget",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40
@@ -249,6 +270,13 @@ SCALING_SUBSET = [
     "stats_kruskal_wallis",
     "similarity_range_radius",
     "multimodal_phash_neardup",
+    "text_bpe_apply",
+    "text_ngram_novelty_decay",
+    "text_burstiness",
+    "quality_classifier_auc",
+    "graph_clustering_coefficient",
+    "similarity_topk_filtered",
+    "events_peak_concurrency",
 ]
 
 
