@@ -1388,3 +1388,103 @@ def text_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash bit-balance audit (fingerprint health observability)
+# --------------------------------------------------------------------------
+
+
+def _bit_balance_oracle() -> str:
+    nibbles = ",\n    ".join(
+        f"(strpos('0123456789abcdef', substr(md5(s), {p + 1}, 1)) - 1) AS n{p}"
+        for p in range(_N_NIBBLES)
+    )
+    bit_sums = ",\n    ".join(_bit_sum_exprs("//"))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+ex AS (
+  SELECT DISTINCT doc_id, unnest(tokens) AS s FROM toks WHERE len(tokens) >= 1
+),
+nib AS (
+  SELECT doc_id, s,
+    {nibbles}
+  FROM ex
+),
+bitsum AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM nib GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {_simhash_value_expr()} AS simhash FROM bitsum),
+bits AS (
+  SELECT b.bit, ((fp.simhash >> CAST(b.bit AS INTEGER)) & 1) AS v
+  FROM fp, (SELECT unnest(range(0, {SIMHASH_BITS})) AS bit) b
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM fp)
+SELECT CAST(bits.bit AS BIGINT) AS bit,
+       CAST(sum(v) AS BIGINT) AS n_set,
+       CAST(CAST(sum(v) AS HUGEINT) * 1000000 // any_value(tot.n_docs) AS BIGINT) AS set_ppm,
+       CAST(abs(CAST(sum(v) AS HUGEINT) * 1000000 // any_value(tot.n_docs) - 500000) AS BIGINT)
+         AS dev_ppm
+FROM bits, tot
+GROUP BY bits.bit
+ORDER BY bit
+"""
+
+
+@register(
+    "text_simhash_bit_balance",
+    _bit_balance_oracle(),
+    doc="per-bit set rate of the corpus SimHash fingerprints (banding-health audit)",
+)
+def text_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint health: the per-bit set rate across corpus
+    fingerprints. The banding recall math of `dedup_simhash_pairs`
+    assumes each bit is an unbiased coin for unrelated docs — a bit
+    stuck near 0 or 1 (hash bias, degenerate token mix, or a bug in the
+    bit packing) silently collapses band cardinality and floods buckets.
+    This is the audit a dedup pipeline alerts on, next to
+    `dedup_band_spill_report`. (The synthetic fixture trips it by
+    design: documents draw from one shared vocabulary, so per-bit votes
+    are correlated across docs and many bits sit far from 50% — the
+    precise condition under which band buckets go hot.)
+
+    Exactness: bits extract from the shared signed-64 fingerprint with
+    the arithmetic-shift-and-mask form (sign-safe both engines); rates
+    are single floor divisions in ppm.
+
+    Scale: the fingerprint pass is the shared one-shuffle `_simhash_df`;
+    the bit explode is a map-side 64x fan-out of (bit, 0/1) ints that
+    partial-aggregates to 64 groups."""
+    fp = _simhash_df(spark, sf_dir)
+    bits = fp.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BITS - 1}),"
+                " b -> struct(CAST(b AS BIGINT) AS bit,"
+                " CAST(shiftright(simhash, b) & 1 AS BIGINT) AS v))"
+            )
+        ).alias("e")
+    ).select("e.bit", "e.v")
+    tot = fp.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        bits.crossJoin(F.broadcast(tot))
+        .groupBy("bit")
+        .agg(
+            F.sum("v").cast("long").alias("n_set"),
+            F.expr(
+                "CAST(CAST(sum(v) AS DECIMAL(38,0)) * 1000000"
+                " div any_value(n_docs) AS BIGINT)"
+            ).alias("set_ppm"),
+            F.expr(
+                "CAST(abs(CAST(sum(v) AS DECIMAL(38,0)) * 1000000"
+                " div any_value(n_docs) - 500000) AS BIGINT)"
+            ).alias("dev_ppm"),
+        )
+        .orderBy("bit")
+    )

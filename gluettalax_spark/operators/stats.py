@@ -3140,3 +3140,159 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_delay_us",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Croston intermittent-demand forecast per part
+# --------------------------------------------------------------------------
+
+_CROSTON_KEEP = 16  # trailing demands/intervals kept (alpha = 1/2 EWMA)
+_CROSTON_TOPK = 20
+
+# EWMA closed form with alpha = 1/2 over kept sequence u_1..u_k (oldest
+# first): s*2^(k-1) = u_1 + sum_{i>=2} u_i * 2^(i-2) — exact integers
+# (the events_user_ewma identity).
+_CROSTON_DUCK_NUM = (
+    "list_sum(list_transform(range(1, len({l}) + 1), "
+    "i -> CAST({l}[i] AS HUGEINT) * (CASE WHEN i = 1 THEN 1 "
+    "ELSE (CAST(1 AS BIGINT) << CAST(i - 2 AS INTEGER)) END)))"
+)
+_CROSTON_SPARK_NUM = (
+    "aggregate(zip_with({l}, sequence(1, size({l})), "
+    "(v, i) -> CAST(v AS DECIMAL(38,0)) * (CASE WHEN i = 1 THEN CAST(1 AS BIGINT) "
+    "ELSE shiftleft(CAST(1 AS BIGINT), i - 2) END)), "
+    "CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + x)"
+)
+
+_CROSTON_ORACLE = f"""
+WITH demand AS (
+  SELECT l_partkey AS p,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS d,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+series AS (
+  SELECT p, list(d ORDER BY d) AS ds, list(q ORDER BY d) AS qs,
+         CAST(count(*) AS BIGINT) AS m
+  FROM demand GROUP BY p HAVING count(*) >= 2
+),
+kept AS (
+  SELECT p, m,
+         list_slice(qs, CAST(greatest(1, m - {_CROSTON_KEEP} + 1) AS BIGINT), m) AS zs,
+         list_slice(list_transform(range(2, CAST(m + 1 AS BIGINT)),
+                                   i -> ds[i] - ds[i - 1]),
+                    CAST(greatest(1, m - 1 - {_CROSTON_KEEP} + 1) AS BIGINT),
+                    m - 1) AS ivs
+  FROM series
+),
+scored AS (
+  SELECT p, m,
+         CAST({_CROSTON_DUCK_NUM.format(l="zs")} AS HUGEINT) AS zn,
+         CAST(len(zs) AS BIGINT) AS kz,
+         CAST({_CROSTON_DUCK_NUM.format(l="ivs")} AS HUGEINT) AS pn,
+         CAST(len(ivs) AS BIGINT) AS kp
+  FROM kept
+),
+final AS (
+  SELECT p AS p_partkey, m AS n_demand_days,
+         CAST(zn * 1000000 // (CAST(1 AS HUGEINT) << CAST(kz - 1 AS INTEGER)) AS BIGINT)
+           AS z_hat_ppm,
+         CAST(pn * 1000000 // (CAST(1 AS HUGEINT) << CAST(kp - 1 AS INTEGER)) AS BIGINT)
+           AS p_hat_ppm,
+         CAST(zn * (CAST(1 AS HUGEINT) << CAST(kp - 1 AS INTEGER)) * 1000000
+              // (pn * (CAST(1 AS HUGEINT) << CAST(kz - 1 AS INTEGER))) AS BIGINT)
+           AS forecast_ppm
+  FROM scored
+)
+SELECT * FROM final
+ORDER BY forecast_ppm DESC, p_partkey
+LIMIT {_CROSTON_TOPK}
+"""
+
+
+@register(
+    "orders_croston_intermittent",
+    _CROSTON_ORACLE,
+    doc=f"Croston intermittent-demand forecast (alpha=1/2 EWMA, top-{_CROSTON_TOPK} parts)",
+)
+def orders_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method — THE forecasting estimator for intermittent
+    demand (spare parts, slow movers), where Holt/SES on the raw series
+    biases toward zero: smooth the NON-ZERO demand sizes and the
+    inter-demand intervals separately, forecast = size / interval.
+    Reported per part in exact ppm units, top-20 by forecast rate.
+
+    Exactness: both EWMAs use the alpha = 1/2 closed form over the
+    trailing {_CROSTON_KEEP} values — power-of-two integer weights
+    (s*2^(k-1) = u_1 + sum u_i*2^(i-2), the `events_user_ewma`
+    identity) — so sizes, intervals, and the forecast ratio are single
+    exact integer divisions. Ships before 1992 don't exist, so day
+    indexes are non-negative.
+
+    Scale: one data-scale groupBy to (part, ship-day); per-part demand
+    arrays are CALENDAR-bounded (= distinct ship days), so the
+    collect + slice is a bounded aggregate per part key — the same
+    bound class as the tseries grid ops; top-k is
+    TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem")
+    demand = (
+        li.select(
+            F.col("l_partkey").alias("p"),
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+            F.round(F.col("l_quantity")).cast("long").alias("q0"),
+        )
+        .groupBy("p", "d")
+        .agg(F.sum("q0").cast("long").alias("q"))
+    )
+    series = (
+        demand.groupBy("p")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "q"))), lambda s: s["d"]
+            ).alias("ds"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "q"))), lambda s: s["q"]
+            ).alias("qs"),
+            F.count(F.lit(1)).cast("long").alias("m"),
+        )
+        .filter(F.col("m") >= 2)
+    )
+    kept = series.selectExpr(
+        "p",
+        "m",
+        f"slice(qs, CAST(greatest(1, m - {_CROSTON_KEEP} + 1) AS INT),"
+        f" {_CROSTON_KEEP}) AS zs",
+        "transform(sequence(2, CAST(m AS INT)), i -> element_at(ds, i)"
+        " - element_at(ds, i - 1)) AS ivs0",
+    ).selectExpr(
+        "p",
+        "m",
+        "zs",
+        f"slice(ivs0, CAST(greatest(1, size(ivs0) - {_CROSTON_KEEP} + 1) AS INT),"
+        f" {_CROSTON_KEEP}) AS ivs",
+    )
+    scored = kept.selectExpr(
+        "p",
+        "m",
+        f"CAST({_CROSTON_SPARK_NUM.format(l='zs')} AS DECIMAL(38,0)) AS zn",
+        "CAST(size(zs) AS BIGINT) AS kz",
+        f"CAST({_CROSTON_SPARK_NUM.format(l='ivs')} AS DECIMAL(38,0)) AS pn",
+        "CAST(size(ivs) AS BIGINT) AS kp",
+    )
+    return (
+        scored.selectExpr(
+            "p AS p_partkey",
+            "m AS n_demand_days",
+            "CAST(zn * 1000000 div CAST(shiftleft(CAST(1 AS BIGINT), CAST(kz - 1 AS INT))"
+            " AS DECIMAL(38,0)) AS BIGINT) AS z_hat_ppm",
+            "CAST(pn * 1000000 div CAST(shiftleft(CAST(1 AS BIGINT), CAST(kp - 1 AS INT))"
+            " AS DECIMAL(38,0)) AS BIGINT) AS p_hat_ppm",
+            "CAST(zn * CAST(shiftleft(CAST(1 AS BIGINT), CAST(kp - 1 AS INT)) AS DECIMAL(38,0))"
+            " * 1000000 div (pn * CAST(shiftleft(CAST(1 AS BIGINT), CAST(kz - 1 AS INT))"
+            " AS DECIMAL(38,0))) AS BIGINT) AS forecast_ppm",
+        )
+        .orderBy(F.desc("forecast_ppm"), "p_partkey")
+        .limit(_CROSTON_TOPK)
+    )

@@ -154,6 +154,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "events_peak_concurrency",
     "part_skyline_pareto",
     "corpus_mix_budget",
+    "orders_croston_intermittent",
+    "text_simhash_bit_balance",
 )
 
 

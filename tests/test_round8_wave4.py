@@ -908,3 +908,71 @@ def test_mix_budget_matches_python_recompute(spark, sf_dir):
         r = rows[src]
         assert (r["n_docs"], r["n_tokens"]) == (nd, nt)
         assert r["qmean_e6"] == sq * 100 // nd
+
+
+# --------------------------------------------------------------------------
+# orders_croston_intermittent
+# --------------------------------------------------------------------------
+
+
+def test_croston_matches_python_recompute(spark, sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li["d"] = (li["l_shipdate"].dt.normalize() - pd.Timestamp("1992-01-01")).dt.days
+    li["q"] = np.floor(li["l_quantity"].to_numpy() + 0.5).astype("int64")
+    demand = li.groupby(["l_partkey", "d"])["q"].sum().reset_index()
+
+    def ewma_num(seq):
+        # s*2^(k-1) = u1 + sum_{i>=2} u_i * 2^(i-2)
+        return sum(v * (1 if i == 0 else 1 << (i - 1)) for i, v in enumerate(seq))
+
+    rows_exp = []
+    for p, g in demand.groupby("l_partkey"):
+        g = g.sort_values("d")
+        if len(g) < 2:
+            continue
+        qs = g["q"].tolist()[-16:]
+        ds = g["d"].tolist()
+        ivs = [ds[i] - ds[i - 1] for i in range(1, len(ds))][-16:]
+        zn, kz = ewma_num(qs), len(qs)
+        pn, kp = ewma_num(ivs), len(ivs)
+        rows_exp.append(
+            (
+                int(p),
+                len(g),
+                zn * 1_000_000 // (1 << (kz - 1)),
+                pn * 1_000_000 // (1 << (kp - 1)),
+                zn * (1 << (kp - 1)) * 1_000_000 // (pn * (1 << (kz - 1))),
+            )
+        )
+    rows_exp.sort(key=lambda t: (-t[4], t[0]))
+    got = [
+        (r["p_partkey"], r["n_demand_days"], r["z_hat_ppm"], r["p_hat_ppm"], r["forecast_ppm"])
+        for r in queries()["orders_croston_intermittent"](spark, sf_dir).collect()
+    ]
+    assert got == rows_exp[:20]
+    # Croston identity: forecast ~ size/interval (check within quantization)
+    for _, _, z, p_, f in got:
+        assert abs(f - z * 1_000_000 / p_) <= max(2, f * 1e-5)
+
+
+# --------------------------------------------------------------------------
+# text_simhash_bit_balance
+# --------------------------------------------------------------------------
+
+
+def test_bit_balance_matches_fingerprints(spark, sf_dir):
+    """Re-derive the per-bit set counts directly from the dedup_simhash
+    output — the audit must agree with the fingerprints it audits."""
+    fps = [r["simhash"] for r in queries()["dedup_simhash"](spark, sf_dir).collect()]
+    n = len(fps)
+    rows = queries()["text_simhash_bit_balance"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        b = r["bit"]
+        n_set = sum(1 for f in fps if (f >> b) & 1)
+        assert r["n_set"] == n_set
+        assert r["set_ppm"] == n_set * 1_000_000 // n
+        assert r["dev_ppm"] == abs(n_set * 1_000_000 // n - 500_000)
+    # the synthetic fixture draws docs from one shared vocabulary, so
+    # votes correlate across docs and the audit MUST flag skewed bits
+    assert max(r["dev_ppm"] for r in rows) > 100_000
