@@ -414,3 +414,108 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> LIMIT 5
         """
     )
+
+
+# --------------------------------------------------------------------------
+# JSON schema drift (key-presence rates, early vs late half)
+# --------------------------------------------------------------------------
+
+_SCHEMA_DRIFT_ORACLE = """
+WITH bounds AS (
+  SELECT epoch_us(min(ts)) AS t0,
+         (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+  FROM events
+),
+tagged AS (
+  SELECT CASE WHEN epoch_us(e.ts) < b.mid THEN 0 ELSE 1 END AS half, e.props
+  FROM events e, bounds b
+),
+halves AS (
+  SELECT half, CAST(count(*) AS BIGINT) AS n FROM tagged GROUP BY half
+),
+keyed AS (
+  SELECT half, k, CAST(count(*) AS BIGINT) AS n_with
+  FROM (SELECT half, unnest(json_keys(props)) AS k FROM tagged)
+  GROUP BY half, k
+),
+grid AS (
+  SELECT k.k,
+         coalesce(max(CASE WHEN keyed.half = 0 THEN n_with END), 0) AS early_n,
+         coalesce(max(CASE WHEN keyed.half = 1 THEN n_with END), 0) AS late_n
+  FROM (SELECT DISTINCT k FROM keyed) k
+  LEFT JOIN keyed ON keyed.k = k.k
+  GROUP BY k.k
+)
+SELECT g.k AS prop_key,
+       CAST(g.early_n AS BIGINT) AS early_n,
+       CAST(g.late_n AS BIGINT) AS late_n,
+       CAST(CAST(g.early_n AS HUGEINT) * 1000000
+            // (SELECT n FROM halves WHERE half = 0) AS BIGINT) AS early_ppm,
+       CAST(CAST(g.late_n AS HUGEINT) * 1000000
+            // (SELECT n FROM halves WHERE half = 1) AS BIGINT) AS late_ppm,
+       CAST(CAST(g.late_n AS HUGEINT) * 1000000
+            // (SELECT n FROM halves WHERE half = 1)
+          - CAST(g.early_n AS HUGEINT) * 1000000
+            // (SELECT n FROM halves WHERE half = 0) AS BIGINT) AS drift_ppm
+FROM grid g
+ORDER BY abs(CAST(g.late_n AS HUGEINT) * 1000000
+             // (SELECT n FROM halves WHERE half = 1)
+           - CAST(g.early_n AS HUGEINT) * 1000000
+             // (SELECT n FROM halves WHERE half = 0)) DESC, prop_key
+"""
+
+
+@register(
+    "json_schema_drift",
+    _SCHEMA_DRIFT_ORACLE,
+    doc="JSON key-presence drift between the early and late time halves",
+)
+def json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift for semi-structured columns: per JSON key, the
+    presence rate in the EARLY half of the time range vs the LATE half
+    and the signed drift — the alert that catches producers silently
+    adding, dropping, or renaming fields (the schema-evolution
+    counterpart of `events_drift_psi`'s value-mix monitor, and what you
+    check before trusting `json_keys_histogram`'s aggregate view).
+
+    Exactness: the time midpoint is an exact integer-microsecond mean;
+    presence rates are single floor divisions in ppm; the drift column
+    is a difference of those exact integers; ordering ties break on the
+    exact |drift| then key.
+
+    Scale: one scan tags each row's half (the bounds are a broadcast
+    1-row aggregate); key explode partial-aggregates to the (key x 2)
+    grid; everything after is key-dictionary-sized."""
+    events = load(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").alias("mid")
+    )
+    tagged = events.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.unix_micros("ts") < F.col("mid"), 0).otherwise(1).alias("half"), "props"
+    ).localCheckpoint(eager=False)
+    halves = tagged.groupBy("half").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    h = halves.agg(
+        F.max(F.when(F.col("half") == 0, F.col("n"))).cast("long").alias("n_early"),
+        F.max(F.when(F.col("half") == 1, F.col("n"))).cast("long").alias("n_late"),
+    )
+    keyed = (
+        tagged.select("half", F.explode(F.json_object_keys("props")).alias("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("early_n"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("late_n"),
+        )
+    )
+    return (
+        keyed.crossJoin(F.broadcast(h))
+        .selectExpr(
+            "k AS prop_key",
+            "early_n",
+            "late_n",
+            "CAST(CAST(early_n AS DECIMAL(38,0)) * 1000000 div n_early AS BIGINT) AS early_ppm",
+            "CAST(CAST(late_n AS DECIMAL(38,0)) * 1000000 div n_late AS BIGINT) AS late_ppm",
+            "CAST(CAST(late_n AS DECIMAL(38,0)) * 1000000 div n_late"
+            " - CAST(early_n AS DECIMAL(38,0)) * 1000000 div n_early AS BIGINT) AS drift_ppm",
+        )
+        .orderBy(F.abs(F.col("drift_ppm")).desc(), "prop_key")
+    )

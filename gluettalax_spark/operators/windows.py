@@ -861,3 +861,130 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(peak_at))
         .select("n_sessions", F.col("peak").alias("peak_concurrency"), "peak_at")
     )
+
+
+# --------------------------------------------------------------------------
+# Within-session event-type co-occurrence PMI
+# --------------------------------------------------------------------------
+
+_SESSION_PMI_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '{_SESSIONIZE_GAP_MIN}' MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, session_no, list_sort(list(DISTINCT event_type)) AS types
+  FROM sessions GROUP BY user_id, session_no
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM per_session),
+singles AS (
+  SELECT t AS a, CAST(count(*) AS BIGINT) AS n_a
+  FROM (SELECT unnest(types) AS t FROM per_session)
+  GROUP BY t
+),
+pairs AS (
+  SELECT p.types[CAST(i.i AS INTEGER)] AS a, p.types[CAST(j.j AS INTEGER)] AS b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM per_session p,
+       LATERAL (SELECT unnest(range(1, len(p.types) + 1)) AS i) i,
+       LATERAL (SELECT unnest(range(1, len(p.types) + 1)) AS j) j
+  WHERE j.j > i.i
+  GROUP BY 1, 2
+)
+SELECT pr.a AS type_a, pr.b AS type_b, pr.n_ab, sa.n_a, sb.n_a AS n_b,
+       round(ln((CAST(pr.n_ab AS DOUBLE) * nn.n_sessions)
+                / (CAST(sa.n_a AS DOUBLE) * sb.n_a)), 4) AS pmi
+FROM pairs pr
+JOIN singles sa ON sa.a = pr.a
+JOIN singles sb ON sb.a = pr.b
+CROSS JOIN nn
+ORDER BY pmi DESC, type_a, type_b
+"""
+
+
+@register(
+    "events_session_type_pmi",
+    _SESSION_PMI_ORACLE,
+    doc="within-session event-type co-occurrence PMI (behavioral basket analysis)",
+)
+def events_session_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral basket analysis: pointwise mutual information between
+    event types CO-OCCURRING IN THE SAME SESSION — which actions travel
+    together beyond what their base rates predict (the session-level
+    sibling of `basket_rules`' order-level lift and
+    `text_collocations_pmi`'s token-level statistic).
+
+    Sessions are the shared 30-min-gap definition; each session reduces
+    map-side to its sorted DISTINCT type set (bounded by the type
+    vocabulary, ≤ 5 here), and pairs explode from that bounded array —
+    never a session self-join. PMI = ln(n_ab·N/(n_a·n_b)) evaluated as
+    ONE expression over exact counts, rounded at 4 dp (the
+    collocations-PMI convention — a single libm ln under rounding).
+
+    Scale: the sessionize window pair (user-partitioned), one
+    session-grain aggregate, then everything is k²-bounded."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > _SESSIONIZE_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn("session_no", F.sum("new_session").over(w))
+    per_session = sessions.groupBy("user_id", "session_no").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    ).localCheckpoint(eager=False)
+    nn = per_session.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    singles = (
+        per_session.select(F.explode("types").alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    )
+    pairs = (
+        per_session.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(types, (x, i) -> "
+                    "transform(slice(types, i + 2, size(types)), y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    sb = singles.select(F.col("a").alias("b"), F.col("n_a").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(singles), "a")
+        .join(F.broadcast(sb), "b")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("a").alias("type_a"),
+            F.col("b").alias("type_b"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("n_sessions"))
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "type_a", "type_b")
+    )

@@ -156,6 +156,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "corpus_mix_budget",
     "orders_croston_intermittent",
     "text_simhash_bit_balance",
+    "json_schema_drift",
+    "events_session_type_pmi",
 )
 
 

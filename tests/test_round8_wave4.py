@@ -976,3 +976,71 @@ def test_bit_balance_matches_fingerprints(spark, sf_dir):
     # the synthetic fixture draws docs from one shared vocabulary, so
     # votes correlate across docs and the audit MUST flag skewed bits
     assert max(r["dev_ppm"] for r in rows) > 100_000
+
+
+# --------------------------------------------------------------------------
+# json_schema_drift
+# --------------------------------------------------------------------------
+
+
+def test_schema_drift_matches_python_recompute(spark, sf_dir):
+    import json
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    us = ev["ts"].astype("int64") // 1000
+    mid = (int(us.min()) + int(us.max())) // 2
+    halves = (us >= mid).astype(int)
+    n_early = int((halves == 0).sum())
+    n_late = int((halves == 1).sum())
+    counts = {}
+    for props, h in zip(ev["props"], halves):
+        for k in json.loads(props):
+            e = counts.setdefault(k, [0, 0])
+            e[h] += 1
+    rows = {r["prop_key"]: r for r in queries()["json_schema_drift"](spark, sf_dir).collect()}
+    assert set(rows) == set(counts)
+    for k, (en, ln_) in counts.items():
+        r = rows[k]
+        assert (r["early_n"], r["late_n"]) == (en, ln_)
+        assert r["early_ppm"] == en * 1_000_000 // n_early
+        assert r["late_ppm"] == ln_ * 1_000_000 // n_late
+        assert r["drift_ppm"] == r["late_ppm"] - r["early_ppm"]
+
+
+# --------------------------------------------------------------------------
+# events_session_type_pmi
+# --------------------------------------------------------------------------
+
+
+def test_session_pmi_matches_python_recompute(spark, sf_dir):
+    from collections import Counter
+    from itertools import combinations
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=30)
+    session_types = []
+    for _, g in ev.groupby("user_id"):
+        cur, prev = set(), None
+        for _, r in g.iterrows():
+            if prev is not None and (r["ts"] - prev) > gap:
+                session_types.append(frozenset(cur))
+                cur = set()
+            cur.add(r["event_type"])
+            prev = r["ts"]
+        session_types.append(frozenset(cur))
+    n = len(session_types)
+    singles, pairs = Counter(), Counter()
+    for st in session_types:
+        for t in st:
+            singles[t] += 1
+        for a, b in combinations(sorted(st), 2):
+            pairs[(a, b)] += 1
+    rows = {
+        (r["type_a"], r["type_b"]): r
+        for r in queries()["events_session_type_pmi"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(pairs)
+    for (a, b), n_ab in pairs.items():
+        r = rows[(a, b)]
+        assert (r["n_ab"], r["n_a"], r["n_b"]) == (n_ab, singles[a], singles[b])
+        assert abs(r["pmi"] - math.log(n_ab * n / (singles[a] * singles[b]))) < 1e-3
