@@ -1488,3 +1488,73 @@ def text_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bit")
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster size histogram (dedup observability)
+# --------------------------------------------------------------------------
+
+_CLUSTER_HIST_ORACLE = r"""
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+clusters AS (
+  SELECT fingerprint, CAST(count(*) AS BIGINT) AS sz FROM fp GROUP BY fingerprint
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM fp)
+SELECT sz AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs,
+       CAST((sz - 1) * count(*) AS BIGINT) AS n_removable,
+       CAST(CAST(sz * count(*) AS HUGEINT) * 1000000 // any_value(tot.n_docs) AS BIGINT)
+         AS docs_share_ppm
+FROM clusters, tot
+GROUP BY sz
+ORDER BY sz
+"""
+
+
+@register(
+    "dedup_cluster_histogram",
+    _CLUSTER_HIST_ORACLE,
+    doc="exact-duplicate cluster-size histogram (docs and removable counts per size)",
+)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE DISTRIBUTION for the exact-dedup pass —
+    the observability readout behind every dedup run: how many
+    singletons (size 1 = unique docs), how many small clusters, and
+    whether a mega-cluster exists (one boilerplate page crawled a
+    million times — the case that melts pair-generation unless capped).
+    `n_removable` per size row sums to exactly the doc count the EXACT
+    dedup pass drops (docs minus distinct fingerprints — NOT the larger
+    near-dup removal of `dedup_filter_corpus`); the unit test pins it.
+
+    Exactness: same whitespace-normalized md5 fingerprint as
+    `dedup_exact` (one spec, two views of it); all counts and the ppm
+    share are exact integers.
+
+    Scale: one data-scale groupBy(fingerprint), then a histogram over
+    cluster sizes (bounded by max multiplicity) — the shape never
+    materializes pairs, which is the point of auditing BEFORE pairing."""
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias("fingerprint"),
+    )
+    clusters = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    tot = fp.agg(F.count(F.lit(1)).cast("long").alias("n_docs_tot"))
+    return (
+        clusters.groupBy("sz")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "sz AS cluster_size",
+            "n_clusters",
+            "CAST(sz * n_clusters AS BIGINT) AS n_docs",
+            "CAST((sz - 1) * n_clusters AS BIGINT) AS n_removable",
+            "CAST(CAST(sz * n_clusters AS DECIMAL(38,0)) * 1000000"
+            " div n_docs_tot AS BIGINT) AS docs_share_ppm",
+        )
+        .orderBy("cluster_size")
+    )

@@ -566,3 +566,122 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({_RUNS_MU}, 4) AS mu_runs",
         f"round((CAST(n_changes + 1 AS DOUBLE) - {_RUNS_MU}) / {_RUNS_SIG}, 6) AS z",
     )
+
+
+# --------------------------------------------------------------------------
+# Weekday-seasonality strength: one-way ANOVA of daily revenue by weekday
+# --------------------------------------------------------------------------
+
+# Fixed 7-bucket pivot: wd = t mod 7 (grid-day index — engine-independent,
+# no dayofweek numbering mismatch). With the buckets pivoted into ONE row,
+# the between-group sum evaluates in FIXED bucket order as a single IEEE
+# expression over exact integers — no per-group integer division (whose
+# BIGINT result overflows for revenue-sized s_g^2; found at sf0.01).
+_SA_SSB = "(" + " + ".join(
+    f"CAST(s_{w} AS DOUBLE) * s_{w} / n_{w}" for w in range(7)
+) + ")"
+_SA_CM = "(CAST(s_tot AS DOUBLE) * s_tot / n_tot)"
+
+_SEASON_ANOVA_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+bounds AS (
+  SELECT min(day) AS d0, CAST(date_diff('day', min(day), max(day)) AS BIGINT) AS span
+  FROM daily
+),
+grid AS (
+  SELECT g.t % 7 AS wd, coalesce(daily.x, 0) AS x
+  FROM (SELECT unnest(range(0, span + 1)) AS t, d0 FROM bounds) g
+  LEFT JOIN daily ON daily.day = g.d0 + g.t * INTERVAL 1 DAY
+),
+piv AS (
+  SELECT
+    {", ".join(f"CAST(sum(CASE WHEN wd = {w} THEN 1 ELSE 0 END) AS BIGINT) AS n_{w}, CAST(sum(CASE WHEN wd = {w} THEN x ELSE 0 END) AS BIGINT) AS s_{w}" for w in range(7))},
+    CAST(count(*) AS BIGINT) AS n_tot,
+    CAST(sum(x) AS BIGINT) AS s_tot,
+    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q_tot
+  FROM grid
+)
+SELECT n_tot AS n, CAST(7 AS BIGINT) AS k,
+  round(({_SA_SSB} - {_SA_CM}) / (CAST(q_tot AS DOUBLE) - {_SA_CM}), 6) AS eta_sq,
+  round((({_SA_SSB} - {_SA_CM}) / 6.0)
+        / ((CAST(q_tot AS DOUBLE) - {_SA_SSB}) / (n_tot - 7)), 4) AS f_stat
+FROM piv
+"""
+
+
+@register(
+    "orders_seasonality_anova",
+    _SEASON_ANOVA_ORACLE,
+    doc="weekday-seasonality strength: one-way ANOVA (eta^2, F) of daily revenue",
+)
+def orders_seasonality_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality STRENGTH, not just shape: one-way ANOVA of daily
+    revenue grouped by weekday — eta² is the fraction of daily variance
+    the weekday explains (the "seasonality strength" STL reports), and F
+    is its significance. The inferential counterpart of
+    `orders_seasonality_weekday` (which reports index levels) and a
+    consistency check on `events_periodogram_dft` (a 7-day period spike
+    must show up here as eta² > 0).
+
+    Exactness: weekday = grid-day-index mod 7 (engine-independent — no
+    dayofweek numbering mismatch); the 7 bucket moments pivot into ONE
+    row so the between-group sum evaluates in FIXED bucket order as a
+    single IEEE expression over exact integers. No per-group integer
+    division: the `stats_anova_oneway` recipe's ``s_g² div n_g`` wraps
+    BIGINT for revenue-sized sums (found at sf0.01) — the pivot form
+    needs none.
+
+    Scale: one data-scale groupBy(day); the grid and the 17-number
+    pivot are calendar-bounded."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"),
+        F.datediff(F.max("day"), F.min("day")).cast("long").alias("span"),
+    )
+    grid = (
+        bounds.select("d0", F.explode(F.sequence(F.lit(0).cast("long"), F.col("span"))).alias("t"))
+        .join(
+            daily.withColumnRenamed("day", "dday"),
+            F.expr("dday = date_add(d0, CAST(t AS INT))"),
+            "left",
+        )
+        .select(
+            (F.col("t") % 7).alias("wd"),
+            F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    piv = grid.agg(
+        *[
+            c
+            for w in range(7)
+            for c in (
+                F.sum(F.when(F.col("wd") == w, 1).otherwise(0)).cast("long").alias(f"n_{w}"),
+                F.sum(F.when(F.col("wd") == w, F.col("x")).otherwise(0))
+                .cast("long")
+                .alias(f"s_{w}"),
+            )
+        ],
+        F.count(F.lit(1)).cast("long").alias("n_tot"),
+        F.sum("x").cast("long").alias("s_tot"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).cast("decimal(38,0)").alias("q_tot"),
+    )
+    return piv.selectExpr(
+        "n_tot AS n",
+        "CAST(7 AS BIGINT) AS k",
+        f"round(({_SA_SSB} - {_SA_CM}) / (CAST(q_tot AS DOUBLE) - {_SA_CM}), 6) AS eta_sq",
+        f"round((({_SA_SSB} - {_SA_CM}) / 6.0)"
+        f" / ((CAST(q_tot AS DOUBLE) - {_SA_SSB}) / (n_tot - 7)), 4) AS f_stat",
+    )

@@ -158,6 +158,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "text_simhash_bit_balance",
     "json_schema_drift",
     "events_session_type_pmi",
+    "orders_seasonality_anova",
+    "dedup_cluster_histogram",
 )
 
 

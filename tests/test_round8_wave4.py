@@ -1044,3 +1044,57 @@ def test_session_pmi_matches_python_recompute(spark, sf_dir):
         r = rows[(a, b)]
         assert (r["n_ab"], r["n_a"], r["n_b"]) == (n_ab, singles[a], singles[b])
         assert abs(r["pmi"] - math.log(n_ab * n / (singles[a] * singles[b]))) < 1e-3
+
+
+# --------------------------------------------------------------------------
+# orders_seasonality_anova
+# --------------------------------------------------------------------------
+
+
+def test_seasonality_anova_matches_python_recompute(spark, sf_dir):
+    x = _daily_revenue(sf_dir)
+    n = len(x)
+    wd = np.arange(n) % 7
+    s_tot = int(x.sum())
+    q_tot = int(sum(int(v) * int(v) for v in x.astype(object)))
+    ssb = 0.0
+    for w in range(7):
+        grp = x[wd == w]
+        ssb += float(int(grp.sum())) * int(grp.sum()) / len(grp)
+    cm = float(s_tot) * s_tot / n
+    eta = (ssb - cm) / (q_tot - cm)
+    f = ((ssb - cm) / 6.0) / ((q_tot - ssb) / (n - 7))
+    row = queries()["orders_seasonality_anova"](spark, sf_dir).collect()[0]
+    assert (row["n"], row["k"]) == (n, 7)
+    assert abs(row["eta_sq"] - eta) < 1e-5
+    assert abs(row["f_stat"] - f) / max(abs(f), 1.0) < 1e-3
+    # TPC-H order dates carry no weekday pattern: eta^2 ~ 0
+    assert row["eta_sq"] < 0.05
+
+
+# --------------------------------------------------------------------------
+# dedup_cluster_histogram
+# --------------------------------------------------------------------------
+
+
+def test_cluster_histogram_matches_exact_dedup(spark, sf_dir):
+    """The histogram and dedup_exact are two views of one fingerprint
+    spec: sizes must re-aggregate dedup_exact's n_copies exactly, and
+    total removable docs must equal what dedup_filter_corpus drops."""
+    from collections import Counter
+
+    exact = queries()["dedup_exact"](spark, sf_dir).collect()
+    sizes = Counter(r["n_copies"] for r in exact)
+    rows = {r["cluster_size"]: r for r in queries()["dedup_cluster_histogram"](spark, sf_dir).collect()}
+    assert set(rows) == set(sizes)
+    n_docs_tot = sum(r["n_copies"] for r in exact)
+    for sz, n_cl in sizes.items():
+        r = rows[sz]
+        assert r["n_clusters"] == n_cl
+        assert r["n_docs"] == sz * n_cl
+        assert r["n_removable"] == (sz - 1) * n_cl
+        assert r["docs_share_ppm"] == sz * n_cl * 1_000_000 // n_docs_tot
+    total_removable = sum(r["n_removable"] for r in rows.values())
+    # removable == docs minus distinct fingerprints (what EXACT dedup drops)
+    assert total_removable == n_docs_tot - len(exact)
+    assert sum(r["n_docs"] for r in rows.values()) == n_docs_tot
