@@ -1,7 +1,7 @@
 # Parity with the reference's Makefile (test/release targets) adapted to
 # this engine's surfaces.
 
-.PHONY: test bench plans correctness correctness-ansi gate clean
+.PHONY: test bench plans correctness correctness-ansi correctness-legacy gate clean
 
 test:
 	python -m pytest tests/ -q
@@ -20,6 +20,9 @@ correctness:
 # silently nulls. Exit 0 = every oracle still matches with ANSI on.
 correctness-ansi:
 	SPARK_GRAFT_ANSI=true python tools/validate_contract.py /root/testdata/sf0.01
+
+correctness-legacy:
+	SPARK_GRAFT_ANSI=false python tools/validate_contract.py /root/testdata/sf0.01
 
 # Full contract sweep at 10x scale (deterministic scale-up of sf0.1;
 # built on demand by tools/make_scale.py). Catches magnitude-dependent

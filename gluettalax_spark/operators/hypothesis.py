@@ -1316,3 +1316,146 @@ def stats_multiple_testing_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout (pre-period covariate adjustment)
+# --------------------------------------------------------------------------
+
+# Global moments (exact) -> theta = cov(X,Y)/var(X), all inlined as one
+# fixed IEEE expression in BOTH engines. X = pre-period user value,
+# Y = post-period user value, arms from the md5 user split (A/A here).
+_CUPED_VARX = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)"
+_CUPED_COV = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)"
+_CUPED_VARY = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)"
+_CUPED_THETA = f"({_CUPED_COV} / {_CUPED_VARX})"
+
+_CUPED_ORACLE = f"""
+WITH bounds AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid FROM events
+),
+per_user AS (
+  SELECT user_id,
+         CAST((strpos('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 AS BIGINT)
+           AS arm,
+         CAST(sum(CASE WHEN epoch_us(e.ts) < b.mid
+                       THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN epoch_us(e.ts) >= b.mid
+                       THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM events e, bounds b
+  GROUP BY user_id
+),
+m AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(x) AS BIGINT) AS sx,
+    CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+    CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy,
+    CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
+    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+  FROM per_user
+)
+SELECT n, n0, n1,
+  round({_CUPED_THETA}, 6) AS theta,
+  round({_CUPED_COV} * {_CUPED_COV} / ({_CUPED_VARX} * {_CUPED_VARY}), 6) AS rho_sq,
+  round((CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0) / 100.0, 4) AS diff_raw,
+  round(((CAST(sy1 AS DOUBLE) / n1 - {_CUPED_THETA} * (CAST(sx1 AS DOUBLE) / n1))
+       - (CAST(sy0 AS DOUBLE) / n0 - {_CUPED_THETA} * (CAST(sx0 AS DOUBLE) / n0))) / 100.0, 4)
+    AS diff_cuped
+FROM m
+"""
+
+
+@register(
+    "events_ab_test_cuped",
+    _CUPED_ORACLE,
+    doc="CUPED variance-reduced A/B difference (pre-period covariate adjustment)",
+)
+def events_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al., WSDM'13) — the industry-standard variance
+    reduction for online experiments: adjust each user's post-period
+    metric by theta times their PRE-period metric (theta = cov/var from
+    the pooled pre/post moments), shrinking metric variance by rho² and
+    cutting experiment runtimes proportionally. Reported: theta, rho²
+    (the variance-reduction factor), and the raw vs CUPED-adjusted
+    between-arm differences over the md5 A/A split — the adjusted diff
+    should sit nearer 0 than the raw one on average.
+
+    Exactness: per-user pre/post sums are exact integer cents off ONE
+    user-grain aggregate (time midpoint = exact integer-microsecond
+    mean); the five pooled moments and four per-arm sums ride
+    HUGEINT/DECIMAL; theta, rho², and both diffs are single fixed IEEE
+    expressions over them.
+
+    Scale: one scan -> user-grain conditional aggregate -> one
+    12-number moment row. Nothing else."""
+    events = load(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").alias("mid")
+    )
+    per_user = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.unix_micros("ts") < F.col("mid"),
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.unix_micros("ts") >= F.col("mid"),
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            (
+                F.expr(
+                    "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 1), 16, 10) AS BIGINT)"
+                )
+                % 2
+            ).alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(xd * F.col("x")).cast("long").alias("sxx"),
+        F.sum(yd * F.col("y")).cast("long").alias("syy"),
+        F.sum(xd * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0)).cast("long").alias("sx0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0)).cast("long").alias("sx1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0)).cast("long").alias("sy0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0)).cast("long").alias("sy1"),
+    )
+    return m.selectExpr(
+        "n",
+        "n0",
+        "n1",
+        f"round({_CUPED_THETA}, 6) AS theta",
+        f"round({_CUPED_COV} * {_CUPED_COV} / ({_CUPED_VARX} * {_CUPED_VARY}), 6) AS rho_sq",
+        "round((CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0) / 100.0, 4) AS diff_raw",
+        f"round(((CAST(sy1 AS DOUBLE) / n1 - {_CUPED_THETA} * (CAST(sx1 AS DOUBLE) / n1))"
+        f" - (CAST(sy0 AS DOUBLE) / n0 - {_CUPED_THETA} * (CAST(sx0 AS DOUBLE) / n0)))"
+        " / 100.0, 4) AS diff_cuped",
+    )

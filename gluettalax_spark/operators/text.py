@@ -4121,3 +4121,105 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("vmr_e6"), "term")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# MATTR: moving-average type-token ratio per source
+# --------------------------------------------------------------------------
+
+_MATTR_W = 50
+
+_MATTR_ORACLE = f"""
+WITH toks AS (
+  SELECT source, regexp_extract_all(lower(text), '[a-z]+') AS tk
+  FROM documents
+),
+eligible AS (
+  SELECT source, tk, len(tk) AS n FROM toks WHERE len(tk) >= {_MATTR_W}
+),
+per_doc AS (
+  SELECT source,
+         CAST(list_sum(list_transform(range(1, n - {_MATTR_W} + 2),
+              i -> len(list_distinct(list_slice(tk, i, i + {_MATTR_W} - 1))))) AS BIGINT)
+           AS sum_types,
+         CAST(n - {_MATTR_W} + 1 AS BIGINT) AS n_windows
+  FROM eligible
+),
+short_docs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_short
+  FROM toks WHERE len(tk) < {_MATTR_W} GROUP BY source
+)
+SELECT p.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       coalesce(any_value(s.n_short), 0) AS n_short_docs,
+       CAST(sum(p.sum_types) AS BIGINT) AS sum_types,
+       CAST(sum(p.n_windows) AS BIGINT) AS n_windows,
+       CAST(CAST(sum(p.sum_types) AS HUGEINT) * 1000000
+            // (sum(p.n_windows) * {_MATTR_W}) AS BIGINT) AS mattr_ppm
+FROM per_doc p
+LEFT JOIN short_docs s ON s.source = p.source
+GROUP BY p.source
+ORDER BY p.source
+"""
+
+
+@register(
+    "text_mattr_diversity",
+    _MATTR_ORACLE,
+    doc=f"moving-average type-token ratio (window {_MATTR_W}) per source",
+)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR (Covington & McFall 2010): the moving-average type-token
+    ratio — slide a {_MATTR_W}-token window over each document and
+    average the per-window type counts. THE length-robust lexical
+    diversity metric: plain TTR (`text_lexical_diversity`) mechanically
+    falls with document length, so cross-source TTR comparisons conflate
+    diversity with length; MATTR doesn't. Docs shorter than the window
+    are excluded from the ratio and counted separately (part of the
+    spec).
+
+    Exactness: per-window type counts are exact integers computed
+    map-side from bounded array slices (O(tokens x window) per doc, all
+    inside the scan stage — no shuffle of token streams); the per-source
+    MATTR is ONE floor division in ppm of exact sums.
+
+    Scale: everything per-doc is JVM-side higher-order array work in the
+    scan; the only shuffle is the per-source rollup of 2 longs."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("tk")
+    ).localCheckpoint(eager=False)
+    eligible = toks.filter(F.size("tk") >= _MATTR_W)
+    per_doc = eligible.select(
+        "source",
+        F.expr(
+            f"CAST(aggregate(transform(sequence(1, size(tk) - {_MATTR_W} + 1),"
+            f" i -> size(array_distinct(slice(tk, i, {_MATTR_W})))),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)"
+        ).alias("sum_types"),
+        (F.size("tk") - _MATTR_W + 1).cast("long").alias("n_windows"),
+    )
+    short_docs = (
+        toks.filter(F.size("tk") < _MATTR_W)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_short"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("sum_types").cast("long").alias("sum_types"),
+            F.sum("n_windows").cast("long").alias("n_windows"),
+        )
+        .join(F.broadcast(short_docs), "source", "left")
+        .selectExpr(
+            "source",
+            "n_docs",
+            "coalesce(n_short, CAST(0 AS BIGINT)) AS n_short_docs",
+            "sum_types",
+            "n_windows",
+            f"CAST(CAST(sum_types AS DECIMAL(38,0)) * 1000000"
+            f" div (n_windows * {_MATTR_W}) AS BIGINT) AS mattr_ppm",
+        )
+        .orderBy("source")
+    )

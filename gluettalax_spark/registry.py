@@ -160,6 +160,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "events_session_type_pmi",
     "orders_seasonality_anova",
     "dedup_cluster_histogram",
+    "events_ab_test_cuped",
+    "text_mattr_diversity",
 )
 
 

@@ -59,10 +59,15 @@ def get_spark(app_name: str = "gluettalax_spark", cpus: str | None = None) -> Sp
     )
     # ANSI sweep mode (make correctness-ansi): surfaces div-by-zero /
     # overflow / strict-cast divergences that silently return null in
-    # legacy mode. Spark 4 defaults this on; operators must be clean
-    # under both, so the gate runs the whole contract with it forced.
-    if os.environ.get("SPARK_GRAFT_ANSI", "").lower() in ("1", "true"):
+    # legacy mode. Spark 4 defaults this ON, so the unset default and
+    # SPARK_GRAFT_ANSI=true coincide; SPARK_GRAFT_ANSI=false forces the
+    # LEGACY (pre-4) semantics so the contract can prove operators are
+    # mode-independent in both directions (make correctness-legacy).
+    ansi_env = os.environ.get("SPARK_GRAFT_ANSI", "").lower()
+    if ansi_env in ("1", "true"):
         builder = builder.config("spark.sql.ansi.enabled", "true")
+    elif ansi_env in ("0", "false"):
+        builder = builder.config("spark.sql.ansi.enabled", "false")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

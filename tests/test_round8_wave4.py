@@ -1098,3 +1098,79 @@ def test_cluster_histogram_matches_exact_dedup(spark, sf_dir):
     # removable == docs minus distinct fingerprints (what EXACT dedup drops)
     assert total_removable == n_docs_tot - len(exact)
     assert sum(r["n_docs"] for r in rows.values()) == n_docs_tot
+
+
+# --------------------------------------------------------------------------
+# events_ab_test_cuped
+# --------------------------------------------------------------------------
+
+
+def test_cuped_matches_python_recompute(spark, sf_dir):
+    import hashlib
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    us = ev["ts"].astype("int64") // 1000
+    mid = (int(us.min()) + int(us.max())) // 2
+    cents = (ev["value"] * 100).round().astype("int64")
+    df = pd.DataFrame({"u": ev["user_id"], "pre": us < mid, "c": cents})
+    per_user = df.groupby("u").apply(
+        lambda g: pd.Series(
+            {"x": int(g.loc[g["pre"], "c"].sum()), "y": int(g.loc[~g["pre"], "c"].sum())}
+        ),
+        include_groups=False,
+    )
+    per_user["arm"] = [
+        int(hashlib.md5(str(u).encode()).hexdigest()[0], 16) % 2 for u in per_user.index
+    ]
+    n = len(per_user)
+    x = per_user["x"].astype(float)
+    y = per_user["y"].astype(float)
+    varx = (x * x).sum() - x.sum() ** 2 / n
+    cov = (x * y).sum() - x.sum() * y.sum() / n
+    vary = (y * y).sum() - y.sum() ** 2 / n
+    theta = cov / varx
+    a0, a1 = per_user[per_user["arm"] == 0], per_user[per_user["arm"] == 1]
+    diff_raw = (a1["y"].mean() - a0["y"].mean()) / 100.0
+    diff_cuped = (
+        (a1["y"].mean() - theta * a1["x"].mean()) - (a0["y"].mean() - theta * a0["x"].mean())
+    ) / 100.0
+    row = queries()["events_ab_test_cuped"](spark, sf_dir).collect()[0]
+    assert (row["n"], row["n0"], row["n1"]) == (n, len(a0), len(a1))
+    assert abs(row["theta"] - theta) < 1e-4
+    assert abs(row["rho_sq"] - cov * cov / (varx * vary)) < 1e-4
+    assert abs(row["diff_raw"] - diff_raw) < 1e-2
+    assert abs(row["diff_cuped"] - diff_cuped) < 1e-2
+    # variance reduction factor is a squared correlation
+    assert 0.0 <= row["rho_sq"] <= 1.0
+
+
+# --------------------------------------------------------------------------
+# text_mattr_diversity
+# --------------------------------------------------------------------------
+
+
+def test_mattr_matches_python_recompute(spark, sf_dir):
+    import re
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    agg = {}
+    for _, r in docs.iterrows():
+        tk = re.findall(r"[a-z]+", r["text"].lower())
+        e = agg.setdefault(r["source"], [0, 0, 0, 0])  # docs, short, types, windows
+        if len(tk) < 50:
+            e[1] += 1
+            continue
+        e[0] += 1
+        for i in range(len(tk) - 50 + 1):
+            e[2] += len(set(tk[i : i + 50]))
+        e[3] += len(tk) - 50 + 1
+    rows = {r["source"]: r for r in queries()["text_mattr_diversity"](spark, sf_dir).collect()}
+    expected_sources = {s for s, e in agg.items() if e[0] > 0}
+    assert set(rows) == expected_sources
+    for s in expected_sources:
+        nd, ns, st, nw = agg[s]
+        r = rows[s]
+        assert (r["n_docs"], r["n_short_docs"], r["sum_types"], r["n_windows"]) == (nd, ns, st, nw)
+        assert r["mattr_ppm"] == st * 1_000_000 // (nw * 50)
+        # MATTR is a ratio of types to window size
+        assert 0 < r["mattr_ppm"] <= 1_000_000
