@@ -755,3 +755,89 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming", "phash_a", "phash_b")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Content-addressed payload dedup (CAS accounting) — fully oracle-checked
+# --------------------------------------------------------------------------
+
+_PAYLOAD_DEDUP_ORACLE = """
+WITH payloads AS (
+  SELECT sha256(text) AS h,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS b
+  FROM documents
+),
+raw AS (
+  SELECT substr(h, 1, 1) AS shard,
+         CAST(count(*) AS BIGINT) AS n_payloads,
+         CAST(sum(b) AS BIGINT) AS bytes_total
+  FROM payloads GROUP BY 1
+),
+uniq AS (
+  SELECT substr(h, 1, 1) AS shard,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(b) AS BIGINT) AS bytes_distinct
+  FROM (SELECT h, min(b) AS b FROM payloads GROUP BY h)
+  GROUP BY 1
+)
+SELECT r.shard, r.n_payloads, u.n_distinct, r.bytes_total, u.bytes_distinct,
+       CAST(CAST(r.bytes_total - u.bytes_distinct AS HUGEINT) * 1000000
+            // r.bytes_total AS BIGINT) AS saved_ppm
+FROM raw r JOIN uniq u ON u.shard = r.shard
+ORDER BY r.shard
+"""
+
+
+@register(
+    "multimodal_payload_dedup",
+    _PAYLOAD_DEDUP_ORACLE,
+    doc="content-addressed payload dedup accounting per sha256 shard",
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed-storage accounting for opaque payloads: per
+    sha256 shard (the CAS prefix a blob store partitions on), how many
+    payloads arrive vs how many DISTINCT blobs exist, and the byte
+    savings dedup-on-write achieves — the capacity-planning number for
+    an image/audio lake, and the only fully oracle-checked dedup rung
+    of the multimodal family (metadata-only: bytes never shuffle, only
+    hashes and lengths).
+
+    Exactness: sha256 hex and octet lengths are deterministic built-ins
+    both engines; the per-distinct byte size is min(b) per hash
+    (identical payloads share one length, but min is the deterministic
+    spec); savings are one floor division in ppm.
+
+    Scale: one scan computing (hash, length) in the scan stage; one
+    groupBy(hash) and one 16-shard rollup. The payload COLUMN never
+    moves — the shape that works when blobs are megabytes."""
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select(
+        F.sha2(F.col("text"), 256).alias("h"),
+        F.octet_length(F.col("text")).cast("long").alias("b"),
+    ).localCheckpoint(eager=False)
+    raw = payloads.groupBy(F.substring("h", 1, 1).alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_payloads"),
+        F.sum("b").cast("long").alias("bytes_total"),
+    )
+    uniq = (
+        payloads.groupBy("h")
+        .agg(F.min("b").alias("b"))
+        .groupBy(F.substring("h", 1, 1).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum("b").cast("long").alias("bytes_distinct"),
+        )
+    )
+    return (
+        raw.join(uniq, "shard")
+        .selectExpr(
+            "shard",
+            "n_payloads",
+            "n_distinct",
+            "bytes_total",
+            "bytes_distinct",
+            "CAST(CAST(bytes_total - bytes_distinct AS DECIMAL(38,0)) * 1000000"
+            " div bytes_total AS BIGINT) AS saved_ppm",
+        )
+        .orderBy("shard")
+    )

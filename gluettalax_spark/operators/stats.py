@@ -3296,3 +3296,72 @@ def orders_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("forecast_ppm"), "p_partkey")
         .limit(_CROSTON_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Round-number bias (forensic accounting next to the Benford audit)
+# --------------------------------------------------------------------------
+
+_ROUND_BIAS_ORACLE = """
+WITH amounts AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_whole_dollar,
+       CAST(sum(CASE WHEN cents % 10000 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_whole_hundred,
+       CAST(CAST(sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+            // count(*) AS BIGINT) AS whole_dollar_ppm,
+       CAST(CAST(sum(CASE WHEN cents % 10000 = 0 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+            // count(*) AS BIGINT) AS whole_hundred_ppm
+FROM amounts
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+@register(
+    "orders_round_number_bias",
+    _ROUND_BIAS_ORACLE,
+    doc="round-number bias of order totals per priority (forensic audit)",
+)
+def orders_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-number bias: the share of order totals landing on whole
+    dollars / whole hundreds — the classic forensic-accounting screen
+    next to `events_benford_audit` (fabricated or policy-capped amounts
+    over-index on round values; organic prices don't). Expected organic
+    rates are 1% and 0.01%; the audit reports exact ppm per priority so
+    a drifting slice stands out.
+
+    Exactness: integer-cent modulus tests and ppm floor divisions —
+    no floats anywhere.
+
+    Scale: one scan, one conditional aggregate to the priority grid."""
+    orders = load(spark, sf_dir, "orders")
+    amounts = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        amounts.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.when(F.col("cents") % 100 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_whole_dollar"),
+            F.sum(F.when(F.col("cents") % 10000 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_whole_hundred"),
+            F.expr(
+                "CAST(CAST(sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END) AS DECIMAL(38,0))"
+                " * 1000000 div count(1) AS BIGINT)"
+            ).alias("whole_dollar_ppm"),
+            F.expr(
+                "CAST(CAST(sum(CASE WHEN cents % 10000 = 0 THEN 1 ELSE 0 END) AS DECIMAL(38,0))"
+                " * 1000000 div count(1) AS BIGINT)"
+            ).alias("whole_hundred_ppm"),
+        )
+        .orderBy("priority")
+    )

@@ -162,6 +162,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "dedup_cluster_histogram",
     "events_ab_test_cuped",
     "text_mattr_diversity",
+    "multimodal_payload_dedup",
+    "orders_round_number_bias",
 )
 
 

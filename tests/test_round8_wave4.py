@@ -1174,3 +1174,61 @@ def test_mattr_matches_python_recompute(spark, sf_dir):
         assert r["mattr_ppm"] == st * 1_000_000 // (nw * 50)
         # MATTR is a ratio of types to window size
         assert 0 < r["mattr_ppm"] <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# multimodal_payload_dedup
+# --------------------------------------------------------------------------
+
+
+def test_payload_dedup_matches_python_recompute(spark, sf_dir):
+    import hashlib
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    agg = {}
+    seen = {}
+    for t in docs["text"]:
+        h = hashlib.sha256(t.encode()).hexdigest()
+        b = len(t.encode())
+        shard = h[0]
+        e = agg.setdefault(shard, [0, 0])
+        e[0] += 1
+        e[1] += b
+        seen.setdefault(h, b)
+    uniq = {}
+    for h, b in seen.items():
+        e = uniq.setdefault(h[0], [0, 0])
+        e[0] += 1
+        e[1] += b
+    rows = {r["shard"]: r for r in queries()["multimodal_payload_dedup"](spark, sf_dir).collect()}
+    assert set(rows) == set(agg)
+    for shard, (np_, bt) in agg.items():
+        r = rows[shard]
+        nd, bd = uniq[shard]
+        assert (r["n_payloads"], r["n_distinct"]) == (np_, nd)
+        assert (r["bytes_total"], r["bytes_distinct"]) == (bt, bd)
+        assert r["saved_ppm"] == (bt - bd) * 1_000_000 // bt
+    # accounting identity: distinct never exceeds arrivals
+    assert all(r["n_distinct"] <= r["n_payloads"] for r in rows.values())
+
+
+# --------------------------------------------------------------------------
+# orders_round_number_bias
+# --------------------------------------------------------------------------
+
+
+def test_round_number_bias_matches_python_recompute(spark, sf_dir):
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+    df = pd.DataFrame({"p": orders["o_orderpriority"], "c": cents})
+    rows = {r["priority"]: r for r in queries()["orders_round_number_bias"](spark, sf_dir).collect()}
+    for p, g in df.groupby("p"):
+        r = rows[p]
+        n = len(g)
+        wd = int((g["c"] % 100 == 0).sum())
+        wh = int((g["c"] % 10000 == 0).sum())
+        assert (r["n_orders"], r["n_whole_dollar"], r["n_whole_hundred"]) == (n, wd, wh)
+        assert r["whole_dollar_ppm"] == wd * 1_000_000 // n
+        assert r["whole_hundred_ppm"] == wh * 1_000_000 // n
+        # organic synthetic prices: near the 1% / 0.01% base rates
+        assert r["whole_dollar_ppm"] < 100_000
