@@ -119,6 +119,37 @@ SHOWCASE = {
     "quality_signal_agreement": "two doc-keyed score passes; one doc join; two range-partition ranks; 9-cell grid",
     "events_sequence_match": "one groupBy(user) builds the bounded string; regex probes map-side; patterns-sized agg",
     "text_rake_keyphrases": "map-side phrase explode; word-/phrase-keyed aggs; TakeOrderedAndProject top-k",
+    "stats_welch_ttest": "one conditional 6-moment aggregate; no joins, single exchange",
+    "stats_jarque_bera": "one 5-moment aggregate to fourth order; decimal power sums",
+    "stats_cramers_v": "types x 4 md5 grid; chi2 e9-quantized terms; broadcast marginals",
+    "stats_ljung_box": "calendar grid; 7 lag joins grid x 7 broadcast; fixed-order Q expression",
+    "stats_theil_sen": "month grid self-join (~3.2k pairs); float-floor micro-slopes; bounded sorted array median",
+    "orders_herfindahl": "orders-customer key join; (segment x customer) grain; one 4-number segment rollup",
+    "graph_clustering_coefficient": "oriented wedge join sqrt(2m)-bounded; per-node credit explode; 1e-9-quantized local ratios",
+    "text_ngram_novelty_decay": "distinct (doc,shingle) shuffle; ONE window over shingle key; id-range decile buckets",
+    "events_bounce_rate_sessions": "sessionize window pair on one user exchange; landing = the new_session row",
+    "text_bpe_apply": "vocab-sized merge replay; per-source word counts equi-join the symbol dictionary",
+    "similarity_silhouette": "k-row centroid broadcast; bounded sorted collect per vector; 1e-6-quantized scores",
+    "stats_multiple_testing_bh": "types x 2 moment grid; shared erfc polynomial; k x k rank self-join (no window)",
+    "stats_hurst_exponent": "calendar grid x 4 window sizes; (w,win)-partitioned walk; fixed log2-x OLS combination",
+    "stats_runs_test": "grid median off bounded sorted array; adjacent-day self-join run count",
+    "events_time_to_convert": "one fill-forward view window per user; single-group exact percentiles",
+    "quality_classifier_auc": "classifier explode to doc grain; AUC = U/(n1*n0) off the logit value dictionary",
+    "text_burstiness": "(term x doc) counts checkpointed once; top-50 TakeOrderedAndProject; 50-term broadcast moment join",
+    "similarity_topk_filtered": "label-keyed probe broadcast into the scan; 20 bounded rank partitions",
+    "events_peak_concurrency": "+1/-1 session deltas; range-partitioned global running sum; no interval self-join",
+    "part_skyline_pareto": "size-dictionary sweep (per-size min + strict-prefix min); oracle proves vs NOT EXISTS",
+    "corpus_mix_budget": "source-grain aggregate; rank-and-fill on the source dictionary via grouped_running_sum",
+    "orders_croston_intermittent": "(part, ship-day) grain; calendar-bounded per-part arrays; power-of-two EWMA folds",
+    "text_simhash_bit_balance": "shared one-shuffle fingerprint pass; map-side 64x bit fan-out to 64 groups",
+    "json_schema_drift": "broadcast midpoint; key explode to (key x 2) grid; ppm floor divisions",
+    "events_session_type_pmi": "session type-sets map-side; pairs from bounded arrays; k^2 PMI grid",
+    "orders_seasonality_anova": "calendar grid; wd = t mod 7; 17-number single-row pivot; fixed-order SSB expression",
+    "dedup_cluster_histogram": "one fingerprint groupBy; histogram over cluster sizes; no pair explode",
+    "events_ab_test_cuped": "user-grain pre/post conditional aggregate; one 12-number moment row",
+    "text_mattr_diversity": "per-doc sliding-window type counts map-side in the scan; 2-long source rollup",
+    "multimodal_payload_dedup": "(hash, length) in scan stage; groupBy(hash); 16-shard rollup; payload never shuffles",
+    "orders_round_number_bias": "one conditional aggregate to the priority grid; integer modulus tests",
 }
 
 
