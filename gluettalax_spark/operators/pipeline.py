@@ -2198,10 +2198,23 @@ ORDER BY source
 """
 
 
+_LOGITS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def classifier_doc_logits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, n_feats, logit_milli) — the per-document scores
     behind `quality_classifier_linear`, exposed for composite
-    diagnostics (`quality_signal_agreement`). Integer-exact."""
+    diagnostics (`quality_signal_agreement`, `quality_classifier_auc`).
+    Integer-exact.
+
+    Memoized per (application, corpus dir) as a localCheckpointed frame:
+    three registry ops score the same corpus, and the unigram+bigram
+    explode is the dominant cost of each — the build/search split the
+    ANN codebooks and the covariance pass already use (checkpoint blocks
+    die with the session, hence the applicationId in the key)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _LOGITS_CACHE:
+        return _LOGITS_CACHE[key]
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -2227,12 +2240,14 @@ def classifier_doc_logits(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * {_QC_KNUTH}) % {_QC_WRANGE} - {_QC_WRANGE // 2}"
         ).alias("wgt"),
     )
-    return scored_feat.groupBy("doc_id", "source").agg(
+    out = scored_feat.groupBy("doc_id", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_feats"),
         F.expr("CAST(CAST(sum(wgt) AS BIGINT) * 1000 div count(*) AS BIGINT)").alias(
             "logit_milli"
         ),
-    )
+    ).localCheckpoint(eager=False)
+    _LOGITS_CACHE[key] = out
+    return out
 
 
 @register(
@@ -2681,17 +2696,24 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     logits = classifier_doc_logits(spark, sf_dir).select("doc_id", "logit_milli")
     j = logits.join(q, "doc_id").localCheckpoint(eager=False)
 
-    qdict = (
+    # Lower median off the BOUNDED quality dictionary (quality quantizes
+    # to 1e4 steps, so the dictionary is ≤ 10,001 rows at any corpus
+    # size): one sorted-array fold instead of a range-shuffle rank pass —
+    # the logit dictionary below still uses the scale-safe rank
+    # machinery because logit cardinality grows with the corpus.
+    med = (
         j.groupBy("q_int")
         .agg(F.count(F.lit(1)).cast("long").alias("nq"))
-        .withColumn("_g", F.lit(1))
-    )
-    qranked = grouped_running_sum(qdict, ["_g"], ["q_int"], "nq", "cumq")
-    nall = qdict.agg(F.sum("nq").cast("long").alias("nall"))
-    med = (
-        qranked.crossJoin(F.broadcast(nall))
-        .filter(2 * F.col("cumq") >= F.col("nall"))
-        .agg(F.min("q_int").alias("m"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("q_int", "nq"))).alias("arr"),
+            F.sum("nq").cast("long").alias("nall"),
+        )
+        .selectExpr(
+            "aggregate(arr, struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS BIGINT) AS med),"
+            " (acc, x) -> struct(acc.cum + x.nq,"
+            " CASE WHEN acc.med IS NULL AND 2 * (acc.cum + x.nq) >= nall"
+            " THEN x.q_int ELSE acc.med END)).med AS m"
+        )
     )
     labeled = j.crossJoin(F.broadcast(med)).select(
         F.col("logit_milli").alias("v"),
