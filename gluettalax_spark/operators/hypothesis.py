@@ -1459,3 +1459,196 @@ def events_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" - (CAST(sy0 AS DOUBLE) / n0 - {_CUPED_THETA} * (CAST(sx0 AS DOUBLE) / n0)))"
         " / 100.0, 4) AS diff_cuped",
     )
+
+
+# --------------------------------------------------------------------------
+# A/B power analysis: required sample size per arm, from observed baselines
+# --------------------------------------------------------------------------
+
+# z_{0.975} and z_{0.80}: the standard alpha=0.05 two-sided / 80%-power
+# constants, fixed literals in BOTH engines (no inverse-normal builtin).
+_PWR_ZA = "1.959964"
+_PWR_ZB = "0.841621"
+_PWR_MDE_REL = "0.10"  # detect a +10% relative lift
+
+_POWER_ORACLE = f"""
+WITH rates AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_with,
+         CAST(sum(count(*)) OVER () AS BIGINT) AS n_users
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_with, n_users,
+  round(CAST(n_with AS DOUBLE) / n_users, 6) AS baseline_rate,
+  CAST(ceil(
+    pow({_PWR_ZA} * sqrt(2.0 * (CAST(n_with AS DOUBLE) / n_users)
+                         * (1.0 + {_PWR_MDE_REL} / 2.0)
+                         * (1.0 - (CAST(n_with AS DOUBLE) / n_users)
+                                  * (1.0 + {_PWR_MDE_REL} / 2.0)))
+        + {_PWR_ZB} * sqrt((CAST(n_with AS DOUBLE) / n_users)
+                           * (1.0 - CAST(n_with AS DOUBLE) / n_users)
+                         + (CAST(n_with AS DOUBLE) / n_users) * (1.0 + {_PWR_MDE_REL})
+                           * (1.0 - (CAST(n_with AS DOUBLE) / n_users)
+                                    * (1.0 + {_PWR_MDE_REL}))), 2)
+    / pow((CAST(n_with AS DOUBLE) / n_users) * {_PWR_MDE_REL}, 2)
+  ) AS BIGINT) AS n_per_arm
+FROM rates
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_power_analysis",
+    _POWER_ORACLE,
+    doc="two-proportion power analysis: users/arm to detect +10% lift at 80% power",
+)
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis from OBSERVED baselines: for each event
+    type, its share of traffic and the samples-per-arm needed to detect
+    a +10% relative lift at alpha = 0.05 (two-sided) / 80% power — the
+    two-proportion sample-size formula
+    n = (z_a*sqrt(2*pbar*(1-pbar)) + z_b*sqrt(p1 q1 + p2 q2))^2 / d^2
+    with pbar the midpoint rate. The capacity question every experiment
+    review starts with, sitting next to `events_ab_test` (the test),
+    `events_ab_test_cuped` (variance reduction — divide this n by
+    1 - rho^2), and `stats_multiple_testing_bh` (the correction).
+
+    Exactness: reach counts are exact integers off one (user, type)
+    grain pass; the z constants are fixed literals in both engines (SQL
+    has no inverse normal); the whole formula is ONE IEEE expression
+    whose ceil lands on an integer — deterministic cross-engine.
+
+    Baselines are event SHARES (a multinomial mix, always interior —
+    per-user reach saturates at 1.0 on the dense fixture, which makes
+    p*(1+MDE) > 1 and the formula undefined; found by the DuckDB oracle
+    refusing sqrt of a negative). n_users here counts samples = events.
+
+    Scale: one types-sized aggregate; the share denominator comes from
+    the same count table."""
+    events = load(spark, sf_dir, "events")
+    counts = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_with")
+    )
+    tot = counts.agg(F.sum("n_with").cast("long").alias("n_users"))
+    rates = counts.crossJoin(F.broadcast(tot))
+    return rates.selectExpr(
+        "event_type",
+        "n_with",
+        "n_users",
+        "round(CAST(n_with AS DOUBLE) / n_users, 6) AS baseline_rate",
+        f"""CAST(ceil(
+    pow({_PWR_ZA} * sqrt(2.0 * (CAST(n_with AS DOUBLE) / n_users)
+                         * (1.0 + {_PWR_MDE_REL} / 2.0)
+                         * (1.0 - (CAST(n_with AS DOUBLE) / n_users)
+                                  * (1.0 + {_PWR_MDE_REL} / 2.0)))
+        + {_PWR_ZB} * sqrt((CAST(n_with AS DOUBLE) / n_users)
+                           * (1.0 - CAST(n_with AS DOUBLE) / n_users)
+                         + (CAST(n_with AS DOUBLE) / n_users) * (1.0 + {_PWR_MDE_REL})
+                           * (1.0 - (CAST(n_with AS DOUBLE) / n_users)
+                                    * (1.0 + {_PWR_MDE_REL}))), 2)
+    / pow((CAST(n_with AS DOUBLE) / n_users) * {_PWR_MDE_REL}, 2)
+  ) AS BIGINT) AS n_per_arm""",
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Variance decomposition of document quality by source (ANOVA + ICC)
+# --------------------------------------------------------------------------
+
+
+def _icc_oracle() -> str:
+    from gluettalax_spark.operators.text import _QUALITY_DUCK
+
+    return f"""
+WITH vals AS (
+  SELECT source AS g, CAST(round(({_QUALITY_DUCK}) * 10000) AS BIGINT) AS v
+  FROM documents
+),
+grp AS (
+  SELECT g,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(v) AS BIGINT) AS s_g,
+         CAST(sum(CAST(v AS HUGEINT) * v) AS BIGINT) AS q_g
+  FROM vals GROUP BY g
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(s_g) AS BIGINT) AS s,
+         CAST(sum(q_g) AS BIGINT) AS q,
+         CAST(sum(CAST(s_g AS HUGEINT) * s_g // n_g) AS BIGINT) AS ssbq,
+         CAST(sum(CAST(n_g AS HUGEINT) * n_g) AS BIGINT) AS sn2
+  FROM grp
+)
+SELECT k, n, s, q, ssbq,
+  round(((CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (k - 1))
+        / ((CAST(q AS DOUBLE) - ssbq) / (n - k)), 4) AS f_stat,
+  round((CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+        / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 6) AS eta_sq,
+  round((((CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (k - 1))
+         - ((CAST(q AS DOUBLE) - ssbq) / (n - k)))
+        / (((CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (k - 1))
+           + (((CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / n) / (k - 1)) - 1.0)
+             * ((CAST(q AS DOUBLE) - ssbq) / (n - k))), 6) AS icc1
+FROM m
+"""
+
+
+@register(
+    "quality_variance_icc",
+    _icc_oracle(),
+    doc="variance decomposition of doc quality by source: ANOVA F, eta^2, ICC(1)",
+)
+def quality_variance_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of document quality is a SOURCE property vs per-document
+    noise: one-way ANOVA of the heuristic quality score by source plus
+    the intraclass correlation ICC(1) = (MSB - MSW)/(MSB + (k0 - 1) MSW)
+    with the unequal-group-size k0 = (N - sum n_g^2/N)/(k - 1). ICC is
+    the sampling-design number: high ICC means curation should act on
+    SOURCES (dropping/reweighting whole feeds), low ICC means per-doc
+    filtering is the only lever — the quantitative justification for
+    `corpus_mix_budget` vs `quality_quantile_filter_by_lang`.
+
+    Exactness: the `stats_anova_oneway` moment recipe on the quantized
+    quality score (q_int <= 1e4, so s_g^2 div n_g <= 1e8*n_g and the
+    ssbq sum stays in int64 past 1e10 documents — bound documented);
+    sum n_g^2 rides HUGEINT; F, eta^2, ICC are single IEEE expressions.
+
+    Scale: one data-scale groupBy(source); everything after is
+    source-dictionary-sized."""
+    from gluettalax_spark.operators.text import _quality_parts
+
+    docs = load(spark, sf_dir, "documents")
+    _, _, _, quality = _quality_parts()
+    vals = docs.select(
+        F.col("source").alias("g"), F.round(quality * 10000).cast("long").alias("v")
+    )
+    grp = vals.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("v").cast("long").alias("s_g"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).cast("long").alias("q_g"),
+    )
+    m = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("q_g").cast("long").alias("q"),
+        F.sum(F.expr("CAST(s_g AS DECIMAL(38,0)) * s_g div n_g")).cast("long").alias("ssbq"),
+        F.sum(F.col("n_g").cast("decimal(38,0)") * F.col("n_g")).cast("long").alias("sn2"),
+    )
+    return m.selectExpr(
+        "k",
+        "n",
+        "s",
+        "q",
+        "ssbq",
+        "round(((CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (k - 1))"
+        " / ((CAST(q AS DOUBLE) - ssbq) / (n - k)), 4) AS f_stat",
+        "round((CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+        " / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 6) AS eta_sq",
+        "round((((CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (k - 1))"
+        " - ((CAST(q AS DOUBLE) - ssbq) / (n - k)))"
+        " / (((CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (k - 1))"
+        " + (((CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / n) / (k - 1)) - 1.0)"
+        " * ((CAST(q AS DOUBLE) - ssbq) / (n - k))), 6) AS icc1",
+    )

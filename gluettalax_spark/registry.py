@@ -164,6 +164,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "text_mattr_diversity",
     "multimodal_payload_dedup",
     "orders_round_number_bias",
+    "events_power_analysis",
+    "quality_variance_icc",
 )
 
 

@@ -1232,3 +1232,73 @@ def test_round_number_bias_matches_python_recompute(spark, sf_dir):
         assert r["whole_hundred_ppm"] == wh * 1_000_000 // n
         # organic synthetic prices: near the 1% / 0.01% base rates
         assert r["whole_dollar_ppm"] < 100_000
+
+
+# --------------------------------------------------------------------------
+# events_power_analysis
+# --------------------------------------------------------------------------
+
+
+def test_power_analysis_matches_python_recompute(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    counts = ev["event_type"].value_counts()
+    n_tot = int(counts.sum())
+    za, zb, mde = 1.959964, 0.841621, 0.10
+    rows = {r["event_type"]: r for r in queries()["events_power_analysis"](spark, sf_dir).collect()}
+    assert set(rows) == set(counts.index)
+    for t, c in counts.items():
+        p1 = c / n_tot
+        p2 = p1 * (1 + mde)
+        pbar = p1 * (1 + mde / 2)
+        n = (
+            za * math.sqrt(2 * pbar * (1 - pbar))
+            + zb * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+        ) ** 2 / (p1 * mde) ** 2
+        r = rows[t]
+        assert r["n_with"] == int(c)
+        assert abs(r["baseline_rate"] - p1) < 1e-5
+        assert r["n_per_arm"] == math.ceil(n)
+    # smaller baselines need more samples — the monotone sanity
+    by_rate = sorted(rows.values(), key=lambda r: r["baseline_rate"])
+    arms = [r["n_per_arm"] for r in by_rate]
+    assert arms == sorted(arms, reverse=True)
+
+
+# --------------------------------------------------------------------------
+# quality_variance_icc
+# --------------------------------------------------------------------------
+
+
+def test_icc_matches_python_recompute(spark, sf_dir):
+    import re
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    groups = {}
+    for _, r in docs.iterrows():
+        text = r["text"]
+        n_chars = len(text)
+        n_tok = max(len(re.findall(r"\S+", text)), 1)
+        n_stop = len(re.findall(r"\b(the|and|of|to|is|a|in)\b", text.lower()))
+        n_punct = len(re.findall(r"[.,!?;:]", text))
+        q = (
+            0.5 * min(n_chars / 500.0, 1.0)
+            + 0.4 * (n_stop / n_tok)
+            + 0.1 * (1.0 - n_punct / max(n_chars, 1))
+        )
+        groups.setdefault(r["source"], []).append(math.floor(q * 10000 + 0.5))
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    s = sum(sum(v) for v in groups.values())
+    q_ = sum(x * x for v in groups.values() for x in v)
+    ssbq = sum(sum(v) ** 2 // len(v) for v in groups.values())
+    sn2 = sum(len(v) ** 2 for v in groups.values())
+    row = queries()["quality_variance_icc"](spark, sf_dir).collect()[0]
+    assert (row["k"], row["n"], row["s"], row["q"], row["ssbq"]) == (k, n, s, q_, ssbq)
+    msb = (ssbq - s * s / n) / (k - 1)
+    msw = (q_ - ssbq) / (n - k)
+    k0 = (n - sn2 / n) / (k - 1)
+    icc = (msb - msw) / (msb + (k0 - 1) * msw)
+    assert abs(row["f_stat"] - msb / msw) / max(msb / msw, 1.0) < 1e-3
+    assert abs(row["icc1"] - icc) < 1e-4
+    # ICC is bounded and sane for a grouped design
+    assert -0.5 < row["icc1"] < 1.0
