@@ -208,6 +208,18 @@ HEADLINE = [
     "events_peak_concurrency",
     "part_skyline_pareto",
     "corpus_mix_budget",
+    "orders_croston_intermittent",
+    "text_simhash_bit_balance",
+    "json_schema_drift",
+    "events_session_type_pmi",
+    "orders_seasonality_anova",
+    "dedup_cluster_histogram",
+    "events_ab_test_cuped",
+    "text_mattr_diversity",
+    "multimodal_payload_dedup",
+    "orders_round_number_bias",
+    "events_power_analysis",
+    "quality_variance_icc",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

