@@ -150,6 +150,8 @@ SHOWCASE = {
     "text_mattr_diversity": "per-doc sliding-window type counts map-side in the scan; 2-long source rollup",
     "multimodal_payload_dedup": "(hash, length) in scan stage; groupBy(hash); 16-shard rollup; payload never shuffles",
     "orders_round_number_bias": "one conditional aggregate to the priority grid; integer modulus tests",
+    "events_power_analysis": "types-sized aggregate; fixed z-constant formula; share denominators broadcast",
+    "quality_variance_icc": "one groupBy(source); ANOVA moments + sum n_g^2; single-row closed forms",
 }
 
 
