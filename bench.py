@@ -289,6 +289,22 @@ SCALING_SUBSET = [
     "graph_clustering_coefficient",
     "similarity_topk_filtered",
     "events_peak_concurrency",
+    # round-9 additions: the heaviest round-8 operators that predated the
+    # r8 scaling capture (VERDICT r8 task 5)
+    "graph_hits_bipartite",
+    "similarity_silhouette",
+    "quality_signal_agreement",
+    "events_sequence_match",
+    "dedup_cluster_histogram",
+    "corpus_mix_budget",
+    "stats_theil_sen",
+    "events_survival_km",
+    "text_tfidf_source_keywords",
+    "text_mattr_diversity",
+    "text_heaps_law_fit",
+    "multimodal_payload_dedup",
+    "stats_hurst_exponent",
+    "orders_croston_intermittent",
 ]
 
 
@@ -543,6 +559,7 @@ STREAMING_SUBSET = [
     ("streaming_rolling_zscore", "update"),
     ("streaming_anova_moments", "update"),
     ("streaming_markov_transitions", "update"),
+    ("streaming_sequence_match", "update"),
     ("streaming_tumbling_counts", "append"),
 ]
 

@@ -1047,11 +1047,13 @@ tot AS (
   FROM cells
 ),
 terms AS (
-  SELECT
-    (CAST(o AS HUGEINT) * nn - rt * ct) * (CAST(o AS HUGEINT) * nn - rt * ct)
-      * {_CHI2_SCALE} // (nn * rt * ct) AS t_e9,
-    nn
-  FROM tot
+  SELECT nn, (o_e9 - e_e9) * (o_e9 - e_e9) // e_e9 AS t_e9
+  FROM (
+    SELECT nn,
+           CAST(o AS HUGEINT) * {_CHI2_SCALE} AS o_e9,
+           greatest(rt * ct * {_CHI2_SCALE} // nn, 1) AS e_e9
+    FROM tot
+  )
 )
 SELECT
   CAST((SELECT count(DISTINCT event_type) FROM cells) AS BIGINT) AS n_types,
@@ -1080,9 +1082,16 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     so min(r,c)−1 = 3 and V exercises the non-binary normalizer; the
     split is an A/A design, so the unit test pins V ≈ 0 (calibration).
 
-    Exactness: the χ² terms reuse the 1e-9 floor-quantization recipe —
-    ``chi2_e9`` is an exact integer both engines; V is one fixed IEEE
-    expression over it, rounded for display.
+    Exactness: the χ² terms use the FACTORED 1e-9 floor-quantization
+    recipe — expected counts first (``e_e9 = rt·ct·1e9 // nn``, floored,
+    min 1), then ``(o·1e9 − e_e9)² // e_e9`` — identical integer ops in
+    both engines, so ``chi2_e9`` is exact cross-engine. Magnitude bound
+    (the reason for factoring, VERDICT r8 advice): the squared term is
+    ≤ (nn·1e9)², inside DECIMAL(38,0)/HUGEINT up to nn ≈ 1e10 events,
+    and the BIGINT ``sum(t_e9)`` caps at χ² ≤ 9.2e9 ⇒ nn ≲ 3e9 under
+    total dependence — vs ~1.8e7 for the unfactored
+    ``(o·nn − rt·ct)²·1e9`` form (which `stats_chi2_type_by_split`
+    documents as its own bound).
 
     Scale: one data-scale groupBy to the types×4 grid; marginals are
     broadcast re-aggregations of that bounded grid."""
@@ -1114,11 +1123,13 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     terms = tot.select(
         "nn",
+        F.expr(f"CAST(o AS DECIMAL(38,0)) * {_CHI2_SCALE}").alias("o_e9"),
         F.expr(
-            f"""(CAST(o AS DECIMAL(38,0)) * nn - rt * ct)
-                * (CAST(o AS DECIMAL(38,0)) * nn - rt * ct)
-                * {_CHI2_SCALE} div (nn * rt * ct)"""
-        ).alias("t_e9"),
+            f"greatest(rt * ct * {_CHI2_SCALE} div nn, CAST(1 AS DECIMAL(38,0)))"
+        ).alias("e_e9"),
+    ).select(
+        "nn",
+        F.expr("(o_e9 - e_e9) * (o_e9 - e_e9) div e_e9").alias("t_e9"),
     )
     chi2 = terms.groupBy("nn").agg(F.sum("t_e9").cast("long").alias("chi2_e9"))
     return (
@@ -1475,22 +1486,22 @@ _POWER_ORACLE = f"""
 WITH rates AS (
   SELECT event_type,
          CAST(count(*) AS BIGINT) AS n_with,
-         CAST(sum(count(*)) OVER () AS BIGINT) AS n_users
+         CAST(sum(count(*)) OVER () AS BIGINT) AS n_events
   FROM events GROUP BY event_type
 )
-SELECT event_type, n_with, n_users,
-  round(CAST(n_with AS DOUBLE) / n_users, 6) AS baseline_rate,
+SELECT event_type, n_with, n_events,
+  round(CAST(n_with AS DOUBLE) / n_events, 6) AS baseline_rate,
   CAST(ceil(
-    pow({_PWR_ZA} * sqrt(2.0 * (CAST(n_with AS DOUBLE) / n_users)
+    pow({_PWR_ZA} * sqrt(2.0 * (CAST(n_with AS DOUBLE) / n_events)
                          * (1.0 + {_PWR_MDE_REL} / 2.0)
-                         * (1.0 - (CAST(n_with AS DOUBLE) / n_users)
+                         * (1.0 - (CAST(n_with AS DOUBLE) / n_events)
                                   * (1.0 + {_PWR_MDE_REL} / 2.0)))
-        + {_PWR_ZB} * sqrt((CAST(n_with AS DOUBLE) / n_users)
-                           * (1.0 - CAST(n_with AS DOUBLE) / n_users)
-                         + (CAST(n_with AS DOUBLE) / n_users) * (1.0 + {_PWR_MDE_REL})
-                           * (1.0 - (CAST(n_with AS DOUBLE) / n_users)
+        + {_PWR_ZB} * sqrt((CAST(n_with AS DOUBLE) / n_events)
+                           * (1.0 - CAST(n_with AS DOUBLE) / n_events)
+                         + (CAST(n_with AS DOUBLE) / n_events) * (1.0 + {_PWR_MDE_REL})
+                           * (1.0 - (CAST(n_with AS DOUBLE) / n_events)
                                     * (1.0 + {_PWR_MDE_REL}))), 2)
-    / pow((CAST(n_with AS DOUBLE) / n_users) * {_PWR_MDE_REL}, 2)
+    / pow((CAST(n_with AS DOUBLE) / n_events) * {_PWR_MDE_REL}, 2)
   ) AS BIGINT) AS n_per_arm
 FROM rates
 ORDER BY event_type
@@ -1521,7 +1532,7 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     Baselines are event SHARES (a multinomial mix, always interior —
     per-user reach saturates at 1.0 on the dense fixture, which makes
     p*(1+MDE) > 1 and the formula undefined; found by the DuckDB oracle
-    refusing sqrt of a negative). n_users here counts samples = events.
+    refusing sqrt of a negative). n_events here counts samples = events.
 
     Scale: one types-sized aggregate; the share denominator comes from
     the same count table."""
@@ -1529,24 +1540,24 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = events.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_with")
     )
-    tot = counts.agg(F.sum("n_with").cast("long").alias("n_users"))
+    tot = counts.agg(F.sum("n_with").cast("long").alias("n_events"))
     rates = counts.crossJoin(F.broadcast(tot))
     return rates.selectExpr(
         "event_type",
         "n_with",
-        "n_users",
-        "round(CAST(n_with AS DOUBLE) / n_users, 6) AS baseline_rate",
+        "n_events",
+        "round(CAST(n_with AS DOUBLE) / n_events, 6) AS baseline_rate",
         f"""CAST(ceil(
-    pow({_PWR_ZA} * sqrt(2.0 * (CAST(n_with AS DOUBLE) / n_users)
+    pow({_PWR_ZA} * sqrt(2.0 * (CAST(n_with AS DOUBLE) / n_events)
                          * (1.0 + {_PWR_MDE_REL} / 2.0)
-                         * (1.0 - (CAST(n_with AS DOUBLE) / n_users)
+                         * (1.0 - (CAST(n_with AS DOUBLE) / n_events)
                                   * (1.0 + {_PWR_MDE_REL} / 2.0)))
-        + {_PWR_ZB} * sqrt((CAST(n_with AS DOUBLE) / n_users)
-                           * (1.0 - CAST(n_with AS DOUBLE) / n_users)
-                         + (CAST(n_with AS DOUBLE) / n_users) * (1.0 + {_PWR_MDE_REL})
-                           * (1.0 - (CAST(n_with AS DOUBLE) / n_users)
+        + {_PWR_ZB} * sqrt((CAST(n_with AS DOUBLE) / n_events)
+                           * (1.0 - CAST(n_with AS DOUBLE) / n_events)
+                         + (CAST(n_with AS DOUBLE) / n_events) * (1.0 + {_PWR_MDE_REL})
+                           * (1.0 - (CAST(n_with AS DOUBLE) / n_events)
                                     * (1.0 + {_PWR_MDE_REL}))), 2)
-    / pow((CAST(n_with AS DOUBLE) / n_users) * {_PWR_MDE_REL}, 2)
+    / pow((CAST(n_with AS DOUBLE) / n_events) * {_PWR_MDE_REL}, 2)
   ) AS BIGINT) AS n_per_arm""",
     ).orderBy("event_type")
 

@@ -647,12 +647,23 @@ def make_phash_batch():
     def phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
+        _weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+
         def phash(payload: bytes) -> int:
-            tot = sum(payload)
-            h = 0
-            for i in range(64):
-                if 64 * sum(payload[i::64]) > tot:
-                    h |= 1 << i
+            # Vectorized lane sums: zero-pad to a multiple of 64 (padding
+            # is sum-neutral for both the per-lane and total sums), then
+            # one reshape+sum — no per-element Python loop (VERDICT r8
+            # perf finding #2). Bit i set iff 64·lane_sum[i] > total.
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            pad = (-arr.size) % 64
+            if pad:
+                arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+            lanes = arr.reshape(-1, 64).sum(axis=0, dtype=np.int64)
+            bits = (64 * lanes) > lanes.sum()
+            # Distinct powers of two: the uint64 dot product is exact.
+            h = int((bits * _weights).sum(dtype=np.uint64))
             return h - (1 << 64) if h >= (1 << 63) else h
 
         def md5w(payload: bytes) -> int:

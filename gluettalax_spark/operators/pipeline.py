@@ -2246,6 +2246,11 @@ def classifier_doc_logits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "logit_milli"
         ),
     ).localCheckpoint(eager=False)
+    # Bounded memo: keep only the latest (app, corpus dir) so a
+    # long-lived session touching many corpus dirs doesn't pin a
+    # checkpoint block per dir (dropping our reference lets Spark's
+    # ContextCleaner unpersist the old blocks).
+    _LOGITS_CACHE.clear()
     _LOGITS_CACHE[key] = out
     return out
 

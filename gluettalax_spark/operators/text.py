@@ -943,6 +943,13 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_K = 7
 _BLOOM_BITS_PER_ITEM = 14
 _BLOOM_MIN_BITS = 1 << 13
+#: Hard cap on distinct eval shingles collected to the driver. Real
+#: decontamination setups hold the eval corpus contractually small
+#: (thousands of docs vs a 100 TB train corpus); 50M distinct shingles
+#: ≈ 800 MB of driver pandas, the most a sane config should ever need.
+#: A misconfigured eval split (e.g. the predicate accidentally selecting
+#: the train corpus) fails loudly here instead of OOMing the driver.
+_BLOOM_EVAL_SHINGLE_CAP = 50_000_000
 
 
 def _bloom_build(hashes):
@@ -1049,12 +1056,23 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recompute. The bloom is keyed on xxhash64 (JVM-side, ~3× cheaper
     # than md5); the oracle-parity md5 keyspace is computed only for the
     # bloom's survivors.
+    # LIMIT cap+1 hard-bounds what can ever reach the driver (the extra
+    # row is the tripwire); under the cap, LIMIT returns the full set.
     eval_pdf = (
         shingles_exploded(spark, sf_dir, where=F.col("source") == "src0")
         .select(h60, F.xxhash64("s").alias("hx"))
         .distinct()
+        .limit(_BLOOM_EVAL_SHINGLE_CAP + 1)
         .toPandas()
     )
+    if len(eval_pdf) > _BLOOM_EVAL_SHINGLE_CAP:
+        raise ValueError(
+            f"decontaminate_bloom: eval split produced more than "
+            f"{_BLOOM_EVAL_SHINGLE_CAP:,} distinct shingles — the eval "
+            "corpus must be contractually small (is the eval predicate "
+            "selecting the train corpus?); refusing to build a "
+            "driver-side Bloom filter from it"
+        )
     bits, m = _bloom_build(eval_pdf["hx"].to_numpy())
     bbits = spark.sparkContext.broadcast(bits)
 
@@ -4007,6 +4025,9 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         dict_df = cur.select(
             "w", F.size(F.expr(_SYMS)).cast("long").alias("n_sym")
         ).localCheckpoint(eager=False)
+        # Bounded memo: latest (app, corpus dir) only — see
+        # classifier_doc_logits for the rationale.
+        _BPE_DICT_CACHE.clear()
         _BPE_DICT_CACHE[key] = dict_df
     src_freq = (
         docs.select(

@@ -80,9 +80,10 @@ def register(
 
 
 # Keys surfaced FIRST so a sampling driver gives them a verdict this
-# round — genuinely NEW operators only. As of round 8 the board is
-# closed: the union of CORRECTNESS_r01–r07 gives every pre-round-8 key a
-# driver verdict, so the tuple holds only operators added this round.
+# round. Round 9 rotation: the r8 driver sample verdicted the first 50
+# keys of the r8 tuple; the 22 tail keys below are the ONLY registry
+# keys without a driver verdict (union of CORRECTNESS_r01–r08), so they
+# lead, followed by operators genuinely new in round 9.
 #
 # _ROTATION_ROUND records the round this tuple was last rotated. The
 # staleness guard
@@ -91,59 +92,10 @@ def register(
 # current round's deposit NECESSARILY verdicts the current rotation, and
 # treating that as staleness shipped the suite red after every driver
 # drop in rounds 6 and 7 (VERDICT r7 "What's wrong" #1).
-_ROTATION_ROUND = 8
+_ROTATION_ROUND = 9
 
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "jobs_run_history_stats",
-    "stats_mannwhitney_events",
-    "stats_spearman_quality_length",
-    "stats_chi2_type_by_split",
-    "graph_modularity",
-    "text_gopher_quality",
-    "embedding_matryoshka_audit",
-    "text_dsir_importance",
-    "join_duplicate_payments",
-    "text_tfidf_source_keywords",
-    "orders_demand_variability_xyz",
-    "events_markov_entropy_rate",
-    "orders_gini_customers",
-    "text_bigram_kn_logppl",
-    "text_langid_confusion",
-    "supplier_lead_time_percentiles",
-    "customer_segment_migration",
-    "stats_anova_oneway",
-    "stats_kruskal_wallis",
-    "events_powerlaw_mle",
-    "text_dup_ngram_fraction",
-    "quality_classifier_linear",
-    "similarity_range_radius",
-    "events_did_uplift",
-    "events_attribution_position",
-    "text_ppl_buckets",
-    "stats_kendall_tau_binned",
-    "events_survival_km",
-    "stats_cohens_kappa",
-    "multimodal_phash_neardup",
-    "join_asof_nearest",
-    "orders_bootstrap_ci_poisson",
-    "graph_hits_bipartite",
-    "quality_signal_agreement",
-    "events_sequence_match",
-    "text_rake_keyphrases",
-    "stats_brown_forsythe",
-    "text_heaps_law_fit",
-    "events_periodogram_dft",
-    "stats_welch_ttest",
-    "stats_jarque_bera",
-    "stats_cramers_v",
-    "stats_ljung_box",
-    "stats_theil_sen",
-    "orders_herfindahl",
-    "graph_clustering_coefficient",
-    "text_ngram_novelty_decay",
-    "events_bounce_rate_sessions",
-    "text_bpe_apply",
-    "similarity_silhouette",
+    # -- the 22 keys still lacking a driver verdict after round 8 --
     "stats_multiple_testing_bh",
     "stats_hurst_exponent",
     "stats_runs_test",
@@ -166,6 +118,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "orders_round_number_bias",
     "events_power_analysis",
     "quality_variance_icc",
+    # -- operators added in round 9 (appended as they land) --
 )
 
 

@@ -906,9 +906,17 @@ def _make_markov_fn():
 
         import pandas as _pd
 
-        last_type, counts_json = state.get if state.exists else (None, "{}")
-        counts = {tuple(k.split(" ")): v for k, v in _json.loads(counts_json).items()}
-        for pdf in pdfs:
+        last_type, counts_json = state.get if state.exists else (None, "[]")
+        # State keys are JSON arrays ["from","to"] — a bare separator
+        # would corrupt the map for event types containing it.
+        counts = {tuple(k): v for k, v in _json.loads(counts_json)}
+        # One micro-batch per group may arrive as SEVERAL Arrow chunks
+        # with no cross-chunk ordering guarantee; concatenate and sort
+        # ONCE so the chain head never pairs out-of-order events.
+        # (Cross-MICRO-BATCH ordering is still an arrival-order
+        # assumption, as for any streaming sequence statistic.)
+        pdf = _pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(["ts", "event_id"])
             for t in pdf["event_type"]:
                 if last_type is not None:
@@ -916,7 +924,7 @@ def _make_markov_fn():
                     counts[k2] = counts.get(k2, 0) + 1
                 last_type = t
         state.update(
-            (last_type, _json.dumps({" ".join(k): v for k, v in counts.items()}))
+            (last_type, _json.dumps([[list(k), v] for k, v in counts.items()]))
         )
         if counts:
             items = sorted(counts.items())
@@ -945,6 +953,127 @@ def streaming_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         _make_markov_fn(),
         outputStructType=MARKOV_OUTPUT_SCHEMA,
         stateStructType=_MARKOV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming twin: MATCH_RECOGNIZE sequence patterns (bitmask NFA per user)
+# --------------------------------------------------------------------------
+
+SEQMATCH_OUTPUT_SCHEMA = "user_id long, pattern string, matched int"
+_SEQMATCH_STATE_SCHEMA = "nfa_json string"
+
+
+def _compile_seq_pattern(rx: str, alphabet: frozenset) -> tuple:
+    """Compile the restricted regex dialect of
+    ``operators.stats._SEQ_PATTERNS`` — literal chars, ``[..]`` /
+    ``[^..]`` classes, optional postfix ``*`` — into ``(charset, star)``
+    tokens for the bitmask NFA in :func:`_make_seqmatch_fn`. Runs on the
+    driver; the output is plain picklable data."""
+    tokens = []
+    i = 0
+    while i < len(rx):
+        if rx[i] == "[":
+            j = rx.index("]", i)
+            body = rx[i + 1 : j]
+            cls = (alphabet - frozenset(body[1:])) if body.startswith("^") else frozenset(body)
+            i = j + 1
+        else:
+            cls = frozenset(rx[i])
+            i += 1
+        star = i < len(rx) and rx[i] == "*"
+        if star:
+            i += 1
+        tokens.append((cls, star))
+    return tuple(tokens)
+
+
+def _make_seqmatch_fn():
+    """State per (user, pattern): one NFA position BITMASK (≤ 1 bit per
+    pattern token — state capped at PATTERN LENGTH, never history
+    length) plus a sticky matched flag. This is the streaming form of
+    `events_sequence_match`'s regex-containment probe: before each
+    character the start position is re-injected (a contiguous match may
+    begin anywhere), every active position either consumes the character
+    or dies, star tokens self-loop with an ε-edge forward, and reaching
+    the accept bit latches ``matched``. Unmapped event types are SKIPPED
+    — the batch op's ``concat_ws`` drops NULL chars the same way, so the
+    two see identical character sequences.
+
+    Each update concatenates all Arrow chunks of the micro-batch and
+    sorts ONCE by (ts, event_id) — one group's micro-batch may arrive as
+    several chunks with no cross-chunk ordering (the Markov-twin
+    lesson); cross-MICRO-BATCH ordering remains an arrival-order
+    assumption, as for any streaming sequence statistic."""
+    from gluettalax_spark.operators.stats import _SEQ_CHAR, _SEQ_PATTERNS
+
+    alphabet = frozenset(_SEQ_CHAR.values())
+    compiled = [(name, _compile_seq_pattern(rx, alphabet)) for name, rx in _SEQ_PATTERNS]
+    char_map = dict(_SEQ_CHAR)
+
+    def update(key, pdfs, state):
+        import json as _json
+
+        import pandas as _pd
+
+        st = _json.loads(state.get[0]) if state.exists else [[0, 0] for _ in compiled]
+
+        def closure(mask, tokens):
+            for i, (_, star) in enumerate(tokens):
+                if star and mask & (1 << i):
+                    mask |= 1 << (i + 1)
+            return mask
+
+        pdf = _pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(["ts", "event_id"])
+            chars = [char_map.get(t) for t in pdf["event_type"]]
+            for p, (_, tokens) in enumerate(compiled):
+                mask, matched = st[p]
+                if matched:
+                    continue
+                accept = 1 << len(tokens)
+                for ch in chars:
+                    if ch is None:
+                        continue
+                    mask = closure(mask | 1, tokens)
+                    new = 0
+                    for i, (cls, star) in enumerate(tokens):
+                        if mask & (1 << i) and ch in cls:
+                            new |= 1 << (i if star else i + 1)
+                    mask = closure(new, tokens)
+                    if mask & accept:
+                        matched = 1
+                        break
+                st[p] = [mask, matched]
+        state.update((_json.dumps(st),))
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(compiled),
+                "pattern": [name for name, _ in compiled],
+                "matched": [int(s[1]) for s in st],
+            }
+        )
+
+    return update
+
+
+def streaming_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `events_sequence_match`: live per-user
+    MATCH_RECOGNIZE — "has this user completed view→clicks→purchase
+    yet?" — maintained as one bitmask NFA per (user, pattern). Counting
+    each user's FINAL matched emission per pattern reproduces the batch
+    op's n_matched exactly (pinned in tests). State is bounded by
+    Σ pattern lengths (≤ 4 bytes of mask + a flag per pattern here),
+    independent of history length — the property that makes row-pattern
+    matching streamable where the batch op's per-user string is not."""
+    stream = read_events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _make_seqmatch_fn(),
+        outputStructType=SEQMATCH_OUTPUT_SCHEMA,
+        stateStructType=_SEQMATCH_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

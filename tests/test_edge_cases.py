@@ -197,6 +197,29 @@ def test_decontaminate_bloom_exact_hit(spark, tmp_path):
     assert [(r.source, r.n_docs_flagged, r.n_hit_shingles) for r in rows] == [("src5", 1, 1)]
 
 
+def test_decontaminate_bloom_oversized_eval_refused(spark, tmp_path, monkeypatch):
+    """A misconfigured eval split (more distinct shingles than the
+    documented cap) must fail LOUDLY before anything is collected to the
+    driver — the LIMIT cap+1 tripwire — not OOM it (VERDICT r8 finding
+    #3). The cap is monkeypatched down so the fixture trips it."""
+    import pytest
+
+    from gluettalax_spark.operators import text as text_mod
+    from gluettalax_spark.registry import queries
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "src0", 40),
+            (2, "alpha beta gamma tail", "en", "src5", 21),
+        ],
+    )
+    monkeypatch.setattr(text_mod, "_BLOOM_EVAL_SHINGLE_CAP", 2)
+    with pytest.raises(ValueError, match="contractually small"):
+        queries()["decontaminate_bloom"](spark, sf)
+
+
 def _write_lineitem(spark, tmp_path, rows):
     df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long, l_linenumber long, l_extendedprice double")
     out = str(tmp_path / "li")

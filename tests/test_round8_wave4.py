@@ -104,10 +104,11 @@ def test_cramers_v_matches_python_recompute(spark, sf_dir):
     rt = o.sum(axis=1)
     ct = o.sum(axis=0)
     chi2_e9 = 0
+    S = 1_000_000_000
     for i in range(o.shape[0]):
         for j in range(o.shape[1]):
-            num = (o[i][j] * n - rt[i] * ct[j]) ** 2 * 1_000_000_000
-            chi2_e9 += num // (n * rt[i] * ct[j])
+            e_e9 = max((rt[i] * ct[j] * S) // n, 1)
+            chi2_e9 += (o[i][j] * S - e_e9) ** 2 // e_e9
     row = queries()["stats_cramers_v"](spark, sf_dir).collect()[0]
     assert row["chi2_e9"] == chi2_e9
     assert row["n"] == n

@@ -597,3 +597,170 @@ def test_streaming_markov_state_is_bounded(spark, sf_dir):
     counts = json.loads(state._v[1])
     assert len(counts) <= 25
     assert out["n"].sum() == n - 1  # every adjacent pair counted once
+
+
+def test_streaming_markov_chunk_split_recombines(spark, sf_dir):
+    """One micro-batch delivered as SEVERAL Arrow chunks with no
+    cross-chunk ordering (the engine may split a group's rows anywhere)
+    must fold the same transitions as a single ordered chunk — the r8
+    advisor's scenario: the chain head must never pair out-of-order
+    events across chunk boundaries."""
+    import json
+
+    import pandas as pd
+
+    from gluettalax_spark.streaming.stateful import _make_markov_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    types = ["view", "click", "purchase", "error", "view", "click", "signup", "purchase"]
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=len(types), freq="s"),
+            "event_id": range(len(types)),
+            "event_type": types,
+        }
+    )
+    fn = _make_markov_fn()
+    ref_state = FakeState()
+    ref = list(fn((1,), [pdf], ref_state))[0]
+    # Same micro-batch as two interleaved, internally-unsorted chunks.
+    split_state = FakeState()
+    chunk_a = pdf.iloc[[5, 1, 7, 3]].reset_index(drop=True)
+    chunk_b = pdf.iloc[[6, 0, 4, 2]].reset_index(drop=True)
+    got = list(fn((1,), [chunk_a, chunk_b], split_state))[0]
+    ref_counts = sorted(map(tuple, ref[["from_type", "to_type", "n"]].to_numpy()))
+    got_counts = sorted(map(tuple, got[["from_type", "to_type", "n"]].to_numpy()))
+    assert got_counts == ref_counts
+    assert split_state._v[0] == ref_state._v[0]  # same chain head
+    # state keys survive event types containing the old separator char
+    spaced = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-02-01", periods=2, freq="s"),
+            "event_id": [0, 1],
+            "event_type": ["add to cart", "check out"],
+        }
+    )
+    st2 = FakeState()
+    list(fn((2,), [spaced], st2))
+    counts = {tuple(k): v for k, v in json.loads(st2._v[1])}
+    assert counts == {("add to cart", "check out"): 1}
+
+
+def test_streaming_seqmatch_final_equals_batch(spark, sf_dir):
+    """Counting each user's FINAL matched emission per pattern must
+    reproduce the batch `events_sequence_match` n_matched / n_users /
+    share_ppm exactly."""
+    from gluettalax_spark.registry import queries
+    from gluettalax_spark.streaming.stateful import streaming_sequence_match
+
+    stream_df = streaming_sequence_match(spark, sf_dir)
+    assert stream_df.isStreaming
+    result = run_stream_to_memory(spark, stream_df, "seqmatch_twin", output_mode="update")
+    final = {}
+    for r in result.collect():
+        final[(r.user_id, r.pattern)] = r.matched
+    users = {u for (u, _) in final}
+    n_matched = {}
+    for (_, p), m in final.items():
+        n_matched[p] = n_matched.get(p, 0) + m
+    batch = queries()["events_sequence_match"](spark, sf_dir).collect()
+    assert {r.pattern: r.n_matched for r in batch} == n_matched
+    for r in batch:
+        assert r.n_users == len(users)
+        assert r.share_ppm == n_matched[r.pattern] * 1_000_000 // len(users)
+
+
+def test_streaming_seqmatch_state_bounded_and_chunk_order_free(spark, sf_dir):
+    """The NFA state per (user, pattern) is one mask ≤ 2^(len+1) plus a
+    flag — independent of history length — and chunk-split micro-batches
+    fold identically to a single ordered chunk."""
+    import json
+
+    import pandas as pd
+
+    from gluettalax_spark.operators.stats import _SEQ_PATTERNS
+    from gluettalax_spark.streaming.stateful import _make_seqmatch_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = _make_seqmatch_fn()
+    n = 4000
+    # cycle ends ...error, signup, view, click: batch 1 leaves the NFA
+    # MID-PATTERN (V seen, C* consuming) with no purchase anywhere
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=n, freq="s"),
+            "event_id": range(n),
+            "event_type": (["error", "signup", "view", "click"] * n)[:n],
+        }
+    )
+    state = FakeState()
+    out = list(fn((1,), [pdf], state))[0]
+    st = json.loads(state._v[0])
+    assert len(st) == len(_SEQ_PATTERNS)
+    for mask, matched in st:
+        assert 0 <= mask < (1 << 6)  # longest pattern has 3 tokens + accept bit
+        assert matched in (0, 1)
+    byp = dict(zip(out["pattern"], out["matched"]))
+    assert byp["view_click_buy"] == 0  # no purchase ever
+    assert byp["strict_funnel"] == 0
+    # the next micro-batch's purchase lands adjacent to the carried
+    # ...view,click suffix: VC*P AND VCP complete ACROSS micro-batches
+    tail = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-02-01", periods=1, freq="s"),
+            "event_id": [n],
+            "event_type": ["purchase"],
+        }
+    )
+    out2 = list(fn((1,), [tail], state))[0]
+    byp2 = dict(zip(out2["pattern"], out2["matched"]))
+    assert byp2["view_click_buy"] == 1
+    assert byp2["strict_funnel"] == 1
+    assert byp2["double_purchase"] == 0  # only one purchase ever
+    # chunk-order independence: same events as two unsorted chunks
+    seq = ["view", "click", "click", "purchase", "error"]
+    ref_pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-03-01", periods=len(seq), freq="s"),
+            "event_id": range(len(seq)),
+            "event_type": seq,
+        }
+    )
+    s_ref, s_split = FakeState(), FakeState()
+    ref = list(fn((2,), [ref_pdf], s_ref))[0]
+    got = list(
+        fn(
+            (2,),
+            [
+                ref_pdf.iloc[[3, 1]].reset_index(drop=True),
+                ref_pdf.iloc[[4, 0, 2]].reset_index(drop=True),
+            ],
+            s_split,
+        )
+    )[0]
+    assert list(ref["matched"]) == list(got["matched"])
+    assert json.loads(s_ref._v[0]) == json.loads(s_split._v[0])
