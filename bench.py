@@ -220,6 +220,22 @@ HEADLINE = [
     "orders_round_number_bias",
     "events_power_analysis",
     "quality_variance_icc",
+    # round-9 wave 1
+    "text_good_turing_vocab",
+    "text_token_fertility",
+    "dedup_fuzzy_name_pairs",
+    "stats_mutual_information",
+    "stats_grubbs_daily",
+    "stats_wilcoxon_signed_rank",
+    "stats_mann_kendall",
+    "agg_trimmed_winsorized",
+    "events_conformal_interval",
+    "similarity_mmr_rerank",
+    "quality_ece_calibration",
+    "similarity_knn_label_accuracy",
+    "graph_bounded_sssp",
+    "orders_newsvendor_quantile",
+    "events_qini_uplift",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40
@@ -305,6 +321,14 @@ SCALING_SUBSET = [
     "multimodal_payload_dedup",
     "stats_hurst_exponent",
     "orders_croston_intermittent",
+    # round-9 wave 1: dictionary-shaped newcomers whose curves must stay
+    # sub-linear (value/name/residual dictionaries, calendar-bounded pairs)
+    "text_good_turing_vocab",
+    "dedup_fuzzy_name_pairs",
+    "stats_wilcoxon_signed_rank",
+    "stats_mann_kendall",
+    "agg_trimmed_winsorized",
+    "events_conformal_interval",
 ]
 
 

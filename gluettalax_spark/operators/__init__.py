@@ -9,6 +9,7 @@ driver contract (``__spark_entry__.py``) exposes.
 from gluettalax_spark.operators import (  # noqa: F401
     aggregates,
     ann,
+    curation,
     dedup,
     graph,
     hypothesis,

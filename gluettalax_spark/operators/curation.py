@@ -1,0 +1,1166 @@
+"""Round-9 curation operators: corpus richness estimation, tokenizer
+fertility, fuzzy record linkage, information-theoretic dependence, and
+robust/outlier statistics.
+
+These extend the LLM-training-data surface (SURVEY §2 F-north) with the
+estimators a curation pipeline runs after the dedup/quality passes the
+earlier rounds built: how much vocabulary is still unseen (Good-Turing /
+Chao1 — Good 1953, Chao 1984), how many subword tokens a tokenizer spends
+per word and per character in each language (fertility — the standard
+multilingual-tokenizer audit), which catalog names are near-miss
+duplicates that exact dedup cannot see (blocked Levenshtein linkage —
+Fellegi-Sunter-style blocking), whether two labeling dimensions are
+independent (mutual information over a bounded grid), and whether a
+daily series has a single gross outlier (Grubbs 1950).
+
+Exactness discipline (repo-wide recipe, see operators/hypothesis.py):
+counts and moment sums are exact integers (BIGINT / DECIMAL(38,0)
+summands); each final statistic is ONE fixed sequence of IEEE double
+ops so Spark and DuckDB agree bit-for-bit; unbounded float folds are
+quantized to integer micro-nats before summing (the JSD/e9 pattern).
+
+Scale shapes: every operator aggregates corpus-scale data down to a
+bounded dictionary (vocabulary, count-of-counts, brand blocks, a
+sources×langs grid, calendar days) in its FIRST shuffle; everything
+after runs on metadata-scale tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gluettalax_spark.registry import register
+from gluettalax_spark.tables import load
+
+# --------------------------------------------------------------------------
+# Good-Turing unseen mass + Chao1 vocabulary richness, per source
+# --------------------------------------------------------------------------
+
+_GOOD_TURING_ORACLE = r"""
+WITH sc AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents
+  )
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT)                            AS n_tokens,
+       CAST(count(*) AS BIGINT)                          AS n_types,
+       CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS f1,
+       CAST(count(CASE WHEN c = 2 THEN 1 END) AS BIGINT) AS f2,
+       CAST(count(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
+         / CAST(sum(c) AS DOUBLE)                        AS unseen_mass,
+       CASE WHEN count(CASE WHEN c = 2 THEN 1 END) > 0 THEN
+         CAST(count(*) AS DOUBLE)
+           + CAST(count(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
+             * CAST(count(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
+             / (2.0 * CAST(count(CASE WHEN c = 2 THEN 1 END) AS DOUBLE))
+       ELSE
+         CAST(count(*) AS DOUBLE)
+           + CAST(count(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
+             * (CAST(count(CASE WHEN c = 1 THEN 1 END) AS DOUBLE) - 1.0) / 2.0
+       END                                               AS chao1_vocab
+FROM sc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_good_turing_vocab",
+    _GOOD_TURING_ORACLE,
+    doc="Good-Turing unseen-token mass + Chao1 total-vocabulary estimate per source",
+)
+def text_good_turing_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each source's vocabulary has the corpus NOT seen yet —
+    the curation signal for "will more crawling of this source still add
+    new types?". Good-Turing: the probability mass of unseen types is
+    f1/N (singleton share); Chao1: total vocabulary ≈ V + f1²/(2·f2),
+    with the bias-corrected V + f1(f1−1)/2 fallback when no doubletons
+    exist (Chao 1984; the same estimator ecology uses for species
+    richness).
+
+    Exactness: N, V, f1, f2 are exact BIGINT aggregates of the
+    (source, token) count table; `unseen_mass` and `chao1_vocab` are
+    each one fixed IEEE expression over those integers.
+
+    Scale: one corpus scan shuffles to the (source × token) count table
+    (vocabulary-bounded — the same first shuffle every text op here
+    takes); the richness aggregate runs per source over that dictionary.
+    Count-of-count tails (f1, f2) are plain conditional counts, no
+    second explode."""
+    tok = load(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"),
+    )
+    sc = tok.groupBy("source", "w").agg(F.count("*").cast("long").alias("c"))
+    agg = sc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.count(F.when(F.col("c") == 1, 1)).cast("long").alias("f1"),
+        F.count(F.when(F.col("c") == 2, 1)).cast("long").alias("f2"),
+    )
+    return agg.selectExpr(
+        "source",
+        "n_tokens",
+        "n_types",
+        "f1",
+        "f2",
+        "CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS unseen_mass",
+        """CASE WHEN f2 > 0 THEN
+             CAST(n_types AS DOUBLE)
+               + CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE) / (2.0 * CAST(f2 AS DOUBLE))
+           ELSE
+             CAST(n_types AS DOUBLE)
+               + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0) / 2.0
+           END AS chao1_vocab""",
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility per language
+# --------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = r"""
+WITH d AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)  AS ws,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe,
+         CAST(n_chars AS BIGINT) AS nc
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)  AS n_docs,
+       CAST(sum(ws) AS BIGINT)   AS ws_tokens,
+       CAST(sum(bpe) AS BIGINT)  AS bpe_tokens,
+       CAST(sum(nc) AS BIGINT)   AS n_chars,
+       CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS fertility,
+       CAST(sum(nc) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE) AS chars_per_token
+FROM d
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "text_token_fertility",
+    _FERTILITY_ORACLE,
+    doc="tokenizer fertility (subword tokens per word) and chars/token, per language",
+)
+def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multilingual tokenizer audit: how many BPE-ish subword tokens
+    the tokenizer spends per whitespace word (fertility) and how many
+    characters each token covers, per language. High fertility on a
+    language means the tokenizer under-serves it — the standard signal
+    for rebalancing tokenizer training data.
+
+    Exactness: per-doc token counts are exact regexp counts; per-lang
+    sums are BIGINT; the two ratios are one IEEE division each.
+
+    Scale: a single scan with per-row regexp counts (JVM codegen, no
+    Python) into a languages-sized aggregate — nothing after the first
+    shuffle is data-scale."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long").alias("ws"),
+        F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)"))
+        .cast("long")
+        .alias("bpe"),
+        F.col("n_chars").cast("long").alias("nc"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+            F.sum("nc").cast("long").alias("n_chars"),
+        )
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            "n_chars",
+            "CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE) AS fertility",
+            "CAST(n_chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE) AS chars_per_token",
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy record linkage: blocked Levenshtein near-miss part names
+# --------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 2
+
+_FUZZY_NAME_ORACLE = f"""
+WITH names AS (
+  SELECT p_brand, p_name, CAST(count(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY 1, 2
+)
+SELECT a.p_brand AS brand,
+       a.p_name  AS a_name,
+       b.p_name  AS b_name,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       a.n_parts AS a_parts,
+       b.n_parts AS b_parts,
+       CAST(a.n_parts * b.n_parts AS BIGINT) AS pair_count
+FROM names a JOIN names b
+  ON a.p_brand = b.p_brand AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {_FUZZY_MAX_DIST}
+ORDER BY brand, a_name, b_name
+"""
+
+
+@register(
+    "dedup_fuzzy_name_pairs",
+    _FUZZY_NAME_ORACLE,
+    doc=f"blocked Levenshtein linkage on the distinct-name dictionary, edit distance 1..{_FUZZY_MAX_DIST}",
+)
+def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-miss duplicate catalog names that exact dedup cannot see:
+    same-brand name pairs that differ by 1–2 edits (typos,
+    singular/plural), with how many parts carry each spelling and the
+    implied record-pair count. Distance 0 (exact duplicates) is
+    excluded — that is `dedup_exact`'s domain; this op is the fuzzy
+    complement.
+
+    Scale shape — the dictionary trick that keeps linkage off the N²
+    path: the FIRST shuffle collapses parts to the distinct
+    (brand, name) dictionary, so the Levenshtein join runs on
+    name-space-bounded tables no matter how many rows repeat each
+    spelling, and the output is name pairs + multiplicities (the
+    curation report), never the quadratic partkey-pair expansion.
+    Within the dictionary, pairs are only generated inside a blocking
+    key (brand; at 100 TB add length-band/first-token to the key) via
+    an EQUI-join — Levenshtein runs JVM-side inside that join's codegen
+    stage as a post-join filter."""
+    names = (
+        load(spark, sf_dir, "part")
+        .groupBy("p_brand", "p_name")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(dist.between(1, _FUZZY_MAX_DIST))
+        .select(
+            F.col("a.p_brand").alias("brand"),
+            F.col("a.p_name").alias("a_name"),
+            F.col("b.p_name").alias("b_name"),
+            dist.cast("long").alias("dist"),
+            F.col("a.n_parts").alias("a_parts"),
+            F.col("b.n_parts").alias("b_parts"),
+            (F.col("a.n_parts") * F.col("b.n_parts")).cast("long").alias("pair_count"),
+        )
+        .orderBy("brand", "a_name", "b_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Mutual information between document source and language
+# --------------------------------------------------------------------------
+
+# Per-cell MI term in integer nano-nats: counts are exact, the term is one
+# IEEE expression, and quantizing each cell before the sum makes the fold
+# order-independent (the JSD e8 pattern, at e9).
+_MI_TERM = (
+    "round(1e9 * (CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * ln(CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)"
+    "      / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))))"
+)
+_HX_TERM = (
+    "round(1e9 * (CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * ln(CAST(n AS DOUBLE) / CAST(cx AS DOUBLE)))"
+)
+_HY_TERM = (
+    "round(1e9 * (CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * ln(CAST(n AS DOUBLE) / CAST(cy AS DOUBLE)))"
+)
+
+_MI_ORACLE = f"""
+WITH xy AS (
+  SELECT source AS x, lang AS y, CAST(count(*) AS BIGINT) AS cxy
+  FROM documents GROUP BY 1, 2
+),
+mx AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS cx FROM xy GROUP BY 1),
+my AS (SELECT y, CAST(sum(cxy) AS BIGINT) AS cy FROM xy GROUP BY 1),
+nn AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM xy),
+grid AS (
+  SELECT xy.cxy, mx.cx, my.cy, nn.n
+  FROM xy JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nn
+),
+folded AS (
+  SELECT CAST(max(n) AS BIGINT)                 AS n_docs,
+         CAST(count(*) AS BIGINT)               AS n_cells,
+         CAST(sum(CAST({_MI_TERM} AS BIGINT)) AS BIGINT) AS mi_nanonats
+  FROM grid
+),
+hx AS (
+  SELECT CAST(sum(CAST({_HX_TERM} AS BIGINT)) AS BIGINT) AS hx_nanonats
+  FROM (SELECT cx, (SELECT n FROM nn) AS n FROM mx)
+),
+hy AS (
+  SELECT CAST(sum(CAST({_HY_TERM} AS BIGINT)) AS BIGINT) AS hy_nanonats
+  FROM (SELECT cy, (SELECT n FROM nn) AS n FROM my)
+)
+SELECT n_docs, n_cells, mi_nanonats, hx_nanonats, hy_nanonats,
+       CAST(mi_nanonats AS DOUBLE)
+         / sqrt(CAST(hx_nanonats AS DOUBLE) * CAST(hy_nanonats AS DOUBLE)) AS nmi
+FROM folded CROSS JOIN hx CROSS JOIN hy
+"""
+
+
+@register(
+    "stats_mutual_information",
+    _MI_ORACLE,
+    doc="mutual information source↔language (integer nano-nats) + normalized MI",
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are a corpus's two labeling dimensions independent? Mutual
+    information I(source; lang) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over
+    the sources×languages grid, plus marginal entropies and the
+    normalized MI = I/√(H(x)H(y)) — the curation check for "does source
+    already determine language" before stratifying a mixture on both.
+
+    Exactness: the grid, marginals, and total are exact BIGINT counts
+    from one scan; each cell's MI term (and each marginal's entropy
+    term) is one IEEE expression quantized to integer nano-nats before
+    the order-independent integer sum; NMI is one final double
+    expression over three integers.
+
+    Scale: one data-scale groupBy to the (source × lang) grid — bounded
+    by label-cardinality product, not rows; marginals re-aggregate from
+    the grid; the three 1-row folds meet in broadcast joins."""
+    xy = (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.col("source").alias("x"), F.col("lang").alias("y"))
+        .agg(F.count("*").cast("long").alias("cxy"))
+    )
+    xy = xy.localCheckpoint()  # grid feeds marginals, total, and the fold
+    mx = xy.groupBy("x").agg(F.sum("cxy").cast("long").alias("cx"))
+    my = xy.groupBy("y").agg(F.sum("cxy").cast("long").alias("cy"))
+    nn = xy.agg(F.sum("cxy").cast("long").alias("n"))
+    grid = (
+        xy.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(nn))
+    )
+    folded = grid.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(F.expr(f"CAST({_MI_TERM} AS BIGINT)")).cast("long").alias("mi_nanonats"),
+    )
+    hx = (
+        mx.crossJoin(F.broadcast(nn))
+        .agg(F.sum(F.expr(f"CAST({_HX_TERM} AS BIGINT)")).cast("long").alias("hx_nanonats"))
+    )
+    hy = (
+        my.crossJoin(F.broadcast(nn))
+        .agg(F.sum(F.expr(f"CAST({_HY_TERM} AS BIGINT)")).cast("long").alias("hy_nanonats"))
+    )
+    return (
+        folded.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .selectExpr(
+            "n_docs",
+            "n_cells",
+            "mi_nanonats",
+            "hx_nanonats",
+            "hy_nanonats",
+            "CAST(mi_nanonats AS DOUBLE)"
+            " / sqrt(CAST(hx_nanonats AS DOUBLE) * CAST(hy_nanonats AS DOUBLE)) AS nmi",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Grubbs test: single gross outlier in daily event counts
+# --------------------------------------------------------------------------
+
+_GRUBBS_ORACLE = r"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT)        AS n_days,
+         CAST(sum(c) AS BIGINT)          AS s1,
+         CAST(sum(c * c) AS BIGINT)      AS s2
+  FROM daily
+),
+flagged AS (
+  SELECT strftime(day, '%Y-%m-%d') AS flagged_day, c AS flagged_count
+  FROM daily CROSS JOIN m
+  ORDER BY abs(c * n_days - s1) DESC, day DESC
+  LIMIT 1
+)
+SELECT n_days, s1 AS total_events, flagged_day, flagged_count,
+       (abs(CAST(flagged_count AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)))
+         / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n_days AS DOUBLE))
+                / (CAST(n_days AS DOUBLE) - 1.0)) AS g_stat
+FROM m CROSS JOIN flagged
+"""
+
+
+@register(
+    "stats_grubbs_daily",
+    _GRUBBS_ORACLE,
+    doc="Grubbs single-outlier test on daily event counts (exact-integer argmax)",
+)
+def stats_grubbs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' test: is the most extreme daily event count a gross
+    outlier? G = max|c − mean| / s — the one-shot sibling of the rolling
+    `events_rolling_zscore` monitor, run over the whole series.
+
+    Exactness: the argmax day is selected on the INTEGER key
+    |c·n − Σc| (equivalent to |c − mean| without any float), tie-broken
+    by latest day; n, Σc, Σc² are exact BIGINT; G is one IEEE expression
+    over those integers.
+
+    Scale: one data-scale groupBy to calendar days; the moment fold and
+    the integer argmax both run on the day table (calendar-bounded);
+    the 1-row moment frame broadcasts into the argmax sort."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    daily = daily.localCheckpoint()  # feeds both the moment fold and the argmax
+    m = daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    flagged = (
+        daily.crossJoin(F.broadcast(m))
+        .orderBy(
+            F.abs(F.col("c") * F.col("n_days") - F.col("s1")).desc(),
+            F.col("day").desc(),
+        )
+        .limit(1)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("flagged_day"),
+            F.col("c").alias("flagged_count"),
+        )
+    )
+    return m.crossJoin(F.broadcast(flagged)).selectExpr(
+        "n_days",
+        "s1 AS total_events",
+        "flagged_day",
+        "flagged_count",
+        """(abs(CAST(flagged_count AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)))
+           / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(n_days AS DOUBLE))
+                  / (CAST(n_days AS DOUBLE) - 1.0)) AS g_stat""",
+    )
+
+
+# --------------------------------------------------------------------------
+# Wilcoxon signed-rank: paired per-user even/odd event values
+# --------------------------------------------------------------------------
+
+_WILCOXON_ORACLE = r"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_id % 2 = 0 THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS se,
+         CAST(count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT) AS ne,
+         CAST(sum(CASE WHEN event_id % 2 = 1 THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS so,
+         CAST(count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT) AS no
+  FROM events GROUP BY user_id
+),
+diffs AS (
+  SELECT CAST(round(100.0 * (CAST(se AS DOUBLE) / CAST(ne AS DOUBLE)
+                             - CAST(so AS DOUBLE) / CAST(no AS DOUBLE))) AS BIGINT) AS d
+  FROM per_user WHERE ne > 0 AND no > 0
+),
+nz AS (SELECT d, abs(d) AS a FROM diffs WHERE d <> 0),
+dict AS (
+  SELECT a,
+         CAST(count(CASE WHEN d > 0 THEN 1 END) AS BIGINT) AS n_pos,
+         CAST(count(*) AS BIGINT) AS nv
+  FROM nz GROUP BY a
+),
+ranked AS (
+  SELECT *,
+         CAST(sum(nv) OVER (ORDER BY a
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM dict
+),
+m AS (
+  SELECT CAST(sum(nv) AS BIGINT) AS n,
+         CAST(sum(n_pos * (2 * (cum - nv) + nv + 1)) AS BIGINT) AS w_plus_x2,
+         CAST(sum(nv * nv * nv - nv) AS BIGINT) AS tie_t
+  FROM ranked
+)
+SELECT n, w_plus_x2, tie_t,
+       (CAST(w_plus_x2 AS DOUBLE) / 2.0
+          - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+         / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                  * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                - CAST(tie_t AS DOUBLE) / 48.0) AS z
+FROM m
+"""
+
+
+@register(
+    "stats_wilcoxon_signed_rank",
+    _WILCOXON_ORACLE,
+    doc="Wilcoxon signed-rank: per-user even- vs odd-event mean values, exact tie-corrected ranks",
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired two-sample test without normality: each user contributes
+    the difference between their mean event value on even and odd event
+    ids (a deterministic within-user split — the paired complement of
+    `stats_mannwhitney_events`' independent two-sample test). Zero
+    differences drop (standard Wilcoxon practice); |d| ranks use the
+    value-dictionary construction so 2×average-ranks stay integral.
+
+    Exactness: per-user cent sums and counts are exact ints; each
+    difference is ONE fixed IEEE expression quantized to an integer;
+    `w_plus_x2` (2× the positive-rank sum) and the tie term are exact
+    BIGINT; z (normal approximation with tie correction) is one final
+    double expression.
+
+    Scale: one data-scale groupBy (user) then a dictionary groupBy
+    (distinct |d| magnitudes); the running rank uses
+    `grouped_running_sum`, never an unpartitioned window over rows."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    events = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    even = F.col("event_id") % 2 == 0
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.when(even, cents)).cast("long").alias("se"),
+        F.count(F.when(even, 1)).cast("long").alias("ne"),
+        F.sum(F.when(~even, cents)).cast("long").alias("so"),
+        F.count(F.when(~even, 1)).cast("long").alias("no"),
+    )
+    diffs = per_user.filter("ne > 0 AND no > 0").selectExpr(
+        "CAST(round(100.0 * (CAST(se AS DOUBLE) / CAST(ne AS DOUBLE)"
+        " - CAST(so AS DOUBLE) / CAST(no AS DOUBLE))) AS BIGINT) AS d"
+    )
+    nz = diffs.filter("d <> 0").selectExpr("d", "abs(d) AS a")
+    dict_df = (
+        nz.groupBy("a")
+        .agg(
+            F.count(F.when(F.col("d") > 0, 1)).cast("long").alias("n_pos"),
+            F.count("*").cast("long").alias("nv"),
+        )
+        .withColumn("_g", F.lit(1))
+    )
+    ranked = grouped_running_sum(dict_df, ["_g"], ["a"], "nv", "cum")
+    m = ranked.agg(
+        F.sum("nv").cast("long").alias("n"),
+        F.sum(
+            F.col("n_pos").cast("decimal(38,0)")
+            * (2 * (F.col("cum") - F.col("nv")) + F.col("nv") + 1)
+        ).cast("long").alias("w_plus_x2"),
+        F.sum(
+            F.col("nv").cast("decimal(38,0)") * F.col("nv") * F.col("nv") - F.col("nv")
+        ).cast("long").alias("tie_t"),
+    )
+    return m.selectExpr(
+        "n",
+        "w_plus_x2",
+        "tie_t",
+        """(CAST(w_plus_x2 AS DOUBLE) / 2.0
+              - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+             / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                      * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                    - CAST(tie_t AS DOUBLE) / 48.0) AS z""",
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test on daily order revenue
+# --------------------------------------------------------------------------
+
+_MANN_KENDALL_ORACLE = r"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN b.r > a.r THEN 1 WHEN b.r < a.r THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON a.day < b.day
+),
+ties AS (
+  SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY r)
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+SELECT n_days, s_stat,
+       CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum AS BIGINT) AS var_x18,
+       CAST(s_stat AS DOUBLE)
+         / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0) / 2.0) AS tau,
+       CASE WHEN s_stat > 0 THEN
+              (CAST(s_stat AS DOUBLE) - 1.0)
+                / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum AS DOUBLE) / 18.0)
+            WHEN s_stat < 0 THEN
+              (CAST(s_stat AS DOUBLE) + 1.0)
+                / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum AS DOUBLE) / 18.0)
+            ELSE 0.0 END AS z
+FROM m CROSS JOIN s CROSS JOIN ties
+"""
+
+
+@register(
+    "stats_mann_kendall",
+    _MANN_KENDALL_ORACLE,
+    doc="Mann-Kendall monotone-trend test on daily order revenue (exact integer S, tie-corrected)",
+)
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is daily revenue trending, without assuming linearity? The
+    Mann-Kendall S statistic — Σ sign(x_j − x_i) over all day pairs —
+    with the tie-corrected normal approximation and continuity
+    correction (the hypothesis-test companion to `stats_theil_sen`'s
+    slope estimate).
+
+    Exactness: daily revenue in exact cents; S and the ×18-scaled
+    variance are exact BIGINT (n=2,400 days keeps n³·2 ≈ 3e10 well
+    inside BIGINT); tau and z are one IEEE expression each.
+
+    Scale: the day-pair self-join is CALENDAR-bounded, not data-bounded
+    — 7 years is ~2.4k days → ~3M sign comparisons regardless of row
+    count, and the day table arrives via one data-scale groupBy. The
+    non-equi join broadcasts the (bounded) day table; ties re-aggregate
+    the same table."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("r")
+        )
+    )
+    daily = daily.localCheckpoint()  # feeds the pair join, ties, and the count
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(F.broadcast(b), F.col("a.day") < F.col("b.day"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.r") > F.col("a.r"), 1)
+                .when(F.col("b.r") < F.col("a.r"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("r")
+        .agg(F.count("*").cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t").cast("decimal(38,0)") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_sum")
+        )
+    )
+    m = daily.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        m.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "n_days",
+            "s_stat",
+            "CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum AS BIGINT) AS var_x18",
+            """CAST(s_stat AS DOUBLE)
+                 / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0) / 2.0) AS tau""",
+            """CASE WHEN s_stat > 0 THEN
+                      (CAST(s_stat AS DOUBLE) - 1.0)
+                        / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum AS DOUBLE) / 18.0)
+                    WHEN s_stat < 0 THEN
+                      (CAST(s_stat AS DOUBLE) + 1.0)
+                        / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum AS DOUBLE) / 18.0)
+                    ELSE 0.0 END AS z""",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Trimmed and winsorized mean of order totals (exact order statistics)
+# --------------------------------------------------------------------------
+
+_TRIMMED_ORACLE = r"""
+WITH vals AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+),
+dict AS (SELECT v, CAST(count(*) AS BIGINT) AS nv FROM vals GROUP BY v),
+ranked AS (
+  SELECT *,
+         CAST(sum(nv) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM dict
+),
+m AS (SELECT CAST(sum(nv) AS BIGINT) AS n, CAST(sum(nv) // 10 AS BIGINT) AS k FROM dict),
+folded AS (
+  SELECT max(n) AS n, max(k) AS k,
+         CAST(sum(v * greatest(0, least(cum, n - k) - greatest(cum - nv + 1, k + 1) + 1)) AS BIGINT) AS trimmed_sum,
+         CAST(max(CASE WHEN cum - nv + 1 <= k + 1 AND k + 1 <= cum THEN v END) AS BIGINT) AS lo_cut,
+         CAST(max(CASE WHEN cum - nv + 1 <= n - k AND n - k <= cum THEN v END) AS BIGINT) AS hi_cut
+  FROM ranked CROSS JOIN m
+)
+SELECT n, k, lo_cut, hi_cut,
+       CAST(trimmed_sum AS DOUBLE) / CAST(n - 2 * k AS DOUBLE) / 100.0 AS trimmed_mean,
+       CAST(trimmed_sum + k * lo_cut + k * hi_cut AS DOUBLE)
+         / CAST(n AS DOUBLE) / 100.0 AS winsorized_mean
+FROM folded
+"""
+
+
+@register(
+    "agg_trimmed_winsorized",
+    _TRIMMED_ORACLE,
+    doc="10% trimmed and winsorized mean of order totals via exact dictionary order statistics",
+)
+def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimates: the 10%-trimmed mean (drop exactly
+    k = ⌊n/10⌋ smallest and largest observations) and the winsorized
+    mean (clamp them to the cut values instead) of `o_totalprice` —
+    the outlier-resistant revenue summary a reconciliation report wants
+    next to the plain mean.
+
+    Exactness: cents-quantized value dictionary + running counts give
+    each distinct value's exact rank interval [cum−nv+1, cum]; its
+    contribution to the trimmed sum is the integer overlap with
+    [k+1, n−k]; the cut values are the exact k+1-th and (n−k)-th order
+    statistics. Only the two final means are doubles (one fixed
+    expression each).
+
+    Scale: one data-scale groupBy to the value dictionary (cents
+    cardinality ≪ rows); the running count is `grouped_running_sum`
+    (range-partitioned, never a single-task window); the 1-row (n, k)
+    frame broadcasts into the fold."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    vals = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    dict_df = (
+        vals.groupBy("v").agg(F.count("*").cast("long").alias("nv")).withColumn("_g", F.lit(1))
+    )
+    ranked = grouped_running_sum(dict_df, ["_g"], ["v"], "nv", "cum")
+    m = dict_df.agg(
+        F.sum("nv").cast("long").alias("n"),
+        F.expr("CAST(sum(nv) DIV 10 AS BIGINT)").alias("k"),
+    )
+    folded = ranked.crossJoin(F.broadcast(m)).agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.sum(
+            F.col("v").cast("decimal(38,0)")
+            * F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.col("cum"), F.col("n") - F.col("k"))
+                - F.greatest(F.col("cum") - F.col("nv") + 1, F.col("k") + 1)
+                + 1,
+            )
+        ).cast("long").alias("trimmed_sum"),
+        F.max(
+            F.when(
+                (F.col("cum") - F.col("nv") + 1 <= F.col("k") + 1)
+                & (F.col("k") + 1 <= F.col("cum")),
+                F.col("v"),
+            )
+        ).cast("long").alias("lo_cut"),
+        F.max(
+            F.when(
+                (F.col("cum") - F.col("nv") + 1 <= F.col("n") - F.col("k"))
+                & (F.col("n") - F.col("k") <= F.col("cum")),
+                F.col("v"),
+            )
+        ).cast("long").alias("hi_cut"),
+    )
+    return folded.selectExpr(
+        "n",
+        "k",
+        "lo_cut",
+        "hi_cut",
+        "CAST(trimmed_sum AS DOUBLE) / CAST(n - 2 * k AS DOUBLE) / 100.0 AS trimmed_mean",
+        """CAST(trimmed_sum + k * lo_cut + k * hi_cut AS DOUBLE)
+             / CAST(n AS DOUBLE) / 100.0 AS winsorized_mean""",
+    )
+
+
+# --------------------------------------------------------------------------
+# Split-conformal calibration of a per-type mean predictor
+# --------------------------------------------------------------------------
+
+_CONFORMAL_ORACLE = r"""
+WITH pred AS (
+  SELECT event_type,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS pred_cents,
+         CAST(count(*) AS BIGINT) AS n_cal
+  FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+),
+resid AS (
+  SELECT e.event_type,
+         CAST(round(abs(e.value * 100 - p.pred_cents)) AS BIGINT) AS r
+  FROM events e JOIN pred p USING (event_type)
+  WHERE e.event_id % 2 = 0
+),
+dict AS (
+  SELECT event_type, r, CAST(count(*) AS BIGINT) AS nv
+  FROM resid GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *,
+         CAST(sum(nv) OVER (PARTITION BY event_type ORDER BY r
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM dict
+),
+qs AS (
+  SELECT d.event_type, p.n_cal,
+         CAST(max(CASE WHEN d.cum - d.nv + 1 <= least((9 * (p.n_cal + 1) + 9) // 10, p.n_cal)
+                        AND least((9 * (p.n_cal + 1) + 9) // 10, p.n_cal) <= d.cum
+                  THEN d.r END) AS BIGINT) AS q_resid_cents
+  FROM ranked d JOIN pred p USING (event_type)
+  GROUP BY 1, 2
+),
+test AS (
+  SELECT e.event_type,
+         CAST(count(*) AS BIGINT) AS n_test,
+         CAST(count(CASE WHEN CAST(round(abs(e.value * 100 - p.pred_cents)) AS BIGINT)
+                              <= q.q_resid_cents THEN 1 END) AS BIGINT) AS covered
+  FROM events e JOIN pred p USING (event_type) JOIN qs q USING (event_type)
+  WHERE e.event_id % 2 = 1
+  GROUP BY 1
+)
+SELECT q.event_type, q.n_cal, t.n_test, q.q_resid_cents, t.covered,
+       CAST(t.covered AS DOUBLE) / CAST(t.n_test AS DOUBLE) AS coverage
+FROM qs q JOIN test t USING (event_type)
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_conformal_interval",
+    _CONFORMAL_ORACLE,
+    doc="split-conformal 90% interval calibration of a per-type mean predictor (exact order statistic)",
+)
+def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free prediction intervals (split conformal,
+    Vovk/Papadopoulos): fit a trivial per-type mean predictor on the
+    calibration half (even event ids), take the ⌈0.9·(n+1)⌉-th smallest
+    absolute residual as the interval half-width, and measure empirical
+    coverage on the held-out half (odd ids) — the calibration audit an
+    ML-scoring pipeline runs before trusting its intervals.
+
+    Exactness: the conformal rank k = min(⌈9(n+1)/10⌉, n) is computed
+    with INTEGER arithmetic ((9(n+1)+9) DIV 10 — the float 0.9·(n+1)
+    rounds differently when n+1 is a multiple of 10); residuals are
+    quantized to integer cents; the quantile is an exact order
+    statistic via per-type running counts; coverage is one division.
+
+    Scale: two scans (calibration residuals, test coverage), each
+    joining a broadcast types-sized frame; the residual dictionary is
+    per-type cents cardinality; the running count is
+    `grouped_running_sum` grouped by type."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    events = load(spark, sf_dir, "events")
+    cal = events.filter("event_id % 2 = 0")
+    pred = cal.groupBy("event_type").agg(
+        F.expr(
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)"
+            " / CAST(count(*) AS DOUBLE)"
+        ).alias("pred_cents"),
+        F.count("*").cast("long").alias("n_cal"),
+    )
+    resid = (
+        cal.join(F.broadcast(pred), "event_type")
+        .selectExpr(
+            "event_type",
+            "CAST(round(abs(value * 100 - pred_cents)) AS BIGINT) AS r",
+        )
+    )
+    dict_df = resid.groupBy("event_type", "r").agg(F.count("*").cast("long").alias("nv"))
+    ranked = grouped_running_sum(dict_df, ["event_type"], ["r"], "nv", "cum")
+    k_expr = "least((9 * (n_cal + 1) + 9) DIV 10, n_cal)"
+    qs = (
+        ranked.join(F.broadcast(pred), "event_type")
+        .groupBy("event_type", "n_cal")
+        .agg(
+            F.max(
+                F.expr(
+                    f"CASE WHEN cum - nv + 1 <= {k_expr} AND {k_expr} <= cum THEN r END"
+                )
+            ).cast("long").alias("q_resid_cents")
+        )
+    )
+    test = (
+        events.filter("event_id % 2 = 1")
+        .join(F.broadcast(pred.select("event_type", "pred_cents")), "event_type")
+        .join(F.broadcast(qs.select("event_type", "q_resid_cents")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.count(
+                F.when(
+                    F.expr("CAST(round(abs(value * 100 - pred_cents)) AS BIGINT)")
+                    <= F.col("q_resid_cents"),
+                    1,
+                )
+            ).cast("long").alias("covered"),
+        )
+    )
+    return (
+        qs.join(test, "event_type")
+        .selectExpr(
+            "event_type",
+            "n_cal",
+            "n_test",
+            "q_resid_cents",
+            "covered",
+            "CAST(covered AS DOUBLE) / CAST(n_test AS DOUBLE) AS coverage",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Newsvendor order quantity: critical-fractile quantile of daily demand
+# --------------------------------------------------------------------------
+
+_NV_CU = 9  # underage cost (lost margin per unit short)
+_NV_CO = 1  # overage cost (holding/salvage loss per unit over)
+# critical ratio cu/(cu+co) = 0.9 → q* is the ceil(0.9·n)-th order stat
+
+_NEWSVENDOR_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS d
+  FROM orders GROUP BY 1
+),
+dict AS (SELECT d, CAST(count(*) AS BIGINT) AS nv FROM daily GROUP BY d),
+ranked AS (
+  SELECT *,
+         CAST(sum(nv) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM dict
+),
+m AS (
+  SELECT CAST(sum(nv) AS BIGINT) AS n,
+         CAST((9 * sum(nv) + 9) // 10 AS BIGINT) AS k
+  FROM dict
+),
+q AS (
+  SELECT CAST(max(CASE WHEN cum - nv + 1 <= k AND k <= cum THEN d END) AS BIGINT) AS q_star
+  FROM ranked CROSS JOIN m
+)
+SELECT m.n AS n_days, m.k AS k, q.q_star,
+       CAST(sum(greatest(0, q.q_star - dict.d) * dict.nv) AS BIGINT) AS over_units,
+       CAST(sum(greatest(0, dict.d - q.q_star) * dict.nv) AS BIGINT) AS under_units,
+       CAST({_NV_CO} * sum(greatest(0, q.q_star - dict.d) * dict.nv)
+            + {_NV_CU} * sum(greatest(0, dict.d - q.q_star) * dict.nv) AS BIGINT) AS total_cost
+FROM dict CROSS JOIN m CROSS JOIN q
+GROUP BY m.n, m.k, q.q_star
+"""
+
+
+@register(
+    "orders_newsvendor_quantile",
+    _NEWSVENDOR_ORACLE,
+    doc=f"newsvendor stock level: exact {_NV_CU}/{_NV_CU + _NV_CO} critical-fractile quantile of daily demand",
+)
+def orders_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The newsvendor answer to "how much capacity do I provision":
+    with underage cost 9 and overage cost 1, the optimal level is the
+    90% critical-fractile quantile of daily order demand — the exact
+    ⌈0.9·n⌉-th order statistic, plus the realized over/under unit sums
+    and total mismatch cost at that level (the inventory sibling of
+    `orders_demand_variability_xyz`'s classification readout).
+
+    Exactness: daily demands and the rank k = ⌈9n/10⌉ (integer
+    arithmetic, same ceil-without-floats as `events_conformal_interval`)
+    are exact; the quantile is an order statistic off the demand-value
+    dictionary; every cost column is an exact BIGINT.
+
+    Scale: one data-scale groupBy to calendar days, a second to the
+    demand-value dictionary (≤ days); the running count uses
+    `grouped_running_sum`; 1-row (n, k) and q* frames broadcast into
+    the final fold."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    dict_df = (
+        daily.groupBy("d").agg(F.count("*").cast("long").alias("nv")).withColumn("_g", F.lit(1))
+    )
+    dict_df = dict_df.localCheckpoint(eager=False)  # feeds rank, m, and the fold
+    ranked = grouped_running_sum(dict_df, ["_g"], ["d"], "nv", "cum")
+    m = dict_df.agg(
+        F.sum("nv").cast("long").alias("n"),
+        F.expr("CAST((9 * sum(nv) + 9) DIV 10 AS BIGINT)").alias("k"),
+    )
+    q = (
+        ranked.crossJoin(F.broadcast(m))
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("cum") - F.col("nv") + 1 <= F.col("k"))
+                    & (F.col("k") <= F.col("cum")),
+                    F.col("d"),
+                )
+            ).cast("long").alias("q_star")
+        )
+    )
+    return (
+        dict_df.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(q))
+        .groupBy(F.col("n").alias("n_days"), "k", "q_star")
+        .agg(
+            F.sum(F.greatest(F.lit(0), F.col("q_star") - F.col("d")) * F.col("nv"))
+            .cast("long")
+            .alias("over_units"),
+            F.sum(F.greatest(F.lit(0), F.col("d") - F.col("q_star")) * F.col("nv"))
+            .cast("long")
+            .alias("under_units"),
+            F.expr(
+                f"CAST({_NV_CO} * sum(greatest(0, q_star - d) * nv)"
+                f" + {_NV_CU} * sum(greatest(0, d - q_star) * nv) AS BIGINT)"
+            ).alias("total_cost"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Qini uplift curve: incremental conversions by targeting-score decile
+# --------------------------------------------------------------------------
+
+_QINI_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+              THEN 1 ELSE 0 END AS treated,
+         CAST(count(CASE WHEN event_type <> 'purchase' THEN 1 END) AS BIGINT) AS score,
+         CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY score DESC, user_id) AS BIGINT) AS r,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM per_user
+),
+deciles AS (
+  SELECT CAST((r - 1) * 10 // n AS BIGINT) AS decile,
+         CAST(sum(treated) AS BIGINT) AS n_t,
+         CAST(sum(1 - treated) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN treated = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_t,
+         CAST(sum(CASE WHEN treated = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_c
+  FROM ranked GROUP BY 1
+),
+cum AS (
+  SELECT *,
+         CAST(sum(n_t) OVER w AS BIGINT)    AS cum_n_t,
+         CAST(sum(n_c) OVER w AS BIGINT)    AS cum_n_c,
+         CAST(sum(conv_t) OVER w AS BIGINT) AS cum_conv_t,
+         CAST(sum(conv_c) OVER w AS BIGINT) AS cum_conv_c
+  FROM deciles
+  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT decile, n_t, n_c, conv_t, conv_c,
+       CASE WHEN cum_n_c = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(cum_conv_t AS DOUBLE)
+                   - CAST(cum_conv_c AS DOUBLE) * CAST(cum_n_t AS DOUBLE)
+                     / CAST(cum_n_c AS DOUBLE) END AS qini
+FROM cum
+ORDER BY decile
+"""
+
+
+@register(
+    "events_qini_uplift",
+    _QINI_ORACLE,
+    doc="Qini uplift curve by activity-score decile over the deterministic md5 A/B split",
+)
+def events_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Who should a campaign target? The Qini curve (Radcliffe 2007):
+    rank users by a targeting score (non-purchase activity), split into
+    deciles, and accumulate incremental conversions — treated
+    conversions minus control conversions scaled to the treated
+    exposure — down the ranking. The md5-parity "treatment" makes this
+    an A/A-calibrated harness: real uplift pipelines swap in the actual
+    assignment column and the machinery is unchanged.
+
+    Exactness: per-user score/conversion/assignment are exact ints;
+    deciles come from `exact_global_rank` under the total order
+    (score desc, user_id); the ONLY non-integer column is the final
+    qini expression (one fixed IEEE sequence per decile row).
+
+    Scale: one data-scale groupBy (user), one range-partitioned rank
+    pass (never a single-task window over users), then a 10-row grid —
+    the cumulative window runs on that metadata-scale grid."""
+    from gluettalax_spark.operators.rank import exact_global_rank
+    from pyspark.sql.window import Window
+
+    events = load(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.expr(
+            "CASE WHEN (instr('0123456789abcdef',"
+            " substr(md5(CAST(user_id AS STRING)), 1, 1)) - 1) % 2 = 0"
+            " THEN 1 ELSE 0 END"
+        ).alias("treated"),
+        F.count(F.when(F.col("event_type") != "purchase", 1)).cast("long").alias("score"),
+        F.when(F.count(F.when(F.col("event_type") == "purchase", 1)) > 0, 1)
+        .otherwise(0)
+        .alias("converted"),
+    )
+    ranked = exact_global_rank(
+        per_user, [F.col("score").desc(), F.col("user_id")], "r"
+    )
+    deciles = (
+        ranked.groupBy(F.expr("CAST((r - 1) * 10 DIV _n AS BIGINT)").alias("decile"))
+        .agg(
+            F.sum("treated").cast("long").alias("n_t"),
+            F.sum(1 - F.col("treated")).cast("long").alias("n_c"),
+            F.sum(F.when(F.col("treated") == 1, F.col("converted")).otherwise(0))
+            .cast("long")
+            .alias("conv_t"),
+            F.sum(F.when(F.col("treated") == 0, F.col("converted")).otherwise(0))
+            .cast("long")
+            .alias("conv_c"),
+        )
+    )
+    # 10-row grid: the cumulative window is metadata-scale by construction
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = deciles.select(
+        "*",
+        F.sum("n_t").over(w).cast("long").alias("cum_n_t"),
+        F.sum("n_c").over(w).cast("long").alias("cum_n_c"),
+        F.sum("conv_t").over(w).cast("long").alias("cum_conv_t"),
+        F.sum("conv_c").over(w).cast("long").alias("cum_conv_c"),
+    )
+    return cum.selectExpr(
+        "decile",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        """CASE WHEN cum_n_c = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(cum_conv_t AS DOUBLE)
+                       - CAST(cum_conv_c AS DOUBLE) * CAST(cum_n_t AS DOUBLE)
+                         / CAST(cum_n_c AS DOUBLE) END AS qini""",
+    ).orderBy("decile")

@@ -2857,3 +2857,141 @@ def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("qmean_e6"), "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Classifier calibration: reliability diagram + integer-exact ECE terms
+# --------------------------------------------------------------------------
+
+# Sigmoid temperature (milli-logit units): chosen so the fixture logit
+# IQR (~±2e7 milli) maps to probabilities spread across the bins rather
+# than saturating at 0/1 — the same role as Platt scaling's scalar.
+_ECE_TEMP_MILLI = 30000000.0
+_ECE_BINS = 10
+
+_ECE_P_E6 = (
+    "CAST(round(1000000.0 / (1.0 + exp(-CAST(logit_milli AS DOUBLE)"
+    f" / {_ECE_TEMP_MILLI}))) AS BIGINT)"
+)
+
+
+def _ece_oracle() -> str:
+    from gluettalax_spark.operators.dedup import _duck_hex_int
+    from gluettalax_spark.operators.text import _QUALITY_DUCK
+
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, unnest(w) AS f FROM toks
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])) AS f
+  FROM toks WHERE len(w) >= 2
+),
+hashed AS (SELECT doc_id, md5(f) AS m FROM feats),
+logits AS (
+  SELECT doc_id,
+         CAST(CAST(sum((({_duck_hex_int(1, 15)} % {_QC_BUCKETS}) * {_QC_KNUTH})
+                        % {_QC_WRANGE} - {_QC_WRANGE // 2}) AS BIGINT)
+              * 1000 // count(*) AS BIGINT) AS logit_milli
+  FROM hashed GROUP BY doc_id
+),
+quality AS (
+  SELECT doc_id, CAST(round(({_QUALITY_DUCK}) * 10000) AS BIGINT) AS q_int
+  FROM documents
+),
+j AS MATERIALIZED (
+  SELECT l.logit_milli, q.q_int FROM logits l JOIN quality q USING (doc_id)
+),
+qdict AS (
+  SELECT q_int, CAST(count(*) AS BIGINT) AS nq,
+         CAST(sum(count(*)) OVER (ORDER BY q_int
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumq,
+         CAST(sum(count(*)) OVER () AS BIGINT) AS nall
+  FROM j GROUP BY q_int
+),
+med AS (SELECT min(q_int) AS m FROM qdict WHERE 2 * cumq >= nall),
+scored AS (
+  SELECT {_ECE_P_E6} AS p_e6,
+         CASE WHEN j.q_int > med.m THEN 1 ELSE 0 END AS in_pos
+  FROM j, med
+)
+SELECT CAST(least(p_e6 * {_ECE_BINS} // 1000000, {_ECE_BINS - 1}) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT)            AS n_docs,
+       CAST(sum(in_pos) AS BIGINT)         AS n_pos,
+       CAST(sum(p_e6) AS BIGINT)           AS conf_sum_e6,
+       CAST(sum(in_pos) * 1000000 // count(*) AS BIGINT) AS acc_ppm,
+       CAST(sum(p_e6) // count(*) AS BIGINT)             AS conf_ppm,
+       CAST(abs(sum(in_pos) * 1000000 - sum(p_e6)) AS BIGINT) AS gap_num
+FROM scored
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+@register(
+    "quality_ece_calibration",
+    _ece_oracle(),
+    doc="classifier reliability diagram + integer-exact ECE terms (10 sigmoid-probability bins)",
+)
+def quality_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the quality classifier CALIBRATED, not just discriminative?
+    The reliability diagram (Guo et al. 2017's ECE readout): sigmoid the
+    deterministic hashed-feature logits into probabilities, bin into 10
+    equal-width bins, and compare each bin's empirical positive rate to
+    its mean predicted confidence. `quality_classifier_auc` ranks;
+    this op checks the probabilities themselves — the difference
+    between "sorts well" and "its 0.9 means 90%".
+
+    Exactness: p quantizes to e6 per distinct logit (one IEEE sigmoid);
+    every bin column is then an exact integer — acc_ppm and conf_ppm by
+    integer division, and gap_num = |Σ1_pos·1e6 − Σp_e6| per bin, so
+    ECE = Σ gap_num / (N·1e6) is exactly recoverable from the output
+    with no float fold anywhere.
+
+    Scale: rides the memoized `classifier_doc_logits` pass (the one
+    data-scale explode); the diagram is a 10-row aggregate of the doc
+    frame; the median label reuses the bounded quality dictionary."""
+    docs = load(spark, sf_dir, "documents")
+    from gluettalax_spark.operators.text import _quality_parts
+
+    _, _, _, quality = _quality_parts()
+    q = docs.select("doc_id", F.round(quality * 10000).cast("long").alias("q_int"))
+    logits = classifier_doc_logits(spark, sf_dir).select("doc_id", "logit_milli")
+    j = logits.join(q, "doc_id")
+    med = (
+        j.groupBy("q_int")
+        .agg(F.count(F.lit(1)).cast("long").alias("nq"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("q_int", "nq"))).alias("arr"),
+            F.sum("nq").cast("long").alias("nall"),
+        )
+        .selectExpr(
+            "aggregate(arr, struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS BIGINT) AS med),"
+            " (acc, x) -> struct(acc.cum + x.nq,"
+            " CASE WHEN acc.med IS NULL AND 2 * (acc.cum + x.nq) >= nall"
+            " THEN x.q_int ELSE acc.med END)).med AS m"
+        )
+    )
+    scored = j.crossJoin(F.broadcast(med)).selectExpr(
+        f"{_ECE_P_E6} AS p_e6",
+        "CASE WHEN q_int > m THEN 1 ELSE 0 END AS in_pos",
+    )
+    return (
+        scored.groupBy(
+            F.expr(
+                f"CAST(least(p_e6 * {_ECE_BINS} DIV 1000000, {_ECE_BINS - 1}) AS BIGINT)"
+            ).alias("bin")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("in_pos").cast("long").alias("n_pos"),
+            F.sum("p_e6").cast("long").alias("conf_sum_e6"),
+            F.expr("CAST(sum(in_pos) * 1000000 DIV count(*) AS BIGINT)").alias("acc_ppm"),
+            F.expr("CAST(sum(p_e6) DIV count(*) AS BIGINT)").alias("conf_ppm"),
+            F.expr("CAST(abs(sum(in_pos) * 1000000 - sum(p_e6)) AS BIGINT)").alias("gap_num"),
+        )
+        .orderBy("bin")
+    )

@@ -1378,3 +1378,268 @@ def similarity_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_id").alias("vec_id"), "rk", "nbr", "d2")
         .orderBy("vec_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversified re-ranking (maximal marginal relevance)
+# --------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_CAND = 20
+_MMR_SELECT = 5
+
+_MMR_COS_AB = f"""
+round(list_sum(list_transform(range(1, {DIM + 1}),
+         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+ * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+"""
+
+_MMR_COS_QV = f"""
+round(list_sum(list_transform(range(1, {DIM + 1}),
+         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+ * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+"""
+
+
+def _mmr_oracle() -> str:
+    lam, om = _MMR_LAMBDA, round(1.0 - _MMR_LAMBDA, 4)
+    stages = [
+        f"s1 AS (SELECT cid, rel, rel AS mmr FROM cand ORDER BY rel DESC, cid LIMIT 1)",
+        f"sel1 AS (SELECT cid FROM s1)",
+    ]
+    for i in range(2, _MMR_SELECT + 1):
+        prev_sel = f"sel{i - 1}"
+        stages.append(
+            f"""s{i} AS (
+  SELECT c.cid, c.rel, {lam} * c.rel - {om} * max(p.sim) AS mmr
+  FROM cand c JOIN pc p ON p.ai = c.cid AND p.bi IN (SELECT cid FROM {prev_sel})
+  WHERE c.cid NOT IN (SELECT cid FROM {prev_sel})
+  GROUP BY c.cid, c.rel
+  ORDER BY mmr DESC, cid LIMIT 1
+)"""
+        )
+        stages.append(
+            f"sel{i} AS (SELECT cid FROM {prev_sel} UNION ALL SELECT cid FROM s{i})"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, cid AS vec_id, rel, mmr AS mmr_score FROM s{i}"
+        for i in range(1, _MMR_SELECT + 1)
+    )
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT v.vec_id AS cid, {_MMR_COS_QV} AS rel
+  FROM embeddings v CROSS JOIN q
+  WHERE v.vec_id <> 0
+  ORDER BY rel DESC, cid LIMIT {_MMR_CAND}
+),
+cv AS (SELECT c.cid, e.embedding FROM cand c JOIN embeddings e ON e.vec_id = c.cid),
+pc AS (
+  SELECT a.cid AS ai, b.cid AS bi, {_MMR_COS_AB} AS sim
+  FROM cv a JOIN cv b ON a.cid <> b.cid
+),
+{",".join(stages)}
+{selects}
+ORDER BY step
+"""
+
+
+@register(
+    "similarity_mmr_rerank",
+    _mmr_oracle(),
+    doc=f"MMR diversified top-{_MMR_SELECT} from {_MMR_CAND} candidates (λ={_MMR_LAMBDA}, fixed greedy rounds)",
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal marginal relevance (Carbonell & Goldstein 1998): re-rank
+    the query's top-20 cosine candidates by greedily selecting 5 that
+    trade relevance against redundancy — mmr = λ·sim(q,d) −
+    (1−λ)·max_{s∈selected} sim(d,s). The standard diversity pass a
+    retrieval pipeline runs between ANN candidate generation and the
+    final context window.
+
+    Exactness: relevance and pairwise similarities are rounded to 4 dp
+    BEFORE selection on both engines, so every greedy argmax compares
+    identical doubles; ties break on vec_id. The greedy loop is a FIXED
+    number of rounds (5), unrolled into the plan — no driver-side data
+    decisions.
+
+    Scale: candidate generation is the brute-force rung here (one
+    broadcast query row); at 100 TB the candidates come from the
+    IVF/LSH rungs (`similarity_topk_ivf`) and MMR's cost is unchanged —
+    it only ever touches the BOUNDED candidate set (20 rows, 400
+    pairwise sims), which is why the per-step frames may broadcast and
+    localCheckpoint freely."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    v = emb.filter(F.col("vec_id") != 0).alias("v")
+    rel = F.round(
+        _dot(F.col("embedding"), F.col("q_emb"))
+        / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+        4,
+    )
+    cand = (
+        v.crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("cid"), rel.alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("cid"))
+        .limit(_MMR_CAND)
+        .localCheckpoint()  # 20 rows; reused by 5 greedy rounds
+    )
+    cv = cand.join(emb, cand.cid == emb.vec_id).select("cid", "embedding")
+    a, b = cv.alias("a"), cv.alias("b")
+    sim = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+        4,
+    )
+    pc = (
+        a.join(F.broadcast(b), F.col("a.cid") != F.col("b.cid"))
+        .select(F.col("a.cid").alias("ai"), F.col("b.cid").alias("bi"), sim.alias("sim"))
+        .localCheckpoint()  # 380 rows; reused by 4 greedy rounds
+    )
+    lam, om = _MMR_LAMBDA, round(1.0 - _MMR_LAMBDA, 4)
+    selected = (
+        cand.orderBy(F.col("rel").desc(), F.col("cid"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("step"),
+            F.col("cid").alias("vec_id"),
+            "rel",
+            F.col("rel").alias("mmr_score"),
+        )
+        .localCheckpoint()
+    )
+    for step in range(2, _MMR_SELECT + 1):
+        sel_ids = selected.select(F.col("vec_id").alias("bi"))
+        maxsim = (
+            pc.join(F.broadcast(sel_ids), "bi")
+            .groupBy("ai")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        nxt = (
+            cand.join(selected.select(F.col("vec_id").alias("cid")), "cid", "left_anti")
+            .join(maxsim, F.col("cid") == F.col("ai"))
+            .select(
+                F.lit(step).cast("long").alias("step"),
+                F.col("cid").alias("vec_id"),
+                "rel",
+                (F.lit(lam) * F.col("rel") - F.lit(om) * F.col("max_sim")).alias("mmr_score"),
+            )
+            .orderBy(F.col("mmr_score").desc(), F.col("vec_id"))
+            .limit(1)
+        )
+        selected = selected.union(nxt).localCheckpoint()
+    return selected.orderBy("step")
+
+
+# --------------------------------------------------------------------------
+# k-NN label-prediction accuracy (embedding-space eval)
+# --------------------------------------------------------------------------
+
+_KNN_NQ = 50
+_KNN_K = 5
+
+_KNN_ACC_ORACLE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         v.vec_id AS neighbor_id, v.label AS nbr_label,
+         round({_COSINE_SQL}, 4) AS cosine
+  FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < {_KNN_NQ}
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rk FROM scored
+  ) WHERE rk <= {_KNN_K}
+),
+votes AS (
+  SELECT query_id, true_label, nbr_label, CAST(count(*) AS BIGINT) AS v
+  FROM topk GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT query_id, true_label, nbr_label AS pred_label FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY v DESC, nbr_label
+    ) AS pr FROM votes
+  ) WHERE pr = 1
+)
+SELECT true_label AS label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(count(CASE WHEN pred_label = true_label THEN 1 END) AS BIGINT) AS n_correct,
+       CAST(count(CASE WHEN pred_label = true_label THEN 1 END) * 1000000
+            // count(*) AS BIGINT) AS acc_ppm
+FROM pred
+GROUP BY 1
+ORDER BY label
+"""
+
+
+@register(
+    "similarity_knn_label_accuracy",
+    _KNN_ACC_ORACLE,
+    doc=f"k-NN (k={_KNN_K}) label-prediction accuracy per class over {_KNN_NQ} probe vectors",
+)
+def similarity_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval by k-NN classification: predict each probe
+    vector's label by majority vote of its 5 nearest neighbors (cosine,
+    self excluded; ties broken by count then label) and report per-class
+    accuracy — the standard "are these embeddings linearly useful"
+    probe a representation pipeline runs before committing to a model.
+
+    Exactness: cosines round to 4 dp before ranking (both engines
+    compare identical doubles, ties broken by neighbor id); votes,
+    rankings, and acc_ppm (integer division) are exact integers.
+
+    Scale: brute-force rung — the bounded probe set (50 rows)
+    broadcasts, the corpus is scanned once, and per-probe state is k
+    rows; swap candidate generation to the IVF/LSH rungs for 100 TB
+    (the vote/accuracy tail is unchanged — it only sees Q·k rows)."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nbr_label"),
+            F.round(
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    topk = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _KNN_K)
+    votes = topk.groupBy("query_id", "true_label", "nbr_label").agg(
+        F.count("*").cast("long").alias("v")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("v").desc(), F.col("nbr_label"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") == 1)
+        .select("query_id", "true_label", F.col("nbr_label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.count(F.when(F.col("pred_label") == F.col("true_label"), 1))
+            .cast("long")
+            .alias("n_correct"),
+            F.expr(
+                "CAST(count(CASE WHEN pred_label = true_label THEN 1 END) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("acc_ppm"),
+        )
+        .orderBy("label")
+    )

@@ -119,6 +119,21 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "events_power_analysis",
     "quality_variance_icc",
     # -- operators added in round 9 (appended as they land) --
+    "text_good_turing_vocab",
+    "text_token_fertility",
+    "dedup_fuzzy_name_pairs",
+    "stats_mutual_information",
+    "stats_grubbs_daily",
+    "stats_wilcoxon_signed_rank",
+    "stats_mann_kendall",
+    "agg_trimmed_winsorized",
+    "events_conformal_interval",
+    "similarity_mmr_rerank",
+    "quality_ece_calibration",
+    "similarity_knn_label_accuracy",
+    "graph_bounded_sssp",
+    "orders_newsvendor_quantile",
+    "events_qini_uplift",
 )
 
 
