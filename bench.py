@@ -236,6 +236,9 @@ HEADLINE = [
     "graph_bounded_sssp",
     "orders_newsvendor_quantile",
     "events_qini_uplift",
+    "stats_permutation_test",
+    "events_weekly_decompose",
+    "orders_price_elasticity",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -1164,3 +1164,286 @@ def events_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
                        - CAST(cum_conv_c AS DOUBLE) * CAST(cum_n_t AS DOUBLE)
                          / CAST(cum_n_c AS DOUBLE) END AS qini""",
     ).orderBy("decile")
+
+
+# --------------------------------------------------------------------------
+# Permutation test: cluster-randomized diff-in-means, deterministic perms
+# --------------------------------------------------------------------------
+
+_PERM_B = 32  # replicate 0 is the observed md5(user) assignment
+
+_PERM_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+),
+rep AS (
+  SELECT u.user_id, u.t, u.n, b.b,
+         CASE WHEN (strpos('0123456789abcdef',
+                    substr(md5(CASE WHEN b.b = 0 THEN CAST(u.user_id AS VARCHAR)
+                               ELSE CAST(u.user_id AS VARCHAR) || '_' || CAST(b.b AS VARCHAR) END),
+                           1, 1)) - 1) % 2 = 0
+              THEN 1 ELSE 0 END AS in_a
+  FROM per_user u CROSS JOIN (SELECT unnest(range({_PERM_B})) AS b) b
+),
+diffs AS (
+  SELECT b,
+         CAST(sum(CASE WHEN in_a = 1 THEN t END) AS DOUBLE)
+           / CAST(sum(CASE WHEN in_a = 1 THEN n END) AS DOUBLE)
+         - CAST(sum(CASE WHEN in_a = 0 THEN t END) AS DOUBLE)
+           / CAST(sum(CASE WHEN in_a = 0 THEN n END) AS DOUBLE) AS diff
+  FROM rep GROUP BY b
+),
+obs AS (SELECT diff AS diff_obs FROM diffs WHERE b = 0)
+SELECT CAST({_PERM_B} - 1 AS BIGINT) AS n_perms,
+       obs.diff_obs,
+       CAST(count(CASE WHEN d.b > 0 AND abs(d.diff) >= abs(obs.diff_obs) THEN 1 END) AS BIGINT) AS n_extreme,
+       (1.0 + CAST(count(CASE WHEN d.b > 0 AND abs(d.diff) >= abs(obs.diff_obs) THEN 1 END) AS DOUBLE))
+         / CAST({_PERM_B} AS DOUBLE) AS p_value
+FROM diffs d CROSS JOIN obs
+GROUP BY obs.diff_obs
+"""
+
+
+@register(
+    "stats_permutation_test",
+    _PERM_ORACLE,
+    doc=f"cluster-randomized permutation test of per-event mean value, {_PERM_B - 1} deterministic perms",
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assumption-free significance for the A/B diff-in-means: re-assign
+    USERS (the randomization unit — cluster-randomized, so event-level
+    correlation within a user never inflates significance) to arms under
+    31 deterministic pseudo-permutations and ask how often the permuted
+    |mean difference| reaches the observed one. Permutation b assigns by
+    md5(user_id, b) parity — both engines draw identical "random"
+    assignments with no RNG, the same trick as the Poisson bootstrap
+    (`orders_bootstrap_ci_poisson`).
+
+    Exactness: per-user cent totals are exact; each replicate's diff is
+    one fixed IEEE expression from four BIGINTs; the extreme-count
+    compares identically-computed doubles; p uses the add-one estimator
+    (Phipson & Smyth 2010) so it is never zero.
+
+    Scale: one data-scale groupBy to user grain; the ×32 explode is
+    map-side and collapses to 64 (b, arm) partial aggregates — the
+    permutation test costs one shuffle of 64 keys regardless of corpus
+    size. The 32-row diff table and 1-row observed frame broadcast."""
+    events = load(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("t"),
+        F.count("*").cast("long").alias("n"),
+    )
+    rep = per_user.select(
+        "user_id",
+        "t",
+        "n",
+        F.explode(F.expr(f"sequence(0, {_PERM_B - 1})")).alias("b"),
+    ).selectExpr(
+        "b",
+        "t",
+        "n",
+        "CASE WHEN (instr('0123456789abcdef',"
+        " substr(md5(CASE WHEN b = 0 THEN CAST(user_id AS STRING)"
+        "            ELSE concat(CAST(user_id AS STRING), '_', CAST(b AS STRING)) END),"
+        " 1, 1)) - 1) % 2 = 0 THEN 1 ELSE 0 END AS in_a",
+    )
+    diffs = rep.groupBy("b").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN in_a = 1 THEN t END) AS DOUBLE)"
+            " / CAST(sum(CASE WHEN in_a = 1 THEN n END) AS DOUBLE)"
+            " - CAST(sum(CASE WHEN in_a = 0 THEN t END) AS DOUBLE)"
+            " / CAST(sum(CASE WHEN in_a = 0 THEN n END) AS DOUBLE)"
+        ).alias("diff")
+    )
+    diffs = diffs.localCheckpoint(eager=False)  # 32 rows feed obs + the fold
+    obs = diffs.filter("b = 0").select(F.col("diff").alias("diff_obs"))
+    return (
+        diffs.crossJoin(F.broadcast(obs))
+        .groupBy("diff_obs")
+        .agg(
+            F.lit(_PERM_B - 1).cast("long").alias("n_perms"),
+            F.count(
+                F.when(
+                    (F.col("b") > 0) & (F.abs(F.col("diff")) >= F.abs(F.col("diff_obs"))),
+                    1,
+                )
+            ).cast("long").alias("n_extreme"),
+        )
+        .selectExpr(
+            "n_perms",
+            "diff_obs",
+            "n_extreme",
+            f"(1.0 + CAST(n_extreme AS DOUBLE)) / CAST({_PERM_B} AS DOUBLE) AS p_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Classical weekly decomposition of daily event volume (MA-detrended)
+# --------------------------------------------------------------------------
+
+_WEEKLY_DECOMP_ORACLE = r"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+ma AS (
+  SELECT day, c,
+         CAST(sum(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS sum7,
+         CAST(count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS n7
+  FROM daily
+),
+det AS (
+  -- 7·detrended value, exact: 7c − centered-7-day sum (interior days only)
+  -- DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based — align
+  SELECT CAST(dayofweek(day) + 1 AS BIGINT) AS weekday, 7 * c - sum7 AS det7
+  FROM ma WHERE n7 = 7
+)
+SELECT weekday,
+       CAST(count(*) AS BIGINT)   AS n_days,
+       CAST(sum(det7) AS BIGINT)  AS sum_det7,
+       CAST(sum(det7) * 1000000 // (7 * count(*)) AS BIGINT) AS seasonal_micro
+FROM det
+GROUP BY weekday
+ORDER BY weekday
+"""
+
+
+@register(
+    "events_weekly_decompose",
+    _WEEKLY_DECOMP_ORACLE,
+    doc="classical additive decomposition: centered-7-day-MA detrend → exact weekday seasonal indices",
+)
+def events_weekly_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical time-series decomposition (the moving-average
+    construction STL refines): detrend daily event volume with a
+    centered 7-day moving average, then average the detrended values by
+    weekday to get additive seasonal indices — "how many events does a
+    Saturday add over trend". Complements `orders_seasonality_weekday`
+    (level ratios, no detrending): this one isolates seasonality FROM
+    trend, the correct read when volume drifts.
+
+    Exactness: the detrended value is kept ×7 (7c − Σ₇c — exact BIGINT,
+    no division); seasonal indices are integer micro-units via one
+    integer division. Edge days without a full 7-day window are
+    EXCLUDED (n7 = 7), matching the classical treatment.
+
+    Scale: one data-scale groupBy to calendar days; the centered MA is
+    a window over the day grid (calendar-bounded — metadata scale at
+    any SF, same discipline as the CUSUM/gapfill day grids); the
+    output is 7 rows."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    # calendar-bounded grid: an unpartitioned window here is metadata-scale
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "c",
+        F.sum("c").over(w7).cast("long").alias("sum7"),
+        F.count("*").over(w7).cast("long").alias("n7"),
+    )
+    det = ma.filter("n7 = 7").select(
+        F.expr("CAST(dayofweek(day) AS BIGINT)").alias("weekday"),
+        (7 * F.col("c") - F.col("sum7")).alias("det7"),
+    )
+    return (
+        det.groupBy("weekday")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("det7").cast("long").alias("sum_det7"),
+            F.expr("CAST(sum(det7) * 1000000 DIV (7 * count(*)) AS BIGINT)").alias(
+                "seasonal_micro"
+            ),
+        )
+        .orderBy("weekday")
+    )
+
+
+# --------------------------------------------------------------------------
+# Price elasticity: log-log OLS of demand on price, per part type
+# --------------------------------------------------------------------------
+
+_ELASTICITY_ORACLE = r"""
+WITH demand AS (
+  SELECT l_partkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1
+),
+pts AS (
+  SELECT p.p_type,
+         CAST(round(1000000.0 * ln(CAST(round(p.p_retailprice * 100) AS BIGINT))) AS BIGINT) AS x,
+         CAST(round(1000000.0 * ln(d.q)) AS BIGINT) AS y
+  FROM part p JOIN demand d ON d.l_partkey = p.p_partkey
+  WHERE d.q > 0
+),
+m AS (
+  SELECT p_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM pts GROUP BY p_type
+)
+SELECT p_type, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS elasticity
+FROM m
+ORDER BY p_type
+"""
+
+
+@register(
+    "orders_price_elasticity",
+    _ELASTICITY_ORACLE,
+    doc="log-log OLS demand elasticity per part type from micro-nat-quantized moments",
+)
+def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand per part type: the slope of
+    ln(quantity) on ln(price) across parts — the %-demand-change per
+    %-price-change read every pricing analysis starts with (the log-log
+    sibling of `orders_price_trend_ols`'s level trend).
+
+    Exactness: both logs are quantized to integer micro-nats per part
+    BEFORE the moment sums (ln is the accepted libm-ulp boundary; the
+    sums are then exact HUGEINT/DECIMAL integers), and the slope is one
+    IEEE expression per type — never a float fold over parts.
+
+    Scale: one data-scale groupBy (lineitem → per-part demand), one
+    dim-table join, and a types-sized moment aggregate; Σx² of 1e6-scale
+    micro-nats over 20M parts stays < 1e27 — inside HUGEINT/DECIMAL(38)."""
+    demand = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).cast("long").alias("q"))
+    )
+    part = load(spark, sf_dir, "part")
+    pts = (
+        part.join(demand, part.p_partkey == demand.l_partkey)
+        .where("q > 0")
+        .selectExpr(
+            "p_type",
+            "CAST(round(1000000.0 * ln(CAST(round(p_retailprice * 100) AS BIGINT))) AS BIGINT) AS x",
+            "CAST(round(1000000.0 * ln(q)) AS BIGINT) AS y",
+        )
+    )
+    m = pts.groupBy("p_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    return m.selectExpr(
+        "p_type",
+        "n",
+        """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS elasticity""",
+    ).orderBy("p_type")

@@ -134,6 +134,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "graph_bounded_sssp",
     "orders_newsvendor_quantile",
     "events_qini_uplift",
+    "stats_permutation_test",
+    "events_weekly_decompose",
+    "orders_price_elasticity",
 )
 
 
