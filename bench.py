@@ -239,6 +239,9 @@ HEADLINE = [
     "stats_permutation_test",
     "events_weekly_decompose",
     "orders_price_elasticity",
+    "quality_brier_score",
+    "events_path_topk",
+    "events_retention_decay_fit",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -1447,3 +1447,423 @@ def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS elasticity""",
     ).orderBy("p_type")
+
+
+# --------------------------------------------------------------------------
+# Brier score + Murphy decomposition of the quality classifier
+# --------------------------------------------------------------------------
+
+_BRIER_ORACLE_TMPL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, unnest(w) AS f FROM toks
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])) AS f
+  FROM toks WHERE len(w) >= 2
+),
+hashed AS (SELECT doc_id, md5(f) AS m FROM feats),
+logits AS (
+  SELECT doc_id,
+         CAST(CAST(sum((({hex15} % {qc_buckets}) * {qc_knuth})
+                        % {qc_wrange} - {qc_half}) AS BIGINT)
+              * 1000 // count(*) AS BIGINT) AS logit_milli
+  FROM hashed GROUP BY doc_id
+),
+quality AS (
+  SELECT doc_id, CAST(round(({quality}) * 10000) AS BIGINT) AS q_int
+  FROM documents
+),
+j AS MATERIALIZED (
+  SELECT l.logit_milli, q.q_int FROM logits l JOIN quality q USING (doc_id)
+),
+qdict AS (
+  SELECT q_int, CAST(count(*) AS BIGINT) AS nq,
+         CAST(sum(count(*)) OVER (ORDER BY q_int
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumq,
+         CAST(sum(count(*)) OVER () AS BIGINT) AS nall
+  FROM j GROUP BY q_int
+),
+med AS (SELECT min(q_int) AS m FROM qdict WHERE 2 * cumq >= nall),
+scored AS (
+  SELECT {p_e6} AS p_e6,
+         CASE WHEN j.q_int > med.m THEN 1 ELSE 0 END AS y
+  FROM j, med
+),
+bins AS (
+  SELECT least(p_e6 * 10 // 1000000, 9) AS bin,
+         CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(y) AS BIGINT) AS pos,
+         CAST(sum(p_e6) AS BIGINT) AS psum
+  FROM scored GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS p_tot,
+         CAST(sum(CAST(p_e6 AS HUGEINT) * p_e6) AS HUGEINT) AS sum_p2,
+         CAST(sum(CASE WHEN y = 1 THEN p_e6 END) AS BIGINT) AS sum_p_pos
+  FROM scored
+),
+decomp AS (
+  SELECT CAST(sum(CAST(round(1e9 * ((CAST(psum AS DOUBLE) - CAST(pos AS DOUBLE) * 1000000.0)
+                                    * (CAST(psum AS DOUBLE) - CAST(pos AS DOUBLE) * 1000000.0))
+                             / (CAST(nb AS DOUBLE) * CAST(t.n AS DOUBLE) * 1e12)) AS BIGINT)) AS BIGINT)
+           AS rel_e9,
+         CAST(sum(CAST(round(1e9 * CAST(nb AS DOUBLE)
+                             * (CAST(pos AS DOUBLE) / CAST(nb AS DOUBLE)
+                                - CAST(t.p_tot AS DOUBLE) / CAST(t.n AS DOUBLE))
+                             * (CAST(pos AS DOUBLE) / CAST(nb AS DOUBLE)
+                                - CAST(t.p_tot AS DOUBLE) / CAST(t.n AS DOUBLE))
+                             / CAST(t.n AS DOUBLE)) AS BIGINT)) AS BIGINT) AS res_e9
+  FROM bins CROSS JOIN tot t
+)
+SELECT t.n AS n_docs, t.p_tot AS n_pos,
+       (CAST(t.sum_p2 AS DOUBLE) - 2000000.0 * CAST(t.sum_p_pos AS DOUBLE)
+          + CAST(t.p_tot AS DOUBLE) * 1e12) / (CAST(t.n AS DOUBLE) * 1e12) AS brier,
+       d.rel_e9, d.res_e9,
+       (CAST(t.p_tot AS DOUBLE) / CAST(t.n AS DOUBLE))
+         * (1.0 - CAST(t.p_tot AS DOUBLE) / CAST(t.n AS DOUBLE)) AS uncertainty
+FROM tot t CROSS JOIN decomp d
+"""
+
+
+def _brier_oracle() -> str:
+    from gluettalax_spark.operators.dedup import _duck_hex_int
+    from gluettalax_spark.operators.pipeline import (
+        _ECE_P_E6,
+        _QC_BUCKETS,
+        _QC_KNUTH,
+        _QC_WRANGE,
+    )
+    from gluettalax_spark.operators.text import _QUALITY_DUCK
+
+    return _BRIER_ORACLE_TMPL.format(
+        hex15=_duck_hex_int(1, 15),
+        qc_buckets=_QC_BUCKETS,
+        qc_knuth=_QC_KNUTH,
+        qc_wrange=_QC_WRANGE,
+        qc_half=_QC_WRANGE // 2,
+        quality=_QUALITY_DUCK,
+        p_e6=_ECE_P_E6,
+    )
+
+
+@register(
+    "quality_brier_score",
+    _brier_oracle(),
+    doc="Brier score + Murphy reliability/resolution/uncertainty decomposition of the quality classifier",
+)
+def quality_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The proper-scoring-rule companion to `quality_ece_calibration`:
+    the Brier score of the classifier's sigmoid probabilities against
+    the quality>median label, with Murphy's (1973) decomposition over
+    the same 10 bins — reliability (miscalibration, lower better),
+    resolution (discrimination, higher better), and the label-entropy
+    uncertainty floor. ECE tells you the gap; Brier tells you whether
+    sharpening or recalibrating pays more.
+
+    Exactness: Σp², Σp·y, and the label total are exact integers off
+    the e6-quantized probabilities (Σ(p−y)² expands to exactly those
+    three — no per-doc float residual), so `brier` is ONE final IEEE
+    expression; REL/RES quantize each BIN's term (≤10 of them) to
+    integer nano-units before the sum. Σp_e6² reaches 1e12·N — held in
+    DECIMAL(38,0)/HUGEINT, good to N≈1e26 docs.
+
+    Scale: rides the same memoized logits pass as ECE/AUC; everything
+    after the doc-grain aggregate is a 10-row grid plus 1-row folds."""
+    from gluettalax_spark.operators.pipeline import (
+        _ECE_P_E6,
+        classifier_doc_logits,
+    )
+    from gluettalax_spark.operators.text import _quality_parts
+
+    docs = load(spark, sf_dir, "documents")
+    _, _, _, quality = _quality_parts()
+    q = docs.select("doc_id", F.round(quality * 10000).cast("long").alias("q_int"))
+    logits = classifier_doc_logits(spark, sf_dir).select("doc_id", "logit_milli")
+    j = logits.join(q, "doc_id")
+    med = (
+        j.groupBy("q_int")
+        .agg(F.count(F.lit(1)).cast("long").alias("nq"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("q_int", "nq"))).alias("arr"),
+            F.sum("nq").cast("long").alias("nall"),
+        )
+        .selectExpr(
+            "aggregate(arr, struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS BIGINT) AS med),"
+            " (acc, x) -> struct(acc.cum + x.nq,"
+            " CASE WHEN acc.med IS NULL AND 2 * (acc.cum + x.nq) >= nall"
+            " THEN x.q_int ELSE acc.med END)).med AS m"
+        )
+    )
+    scored = (
+        j.crossJoin(F.broadcast(med))
+        .selectExpr(
+            f"{_ECE_P_E6} AS p_e6",
+            "CASE WHEN q_int > m THEN 1 ELSE 0 END AS y",
+        )
+        .localCheckpoint(eager=False)  # feeds the bin grid and the total fold
+    )
+    bins = scored.groupBy(F.expr("least(p_e6 * 10 DIV 1000000, 9)").alias("bin")).agg(
+        F.count("*").cast("long").alias("nb"),
+        F.sum("y").cast("long").alias("pos"),
+        F.sum("p_e6").cast("long").alias("psum"),
+    )
+    tot = scored.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p_tot"),
+        F.sum(F.col("p_e6").cast("decimal(38,0)") * F.col("p_e6")).alias("sum_p2"),
+        F.sum(F.when(F.col("y") == 1, F.col("p_e6"))).cast("long").alias("sum_p_pos"),
+    )
+    decomp = bins.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "CAST(round(1e9 * ((CAST(psum AS DOUBLE) - CAST(pos AS DOUBLE) * 1000000.0)"
+                " * (CAST(psum AS DOUBLE) - CAST(pos AS DOUBLE) * 1000000.0))"
+                " / (CAST(nb AS DOUBLE) * CAST(n AS DOUBLE) * 1e12)) AS BIGINT)"
+            )
+        ).cast("long").alias("rel_e9"),
+        F.sum(
+            F.expr(
+                "CAST(round(1e9 * CAST(nb AS DOUBLE)"
+                " * (CAST(pos AS DOUBLE) / CAST(nb AS DOUBLE)"
+                "    - CAST(p_tot AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * (CAST(pos AS DOUBLE) / CAST(nb AS DOUBLE)"
+                "    - CAST(p_tot AS DOUBLE) / CAST(n AS DOUBLE))"
+                " / CAST(n AS DOUBLE)) AS BIGINT)"
+            )
+        ).cast("long").alias("res_e9"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(decomp))
+        .selectExpr(
+            "n AS n_docs",
+            "p_tot AS n_pos",
+            """(CAST(sum_p2 AS DOUBLE) - 2000000.0 * CAST(sum_p_pos AS DOUBLE)
+                  + CAST(p_tot AS DOUBLE) * 1e12) / (CAST(n AS DOUBLE) * 1e12) AS brier""",
+            "rel_e9",
+            "res_e9",
+            """(CAST(p_tot AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1.0 - CAST(p_tot AS DOUBLE) / CAST(n AS DOUBLE)) AS uncertainty""",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Step-indexed top user paths (first-3-event journeys)
+# --------------------------------------------------------------------------
+
+_PATH_TOPK = 10
+
+_PATH_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ordered WHERE rn <= 3
+  GROUP BY user_id
+  HAVING count(*) = 3
+),
+counts AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM paths GROUP BY path
+)
+SELECT path, n_users,
+       CAST(row_number() OVER (ORDER BY n_users DESC, path) AS BIGINT) AS rank
+FROM counts
+ORDER BY rank
+LIMIT {_PATH_TOPK}
+"""
+
+
+@register(
+    "events_path_topk",
+    _PATH_ORACLE,
+    doc=f"top-{_PATH_TOPK} first-3-event user journeys (onboarding path analysis)",
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What do users DO first? The top first-3-event journeys ("view >
+    click > purchase"), the onboarding-path readout product analytics
+    builds Sankey diagrams from — and the k-th-step complement of
+    `events_markov_transitions`' memoryless pair view.
+
+    Exactness: the per-user order is the total (ts, event_id); the path
+    string is an ordered aggregation; counts and the (count desc, path)
+    ranking are exact.
+
+    Scale: ONE hash exchange on user_id (the sessionize discipline) for
+    the row_number window, rows cut to 3 per user immediately, then a
+    path-dictionary count (path-space bounded: |event types|³) and a
+    top-k over that dictionary."""
+    from pyspark.sql.window import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    paths = (
+        ordered.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count("*").alias("n_steps"),
+        )
+        .filter("n_steps = 3")
+    )
+    counts = paths.groupBy("path").agg(F.count("*").cast("long").alias("n_users"))
+    wr = Window.orderBy(F.col("n_users").desc(), F.col("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= _PATH_TOPK)
+        .select("path", "n_users", "rank")
+        .orderBy("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekly retention decay fit (log-linear half-life)
+# --------------------------------------------------------------------------
+
+_RETENTION_DECAY_ORACLE = r"""
+WITH d0 AS (SELECT CAST(min(ts) AS DATE) AS base, CAST(max(ts) AS DATE) AS last FROM events),
+uw AS (
+  SELECT DISTINCT e.user_id,
+         CAST(datediff('day', d0.base, CAST(e.ts AS DATE)) // 7 AS BIGINT) AS wk
+  FROM events e CROSS JOIN d0
+),
+first_wk AS (SELECT user_id, CAST(min(wk) AS BIGINT) AS cohort_wk FROM uw GROUP BY user_id),
+max_wk AS (SELECT CAST(datediff('day', base, last) // 7 AS BIGINT) AS maxw FROM d0),
+rates AS (
+  SELECT k,
+         CAST(sum(eligible) AS BIGINT) AS eligible,
+         CAST(sum(retained) AS BIGINT) AS retained
+  FROM (
+    SELECT f.cohort_wk, o.k,
+           CAST(count(*) AS BIGINT) AS eligible,
+           CAST(count(CASE WHEN a.user_id IS NOT NULL THEN 1 END) AS BIGINT) AS retained
+    FROM first_wk f
+    CROSS JOIN (SELECT unnest(range(1, 4)) AS k) o
+    CROSS JOIN max_wk m
+    LEFT JOIN uw a ON a.user_id = f.user_id AND a.wk = f.cohort_wk + o.k
+    WHERE f.cohort_wk + o.k <= m.maxw
+    GROUP BY f.cohort_wk, o.k
+  )
+  GROUP BY k
+),
+pts AS (
+  SELECT k,
+         eligible,
+         retained,
+         CAST(round(1000000.0 * ln(CAST(retained AS DOUBLE) / CAST(eligible AS DOUBLE))) AS BIGINT) AS y
+  FROM rates WHERE retained > 0
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS np,
+         CAST(sum(k) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(k * y) AS BIGINT) AS sxy,
+         CAST(sum(k * k) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT np AS n_points,
+       (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         / 1000000.0 AS weekly_decay,
+       CASE WHEN (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) < 0 THEN
+         ln(2.0) * 1000000.0
+           / (-(CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+       ELSE CAST(NULL AS DOUBLE) END AS half_life_weeks
+FROM m
+"""
+
+
+@register(
+    "events_retention_decay_fit",
+    _RETENTION_DECAY_ORACLE,
+    doc="weekly retention decay rate + half-life via log-linear fit over pooled cohort offsets",
+)
+def events_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How fast does the user base churn? Pool weekly cohorts into a
+    retention rate per week-offset k (users active exactly k weeks
+    after their first week / users whose cohort is old enough to be
+    observed at k), fit ln(rate) on k, and report the decay rate and
+    half-life — the single-number summary a growth team extracts from
+    `events_cohort_retention`'s full matrix.
+
+    Exactness: eligibility and retention are exact distinct-user
+    counts (the cohort+k ≤ max-week guard keeps censored offsets out);
+    each offset's log-rate quantizes to integer micro-nats; the
+    3-point OLS runs on exact integer moments; decay and half-life are
+    one IEEE expression each (half-life NULL unless retention actually
+    decays).
+
+    Scale: one distinct (user, week) pass and one per-user min — both
+    single hash exchanges on user_id; the retained check is a per-user
+    equi-join on (user, week); everything after the cohort×offset
+    aggregate is a ≤3-row fit."""
+    events = load(spark, sf_dir, "events")
+    d0 = events.agg(
+        F.min(F.col("ts").cast("date")).alias("base"),
+        F.max(F.col("ts").cast("date")).alias("last"),
+    )
+    uw = (
+        events.crossJoin(F.broadcast(d0))
+        .selectExpr(
+            "user_id",
+            "CAST(datediff(CAST(ts AS DATE), base) DIV 7 AS BIGINT) AS wk",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds first-seen AND the retained probe
+    )
+    first_wk = uw.groupBy("user_id").agg(F.min("wk").cast("long").alias("cohort_wk"))
+    max_wk = d0.selectExpr("CAST(datediff(last, base) DIV 7 AS BIGINT) AS maxw")
+    offs = (
+        first_wk.crossJoin(F.broadcast(max_wk))
+        .select("user_id", "cohort_wk", F.explode(F.expr("sequence(1, 3)")).alias("k"))
+        .filter("cohort_wk + k <= maxw")
+    )
+    probe = uw.selectExpr("user_id AS a_user", "wk AS a_wk")
+    joined = offs.join(
+        probe,
+        (F.col("user_id") == F.col("a_user"))
+        & (F.col("a_wk") == F.col("cohort_wk") + F.col("k")),
+        "left",
+    )
+    rates = joined.groupBy("k").agg(
+        F.count("*").cast("long").alias("eligible"),
+        F.count("a_user").cast("long").alias("retained"),
+    )
+    pts = rates.filter("retained > 0").selectExpr(
+        "k",
+        "CAST(round(1000000.0 * ln(CAST(retained AS DOUBLE) / CAST(eligible AS DOUBLE))) AS BIGINT) AS y",
+    )
+    m = pts.agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("k").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("k") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("sxx"),
+    )
+    return m.selectExpr(
+        "np AS n_points",
+        """(CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / 1000000.0 AS weekly_decay""",
+        """CASE WHEN (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) < 0 THEN
+             ln(2.0) * 1000000.0
+               / (-(CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           ELSE CAST(NULL AS DOUBLE) END AS half_life_weeks""",
+    )

@@ -137,6 +137,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "stats_permutation_test",
     "events_weekly_decompose",
     "orders_price_elasticity",
+    "quality_brier_score",
+    "events_path_topk",
+    "events_retention_decay_fit",
 )
 
 
