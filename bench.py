@@ -242,6 +242,8 @@ HEADLINE = [
     "quality_brier_score",
     "events_path_topk",
     "events_retention_decay_fit",
+    "text_compression_ratio",
+    "text_unicode_script_profile",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -1867,3 +1867,148 @@ def events_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
            ELSE CAST(NULL AS DOUBLE) END AS half_life_weeks""",
     )
+
+
+# --------------------------------------------------------------------------
+# Compression-ratio quality filter (zlib, Arrow-batched — rows-only)
+# --------------------------------------------------------------------------
+
+_COMP_SCHEMA = "doc_id long, source string, n_bytes long, z_bytes long"
+# Gopher/RefinedWeb-style ratio gates (ppm of original size after
+# deflate): far-too-compressible = templated/repetitive junk, nearly
+# incompressible = random/binary junk.
+_COMP_LO_PPM = 300000
+_COMP_HI_PPM = 900000
+
+
+def _make_compress_batch():
+    """zlib kernel as a closure (Arrow-batched; level pinned so the
+    byte counts are deterministic for a fixed zlib build)."""
+
+    def compress_batch(batches):
+        import pandas as _pd
+        import zlib as _zlib
+
+        for pdf in batches:
+            enc = [t.encode("utf-8") for t in pdf["text"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "n_bytes": [len(b) for b in enc],
+                    "z_bytes": [len(_zlib.compress(b, 6)) for b in enc],
+                }
+            )
+
+    return compress_batch
+
+
+@register(
+    "text_compression_ratio",
+    None,
+    doc="zlib compression-ratio quality filter per source (Arrow-batched kernel, integer witness sums)",
+    witness=("sum_bytes", "sum_z_bytes", "ratio_ppm"),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressibility filter (Gopher / RefinedWeb lineage): deflate
+    every document and flag the ones that compress far too well
+    (templated/repeated boilerplate) or barely at all (random or binary
+    junk). No SQL oracle exists — deflate is procedural — so this is a
+    rows-only query whose witness columns (`sum_bytes`, `sum_z_bytes`,
+    `ratio_ppm`) are exact integer byte totals a pytest re-derives with
+    an independent zlib pass over the raw parquet.
+
+    Scale: the kernel is the UDF slow path done right — Arrow-batched
+    `mapInPandas` in the scan stage (the multimodal decode discipline:
+    payload bytes never shuffle; only (doc_id, source, 2 longs)
+    leave the kernel), followed by a sources-sized integer aggregate.
+    Per-doc cost is the deflate itself, which is the honest price of
+    the signal at any scale."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sized = docs.mapInPandas(_make_compress_batch(), _COMP_SCHEMA)
+    return (
+        sized.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("sum_bytes"),
+            F.sum("z_bytes").cast("long").alias("sum_z_bytes"),
+            F.expr("CAST(sum(z_bytes) * 1000000 DIV sum(n_bytes) AS BIGINT)").alias(
+                "ratio_ppm"
+            ),
+            F.count(
+                F.when(
+                    F.col("z_bytes") * 1000000 < F.lit(_COMP_LO_PPM) * F.col("n_bytes"), 1
+                )
+            ).cast("long").alias("n_too_repetitive"),
+            F.count(
+                F.when(
+                    F.col("z_bytes") * 1000000 > F.lit(_COMP_HI_PPM) * F.col("n_bytes"), 1
+                )
+            ).cast("long").alias("n_incompressible"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Unicode script profile per language (multilingual data QA)
+# --------------------------------------------------------------------------
+
+# Codepoint-range classes shared verbatim by both engines (Java regex and
+# RE2 both accept explicit \uXXXX ranges; named script classes do NOT
+# share syntax across the two).
+# Patterns in RE2/Java-shared \x{...} syntax; the Spark side doubles the
+# backslashes because Spark SQL string literals eat single ones, DuckDB's
+# don't.
+_SCRIPT_CLASSES = (
+    ("latin", "[A-Za-z\\\\x{00c0}-\\\\x{024f}]"),
+    ("digit", "[0-9]"),
+    ("cjk", "[\\\\x{4e00}-\\\\x{9fff}\\\\x{3040}-\\\\x{30ff}]"),
+    ("space", "[ \\t\\n\\r]"),
+    ("punct", "[.,!?;:()-]"),
+)
+
+_SCRIPT_ORACLE = (
+    "SELECT lang,\n"
+    "       CAST(count(*) AS BIGINT) AS n_docs,\n"
+    "       CAST(sum(length(text)) AS BIGINT) AS n_chars,\n"
+    + ",\n".join(
+        "       CAST(sum(len(regexp_extract_all(text, '{}'))) AS BIGINT) AS n_{}".format(
+            pat.replace("\\\\", "\\"), name
+        )
+        for name, pat in _SCRIPT_CLASSES
+    )
+    + "\nFROM documents GROUP BY lang ORDER BY lang"
+)
+
+
+@register(
+    "text_unicode_script_profile",
+    _SCRIPT_ORACLE,
+    doc="per-language Unicode script/class character profile (explicit codepoint ranges)",
+)
+def text_unicode_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual data QA: how many Latin, digit, CJK, whitespace and
+    punctuation characters each language's documents actually contain —
+    the cross-check that catches mislabeled languages, mojibake, and
+    markup floods before they hit the tokenizer (`text_lang_id`
+    classifies; this op profiles what the bytes really are).
+
+    Exactness: pure per-row regexp counts summed as BIGINT. The class
+    patterns are EXPLICIT codepoint ranges because named script classes
+    don't share syntax across Java regex and RE2 — the ranges are the
+    portable intersection.
+
+    Scale: one scan, all counting inside JVM codegen, languages-sized
+    output."""
+    docs = load(spark, sf_dir, "documents")
+    aggs = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    ] + [
+        F.sum(F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)")))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat in _SCRIPT_CLASSES
+    ]
+    return docs.groupBy("lang").agg(*aggs).orderBy("lang")

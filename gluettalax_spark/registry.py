@@ -140,6 +140,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "quality_brier_score",
     "events_path_topk",
     "events_retention_decay_fit",
+    "text_compression_ratio",
+    "text_unicode_script_profile",
 )
 
 
