@@ -592,6 +592,7 @@ STREAMING_SUBSET = [
     ("streaming_anova_moments", "update"),
     ("streaming_markov_transitions", "update"),
     ("streaming_sequence_match", "update"),
+    ("streaming_user_paths", "update"),
     ("streaming_tumbling_counts", "append"),
 ]
 

@@ -1077,3 +1077,64 @@ def streaming_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming twin: first-3-event user paths (bounded prefix state)
+# --------------------------------------------------------------------------
+
+PATH_OUTPUT_SCHEMA = "user_id long, n_steps int, path string"
+_PATH_STATE_SCHEMA = "prefix_json string"
+_PATH_STEPS = 3
+
+
+def _make_path_fn():
+    """State per user: the ≤3 earliest events as a JSON list of
+    [epoch_us, event_id, type] triples — a MERGEABLE bottom-k summary
+    under the batch op's total order (ts, event_id), so late-arriving
+    earlier events still displace later ones and the final emission per
+    user equals `events_path_topk`'s per-user path exactly (pinned in
+    tests). Bounded state: 3 triples regardless of history length."""
+
+    def update(key, pdfs, state):
+        import json as _json
+
+        import pandas as _pd
+
+        (prefix_json,) = state.get if state.exists else ("[]",)
+        prefix = [tuple(t) for t in _json.loads(prefix_json)]
+        pdf = _pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            for _, r in pdf.iterrows():
+                prefix.append(
+                    (int(r["ts"].value // 1000), int(r["event_id"]), str(r["event_type"]))
+                )
+            prefix = sorted(prefix)[:_PATH_STEPS]
+        state.update((_json.dumps([list(t) for t in prefix]),))
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_steps": [len(prefix)],
+                "path": [">".join(t[2] for t in prefix)],
+            }
+        )
+
+    return update
+
+
+def streaming_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `events_path_topk`'s per-user stage: maintain
+    each user's first-3-event journey live (the onboarding-path feature
+    stream). The top-k ranking is a trivial batch aggregate over these
+    emissions — counting paths per distinct journey reproduces the
+    batch operator's table exactly once every user's prefix is full."""
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _make_path_fn(),
+        outputStructType=PATH_OUTPUT_SCHEMA,
+        stateStructType=_PATH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -764,3 +764,75 @@ def test_streaming_seqmatch_state_bounded_and_chunk_order_free(spark, sf_dir):
     )[0]
     assert list(ref["matched"]) == list(got["matched"])
     assert json.loads(s_ref._v[0]) == json.loads(s_split._v[0])
+
+
+# --------------------------------------------------------------------------
+# streaming_user_paths (round 9): first-3-event journeys, bounded prefix
+# --------------------------------------------------------------------------
+
+
+def test_streaming_paths_final_equals_batch_topk(spark, sf_dir):
+    """Counting the FINAL per-user path emissions (full 3-step prefixes
+    only) and ranking by (count desc, path) must reproduce the batch
+    `events_path_topk` table exactly."""
+    from collections import Counter
+
+    from gluettalax_spark.registry import queries
+    from gluettalax_spark.streaming.stateful import streaming_user_paths
+
+    stream_df = streaming_user_paths(spark, sf_dir)
+    assert stream_df.isStreaming
+    result = run_stream_to_memory(spark, stream_df, "paths_twin", output_mode="update")
+    final = {}
+    for r in result.collect():  # update mode: last emission per user wins
+        final[r.user_id] = (r.n_steps, r.path)
+    counts = Counter(path for n, path in final.values() if n == 3)
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    batch = queries()["events_path_topk"](spark, sf_dir).collect()
+    assert [(r["path"], r["n_users"]) for r in batch] == expect
+
+
+def test_streaming_paths_prefix_is_mergeable_bottom_k(spark, sf_dir):
+    """A LATE-arriving earlier event must displace a later one from the
+    prefix — the bottom-3 summary is order-insensitive across
+    micro-batch chunk boundaries."""
+    import json
+
+    import pandas as pd
+
+    from gluettalax_spark.streaming.stateful import _make_path_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = _make_path_fn()
+    state = FakeState()
+    late_first = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01 00:00:05", "2024-01-01 00:00:06"]),
+            "event_id": [5, 6],
+            "event_type": ["error", "error"],
+        }
+    )
+    list(fn((7,), iter([late_first]), state))
+    early = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01 00:00:01", "2024-01-01 00:00:02"]),
+            "event_id": [1, 2],
+            "event_type": ["view", "click"],
+        }
+    )
+    out = list(fn((7,), iter([early]), state))[-1]
+    assert out["path"].iloc[0] == "view>click>error"
+    # state holds exactly 3 triples — bounded regardless of history
+    assert len(json.loads(state.get[0])) == 3
