@@ -315,3 +315,47 @@ def test_mmr_matches_python_greedy(spark, sf_dir):
         assert abs(r["mmr_score"] - scores[r["vec_id"]]) < 1e-12
     # diversity sanity: MMR scores are non-increasing in selection order
     assert all(got[i]["mmr_score"] >= got[i + 1]["mmr_score"] for i in range(1, 4))
+
+
+# --------------------------------------------------------------------------
+# Round-9 plan-quality pins (scale-shape regressions fail loudly)
+# --------------------------------------------------------------------------
+
+
+def test_good_turing_single_corpus_scan(spark, sf_dir):
+    """The richness pass must read the corpus ONCE: one generate/explode,
+    and the count-of-counts must come from the vocabulary table, never a
+    second explode."""
+    plan = physical_plan(queries()["text_good_turing_vocab"](spark, sf_dir))
+    assert plan.count("Generate explode") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_probe_filter_reaches_scan(spark, sf_dir):
+    """The bounded probe set must be carved out by a pushed scan filter
+    (vec_id < 50), not a post-scan filter of a full materialization."""
+    plan = physical_plan(queries()["similarity_knn_label_accuracy"](spark, sf_dir))
+    assert "LessThan(vec_id,50)" in plan
+
+
+def test_trimmed_winsorized_no_single_task_sort(spark, sf_dir):
+    """Order statistics must ride the range-partitioned running-count
+    machinery — a global Sort of data rows into one partition (the
+    naive percentile plan) must not appear before the dictionary."""
+    plan = physical_plan(queries()["agg_trimmed_winsorized"](spark, sf_dir))
+    # the dictionary running sum range-partitions behind a checkpoint —
+    # its _pid label in the plan is the evidence; a naive global-window
+    # percentile plan would carry a Window over a single-partition Sort
+    assert "_pid" in plan
+    assert "Window [row_number()" not in plan
+
+
+def test_qini_rank_is_range_partitioned(spark, sf_dir):
+    """The user decile assignment must use exact_global_rank's range
+    exchange, not Window.orderBy over all users in one task. The rank
+    machinery's localCheckpoint truncates lineage to an ExistingRDD
+    carrying its _pid partition label — that label IS the evidence the
+    range-partition path ran; a naive global-window plan has neither."""
+    plan = physical_plan(queries()["events_qini_uplift"](spark, sf_dir))
+    assert "_pid" in plan
+    assert "Window [row_number()" not in plan
