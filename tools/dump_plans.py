@@ -152,6 +152,30 @@ SHOWCASE = {
     "orders_round_number_bias": "one conditional aggregate to the priority grid; integer modulus tests",
     "events_power_analysis": "types-sized aggregate; fixed z-constant formula; share denominators broadcast",
     "quality_variance_icc": "one groupBy(source); ANOVA moments + sum n_g^2; single-row closed forms",
+    # round-9 additions
+    "text_good_turing_vocab": "one corpus explode to the (source x token) dictionary; f1/f2 as conditional counts",
+    "text_token_fertility": "per-row regexp counts in codegen; languages-sized aggregate",
+    "dedup_fuzzy_name_pairs": "distinct-name dictionary FIRST; Levenshtein inside the brand equi-join",
+    "stats_mutual_information": "sources x langs grid; nano-nat integer cell terms; three 1-row folds broadcast",
+    "stats_grubbs_daily": "integer argmax key |c*n - sum|; moment fold broadcast into the day sort",
+    "stats_wilcoxon_signed_rank": "user groupBy -> |d| dictionary -> range-partitioned 2x ranks",
+    "stats_mann_kendall": "calendar-bounded day-pair join (broadcast); exact S and var*18",
+    "agg_trimmed_winsorized": "cents dictionary + running counts; rank-interval overlap = trimmed sum",
+    "events_conformal_interval": "per-type residual dictionaries; integer conformal rank; coverage on held-out parity",
+    "similarity_mmr_rerank": "5 unrolled greedy rounds over a 20-row checkpointed candidate set",
+    "quality_ece_calibration": "memoized logits pass; 10-row reliability grid, all-integer columns",
+    "similarity_knn_label_accuracy": "50 probes broadcast; one corpus scan; vote tail sees Q*k rows",
+    "graph_bounded_sssp": "4 Bellman-Ford rounds, each one frontier join + min-agg, lineage cut each",
+    "orders_newsvendor_quantile": "daily-demand dictionary; exact ceil(9n/10) order statistic; integer costs",
+    "events_qini_uplift": "exact_global_rank deciles; cumulative window on the 10-row grid only",
+    "stats_permutation_test": "x32 map-side explode -> 64 (b,arm) partial aggregates; 1-row obs broadcast",
+    "events_weekly_decompose": "day grid window (calendar-bounded); 7c-sum7 exact; 7-row output",
+    "orders_price_elasticity": "per-part demand groupBy; micro-nat logs; types-sized moment fold",
+    "quality_brier_score": "sum p^2 / sum p*y exact integers; REL/RES nano-quantized over 10 bins",
+    "events_path_topk": "one user exchange; rows cut to 3; path dictionary bounded by |types|^3",
+    "events_retention_decay_fit": "distinct (user,week) pass; cohort+k<=maxw guard; 3-point integer OLS",
+    "text_compression_ratio": "zlib kernel via mapInPandas in the scan stage; bytes never shuffle",
+    "text_unicode_script_profile": "explicit codepoint-range regexp counts in codegen; languages-sized output",
 }
 
 
