@@ -244,6 +244,10 @@ HEADLINE = [
     "events_retention_decay_fit",
     "text_compression_ratio",
     "text_unicode_script_profile",
+    "stats_anderson_darling",
+    "dedup_fuzzy_clusters",
+    "quality_pr_curve",
+    "text_sentence_stats",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

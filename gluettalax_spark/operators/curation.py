@@ -2012,3 +2012,439 @@ def text_unicode_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, pat in _SCRIPT_CLASSES
     ]
     return docs.groupBy("lang").agg(*aggs).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# Anderson-Darling normality test on daily order revenue
+# --------------------------------------------------------------------------
+
+# Shared Φ construction: the Abramowitz-Stegun 7.1.26 erfc polynomial
+# (the stats_multiple_testing_bh convention), halved, rounded at 6 dp so
+# the lone libm exp can't leak, sign-cased into Φ, and clamped away from
+# {0,1} so the AD log terms stay finite for extreme z.
+def _phi_clamped(z: str) -> str:
+    y = f"(abs({z}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + 0.3275911 * {y}))"
+    poly = (
+        f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * (1.421413741"
+        f" + {t} * (-1.453152027 + {t} * 1.061405429)))))"
+    )
+    half_erfc = f"round({poly} * exp(-{y} * {y}) * 0.5, 6)"
+    u = f"(CASE WHEN ({z}) >= 0.0 THEN 1.0 - {half_erfc} ELSE {half_erfc} END)"
+    return f"least(greatest({u}, 0.000001), 0.999999)"
+
+
+_AD_Z = (
+    "((CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    "          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)))"
+)
+
+_AD_TERM = (
+    "round(1e6 * (CAST(w1 AS DOUBLE) * ln({u}) + CAST(w2 AS DOUBLE) * ln(1.0 - {u})))"
+).format(u=_phi_clamped(_AD_Z))
+
+_ANDERSON_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+dict AS (SELECT v, CAST(count(*) AS BIGINT) AS nv FROM daily GROUP BY v),
+ranked AS (
+  SELECT *,
+         CAST(sum(nv) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM dict
+),
+m AS (
+  SELECT CAST(sum(nv) AS BIGINT) AS n,
+         CAST(sum(CAST(v AS HUGEINT) * nv) AS BIGINT) AS s1,
+         CAST(sum(CAST(v AS HUGEINT) * v * nv) AS HUGEINT) AS s2
+  FROM dict
+),
+terms AS (
+  -- tie groups contribute closed-form weight sums:
+  --   Σ(2i−1) = nv·(2·cum − nv), Σ(2(n−i)+1) = nv·(2n − 2·cum + nv)
+  SELECT CAST(nv * (2 * cum - nv) AS BIGINT) AS w1,
+         CAST(nv * (2 * m.n - 2 * cum + nv) AS BIGINT) AS w2,
+         v, m.n, m.s1, m.s2
+  FROM ranked CROSS JOIN m
+)
+SELECT max(n) AS n_days,
+       CAST(sum(CAST({_AD_TERM} AS BIGINT)) AS BIGINT) AS s_micro,
+       -CAST(max(n) AS DOUBLE)
+         - CAST(sum(CAST({_AD_TERM} AS BIGINT)) AS DOUBLE)
+           / (1e6 * CAST(max(n) AS DOUBLE)) AS a_squared
+FROM terms
+"""
+
+
+@register(
+    "stats_anderson_darling",
+    _ANDERSON_ORACLE,
+    doc="Anderson-Darling normality test on daily revenue (shared erfc Φ, micro-quantized log terms)",
+)
+def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is daily revenue normal, with the tails weighted where it
+    matters? Anderson-Darling: A² = −n − (1/n)·Σ[(2i−1)·ln Φ(z_(i)) +
+    (2(n−i)+1)·ln(1−Φ(z_(i)))] — the tail-sensitive complement of
+    `stats_jarque_bera`'s moment test.
+
+    Exactness: z comes from exact cent moments; Φ is the SAME
+    Abramowitz-Stegun erfc polynomial both engines evaluate (rounded at
+    6 dp, clamped off {0,1} so extreme z keeps the logs finite); tie
+    groups collapse to closed-form integer weight sums (Σ(2i−1) over a
+    tie run = nv·(2·cum−nv)); each value's term quantizes to integer
+    micro-units before the order-independent sum.
+
+    Scale: the dictionary + running-count machinery (`grouped_running_sum`)
+    over calendar days — metadata scale at any SF; the moment fold
+    broadcasts into the term table."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    dict_df = (
+        daily.groupBy("v").agg(F.count("*").cast("long").alias("nv")).withColumn("_g", F.lit(1))
+    )
+    dict_df = dict_df.localCheckpoint(eager=False)
+    ranked = grouped_running_sum(dict_df, ["_g"], ["v"], "nv", "cum")
+    m = dict_df.agg(
+        F.sum("nv").cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("nv")).cast("long").alias("s1"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v") * F.col("nv")).alias("s2"),
+    )
+    terms = ranked.crossJoin(F.broadcast(m)).selectExpr(
+        "CAST(nv * (2 * cum - nv) AS BIGINT) AS w1",
+        "CAST(nv * (2 * n - 2 * cum + nv) AS BIGINT) AS w2",
+        "v",
+        "n",
+        "s1",
+        "s2",
+    )
+    return terms.agg(
+        F.max("n").alias("n_days"),
+        F.sum(F.expr(f"CAST({_AD_TERM} AS BIGINT)")).cast("long").alias("s_micro"),
+    ).selectExpr(
+        "n_days",
+        "s_micro",
+        "-CAST(n_days AS DOUBLE) - CAST(s_micro AS DOUBLE) / (1e6 * CAST(n_days AS DOUBLE)) AS a_squared",
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy-name entity resolution: clusters over the linkage pairs
+# --------------------------------------------------------------------------
+
+_FUZZY_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE names AS (
+  SELECT p_brand, p_name, CAST(count(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY 1, 2
+),
+fpairs AS (
+  SELECT a.p_brand AS brand, a.p_name AS a_name, b.p_name AS b_name
+  FROM names a JOIN names b
+    ON a.p_brand = b.p_brand AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {_FUZZY_MAX_DIST}
+),
+edges AS (
+  SELECT brand || '|' || a_name AS u, brand || '|' || b_name AS v FROM fpairs
+  UNION
+  SELECT brand || '|' || b_name AS u, brand || '|' || a_name AS v FROM fpairs
+),
+verts AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM verts
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.node
+),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+SELECT c.component,
+       CAST(count(*) AS BIGINT) AS n_spellings,
+       CAST(sum(n.n_parts) AS BIGINT) AS n_parts,
+       min(c.node) AS canonical
+FROM comp c
+JOIN names n ON n.p_brand || '|' || n.p_name = c.node
+GROUP BY c.component
+ORDER BY c.component
+"""
+
+
+@register(
+    "dedup_fuzzy_clusters",
+    _FUZZY_CLUSTERS_ORACLE,
+    doc="entity resolution: connected components over the fuzzy-name linkage, per-cluster rollup",
+)
+def dedup_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linkage pairs → entities: connected components over the
+    distance-1..2 same-brand name pairs, rolled up to one row per
+    resolved entity (spelling count, total parts carrying any
+    spelling, canonical = min node). `dedup_fuzzy_name_pairs` finds
+    the edges; this op answers "how many distinct products do these
+    near-miss spellings actually represent".
+
+    Exactness: components are the algorithm-independent fixpoint
+    (component = min reachable node) — Spark runs hybrid min-label
+    propagation with the large-star fallover, the oracle replays a
+    recursive-CTE transitive closure, both land on identical labels;
+    counts are exact.
+
+    Scale: the same dictionary-first discipline as the pair op — CC
+    runs on the NAME graph (name-space bounded), never on part rows;
+    the multiplicity join brings the row counts back at the end. The
+    '|' node separator is safe for this catalog (names are word
+    tuples); a general deployment would hash the (brand, name) key."""
+    from gluettalax_spark.operators.graph import connected_components
+
+    names = (
+        load(spark, sf_dir, "part")
+        .groupBy("p_brand", "p_name")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .withColumn("node", F.concat_ws("|", "p_brand", "p_name"))
+    )
+    names = names.localCheckpoint(eager=False)  # feeds pairs AND the rollup join
+    a, b = names.alias("a"), names.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).between(1, _FUZZY_MAX_DIST))
+        .select(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+    )
+    comp = connected_components(pairs, "u", "v")
+    return (
+        comp.join(names.select("node", "n_parts"), "node")
+        .groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("n_spellings"),
+            F.sum("n_parts").cast("long").alias("n_parts"),
+            F.min("node").alias("canonical"),
+        )
+        .orderBy("component")
+    )
+
+
+# --------------------------------------------------------------------------
+# Precision/recall curve of the quality classifier at decile cutoffs
+# --------------------------------------------------------------------------
+
+_PR_CURVE_ORACLE_TMPL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, unnest(w) AS f FROM toks
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])) AS f
+  FROM toks WHERE len(w) >= 2
+),
+hashed AS (SELECT doc_id, md5(f) AS m FROM feats),
+logits AS (
+  SELECT doc_id,
+         CAST(CAST(sum((({hex15} % {qc_buckets}) * {qc_knuth})
+                        % {qc_wrange} - {qc_half}) AS BIGINT)
+              * 1000 // count(*) AS BIGINT) AS logit_milli
+  FROM hashed GROUP BY doc_id
+),
+quality AS (
+  SELECT doc_id, CAST(round(({quality}) * 10000) AS BIGINT) AS q_int
+  FROM documents
+),
+j AS MATERIALIZED (
+  SELECT l.doc_id, l.logit_milli, q.q_int FROM logits l JOIN quality q USING (doc_id)
+),
+qdict AS (
+  SELECT q_int, CAST(count(*) AS BIGINT) AS nq,
+         CAST(sum(count(*)) OVER (ORDER BY q_int
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumq,
+         CAST(sum(count(*)) OVER () AS BIGINT) AS nall
+  FROM j GROUP BY q_int
+),
+med AS (SELECT min(q_int) AS m FROM qdict WHERE 2 * cumq >= nall),
+ranked AS (
+  SELECT CASE WHEN j.q_int > med.m THEN 1 ELSE 0 END AS y,
+         CAST(row_number() OVER (ORDER BY j.logit_milli DESC, j.doc_id) AS BIGINT) AS r,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM j, med
+),
+deciles AS (
+  SELECT CAST((r - 1) * 10 // n AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS n_d,
+         CAST(sum(y) AS BIGINT) AS pos_d
+  FROM ranked GROUP BY 1
+),
+cum AS (
+  SELECT *,
+         CAST(sum(n_d) OVER w AS BIGINT)   AS cum_n,
+         CAST(sum(pos_d) OVER w AS BIGINT) AS cum_pos,
+         CAST(sum(pos_d) OVER () AS BIGINT) AS total_pos
+  FROM deciles
+  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT decile, cum_n, cum_pos,
+       CAST(cum_pos * 1000000 // cum_n AS BIGINT)      AS precision_ppm,
+       CAST(cum_pos * 1000000 // total_pos AS BIGINT)  AS recall_ppm
+FROM cum
+ORDER BY decile
+"""
+
+
+def _pr_curve_oracle() -> str:
+    from gluettalax_spark.operators.dedup import _duck_hex_int
+    from gluettalax_spark.operators.pipeline import _QC_BUCKETS, _QC_KNUTH, _QC_WRANGE
+    from gluettalax_spark.operators.text import _QUALITY_DUCK
+
+    return _PR_CURVE_ORACLE_TMPL.format(
+        hex15=_duck_hex_int(1, 15),
+        qc_buckets=_QC_BUCKETS,
+        qc_knuth=_QC_KNUTH,
+        qc_wrange=_QC_WRANGE,
+        qc_half=_QC_WRANGE // 2,
+        quality=_QUALITY_DUCK,
+    )
+
+
+@register(
+    "quality_pr_curve",
+    _pr_curve_oracle(),
+    doc="precision/recall of the quality classifier at top-k% decile cutoffs (integer ppm)",
+)
+def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operating-point view the AUC hides: keep the top k% of the
+    corpus by classifier score and read precision (how clean is the
+    kept slice) and recall (how much good data survives) at each decile
+    cutoff — the table a curation run consults to pick its actual
+    threshold. Completes the classifier-eval suite (AUC ranks, ECE and
+    Brier calibrate, this op picks the cutoff).
+
+    Exactness: the ranking is the total order (logit desc, doc_id) via
+    `exact_global_rank`; every output column is an exact integer
+    (counts and ppm integer divisions).
+
+    Scale: rides the memoized logits pass; one range-partitioned rank
+    exchange over doc grain; the cumulative window runs on the 10-row
+    decile grid only."""
+    from pyspark.sql.window import Window
+
+    from gluettalax_spark.operators.pipeline import classifier_doc_logits
+    from gluettalax_spark.operators.rank import exact_global_rank
+    from gluettalax_spark.operators.text import _quality_parts
+
+    docs = load(spark, sf_dir, "documents")
+    _, _, _, quality = _quality_parts()
+    q = docs.select("doc_id", F.round(quality * 10000).cast("long").alias("q_int"))
+    logits = classifier_doc_logits(spark, sf_dir).select("doc_id", "logit_milli")
+    j = logits.join(q, "doc_id")
+    med = (
+        j.groupBy("q_int")
+        .agg(F.count(F.lit(1)).cast("long").alias("nq"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("q_int", "nq"))).alias("arr"),
+            F.sum("nq").cast("long").alias("nall"),
+        )
+        .selectExpr(
+            "aggregate(arr, struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS BIGINT) AS med),"
+            " (acc, x) -> struct(acc.cum + x.nq,"
+            " CASE WHEN acc.med IS NULL AND 2 * (acc.cum + x.nq) >= nall"
+            " THEN x.q_int ELSE acc.med END)).med AS m"
+        )
+    )
+    labeled = j.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        "logit_milli",
+        F.when(F.col("q_int") > F.col("m"), 1).otherwise(0).alias("y"),
+    )
+    ranked = exact_global_rank(
+        labeled, [F.col("logit_milli").desc(), F.col("doc_id")], "r"
+    )
+    deciles = ranked.groupBy(
+        F.expr("CAST((r - 1) * 10 DIV _n AS BIGINT)").alias("decile")
+    ).agg(
+        F.count("*").cast("long").alias("n_d"),
+        F.sum("y").cast("long").alias("pos_d"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = deciles.select(
+        "decile",
+        F.sum("n_d").over(w).cast("long").alias("cum_n"),
+        F.sum("pos_d").over(w).cast("long").alias("cum_pos"),
+        F.sum("pos_d").over(wt).cast("long").alias("total_pos"),
+    )
+    return cum.selectExpr(
+        "decile",
+        "cum_n",
+        "cum_pos",
+        "CAST(cum_pos * 1000000 DIV cum_n AS BIGINT) AS precision_ppm",
+        "CAST(cum_pos * 1000000 DIV total_pos AS BIGINT) AS recall_ppm",
+    ).orderBy("decile")
+
+
+# --------------------------------------------------------------------------
+# Sentence-level stats per source
+# --------------------------------------------------------------------------
+
+_SENTENCE_ORACLE = r"""
+WITH d AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sent,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_sent) AS BIGINT) AS n_sentences,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(count(CASE WHEN n_sent = 0 THEN 1 END) AS BIGINT) AS n_unterminated,
+       CAST(sum(n_tok) AS DOUBLE) / CAST(greatest(sum(n_sent), 1) AS DOUBLE) AS tokens_per_sentence
+FROM d
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_sentence_stats",
+    _SENTENCE_ORACLE,
+    doc="per-source sentence counts and tokens-per-sentence (terminator-run segmentation)",
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level shape per source: sentence counts (terminator
+    runs `[.!?]+` — the cheap segmentation every quality pipeline
+    starts with), average sentence length in tokens, and how many docs
+    carry NO terminator at all (lists, logs, code — the Gopher
+    "ends-in-punctuation" family signal at source grain).
+
+    Exactness: per-row regexp counts, BIGINT sums, one guarded IEEE
+    division.
+
+    Scale: one scan, counting in codegen, sources-sized output."""
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")).cast("long").alias("n_sent"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long").alias("n_tok"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_sent").cast("long").alias("n_sentences"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.count(F.when(F.col("n_sent") == 0, 1)).cast("long").alias("n_unterminated"),
+            F.expr(
+                "CAST(sum(n_tok) AS DOUBLE) / CAST(greatest(sum(n_sent), 1) AS DOUBLE)"
+            ).alias("tokens_per_sentence"),
+        )
+        .orderBy("source")
+    )

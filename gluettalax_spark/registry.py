@@ -142,6 +142,10 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "events_retention_decay_fit",
     "text_compression_ratio",
     "text_unicode_script_profile",
+    "stats_anderson_darling",
+    "dedup_fuzzy_clusters",
+    "quality_pr_curve",
+    "text_sentence_stats",
 )
 
 
