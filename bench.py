@@ -248,6 +248,9 @@ HEADLINE = [
     "dedup_fuzzy_clusters",
     "quality_pr_curve",
     "text_sentence_stats",
+    "similarity_item_cf",
+    "events_markov_accuracy",
+    "dedup_threshold_sensitivity",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

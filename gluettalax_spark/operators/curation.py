@@ -2448,3 +2448,278 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering (co-purchase cosine, top-5)
+# --------------------------------------------------------------------------
+
+_CF_FOCAL = 20
+_CF_K = 5
+
+_ITEM_CF_ORACLE = f"""
+WITH op AS (
+  SELECT o, p FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+  WHERE o IN (
+    SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    GROUP BY l_orderkey HAVING count(*) <= 256
+  )
+),
+supp AS (SELECT p, CAST(count(*) AS BIGINT) AS np FROM op GROUP BY p),
+co AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS c
+  FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= 2
+),
+focal AS (
+  SELECT p FROM supp ORDER BY np DESC, p LIMIT {_CF_FOCAL}
+),
+scored AS (
+  SELECT co.pa AS item, co.pb AS neighbor,
+         co.c AS co_orders,
+         round(CAST(co.c AS DOUBLE)
+               / sqrt(CAST(sa.np AS DOUBLE) * CAST(sb.np AS DOUBLE)), 6) AS cosine
+  FROM co
+  JOIN focal f ON f.p = co.pa
+  JOIN supp sa ON sa.p = co.pa
+  JOIN supp sb ON sb.p = co.pb
+)
+SELECT item, neighbor, co_orders, cosine,
+       CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY item ORDER BY cosine DESC, neighbor
+  ) AS rk FROM scored
+)
+WHERE rk <= {_CF_K}
+ORDER BY item, rank
+"""
+
+
+@register(
+    "similarity_item_cf",
+    _ITEM_CF_ORACLE,
+    doc=f"item-item collaborative filtering: co-purchase cosine top-{_CF_K} for the {_CF_FOCAL} highest-support parts",
+)
+def similarity_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Customers who bought this also bought": item-item collaborative
+    filtering over the order-part incidence — cosine(a,b) =
+    co-orders/√(n_a·n_b) (Sarwar et al. 2001), top-5 neighbors for the
+    20 highest-support parts. The classic recommender batch job,
+    expressed on the same capped-basket machinery as the graph family.
+
+    Exactness: supports and co-order counts are exact; cosine is one
+    IEEE expression rounded to 6 dp BEFORE ranking (ties break on
+    neighbor id), so the per-item ranking is a cross-engine total
+    order.
+
+    Scale: the co-matrix explodes map-side from capped baskets (the
+    `cooccurrence_edges` discipline — Σ basket² bounded by the basket
+    cap, min-support prunes the tail); the focal set is a 20-row
+    TopK broadcast; per-item state is k rows."""
+    from pyspark.sql.window import Window
+
+    from gluettalax_spark.operators.graph import MAX_BASKET
+
+    li = load(spark, sf_dir, "lineitem")
+    op = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") <= MAX_BASKET)
+    )
+    op = op.localCheckpoint(eager=False)  # feeds supports AND the pair explode
+    supp = op.select(F.explode("ps").alias("p")).groupBy("p").agg(
+        F.count("*").cast("long").alias("np")
+    )
+    supp = supp.localCheckpoint(eager=False)  # feeds focal AND both cosine joins
+    co = (
+        op.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> "
+                    "transform(filter(ps, y -> y != x), y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("e")
+        )
+        .select("e.pa", "e.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("c"))
+        .where(F.col("c") >= 2)
+    )
+    focal = supp.orderBy(F.col("np").desc(), F.col("p")).limit(_CF_FOCAL).select("p")
+    scored = (
+        co.join(F.broadcast(focal), co.pa == focal.p)
+        .drop("p")
+        .join(supp.selectExpr("p AS sa_p", "np AS na"), F.col("pa") == F.col("sa_p"))
+        .join(supp.selectExpr("p AS sb_p", "np AS nb"), F.col("pb") == F.col("sb_p"))
+        .select(
+            F.col("pa").alias("item"),
+            F.col("pb").alias("neighbor"),
+            F.col("c").alias("co_orders"),
+            F.round(
+                F.col("c").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("cosine").desc(), F.col("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _CF_K)
+        .orderBy("item", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov next-event prediction accuracy (model eval on the engine)
+# --------------------------------------------------------------------------
+
+_MARKOV_ACC_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS prev_type, next_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT prev_type, next_type AS pred_type FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY prev_type ORDER BY n DESC, next_type
+    ) AS rk FROM pairs
+  ) WHERE rk = 1
+)
+SELECT p.prev_type,
+       pr.pred_type,
+       CAST(sum(p.n) AS BIGINT) AS n_transitions,
+       CAST(sum(CASE WHEN p.next_type = pr.pred_type THEN p.n ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN p.next_type = pr.pred_type THEN p.n ELSE 0 END) * 1000000
+            // sum(p.n) AS BIGINT) AS acc_ppm
+FROM pairs p JOIN pred pr USING (prev_type)
+GROUP BY p.prev_type, pr.pred_type
+ORDER BY prev_type
+"""
+
+
+@register(
+    "events_markov_accuracy",
+    _MARKOV_ACC_ORACLE,
+    doc="top-1 next-event prediction accuracy of the Markov transition model, per source state",
+)
+def events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How good is the Markov chain as a predictor? For each state,
+    predict the modal next event (ties: lexicographic) and score top-1
+    accuracy against the observed transitions — the in-sample eval of
+    `events_markov_transitions`' model, and the baseline every
+    sequence model must beat.
+
+    Exactness: the transition counts are exact off one lead window;
+    the modal prediction is a (count desc, type) total order; accuracy
+    is an integer ppm division.
+
+    Scale: ONE hash exchange on user_id for the lead window (the
+    sessionize discipline); everything after is the k² pair grid."""
+    from pyspark.sql.window import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        F.col("event_type"), F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = ordered.groupBy(
+        F.col("event_type").alias("prev_type"), "next_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    pairs = pairs.localCheckpoint(eager=False)  # k² grid feeds pred + the score
+    wp = Window.partitionBy("prev_type").orderBy(F.col("n").desc(), F.col("next_type"))
+    pred = (
+        pairs.withColumn("rk", F.row_number().over(wp))
+        .filter("rk = 1")
+        .select("prev_type", F.col("next_type").alias("pred_type"))
+    )
+    return (
+        pairs.join(F.broadcast(pred), "prev_type")
+        .groupBy("prev_type", "pred_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_transitions"),
+            F.sum(F.when(F.col("next_type") == F.col("pred_type"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            F.expr(
+                "CAST(sum(CASE WHEN next_type = pred_type THEN n ELSE 0 END) * 1000000"
+                " DIV sum(n) AS BIGINT)"
+            ).alias("acc_ppm"),
+        )
+        .orderBy("prev_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup threshold sensitivity: pair/doc counts vs Jaccard cutoff
+# --------------------------------------------------------------------------
+
+_THRESHOLDS = (30, 40, 50, 60, 70, 80, 90)  # Jaccard percent
+
+
+def _threshold_oracle() -> str:
+    from gluettalax_spark.operators.dedup import _NGRAM_ORACLE
+
+    scored_prefix = (
+        _NGRAM_ORACLE.strip().split("WITH", 1)[1].rsplit("SELECT doc_a", 1)[0]
+        .rstrip().rstrip(")").rstrip()
+    )
+    rows = " UNION ALL ".join(f"SELECT {t} AS t_pct" for t in _THRESHOLDS)
+    return f"""
+WITH {scored_prefix}
+),
+th AS ({rows})
+SELECT th.t_pct AS threshold_pct,
+       CAST(count(CASE WHEN s.jaccard * 100 >= th.t_pct THEN 1 END) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT CASE WHEN s.jaccard * 100 >= th.t_pct THEN s.doc_b END) AS BIGINT)
+         AS n_losers
+FROM th LEFT JOIN scored s ON s.jaccard * 100 >= th.t_pct
+GROUP BY th.t_pct
+ORDER BY threshold_pct
+"""
+
+
+@register(
+    "dedup_threshold_sensitivity",
+    _threshold_oracle(),
+    doc="dedup aggressiveness curve: near-dup pair and removed-doc counts at 7 Jaccard cutoffs",
+)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How aggressive should dedup be? The sensitivity curve every
+    curation run consults before fixing a Jaccard threshold: candidate
+    pairs and docs-that-would-be-removed (the doc_b losers, min-id
+    keeper convention) at cutoffs 0.3..0.9 — one pass over the SAME
+    scored pairs `dedup_ngram_jaccard` produces, no re-scoring per
+    threshold.
+
+    Exactness: jaccard is already 4-dp rounded in the pair op; the
+    ×100 integer comparison is exact at these one-decimal cutoffs;
+    counts are exact (the LEFT join keeps empty thresholds at 0).
+
+    Scale: the scored-pair table is the blocked candidate set
+    (never all-pairs); the 7-row threshold frame broadcasts and the
+    curve is a 7-group conditional count."""
+    from gluettalax_spark.operators.dedup import dedup_ngram_jaccard
+
+    scored = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    th = spark.range(1).selectExpr(
+        f"explode(array({','.join(str(t) for t in _THRESHOLDS)})) AS t_pct"
+    )
+    return (
+        th.join(scored, F.col("jaccard") * 100 >= F.col("t_pct"), "left")
+        .groupBy(F.col("t_pct").cast("long").alias("threshold_pct"))
+        .agg(
+            F.count(F.col("doc_a")).cast("long").alias("n_pairs"),
+            F.countDistinct(F.col("doc_b")).cast("long").alias("n_losers"),
+        )
+        .orderBy("threshold_pct")
+    )

@@ -146,6 +146,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "dedup_fuzzy_clusters",
     "quality_pr_curve",
     "text_sentence_stats",
+    "similarity_item_cf",
+    "events_markov_accuracy",
+    "dedup_threshold_sensitivity",
 )
 
 
