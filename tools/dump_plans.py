@@ -176,6 +176,13 @@ SHOWCASE = {
     "events_retention_decay_fit": "distinct (user,week) pass; cohort+k<=maxw guard; 3-point integer OLS",
     "text_compression_ratio": "zlib kernel via mapInPandas in the scan stage; bytes never shuffle",
     "text_unicode_script_profile": "explicit codepoint-range regexp counts in codegen; languages-sized output",
+    "stats_anderson_darling": "day dictionary + closed-form tie weights; shared erfc Phi; micro-quantized terms",
+    "dedup_fuzzy_clusters": "CC on the NAME graph (dictionary-first); multiplicity join at the end",
+    "quality_pr_curve": "exact_global_rank over doc grain; cumulative window on the 10-row grid",
+    "text_sentence_stats": "terminator-run regexp counts in codegen; sources-sized output",
+    "similarity_item_cf": "map-side basket pair explode; 20-row focal TopK broadcast; k rows per item",
+    "events_markov_accuracy": "one user exchange for the lead window; k^2 grid after",
+    "dedup_threshold_sensitivity": "7-row threshold frame vs the ONE scored-pair pass; conditional counts",
 }
 
 
