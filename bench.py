@@ -251,6 +251,7 @@ HEADLINE = [
     "similarity_item_cf",
     "events_markov_accuracy",
     "dedup_threshold_sensitivity",
+    "corpus_dedup_quality_audit",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

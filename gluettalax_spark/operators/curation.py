@@ -2723,3 +2723,95 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_pct")
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup quality audit: are near-duplicates lower quality than unique docs?
+# --------------------------------------------------------------------------
+
+
+def _dup_quality_oracle() -> str:
+    from gluettalax_spark.operators.graph import _CC_COMP_CTES
+    from gluettalax_spark.operators.text import _QUALITY_DUCK
+
+    return f"""
+{_CC_COMP_CTES},
+losers AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+qscored AS (
+  SELECT d.doc_id,
+         CAST(round(({_QUALITY_DUCK}) * 10000) AS BIGINT) AS q,
+         CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+  FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+)
+SELECT CAST(sum(is_dup) AS BIGINT) AS n_dup,
+       CAST(sum(1 - is_dup) AS BIGINT) AS n_uniq,
+       CAST(sum(CASE WHEN is_dup = 1 THEN q END) AS BIGINT) AS q_sum_dup,
+       CAST(sum(CASE WHEN is_dup = 0 THEN q END) AS BIGINT) AS q_sum_uniq,
+       CAST(sum(CASE WHEN is_dup = 1 THEN CAST(q AS HUGEINT) * q END) AS BIGINT) AS q_sq_dup,
+       CAST(sum(CASE WHEN is_dup = 0 THEN CAST(q AS HUGEINT) * q END) AS BIGINT) AS q_sq_uniq,
+       (CAST(sum(CASE WHEN is_dup = 1 THEN q END) AS DOUBLE) / CAST(sum(is_dup) AS DOUBLE)
+        - CAST(sum(CASE WHEN is_dup = 0 THEN q END) AS DOUBLE) / CAST(sum(1 - is_dup) AS DOUBLE))
+         / 10000.0 AS mean_quality_gap
+FROM qscored
+"""
+
+
+@register(
+    "corpus_dedup_quality_audit",
+    _dup_quality_oracle(),
+    doc="quality gap between near-dup losers and surviving docs (exact moments, one IEEE gap)",
+)
+def corpus_dedup_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does dedup remove the right documents? Compare heuristic quality
+    between the near-dup cluster losers (the docs `dedup_filter_corpus`
+    would drop) and everything else — the audit that catches a dedup
+    config silently eating the GOOD copies (e.g. when boilerplate-heavy
+    mirrors outrank originals). Composes three existing stages: the
+    blocked Jaccard pairs, the connected-components keeper convention,
+    and the shared quality composite.
+
+    Exactness: quality ints, group counts, sums and squared sums are
+    exact (the moments let a consumer run the Welch test downstream);
+    only the final mean gap is a double (one fixed IEEE expression).
+
+    Scale: the pair/CC stages are the dedup path's (blocked, bucketed);
+    losers anti-join back to the corpus by id (text never reshuffles);
+    the audit itself is one conditional aggregate."""
+    from gluettalax_spark.operators.dedup import dedup_ngram_jaccard
+    from gluettalax_spark.operators.graph import connected_components
+    from gluettalax_spark.operators.text import _quality_parts
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    _, _, _, quality = _quality_parts()
+    docs = load(spark, sf_dir, "documents")
+    scored = (
+        docs.select("doc_id", F.round(quality * 10000).cast("long").alias("q"))
+        .join(losers.withColumn("is_dup", F.lit(1)), "doc_id", "left")
+        .withColumn("is_dup", F.coalesce(F.col("is_dup"), F.lit(0)))
+    )
+    return scored.agg(
+        F.sum("is_dup").cast("long").alias("n_dup"),
+        F.sum(1 - F.col("is_dup")).cast("long").alias("n_uniq"),
+        F.sum(F.when(F.col("is_dup") == 1, F.col("q"))).cast("long").alias("q_sum_dup"),
+        F.sum(F.when(F.col("is_dup") == 0, F.col("q"))).cast("long").alias("q_sum_uniq"),
+        F.sum(F.when(F.col("is_dup") == 1, F.col("q").cast("decimal(38,0)") * F.col("q")))
+        .cast("long")
+        .alias("q_sq_dup"),
+        F.sum(F.when(F.col("is_dup") == 0, F.col("q").cast("decimal(38,0)") * F.col("q")))
+        .cast("long")
+        .alias("q_sq_uniq"),
+    ).selectExpr(
+        "n_dup",
+        "n_uniq",
+        "q_sum_dup",
+        "q_sum_uniq",
+        "q_sq_dup",
+        "q_sq_uniq",
+        """(CAST(q_sum_dup AS DOUBLE) / CAST(n_dup AS DOUBLE)
+            - CAST(q_sum_uniq AS DOUBLE) / CAST(n_uniq AS DOUBLE)) / 10000.0
+           AS mean_quality_gap""",
+    )

@@ -149,6 +149,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "similarity_item_cf",
     "events_markov_accuracy",
     "dedup_threshold_sensitivity",
+    "corpus_dedup_quality_audit",
 )
 
 

@@ -96,3 +96,40 @@ def test_threshold_curve_consistent_with_pair_op(spark, sf_dir):
         assert r["n_losers"] == len({s["doc_b"] for s in keep})
     counts = [rows[t]["n_pairs"] for t in sorted(rows)]
     assert counts == sorted(counts, reverse=True)
+
+
+# --------------------------------------------------------------------------
+# corpus_dedup_quality_audit (wave 8)
+# --------------------------------------------------------------------------
+
+
+def test_dedup_quality_audit_consistent_with_components(spark, sf_dir):
+    """Re-derive the audit from the registry's own cluster table (an
+    independently recomputed fixpoint) plus a pandas quality pass."""
+    import math as _math
+    import re as _re
+
+    comp = queries()["dedup_clusters"](spark, sf_dir).collect()
+    losers = {r["doc_id"] for r in comp if not r["is_keeper"]}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    sums = {0: [0, 0, 0], 1: [0, 0, 0]}  # n, q_sum, q_sq
+    for _, r in docs.iterrows():
+        text = r["text"]
+        n_chars = len(text)
+        n_tok = max(len(_re.findall(r"\S+", text)), 1)
+        n_stop = len(_re.findall(r"\b(the|and|of|to|is|a|in)\b", text.lower()))
+        n_punct = len(_re.findall(r"[.,!?;:]", text))
+        q = _math.floor(
+            (0.5 * min(n_chars / 500.0, 1.0)
+             + 0.4 * (n_stop / n_tok)
+             + 0.1 * (1.0 - n_punct / max(n_chars, 1))) * 10000 + 0.5
+        )
+        g = 1 if int(r["doc_id"]) in losers else 0
+        sums[g][0] += 1
+        sums[g][1] += q
+        sums[g][2] += q * q
+    row = queries()["corpus_dedup_quality_audit"](spark, sf_dir).collect()[0]
+    assert (row["n_dup"], row["q_sum_dup"], row["q_sq_dup"]) == tuple(sums[1])
+    assert (row["n_uniq"], row["q_sum_uniq"], row["q_sq_uniq"]) == tuple(sums[0])
+    gap = (sums[1][1] / sums[1][0] - sums[0][1] / sums[0][0]) / 10000.0
+    assert row["mean_quality_gap"] == gap
