@@ -183,6 +183,7 @@ SHOWCASE = {
     "similarity_item_cf": "map-side basket pair explode; 20-row focal TopK broadcast; k rows per item",
     "events_markov_accuracy": "one user exchange for the lead window; k^2 grid after",
     "dedup_threshold_sensitivity": "7-row threshold frame vs the ONE scored-pair pass; conditional counts",
+    "corpus_dedup_quality_audit": "pairs -> CC -> losers anti-joined by id; one conditional moment aggregate",
 }
 
 
