@@ -1105,10 +1105,13 @@ def _make_path_fn():
         prefix = [tuple(t) for t in _json.loads(prefix_json)]
         pdf = _pd.concat(list(pdfs), ignore_index=True)
         if len(pdf):
-            for _, r in pdf.iterrows():
-                prefix.append(
-                    (int(r["ts"].value // 1000), int(r["event_id"]), str(r["event_type"]))
+            prefix.extend(
+                zip(
+                    (pdf["ts"].astype("int64") // 1000).tolist(),
+                    pdf["event_id"].astype("int64").tolist(),
+                    pdf["event_type"].astype(str).tolist(),
                 )
+            )
             prefix = sorted(prefix)[:_PATH_STEPS]
         state.update((_json.dumps([list(t) for t in prefix]),))
         yield _pd.DataFrame(
