@@ -408,8 +408,8 @@ flagged AS (
 )
 SELECT n_days, s1 AS total_events, flagged_day, flagged_count,
        (abs(CAST(flagged_count AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)))
-         / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                   / CAST(n_days AS DOUBLE))
+         / sqrt(greatest(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n_days AS DOUBLE), 0.0)
                 / (CAST(n_days AS DOUBLE) - 1.0)) AS g_stat
 FROM m CROSS JOIN flagged
 """
@@ -462,8 +462,8 @@ def stats_grubbs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flagged_day",
         "flagged_count",
         """(abs(CAST(flagged_count AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)))
-           / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                     / CAST(n_days AS DOUBLE))
+           / sqrt(greatest(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(n_days AS DOUBLE), 0.0)
                   / (CAST(n_days AS DOUBLE) - 1.0)) AS g_stat""",
     )
 
@@ -2034,10 +2034,15 @@ def _phi_clamped(z: str) -> str:
     return f"least(greatest({u}, 0.000001), 0.999999)"
 
 
+# Variance clamped at 0: with near-constant large values the double
+# expression s2 - s1*s1/n can cancel to a tiny negative, where DuckDB's
+# sqrt raises while Spark returns NaN; greatest(.., 0.0) runs in BOTH
+# engines (the expression string is shared), so degenerate inputs
+# diverge into the same +inf/NaN-free path (ADVICE r9).
 _AD_Z = (
     "((CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
-    " / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
-    "          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)))"
+    " / sqrt(greatest(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    "          / CAST(n AS DOUBLE), 0.0) / (CAST(n AS DOUBLE) - 1.0)))"
 )
 
 _AD_TERM = (
@@ -2667,16 +2672,13 @@ _THRESHOLDS = (30, 40, 50, 60, 70, 80, 90)  # Jaccard percent
 
 
 def _threshold_oracle() -> str:
-    from gluettalax_spark.operators.dedup import _NGRAM_ORACLE
+    # Shares the blocked-pairs → Jaccard CTE chain with the ngram oracle
+    # via a named constant (not string-slicing the finished SQL).
+    from gluettalax_spark.operators.dedup import NGRAM_SCORED_CTES
 
-    scored_prefix = (
-        _NGRAM_ORACLE.strip().split("WITH", 1)[1].rsplit("SELECT doc_a", 1)[0]
-        .rstrip().rstrip(")").rstrip()
-    )
     rows = " UNION ALL ".join(f"SELECT {t} AS t_pct" for t in _THRESHOLDS)
     return f"""
-WITH {scored_prefix}
-),
+WITH {NGRAM_SCORED_CTES},
 th AS ({rows})
 SELECT th.t_pct AS threshold_pct,
        CAST(count(CASE WHEN s.jaccard * 100 >= th.t_pct THEN 1 END) AS BIGINT) AS n_pairs,

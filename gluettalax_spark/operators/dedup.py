@@ -718,8 +718,13 @@ def dedup_simhash_pairs(
 # Blocked n-gram Jaccard (no sketching — exact, with prefix blocking)
 # --------------------------------------------------------------------------
 
-_NGRAM_ORACLE = f"""
-WITH {_SHINGLES_CTE},
+#: The blocked-pairs → Jaccard-scored CTE chain, shared verbatim by the
+#: ``dedup_ngram_jaccard`` oracle below and curation's
+#: ``dedup_threshold_sensitivity`` oracle (which appends its own
+#: threshold-grid CTE and final SELECT). A named constant — not a slice
+#: of the finished SQL string — so a wording change here cannot silently
+#: yield malformed downstream SQL (ADVICE r9).
+NGRAM_SCORED_CTES = f"""{_SHINGLES_CTE},
 hex AS (SELECT doc_id, md5(unnest(shingles)) AS m FROM sh),
 hsets AS (
   SELECT doc_id, list_distinct(list({{HEX15}})) AS hset
@@ -745,12 +750,15 @@ scored AS (
       4
     ) AS jaccard
   FROM cand
-)
+)""".replace("{HEX15}", _duck_hex_int(1, 15))
+
+_NGRAM_ORACLE = f"""
+WITH {NGRAM_SCORED_CTES}
 SELECT doc_a, doc_b, jaccard
 FROM scored
 WHERE jaccard >= 0.3
 ORDER BY doc_a, doc_b
-""".replace("{HEX15}", _duck_hex_int(1, 15))
+"""
 
 
 @register("dedup_ngram_jaccard", _NGRAM_ORACLE, doc="exact n-gram Jaccard with min-hashed-shingle blocking")

@@ -2762,7 +2762,7 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mix_budget_oracle() -> str:
     from gluettalax_spark.operators.text import _QUALITY_DUCK
 
-    return f"""
+    return rf"""
 WITH per_doc AS (
   SELECT source,
          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,

@@ -80,10 +80,10 @@ def register(
 
 
 # Keys surfaced FIRST so a sampling driver gives them a verdict this
-# round. Round 9 rotation: the r8 driver sample verdicted the first 50
-# keys of the r8 tuple; the 22 tail keys below are the ONLY registry
-# keys without a driver verdict (union of CORRECTNESS_r01–r08), so they
-# lead, followed by operators genuinely new in round 9.
+# round. Round 10 rotation: the r9 driver sample verdicted the first 50
+# keys of the r9 tuple; the 3 tail keys below are the ONLY registry
+# keys without a driver verdict (union of CORRECTNESS_r01–r09), so they
+# lead, followed by operators genuinely new in round 10.
 #
 # _ROTATION_ROUND records the round this tuple was last rotated. The
 # staleness guard
@@ -92,64 +92,14 @@ def register(
 # current round's deposit NECESSARILY verdicts the current rotation, and
 # treating that as staleness shipped the suite red after every driver
 # drop in rounds 6 and 7 (VERDICT r7 "What's wrong" #1).
-_ROTATION_ROUND = 9
+_ROTATION_ROUND = 10
 
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # -- the 22 keys still lacking a driver verdict after round 8 --
-    "stats_multiple_testing_bh",
-    "stats_hurst_exponent",
-    "stats_runs_test",
-    "events_time_to_convert",
-    "quality_classifier_auc",
-    "text_burstiness",
-    "similarity_topk_filtered",
-    "events_peak_concurrency",
-    "part_skyline_pareto",
-    "corpus_mix_budget",
-    "orders_croston_intermittent",
-    "text_simhash_bit_balance",
-    "json_schema_drift",
-    "events_session_type_pmi",
-    "orders_seasonality_anova",
-    "dedup_cluster_histogram",
-    "events_ab_test_cuped",
-    "text_mattr_diversity",
-    "multimodal_payload_dedup",
-    "orders_round_number_bias",
-    "events_power_analysis",
-    "quality_variance_icc",
-    # -- operators added in round 9 (appended as they land) --
-    "text_good_turing_vocab",
-    "text_token_fertility",
-    "dedup_fuzzy_name_pairs",
-    "stats_mutual_information",
-    "stats_grubbs_daily",
-    "stats_wilcoxon_signed_rank",
-    "stats_mann_kendall",
-    "agg_trimmed_winsorized",
-    "events_conformal_interval",
-    "similarity_mmr_rerank",
-    "quality_ece_calibration",
-    "similarity_knn_label_accuracy",
-    "graph_bounded_sssp",
-    "orders_newsvendor_quantile",
-    "events_qini_uplift",
-    "stats_permutation_test",
-    "events_weekly_decompose",
-    "orders_price_elasticity",
-    "quality_brier_score",
-    "events_path_topk",
-    "events_retention_decay_fit",
-    "text_compression_ratio",
-    "text_unicode_script_profile",
-    "stats_anderson_darling",
-    "dedup_fuzzy_clusters",
-    "quality_pr_curve",
-    "text_sentence_stats",
-    "similarity_item_cf",
+    # -- the 3 keys still lacking a driver verdict after round 9 --
     "events_markov_accuracy",
     "dedup_threshold_sensitivity",
     "corpus_dedup_quality_audit",
+    # -- operators added in round 10 (appended as they land) --
 )
 
 
