@@ -79,7 +79,7 @@ def _with_recall_vs_exact(spark: SparkSession, sf_dir: str, approx: DataFrame) -
 
 
 def _assignments(spark: SparkSession, sf_dir: str):
-    """(vec_id, embedding, cell) + the fitted centroid list."""
+    """(vec_id, label, embedding, cell) + the fitted centroid list."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -87,7 +87,7 @@ def _assignments(spark: SparkSession, sf_dir: str):
     feats = emb.withColumn("features", array_to_vector(F.col("embedding").cast("array<double>")))
     km = KMeans(k=NLIST, seed=SEED, maxIter=10, featuresCol="features", predictionCol="cell")
     model = km.fit(feats)
-    assigned = model.transform(feats).select("vec_id", "embedding", "cell")
+    assigned = model.transform(feats).select("vec_id", "label", "embedding", "cell")
     return assigned, model.clusterCenters()
 
 
@@ -137,6 +137,117 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
     return _with_recall_vs_exact(spark, sf_dir, res).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# IVF candidate generation feeding the kNN-classification tail
+# --------------------------------------------------------------------------
+
+
+@register(
+    "similarity_knn_label_accuracy_ivf",
+    None,
+    doc=f"kNN label accuracy with IVF({NLIST},nprobe={NPROBE}) candidate generation "
+    "(scale-path sibling of the brute-force rung)",
+    witness=("acc_ppm_exact", "pred_agree_ppm", "nbr_recall_ppm"),
+)
+def similarity_knn_label_accuracy_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented candidate-generation swap for
+    ``similarity_knn_label_accuracy`` (similarity.py), registered as
+    code: probes score only their NPROBE nearest IVF cells (25% scan
+    fraction) instead of the whole corpus, and the UNCHANGED
+    vote→argmax→per-class-accuracy tail (`_knn_predict`/`_knn_accuracy`)
+    runs over the pruned candidates.
+
+    Rows-only (KMeans training is not SQL-expressible). Witnesses:
+    ``acc_ppm_exact`` — the brute-force rung's per-class accuracy joined
+    onto each row; ``pred_agree_ppm`` — the fraction (ppm) of probes
+    whose IVF prediction equals the exact prediction; and
+    ``nbr_recall_ppm`` — the fraction of exact top-k neighbor pairs the
+    IVF candidates recovered (candidate quality independent of the
+    fixture's weak label signal — vote flips on near-tied neighbor sets
+    make prediction agreement a noisier meter than recall). All three
+    computed in-plan; tests pin them against the exact rung. The exact twin is
+    benchmark-scale instrumentation — at 100 TB it runs over a probe
+    SAMPLE, the IVF path itself touches nprobe/nlist of the corpus via
+    a cell-id equi-join (bucket the corpus by cell to make it a pruned
+    scan)."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    from gluettalax_spark.operators.similarity import (
+        _KNN_NQ,
+        _knn_accuracy,
+        _knn_predict_from_topk,
+        _knn_scored_exact,
+        _knn_topk,
+    )
+
+    assigned, centers = _assignments(spark, sf_dir)
+    centers = np.asarray(centers)
+
+    probes = assigned.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    q_rows = probes.collect()  # bounded probe set, by the same contract as the exact rung
+    probe_pairs = []
+    for r in q_rows:
+        v = np.asarray(r["q_emb"], dtype=np.float64)
+        d = ((centers - v) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:NPROBE]:
+            probe_pairs.append((r["query_id"], int(cell)))
+    probe_cells = spark.createDataFrame(probe_pairs, "query_id long, cell int")
+
+    scored = (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(probes), "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nbr_label"),
+            F.round(
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    ivf_topk = _knn_topk(scored).localCheckpoint()
+    exact_topk = _knn_topk(_knn_scored_exact(spark, sf_dir)).localCheckpoint()
+
+    pred_ivf = _knn_predict_from_topk(ivf_topk)
+    pe_full = _knn_predict_from_topk(exact_topk)
+    pred_exact = pe_full.select("query_id", F.col("pred_label").alias("pred_exact"))
+    agree = pred_ivf.join(pred_exact, "query_id").agg(
+        F.expr(
+            "CAST(count(CASE WHEN pred_label = pred_exact THEN 1 END) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("pred_agree_ppm")
+    )
+    recall = (
+        exact_topk.select("query_id", "neighbor_id")
+        .join(ivf_topk.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "leftsemi")
+        .agg(F.count(F.lit(1)).alias("_nh"))
+        .crossJoin(exact_topk.agg(F.count(F.lit(1)).alias("_ne")))
+        .select(
+            F.expr("CAST(_nh * 1000000 DIV _ne AS BIGINT)").alias("nbr_recall_ppm")
+        )
+    )
+    acc_exact = _knn_accuracy(pe_full).select(
+        "label", F.col("acc_ppm").alias("acc_ppm_exact")
+    )
+    return (
+        _knn_accuracy(pred_ivf)
+        .join(acc_exact, "label")
+        .crossJoin(F.broadcast(agree))
+        .crossJoin(F.broadcast(recall))
+        .orderBy("label")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1597,14 +1597,24 @@ def similarity_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame
     broadcasts, the corpus is scanned once, and per-probe state is k
     rows; swap candidate generation to the IVF/LSH rungs for 100 TB
     (the vote/accuracy tail is unchanged — it only sees Q·k rows)."""
+    return _knn_accuracy(_knn_predict(_knn_scored_exact(spark, sf_dir))).orderBy("label")
+
+
+def _knn_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded probe set: (query_id, true_label, q_emb)."""
     emb = load(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+    return emb.filter(F.col("vec_id") < _KNN_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("q_emb"),
     )
-    scored = (
-        emb.crossJoin(F.broadcast(probes))
+
+
+def _knn_scored_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force candidate scoring: every (probe, corpus) pair."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.crossJoin(F.broadcast(_knn_probes(spark, sf_dir)))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -1618,28 +1628,45 @@ def similarity_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    topk = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _KNN_K)
+
+
+def _knn_predict(scored: DataFrame) -> DataFrame:
+    """(query_id, true_label, neighbor_id, nbr_label, cosine) →
+    (query_id, true_label, pred_label): top-k by (cosine desc, id), then
+    majority vote (ties by count desc, label). Shared by the brute-force
+    and IVF candidate-generation rungs — the tail only sees Q·k rows, so
+    swapping the candidate source leaves it untouched."""
+    return _knn_predict_from_topk(_knn_topk(scored))
+
+
+def _knn_predict_from_topk(topk: DataFrame) -> DataFrame:
+    """Majority vote over an already-truncated top-k candidate table."""
     votes = topk.groupBy("query_id", "true_label", "nbr_label").agg(
         F.count("*").cast("long").alias("v")
     )
     wp = Window.partitionBy("query_id").orderBy(F.col("v").desc(), F.col("nbr_label"))
-    pred = (
+    return (
         votes.withColumn("pr", F.row_number().over(wp))
         .filter(F.col("pr") == 1)
         .select("query_id", "true_label", F.col("nbr_label").alias("pred_label"))
     )
-    return (
-        pred.groupBy(F.col("true_label").alias("label"))
-        .agg(
-            F.count("*").cast("long").alias("n_queries"),
-            F.count(F.when(F.col("pred_label") == F.col("true_label"), 1))
-            .cast("long")
-            .alias("n_correct"),
-            F.expr(
-                "CAST(count(CASE WHEN pred_label = true_label THEN 1 END) * 1000000"
-                " DIV count(*) AS BIGINT)"
-            ).alias("acc_ppm"),
-        )
-        .orderBy("label")
+
+
+def _knn_topk(scored: DataFrame) -> DataFrame:
+    """The k nearest candidates per probe (cosine desc, id tie-break)."""
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _KNN_K)
+
+
+def _knn_accuracy(pred: DataFrame) -> DataFrame:
+    """Per-class accuracy over (query_id, true_label, pred_label)."""
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.count(F.when(F.col("pred_label") == F.col("true_label"), 1))
+        .cast("long")
+        .alias("n_correct"),
+        F.expr(
+            "CAST(count(CASE WHEN pred_label = true_label THEN 1 END) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("acc_ppm"),
     )

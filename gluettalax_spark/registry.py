@@ -100,6 +100,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "dedup_threshold_sensitivity",
     "corpus_dedup_quality_audit",
     # -- operators added in round 10 (appended as they land) --
+    "similarity_knn_label_accuracy_ivf",
 )
 
 

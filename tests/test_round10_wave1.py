@@ -1,0 +1,66 @@
+"""Round-10 wave 1: the IVF candidate-generation rung for the kNN
+label-accuracy eval (`similarity_knn_label_accuracy_ivf`) — witness
+pins against the brute-force rung plus structural invariants.
+
+The DuckDB oracle compare is the driver's job for the exact rung; the
+IVF rung is rows-only (KMeans is not SQL-expressible), so these tests
+are its correctness gate.
+"""
+
+from __future__ import annotations
+
+from gluettalax_spark.registry import queries
+
+
+def _ivf_rows(spark, sf_dir):
+    return queries()["similarity_knn_label_accuracy_ivf"](spark, sf_dir).collect()
+
+
+def test_knn_ivf_schema_and_invariants(spark, sf_dir):
+    rows = _ivf_rows(spark, sf_dir)
+    assert rows, "IVF kNN rung returned nothing"
+    cols = set(rows[0].asDict())
+    assert cols == {
+        "label",
+        "n_queries",
+        "n_correct",
+        "acc_ppm",
+        "acc_ppm_exact",
+        "pred_agree_ppm",
+        "nbr_recall_ppm",
+    }
+    # Every probe gets a prediction: IVF cells always contain candidates
+    # beyond the probe itself, so no probe drops out of the vote.
+    assert sum(r.n_queries for r in rows) == 50
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_queries
+        assert r.acc_ppm == r.n_correct * 1_000_000 // r.n_queries
+
+
+def test_knn_ivf_witnesses_match_exact_rung(spark, sf_dir):
+    rows = _ivf_rows(spark, sf_dir)
+    # acc_ppm_exact must BE the brute-force rung's per-class accuracy.
+    exact = {
+        r.label: r.acc_ppm
+        for r in queries()["similarity_knn_label_accuracy"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r.acc_ppm_exact == exact[r.label], (
+            f"label {r.label}: embedded exact accuracy {r.acc_ppm_exact} "
+            f"!= brute-force rung {exact[r.label]}"
+        )
+    # The witness columns are plan-global constants.
+    assert len({r.pred_agree_ppm for r in rows}) == 1
+    assert len({r.nbr_recall_ppm for r in rows}) == 1
+    # Candidate quality: probing NPROBE/NLIST = 25% of the corpus must
+    # recover well over chance (~k/N) of the exact top-k neighbor pairs.
+    # Measured 0.596 (sf0.001) / 0.728 (sf0.01) on the near-orthogonal
+    # fixture vectors — IVF's worst case; 0.45 leaves KMeans-seed
+    # headroom while failing on any real candidate-generation regression.
+    recall = rows[0].nbr_recall_ppm / 1e6
+    assert 0.45 <= recall <= 1.0, f"nbr_recall={recall:.3f}"
+    # Prediction agreement is noisier (near-tied neighbor sets flip the
+    # 5-vote majority), but must stay far above the ~10% chance rate of
+    # 10 independent labels. Measured 0.50 / 0.48.
+    agree = rows[0].pred_agree_ppm / 1e6
+    assert 0.25 <= agree <= 1.0, f"pred_agree={agree:.3f}"
