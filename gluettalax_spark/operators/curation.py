@@ -197,24 +197,85 @@ def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _FUZZY_MAX_DIST = 2
+# Second blocking key inside the brand block: length band of width 4
+# with neighbor-band replication. Edit distance ≤ _FUZZY_MAX_DIST=2
+# implies |Δlen| ≤ 2 < 4, so a true pair's bands differ by at most 1 —
+# replicating the a-side to {band-1, band, band+1} provably loses no
+# qualifying pair (completeness by construction, not fixture luck), and
+# each pair joins exactly once (the a-side replica landing on b's band).
+# This takes the per-brand join off the all-pairs path: candidates are
+# equi-join matches on (brand, band), ~3/|bands| of the brand block.
+_FUZZY_BAND_W = 4
+
+#: names → banded replicas → Levenshtein-verified pairs; shared verbatim
+#: by the pair and cluster oracles (named constant, not string surgery).
+_FUZZY_PAIRS_CTES = f"""names AS (
+  SELECT p_brand, p_name, CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(length(p_name) // {_FUZZY_BAND_W} AS BIGINT) AS band
+  FROM part GROUP BY 1, 2
+),
+a_rep AS (
+  SELECT n.*, n.band + oo.o AS jband
+  FROM names n CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) oo
+),
+fpairs AS (
+  SELECT a.p_brand AS brand,
+         a.p_name  AS a_name,
+         b.p_name  AS b_name,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+         a.n_parts AS a_parts,
+         b.n_parts AS b_parts
+  FROM a_rep a JOIN names b
+    ON a.p_brand = b.p_brand AND a.jband = b.band AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {_FUZZY_MAX_DIST}
+)"""
 
 _FUZZY_NAME_ORACLE = f"""
-WITH names AS (
-  SELECT p_brand, p_name, CAST(count(*) AS BIGINT) AS n_parts
-  FROM part GROUP BY 1, 2
-)
-SELECT a.p_brand AS brand,
-       a.p_name  AS a_name,
-       b.p_name  AS b_name,
-       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
-       a.n_parts AS a_parts,
-       b.n_parts AS b_parts,
-       CAST(a.n_parts * b.n_parts AS BIGINT) AS pair_count
-FROM names a JOIN names b
-  ON a.p_brand = b.p_brand AND a.p_name < b.p_name
-WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {_FUZZY_MAX_DIST}
+WITH {_FUZZY_PAIRS_CTES}
+SELECT brand, a_name, b_name, dist, a_parts, b_parts,
+       CAST(a_parts * b_parts AS BIGINT) AS pair_count
+FROM fpairs
 ORDER BY brand, a_name, b_name
 """
+
+
+def _fuzzy_name_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct (brand, name) dictionary with multiplicities and
+    the length band."""
+    return (
+        load(spark, sf_dir, "part")
+        .groupBy("p_brand", "p_name")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .withColumn("band", F.expr(f"CAST(length(p_name) DIV {_FUZZY_BAND_W} AS BIGINT)"))
+    )
+
+
+def _fuzzy_pairs(names: DataFrame) -> DataFrame:
+    """Banded-blocked Levenshtein pairs over the name dictionary:
+    (brand, a_name, b_name, dist, a_parts, b_parts)."""
+    a = names.withColumn(
+        "jband",
+        F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)),
+    ).alias("a")
+    b = names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.jband") == F.col("b.band"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(dist.between(1, _FUZZY_MAX_DIST))
+        .select(
+            F.col("a.p_brand").alias("brand"),
+            F.col("a.p_name").alias("a_name"),
+            F.col("b.p_name").alias("b_name"),
+            dist.cast("long").alias("dist"),
+            F.col("a.n_parts").alias("a_parts"),
+            F.col("b.n_parts").alias("b_parts"),
+        )
+    )
 
 
 @register(
@@ -236,34 +297,14 @@ def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     name-space-bounded tables no matter how many rows repeat each
     spelling, and the output is name pairs + multiplicities (the
     curation report), never the quadratic partkey-pair expansion.
-    Within the dictionary, pairs are only generated inside a blocking
-    key (brand; at 100 TB add length-band/first-token to the key) via
-    an EQUI-join — Levenshtein runs JVM-side inside that join's codegen
-    stage as a post-join filter."""
-    names = (
-        load(spark, sf_dir, "part")
-        .groupBy("p_brand", "p_name")
-        .agg(F.count("*").cast("long").alias("n_parts"))
-    )
-    a = names.alias("a")
-    b = names.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    Within the dictionary, candidates come from an EQUI-join on the
+    COMPOUND block (brand, length band) — see _FUZZY_BAND_W for why
+    neighbor-band replication is exact — so even a brand with an
+    open-vocabulary name set never goes all-pairs; Levenshtein runs
+    JVM-side inside that join's codegen stage as a post-join filter."""
     return (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_name") < F.col("b.p_name")),
-        )
-        .where(dist.between(1, _FUZZY_MAX_DIST))
-        .select(
-            F.col("a.p_brand").alias("brand"),
-            F.col("a.p_name").alias("a_name"),
-            F.col("b.p_name").alias("b_name"),
-            dist.cast("long").alias("dist"),
-            F.col("a.n_parts").alias("a_parts"),
-            F.col("b.n_parts").alias("b_parts"),
-            (F.col("a.n_parts") * F.col("b.n_parts")).cast("long").alias("pair_count"),
-        )
+        _fuzzy_pairs(_fuzzy_name_dict(spark, sf_dir))
+        .withColumn("pair_count", (F.col("a_parts") * F.col("b_parts")).cast("long"))
         .orderBy("brand", "a_name", "b_name")
     )
 
@@ -2150,16 +2191,7 @@ def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _FUZZY_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE names AS (
-  SELECT p_brand, p_name, CAST(count(*) AS BIGINT) AS n_parts
-  FROM part GROUP BY 1, 2
-),
-fpairs AS (
-  SELECT a.p_brand AS brand, a.p_name AS a_name, b.p_name AS b_name
-  FROM names a JOIN names b
-    ON a.p_brand = b.p_brand AND a.p_name < b.p_name
-  WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {_FUZZY_MAX_DIST}
-),
+WITH RECURSIVE {_FUZZY_PAIRS_CTES},
 edges AS (
   SELECT brand || '|' || a_name AS u, brand || '|' || b_name AS v FROM fpairs
   UNION
@@ -2209,22 +2241,13 @@ def dedup_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuples); a general deployment would hash the (brand, name) key."""
     from gluettalax_spark.operators.graph import connected_components
 
-    names = (
-        load(spark, sf_dir, "part")
-        .groupBy("p_brand", "p_name")
-        .agg(F.count("*").cast("long").alias("n_parts"))
-        .withColumn("node", F.concat_ws("|", "p_brand", "p_name"))
+    names = _fuzzy_name_dict(spark, sf_dir).withColumn(
+        "node", F.concat_ws("|", "p_brand", "p_name")
     )
     names = names.localCheckpoint(eager=False)  # feeds pairs AND the rollup join
-    a, b = names.alias("a"), names.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_name") < F.col("b.p_name")),
-        )
-        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).between(1, _FUZZY_MAX_DIST))
-        .select(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+    pairs = _fuzzy_pairs(names).select(
+        F.concat_ws("|", "brand", "a_name").alias("u"),
+        F.concat_ws("|", "brand", "b_name").alias("v"),
     )
     comp = connected_components(pairs, "u", "v")
     return (

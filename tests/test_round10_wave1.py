@@ -12,6 +12,32 @@ from __future__ import annotations
 from gluettalax_spark.registry import queries
 
 
+def test_fuzzy_length_band_is_lossless(oracle_con):
+    """The second blocking key (length band, width 4, neighbor-band
+    replication) must not change the linkage output: edit distance ≤ 2
+    bounds |Δlen| ≤ 2 < 4, so every qualifying pair lands in adjacent
+    bands. Witness the proof by running the UNBANDED join and comparing
+    row-for-row with the shipped banded oracle."""
+    from gluettalax_spark.operators.curation import _FUZZY_MAX_DIST, _FUZZY_NAME_ORACLE
+
+    unbanded = f"""
+    WITH names AS (
+      SELECT p_brand, p_name, CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1, 2
+    )
+    SELECT a.p_brand AS brand, a.p_name AS a_name, b.p_name AS b_name,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           a.n_parts AS a_parts, b.n_parts AS b_parts,
+           CAST(a.n_parts * b.n_parts AS BIGINT) AS pair_count
+    FROM names a JOIN names b ON a.p_brand = b.p_brand AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {_FUZZY_MAX_DIST}
+    ORDER BY brand, a_name, b_name
+    """
+    assert oracle_con.execute(unbanded).fetchall() == oracle_con.execute(
+        _FUZZY_NAME_ORACLE
+    ).fetchall()
+
+
 def _ivf_rows(spark, sf_dir):
     return queries()["similarity_knn_label_accuracy_ivf"](spark, sf_dir).collect()
 
