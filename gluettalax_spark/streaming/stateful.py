@@ -887,8 +887,10 @@ def streaming_anova_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming twin: per-user Markov transition counts
 # --------------------------------------------------------------------------
 
-MARKOV_OUTPUT_SCHEMA = "user_id long, from_type string, to_type string, n long"
-_MARKOV_STATE_SCHEMA = "last_type string, counts_json string"
+MARKOV_OUTPUT_SCHEMA = "user_id long, from_type string, to_type string, n long, n_late long"
+_MARKOV_STATE_SCHEMA = (
+    "last_type string, counts_json string, last_ts_us long, last_event_id long, n_late long"
+)
 
 
 def _make_markov_fn():
@@ -906,7 +908,9 @@ def _make_markov_fn():
 
         import pandas as _pd
 
-        last_type, counts_json = state.get if state.exists else (None, "[]")
+        last_type, counts_json, last_ts_us, last_eid, n_late = (
+            state.get if state.exists else (None, "[]", None, None, 0)
+        )
         # State keys are JSON arrays ["from","to"] — a bare separator
         # would corrupt the map for event types containing it.
         counts = {tuple(k): v for k, v in _json.loads(counts_json)}
@@ -914,17 +918,36 @@ def _make_markov_fn():
         # with no cross-chunk ordering guarantee; concatenate and sort
         # ONCE so the chain head never pairs out-of-order events.
         # (Cross-MICRO-BATCH ordering is still an arrival-order
-        # assumption, as for any streaming sequence statistic.)
+        # assumption — fold order is arrival order — but it is now
+        # OBSERVABLE: any event sorting before the already-consumed
+        # head increments the cumulative ``n_late`` witness, so a
+        # production monitor sees exactly when per-user counts may
+        # diverge from the batch twin. 0 on an in-order drive.)
         pdf = _pd.concat(list(pdfs), ignore_index=True)
         if len(pdf):
             pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = pdf["ts"].astype("int64") // 1000
+            eid = pdf["event_id"].astype("int64")
+            if last_ts_us is not None:
+                n_late += int(
+                    ((ts_us < last_ts_us) | ((ts_us == last_ts_us) & (eid < last_eid))).sum()
+                )
+            tail_ts, tail_eid = int(ts_us.iloc[-1]), int(eid.iloc[-1])
+            if last_ts_us is None or (tail_ts, tail_eid) > (last_ts_us, last_eid):
+                last_ts_us, last_eid = tail_ts, tail_eid
             for t in pdf["event_type"]:
                 if last_type is not None:
                     k2 = (last_type, t)
                     counts[k2] = counts.get(k2, 0) + 1
                 last_type = t
         state.update(
-            (last_type, _json.dumps([[list(k), v] for k, v in counts.items()]))
+            (
+                last_type,
+                _json.dumps([[list(k), v] for k, v in counts.items()]),
+                last_ts_us,
+                last_eid,
+                n_late,
+            )
         )
         if counts:
             items = sorted(counts.items())
@@ -934,6 +957,7 @@ def _make_markov_fn():
                     "from_type": [k[0] for k, _ in items],
                     "to_type": [k[1] for k, _ in items],
                     "n": [v for _, v in items],
+                    "n_late": [n_late] * len(items),
                 }
             )
 
@@ -1083,8 +1107,8 @@ def streaming_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming twin: first-3-event user paths (bounded prefix state)
 # --------------------------------------------------------------------------
 
-PATH_OUTPUT_SCHEMA = "user_id long, n_steps int, path string"
-_PATH_STATE_SCHEMA = "prefix_json string"
+PATH_OUTPUT_SCHEMA = "user_id long, n_steps int, path string, n_late long"
+_PATH_STATE_SCHEMA = "prefix_json string, n_late long"
 _PATH_STEPS = 3
 
 
@@ -1094,31 +1118,45 @@ def _make_path_fn():
     under the batch op's total order (ts, event_id), so late-arriving
     earlier events still displace later ones and the final emission per
     user equals `events_path_topk`'s per-user path exactly (pinned in
-    tests). Bounded state: 3 triples regardless of history length."""
+    tests). Bounded state: 3 triples regardless of history length.
+
+    ``n_late`` (cumulative) counts events that arrived AFTER the prefix
+    was already full yet sort before its last element — each one
+    correctly displaced a later event (mergeability means they are NOT
+    errors here), but the counter makes out-of-order arrival observable
+    in production, symmetric with the Markov/zscore twins. 0 on an
+    in-order drive."""
 
     def update(key, pdfs, state):
         import json as _json
 
         import pandas as _pd
 
-        (prefix_json,) = state.get if state.exists else ("[]",)
+        prefix_json, n_late = state.get if state.exists else ("[]", 0)
         prefix = [tuple(t) for t in _json.loads(prefix_json)]
+        full_tail = prefix[-1] if len(prefix) == _PATH_STEPS else None
         pdf = _pd.concat(list(pdfs), ignore_index=True)
         if len(pdf):
+            ts_us = pdf["ts"].astype("int64") // 1000
+            eid = pdf["event_id"].astype("int64")
+            if full_tail is not None:
+                wt, we = full_tail[0], full_tail[1]
+                n_late += int(((ts_us < wt) | ((ts_us == wt) & (eid < we))).sum())
             prefix.extend(
                 zip(
-                    (pdf["ts"].astype("int64") // 1000).tolist(),
-                    pdf["event_id"].astype("int64").tolist(),
+                    ts_us.tolist(),
+                    eid.tolist(),
                     pdf["event_type"].astype(str).tolist(),
                 )
             )
             prefix = sorted(prefix)[:_PATH_STEPS]
-        state.update((_json.dumps([list(t) for t in prefix]),))
+        state.update((_json.dumps([list(t) for t in prefix]), n_late))
         yield _pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_steps": [len(prefix)],
                 "path": [">".join(t[2] for t in prefix)],
+                "n_late": [n_late],
             }
         )
 

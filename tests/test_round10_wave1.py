@@ -38,6 +38,84 @@ def test_fuzzy_length_band_is_lossless(oracle_con):
     ).fetchall()
 
 
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def test_markov_twin_counts_late_arrivals():
+    """An event arriving in a LATER micro-batch that sorts before the
+    already-consumed chain head increments the cumulative n_late
+    witness; an in-order drive keeps it 0."""
+    import pandas as pd
+
+    from gluettalax_spark.streaming.stateful import _make_markov_fn
+
+    def batch(ts_list, ids, types):
+        return pd.DataFrame(
+            {"ts": pd.to_datetime(ts_list), "event_id": ids, "event_type": types}
+        )
+
+    fn, state = _make_markov_fn(), _FakeState()
+    out1 = list(
+        fn((1,), [batch(["2024-01-01 00:00:03", "2024-01-01 00:00:04"], [3, 4], ["a", "b"])], state)
+    )[0]
+    assert set(out1["n_late"]) == {0}
+    # Second micro-batch: one late event (00:00:01 < consumed head
+    # 00:00:04) and one in-order event.
+    out2 = list(
+        fn((1,), [batch(["2024-01-01 00:00:01", "2024-01-01 00:00:05"], [1, 5], ["c", "d"])], state)
+    )[0]
+    assert set(out2["n_late"]) == {1}
+    assert state.get[4] == 1  # cumulative counter persisted in state
+    # Third, in-order batch: counter unchanged.
+    out3 = list(fn((1,), [batch(["2024-01-01 00:00:06"], [6], ["a"])], state))[0]
+    assert set(out3["n_late"]) == {1}
+
+
+def test_path_twin_counts_displacing_late_arrivals():
+    """Once the 3-event prefix is full, a later-arriving event that
+    sorts before the prefix tail both displaces it (mergeable bottom-k,
+    unchanged) AND increments n_late; before the prefix fills, arrival
+    order is immaterial and the counter stays 0."""
+    import pandas as pd
+
+    from gluettalax_spark.streaming.stateful import _make_path_fn
+
+    def batch(ts_list, ids, types):
+        return pd.DataFrame(
+            {"ts": pd.to_datetime(ts_list), "event_id": ids, "event_type": types}
+        )
+
+    fn, state = _make_path_fn(), _FakeState()
+    # Out-of-order WITHIN the fill phase: not late (prefix not full yet).
+    out1 = list(fn((7,), [batch(["2024-01-01 00:00:05"], [5], ["e"])], state))[0]
+    out2 = list(
+        fn(
+            (7,),
+            [batch(["2024-01-01 00:00:02", "2024-01-01 00:00:03"], [2, 3], ["b", "c"])],
+            state,
+        )
+    )[0]
+    assert out2["n_late"].iloc[0] == 0 and out2["path"].iloc[0] == "b>c>e"
+    # Prefix now full; an earlier event displaces AND counts.
+    out3 = list(fn((7,), [batch(["2024-01-01 00:00:01"], [1], ["a"])], state))[0]
+    assert out3["n_late"].iloc[0] == 1
+    assert out3["path"].iloc[0] == "a>b>c"
+    # A later event after the full prefix neither displaces nor counts.
+    out4 = list(fn((7,), [batch(["2024-01-01 00:00:09"], [9], ["z"])], state))[0]
+    assert out4["n_late"].iloc[0] == 1 and out4["path"].iloc[0] == "a>b>c"
+
+
 def _ivf_rows(spark, sf_dir):
     return queries()["similarity_knn_label_accuracy_ivf"](spark, sf_dir).collect()
 
