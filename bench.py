@@ -345,6 +345,14 @@ SCALING_SUBSET = [
     "stats_mann_kendall",
     "agg_trimmed_winsorized",
     "events_conformal_interval",
+    # round-10: the round-9 heavy hitters (VERDICT r9 task 7) plus the
+    # new IVF kNN rung — its curve should stay flatter than the
+    # brute-force rung it shadows (nprobe/nlist scan fraction).
+    "corpus_dedup_quality_audit",
+    "dedup_fuzzy_clusters",
+    "similarity_item_cf",
+    "similarity_knn_label_accuracy",
+    "similarity_knn_label_accuracy_ivf",
 ]
 
 
