@@ -448,8 +448,10 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KW_SCALE = 1_000
 
 
-_KRUSKAL_ORACLE = f"""
-WITH vals AS (
+#: The value-dictionary rank machinery shared by Kruskal-Wallis and the
+#: Dunn post-hoc oracle: per-group exact 2×rank-sums (integral under
+#: ties), total N, and the Σ(t³−t) tie term.
+_KW_RANK_CTES = """vals AS (
   SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
   FROM events
 ),
@@ -476,15 +478,18 @@ per_g AS (
   GROUP BY c.g
 ),
 nn AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM per_g),
+ties AS (
+  SELECT CAST(sum(CAST(n_v AS HUGEINT) * n_v * n_v - n_v) AS BIGINT) AS tie_t
+  FROM dict
+)"""
+
+_KRUSKAL_ORACLE = f"""
+WITH {_KW_RANK_CTES},
 hsum AS (
   SELECT CAST(count(*) AS BIGINT) AS k,
          -- Σ_g R_g²/(n_g·N) in milli-units, R_g = r2_g/2
          CAST(sum(CAST(r2_g AS HUGEINT) * r2_g * {_KW_SCALE} // (4 * n_g * (SELECT n FROM nn))) AS BIGINT) AS h_milli
   FROM per_g
-),
-ties AS (
-  SELECT CAST(sum(CAST(n_v AS HUGEINT) * n_v * n_v - n_v) AS BIGINT) AS tie_t
-  FROM dict
 )
 SELECT hsum.k, nn.n, hsum.h_milli, ties.tie_t,
        12.0 * (CAST(hsum.h_milli AS DOUBLE) / {_KW_SCALE}) / (nn.n + 1)
@@ -497,27 +502,10 @@ FROM hsum, nn, ties
 """
 
 
-@register(
-    "stats_kruskal_wallis",
-    _KRUSKAL_ORACLE,
-    doc="Kruskal-Wallis H (event value ranks by type) — exact tie-corrected ranks",
-)
-def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kruskal-Wallis H across the event types — the rank-based (outlier-
-    robust) k-sample sibling of `stats_anova_oneway`, generalizing the
-    Mann-Whitney construction from 2 to k groups on the same value
-    dictionary.
-
-    Exactness: 2×average-ranks stay integral under ties
-    (R2(v) = 2·cum_before + n_v + 1, the `stats_mannwhitney_events`
-    identity); Σ_g R_g²/(n_g·N) floor-quantizes to milli-units per group
-    (truncation toward zero in BOTH engines), so `h_milli` and the tie
-    term are exact integers; H and its tie correction are single shared
-    IEEE expressions.
-
-    Scale: one data-scale groupBy to the (type × cents) dictionary; the
-    running rank runs on the value dictionary via the range-partitioned
-    machinery, never a window over data rows."""
+def _kw_rank_frames(spark: SparkSession, sf_dir: str):
+    """The Spark side of ``_KW_RANK_CTES``: (per_g, nn, ties) — exact
+    per-group 2×rank-sums over the value dictionary, total N, and the
+    Σ(t³−t) tie term. Shared by Kruskal-Wallis and Dunn's post-hoc."""
     events = load(spark, sf_dir, "events")
     cells = (
         events.select(
@@ -543,6 +531,36 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nn = per_g.agg(F.sum("n_g").cast("long").alias("n"))
+    ties = ranked.agg(
+        F.sum(
+            F.col("n_v").cast("decimal(38,0)") * F.col("n_v") * F.col("n_v") - F.col("n_v")
+        ).cast("long").alias("tie_t")
+    )
+    return per_g, nn, ties
+
+
+@register(
+    "stats_kruskal_wallis",
+    _KRUSKAL_ORACLE,
+    doc="Kruskal-Wallis H (event value ranks by type) — exact tie-corrected ranks",
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the event types — the rank-based (outlier-
+    robust) k-sample sibling of `stats_anova_oneway`, generalizing the
+    Mann-Whitney construction from 2 to k groups on the same value
+    dictionary.
+
+    Exactness: 2×average-ranks stay integral under ties
+    (R2(v) = 2·cum_before + n_v + 1, the `stats_mannwhitney_events`
+    identity); Σ_g R_g²/(n_g·N) floor-quantizes to milli-units per group
+    (truncation toward zero in BOTH engines), so `h_milli` and the tie
+    term are exact integers; H and its tie correction are single shared
+    IEEE expressions.
+
+    Scale: one data-scale groupBy to the (type × cents) dictionary; the
+    running rank runs on the value dictionary via the range-partitioned
+    machinery, never a window over data rows."""
+    per_g, nn, ties = _kw_rank_frames(spark, sf_dir)
     hsum = (
         per_g.crossJoin(F.broadcast(nn))
         .agg(
@@ -554,11 +572,6 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("h_milli"),
             F.first("n").alias("n"),
         )
-    )
-    ties = ranked.agg(
-        F.sum(
-            F.col("n_v").cast("decimal(38,0)") * F.col("n_v") * F.col("n_v") - F.col("n_v")
-        ).cast("long").alias("tie_t")
     )
     return (
         hsum.crossJoin(F.broadcast(ties))
@@ -1662,4 +1675,384 @@ def quality_variance_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (((CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (k - 1))"
         " + (((CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / n) / (k - 1)) - 1.0)"
         " * ((CAST(q AS DOUBLE) - ssbq) / (n - k))), 6) AS icc1",
+    )
+
+
+# --------------------------------------------------------------------------
+# Dunn's post-hoc: which type pairs differ, after Kruskal-Wallis rejects
+# --------------------------------------------------------------------------
+
+# Mean-rank difference over the pooled tie-corrected rank variance.
+# R̄_g = r2_g/(2·n_g); σ² = N(N+1)/12 − T/(12(N−1)); one fixed IEEE
+# expression over exact integers (r2_g, n_g, n, tie_t) in BOTH engines.
+_DUNN_Z = (
+    "((CAST(r2_a AS DOUBLE) / (2.0 * n_a) - CAST(r2_b AS DOUBLE) / (2.0 * n_b))"
+    " / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12.0"
+    "         - CAST(tie_t AS DOUBLE) / (12.0 * (n - 1)))"
+    "        * (1.0 / n_a + 1.0 / n_b)))"
+)
+_DUNN_P = _p_two_sided(f"abs({_DUNN_Z}) / sqrt(2.0)")
+
+_DUNN_ORACLE = f"""
+WITH {_KW_RANK_CTES},
+pairs AS (
+  SELECT a.g AS g_a, b.g AS g_b,
+         a.n_g AS n_a, b.n_g AS n_b,
+         a.r2_g AS r2_a, b.r2_g AS r2_b
+  FROM per_g a JOIN per_g b ON a.g < b.g
+),
+scored AS (
+  SELECT g_a, g_b, n_a, n_b,
+         round({_DUNN_Z}, 6) AS z,
+         {_DUNN_P} AS p_value
+  FROM pairs, nn, ties
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tests FROM scored),
+ranked_p AS (
+  SELECT a.g_a, a.g_b, a.n_a, a.n_b, a.z, a.p_value,
+         CAST(count(*) AS BIGINT) AS p_rank
+  FROM scored a JOIN scored b
+    ON b.p_value < a.p_value
+    OR (b.p_value = a.p_value AND (b.g_a || '|' || b.g_b) <= (a.g_a || '|' || a.g_b))
+  GROUP BY a.g_a, a.g_b, a.n_a, a.n_b, a.z, a.p_value
+),
+cutoff AS (
+  SELECT coalesce(max(CASE WHEN p_value * n_tests <= p_rank * {_BH_ALPHA}
+                           THEN p_rank END), 0) AS max_rank
+  FROM ranked_p, tot
+)
+SELECT r.g_a, r.g_b, r.n_a, r.n_b, r.z, r.p_value, r.p_rank,
+       CAST(r.p_rank <= c.max_rank AS BOOLEAN) AS rejected
+FROM ranked_p r, tot t, cutoff c
+ORDER BY r.g_a, r.g_b
+"""
+
+
+@register(
+    "stats_dunn_posthoc",
+    _DUNN_ORACLE,
+    doc="Dunn's post-hoc pairwise z after Kruskal-Wallis, BH step-up at α=0.05",
+)
+def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH pairs differ, once `stats_kruskal_wallis` says SOME types
+    do: Dunn's tie-corrected pairwise z on the pooled value ranks, with
+    Benjamini-Hochberg FDR over the k(k−1)/2 comparisons — the standard
+    follow-up every k-sample readout needs before acting on a specific
+    pair.
+
+    Exactness: rides the SAME per-group 2×rank-sum frames as KW
+    (`_kw_rank_frames` / `_KW_RANK_CTES` — exact integers under ties);
+    z is one fixed IEEE expression; the p-value is the shared
+    Abramowitz-Stegun polynomial rounded at 6 dp; BH ranks come from a
+    pair-grid self-join with a deterministic tie-break, and the step-up
+    compare is cross-multiplied (`stats_multiple_testing_bh`'s
+    discipline).
+
+    Scale: one data-scale groupBy to the (type × cents) dictionary;
+    pairs, ranks, and the step-up all live on the k²-bounded grid."""
+    per_g, nn, ties = _kw_rank_frames(spark, sf_dir)
+    a = per_g.select(
+        F.col("g").alias("g_a"),
+        F.col("n_g").alias("n_a"),
+        F.col("r2_g").alias("r2_a"),
+    )
+    b = per_g.select(
+        F.col("g").alias("g_b"),
+        F.col("n_g").alias("n_b"),
+        F.col("r2_g").alias("r2_b"),
+    )
+    scored = (
+        a.join(F.broadcast(b), F.col("g_a") < F.col("g_b"))
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "g_a",
+            "g_b",
+            "n_a",
+            "n_b",
+            f"round({_DUNN_Z}, 6) AS z",
+            f"{_DUNN_P} AS p_value",
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = scored.agg(F.count(F.lit(1)).cast("long").alias("n_tests"))
+    rhs = scored.select(
+        F.col("p_value").alias("bp"),
+        F.concat_ws("|", "g_a", "g_b").alias("bkey"),
+    )
+    ranked_p = (
+        scored.withColumn("akey", F.concat_ws("|", "g_a", "g_b"))
+        .join(
+            F.broadcast(rhs),
+            (F.col("bp") < F.col("p_value"))
+            | ((F.col("bp") == F.col("p_value")) & (F.col("bkey") <= F.col("akey"))),
+        )
+        .groupBy("g_a", "g_b", "n_a", "n_b", "z", "p_value")
+        .agg(F.count(F.lit(1)).cast("long").alias("p_rank"))
+    )
+    cutoff = ranked_p.crossJoin(F.broadcast(tot)).agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.expr(f"p_value * n_tests <= p_rank * {_BH_ALPHA}"), F.col("p_rank")
+                )
+            ),
+            F.lit(0),
+        ).alias("max_rank")
+    )
+    return (
+        ranked_p.crossJoin(F.broadcast(cutoff))
+        .selectExpr(
+            "g_a",
+            "g_b",
+            "n_a",
+            "n_b",
+            "z",
+            "p_value",
+            "p_rank",
+            "CAST(p_rank <= max_rank AS BOOLEAN) AS rejected",
+        )
+        .orderBy("g_a", "g_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Friedman test: do event types rank consistently across days?
+# --------------------------------------------------------------------------
+
+_FRIEDMAN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type AS g, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM daily),
+types AS (SELECT DISTINCT g FROM daily),
+grid AS (
+  SELECT d.day, t.g, coalesce(x.c, 0) AS c
+  FROM days d CROSS JOIN types t
+  LEFT JOIN daily x ON x.day = d.day AND x.g = t.g
+),
+cells AS (SELECT day, c, CAST(count(*) AS BIGINT) AS n_v FROM grid GROUP BY day, c),
+rankedv AS (
+  SELECT day, c, n_v,
+         CAST(sum(n_v) OVER (PARTITION BY day ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM cells
+),
+r2 AS (
+  SELECT g2.day, g2.g,
+         CAST(2 * (rv.cum - rv.n_v) + rv.n_v + 1 AS BIGINT) AS r2
+  FROM grid g2 JOIN rankedv rv ON rv.day = g2.day AND rv.c = g2.c
+),
+per_g AS (SELECT g, CAST(sum(r2) AS BIGINT) AS r2_g FROM r2 GROUP BY g),
+consts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM types) AS k,
+         (SELECT CAST(count(*) AS BIGINT) FROM days) AS b
+),
+a2 AS (SELECT CAST(sum(CAST(r2 AS HUGEINT) * r2) AS BIGINT) AS sum_r2sq FROM r2),
+num AS (
+  SELECT CAST(sum(CAST(r2_g - b * (k + 1) AS HUGEINT) * (r2_g - b * (k + 1))) AS BIGINT) AS s2
+  FROM per_g, consts
+)
+SELECT consts.k, consts.b, num.s2,
+       CAST(a2.sum_r2sq - consts.b * consts.k * (consts.k + 1) * (consts.k + 1) AS BIGINT) AS d2,
+       (consts.k - 1) * CAST(num.s2 AS DOUBLE)
+         / (a2.sum_r2sq - consts.b * consts.k * (consts.k + 1) * (consts.k + 1)) AS chi2_f,
+       ((consts.k - 1) * CAST(num.s2 AS DOUBLE)
+         / (a2.sum_r2sq - consts.b * consts.k * (consts.k + 1) * (consts.k + 1)))
+         / (CAST(consts.b AS DOUBLE) * (consts.k - 1)) AS kendall_w
+FROM consts, a2, num
+"""
+
+
+@register(
+    "stats_friedman_test",
+    _FRIEDMAN_ORACLE,
+    doc="Friedman test (days × event types, within-day rank of daily counts) + Kendall's W",
+)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the event types keep the same popularity ORDER day after day?
+    Friedman's rank test over the complete days×types grid (blocks =
+    days, treatments = types, within-day average ranks of daily counts,
+    zero-filled for absent combinations) plus Kendall's W concordance —
+    the repeated-measures sibling of `stats_kruskal_wallis` that a
+    monitoring pipeline runs before trusting any one day's type ranking.
+
+    Exactness: with 2×ranks (integral under ties) BOTH the numerator
+    Σ_j (R2_j − b(k+1))² and the tie-corrected denominator
+    Σ r2² − b·k·(k+1)² are exact integers — the usual quarters cancel —
+    so χ²_F = (k−1)·s2/d2 and W = χ²_F/(b(k−1)) are single IEEE
+    divisions; s2/d2 ship as integer witnesses.
+
+    Scale: one data-scale groupBy to the days×types grid (calendar ×
+    type-vocabulary bounded); within-day ranks run on ≤k cells per day;
+    everything downstream is grid-sized."""
+    from pyspark.sql.window import Window
+
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.col("event_type").alias("g"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    daily = daily.localCheckpoint(eager=False)  # feeds days, types, and the grid join
+    days = daily.select("day").distinct()
+    types = daily.select("g").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "g"], "left")
+        .select("day", "g", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"))
+    )
+    cells = grid.groupBy("day", "c").agg(F.count(F.lit(1)).cast("long").alias("n_v"))
+    # ≤k cells per day: the per-day running rank is a bounded frame.
+    w = Window.partitionBy("day").orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    rankedv = cells.withColumn("cum", F.sum("n_v").over(w).cast("long"))
+    r2 = grid.join(rankedv, ["day", "c"]).select(
+        "day",
+        "g",
+        (2 * (F.col("cum") - F.col("n_v")) + F.col("n_v") + 1).cast("long").alias("r2"),
+    )
+    r2 = r2.localCheckpoint(eager=False)  # feeds per_g AND the Σr2² fold
+    per_g = r2.groupBy("g").agg(F.sum("r2").cast("long").alias("r2_g"))
+    consts = days.agg(F.count(F.lit(1)).cast("long").alias("b")).crossJoin(
+        types.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    a2 = r2.agg(
+        F.sum(F.col("r2").cast("decimal(38,0)") * F.col("r2")).cast("long").alias("sum_r2sq")
+    )
+    num = (
+        per_g.crossJoin(F.broadcast(consts))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(r2_g - b * (k + 1) AS DECIMAL(38,0)) * (r2_g - b * (k + 1))"
+                )
+            )
+            .cast("long")
+            .alias("s2")
+        )
+    )
+    return (
+        consts.crossJoin(F.broadcast(a2))
+        .crossJoin(F.broadcast(num))
+        .selectExpr(
+            "k",
+            "b",
+            "s2",
+            "CAST(sum_r2sq - b * k * (k + 1) * (k + 1) AS BIGINT) AS d2",
+            "(k - 1) * CAST(s2 AS DOUBLE)"
+            " / (sum_r2sq - b * k * (k + 1) * (k + 1)) AS chi2_f",
+            "((k - 1) * CAST(s2 AS DOUBLE)"
+            " / (sum_r2sq - b * k * (k + 1) * (k + 1)))"
+            " / (CAST(b AS DOUBLE) * (k - 1)) AS kendall_w",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Partial correlation: tokens vs quality, controlling for doc length
+# --------------------------------------------------------------------------
+
+def _pearson_expr(sxy: str, sx: str, sy: str, qx: str, qy: str) -> str:
+    """Pearson r as ONE IEEE expression over exact integer moments
+    (n, Σx, Σy, Σxy, Σx², Σy²), rounded at 6 dp. Products are formed in
+    DOUBLE (the integer moments are the exact part; n·Σx² would leave
+    int64 at corpus scale)."""
+    return (
+        f"round((CAST(n AS DOUBLE) * {sxy} - CAST({sx} AS DOUBLE) * {sy})"
+        f" / sqrt((CAST(n AS DOUBLE) * {qx} - CAST({sx} AS DOUBLE) * {sx})"
+        f"      * (CAST(n AS DOUBLE) * {qy} - CAST({sy} AS DOUBLE) * {sy})), 6)"
+    )
+
+
+_PCORR_RXY = _pearson_expr("s_xy", "s_x", "s_y", "q_x", "q_y")
+_PCORR_RXZ = _pearson_expr("s_xz", "s_x", "s_z", "q_x", "q_z")
+_PCORR_RYZ = _pearson_expr("s_yz", "s_y", "s_z", "q_y", "q_z")
+# First-order partial from the three (already 6-dp-rounded) marginals —
+# deterministic cross-engine because every input is identical.
+_PCORR_PARTIAL = (
+    f"round(({_PCORR_RXY} - {_PCORR_RXZ} * {_PCORR_RYZ})"
+    f" / sqrt((1.0 - {_PCORR_RXZ} * {_PCORR_RXZ})"
+    f"      * (1.0 - {_PCORR_RYZ} * {_PCORR_RYZ})), 6)"
+)
+
+
+def _pcorr_oracle() -> str:
+    from gluettalax_spark.operators.text import _QUALITY_DUCK
+
+    return rf"""
+WITH feat AS (
+  SELECT CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS x,
+         CAST(round(({_QUALITY_DUCK}) * 10000) AS BIGINT) AS y,
+         n_chars AS z
+  FROM documents
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s_x,
+         CAST(sum(y) AS BIGINT) AS s_y,
+         CAST(sum(z) AS BIGINT) AS s_z,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS q_x,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS q_y,
+         CAST(sum(CAST(z AS HUGEINT) * z) AS BIGINT) AS q_z,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS s_xy,
+         CAST(sum(CAST(x AS HUGEINT) * z) AS BIGINT) AS s_xz,
+         CAST(sum(CAST(y AS HUGEINT) * z) AS BIGINT) AS s_yz
+  FROM feat
+)
+SELECT n,
+       {_PCORR_RXY} AS r_xy,
+       {_PCORR_RXZ} AS r_xz,
+       {_PCORR_RYZ} AS r_yz,
+       {_PCORR_PARTIAL} AS r_xy_given_z
+FROM m
+"""
+
+
+@register(
+    "stats_partial_correlation",
+    _pcorr_oracle(),
+    doc="partial correlation of token count vs quality score controlling for doc length",
+)
+def stats_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is quality correlated with token count BEYOND what raw length
+    explains? First-order partial correlation r(tokens, quality | chars)
+    from the three Pearson marginals — the confounder check a curation
+    team runs before treating a quality-length correlation as signal
+    (long docs score differently for reasons that are pure length).
+
+    Exactness: the 10 moment sums are exact integers (HUGEINT /
+    DECIMAL(38,0) folds); each marginal r is one shared IEEE expression
+    rounded at 6 dp, and the partial composes the ROUNDED marginals, so
+    both engines see bit-identical inputs at every stage.
+
+    Scale: a single map-side moment fold to one 10-column row; nothing
+    shuffles but the partial aggregates."""
+    from gluettalax_spark.operators.text import _quality_parts
+
+    docs = load(spark, sf_dir, "documents")
+    _, _, _, quality = _quality_parts()
+    feat = docs.select(
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long").alias("x"),
+        F.round(quality * 10000).cast("long").alias("y"),
+        F.col("n_chars").alias("z"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = feat.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s_x"),
+        F.sum("y").cast("long").alias("s_y"),
+        F.sum("z").cast("long").alias("s_z"),
+        F.sum(dec("x") * F.col("x")).cast("long").alias("q_x"),
+        F.sum(dec("y") * F.col("y")).cast("long").alias("q_y"),
+        F.sum(dec("z") * F.col("z")).cast("long").alias("q_z"),
+        F.sum(dec("x") * F.col("y")).cast("long").alias("s_xy"),
+        F.sum(dec("x") * F.col("z")).cast("long").alias("s_xz"),
+        F.sum(dec("y") * F.col("z")).cast("long").alias("s_yz"),
+    )
+    return m.selectExpr(
+        "n",
+        f"{_PCORR_RXY} AS r_xy",
+        f"{_PCORR_RXZ} AS r_xz",
+        f"{_PCORR_RYZ} AS r_yz",
+        f"{_PCORR_PARTIAL} AS r_xy_given_z",
     )

@@ -101,6 +101,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "corpus_dedup_quality_audit",
     # -- operators added in round 10 (appended as they land) --
     "similarity_knn_label_accuracy_ivf",
+    "stats_dunn_posthoc",
+    "stats_friedman_test",
+    "stats_partial_correlation",
 )
 
 
