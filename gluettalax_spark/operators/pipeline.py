@@ -2995,3 +2995,109 @@ def quality_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Epoch schedule: turn mixing weights + a token budget into repeat counts
+# --------------------------------------------------------------------------
+
+# Budget multiple of the corpus token mass (2 "average epochs" — the
+# typical LLM pretraining regime where small high-weight sources repeat
+# several times and the bulk source stays near one pass).
+_EPOCH_BUDGET_X = 2
+
+_EPOCH_ORACLE = rf"""
+WITH per_source AS (
+  SELECT source,
+         CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576) AS BIGINT) AS qs
+  FROM per_source
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total, CAST(sum(qs) AS BIGINT) AS q_total
+  FROM q
+),
+tgt AS (
+  SELECT source, n_tokens,
+         CAST(qs * 1000000 // q_total AS BIGINT) AS w_temp_ppm,
+         CAST({_EPOCH_BUDGET_X} * n_total * CAST(qs AS HUGEINT) // q_total AS BIGINT)
+           AS target_tokens
+  FROM q, tot
+)
+SELECT source, n_tokens, w_temp_ppm, target_tokens,
+       CAST(target_tokens // n_tokens AS BIGINT) AS n_full_epochs,
+       CAST((target_tokens % n_tokens) * 1000000 // n_tokens AS BIGINT)
+         AS last_epoch_frac_ppm,
+       CAST(target_tokens * 1000 // n_tokens AS BIGINT) AS epochs_milli
+FROM tgt
+ORDER BY source
+"""
+
+
+@register(
+    "corpus_epoch_schedule",
+    _EPOCH_ORACLE,
+    doc=f"per-source epoch/repeat schedule for a {_EPOCH_BUDGET_X}x-corpus token budget "
+    "under sqrt-temperature weights",
+)
+def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executable form of the mixing weights: given a training
+    budget of {mult}x the corpus token mass and sqrt-temperature source
+    weights (`source_mix_temperature`'s alpha=1/2 rule, on TOKENS), how
+    many times does each source repeat? Emits full epochs plus the
+    fractional last-epoch sampling rate — the repeat schedule a
+    pretraining dataloader actually consumes (upweighted small sources
+    repeat; the bulk source runs ~one pass).
+
+    Exactness: sqrt is the one IEEE-exact non-trivial exponent; each
+    source's sqrt(tokens) floor-quantizes at 2^20 and every downstream
+    number is integer division of exact int64/int128 products (the
+    `source_mix_temperature` discipline), so both engines agree bit-
+    for-bit.
+
+    Scale: one corpus scan partial-aggregates token counts per source;
+    everything after is source-dictionary-scale with one 1-row total
+    broadcast.""".replace("{mult}", str(_EPOCH_BUDGET_X))
+    docs = load(spark, sf_dir, "documents")
+    per_source = (
+        docs.select(
+            "source",
+            F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long").alias("t"),
+        )
+        .groupBy("source")
+        .agg(F.sum("t").cast("long").alias("n_tokens"))
+        .withColumn(
+            "qs",
+            F.expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576) AS BIGINT)"),
+        )
+        .localCheckpoint(eager=False)  # feeds the 1-row total AND the schedule
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("long").alias("n_total"),
+        F.sum("qs").cast("long").alias("q_total"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "CAST(qs * 1000000 DIV q_total AS BIGINT) AS w_temp_ppm",
+            f"CAST({_EPOCH_BUDGET_X} * n_total * CAST(qs AS DECIMAL(38,0)) DIV q_total"
+            " AS BIGINT) AS target_tokens",
+        )
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "w_temp_ppm",
+            "target_tokens",
+            "CAST(target_tokens DIV n_tokens AS BIGINT) AS n_full_epochs",
+            "CAST((target_tokens % n_tokens) * 1000000 DIV n_tokens AS BIGINT)"
+            " AS last_epoch_frac_ppm",
+            "CAST(target_tokens * 1000 DIV n_tokens AS BIGINT) AS epochs_milli",
+        )
+        .orderBy("source")
+    )

@@ -4257,3 +4257,277 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Token coverage curve: what share of token mass do the top-N types carry?
+# --------------------------------------------------------------------------
+
+_COVERAGE_TOPS = (10, 100, 1000)
+
+_COVERAGE_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+),
+vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+ranked AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS r FROM vocab
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS n_vocab
+  FROM ranked
+),
+th AS (SELECT unnest([{", ".join(map(str, _COVERAGE_TOPS))}]) AS top_n)
+SELECT th.top_n,
+       CAST(count(r.r) AS BIGINT) AS n_types,
+       CAST(sum(r.c) AS BIGINT) AS covered_tokens,
+       CAST(max(t.n_total) AS BIGINT) AS total_tokens,
+       CAST(sum(r.c) * 1000000 // max(t.n_total) AS BIGINT) AS coverage_ppm
+FROM th JOIN ranked r ON r.r <= th.top_n CROSS JOIN tot t
+GROUP BY th.top_n
+ORDER BY th.top_n
+"""
+
+
+@register(
+    "text_token_coverage_curve",
+    _COVERAGE_ORACLE,
+    doc=f"cumulative token-mass coverage of the top-{{{','.join(map(str, _COVERAGE_TOPS))}}} vocabulary types",
+)
+def text_token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocabulary-sizing table: what fraction of all token
+    occurrences do the 10 / 100 / 1000 most frequent types cover?
+    Tokenizer and vocab-truncation decisions read exactly this curve
+    (a steep curve says a small vocab suffices; a flat one says the
+    tail carries real mass). Complements `corpus_token_zipf` (the
+    fitted exponent) with the raw cumulative masses.
+
+    Exactness: ranking is the total order (count desc, token); counts
+    and coverage ppm are exact integers.
+
+    Scale: one corpus scan partial-aggregates to the vocab dictionary;
+    the global rank uses the range-partitioned machinery (never a
+    single-task window); only the ≤max(top_n) head rows join the
+    3-row threshold grid."""
+    from gluettalax_spark.operators.rank import exact_global_rank
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    vocab = vocab.localCheckpoint(eager=False)  # feeds the rank AND the total
+    ranked = exact_global_rank(vocab, [F.col("c").desc(), F.col("w")], "r", keep_total=False)
+    tot = vocab.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+    )
+    head = ranked.filter(F.col("r") <= max(_COVERAGE_TOPS))
+    th = spark.createDataFrame([(t,) for t in _COVERAGE_TOPS], "top_n long")
+    return (
+        F.broadcast(th)
+        .join(head, head["r"] <= th["top_n"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("top_n")
+        .agg(
+            F.count("r").cast("long").alias("n_types"),
+            F.sum("c").cast("long").alias("covered_tokens"),
+            F.max("n_total").cast("long").alias("total_tokens"),
+            F.expr("CAST(sum(c) * 1000000 DIV max(n_total) AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy("top_n")
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-length distribution entropy per language
+# --------------------------------------------------------------------------
+
+_TOKLEN_ORACLE = """
+WITH lens AS (
+  SELECT lang, length(unnest(regexp_extract_all(lower(text), '[a-z]+'))) AS l
+  FROM documents
+),
+ld AS (SELECT lang, l, CAST(count(*) AS BIGINT) AS c FROM lens GROUP BY 1, 2),
+tot AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n, CAST(sum(l * c) AS BIGINT) AS sum_len
+  FROM ld GROUP BY lang
+)
+SELECT ld.lang,
+       CAST(max(tot.n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_lengths,
+       CAST(max(tot.sum_len) * 1000 // max(tot.n) AS BIGINT) AS avg_len_milli,
+       CAST(sum(CAST(floor((CAST(c AS DOUBLE) / tot.n)
+                 * ln(CAST(tot.n AS DOUBLE) / c) * 100000000) AS BIGINT))
+            AS BIGINT) AS entropy_e8
+FROM ld JOIN tot ON tot.lang = ld.lang
+GROUP BY ld.lang
+ORDER BY ld.lang
+"""
+
+
+@register(
+    "text_token_length_entropy",
+    _TOKLEN_ORACLE,
+    doc="token-length distribution entropy per language (floor-quantized integer nats)",
+)
+def text_token_length_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-design signal: the Shannon entropy of each
+    language's token-LENGTH distribution plus its mean length. High
+    length entropy means subword merges must cover many word shapes;
+    a shifted mean flags agglutinative/compounding languages that
+    deserve more vocab budget. The length-level companion of
+    `text_token_fertility` (which scores an EXISTING tokenizer).
+
+    Exactness: the (lang, length) cells are exact counts; each cell
+    contributes one floor-quantized p·ln(1/p) term at 1e8 (the
+    `text_char_entropy` discipline), so entropies are exact int64 sums;
+    avg_len_milli is integer division.
+
+    Scale: the token explode partial-aggregates map-side to the
+    (language × token-length) dictionary — ~40 cells per language —
+    and everything after is dictionary-scale."""
+    docs = load(spark, sf_dir, "documents")
+    ld = (
+        docs.select(
+            "lang",
+            F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"),
+        )
+        .select("lang", F.length("w").alias("l"))
+        .groupBy("lang", "l")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)  # feeds the totals AND the entropy fold
+    )
+    tot = ld.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("l") * F.col("c")).cast("long").alias("sum_len"),
+    )
+    term = F.expr(
+        "CAST(floor((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 100000000) AS BIGINT)"
+    )
+    return (
+        ld.join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_lengths"),
+            F.expr("CAST(max(sum_len) * 1000 DIV max(n) AS BIGINT)").alias("avg_len_milli"),
+            F.sum(term).cast("long").alias("entropy_e8"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-language character-trigram profile similarity
+# --------------------------------------------------------------------------
+
+_TRIGRAM_SIM_ORACLE = """
+WITH tri AS (
+  SELECT lang,
+         unnest(list_transform(range(1, length(lower(text)) - 1),
+                               i -> substr(lower(text), CAST(i AS INTEGER), 3))) AS t3
+  FROM documents
+  WHERE length(text) >= 3
+),
+prof AS (SELECT lang, t3, CAST(count(*) AS BIGINT) AS c FROM tri GROUP BY 1, 2),
+norms AS (
+  SELECT lang,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS c2,
+         CAST(sum(c) AS BIGINT) AS n
+  FROM prof GROUP BY lang
+),
+dots AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         CAST(sum(CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS dot,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM prof a JOIN prof b ON a.t3 = b.t3 AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT d.lang_a, d.lang_b, na.n AS n_tri_a, nb.n AS n_tri_b, d.n_shared, d.dot,
+       round(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.c2 AS DOUBLE) * nb.c2), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.lang = d.lang_a
+JOIN norms nb ON nb.lang = d.lang_b
+ORDER BY lang_a, lang_b
+"""
+
+
+@register(
+    "text_lang_trigram_similarity",
+    _TRIGRAM_SIM_ORACLE,
+    doc="pairwise cosine similarity of per-language character-trigram profiles",
+)
+def text_lang_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How confusable are the corpus languages at the character level?
+    Cosine similarity between per-language character-trigram count
+    profiles — the diagnostic behind `text_langid_confusion`: language
+    pairs with near-parallel trigram profiles are exactly where an
+    n-gram language-ID model will mix them up, and where its decision
+    thresholds need margin.
+
+    Exactness: profiles, dots, and norms are exact integer folds
+    (HUGEINT/DECIMAL); cosine is one shared IEEE expression rounded at
+    6 dp.
+
+    Scale: the trigram explode partial-aggregates MAP-SIDE to the
+    (language × trigram) dictionary — alphabet³-bounded per language —
+    and the pairwise dot is an equi-join ON the trigram key of that
+    dictionary, never a row-level cross; k² language pairs bound the
+    output."""
+    docs = load(spark, sf_dir, "documents")
+    prof = (
+        docs.filter(F.length("text") >= 3)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(lower(text)) - 2),"
+                    " i -> substring(lower(text), i, 3))"
+                )
+            ).alias("t3"),
+        )
+        .groupBy("lang", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)  # feeds norms AND both join sides
+    )
+    norms = prof.groupBy("lang").agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).cast("long").alias("c2"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    a = prof.select(F.col("lang").alias("lang_a"), "t3", F.col("c").alias("c_a"))
+    b = prof.select(F.col("lang").alias("lang_b"), "t3", F.col("c").alias("c_b"))
+    dots = (
+        a.join(b, "t3")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.sum(F.col("c_a").cast("decimal(38,0)") * F.col("c_b")).cast("long").alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+        )
+    )
+    na = norms.select(
+        F.col("lang").alias("lang_a"), F.col("c2").alias("c2_a"), F.col("n").alias("n_tri_a")
+    )
+    nb = norms.select(
+        F.col("lang").alias("lang_b"), F.col("c2").alias("c2_b"), F.col("n").alias("n_tri_b")
+    )
+    return (
+        dots.join(F.broadcast(na), "lang_a")
+        .join(F.broadcast(nb), "lang_b")
+        .selectExpr(
+            "lang_a",
+            "lang_b",
+            "n_tri_a",
+            "n_tri_b",
+            "n_shared",
+            "dot",
+            "round(CAST(dot AS DOUBLE) / sqrt(CAST(c2_a AS DOUBLE) * c2_b), 6) AS cosine",
+        )
+        .orderBy("lang_a", "lang_b")
+    )

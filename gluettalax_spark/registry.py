@@ -104,6 +104,10 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "stats_dunn_posthoc",
     "stats_friedman_test",
     "stats_partial_correlation",
+    "text_token_coverage_curve",
+    "text_token_length_entropy",
+    "text_lang_trigram_similarity",
+    "corpus_epoch_schedule",
 )
 
 
