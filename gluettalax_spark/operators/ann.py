@@ -712,3 +712,186 @@ def similarity_topk_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
     )
     return _with_recall_vs_exact(spark, sf_dir, res).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# IVF tuning curve: recall@k as a function of nprobe
+# --------------------------------------------------------------------------
+
+_CURVE_NPROBES = (1, 2, 4, 8)
+
+
+@register(
+    "similarity_ann_recall_curve",
+    None,
+    doc=f"IVF({NLIST}) recall@{TOPK} at nprobe in {_CURVE_NPROBES} — the ANN tuning table",
+    witness=("recall_ppm", "n_candidates"),
+)
+def similarity_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE table every ANN deployment tunes from: recall@k against the
+    brute-force truth as nprobe sweeps 1→8 of the 16 IVF cells,
+    with the candidate volume each rung paid. Recall must be
+    non-decreasing and candidates ~linear in nprobe; where the curve
+    knees is where production sets nprobe (`similarity_topk_ivf` runs
+    the chosen point; this op justifies it).
+
+    Rows-only (KMeans); witnesses: ``recall_ppm`` per rung is pinned by
+    tests against the nprobe=4 rung's in-plan ``recall_at_k``
+    (same seed → same quantizer) and for monotonicity; candidate counts
+    are exact.
+
+    Scale: ONE quantizer fit and ONE corpus scan serve all rungs — the
+    probe grid carries (nprobe, query, cell) rows and the cell equi-join
+    fans candidates out per rung (Σ nprobe/nlist ≈ 94% of a full
+    scan at fixture geometry — instrumentation cost, not the production
+    path, which runs one rung)."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    assigned, centers = _assignments(spark, sf_dir)
+    centers = np.asarray(centers)
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    q_rows = q.collect()  # bounded query set, by the topk contract
+    max_np = max(_CURVE_NPROBES)
+    grid = []
+    for r in q_rows:
+        v = np.asarray(r["q_emb"], dtype=np.float64)
+        d = ((centers - v) ** 2).sum(axis=1)
+        for rank, cell in enumerate(np.argsort(d)[:max_np]):
+            for nprobe in _CURVE_NPROBES:
+                if rank < nprobe:
+                    grid.append((nprobe, r["query_id"], int(cell)))
+    probe_grid = spark.createDataFrame(grid, "nprobe int, query_id long, cell int")
+
+    cand = (
+        assigned.join(F.broadcast(probe_grid), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "nprobe",
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    cand = cand.localCheckpoint(eager=False)  # feeds the top-k AND the volume count
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    from gluettalax_spark.operators.similarity import similarity_topk_vectorized
+
+    exact = similarity_topk_vectorized(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = exact.localCheckpoint(eager=False)  # feeds the hit join AND the denominator
+    hits = (
+        topk.join(exact, ["query_id", "neighbor_id"], "leftsemi")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    vol = cand.groupBy("nprobe").agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    return (
+        vol.join(hits, "nprobe", "left")
+        .fillna(0, ["n_hits"])
+        .crossJoin(F.broadcast(ne))
+        .selectExpr(
+            "CAST(nprobe AS BIGINT) AS nprobe",
+            "n_candidates",
+            "n_hits",
+            "n_exact",
+            "CAST(n_hits * 1000000 DIV n_exact AS BIGINT) AS recall_ppm",
+        )
+        .orderBy("nprobe")
+    )
+
+
+# --------------------------------------------------------------------------
+# PQ distortion audit: per-subspace quantization error
+# --------------------------------------------------------------------------
+
+_PQ_DISTORT_SCHEMA = "subspace int, n_vecs long, sse_e9 long"
+
+
+@register(
+    "embedding_pq_distortion",
+    None,
+    doc=f"PQ{PQ_M}x8 per-subspace quantization error over the full corpus (integer-quantized SSE)",
+    witness=("sse_e9", "mse_e9"),
+)
+def embedding_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-quality audit behind `similarity_topk_pq`: how much
+    signal does each of the 32 codebooks destroy? Per-subspace sum of
+    squared reconstruction errors over the FULL corpus — the number
+    FAISS folks watch when deciding bits-per-dim, because recall decays
+    with exactly this distortion. A subspace with outsized MSE marks
+    dimensions that deserve their own codebook budget.
+
+    Rows-only (trained codebooks); witnesses ``sse_e9``/``mse_e9`` are
+    re-derived by an independent numpy pass in tests.
+
+    Exactness: each vector's per-subspace squared error floor-quantizes
+    to integer nano-units BEFORE summing, so the fold is
+    order-independent (the entropy-term discipline) — re-partitioning
+    cannot change the answer.
+
+    Scale: the codebooks broadcast (constant size); ONE Arrow-batched
+    `mapInPandas` pass emits 32-row partial sums per batch and the
+    final groupBy reduces 32 keys — embeddings never shuffle."""
+    import numpy as np
+
+    books, dim = _pq_model(spark, sf_dir)
+    books_arr = np.stack(books)  # (M, K, d_sub)
+    d_sub = dim // PQ_M
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+
+    def score(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            n = X.shape[0]
+            Xs = X.reshape(n, PQ_M, d_sub).transpose(1, 0, 2)  # (M, n, d_sub)
+            # err = min_c |x − c|² = |x|² + min_c(|c|² − 2 x·c)
+            d2 = (books_arr**2).sum(axis=2)[:, None, :] - 2.0 * np.einsum(
+                "mnd,mkd->mnk", Xs, books_arr
+            )
+            err = (Xs**2).sum(axis=2) + d2.min(axis=2)  # (M, n)
+            # per-vector floor quantization (order-independent int sum);
+            # clamp the tiny negatives IEEE cancellation can produce
+            err_int = np.floor(np.maximum(err, 0.0) * 1e9).astype(np.int64)
+            yield _pd.DataFrame(
+                {
+                    "subspace": np.arange(PQ_M, dtype=np.int32),
+                    "n_vecs": np.full(PQ_M, n, dtype=np.int64),
+                    "sse_e9": err_int.sum(axis=1),
+                }
+            )
+
+    parts = emb.mapInPandas(score, _PQ_DISTORT_SCHEMA)
+    return (
+        parts.groupBy("subspace")
+        .agg(
+            F.sum("n_vecs").cast("long").alias("n_vecs"),
+            F.sum("sse_e9").cast("long").alias("sse_e9"),
+        )
+        .selectExpr(
+            "CAST(subspace AS BIGINT) AS subspace",
+            "n_vecs",
+            "sse_e9",
+            "CAST(sse_e9 DIV n_vecs AS BIGINT) AS mse_e9",
+        )
+        .orderBy("subspace")
+    )

@@ -108,6 +108,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "text_token_length_entropy",
     "text_lang_trigram_similarity",
     "corpus_epoch_schedule",
+    "similarity_ann_recall_curve",
+    "embedding_pq_distortion",
 )
 
 
