@@ -1566,3 +1566,114 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# --------------------------------------------------------------------------
+# IDF-weighted Jaccard: which near-dup pairs are boilerplate-only matches?
+# --------------------------------------------------------------------------
+
+_WJ_ORACLE = f"""
+WITH {NGRAM_SCORED_CTES},
+cand_pairs AS (SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3),
+ds AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+df AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM ds GROUP BY s),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM ds),
+w AS (
+  SELECT s, CAST(round(1000000 * ln(CAST(n_docs AS DOUBLE) / df)) AS BIGINT) AS w_micro
+  FROM df, nd
+),
+docw AS (
+  SELECT doc_id, CAST(sum(w_micro) AS BIGINT) AS w_total
+  FROM ds JOIN w USING (s) GROUP BY doc_id
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(sum(w.w_micro) AS BIGINT) AS w_inter
+  FROM cand_pairs p
+  JOIN ds a ON a.doc_id = p.doc_a
+  JOIN ds b ON b.doc_id = p.doc_b AND b.s = a.s
+  JOIN w ON w.s = a.s
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       round(CAST(i.w_inter AS DOUBLE)
+             / (wa.w_total + wb.w_total - i.w_inter), 4) AS w_jaccard,
+       i.w_inter AS w_inter_micro,
+       CAST(wa.w_total + wb.w_total - i.w_inter AS BIGINT) AS w_union_micro
+FROM cand_pairs p
+JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN docw wa ON wa.doc_id = p.doc_a
+JOIN docw wb ON wb.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
+@register(
+    "dedup_weighted_jaccard",
+    _WJ_ORACLE,
+    doc="IDF-weighted Jaccard rescoring of the blocked near-dup pairs "
+    "(boilerplate-overlap detector)",
+)
+def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted Jaccard cannot tell a true near-duplicate from two
+    documents that merely share boilerplate: re-score every
+    `dedup_ngram_jaccard` candidate pair with IDF-weighted Jaccard
+    (Σ weights of shared shingles over Σ weights of the union,
+    w = ln(N/df)). A pair whose w_jaccard sits far BELOW its jaccard
+    overlaps mostly in corpus-common shingles — the pairs a curation
+    run keeps rather than dedups. The standard refinement step between
+    candidate generation and the delete list.
+
+    Exactness: shingle weights quantize to integer micro-units
+    (round(1e6·ln(N/df)) — ln is the accepted libm boundary, the
+    `_MI_TERM` discipline); per-doc and per-pair weight sums are exact
+    int64 folds, order-independent; w_jaccard is one IEEE division
+    rounded at 4 dp.
+
+    Scale: candidates come from the SAME banded blocking as the ngram
+    op (nothing new is quadratic); df/weights live on the shingle
+    dictionary; the intersection sum joins the bounded pair list back
+    to doc-keyed shingles via equi-joins — the pair list broadcasts,
+    the shingle table shuffles once on doc_id."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    pairs = pairs.localCheckpoint(eager=False)  # bounded near-dup list, reused 2x
+    ds = shingles_exploded(spark, sf_dir).distinct()
+    ds = ds.localCheckpoint(eager=False)  # feeds df, docw, and both pair sides
+    nd = ds.select("doc_id").distinct().agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = (
+        ds.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .selectExpr(
+            "s",
+            "CAST(round(1000000 * ln(CAST(n_docs AS DOUBLE) / df)) AS BIGINT) AS w_micro",
+        )
+    )
+    dsw = ds.join(w, "s")
+    dsw = dsw.localCheckpoint(eager=False)  # weighted shingles feed docw AND inter
+    docw = dsw.groupBy("doc_id").agg(F.sum("w_micro").cast("long").alias("w_total"))
+    a = dsw.join(
+        F.broadcast(pairs.select("doc_a", "doc_b")),
+        dsw["doc_id"] == F.col("doc_a"),
+    ).select("doc_a", "doc_b", "s", "w_micro")
+    b = dsw.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        a.join(b, (a["doc_b"] == b["doc_b"]) & (a["s"] == b["s_b"]))
+        .groupBy("doc_a", a["doc_b"])
+        .agg(F.sum("w_micro").cast("long").alias("w_inter"))
+    )
+    wa = docw.select(F.col("doc_id").alias("doc_a"), F.col("w_total").alias("w_a"))
+    wb = docw.select(F.col("doc_id").alias("doc_b"), F.col("w_total").alias("w_b"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"])
+        .join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            "round(CAST(w_inter AS DOUBLE) / (w_a + w_b - w_inter), 4) AS w_jaccard",
+            "w_inter AS w_inter_micro",
+            "CAST(w_a + w_b - w_inter AS BIGINT) AS w_union_micro",
+        )
+        .orderBy("doc_a", "doc_b")
+    )

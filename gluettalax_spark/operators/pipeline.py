@@ -3101,3 +3101,78 @@ def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Open-order backlog aging (as-of the calendar's last order date)
+# --------------------------------------------------------------------------
+
+_BACKLOG_BUCKET = """CASE WHEN age_days <= 30 THEN '000-030'
+            WHEN age_days <= 90 THEN '031-090'
+            WHEN age_days <= 365 THEN '091-365'
+            ELSE '365+' END"""
+
+_BACKLOG_ORACLE = f"""
+WITH asof_d AS (SELECT max(o_orderdate) AS d FROM orders),
+open_orders AS (
+  SELECT o_orderpriority AS priority,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(asof_d.d AS DATE)) AS BIGINT)
+           AS age_days,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders, asof_d
+  WHERE o_orderstatus <> 'F'
+),
+b AS (SELECT priority, {_BACKLOG_BUCKET} AS age_bucket, age_days, cents FROM open_orders)
+SELECT priority, age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(max(age_days) AS BIGINT) AS max_age_days
+FROM b
+GROUP BY priority, age_bucket
+ORDER BY priority, age_bucket
+"""
+
+
+@register(
+    "orders_backlog_aging",
+    _BACKLOG_ORACLE,
+    doc="open-order backlog aged into 30/90/365-day buckets per priority (as-of max order date)",
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operations dashboard's backlog table: every order not yet
+    finalized (status ≠ 'F'), aged against the as-of date (the
+    calendar's last order date) into 30/90/365-day bands per priority,
+    with order counts and value. Old high-priority backlog is the row
+    someone gets paged for; the aging-bucket × priority grid is the
+    classic receivables/fulfilment shape.
+
+    Exactness: ages are integer day differences against a single as-of
+    date; money folds in exact cents; bucket edges are the SAME CASE
+    text in both engines.
+
+    Scale: the status filter pushes into the parquet scan; one
+    data-scale groupBy lands on the 4×5-bounded (bucket × priority)
+    grid; the 1-row as-of aggregate broadcasts."""
+    orders = load(spark, sf_dir, "orders")
+    asof = orders.agg(F.max("o_orderdate").alias("d"))
+    open_orders = (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(asof))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("d").cast("date"), F.col("o_orderdate").cast("date"))
+            .cast("long")
+            .alias("age_days"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return (
+        open_orders.selectExpr("priority", f"{_BACKLOG_BUCKET} AS age_bucket", "age_days", "cents")
+        .groupBy("priority", "age_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.max("age_days").cast("long").alias("max_age_days"),
+        )
+        .orderBy("priority", "age_bucket")
+    )

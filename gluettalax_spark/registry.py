@@ -110,6 +110,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "corpus_epoch_schedule",
     "similarity_ann_recall_curve",
     "embedding_pq_distortion",
+    "dedup_weighted_jaccard",
+    "orders_backlog_aging",
 )
 
 
