@@ -895,3 +895,67 @@ def embedding_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF cell purity: do the learned cells respect the label structure?
+# --------------------------------------------------------------------------
+
+
+@register(
+    "similarity_cluster_purity",
+    None,
+    doc=f"label purity of the {NLIST} IVF cells (majority label share per cell + overall)",
+    witness=("purity_ppm", "overall_purity_ppm"),
+)
+def similarity_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality eval for the IVF quantizer: per cell, the
+    share of vectors carrying the cell's majority label (purity), plus
+    the corpus-wide purity — the standard external-validity check
+    before trusting learned cells for anything label-adjacent
+    (stratified eval sampling, per-cell routing). Near-uniform purity
+    at 1/|labels| says the embedding clusters don't align with labels —
+    exactly what `similarity_knn_label_accuracy`'s near-chance accuracy
+    shows from the neighbor side.
+
+    Rows-only (KMeans); witnesses ``purity_ppm`` / ``overall_purity_ppm``
+    are re-derived by an independent pandas pass in tests.
+
+    Scale: one groupBy to the (cell × label) grid (nlist × |labels|
+    bounded); majority pick and both purity ratios live on that grid."""
+    from pyspark.sql.window import Window
+
+    assigned, _ = _assignments(spark, sf_dir)
+    grid = assigned.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("n").desc(), F.col("label"))
+    per_cell = (
+        grid.withColumn("rk", F.row_number().over(w))
+        .groupBy("cell")
+        .agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            F.max(F.when(F.col("rk") == 1, F.col("label"))).alias("majority_label"),
+            F.max(F.when(F.col("rk") == 1, F.col("n"))).cast("long").alias("n_majority"),
+        )
+        .withColumn(
+            "purity_ppm", F.expr("CAST(n_majority * 1000000 DIV n_vecs AS BIGINT)")
+        )
+    )
+    overall = per_cell.agg(
+        F.expr("CAST(sum(n_majority) * 1000000 DIV sum(n_vecs) AS BIGINT)").alias(
+            "overall_purity_ppm"
+        )
+    )
+    return (
+        per_cell.crossJoin(F.broadcast(overall))
+        .selectExpr(
+            "CAST(cell AS BIGINT) AS cell",
+            "n_vecs",
+            "CAST(majority_label AS BIGINT) AS majority_label",
+            "n_majority",
+            "purity_ppm",
+            "overall_purity_ppm",
+        )
+        .orderBy("cell")
+    )

@@ -685,3 +685,87 @@ def orders_seasonality_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round((({_SA_SSB} - {_SA_CM}) / 6.0)"
         f" / ((CAST(q_tot AS DOUBLE) - {_SA_SSB}) / (n_tot - 7)), 4) AS f_stat",
     )
+
+
+# --------------------------------------------------------------------------
+# Churn-risk buckets: users by days since last activity
+# --------------------------------------------------------------------------
+
+# Edges sized to the fixture's short event window (idle spread 0..2
+# days at every SF); a production deployment re-edges to 7/30/90 —
+# the CASE is the operator, the constants are the config.
+_CHURN_BUCKET = """CASE WHEN idle_days <= 0 THEN '0-same-day'
+            WHEN idle_days <= 1 THEN '1-yesterday'
+            WHEN idle_days <= 7 THEN '2-this-week'
+            ELSE '3-stale' END"""
+
+_CHURN_ORACLE = f"""
+WITH asof_d AS (SELECT CAST(max(ts) AS DATE) AS d FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(ts) AS DATE) AS last_day
+  FROM events GROUP BY user_id
+),
+aged AS (
+  SELECT user_id, n_events,
+         CAST(date_diff('day', last_day, asof_d.d) AS BIGINT) AS idle_days
+  FROM per_user, asof_d
+),
+b AS (SELECT {_CHURN_BUCKET} AS bucket, n_events, idle_days FROM aged),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM aged)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(*) * 1000000 // max(tot.n_total) AS BIGINT) AS share_ppm,
+       CAST(sum(n_events) AS BIGINT) AS total_events,
+       CAST(max(idle_days) AS BIGINT) AS max_idle_days
+FROM b, tot
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "events_churn_risk_buckets",
+    _CHURN_ORACLE,
+    doc="users bucketed by days since last activity (active/cooling/at-risk/churned)",
+)
+def events_churn_risk_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention dashboard's headline table: every user bucketed by
+    days since their LAST event as-of the stream's end — same-day,
+    yesterday, this-week, stale — with user share and the
+    event mass each cohort still represents. The stock-level complement
+    of `events_cohort_retention` (flows) and `events_survival_km`
+    (hazard): what does the user base look like RIGHT NOW.
+
+    Exactness: integer day differences against one as-of date; bucket
+    edges are the same CASE text in both engines; shares are integer
+    ppm of the 1-row user total.
+
+    Scale: one data-scale groupBy(user_id) (the unavoidable shuffle),
+    then the bucket fold lands on a 4-row grid; the as-of and total
+    aggregates broadcast."""
+    events = load(spark, sf_dir, "events")
+    asof = events.agg(F.max("ts").cast("date").alias("d"))
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("ts").cast("date").alias("last_day"),
+    )
+    aged = per_user.crossJoin(F.broadcast(asof)).select(
+        "n_events",
+        F.datediff(F.col("d"), F.col("last_day")).cast("long").alias("idle_days"),
+    )
+    aged = aged.localCheckpoint(eager=False)  # feeds the total AND the fold
+    tot = aged.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        aged.selectExpr(f"{_CHURN_BUCKET} AS bucket", "n_events", "idle_days")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.expr("CAST(count(*) * 1000000 DIV max(n_total) AS BIGINT)").alias("share_ppm"),
+            F.sum("n_events").cast("long").alias("total_events"),
+            F.max("idle_days").cast("long").alias("max_idle_days"),
+        )
+        .orderBy("bucket")
+    )

@@ -112,6 +112,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "embedding_pq_distortion",
     "dedup_weighted_jaccard",
     "orders_backlog_aging",
+    "similarity_cluster_purity",
+    "events_churn_risk_buckets",
 )
 
 
