@@ -1642,3 +1642,79 @@ def graph_bounded_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)  # lineage cut per round
         )
     return d.orderBy("dist", "node").limit(_SSSP_TOP)
+
+
+# --------------------------------------------------------------------------
+# Degree distribution of the co-occurrence graph
+# --------------------------------------------------------------------------
+
+_DEGREE_ORACLE = f"""
+WITH op AS (
+  SELECT o, p FROM {_DUCK_CAPPED_OP}
+), e AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= {_TRI_MIN_SUPPORT}
+), deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT pa AS n FROM e UNION ALL SELECT pb AS n FROM e
+  ) GROUP BY n
+),
+hist AS (SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY d),
+tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS total FROM hist)
+SELECT degree, n_nodes,
+       CAST(sum(n_nodes) OVER (ORDER BY degree
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_nodes,
+       CAST(n_nodes * 1000000 // tot.total AS BIGINT) AS share_ppm
+FROM hist, tot
+ORDER BY degree
+"""
+
+
+@register(
+    "graph_degree_distribution",
+    _DEGREE_ORACLE,
+    doc="degree histogram of the part co-occurrence graph (+ cumulative and ppm shares)",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first chart anyone draws of a graph: how many nodes have
+    degree d, cumulatively and as a share — the heavy-tail check that
+    decides whether the downstream algorithms need skew handling (a
+    fat-tailed basket graph is exactly where the degree-oriented
+    triangle join and the salted joins earn their keep). Complements
+    `graph_assortativity` (who connects to whom) with the raw margin.
+
+    Exactness: degrees, the histogram, and shares are exact integers.
+
+    Scale: rides `cooccurrence_edges` (capped basket explode, support
+    prune); degrees are one node-keyed aggregate; the histogram and its
+    running sum live on the degree-value dictionary (bounded by the max
+    degree), using the range-partitioned running-sum machinery."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    edges = cooccurrence_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("pa").alias("n"))
+        .unionAll(edges.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    hist = (
+        deg.groupBy(F.col("d").alias("degree"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .withColumn("_g", F.lit(1))
+    )
+    hist = hist.localCheckpoint(eager=False)  # feeds the total AND the running sum
+    tot = hist.agg(F.sum("n_nodes").cast("long").alias("total"))
+    cum = grouped_running_sum(hist, ["_g"], ["degree"], "n_nodes", "cum_nodes")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "degree",
+            "n_nodes",
+            "CAST(cum_nodes AS BIGINT) AS cum_nodes",
+            "CAST(n_nodes * 1000000 DIV total AS BIGINT) AS share_ppm",
+        )
+        .orderBy("degree")
+    )

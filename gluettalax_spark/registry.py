@@ -114,6 +114,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "orders_backlog_aging",
     "similarity_cluster_purity",
     "events_churn_risk_buckets",
+    "graph_degree_distribution",
 )
 
 

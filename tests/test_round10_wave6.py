@@ -63,3 +63,30 @@ def test_churn_buckets_match_pandas(spark, sf_dir):
             e["max_idle"],
         )
         assert r.share_ppm == e["n_users"] * 1_000_000 // n_total
+
+
+def test_degree_distribution_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    from gluettalax_spark.operators.graph import cooccurrence_edges
+    from gluettalax_spark.registry import queries as _q
+
+    edges = cooccurrence_edges(spark, sf_dir).collect()
+    deg = Counter()
+    for e in edges:
+        deg[e.pa] += 1
+        deg[e.pb] += 1
+    hist = Counter(deg.values())
+    total = sum(hist.values())
+    rows = sorted(
+        _q()["graph_degree_distribution"](spark, sf_dir).collect(),
+        key=lambda r: r.degree,
+    )
+    assert [r.degree for r in rows] == sorted(hist)
+    cum = 0
+    for r in rows:
+        assert r.n_nodes == hist[r.degree]
+        cum += r.n_nodes
+        assert r.cum_nodes == cum
+        assert r.share_ppm == r.n_nodes * 1_000_000 // total
+    assert cum == total == len(deg)
