@@ -2840,3 +2840,128 @@ def corpus_dedup_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             - CAST(q_sum_uniq AS DOUBLE) / CAST(n_uniq AS DOUBLE)) / 10000.0
            AS mean_quality_gap""",
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-score drift: PSI over pooled deciles, first vs second id-half
+# --------------------------------------------------------------------------
+
+
+def _quality_psi_oracle() -> str:
+    from gluettalax_spark.operators.stats import PSI_Q
+    from gluettalax_spark.operators.text import _QUALITY_DUCK
+
+    return f"""
+WITH q AS (
+  SELECT doc_id, CAST(round(({_QUALITY_DUCK}) * 10000) AS BIGINT) AS v
+  FROM documents
+),
+b AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS mid FROM q),
+d AS (SELECT v, CAST(count(*) AS BIGINT) AS nv FROM q GROUP BY v),
+r AS (
+  SELECT v, nv,
+         CAST(sum(nv) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM d
+),
+nn AS (SELECT CAST(sum(nv) AS BIGINT) AS n FROM d),
+dec AS (SELECT v, CAST((cum - nv) * 10 // nn.n AS BIGINT) AS decile FROM r, nn),
+c AS (
+  SELECT dec.decile,
+         CAST(count(CASE WHEN q.doc_id <= b.mid THEN 1 END) AS BIGINT) AS c_ref,
+         CAST(count(CASE WHEN q.doc_id >  b.mid THEN 1 END) AS BIGINT) AS c_cur
+  FROM q JOIN dec ON dec.v = q.v CROSS JOIN b
+  GROUP BY dec.decile
+),
+t AS (
+  SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref, CAST(sum(c_cur) AS BIGINT) AS n_cur,
+         CAST(count(*) AS BIGINT) AS k
+  FROM c
+),
+terms AS (
+  SELECT c.decile, c.c_ref, c.c_cur,
+         CAST(floor(
+           ((CAST(c.c_ref + 1 AS DOUBLE) / (t.n_ref + t.k))
+              - (CAST(c.c_cur + 1 AS DOUBLE) / (t.n_cur + t.k)))
+           * ln((CAST(c.c_ref + 1 AS DOUBLE) / (t.n_ref + t.k))
+                / (CAST(c.c_cur + 1 AS DOUBLE) / (t.n_cur + t.k)))
+           * {PSI_Q}
+         ) AS BIGINT) AS term_e8
+  FROM c CROSS JOIN t
+)
+SELECT decile, c_ref, c_cur, term_e8,
+       CAST((SELECT sum(term_e8) FROM terms) AS BIGINT) AS psi_e8_total
+FROM terms
+ORDER BY decile
+"""
+
+
+@register(
+    "quality_drift_psi",
+    _quality_psi_oracle(),
+    doc="PSI drift of the quality-score decile mix, first vs second doc_id half",
+)
+def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the QUALITY distribution move between corpus halves? PSI over
+    the pooled quality-score deciles (edges from the whole corpus, so
+    both halves are binned identically), first vs second doc_id half —
+    the continuous-score companion of `events_drift_psi` (categorical
+    mix) and the monitor a curation pipeline runs between ingestion
+    batches before trusting its fixed quality threshold.
+
+    Exactness: decile edges come from the exact value-dictionary ranks
+    (bucket = rank_before·10 DIV n); per-(half, decile) counts are
+    integers; each Laplace-smoothed PSI term floor-quantizes at 1e-8
+    before the integer total (the `events_drift_psi` discipline).
+
+    Scale: one groupBy to the score dictionary (deciles ride the
+    range-partitioned running rank), one broadcast join of the
+    dictionary-sized decile map back onto the scan, and the PSI fold
+    lands on the 10-row grid."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+    from gluettalax_spark.operators.stats import PSI_Q
+    from gluettalax_spark.operators.text import _quality_parts
+
+    docs = load(spark, sf_dir, "documents")
+    _, _, _, quality = _quality_parts()
+    q = docs.select("doc_id", F.round(quality * 10000).cast("long").alias("v"))
+    q = q.localCheckpoint(eager=False)  # feeds the split bound, dict, and counts
+    b = q.agg(F.expr("(min(doc_id) + max(doc_id)) div 2").alias("mid"))
+    d = (
+        q.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+        .withColumn("_g", F.lit(1))
+    )
+    r = grouped_running_sum(d, ["_g"], ["v"], "nv", "cum").select("v", "nv", "cum")
+    nn = d.agg(F.sum("nv").cast("long").alias("n"))
+    dec = r.crossJoin(F.broadcast(nn)).selectExpr(
+        "v", "CAST((cum - nv) * 10 DIV n AS BIGINT) AS decile"
+    )
+    c = (
+        q.join(F.broadcast(dec), "v")
+        .crossJoin(F.broadcast(b))
+        .groupBy("decile")
+        .agg(
+            F.count(F.when(F.col("doc_id") <= F.col("mid"), 1)).cast("long").alias("c_ref"),
+            F.count(F.when(F.col("doc_id") > F.col("mid"), 1)).cast("long").alias("c_cur"),
+        )
+    )
+    t = c.agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    p = (F.col("c_ref") + 1).cast("double") / (F.col("n_ref") + F.col("k"))
+    qq = (F.col("c_cur") + 1).cast("double") / (F.col("n_cur") + F.col("k"))
+    terms = c.join(F.broadcast(t)).select(
+        "decile",
+        "c_ref",
+        "c_cur",
+        F.floor((p - qq) * F.log(p / qq) * PSI_Q).cast("long").alias("term_e8"),
+    )
+    total = terms.agg(F.sum("term_e8").cast("long").alias("psi_e8_total"))
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select("decile", "c_ref", "c_cur", "term_e8", "psi_e8_total")
+        .orderBy("decile")
+    )

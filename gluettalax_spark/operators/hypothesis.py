@@ -2056,3 +2056,98 @@ def stats_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_PCORR_RYZ} AS r_yz",
         f"{_PCORR_PARTIAL} AS r_xy_given_z",
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution-free median CI via order statistics (no resampling)
+# --------------------------------------------------------------------------
+
+_MCI_Z = "1.959964"  # two-sided 95% normal quantile, fixed literal text
+
+
+def _median_ci_oracle() -> str:
+    from gluettalax_spark.operators.text import _QUALITY_DUCK
+
+    return f"""
+WITH q AS (
+  SELECT CAST(round(({_QUALITY_DUCK}) * 10000) AS BIGINT) AS v FROM documents
+),
+d AS (SELECT v, CAST(count(*) AS BIGINT) AS nv FROM q GROUP BY v),
+r AS (
+  SELECT v, nv,
+         CAST(sum(nv) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM d
+),
+nn AS (SELECT CAST(sum(nv) AS BIGINT) AS n FROM d),
+ranks AS (
+  SELECT n,
+         greatest(1, CAST(floor((n - {_MCI_Z} * sqrt(CAST(n AS DOUBLE))) / 2)
+                          AS BIGINT)) AS lo_rank,
+         least(n, CAST(ceil(1 + (n + {_MCI_Z} * sqrt(CAST(n AS DOUBLE))) / 2)
+                       AS BIGINT)) AS hi_rank,
+         (n + 1) // 2 AS med_rank
+  FROM nn
+)
+SELECT ranks.n, ranks.lo_rank, ranks.med_rank, ranks.hi_rank,
+       min(CASE WHEN r.cum >= ranks.lo_rank THEN r.v END)  AS ci_lo,
+       min(CASE WHEN r.cum >= ranks.med_rank THEN r.v END) AS median_q,
+       min(CASE WHEN r.cum >= ranks.hi_rank THEN r.v END)  AS ci_hi
+FROM r, ranks
+GROUP BY ranks.n, ranks.lo_rank, ranks.med_rank, ranks.hi_rank
+"""
+
+
+@register(
+    "stats_median_ci_order",
+    _median_ci_oracle(),
+    doc="distribution-free 95% CI for the median quality score via order statistics",
+)
+def stats_median_ci_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A confidence interval for the median with NO distributional
+    assumption and NO resampling: the binomial order-statistic bounds
+    (ranks (n ± z√n)/2 — the classic sign-test inversion) select two
+    actual data values that bracket the true median at 95%. The robust
+    sibling of `orders_bootstrap_ci_poisson`: where the bootstrap
+    resamples, this just reads two ranks — embarrassingly cheap at any
+    scale, and the right uncertainty bar for a skewed quality
+    distribution.
+
+    Exactness: ranks come from exact integer arithmetic plus one sqrt
+    (IEEE-exact) in identical expression text; each reported value is an
+    ACTUAL data value selected by rank from the value dictionary (the
+    discrete-percentile discipline — no interpolation).
+
+    Scale: one data-scale groupBy to the quality-score dictionary; the
+    running rank uses the range-partitioned machinery; the three rank
+    probes are conditional aggregates over the dictionary."""
+    from gluettalax_spark.operators.text import _quality_parts
+
+    docs = load(spark, sf_dir, "documents")
+    _, _, _, quality = _quality_parts()
+    d = (
+        docs.select(F.round(quality * 10000).cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+        .withColumn("_g", F.lit(1))
+    )
+    d = d.localCheckpoint(eager=False)  # feeds the total AND the running rank
+    r = grouped_running_sum(d, ["_g"], ["v"], "nv", "cum").select("v", "nv", "cum")
+    ranks = d.agg(F.sum("nv").cast("long").alias("n")).selectExpr(
+        "n",
+        f"greatest(1, CAST(floor((n - {_MCI_Z} * sqrt(CAST(n AS DOUBLE))) / 2)"
+        " AS BIGINT)) AS lo_rank",
+        f"least(n, CAST(ceil(1 + (n + {_MCI_Z} * sqrt(CAST(n AS DOUBLE))) / 2)"
+        " AS BIGINT)) AS hi_rank",
+        "(n + 1) DIV 2 AS med_rank",
+    )
+    return (
+        r.crossJoin(F.broadcast(ranks))
+        .groupBy("n", "lo_rank", "med_rank", "hi_rank")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("lo_rank"), F.col("v"))).alias("ci_lo"),
+            F.min(F.when(F.col("cum") >= F.col("med_rank"), F.col("v"))).alias("median_q"),
+            F.min(F.when(F.col("cum") >= F.col("hi_rank"), F.col("v"))).alias("ci_hi"),
+        )
+        .select("n", "lo_rank", "med_rank", "hi_rank", "ci_lo", "median_q", "ci_hi")
+    )

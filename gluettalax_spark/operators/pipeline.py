@@ -3176,3 +3176,67 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "age_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Basket-size histogram (distinct parts per order)
+# --------------------------------------------------------------------------
+
+_BASKET_HIST_ORACLE = """
+WITH b AS (
+  SELECT l_orderkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS sz
+  FROM lineitem GROUP BY l_orderkey
+),
+h AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_orders FROM b GROUP BY sz),
+t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM h)
+SELECT sz AS basket_size, n_orders,
+       CAST(sum(n_orders) OVER (ORDER BY sz
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_orders,
+       CAST(n_orders * 1000000 // t.total AS BIGINT) AS share_ppm
+FROM h, t
+ORDER BY basket_size
+"""
+
+
+@register(
+    "orders_basket_size_histogram",
+    _BASKET_HIST_ORACLE,
+    doc="distinct-parts-per-order histogram (+ cumulative and ppm shares)",
+)
+def orders_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How wide are the baskets? The distinct-part count per order,
+    histogrammed — the distribution that justifies `MAX_BASKET` (the
+    pair-explode cap every co-occurrence operator replays) and sizes
+    the market-basket joins: C(n,2) pair work per order grows with
+    exactly this tail.
+
+    Exactness: counts, cumulative counts, and ppm shares are all exact
+    integers.
+
+    Scale: one groupBy(l_orderkey) with a distinct-count (the
+    unavoidable shuffle), then the histogram and its running sum live
+    on the basket-size dictionary (data-model bounded) via the
+    range-partitioned machinery."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    li = load(spark, sf_dir, "lineitem")
+    h = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_partkey").cast("long").alias("sz"))
+        .groupBy(F.col("sz").alias("basket_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .withColumn("_g", F.lit(1))
+    )
+    h = h.localCheckpoint(eager=False)  # feeds the total AND the running sum
+    t = h.agg(F.sum("n_orders").cast("long").alias("total"))
+    cum = grouped_running_sum(h, ["_g"], ["basket_size"], "n_orders", "cum_orders")
+    return (
+        cum.crossJoin(F.broadcast(t))
+        .selectExpr(
+            "basket_size",
+            "n_orders",
+            "CAST(cum_orders AS BIGINT) AS cum_orders",
+            "CAST(n_orders * 1000000 DIV total AS BIGINT) AS share_ppm",
+        )
+        .orderBy("basket_size")
+    )

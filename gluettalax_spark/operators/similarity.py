@@ -1670,3 +1670,80 @@ def _knn_accuracy(pred: DataFrame) -> DataFrame:
             " DIV count(*) AS BIGINT)"
         ).alias("acc_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-dimension embedding moments (dead/dominant dimension audit)
+# --------------------------------------------------------------------------
+
+_DIMVAR_ORACLE = """
+WITH comp AS (
+  SELECT i AS dim, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS x_e6
+  FROM (
+    SELECT unnest(embedding) AS x,
+           unnest(range(1, len(embedding) + 1)) AS i
+    FROM embeddings
+  )
+),
+m AS (
+  SELECT dim,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x_e6) AS BIGINT) AS s1,
+         CAST(sum(CAST(x_e6 AS HUGEINT) * x_e6) AS BIGINT) AS s2
+  FROM comp GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim, n, s1, s2,
+       CAST(s1 // n AS BIGINT) AS mean_e6,
+       round((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+             / (CAST(n AS DOUBLE) * (n - 1)) / 1e12, 9) AS variance
+FROM m
+ORDER BY dim
+"""
+
+
+@register(
+    "embedding_dimension_variance",
+    _DIMVAR_ORACLE,
+    doc="per-dimension mean/variance audit of the embedding matrix (dead-dimension detector)",
+)
+def embedding_dimension_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-health margin the covariance op summarizes away:
+    per-dimension mean and variance across the corpus. Dead dimensions
+    (variance ≈ 0) waste index bytes and poison cosine normalization;
+    dominant ones say the encoder collapsed — both are the first things
+    to check before PCA/matryoshka truncation (`embedding_pca_project`,
+    `embedding_matryoshka_audit` consume exactly these directions).
+
+    Exactness: each float32 component quantizes to integer micro-units
+    (float→double is exact, round is deterministic) BEFORE any fold, so
+    n/s1/s2 are exact integers per dimension — partition order cannot
+    change them; mean is integer division and variance one rounded IEEE
+    expression.
+
+    Scale: posexplode partial-aggregates map-side onto the
+    64-dimension grid; nothing else shuffles."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(F.posexplode("embedding").alias("pos", "x")).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("x_e6"),
+    )
+    return (
+        comp.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x_e6").cast("long").alias("s1"),
+            F.sum(F.col("x_e6").cast("decimal(38,0)") * F.col("x_e6"))
+            .cast("long")
+            .alias("s2"),
+        )
+        .selectExpr(
+            "dim",
+            "n",
+            "s1",
+            "s2",
+            "CAST(s1 DIV n AS BIGINT) AS mean_e6",
+            "round((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+            " / (CAST(n AS DOUBLE) * (n - 1)) / 1e12, 9) AS variance",
+        )
+        .orderBy("dim")
+    )

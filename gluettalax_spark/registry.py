@@ -115,6 +115,10 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "similarity_cluster_purity",
     "events_churn_risk_buckets",
     "graph_degree_distribution",
+    "stats_median_ci_order",
+    "quality_drift_psi",
+    "orders_basket_size_histogram",
+    "embedding_dimension_variance",
 )
 
 

@@ -1,0 +1,79 @@
+"""Third-engine recomputes for the round-10 wave 8 ops: order-statistic
+median CI, quality drift PSI, basket-size histogram, and per-dimension
+embedding moments."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from gluettalax_spark.registry import queries
+
+
+def test_median_ci_brackets_the_sample_median(spark, sf_dir):
+    row = queries()["stats_median_ci_order"](spark, sf_dir).collect()[0]
+    n = row.n
+    # rank sanity: lo <= med <= hi, the normal-approx formulas hold
+    z = 1.959964
+    assert row.lo_rank == max(1, math.floor((n - z * math.sqrt(n)) / 2))
+    assert row.hi_rank == min(n, math.ceil(1 + (n + z * math.sqrt(n)) / 2))
+    assert row.med_rank == (n + 1) // 2
+    assert row.lo_rank <= row.med_rank <= row.hi_rank
+    # the interval contains the median value; endpoints are data values
+    assert row.ci_lo <= row.median_q <= row.ci_hi
+
+
+def test_quality_drift_psi_invariants(spark, sf_dir):
+    rows = sorted(queries()["quality_drift_psi"](spark, sf_dir).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(10))
+    total = sum(r.term_e8 for r in rows)
+    assert {r.psi_e8_total for r in rows} == {total}
+    # pooled deciles: each decile holds ~n/10 docs across both halves
+    sizes = [r.c_ref + r.c_cur for r in rows]
+    n = sum(sizes)
+    assert all(abs(s - n / 10) <= n / 10 * 0.2 + 2 for s in sizes)
+    # PSI of an id-split of one distribution should read "no drift"
+    assert total / 1e8 < 0.1
+
+
+def test_basket_histogram_matches_pandas(spark, sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    sizes = li.groupby("l_orderkey")["l_partkey"].nunique()
+    hist = sizes.value_counts().sort_index()
+    total = int(hist.sum())
+    rows = sorted(
+        queries()["orders_basket_size_histogram"](spark, sf_dir).collect(),
+        key=lambda r: r.basket_size,
+    )
+    assert [r.basket_size for r in rows] == list(hist.index)
+    cum = 0
+    for r in rows:
+        assert r.n_orders == hist[r.basket_size]
+        cum += r.n_orders
+        assert r.cum_orders == cum
+        assert r.share_ppm == r.n_orders * 1_000_000 // total
+    assert cum == total
+
+
+def test_dimension_variance_matches_numpy(spark, sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    Xq = np.round(X * 1e6).astype(np.int64)
+    rows = sorted(
+        queries()["embedding_dimension_variance"](spark, sf_dir).collect(),
+        key=lambda r: r.dim,
+    )
+    assert [r.dim for r in rows] == list(range(1, X.shape[1] + 1))
+    n = X.shape[0]
+    for r in rows:
+        col = Xq[:, r.dim - 1].astype(object)
+        assert r.n == n
+        assert r.s1 == int(col.sum())
+        assert r.s2 == int((col * col).sum())
+        var = (n * float(r.s2) - float(r.s1) ** 2) / (n * (n - 1)) / 1e12
+        assert abs(r.variance - round(var, 9)) <= 1e-12
+        # truncation-toward-zero integer division (both engines)
+        expect_mean = int(r.s1 / n) if r.s1 >= 0 else -((-r.s1) // n)
+        assert r.mean_e6 == expect_mean
