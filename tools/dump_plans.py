@@ -184,6 +184,22 @@ SHOWCASE = {
     "events_markov_accuracy": "one user exchange for the lead window; k^2 grid after",
     "dedup_threshold_sensitivity": "7-row threshold frame vs the ONE scored-pair pass; conditional counts",
     "corpus_dedup_quality_audit": "pairs -> CC -> losers anti-joined by id; one conditional moment aggregate",
+    # round-10 additions
+    "similarity_knn_label_accuracy_ivf": "IVF cell equi-join replaces the corpus scan; same Q*k vote tail",
+    "stats_dunn_posthoc": "shared KW 2x-rank frames; pairwise z + BH step-up on the k^2 grid",
+    "stats_friedman_test": "days x types grid; per-day bounded rank frames; integer s2/d2 witnesses",
+    "stats_partial_correlation": "ONE map-side 10-moment fold; rounded marginals compose the partial",
+    "text_token_coverage_curve": "vocab dictionary + exact_global_rank; only the head joins the 3-row grid",
+    "text_lang_trigram_similarity": "(lang x trigram) dictionary; pairwise dot as trigram-key equi-join",
+    "corpus_epoch_schedule": "source token counts + 2^20 sqrt quanta; integer repeat schedule",
+    "similarity_ann_recall_curve": "ONE fit + ONE scan serve 4 nprobe rungs via the probe grid",
+    "embedding_pq_distortion": "mapInPandas nano-quantized SSE partials; embeddings never shuffle",
+    "dedup_weighted_jaccard": "IDF weights on the shingle dictionary; bounded pair list broadcast",
+    "stats_median_ci_order": "two order-statistic rank probes into the value dictionary; no resampling",
+    "quality_drift_psi": "pooled decile edges from dictionary ranks; 1e-8 floor-quantized PSI fold",
+    "embedding_dimension_variance": "micro-quantized components partial-agg onto the 64-dim grid",
+    "graph_degree_distribution": "capped co-occurrence edges; histogram on the degree dictionary",
+    "orders_basket_size_histogram": "one distinct-count per order; histogram on the size dictionary",
 }
 
 
