@@ -225,20 +225,25 @@ def _cap_band_buckets(bands: DataFrame, key_cols: list[str], id_col: str, cap: i
     return kept, star, spill
 
 
-def _minhash_band_array() -> Column:
-    """4 (band_idx, band_val) structs from the 16 signature columns —
-    band_val is md5 of the band's 4 comma-joined signatures."""
+def _minhash_band_array(
+    n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND
+) -> Column:
+    """(band_idx, band_val) structs from the 16 signature columns —
+    band_val is md5 of the band's comma-joined signatures. Parameterized
+    so the band-configuration sweep can build every (b, r) split of the
+    same 16 hashes."""
     return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
                 F.md5(
                     F.concat_ws(
-                        ",", *[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                        ",",
+                        *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)],
                     )
                 ).alias("band_val"),
             )
-            for b in range(N_BANDS)
+            for b in range(n_bands)
         ]
     )
 
@@ -298,6 +303,30 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s0..s15, shingles) — the 16 min-hash signatures plus the
+    hashed shingle set, out of ONE groupBy (signatures and the verify
+    sets share the aggregation; recomputing the tokenize→shingle→hash
+    chain per consumer would triple the scan work). Materialized once:
+    the table feeds the band explode and both sides of the verify join —
+    at cluster scale, "write the signature table to storage, then join
+    against it"."""
+    ex = (
+        shingles_exploded(spark, sf_dir)
+        .withColumn("m", F.md5("s"))
+        .select(
+            "doc_id",
+            F.expr("CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT)").alias("h1"),
+            F.expr("CAST(conv(substr(m, 9, 8), 16, 10) AS BIGINT)").alias("h2"),
+            F.expr("CAST(conv(substr(m, 1, 15), 16, 10) AS BIGINT)").alias("hs"),
+        )
+    )
+    sigs = ex.groupBy("doc_id").agg(
+        *_minhash_sig_aggs(), F.collect_set("hs").alias("shingles")
+    )
+    return sigs.localCheckpoint(eager=True)
+
+
 @register("dedup_minhash_lsh", _minhash_oracle(), doc="MinHash(16) + LSH(4×4) near-dup pairs, Jaccard-verified")
 def dedup_minhash_lsh(
     spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BAND_BUCKET
@@ -318,28 +347,7 @@ def dedup_minhash_lsh(
     key is a 16-byte md5, so the shuffle is narrow. Skewed buckets
     (boilerplate docs) are AQE-split.
     """
-    ex = (
-        shingles_exploded(spark, sf_dir)
-        .withColumn("m", F.md5("s"))
-        .select(
-            "doc_id",
-            F.expr("CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT)").alias("h1"),
-            F.expr("CAST(conv(substr(m, 9, 8), 16, 10) AS BIGINT)").alias("h2"),
-            F.expr("CAST(conv(substr(m, 1, 15), 16, 10) AS BIGINT)").alias("hs"),
-        )
-    )
-    # ONE shuffle: signatures and the hashed shingle sets for the verify
-    # step come out of the same aggregation (recomputing the
-    # tokenize→shingle→hash chain for each verify join would triple the
-    # scan work).
-    sigs = ex.groupBy("doc_id").agg(
-        *_minhash_sig_aggs(), F.collect_set("hs").alias("shingles")
-    )
-    # The signature table feeds three consumers (band explode + both sides
-    # of the verify join); materialize it once instead of recomputing the
-    # tokenize→shingle→hash chain per consumer. At cluster scale this is
-    # "write the signature table to storage, then join against it".
-    sigs = sigs.localCheckpoint(eager=True)
+    sigs = _minhash_sigs(spark, sf_dir)
 
     bands = sigs.select("doc_id", F.explode(_minhash_band_array()).alias("band")).select(
         "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_val").alias("band_val")
@@ -1676,4 +1684,191 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(w_a + w_b - w_inter AS BIGINT) AS w_union_micro",
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH band-configuration sweep: the (bands × rows) S-curve tuning table
+# --------------------------------------------------------------------------
+
+#: (n_bands, rows_per_band) splits of the same 16 min-hashes. Few wide
+#: bands (2×8) = high precision / low recall; many narrow bands (8×2)
+#: = the opposite — the classic S-curve trade every LSH deployment
+#: tunes before fixing its config.
+_SWEEP_CONFIGS = ((2, 8), (4, 4), (8, 2))
+
+
+def _band_sweep_oracle() -> str:
+    sig_cols = ",\n    ".join(f"min(h1 + {i} * h2) AS s{i}" for i in range(N_HASHES))
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, 'b{nb}r{rpb}' AS cfg, {b} AS band_idx, md5({concat}) AS band_val"
+        " FROM sigs".format(
+            nb=nb,
+            rpb=rpb,
+            b=b,
+            concat=" || ',' || ".join(f"s{b * rpb + r}" for r in range(rpb)),
+        )
+        for nb, rpb in _SWEEP_CONFIGS
+        for b in range(nb)
+    )
+    cfg_rows = " UNION ALL ".join(
+        f"SELECT 'b{nb}r{rpb}' AS cfg, CAST({nb} AS BIGINT) AS n_bands,"
+        f" CAST({rpb} AS BIGINT) AS rows_per_band"
+        for nb, rpb in _SWEEP_CONFIGS
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hashed AS (SELECT doc_id, md5(s) AS m FROM ex),
+ints AS (
+  SELECT doc_id,
+    {_duck_hex_int(1)} AS h1,
+    {_duck_hex_int(9)} AS h2,
+    {_duck_hex_int(1, 15)} AS hs
+  FROM hashed
+),
+sigs AS (
+  SELECT doc_id,
+    {sig_cols},
+    list_distinct(list(hs)) AS hset
+  FROM ints GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.cfg = b.cfg AND a.band_idx = b.band_idx
+              AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT c.cfg, c.doc_a, c.doc_b,
+         CASE WHEN CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE)
+                   / (len(x.hset) + len(y.hset) - len(list_intersect(x.hset, y.hset)))
+                >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END AS is_dup
+  FROM cand c
+  JOIN sigs x ON c.doc_a = x.doc_id
+  JOIN sigs y ON c.doc_b = y.doc_id
+),
+truth AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_union
+  FROM (SELECT DISTINCT doc_a, doc_b FROM ver WHERE is_dup = 1)
+),
+cfgs AS ({cfg_rows}),
+per_cfg AS (
+  SELECT cfg,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(is_dup) AS BIGINT) AS n_verified
+  FROM ver GROUP BY cfg
+)
+SELECT cfgs.cfg, cfgs.n_bands, cfgs.rows_per_band,
+       coalesce(p.n_candidates, 0) AS n_candidates,
+       coalesce(p.n_verified, 0) AS n_verified,
+       truth.n_union,
+       CAST(coalesce(p.n_verified, 0) * 1000000 // greatest(p.n_candidates, 1) AS BIGINT)
+         AS precision_ppm,
+       CAST(coalesce(p.n_verified, 0) * 1000000 // greatest(truth.n_union, 1) AS BIGINT)
+         AS recall_ppm
+FROM cfgs LEFT JOIN per_cfg p ON p.cfg = cfgs.cfg CROSS JOIN truth
+ORDER BY cfgs.cfg
+"""
+
+
+@register(
+    "dedup_band_sweep",
+    _band_sweep_oracle(),
+    doc="LSH S-curve tuning table: candidate/verified pair counts at 2x8, 4x4, 8x2 bands",
+)
+def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE table every MinHash deployment tunes from: the same 16
+    signatures split as 2 bands×8 rows, 4×4, and 8×2, with candidate
+    volume (the cost), verified near-dup pairs (the catch), and
+    precision/recall against the union of verified pairs across
+    configurations. Few wide bands miss borderline pairs; many narrow
+    bands pay collision candidates — `dedup_minhash_lsh` runs the 4×4
+    point, this op justifies it (the dedup-side sibling of
+    `similarity_ann_recall_curve`).
+
+    Exactness: both engines hash identically (md5-derived integer
+    min-hashes), candidates are DISTINCT integer pairs, verification is
+    exact Jaccard on the hashed shingle sets, and all ratios are
+    integer ppm.
+
+    Scale: ONE signature pass (shared with the production op via
+    `_minhash_sigs`) serves all three band explodes; candidates per
+    config come from the same narrow md5-key equi-join; Σ bands = 14
+    rows per doc vs the production 4 — bounded instrumentation
+    overhead, not a new asymptotic."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    bands = None
+    for nb, rpb in _SWEEP_CONFIGS:
+        b = sigs.select(
+            "doc_id",
+            F.lit(f"b{nb}r{rpb}").alias("cfg"),
+            F.explode(_minhash_band_array(nb, rpb)).alias("band"),
+        ).select("doc_id", "cfg", F.col("band.band_idx").alias("band_idx"),
+                 F.col("band.band_val").alias("band_val"))
+        bands = b if bands is None else bands.unionAll(b)
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.cfg") == F.col("b.cfg"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.cfg").alias("cfg"), F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    ver = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "cfg",
+            "doc_a",
+            "doc_b",
+            F.when(
+                inter.cast("double") / union >= JACCARD_THRESHOLD, 1
+            ).otherwise(0).alias("is_dup"),
+        )
+    )
+    ver = ver.localCheckpoint(eager=False)  # feeds per-cfg counts AND the union truth
+    truth = (
+        ver.filter(F.col("is_dup") == 1)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_union"))
+    )
+    per_cfg = ver.groupBy("cfg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum("is_dup").cast("long").alias("n_verified"),
+    )
+    cfgs = spark.createDataFrame(
+        [(f"b{nb}r{rpb}", nb, rpb) for nb, rpb in _SWEEP_CONFIGS],
+        "cfg string, n_bands long, rows_per_band long",
+    )
+    return (
+        F.broadcast(cfgs)
+        .join(per_cfg, "cfg", "left")
+        .fillna(0, ["n_candidates", "n_verified"])
+        .crossJoin(F.broadcast(truth))
+        .selectExpr(
+            "cfg",
+            "n_bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_verified",
+            "n_union",
+            "CAST(n_verified * 1000000 DIV greatest(n_candidates, 1) AS BIGINT)"
+            " AS precision_ppm",
+            "CAST(n_verified * 1000000 DIV greatest(n_union, 1) AS BIGINT) AS recall_ppm",
+        )
+        .orderBy("cfg")
     )

@@ -119,6 +119,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "quality_drift_psi",
     "orders_basket_size_histogram",
     "embedding_dimension_variance",
+    "dedup_band_sweep",
 )
 
 

@@ -82,3 +82,27 @@ def test_backlog_aging_matches_pandas(spark, sf_dir):
             e["total_cents"],
             e["max_age_days"],
         )
+
+
+def test_band_sweep_s_curve_invariants(spark, sf_dir):
+    """Narrower bands can only ADD candidates and catches (monotone in
+    the band count); every config's verified pairs are a subset of the
+    union; the 4x4 config's verified pairs equal dedup_minhash_lsh's
+    output pair count."""
+    from gluettalax_spark.registry import queries as _q
+
+    rows = {r.cfg: r for r in _q()["dedup_band_sweep"](spark, sf_dir).collect()}
+    assert set(rows) == {"b2r8", "b4r4", "b8r2"}
+    # more, narrower bands -> more candidates and at least as many catches
+    assert rows["b2r8"].n_candidates <= rows["b4r4"].n_candidates <= rows["b8r2"].n_candidates
+    assert rows["b2r8"].n_verified <= rows["b4r4"].n_verified <= rows["b8r2"].n_verified
+    n_union = {r.n_union for r in rows.values()}
+    assert len(n_union) == 1
+    n_union = n_union.pop()
+    for r in rows.values():
+        assert 0 <= r.n_verified <= n_union
+        assert r.n_verified <= r.n_candidates
+        assert r.precision_ppm == r.n_verified * 1_000_000 // max(r.n_candidates, 1)
+        assert r.recall_ppm == r.n_verified * 1_000_000 // max(n_union, 1)
+    lsh = _q()["dedup_minhash_lsh"](spark, sf_dir).count()
+    assert rows["b4r4"].n_verified == lsh
