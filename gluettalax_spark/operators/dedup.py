@@ -1872,3 +1872,74 @@ def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cfg")
     )
+
+
+# --------------------------------------------------------------------------
+# Storage savings of exact dedup, per source
+# --------------------------------------------------------------------------
+
+_SAVINGS_ORACLE = r"""
+WITH f AS (
+  SELECT doc_id, source, n_chars,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+k AS (SELECT fp, min(doc_id) AS keeper FROM f GROUP BY fp)
+SELECT f.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN f.doc_id <> k.keeper THEN 1 END) AS BIGINT) AS n_losers,
+       CAST(sum(f.n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN f.doc_id <> k.keeper THEN f.n_chars ELSE 0 END) AS BIGINT)
+         AS chars_saved,
+       CAST(sum(CASE WHEN f.doc_id <> k.keeper THEN f.n_chars ELSE 0 END) * 1000000
+            // sum(f.n_chars) AS BIGINT) AS savings_ppm
+FROM f JOIN k ON k.fp = f.fp
+GROUP BY f.source
+ORDER BY f.source
+"""
+
+
+@register(
+    "dedup_storage_savings",
+    _SAVINGS_ORACLE,
+    doc="bytes exact dedup would reclaim, per source (min-id keeper convention)",
+)
+def dedup_storage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does exact dedup actually BUY, per source: loser counts and
+    the character mass they'd free (min-doc_id keeper, the `dedup_exact`
+    convention) — the capacity-planning readout that turns a dedup run
+    into a storage/compute forecast, and the per-source attribution that
+    names which feed ships the duplication.
+
+    Exactness: the fingerprint is the shared normalized-content md5;
+    counts and character sums are exact integers, savings is integer
+    ppm.
+
+    Scale: one shuffle on the 16-byte fingerprint carrying only (id,
+    source, n_chars) — text never moves; the keeper table joins back on
+    the same key (co-partitioned by the first shuffle), and the fold
+    lands on the source grid."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    f = docs.select("doc_id", "source", "n_chars", fp.alias("fp"))
+    f = f.localCheckpoint(eager=False)  # feeds the keeper agg AND the join back
+    k = f.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    return (
+        f.join(k, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.when(F.col("doc_id") != F.col("keeper"), 1))
+            .cast("long")
+            .alias("n_losers"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.when(F.col("doc_id") != F.col("keeper"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_saved"),
+            F.expr(
+                "CAST(sum(CASE WHEN doc_id <> keeper THEN n_chars ELSE 0 END) * 1000000"
+                " DIV sum(n_chars) AS BIGINT)"
+            ).alias("savings_ppm"),
+        )
+        .orderBy("source")
+    )

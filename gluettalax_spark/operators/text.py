@@ -4531,3 +4531,86 @@ def text_lang_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Doc-length inequality (Gini) per source
+# --------------------------------------------------------------------------
+
+_LENGTH_GINI_ORACLE = """
+WITH dict AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS m
+  FROM documents GROUP BY 1, 2
+),
+r AS (
+  SELECT source, v, m,
+         CAST(sum(m) OVER (PARTITION BY source ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM dict
+),
+g AS (
+  SELECT source,
+         CAST(sum(m) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(v AS HUGEINT) * m) AS BIGINT) AS s,
+         CAST(sum(CAST(v AS HUGEINT) * (m * (cum - m) + m * (m + 1) // 2)) AS BIGINT) AS a
+  FROM r GROUP BY source
+)
+SELECT source, n_docs, s AS total_chars,
+       round(2.0 * CAST(a AS DOUBLE) / (CAST(n_docs AS DOUBLE) * s)
+             - (CAST(n_docs AS DOUBLE) + 1) / n_docs, 6) AS gini
+FROM g
+ORDER BY source
+"""
+
+
+@register(
+    "text_doc_length_gini",
+    _LENGTH_GINI_ORACLE,
+    doc="Gini coefficient of document lengths per source (dictionary rank moments)",
+)
+def text_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-inequality audit per source: a source whose Gini spikes is
+    mixing shards of very different document kinds (stub pages next to
+    dumps) — the balance signal `corpus_epoch_schedule` and the packing
+    ops assume away. Same statistic as `orders_gini_customers`, but
+    computed WITHOUT ranking rows: for a value v with multiplicity m
+    after cum_before items, Σ ranks = m·cum_before + m(m+1)/2, so the
+    rank moment folds over the (source × length) DICTIONARY — the
+    dictionary-first discipline applied to an order statistic.
+
+    Exactness: all three moments are exact integers (HUGEINT /
+    DECIMAL(38,0)); m(m+1)/2 is exact integer division; the Gini is one
+    rounded IEEE expression.
+
+    Scale: one groupBy to the (source × length) dictionary; the running
+    count uses the range-partitioned machinery per source; nothing else
+    touches data rows."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    docs = load(spark, sf_dir, "documents")
+    dict_df = (
+        docs.select("source", F.col("n_chars").alias("v"))
+        .groupBy("source", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    r = grouped_running_sum(dict_df, ["source"], ["v"], "m", "cum")
+    g = r.groupBy("source").agg(
+        F.sum("m").cast("long").alias("n_docs"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("m")).cast("long").alias("s"),
+        F.sum(
+            F.col("v").cast("decimal(38,0)")
+            * (
+                F.col("m") * (F.col("cum") - F.col("m"))
+                + F.expr("m * (m + 1) DIV 2")
+            )
+        )
+        .cast("long")
+        .alias("a"),
+    )
+    return g.selectExpr(
+        "source",
+        "n_docs",
+        "s AS total_chars",
+        "round(2.0 * CAST(a AS DOUBLE) / (CAST(n_docs AS DOUBLE) * s)"
+        " - (CAST(n_docs AS DOUBLE) + 1) / n_docs, 6) AS gini",
+    ).orderBy("source")

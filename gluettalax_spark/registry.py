@@ -120,6 +120,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "orders_basket_size_histogram",
     "embedding_dimension_variance",
     "dedup_band_sweep",
+    "dedup_storage_savings",
+    "text_doc_length_gini",
 )
 
 

@@ -77,3 +77,39 @@ def test_dimension_variance_matches_numpy(spark, sf_dir):
         # truncation-toward-zero integer division (both engines)
         expect_mean = int(r.s1 / n) if r.s1 >= 0 else -((-r.s1) // n)
         assert r.mean_e6 == expect_mean
+
+
+def test_storage_savings_matches_pandas(spark, sf_dir):
+    import re as _re
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    import hashlib
+
+    fp = docs["text"].map(
+        lambda t: hashlib.md5(_re.sub(r"\s+", " ", t.lower()).strip().encode()).hexdigest()
+    )
+    keeper = docs.assign(fp=fp).groupby("fp")["doc_id"].min()
+    is_loser = docs["doc_id"].values != keeper[fp].values
+    got = {r.source: r for r in queries()["dedup_storage_savings"](spark, sf_dir).collect()}
+    for src, grp in docs.assign(loser=is_loser).groupby("source"):
+        r = got[src]
+        assert r.n_docs == len(grp)
+        assert r.n_losers == int(grp["loser"].sum())
+        assert r.total_chars == int(grp["n_chars"].sum())
+        saved = int(grp.loc[grp["loser"], "n_chars"].sum())
+        assert r.chars_saved == saved
+        assert r.savings_ppm == saved * 1_000_000 // r.total_chars
+
+
+def test_doc_length_gini_matches_numpy(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    got = {r.source: r for r in queries()["text_doc_length_gini"](spark, sf_dir).collect()}
+    for src, grp in docs.groupby("source"):
+        x = np.sort(grp["n_chars"].to_numpy(dtype=np.int64))
+        n, s = len(x), int(x.sum())
+        a = int((np.arange(1, n + 1, dtype=object) * x.astype(object)).sum())
+        gini = 2.0 * a / (n * s) - (n + 1) / n
+        r = got[src]
+        assert (r.n_docs, r.total_chars) == (n, s)
+        assert abs(r.gini - round(gini, 6)) <= 2e-6
+        assert 0.0 <= r.gini < 1.0
