@@ -353,6 +353,16 @@ SCALING_SUBSET = [
     "similarity_item_cf",
     "similarity_knn_label_accuracy",
     "similarity_knn_label_accuracy_ivf",
+    # round-10 late waves: the shingle/signature-heavy newcomers and the
+    # dictionary-shaped margins (curves must stay sub-linear)
+    "dedup_band_sweep",
+    "dedup_weighted_jaccard",
+    "dedup_storage_savings",
+    "quality_drift_psi",
+    "graph_degree_distribution",
+    "text_doc_length_gini",
+    "text_lang_trigram_similarity",
+    "embedding_pq_distortion",
 ]
 
 
