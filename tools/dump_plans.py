@@ -200,6 +200,11 @@ SHOWCASE = {
     "embedding_dimension_variance": "micro-quantized components partial-agg onto the 64-dim grid",
     "graph_degree_distribution": "capped co-occurrence edges; histogram on the degree dictionary",
     "orders_basket_size_histogram": "one distinct-count per order; histogram on the size dictionary",
+    "similarity_cluster_purity": "one (cell x label) grid agg; majority pick and purity on the grid",
+    "events_churn_risk_buckets": "one groupBy(user); 4-row recency grid; as-of broadcast",
+    "dedup_band_sweep": "ONE signature pass serves 3 band explodes; md5-key equi-joins per config",
+    "dedup_storage_savings": "16-byte fingerprint shuffle; keeper join co-partitioned; text never moves",
+    "text_doc_length_gini": "rank moment folded over the (source x length) dictionary; no row ranking",
 }
 
 
