@@ -252,6 +252,29 @@ HEADLINE = [
     "events_markov_accuracy",
     "dedup_threshold_sensitivity",
     "corpus_dedup_quality_audit",
+    # round-10 additions
+    "similarity_knn_label_accuracy_ivf",
+    "stats_dunn_posthoc",
+    "stats_friedman_test",
+    "stats_partial_correlation",
+    "text_token_coverage_curve",
+    "text_token_length_entropy",
+    "text_lang_trigram_similarity",
+    "corpus_epoch_schedule",
+    "similarity_ann_recall_curve",
+    "embedding_pq_distortion",
+    "dedup_weighted_jaccard",
+    "orders_backlog_aging",
+    "similarity_cluster_purity",
+    "events_churn_risk_buckets",
+    "graph_degree_distribution",
+    "stats_median_ci_order",
+    "quality_drift_psi",
+    "orders_basket_size_histogram",
+    "embedding_dimension_variance",
+    "dedup_band_sweep",
+    "dedup_storage_savings",
+    "text_doc_length_gini",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40
