@@ -79,16 +79,34 @@ def _with_recall_vs_exact(spark: SparkSession, sf_dir: str, approx: DataFrame) -
 
 
 def _assignments(spark: SparkSession, sf_dir: str):
-    """(vec_id, label, embedding, cell) + the fitted centroid list."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """(vec_id, label, embedding, cell) + the fitted centroid list.
 
-    emb = load(spark, sf_dir, "embeddings")
-    feats = emb.withColumn("features", array_to_vector(F.col("embedding").cast("array<double>")))
-    km = KMeans(k=NLIST, seed=SEED, maxIter=10, featuresCol="features", predictionCol="cell")
-    model = km.fit(feats)
-    assigned = model.transform(feats).select("vec_id", "label", "embedding", "cell")
-    return assigned, model.clusterCenters()
+    Cached per corpus dir (the `_MODEL_CACHE` doctrine below: an ANN
+    index is built once and searched many times) — four operators ride
+    this quantizer (topk_ivf, the kNN-accuracy rung, the recall curve,
+    cell purity), and refitting the same seeded KMeans per call was
+    pure waste. The assigned table is checkpointed so every consumer
+    reads one materialized run."""
+    # Keyed on the application id too: unlike the numpy-only PQ models,
+    # a cached DataFrame dies with its SparkContext.
+    key = ("ivf-assign", sf_dir, spark.sparkContext.applicationId)
+    if key not in _MODEL_CACHE:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        emb = load(spark, sf_dir, "embeddings")
+        feats = emb.withColumn(
+            "features", array_to_vector(F.col("embedding").cast("array<double>"))
+        )
+        km = KMeans(k=NLIST, seed=SEED, maxIter=10, featuresCol="features", predictionCol="cell")
+        model = km.fit(feats)
+        assigned = (
+            model.transform(feats)
+            .select("vec_id", "label", "embedding", "cell")
+            .localCheckpoint(eager=True)
+        )
+        _MODEL_CACHE[key] = (assigned, model.clusterCenters())
+    return _MODEL_CACHE[key]
 
 
 @register(
