@@ -275,6 +275,8 @@ HEADLINE = [
     "dedup_band_sweep",
     "dedup_storage_savings",
     "text_doc_length_gini",
+    "events_dow_hour_profile",
+    "text_source_lang_coverage",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

@@ -4618,3 +4618,73 @@ def text_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(2.0 * CAST(a AS DOUBLE) / (CAST(n_docs AS DOUBLE) * s)"
         " - (CAST(n_docs AS DOUBLE) + 1) / n_docs, 6) AS gini",
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Source × language coverage grid
+# --------------------------------------------------------------------------
+
+_COVERAGE_GRID_ORACLE = """
+WITH g AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1, 2
+),
+ms AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS src_docs FROM g GROUP BY source),
+ml AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_docs FROM g GROUP BY lang),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM g)
+SELECT g.source, g.lang, g.n_docs, g.n_chars,
+       CAST(g.n_docs * 1000000 // ms.src_docs AS BIGINT)  AS within_source_ppm,
+       CAST(g.n_docs * 1000000 // ml.lang_docs AS BIGINT) AS within_lang_ppm,
+       CAST(g.n_docs * 1000000 // t.total AS BIGINT)      AS total_ppm
+FROM g
+JOIN ms ON ms.source = g.source
+JOIN ml ON ml.lang = g.lang
+CROSS JOIN t
+ORDER BY g.source, g.lang
+"""
+
+
+@register(
+    "text_source_lang_coverage",
+    _COVERAGE_GRID_ORACLE,
+    doc="source × language doc/char contingency grid with row/column/total ppm shares",
+)
+def text_source_lang_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw contingency view behind `stats_mutual_information`'s
+    single number: how each source's documents distribute over
+    languages (and vice versa), with character mass — the first table a
+    corpus audit reads to spot a feed that silently went monolingual or
+    a language served by only one source (a deduplication/contamination
+    risk concentrated in one pipe).
+
+    Exactness: counts and character sums are exact integers; all three
+    shares are integer ppm against their broadcast marginals.
+
+    Scale: one scan partial-aggregates onto the (source × lang) grid
+    (label-cardinality bounded); marginals re-aggregate the GRID, never
+    the data, and broadcast back."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    g = g.localCheckpoint(eager=False)  # feeds all three marginals AND the output
+    ms = g.groupBy("source").agg(F.sum("n_docs").cast("long").alias("src_docs"))
+    ml = g.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("lang_docs"))
+    t = g.agg(F.sum("n_docs").cast("long").alias("total"))
+    return (
+        g.join(F.broadcast(ms), "source")
+        .join(F.broadcast(ml), "lang")
+        .crossJoin(F.broadcast(t))
+        .selectExpr(
+            "source",
+            "lang",
+            "n_docs",
+            "n_chars",
+            "CAST(n_docs * 1000000 DIV src_docs AS BIGINT) AS within_source_ppm",
+            "CAST(n_docs * 1000000 DIV lang_docs AS BIGINT) AS within_lang_ppm",
+            "CAST(n_docs * 1000000 DIV total AS BIGINT) AS total_ppm",
+        )
+        .orderBy("source", "lang")
+    )

@@ -769,3 +769,69 @@ def events_churn_risk_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Day-of-week × hour activity profile
+# --------------------------------------------------------------------------
+
+# Day-of-week as pure epoch arithmetic — (days since 1970-01-01) mod 7,
+# 0 = Thursday — because the builtin differs across engines (DuckDB
+# dayofweek is 0-based-Sunday, Spark's 1-based-Sunday: the round-9 trap).
+# Both engines evaluate THIS integer expression identically.
+_DOW_EXPR = "CAST((epoch_us // 86400000000) % 7 AS BIGINT)"
+
+_DOW_HOUR_ORACLE = f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS epoch_us, CAST(hour(ts) AS BIGINT) AS hr FROM events
+),
+g AS (
+  SELECT {_DOW_EXPR} AS dow_thu0, hr, CAST(count(*) AS BIGINT) AS n_events
+  FROM e GROUP BY 1, 2
+),
+t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM g)
+SELECT g.dow_thu0, g.hr, g.n_events,
+       CAST(g.n_events * 1000000 // t.total AS BIGINT) AS share_ppm
+FROM g, t
+ORDER BY g.dow_thu0, g.hr
+"""
+
+
+@register(
+    "events_dow_hour_profile",
+    _DOW_HOUR_ORACLE,
+    doc="day-of-week × hour activity heatmap (epoch-arithmetic dow, 0=Thursday)",
+)
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capacity-planning heatmap: event volume on the (day-of-week ×
+    hour) grid with ppm shares — when to schedule compaction, when the
+    ingestion peak lands. Day-of-week is computed as (epoch days) mod 7
+    (0 = Thursday) rather than either engine's builtin, because the
+    builtins disagree on the base (the documented cross-engine trap);
+    the session timezone is UTC on both sides.
+
+    Exactness: pure integer arithmetic throughout; shares are integer
+    ppm of the 1-row total.
+
+    Scale: one scan partial-aggregates map-side onto the ≤168-cell
+    grid; the total broadcasts back."""
+    events = load(spark, sf_dir, "events")
+    e = events.select(
+        F.unix_micros("ts").alias("epoch_us"),
+        F.hour("ts").cast("long").alias("hr"),
+    )
+    g = e.selectExpr(
+        "CAST((epoch_us div 86400000000) % 7 AS BIGINT) AS dow_thu0", "hr"
+    ).groupBy("dow_thu0", "hr").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    g = g.localCheckpoint(eager=False)  # feeds the total AND the share projection
+    t = g.agg(F.sum("n_events").cast("long").alias("total"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .selectExpr(
+            "dow_thu0",
+            "hr",
+            "n_events",
+            "CAST(n_events * 1000000 DIV total AS BIGINT) AS share_ppm",
+        )
+        .orderBy("dow_thu0", "hr")
+    )

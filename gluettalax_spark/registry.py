@@ -122,6 +122,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "dedup_band_sweep",
     "dedup_storage_savings",
     "text_doc_length_gini",
+    "events_dow_hour_profile",
+    "text_source_lang_coverage",
 )
 
 

@@ -113,3 +113,51 @@ def test_doc_length_gini_matches_numpy(spark, sf_dir):
         assert (r.n_docs, r.total_chars) == (n, s)
         assert abs(r.gini - round(gini, 6)) <= 2e-6
         assert 0.0 <= r.gini < 1.0
+
+
+def test_dow_hour_profile_matches_pandas(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    # unit-safe epoch microseconds (the parquet column is datetime64[us])
+    us = pd.Series(ev["ts"].values.astype("datetime64[us]").astype("int64"))
+    dow = (us // 86_400_000_000) % 7  # 0 = Thursday (epoch arithmetic)
+    hr = ev["ts"].dt.hour
+    expect = (
+        pd.DataFrame({"d": dow, "h": hr}).groupby(["d", "h"]).size()
+    )
+    total = int(expect.sum())
+    got = {
+        (r.dow_thu0, r.hr): r
+        for r in queries()["events_dow_hour_profile"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect.index)
+    for (d, h), n in expect.items():
+        r = got[(d, h)]
+        assert r.n_events == n
+        assert r.share_ppm == n * 1_000_000 // total
+    # 1970-01-01 was a Thursday: cross-check the epoch convention on one cell
+    sample = pd.Timestamp(ev["ts"].iloc[0])
+    weekday_name = sample.day_name()
+    thu0 = {"Thursday": 0, "Friday": 1, "Saturday": 2, "Sunday": 3,
+            "Monday": 4, "Tuesday": 5, "Wednesday": 6}[weekday_name]
+    assert int(dow.iloc[0]) == thu0
+
+
+def test_source_lang_coverage_matches_pandas(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    g = docs.groupby(["source", "lang"]).agg(
+        n=("doc_id", "size"), chars=("n_chars", "sum")
+    )
+    src = docs.groupby("source").size()
+    lang = docs.groupby("lang").size()
+    total = len(docs)
+    got = {
+        (r.source, r.lang): r
+        for r in queries()["text_source_lang_coverage"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(g.index)
+    for (s, l), e in g.iterrows():
+        r = got[(s, l)]
+        assert (r.n_docs, r.n_chars) == (e["n"], e["chars"])
+        assert r.within_source_ppm == e["n"] * 1_000_000 // src[s]
+        assert r.within_lang_ppm == e["n"] * 1_000_000 // lang[l]
+        assert r.total_ppm == e["n"] * 1_000_000 // total
