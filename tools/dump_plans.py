@@ -205,6 +205,8 @@ SHOWCASE = {
     "dedup_band_sweep": "ONE signature pass serves 3 band explodes; md5-key equi-joins per config",
     "dedup_storage_savings": "16-byte fingerprint shuffle; keeper join co-partitioned; text never moves",
     "text_doc_length_gini": "rank moment folded over the (source x length) dictionary; no row ranking",
+    "events_dow_hour_profile": "epoch-arithmetic dow; map-side partial agg onto the <=168-cell grid",
+    "text_source_lang_coverage": "one (source x lang) grid agg; marginals re-aggregate the grid and broadcast",
 }
 
 
