@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from gluettalax_spark.operators.similarity import N_QUERIES, TOPK, _dot, _norm
 from gluettalax_spark.registry import register
-from gluettalax_spark.tables import load
+from gluettalax_spark.tables import fixture_fingerprint, load
 
 NLIST = 16  # coarse cells (IVF-flat)
 NPROBE = 4  # cells scored per query (IVF-flat)
@@ -89,7 +89,7 @@ def _assignments(spark: SparkSession, sf_dir: str):
     reads one materialized run."""
     # Keyed on the application id too: unlike the numpy-only PQ models,
     # a cached DataFrame dies with its SparkContext.
-    key = ("ivf-assign", sf_dir, spark.sparkContext.applicationId)
+    key = ("ivf-assign", fixture_fingerprint(sf_dir, "embeddings"), spark.sparkContext.applicationId)
     if key not in _MODEL_CACHE:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -191,8 +191,6 @@ def similarity_knn_label_accuracy_ivf(spark: SparkSession, sf_dir: str) -> DataF
     a cell-id equi-join (bucket the corpus by cell to make it a pruned
     scan)."""
     import numpy as np
-
-    from pyspark.sql.window import Window
 
     from gluettalax_spark.operators.similarity import (
         _KNN_NQ,
@@ -361,7 +359,7 @@ def _pq_model(spark: SparkSession, sf_dir: str):
     """(books, dim) for the raw-vector PQ index of ``sf_dir``."""
     import numpy as np
 
-    key = ("pq", sf_dir)
+    key = ("pq", fixture_fingerprint(sf_dir, "embeddings"))
     if key not in _MODEL_CACHE:
         emb = load(spark, sf_dir, "embeddings")
         sample = emb.select("embedding").limit(PQ_TRAIN_SAMPLE).collect()
@@ -375,7 +373,7 @@ def _ivfpq_model(spark: SparkSession, sf_dir: str):
     ``sf_dir`` — coarse quantizer + residual-trained PQ codebooks."""
     import numpy as np
 
-    key = ("ivfpq", sf_dir)
+    key = ("ivfpq", fixture_fingerprint(sf_dir, "embeddings"))
     if key not in _MODEL_CACHE:
         emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         # Coarse geometry scales with the corpus (√n sizing); count() on

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from gluettalax_spark.registry import register
-from gluettalax_spark.tables import load
+from gluettalax_spark.tables import fixture_fingerprint, load
 
 DIM = 64
 N_PLANES = 8  # 8-bit sign-LSH bucket
@@ -803,7 +803,7 @@ PCA_TOPK = 20
 
 # Collected covariance rows per corpus dir (exact integers, immutable
 # input — see the memo note inside embedding_pca_project).
-_COV_CACHE: dict[str, list] = {}
+_COV_CACHE: dict[tuple, list] = {}
 
 
 @register(
@@ -834,9 +834,10 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer sums over an immutable corpus dir — bit-identical on every
     # recompute — so it memoizes per dir like the ANN codebooks do: the
     # model-build pass runs once, every later projection reuses it.
-    if sf_dir not in _COV_CACHE:
-        _COV_CACHE[sf_dir] = embedding_covariance(spark, sf_dir).collect()
-    cov_rows = _COV_CACHE[sf_dir]
+    cov_key = fixture_fingerprint(sf_dir, "embeddings")
+    if cov_key not in _COV_CACHE:
+        _COV_CACHE[cov_key] = embedding_covariance(spark, sf_dir).collect()
+    cov_rows = _COV_CACHE[cov_key]
     d = max(r["j"] for r in cov_rows) + 1
     C = np.zeros((d, d))
     for r in cov_rows:

@@ -2638,7 +2638,7 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHAR_ENTROPY_ORACLE = r"""
 WITH cc AS (
   SELECT source, ch, CAST(count(*) AS BIGINT) AS c
-  FROM (SELECT source, unnest(regexp_extract_all(text, '.')) AS ch FROM documents)
+  FROM (SELECT source, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM documents)
   GROUP BY 1, 2
 ),
 tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY source)
@@ -2670,14 +2670,16 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: each (source, char) contributes ONE floor-quantized
     integer term p*ln(1/p) at 1e8 (the drift-PSI discipline; ln is the
     accepted libm-ulp boundary), so per-source entropies are exact
-    int64 sums. Scale shape: the char explode partial-aggregates
+    int64 sums. Characters come from `(?s).` on both engines so line
+    terminators count identically (bare `.` drops \\n \\r \\u0085
+    \\u2028 \\u2029 in Java but only \\n in RE2 — ADVICE r10). Scale shape: the char explode partial-aggregates
     MAP-SIDE to alphabet-bounded groups per source — the shuffle is
     |alphabet| x |sources| rows no matter the corpus size; everything
     after is metadata-scale."""
     docs = load(spark, sf_dir, "documents")
     cc = (
         docs.select(
-            "source", F.explode(F.expr("regexp_extract_all(text, '.', 0)")).alias("ch")
+            "source", F.explode(F.expr("regexp_extract_all(text, '(?s).', 0)")).alias("ch")
         )
         .groupBy("source", "ch")
         .agg(F.count("*").cast("long").alias("c"))
@@ -4473,7 +4475,11 @@ def text_lang_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: profiles, dots, and norms are exact integer folds
     (HUGEINT/DECIMAL); cosine is one shared IEEE expression rounded at
-    6 dp.
+    6 dp. Character source is `(?s).` so line terminators count on
+    BOTH engines (bare `.` differs cross-engine: Java drops \\n \\r
+    \\u0085 \\u2028 \\u2029, RE2 only \\n — ADVICE r10) and the Spark
+    trigram multiset equals the oracle's substr-over-all-chars walk on
+    any corpus, multi-line included.
 
     Scale: the trigram explode partial-aggregates MAP-SIDE to the
     (language × trigram) dictionary — alphabet³-bounded per language —
@@ -4489,7 +4495,7 @@ def text_lang_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = docs.filter(F.length("text") >= 3).select(
         "doc_id",
         "lang",
-        F.posexplode(F.expr("regexp_extract_all(lower(text), '.', 0)")).alias("pos", "ch"),
+        F.posexplode(F.expr("regexp_extract_all(lower(text), '(?s).', 0)")).alias("pos", "ch"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     c1, c2 = F.lead("ch", 1).over(w), F.lead("ch", 2).over(w)
