@@ -277,6 +277,12 @@ HEADLINE = [
     "text_doc_length_gini",
     "events_dow_hour_profile",
     "text_source_lang_coverage",
+    # -- round 11 --
+    "events_hazard_rate",
+    "stats_autocorrelation",
+    "orders_lorenz_curve",
+    "stats_levene_bf",
+    "text_readability_ari",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40
@@ -480,6 +486,40 @@ def run_scaling() -> None:
 # another without cross-referencing.
 CAL_REF_SEC = 0.25
 
+# Reference timing for the I/O-weighted probe (added round 11, VERDICT r10
+# "what's wrong" #1): the CPU-only probe was blind to disk/page-cache
+# co-tenancy, so the r10 capture's scan-heavy queries read 4-5× their true
+# time while noise_factor stayed ~1 and the "normalized" totals inherited
+# the contamination (judge re-timing: q5 1.06 s vs the captured 4.02 s).
+# The I/O probe is a warm full-column scan of SF_DIR's lineitem.parquet —
+# xxhash64 over every column forces the reader to decode all pages, so the
+# timing tracks the same read path the scan-heavy bench queries use. Pinned
+# at sf0.1 (10.8 MB file): warm in-session best-of-3 measured 0.36-0.45 s
+# across three idle-phase trials on 2026-08-16; 0.40 is the midpoint. The
+# pin is sf0.1-specific (the probe's work scales with the file), so
+# noise_factor_io is only computed when the capture runs at sf0.1 — which
+# is where the driver runs and where the round-4 anchor gate applies.
+IO_CAL_REF_SEC = 0.40
+IO_CAL_REF_SF = 0.1
+
+
+def _io_calibration_probe(spark) -> float:
+    """I/O-weighted machine-speed probe: full-column warm scan of the
+    bench fixture's lineitem with a decode-everything aggregate
+    (max of xxhash64 over all columns — no long-sum overflow under ANSI,
+    and Parquet can't prune a single page). Best-of-3, same one-sided
+    noise logic as the CPU probe."""
+    from pyspark.sql import functions as F
+
+    path = f"{SF_DIR}/lineitem.parquet"
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df = spark.read.parquet(path)
+        df.agg(F.max(F.xxhash64(*df.columns)).alias("h")).collect()
+        samples.append(time.perf_counter() - t0)
+    return round(min(samples), 4)
+
 
 def _calibration_probe(spark) -> float:
     """Fixed-size machine-speed probe: 20M-row range → modular arithmetic
@@ -530,6 +570,7 @@ def main() -> None:
         specs[names[0]].builder(spark, SF_DIR).count()
 
     cal_before = _calibration_probe(spark)
+    io_cal_before = _io_calibration_probe(spark)
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -551,10 +592,26 @@ def main() -> None:
         medians[name] = round(statistics.median(samples), 4)
 
     cal_after = _calibration_probe(spark)
-    # The machine-speed factor in effect across this capture; min() of the
+    io_cal_after = _io_calibration_probe(spark)
+    # The machine-speed factors in effect across this capture; min() of the
     # two brackets because the probe's own noise is one-sided (slow
-    # outliers) — the faster reading is the truer machine speed.
-    noise_factor = round(min(cal_before, cal_after) / CAL_REF_SEC, 3)
+    # outliers) — the faster reading is the truer machine speed. Two axes:
+    # CPU (range→mod→agg, no I/O) and I/O (full-column parquet scan); the
+    # r10 contamination was invisible to CPU alone. The blended factor —
+    # the mean — normalizes the headline/r4 totals (the bench mix is
+    # scan+compute); both raw factors are recorded so a capture skewed on
+    # one axis is diagnosable.
+    noise_factor_cpu = round(min(cal_before, cal_after) / CAL_REF_SEC, 3)
+    noise_factor_io = (
+        round(min(io_cal_before, io_cal_after) / IO_CAL_REF_SEC, 3)
+        if sf == IO_CAL_REF_SF
+        else None  # I/O pin is sf0.1-specific; other SFs fall back to CPU
+    )
+    noise_factor = (
+        round((noise_factor_cpu + noise_factor_io) / 2, 3)
+        if noise_factor_io is not None
+        else noise_factor_cpu
+    )
 
     total = round(sum(timings.values()), 4)
     r4_names = [n for n in R4_SUBSET if n in timings]
@@ -570,7 +627,13 @@ def main() -> None:
         "calibration_sec_before": cal_before,
         "calibration_sec_after": cal_after,
         "calibration_ref_sec": CAL_REF_SEC,
+        "io_calibration_sec_before": io_cal_before,
+        "io_calibration_sec_after": io_cal_after,
+        "io_calibration_ref_sec": IO_CAL_REF_SEC,
+        "noise_factor_cpu": noise_factor_cpu,
+        "noise_factor_io": noise_factor_io,
         "noise_factor": noise_factor,
+        "noise_factor_note": "blended mean(cpu,io) at sf0.1; cpu-only otherwise (r11)",
         "value_normalized": round(total / noise_factor, 4),
         "r4_subset_value_normalized": round(sum(timings[n] for n in r4_names) / noise_factor, 4),
         "n_queries": len(timings),
@@ -594,7 +657,7 @@ def main() -> None:
                 existing = json.load(fh)
         except (OSError, json.JSONDecodeError):
             existing = {}
-        for section in ("scaling", "streaming"):
+        for section in ("scaling", "streaming", "duck_anchor"):
             if section in existing:
                 full[section] = existing[section]
         with open(self_path, "w") as fh:
@@ -614,6 +677,9 @@ def main() -> None:
         "r4_subset_value": full["r4_subset_value"],
         "r4_subset_value_median": full["r4_subset_value_median"],
         "calibration_sec": min(cal_before, cal_after),
+        "io_calibration_sec": min(io_cal_before, io_cal_after),
+        "noise_factor_cpu": noise_factor_cpu,
+        "noise_factor_io": noise_factor_io,
         "noise_factor": noise_factor,
         "value_normalized": full["value_normalized"],
         "r4_subset_value_normalized": full["r4_subset_value_normalized"],
@@ -715,10 +781,110 @@ def run_streaming() -> None:
     spark.stop()
 
 
+def run_duck_anchor() -> None:
+    """Absolute external anchor for the bench gate (VERDICT r10 task #2):
+    the reference publishes no numbers (BASELINE.md), so until now the 2×
+    gate self-anchored to the round-4 capture of this same repo. This mode
+    times each round-4-subset query BOTH ways at SF_DIR — the Spark builder
+    (warm best-of-3, count() action, the headline methodology) and its own
+    registered oracle SQL through DuckDB (warm best-of-3, fetchall) — and
+    writes a ``duck_anchor`` section into BENCH_SELF.json. DuckDB is a
+    state-of-the-art single-node OLAP engine on identical parquet inputs:
+    spark_sec/duck_sec is an absolute competitiveness ratio that no amount
+    of self-capture drift can contaminate.
+
+    Caveat recorded with the numbers: DuckDB runs in-process with zero
+    JVM/scheduler overhead, so at sf0.1 (sub-second queries) the ratio is
+    dominated by Spark's fixed per-query floor (~0.1-0.2 s task scheduling);
+    the comparison is still the honest external yardstick asked for."""
+    import duckdb
+
+    from gluettalax_spark import registry
+    from gluettalax_spark.session import get_spark
+
+    spark = get_spark("gluettalax-bench-anchor")
+    specs = registry.all_queries()
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    # Warm both engines the way the headline run does.
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    con.execute("SELECT count(*) FROM lineitem").fetchall()
+
+    results: dict[str, dict] = {}
+    for name in R4_SUBSET:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        spark_samples, duck_samples = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spec.builder(spark, SF_DIR).count()
+            spark_samples.append(time.perf_counter() - t0)
+        if spec.oracle:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(spec.oracle).fetchall()
+                duck_samples.append(time.perf_counter() - t0)
+        spark_sec = round(min(spark_samples), 4)
+        duck_sec = round(min(duck_samples), 4) if duck_samples else None
+        results[name] = {
+            "spark_sec": spark_sec,
+            "duck_sec": duck_sec,
+            "ratio": round(spark_sec / duck_sec, 2) if duck_sec else None,
+        }
+        print(f"  {name}: spark {spark_sec}s duck {duck_sec}s", file=sys.stderr, flush=True)
+    con.close()
+
+    with_oracle = {n: r for n, r in results.items() if r["duck_sec"] is not None}
+    total_spark = round(sum(r["spark_sec"] for r in with_oracle.values()), 4)
+    total_duck = round(sum(r["duck_sec"] for r in with_oracle.values()), 4)
+    section = {
+        "sf_dir": SF_DIR,
+        "timing": "warm best-of-3 both engines; Spark count() action, DuckDB fetchall",
+        "n_queries": len(with_oracle),
+        "total_spark_sec": total_spark,
+        "total_duck_sec": total_duck,
+        "total_ratio": round(total_spark / total_duck, 3) if total_duck else None,
+        "note": (
+            "DuckDB is in-process C++ with no scheduler floor; at sf0.1 the "
+            "per-query Spark overhead (~0.1-0.2s) dominates sub-second keys. "
+            "Absolute external anchor for BASELINE.md, not a like-for-like "
+            "cluster-engine comparison."
+        ),
+        "queries": results,
+    }
+    self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
+    try:
+        with open(self_path) as fh:
+            existing = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        existing = {}
+    existing["duck_anchor"] = section
+    with open(self_path, "w") as fh:
+        json.dump(existing, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps({
+        "metric": "duck_anchor",
+        "n_queries": len(with_oracle),
+        "total_spark_sec": total_spark,
+        "total_duck_sec": total_duck,
+        "total_ratio": section["total_ratio"],
+    }), flush=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     elif "--streaming" in sys.argv:
         run_streaming()
+    elif "--duck-anchor" in sys.argv:
+        run_duck_anchor()
     else:
         main()

@@ -2151,3 +2151,124 @@ def stats_median_ci_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n", "lo_rank", "med_rank", "hi_rank", "ci_lo", "median_q", "ci_hi")
     )
+
+
+# --------------------------------------------------------------------------
+# Brown-Forsythe test (median-based Levene): variance homogeneity across types
+# --------------------------------------------------------------------------
+
+_BF_ORACLE = """
+WITH vals AS (
+  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+cells AS (
+  SELECT g, v, CAST(count(*) AS BIGINT) AS n_gv FROM vals GROUP BY g, v
+),
+cum AS (
+  SELECT g, v, n_gv,
+         CAST(sum(n_gv) OVER (PARTITION BY g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM cells
+),
+gn AS (SELECT g, CAST(sum(n_gv) AS BIGINT) AS n_g FROM cells GROUP BY g),
+med AS (
+  SELECT cum.g, min(CASE WHEN cum.cum >= (gn.n_g + 1) // 2 THEN cum.v END) AS m
+  FROM cum JOIN gn ON gn.g = cum.g GROUP BY cum.g
+),
+z AS (
+  SELECT cells.g, abs(cells.v - med.m) AS z, cells.n_gv
+  FROM cells JOIN med ON med.g = cells.g
+),
+grp AS (
+  SELECT g,
+         CAST(sum(n_gv) AS BIGINT) AS n_g,
+         CAST(sum(n_gv * z) AS BIGINT) AS s_g,
+         CAST(sum(CAST(n_gv AS HUGEINT) * z * z) AS BIGINT) AS q_g
+  FROM z GROUP BY g
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_g) AS BIGINT)  AS n,
+         CAST(sum(s_g) AS BIGINT)  AS s,
+         CAST(sum(q_g) AS BIGINT)  AS q,
+         CAST(sum(CAST(s_g AS HUGEINT) * s_g // n_g) AS BIGINT) AS ssbq
+  FROM grp
+)
+SELECT k, n, s, q, ssbq,
+       round(((CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (k - 1))
+         / ((CAST(q AS DOUBLE) - ssbq) / (n - k)), 6) AS f_stat
+FROM m
+"""
+
+
+@register(
+    "stats_levene_bf",
+    _BF_ORACLE,
+    doc="Brown-Forsythe (median-based Levene) variance-homogeneity F across event types",
+)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are the event-value VARIANCES equal across types? Brown-Forsythe:
+    one-way ANOVA on |x − median_g| — the robust Levene variant, and the
+    assumption check `stats_anova_oneway` itself rests on (a significant
+    F here says the ANOVA's pooled-variance denominator is fiction and
+    Welch corrections apply).
+
+    Exactness: values quantize to integer cents; each group's LOWER
+    median comes off the per-group value dictionary by integer rank
+    (the `stats_median_ci_order` discipline — no interpolation), so the
+    absolute deviations are exact integers; the ANOVA moments over them
+    follow `stats_anova_oneway` exactly (Σ s_g²/n_g floor-quantized per
+    group, HUGEINT/DECIMAL(38,0) intermediates); F is one shared IEEE
+    expression rounded at 6 dp.
+
+    Scale: ONE data-scale groupBy to the (type × cent-value) dictionary;
+    medians, deviations, and moments all live on the dictionary —
+    deviations reweight the EXISTING cells (z carries n_gv), so the
+    corpus is never re-scanned."""
+    events = load(spark, sf_dir, "events")
+    cells = (
+        events.select(
+            F.col("event_type").alias("g"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gv"))
+        .localCheckpoint(eager=False)  # feeds cum, gn, and the z fold
+    )
+    cum = grouped_running_sum(cells, ["g"], ["v"], "n_gv", "cum").select("g", "v", "cum")
+    gn = cells.groupBy("g").agg(F.sum("n_gv").cast("long").alias("n_g"))
+    med = (
+        cum.join(F.broadcast(gn), "g")
+        .groupBy("g")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n_g + 1) div 2"), F.col("v")).otherwise(None)
+            ).alias("m")
+        )
+    )
+    z = cells.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("m")).alias("z"), "n_gv"
+    )
+    grp = z.groupBy("g").agg(
+        F.sum("n_gv").cast("long").alias("n_g"),
+        F.sum(F.col("n_gv") * F.col("z")).cast("long").alias("s_g"),
+        F.sum(F.col("n_gv").cast("decimal(38,0)") * F.col("z") * F.col("z"))
+        .cast("long")
+        .alias("q_g"),
+    )
+    m = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("q_g").cast("long").alias("q"),
+        F.sum(F.expr("CAST(s_g AS DECIMAL(38,0)) * s_g div n_g")).cast("long").alias("ssbq"),
+    )
+    return m.selectExpr(
+        "k",
+        "n",
+        "s",
+        "q",
+        "ssbq",
+        "round(((CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (k - 1))"
+        " / ((CAST(q AS DOUBLE) - ssbq) / (n - k)), 6) AS f_stat",
+    )

@@ -3240,3 +3240,96 @@ def orders_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("basket_size")
     )
+
+
+# --------------------------------------------------------------------------
+# Lorenz curve of customer revenue (whole-population decile concentration)
+# --------------------------------------------------------------------------
+
+_LORENZ_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey AS c,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+tiled AS (
+  SELECT c, cents, CAST(ntile(10) OVER (ORDER BY cents, c) AS BIGINT) AS decile
+  FROM cust
+),
+dec AS (
+  SELECT decile,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS decile_cents
+  FROM tiled GROUP BY decile
+),
+tot AS (SELECT CAST(sum(decile_cents) AS BIGINT) AS total FROM dec)
+SELECT decile, n_customers, decile_cents,
+       CAST(sum(decile_cents) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+       CAST(CAST(decile_cents AS HUGEINT) * 1000000 // tot.total AS BIGINT) AS share_ppm,
+       CAST(CAST(sum(decile_cents) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+            * 1000000 // tot.total AS BIGINT) AS cum_share_ppm
+FROM dec, tot
+ORDER BY decile
+"""
+
+
+@register(
+    "orders_lorenz_curve",
+    _LORENZ_ORACLE,
+    doc="Lorenz curve of customer revenue: decile cumulative shares (integer ppm)",
+)
+def orders_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole-population concentration readout: customers sorted
+    poorest→richest, revenue share per decile and cumulative — the
+    curve whose gap from the diagonal IS the Gini coefficient
+    (`text_doc_length_gini`'s revenue sibling) and whose top-decile
+    point answers "how much of revenue is the top 10%".
+    `customer_pareto` shows the head (top-50 customers); this shows the
+    full distribution shape on a fixed 10-row grid.
+
+    Exactness: per-customer revenue is exact integer cents; the decile
+    assignment is ANSI ntile(10) over the total order (cents, custkey) —
+    computed here via `ntile_from_rank` over `exact_global_rank`, bit-
+    identical to both engines' builtin ntile — and every share is an
+    integer ppm floor-division (HUGEINT/DECIMAL(38,0) intermediates).
+
+    Scale: one data-scale groupBy(custkey); the global sort is the
+    range-exchange rank machinery (no single-task window over
+    customers); everything after lives on the 10-row decile table,
+    where the running sum is metadata-scale."""
+    orders = load(spark, sf_dir, "orders")
+    cust = (
+        orders.select(
+            F.col("o_custkey").alias("c"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("c")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    ranked = exact_global_rank(cust, [F.col("cents").asc(), F.col("c").asc()], "rn")
+    tiled = ranked.withColumn("decile", ntile_from_rank(F.col("rn"), F.col("_n"), 10))
+    dec = (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("decile_cents"),
+        )
+        .localCheckpoint(eager=False)  # 10 rows; feeds total AND the curve
+    )
+    tot = dec.agg(F.sum("decile_cents").cast("long").alias("total"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .withColumn("cum_cents", F.sum("decile_cents").over(w).cast("long"))
+        .selectExpr(
+            "decile",
+            "n_customers",
+            "decile_cents",
+            "cum_cents",
+            "CAST(CAST(decile_cents AS DECIMAL(38,0)) * 1000000 div total AS BIGINT) AS share_ppm",
+            "CAST(CAST(cum_cents AS DECIMAL(38,0)) * 1000000 div total AS BIGINT) AS cum_share_ppm",
+        )
+        .orderBy("decile")
+    )

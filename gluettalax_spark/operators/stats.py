@@ -3365,3 +3365,137 @@ def orders_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+# Discrete-time hazard / Nelson-Aalen cumulative hazard (KM's derivative)
+# --------------------------------------------------------------------------
+
+_HAZARD_ORACLE = f"""
+WITH horizon AS (SELECT max(epoch_us(ts)) AS h FROM events),
+entry AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id, min(epoch_us(p.ts)) AS t1
+  FROM entry e JOIN events p
+    ON p.user_id = e.user_id AND p.event_type = 'purchase'
+   AND epoch_us(p.ts) >= e.t0
+  GROUP BY e.user_id
+),
+subjects AS (
+  SELECT e.user_id,
+         CASE WHEN c.t1 IS NOT NULL THEN 1 ELSE 0 END AS observed,
+         CAST(CASE WHEN c.t1 IS NOT NULL THEN (c.t1 - e.t0) // {_KM_DAY_US}
+                   ELSE (h.h - e.t0) // {_KM_DAY_US} END AS BIGINT) AS dur
+  FROM entry e LEFT JOIN conv c ON c.user_id = e.user_id, horizon h
+),
+days AS (
+  SELECT dur AS day,
+         CAST(sum(observed) AS BIGINT) AS d,
+         CAST(sum(1 - observed) AS BIGINT) AS c
+  FROM subjects GROUP BY dur
+),
+risk AS (
+  SELECT day, d, c,
+         CAST((SELECT count(*) FROM subjects) -
+              coalesce(sum(d + c) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM days
+),
+hz AS (
+  SELECT day, n_risk, d,
+         CAST(CAST(d AS HUGEINT) * 1000000 // n_risk AS BIGINT) AS hazard_ppm
+  FROM risk WHERE d > 0
+)
+SELECT day, n_risk, d, hazard_ppm,
+       CAST(sum(hazard_ppm) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hazard_ppm
+FROM hz
+ORDER BY day
+"""
+
+
+@register(
+    "events_hazard_rate",
+    _HAZARD_ORACLE,
+    doc="discrete-time conversion hazard + Nelson-Aalen cumulative hazard (integer ppm)",
+)
+def events_hazard_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time hazard of conversion: of the users still at risk on
+    day k after signup, what fraction converts that day — h(k) = d_k /
+    n_k — plus the Nelson-Aalen cumulative hazard Σ h. The derivative
+    view of `events_survival_km`: KM shows how much of the cohort
+    survives, the hazard shows WHEN the conversion pressure peaks (a
+    hump at day 1 means onboarding converts; a flat tail means ambient
+    discovery), which is what campaign timing actually needs.
+
+    Exactness: same censored-duration construction as the KM twin
+    (integer day floor-div, exact at-risk running sum on the day
+    dictionary); each hazard is one integer ppm floor-division
+    (HUGEINT/DECIMAL(38,0) intermediate) and the cumulative hazard is an
+    exact integer running sum of those ppms — no floats anywhere.
+
+    Scale: entry/conversion are user-keyed aggregates and one user-keyed
+    join; everything after lives on the calendar-bounded day dictionary,
+    where the running sums ride the range-partitioned rank machinery."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    events = load(spark, sf_dir, "events")
+    horizon = events.agg(F.max(F.unix_micros("ts")).alias("h"))
+    entry = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t0"))
+    )
+    conv = (
+        entry.join(
+            events.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.unix_micros("ts").alias("tp")
+            ),
+            "user_id",
+        )
+        .filter(F.col("tp") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("t1"))
+    )
+    subjects = (
+        entry.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("observed"),
+            F.expr(
+                f"CAST(CASE WHEN t1 IS NOT NULL THEN (t1 - t0) div {_KM_DAY_US}"
+                f" ELSE (h - t0) div {_KM_DAY_US} END AS BIGINT)"
+            ).alias("dur"),
+        )
+    )
+    days = subjects.groupBy(F.col("dur").alias("day")).agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.sum(1 - F.col("observed")).cast("long").alias("c"),
+    ).withColumn("_g", F.lit(1))
+    total = subjects.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    cum = grouped_running_sum(
+        days.withColumn("dc", F.col("d") + F.col("c")), ["_g"], ["day"], "dc", "cum_dc"
+    )
+    hz = (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "day",
+            "d",
+            (F.col("n_total") - (F.col("cum_dc") - F.col("dc"))).cast("long").alias("n_risk"),
+        )
+        .filter(F.col("d") > 0)
+        .selectExpr(
+            "day",
+            "n_risk",
+            "d",
+            "CAST(CAST(d AS DECIMAL(38,0)) * 1000000 div n_risk AS BIGINT) AS hazard_ppm",
+        )
+        .withColumn("_g", F.lit(1))
+    )
+    out = grouped_running_sum(hz, ["_g"], ["day"], "hazard_ppm", "cum_hazard_ppm")
+    return out.select(
+        "day", "n_risk", "d", "hazard_ppm", F.col("cum_hazard_ppm").cast("long").alias("cum_hazard_ppm")
+    ).orderBy("day")

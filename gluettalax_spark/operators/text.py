@@ -4694,3 +4694,84 @@ def text_source_lang_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Automated Readability Index per source (exact integer milli-points)
+# --------------------------------------------------------------------------
+
+_ARI_ORACLE = r"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS l,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS w,
+         greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS s
+  FROM documents
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(l) AS BIGINT) AS n_alnum,
+         greatest(1, CAST(sum(w) AS BIGINT)) AS n_words,
+         CAST(sum(s) AS BIGINT) AS n_sentences
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, n_alnum, n_words, n_sentences,
+       CAST((471000 * n_alnum) // n_words
+            + (50000 * n_words) // n_sentences - 2143000 AS BIGINT) AS ari_milli
+FROM agg
+ORDER BY source
+"""
+
+
+@register(
+    "text_readability_ari",
+    _ARI_ORACLE,
+    doc="Automated Readability Index per source (integer milli-points; exact char/word/sentence counts)",
+)
+def text_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARI per source — 4.71·(chars/words) + 0.5·(words/sentences) −
+    21.43, the readability grade built ONLY from counts (no syllable
+    dictionary, so it's exactly computable at corpus scale). The grade-
+    level companion of `text_quality_score`: sources whose ARI sits far
+    from the corpus band are boilerplate (too regular) or OCR noise
+    (too irregular), and readability drift between snapshots is an
+    early curation regression signal.
+
+    Conventions (the spec, identical both engines): characters =
+    alphanumerics only; words = maximal [A-Za-z0-9]+ runs; sentences =
+    maximal [.!?]+ runs clamped to ≥1 per doc (headline-only docs count
+    as one sentence); ARI from per-SOURCE totals, not per-doc averages.
+
+    Exactness: counts are exact integers; ARI is two integer floor-
+    divisions at milli-scale (471000·L // W + 50000·W // S − 2143000) —
+    no floats anywhere.
+
+    Scale: one corpus scan computing three regex folds per doc,
+    partial-aggregated map-side to the source dictionary."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.selectExpr(
+        "source",
+        "CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '')) AS BIGINT) AS l",
+        r"CAST(size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS w",
+        r"greatest(1L, CAST(size(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT)) AS s",
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("l").cast("long").alias("n_alnum"),
+            F.greatest(F.lit(1).cast("long"), F.sum("w").cast("long")).alias("n_words"),
+            F.sum("s").cast("long").alias("n_sentences"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_alnum",
+            "n_words",
+            "n_sentences",
+            "CAST((471000 * n_alnum) div n_words"
+            " + (50000 * n_words) div n_sentences - 2143000 AS BIGINT) AS ari_milli",
+        )
+        .orderBy("source")
+    )

@@ -835,3 +835,139 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow_thu0", "hr")
     )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation function of daily revenue (lags 1..7, exact integer core)
+# --------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+bounds AS (
+  SELECT min(day) AS d0, CAST(date_diff('day', min(day), max(day)) AS BIGINT) AS span
+  FROM daily
+),
+grid AS MATERIALIZED (
+  SELECT t, coalesce(daily.x, 0) AS x
+  FROM (SELECT unnest(range(0, span + 1)) AS t, d0 FROM bounds) g
+  LEFT JOIN daily ON daily.day = g.d0 + g.t * INTERVAL 1 DAY
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         sum(CAST(x AS HUGEINT) * x) AS q
+  FROM grid
+),
+pairs AS (
+  SELECT k.lag AS lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         sum(CAST(a.x AS HUGEINT) * b.x) AS p_xy,
+         CAST(sum(a.x) AS BIGINT) AS h_sum,
+         CAST(sum(b.x) AS BIGINT) AS t_sum
+  FROM (SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS lag) k
+  JOIN grid a ON true
+  JOIN grid b ON b.t = a.t + k.lag
+  GROUP BY k.lag
+)
+SELECT p.lag, tot.n, p.n_pairs,
+       round(CAST(CAST(tot.n AS HUGEINT) * tot.n * p.p_xy
+                  - CAST(tot.n AS HUGEINT) * tot.s * (p.h_sum + p.t_sum)
+                  + CAST(p.n_pairs AS HUGEINT) * tot.s * tot.s AS DOUBLE)
+             / CAST(CAST(tot.n AS HUGEINT) * tot.n * tot.q
+                  - CAST(tot.n AS HUGEINT) * tot.s * tot.s AS DOUBLE), 6) AS acf
+FROM pairs p, tot
+ORDER BY p.lag
+"""
+
+
+@register(
+    "stats_autocorrelation",
+    _ACF_ORACLE,
+    doc=f"daily-revenue autocorrelation function, lags 1..{_ACF_MAX_LAG} (exact integer core)",
+)
+def stats_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACF of the dense daily-revenue series at lags 1..7 — the
+    memory diagnostic behind every forecasting choice: a spike at lag 7
+    is weekly seasonality (`orders_seasonality_weekday`'s time-domain
+    twin), slow geometric decay says smooth trends (`orders_forecast_holt`
+    applies), all-near-zero says the series is noise and any forecast
+    beyond the mean is overfit. `stats_ljung_box` aggregates these same
+    correlations into one portmanteau statistic; this op shows the lags.
+
+    Exactness: the series is integer cents on the zero-filled dense
+    calendar grid (the `stats_runs_test` construction); for each lag the
+    cross-products, head/tail sums, and totals are exact HUGEINT /
+    DECIMAL(38,0) integers, algebraically combined so the ONLY float is
+    the final ratio — acf_k = (n²·P_k − n·S·(H_k+T_k) + (n−k)·S²) /
+    (n²·Q − n·S²), one shared IEEE division rounded at 6 dp. (Mean
+    centering happens inside the integer algebra: multiplying through by
+    n² clears the rational mean S/n without ever materializing it.)
+
+    Scale: one data-scale groupBy(day); the grid is calendar-bounded, the
+    lag join is 7 shifted equi-joins on the day index, and the result is
+    7 rows. At 100 TB the day dictionary still fits in one partition —
+    the scan dominates, as it should."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"),
+        F.datediff(F.max("day"), F.min("day")).cast("long").alias("span"),
+    )
+    grid = (
+        bounds.select("d0", F.explode(F.sequence(F.lit(0).cast("long"), F.col("span"))).alias("t"))
+        .join(
+            daily.withColumnRenamed("day", "dday"),
+            F.expr("dday = date_add(d0, CAST(t AS INT))"),
+            "left",
+        )
+        .select("t", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)  # feeds totals AND both join sides
+    )
+    tot = grid.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("q"),
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").cast("long").alias("lag"))
+    a = grid.crossJoin(F.broadcast(lags)).select(
+        "lag", F.col("x").alias("xa"), (F.col("t") + F.col("lag")).alias("tb")
+    )
+    b = grid.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    pairs = (
+        a.join(b, "tb")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias("p_xy"),
+            F.sum("xa").cast("long").alias("h_sum"),
+            F.sum("xb").cast("long").alias("t_sum"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "lag",
+            "n",
+            "n_pairs",
+            "round(CAST(CAST(n AS DECIMAL(38,0)) * n * p_xy"
+            " - CAST(n AS DECIMAL(38,0)) * s * (h_sum + t_sum)"
+            " + CAST(n_pairs AS DECIMAL(38,0)) * s * s AS DOUBLE)"
+            " / CAST(CAST(n AS DECIMAL(38,0)) * n * q"
+            " - CAST(n AS DECIMAL(38,0)) * s * s AS DOUBLE), 6) AS acf",
+        )
+        .orderBy("lag")
+    )

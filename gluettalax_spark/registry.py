@@ -80,10 +80,10 @@ def register(
 
 
 # Keys surfaced FIRST so a sampling driver gives them a verdict this
-# round. Round 10 rotation: the r9 driver sample verdicted the first 50
-# keys of the r9 tuple; the 3 tail keys below are the ONLY registry
-# keys without a driver verdict (union of CORRECTNESS_r01–r09), so they
-# lead, followed by operators genuinely new in round 10.
+# round. Round 11 rotation: the r10 driver sample verdicted the whole
+# r10 tuple (all 345 keys now carry a verdict — the board closed in
+# VERDICT r10), so this tuple holds only keys whose SEMANTICS changed
+# this round plus operators genuinely new in round 11.
 #
 # _ROTATION_ROUND records the round this tuple was last rotated. The
 # staleness guard
@@ -92,38 +92,28 @@ def register(
 # current round's deposit NECESSARILY verdicts the current rotation, and
 # treating that as staleness shipped the suite red after every driver
 # drop in rounds 6 and 7 (VERDICT r7 "What's wrong" #1).
-_ROTATION_ROUND = 10
+_ROTATION_ROUND = 11
+
+# Keys whose CONTRACT (output schema, oracle, or cross-engine character
+# source) changed this round: they already carry a prior-round verdict,
+# but that verdict certified the OLD semantics, so re-surfacing them is
+# the point, not a wasted slot — the staleness guard exempts exactly
+# this tuple (tests/test_correctness.py).
+_RECONTRACTED_THIS_ROUND: tuple[str, ...] = (
+    "graph_pagerank",  # rows-only float → oracle-exact e12 integer rounds
+    "text_char_entropy",  # char source '.'→'(?s).' both engines
+    "text_lang_trigram_similarity",  # same (?s). alignment (ADVICE r10)
+)
 
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # -- the 3 keys still lacking a driver verdict after round 9 --
-    "events_markov_accuracy",
-    "dedup_threshold_sensitivity",
-    "corpus_dedup_quality_audit",
-    # -- operators added in round 10 (appended as they land) --
-    "similarity_knn_label_accuracy_ivf",
-    "stats_dunn_posthoc",
-    "stats_friedman_test",
-    "stats_partial_correlation",
-    "text_token_coverage_curve",
-    "text_token_length_entropy",
-    "text_lang_trigram_similarity",
-    "corpus_epoch_schedule",
-    "similarity_ann_recall_curve",
-    "embedding_pq_distortion",
-    "dedup_weighted_jaccard",
-    "orders_backlog_aging",
-    "similarity_cluster_purity",
-    "events_churn_risk_buckets",
-    "graph_degree_distribution",
-    "stats_median_ci_order",
-    "quality_drift_psi",
-    "orders_basket_size_histogram",
-    "embedding_dimension_variance",
-    "dedup_band_sweep",
-    "dedup_storage_savings",
-    "text_doc_length_gini",
-    "events_dow_hour_profile",
-    "text_source_lang_coverage",
+    # -- contracts changed in round 11 (need a fresh verdict) --
+    *_RECONTRACTED_THIS_ROUND,
+    # -- operators added in round 11 (appended as they land) --
+    "events_hazard_rate",
+    "stats_autocorrelation",
+    "orders_lorenz_curve",
+    "stats_levene_bf",
+    "text_readability_ari",
 )
 
 

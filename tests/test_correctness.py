@@ -101,8 +101,18 @@ def test_sampling_rotation_excludes_already_verdicted_keys():
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    stale = _stale_rotation_keys(root, registry._NEW_THIS_ROUND, registry._ROTATION_ROUND)
+    # Keys whose contract changed this round carry a verdict for the OLD
+    # semantics — re-surfacing them is required, not stale (registry
+    # documents each in _RECONTRACTED_THIS_ROUND).
+    rotation = [
+        k for k in registry._NEW_THIS_ROUND
+        if k not in registry._RECONTRACTED_THIS_ROUND
+    ]
+    stale = _stale_rotation_keys(root, rotation, registry._ROTATION_ROUND)
     assert not stale, f"rotation re-surfaces already-verdicted keys: {stale}"
+    # The exemption list itself must be a subset of the rotation (a
+    # recontracted key that isn't surfaced would never get re-verdicted).
+    assert set(registry._RECONTRACTED_THIS_ROUND) <= set(registry._NEW_THIS_ROUND)
 
 
 def test_rotation_guard_ignores_current_round_deposit(tmp_path):

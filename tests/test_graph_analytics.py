@@ -169,12 +169,12 @@ def test_containment_window_keyed_no_self_join(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def _pagerank_brute(sf_dir: str, iters: int = 8, d: float = 0.85):
-    """Independent numpy power iteration over the same co-occurrence
-    graph (support >= 2), symmetric, uniform init — mirrors
-    graph_pagerank's spec exactly."""
-    import numpy as np
-
+def _pagerank_brute(sf_dir: str, iters: int = 8):
+    """Independent pure-Python replay of the integer-quantized power
+    iteration over the same co-occurrence graph (support >= 2),
+    symmetric, uniform init — mirrors graph_pagerank's e12 fixed-point
+    spec exactly. Python ints, no floats anywhere: `//` on positives
+    equals both engines' truncating DIV."""
     li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
     op = li.drop_duplicates()
     pair_count: dict[tuple[int, int], int] = defaultdict(int)
@@ -187,45 +187,51 @@ def _pagerank_brute(sf_dir: str, iters: int = 8, d: float = 0.85):
                 pair_count[(ps[i], ps[j])] += 1
     edges = [e for e, c in pair_count.items() if c >= 2]
     nodes = sorted({n for e in edges for n in e})
-    idx = {n: i for i, n in enumerate(nodes)}
     n = len(nodes)
-    deg = np.zeros(n)
+    deg: dict[int, int] = defaultdict(int)
     for a, b in edges:
-        deg[idx[a]] += 1
-        deg[idx[b]] += 1
-    r = np.full(n, 1.0 / n)
+        deg[a] += 1
+        deg[b] += 1
+    base = 150_000_000_000 // n
+    r = {v: 1_000_000_000_000 // n for v in nodes}
     for _ in range(iters):
-        contrib = r / deg
-        nxt = np.zeros(n)
+        nxt: dict[int, int] = defaultdict(int)
         for a, b in edges:
-            nxt[idx[a]] += contrib[idx[b]]
-            nxt[idx[b]] += contrib[idx[a]]
-        r = (1.0 - d) / n + d * nxt
-    return {node: (r[i], int(deg[i])) for node, i in idx.items()}
+            nxt[a] += r[b] // deg[b]
+            nxt[b] += r[a] // deg[a]
+        r = {v: base + (85 * nxt[v]) // 100 for v in nodes}
+    return {v: (r[v], deg[v]) for v in nodes}
 
 
-def test_pagerank_matches_numpy_recompute(spark, sf_dir):
+def test_pagerank_matches_integer_recompute(spark, sf_dir):
     want = _pagerank_brute(sf_dir)
     got = queries()["graph_pagerank"](spark, sf_dir).collect()
     assert len(got) == 20
     for row in got:
         w_rank, w_deg = want[row["part"]]
         assert row["degree"] == w_deg
-        assert abs(row["rank"] - w_rank) < 1e-6  # output is round(·, 6)
-    # The top-20 really are the global top by rank: no missed head.
-    # Sort the brute side by round(rank, 6) to match the operator's output
-    # ordering — two nodes within 1e-6 at the rank-20 boundary would
-    # otherwise order differently and flake the set compare.
-    top_want = sorted(want.items(), key=lambda kv: (-round(kv[1][0], 6), kv[0]))[:20]
-    assert {r["part"] for r in got} == {n for n, _ in top_want}
-    # Ranks sum to ~1 over the whole graph (probability mass conserved) —
-    # checked on the brute side; Spark's top-20 must agree with it above.
-    import numpy as np
+        assert row["rank_e12"] == w_rank  # exact integer equality
+    # The top-20 really are the global top by rank: no missed head, and
+    # integer ranks make the boundary order exact (no float-tie flake).
+    top_want = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    assert [r["part"] for r in got] == [v for v, _ in top_want]
+    # Embedded invariant: whole-graph integer mass — floor losses keep it
+    # just under 1e12, identically in the brute replay.
+    want_mass = sum(v[0] for v in want.values())
+    assert all(row["mass_e12"] == want_mass for row in got)
+    assert 999_000_000_000 <= want_mass <= 1_000_000_000_000
 
-    assert np.isclose(sum(v[0] for v in want.values()), 1.0, atol=1e-9)
-    # Embedded invariant: the query output carries its own whole-graph
-    # mass total; a drift from 1.0 means a broken iteration.
-    assert all(abs(row["mass_total"] - 1.0) < 1e-5 for row in got)
+
+def test_pagerank_matches_duckdb_oracle(spark, sf_dir, oracle_con):
+    """The whole point of the integer quantization: the 8-round fixpoint
+    trajectory is now hash-exact cross-engine (VERDICT r10 task #3)."""
+    from gluettalax_spark.registry import all_queries
+
+    spec = all_queries()["graph_pagerank"]
+    assert spec.oracle is not None
+    got = [tuple(r) for r in queries()["graph_pagerank"](spark, sf_dir).collect()]
+    want = [tuple(r) for r in oracle_con.execute(spec.oracle).fetchall()]
+    assert got == want
 
 
 def test_pagerank_plan_stays_one_iteration_deep(spark, sf_dir):
