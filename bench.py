@@ -283,6 +283,9 @@ HEADLINE = [
     "orders_lorenz_curve",
     "stats_levene_bf",
     "text_readability_ari",
+    "graph_adamic_adar",
+    "orders_interpurchase_gaps",
+    "stats_grubbs_test",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40
@@ -474,6 +477,136 @@ def run_scaling() -> None:
     spark.stop()
 
 
+# The 100× rehearsal family (`python bench.py --scaling-100x`): the
+# heaviest operators from the 10× capture (BENCH_SELF "scaling", sf1.0
+# column) plus the cap-observability rung. Wall-clock at sf10 makes a
+# full SCALING_SUBSET sweep impractical; these are the curves whose
+# bend actually decides the 100 TB story (VERDICT r10 task #4).
+SCALING_100X_SUBSET = [
+    "similarity_knn_label_accuracy_ivf",  # IVF rung — must stay flatter...
+    "similarity_knn_label_accuracy",      # ...than this brute-force rung
+    "embedding_covariance",
+    "embedding_neardup",
+    "text_bigram_logppl",
+    "graph_hits_bipartite",
+    "similarity_topk_hamming",
+    "graph_modularity",
+    "dedup_minhash_lsh",
+    "graph_pagerank",
+    "corpus_dedup_quality_audit",
+    "similarity_item_cf",
+    "stats_spearman_quality_length",
+    "quality_signal_agreement",
+    "graph_clustering_coefficient",
+    "dedup_band_spill_report",  # the cap witness: over-cap buckets MUST engage
+]
+
+
+def run_scaling_100x() -> None:
+    """Time SCALING_100X_SUBSET at sf0.1 and a deterministic 100× scale-up
+    (sf10, ~1.7 GB) side by side — the dress rehearsal for the 100 TB
+    claim two orders of magnitude above the bench SF. Writes a
+    ``scaling_100x`` section into BENCH_SELF.json; a ratio materially
+    above 100 (> 130, same 1.3 slack as the 10× sweep) flags super-linear
+    work. Also records the over-cap band count from
+    ``dedup_band_spill_report`` at sf10 — the caps must ENGAGE at this
+    scale (a zero there would mean the duplicate-group quadratics were
+    never actually exercised)."""
+    from gluettalax_spark import registry
+    from gluettalax_spark.session import get_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from make_scale import REPO, ensure_scaled
+
+    big_dir = ensure_scaled(dst=os.path.join(REPO, ".scaledata", "sf10"), factor=100)
+    spark = get_spark("gluettalax-bench-scaling-100x")
+    specs = registry.all_queries()
+    names = [n for n in SCALING_100X_SUBSET if n in specs]
+    # Resume knob (the validate_contract.py convention): a 100× sweep is
+    # tens of minutes, and an OOM partway through shouldn't re-pay the
+    # measured prefix — completed rows merge into the existing section.
+    start_after = os.environ.get("SPARK_GRAFT_100X_START_AFTER")
+    if start_after in names:
+        names = names[names.index(start_after) + 1 :]
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    factor = 100.0
+
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    results: dict[str, dict] = {}
+    for name in names:
+        builder = specs[name].builder
+        row: dict[str, float | bool] = {}
+        for label, d in (("sf0.1", SF_DIR), ("sf10", big_dir)):
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                builder(spark, d).count()
+                samples.append(time.perf_counter() - t0)
+            row[label] = round(min(samples), 4)
+        row["ratio"] = round(row["sf10"] / row["sf0.1"], 2)
+        row["super_linear"] = row["ratio"] > factor * 1.3
+        results[name] = row
+        print(
+            f"  {name}: {row['sf0.1']}s -> {row['sf10']}s (x{row['ratio']})"
+            + ("  ** SUPER-LINEAR" if row["super_linear"] else ""),
+            file=sys.stderr,
+            flush=True,
+        )
+
+    # Cap witness: how many (band, bucket) groups exceeded the LSH band
+    # cap at sf10 (size-100 duplicate groups by construction).
+    # The report returns ONE ROW PER over-cap bucket (0 rows on a healthy
+    # corpus) — at sf10 every doc has 100 byte-identical copies, so the
+    # count must be positive or the caps never actually fired.
+    overcap = None
+    if "dedup_band_spill_report" in specs:
+        overcap = specs["dedup_band_spill_report"].builder(spark, big_dir).count()
+
+    self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
+    try:
+        with open(self_path) as fh:
+            existing = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        existing = {}
+    # Merge with a prior partial sweep (resume path above).
+    merged = dict(existing.get("scaling_100x", {}).get("queries", {}))
+    merged.update(results)
+    results = merged
+
+    ivf, brute = results.get("similarity_knn_label_accuracy_ivf"), results.get(
+        "similarity_knn_label_accuracy"
+    )
+    section = {
+        "data_factor": factor,
+        "runs_per_query": runs,
+        "timing": "warm best-of-N, count() action",
+        "queries": results,
+        "n_super_linear": sum(1 for r in results.values() if r["super_linear"]),
+        "total_sf0.1": round(sum(r["sf0.1"] for r in results.values()), 4),
+        "total_sf10": round(sum(r["sf10"] for r in results.values()), 4),
+        "band_cap_groups_engaged_sf10": overcap,
+        "ivf_flatter_than_brute": (
+            bool(ivf and brute and ivf["ratio"] < brute["ratio"]) if ivf and brute else None
+        ),
+    }
+    existing["scaling_100x"] = section
+    with open(self_path, "w") as fh:
+        json.dump(existing, fh, indent=1)
+        fh.write("\n")
+    compact = {
+        "metric": "scaling_100x",
+        "n_queries": len(results),
+        "n_super_linear": section["n_super_linear"],
+        "total_sf0.1": section["total_sf0.1"],
+        "total_sf10": section["total_sf10"],
+        "ivf_flatter_than_brute": section["ivf_flatter_than_brute"],
+        "worst": dict(sorted(((n, r["ratio"]) for n, r in results.items()),
+                             key=lambda kv: -kv[1])[:8]),
+    }
+    print(json.dumps(compact), flush=True)
+    spark.stop()
+
+
 # Reference timing for the calibration probe, measured INSIDE a bench
 # run on this machine during an idle phase (round 8: warm in-session
 # best-of-3 was 0.250 s; a cold standalone session reads ~0.31 s, so the
@@ -657,7 +790,7 @@ def main() -> None:
                 existing = json.load(fh)
         except (OSError, json.JSONDecodeError):
             existing = {}
-        for section in ("scaling", "streaming", "duck_anchor"):
+        for section in ("scaling", "scaling_100x", "streaming", "duck_anchor"):
             if section in existing:
                 full[section] = existing[section]
         with open(self_path, "w") as fh:
@@ -880,7 +1013,9 @@ def run_duck_anchor() -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-100x" in sys.argv:
+        run_scaling_100x()
+    elif "--scaling" in sys.argv:
         run_scaling()
     elif "--streaming" in sys.argv:
         run_streaming()

@@ -1771,3 +1771,122 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction (rare-neighbor-weighted common neighbors)
+# --------------------------------------------------------------------------
+
+# Per-center wedge weight floor(1e8 / ln(d_z)) — quantized BEFORE the sum
+# (the exp/ln libm-ulp discipline), so AA scores are exact int64 sums.
+# Centers need >= 2 neighbors to form a wedge, so ln(d_z) >= ln 2 > 0.
+_AA_SCALE = 100_000_000
+
+_ADAMIC_ADAR_ORACLE = f"""
+WITH op AS (
+  SELECT o, p FROM {_DUCK_CAPPED_OP}
+), e AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= {_TRI_MIN_SUPPORT}
+), adj AS (
+  SELECT pa AS n, pb AS nbr FROM e UNION ALL SELECT pb AS n, pa AS nbr FROM e
+), deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY n
+), wedges AS (
+  SELECT x.nbr AS a, y.nbr AS b,
+         CAST(count(*) AS BIGINT) AS common_neighbors,
+         CAST(sum(CAST(floor({_AA_SCALE} / ln(CAST(dc.d AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS aa_e8
+  FROM adj x
+  JOIN adj y ON x.n = y.n AND x.nbr < y.nbr
+  JOIN deg dc ON dc.n = x.n AND dc.d <= {_LINKPRED_MAX_DEG}
+  GROUP BY x.nbr, y.nbr
+), cand AS (
+  SELECT w.a, w.b, w.common_neighbors, w.aa_e8 FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = w.a AND e.pb = w.b)
+)
+SELECT c.a AS node_a, c.b AS node_b, c.common_neighbors,
+       da.d AS deg_a, db.d AS deg_b, c.aa_e8
+FROM cand c
+JOIN deg da ON da.n = c.a
+JOIN deg db ON db.n = c.b
+ORDER BY c.aa_e8 DESC, node_a, node_b
+LIMIT {_LINKPRED_TOPK}
+"""
+
+
+@register(
+    "graph_adamic_adar",
+    _ADAMIC_ADAR_ORACLE,
+    doc=f"top-{_LINKPRED_TOPK} predicted links by Adamic-Adar (exact integer e8 scores)",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003 — public): like
+    `graph_jaccard_linkpred` but each common neighbor z is weighted
+    1/ln(deg z), so a RARE shared neighbor certifies a link far more
+    strongly than a hub everyone touches — the standard fix for
+    Jaccard's hub-pollution failure, usually the strongest unsupervised
+    link predictor of the classic family on co-occurrence graphs.
+
+    Exactness: each center's wedge weight floor(1e8/ln d) quantizes to
+    an integer BEFORE summation (the libm-ulp discipline), so every AA
+    score is an exact int64 sum both engines replay; top-k order is
+    (aa_e8 desc, node_a, node_b) — total.
+
+    Scale shape: identical to the Jaccard rung — wedges explode
+    map-side from each center's sorted adjacency array, hub centers
+    past {_LINKPRED_MAX_DEG} neighbors are excluded BEFORE the explode
+    (the oracle replays the cap: it is part of the spec), candidates
+    anti-join the edge set, degrees join on the node key, top-k is
+    TakeOrderedAndProject."""
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = edges.select(F.col("pa").alias("n"), F.col("pb").alias("nbr")).unionAll(
+        edges.select(F.col("pb").alias("n"), F.col("pa").alias("nbr"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    nbrs = (
+        adj.groupBy("n")
+        .agg(F.sort_array(F.collect_set("nbr")).alias("ns"))
+        # Degree-1 centers form no wedges anyway, and must drop BEFORE the
+        # weight projection: ln(1) = 0 and ANSI mode turns 1e8/0 into an
+        # error even on rows the explode would discard.
+        .filter((F.size("ns") >= 2) & (F.size("ns") <= _LINKPRED_MAX_DEG))
+        .withColumn(
+            "w",
+            F.expr(f"CAST(floor({_AA_SCALE} / ln(CAST(size(ns) AS DOUBLE))) AS BIGINT)"),
+        )
+    )
+    wedges = nbrs.select(
+        "w",
+        F.explode(
+            F.expr(
+                "flatten(transform(ns, (x, i) -> "
+                "transform(slice(ns, i + 2, size(ns)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("e"),
+    ).select("e.a", "e.b", "w")
+    scored = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        F.sum("w").cast("long").alias("aa_e8"),
+    )
+    cand = scored.join(
+        edges.select(F.col("pa").alias("a"), F.col("pb").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return (
+        cand.join(deg.select(F.col("n").alias("a"), F.col("d").alias("deg_a")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("deg_b")), "b")
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            "common_neighbors",
+            "deg_a",
+            "deg_b",
+            "aa_e8",
+        )
+        .orderBy(F.desc("aa_e8"), "node_a", "node_b")
+        .limit(_LINKPRED_TOPK)
+    )

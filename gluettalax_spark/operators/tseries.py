@@ -971,3 +971,243 @@ def stats_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-purchase gap distribution (per-customer consecutive-order spacing)
+# --------------------------------------------------------------------------
+
+_IPG_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey AS c, o_orderdate AS d,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev_d
+  FROM orders
+),
+gaps AS (
+  SELECT c, CAST(date_diff('day', prev_d, d) AS BIGINT) AS gap
+  FROM seq WHERE prev_d IS NOT NULL
+),
+dict AS (SELECT gap, CAST(count(*) AS BIGINT) AS ng FROM gaps GROUP BY gap),
+r AS (
+  SELECT gap, ng,
+         CAST(sum(ng) OVER (ORDER BY gap
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM dict
+),
+tot AS (
+  SELECT CAST(sum(ng) AS BIGINT) AS n_gaps,
+         CAST(sum(CAST(gap AS HUGEINT) * ng) AS BIGINT) AS s_gap,
+         (SELECT CAST(count(DISTINCT c) AS BIGINT) FROM gaps) AS n_repeat_customers
+  FROM dict
+)
+SELECT tot.n_repeat_customers, tot.n_gaps,
+       min(CASE WHEN r.cum >= (tot.n_gaps * 25 + 99) // 100 THEN r.gap END) AS p25_days,
+       min(CASE WHEN r.cum >= (tot.n_gaps * 50 + 99) // 100 THEN r.gap END) AS p50_days,
+       min(CASE WHEN r.cum >= (tot.n_gaps * 75 + 99) // 100 THEN r.gap END) AS p75_days,
+       min(CASE WHEN r.cum >= (tot.n_gaps * 90 + 99) // 100 THEN r.gap END) AS p90_days,
+       CAST(max(tot.s_gap) * 1000 // max(tot.n_gaps) AS BIGINT) AS mean_gap_milli
+FROM r, tot
+GROUP BY tot.n_repeat_customers, tot.n_gaps
+"""
+
+
+@register(
+    "orders_interpurchase_gaps",
+    _IPG_ORACLE,
+    doc="inter-purchase gap distribution: exact integer-day percentiles + milli-day mean",
+)
+def orders_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long do customers wait between orders? The gap distribution
+    between each customer's consecutive orders — p25/p50/p75/p90 plus
+    the mean — the replenishment-cycle constant behind churn windows
+    (`events_churn_risk_buckets`), campaign cadence, and the Croston
+    intermittency model (`orders_croston_intermittent`); the order-table
+    sibling of `events_interarrival_by_type`.
+
+    Conventions: consecutive = ordered by (o_orderdate, o_orderkey)
+    within customer (same-day pairs gap 0, deterministic under ties);
+    percentile rank = ceil(n·p/100), value = smallest gap whose
+    cumulative count reaches it (an ACTUAL gap, no interpolation).
+
+    Exactness: gaps are exact integer days; percentiles come off the
+    gap dictionary by integer rank; the mean is one integer
+    milli-division.
+
+    Scale: the lag window partitions by customer — per-customer order
+    counts are a data-model constant, so no task sees unbounded rows —
+    then one groupBy to the gap dictionary (day-span-bounded);
+    percentile probes are conditional aggregates over it."""
+    from pyspark.sql.window import Window
+
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            F.col("o_custkey").alias("c"),
+            F.col("o_orderdate").alias("d"),
+            F.lag("o_orderdate").over(w).alias("prev_d"),
+        )
+        .filter(F.col("prev_d").isNotNull())
+        .select("c", F.datediff("d", "prev_d").cast("long").alias("gap"))
+        .localCheckpoint(eager=False)  # feeds the dictionary AND n_repeat
+    )
+    dict_df = (
+        gaps.groupBy("gap")
+        .agg(F.count(F.lit(1)).cast("long").alias("ng"))
+        .withColumn("_g", F.lit(1))
+        .localCheckpoint(eager=False)
+    )
+    r = grouped_running_sum(dict_df, ["_g"], ["gap"], "ng", "cum").select("gap", "ng", "cum")
+    tot = (
+        dict_df.agg(
+            F.sum("ng").cast("long").alias("n_gaps"),
+            F.sum(F.col("gap").cast("decimal(38,0)") * F.col("ng")).cast("long").alias("s_gap"),
+        )
+        .crossJoin(
+            gaps.agg(F.countDistinct("c").cast("long").alias("n_repeat_customers"))
+        )
+    )
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .groupBy("n_repeat_customers", "n_gaps")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n_gaps * 25 + 99) div 100"), F.col("gap"))
+            ).alias("p25_days"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n_gaps * 50 + 99) div 100"), F.col("gap"))
+            ).alias("p50_days"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n_gaps * 75 + 99) div 100"), F.col("gap"))
+            ).alias("p75_days"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n_gaps * 90 + 99) div 100"), F.col("gap"))
+            ).alias("p90_days"),
+            F.expr("CAST(max(s_gap) * 1000 div max(n_gaps) AS BIGINT)").alias("mean_gap_milli"),
+        )
+        .select(
+            "n_repeat_customers", "n_gaps",
+            "p25_days", "p50_days", "p75_days", "p90_days", "mean_gap_milli",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Grubbs outlier test on daily revenue (max studentized deviation)
+# --------------------------------------------------------------------------
+
+_GRUBBS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+bounds AS (
+  SELECT min(day) AS d0, CAST(date_diff('day', min(day), max(day)) AS BIGINT) AS span
+  FROM daily
+),
+grid AS MATERIALIZED (
+  SELECT t, coalesce(daily.x, 0) AS x
+  FROM (SELECT unnest(range(0, span + 1)) AS t, d0 FROM bounds) g
+  LEFT JOIN daily ON daily.day = g.d0 + g.t * INTERVAL 1 DAY
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         sum(CAST(x AS HUGEINT) * x) AS q
+  FROM grid
+),
+dev AS (
+  SELECT t, x, abs(CAST(tot.n AS HUGEINT) * x - tot.s) AS d FROM grid, tot
+),
+dmax AS (SELECT max(d) AS dm FROM dev),
+pick AS (
+  SELECT min(t) AS outlier_t FROM dev, dmax WHERE dev.d = dmax.dm
+)
+SELECT tot.n, pick.outlier_t, dev.x AS x_outlier,
+       CAST(dmax.dm AS BIGINT) AS d_max,
+       round((CAST(dmax.dm AS DOUBLE) / tot.n)
+             / sqrt((CAST(tot.q AS DOUBLE) - CAST(tot.s AS DOUBLE) * tot.s / tot.n)
+                    / (tot.n - 1)), 6) AS g_stat
+FROM pick
+JOIN dev ON dev.t = pick.outlier_t, dmax, tot
+"""
+
+
+@register(
+    "stats_grubbs_test",
+    _GRUBBS_ORACLE,
+    doc="Grubbs max-studentized-deviation outlier test on daily revenue (integer argmax)",
+)
+def stats_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' test: is the single most extreme day a statistical
+    outlier? G = max|x − x̄| / s over the dense daily-revenue grid, plus
+    WHICH day it is — the one-shot outlier check behind incident
+    review ("was Black Friday real or an ingestion bug?"), complementing
+    the per-window `events_outlier_mad` (distributional) with a single
+    corpus-level verdict on the worst day.
+
+    Exactness: the argmax is INTEGER — |n·x_t − S| maximizes exactly
+    where |x_t − S/n| does, so the outlier day, its value, and d_max
+    are exact (HUGEINT/DECIMAL(38,0)); ties break to the earliest day
+    identically in both engines; G is one shared IEEE expression over
+    (d_max, n, S, Q) rounded at 6 dp.
+
+    Scale: one data-scale groupBy(day); everything else is
+    calendar-bounded arithmetic on the grid."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"),
+        F.datediff(F.max("day"), F.min("day")).cast("long").alias("span"),
+    )
+    grid = (
+        bounds.select("d0", F.explode(F.sequence(F.lit(0).cast("long"), F.col("span"))).alias("t"))
+        .join(
+            daily.withColumnRenamed("day", "dday"),
+            F.expr("dday = date_add(d0, CAST(t AS INT))"),
+            "left",
+        )
+        .select("t", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)  # feeds totals, deviations, and the pick
+    )
+    tot = grid.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("q"),
+    )
+    dev = grid.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "x",
+        F.abs(F.col("n").cast("decimal(38,0)") * F.col("x") - F.col("s")).alias("d"),
+    ).localCheckpoint(eager=False)
+    dmax = dev.agg(F.max("d").alias("dm"))
+    pick = (
+        dev.crossJoin(F.broadcast(dmax))
+        .filter(F.col("d") == F.col("dm"))
+        .agg(F.min("t").alias("outlier_t"))
+    )
+    return (
+        pick.join(dev, pick.outlier_t == dev.t)
+        .crossJoin(F.broadcast(dmax))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "n",
+            "outlier_t",
+            "x AS x_outlier",
+            "CAST(dm AS BIGINT) AS d_max",
+            "round((CAST(dm AS DOUBLE) / n)"
+            " / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)), 6) AS g_stat",
+        )
+    )

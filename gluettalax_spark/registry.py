@@ -114,6 +114,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "orders_lorenz_curve",
     "stats_levene_bf",
     "text_readability_ari",
+    "graph_adamic_adar",
+    "orders_interpurchase_gaps",
+    "stats_grubbs_test",
 )
 
 
