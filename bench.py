@@ -286,6 +286,8 @@ HEADLINE = [
     "graph_adamic_adar",
     "orders_interpurchase_gaps",
     "stats_grubbs_test",
+    "text_pii_pattern_scan",
+    "text_html_tag_residue",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40

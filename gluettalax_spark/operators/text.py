@@ -4775,3 +4775,188 @@ def text_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# PII pattern scan (emails / IPv4 / SSN-like / phone-like) per source
+# --------------------------------------------------------------------------
+
+# Conservative patterns that parse AND match identically under Java regex
+# (Spark) and RE2 (DuckDB): no lookaround, no backrefs, explicit classes.
+# Counting is leftmost-non-overlapping in both engines.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+_PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_PII_PHONE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+         CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS BIGINT) AS n_ssn,
+         CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS n_email,
+       CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+       CAST(sum(n_ssn) AS BIGINT) AS n_ssn,
+       CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       CAST(sum(CASE WHEN n_email + n_ipv4 + n_ssn + n_phone > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_with_pii,
+       CAST(sum(CASE WHEN n_email + n_ipv4 + n_ssn + n_phone > 0 THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS pii_docs_ppm
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_pii_pattern_scan",
+    _PII_ORACLE,
+    doc="PII pattern scan per source: email/IPv4/SSN-like/phone-like match counts + doc ppm",
+)
+def text_pii_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redaction pre-flight every LLM training pipeline runs: how
+    much PII-shaped text does each source carry? Four conservative
+    pattern families (emails, IPv4s, SSN-shaped 3-2-4 numbers,
+    phone-shaped 3-3-4 numbers) counted per document and rolled up to
+    source totals plus the fraction of documents carrying any hit —
+    the number that decides whether a source needs a redaction pass
+    (`text_redact_stats` is the accompanying transform) or can ship.
+
+    Exactness: pure integer match counts; patterns avoid every Java/RE2
+    divergence (no lookaround, no backrefs, [.] instead of escaped dot
+    so the same literal string feeds both engines); counting is
+    leftmost-non-overlapping in both. The ppm is an integer floor
+    division.
+
+    Scale: one corpus scan, four regex folds per row pipelining inside
+    the scan stage, partial-aggregated map-side to the source
+    dictionary."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        *[
+            F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)")).cast("long").alias(name)
+            for name, pat in (
+                ("n_email", _PII_EMAIL),
+                ("n_ipv4", _PII_IPV4),
+                ("n_ssn", _PII_SSN),
+                ("n_phone", _PII_PHONE),
+            )
+        ],
+    )
+    any_hit = (
+        F.col("n_email") + F.col("n_ipv4") + F.col("n_ssn") + F.col("n_phone") > 0
+    ).cast("long")
+    return (
+        per_doc.withColumn("hit", any_hit)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_email").cast("long").alias("n_email"),
+            F.sum("n_ipv4").cast("long").alias("n_ipv4"),
+            F.sum("n_ssn").cast("long").alias("n_ssn"),
+            F.sum("n_phone").cast("long").alias("n_phone"),
+            F.sum("hit").cast("long").alias("n_docs_with_pii"),
+            F.expr("CAST(sum(hit) * 1000000 div count(1) AS BIGINT)").alias("pii_docs_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# HTML/markup residue per source (extraction-leak detector)
+# --------------------------------------------------------------------------
+
+_HTML_MARKERS = ("</", "&amp;", "&lt;", "<div", "href=")
+
+
+def _contains_count(marker: str) -> str:
+    """Occurrence count of a literal via length difference — no regex, so
+    metacharacters in markers can't diverge between engines."""
+    q = marker.replace("'", "''")
+    return (
+        f"(length(text) - length(replace(text, '{q}', ''))) / {len(marker)}"
+    )
+
+
+_HTML_ORACLE = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {", ".join(
+           f"CAST(sum(CASE WHEN position('{m.replace(chr(39), chr(39)*2)}' IN text) > 0 "
+           f"THEN 1 ELSE 0 END) AS BIGINT) AS docs_m{i}"
+           for i, m in enumerate(_HTML_MARKERS)
+       )},
+       CAST(sum({" + ".join("CAST(" + _contains_count(m) + " AS BIGINT)" for m in _HTML_MARKERS)})
+            AS BIGINT) AS n_marker_hits,
+       CAST(sum(CASE WHEN {" OR ".join(
+           f"position('{m.replace(chr(39), chr(39)*2)}' IN text) > 0" for m in _HTML_MARKERS
+       )} THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS residue_docs_ppm
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_html_tag_residue",
+    _HTML_ORACLE,
+    doc="HTML/markup residue per source: marker doc-counts + total hits + residue ppm",
+)
+def text_html_tag_residue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction-leak detector: documents that still contain raw markup
+    (closing tags, HTML entities, hrefs) after text extraction — the
+    classic RefinedWeb/CCNet cleanliness check. A source whose residue
+    ppm jumps between snapshots changed its extractor, not its content.
+
+    Markers are LITERALS counted via position()/length-difference — no
+    regex anywhere, so there is no cross-engine metacharacter surface at
+    all. Integer counts and one ppm floor division; one scan,
+    source-dictionary aggregate."""
+    docs = load(spark, sf_dir, "documents")
+
+    def occ(m: str):  # per-term integer occurrence count (the oracle's shape)
+        return (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(m), F.lit(""))))
+            / len(m)
+        ).cast("long")
+
+    hits = sum(occ(m) for m in _HTML_MARKERS)
+    any_marker = sum(
+        (F.instr(F.col("text"), m) > 0).cast("long") for m in _HTML_MARKERS
+    ) > 0
+    per_doc = docs.select(
+        "source",
+        hits.alias("h"),
+        any_marker.cast("long").alias("a"),
+        *[
+            (F.instr(F.col("text"), m) > 0).cast("long").alias(f"m{i}")
+            for i, m in enumerate(_HTML_MARKERS)
+        ],
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            *[
+                F.sum(f"m{i}").cast("long").alias(f"docs_m{i}")
+                for i in range(len(_HTML_MARKERS))
+            ],
+            F.sum("h").cast("long").alias("n_marker_hits"),
+            F.sum("a").cast("long").alias("n_residue_docs"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            *[f"docs_m{i}" for i in range(len(_HTML_MARKERS))],
+            "n_marker_hits",
+            "CAST(n_residue_docs * 1000000 div n_docs AS BIGINT) AS residue_docs_ppm",
+        )
+        .orderBy("source")
+    )

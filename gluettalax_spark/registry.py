@@ -117,6 +117,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "graph_adamic_adar",
     "orders_interpurchase_gaps",
     "stats_grubbs_test",
+    "text_pii_pattern_scan",
+    "text_html_tag_residue",
 )
 
 
