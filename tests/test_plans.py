@@ -792,3 +792,72 @@ def test_aqe_skew_join_splits_hot_key(spark):
     # splitting the hot partition carries 30% of all probe rows through
     # one task).
     assert t_skew <= 2.0 * t_flat, (t_skew, t_flat)
+
+
+R11_NEW_OPS = [
+    "events_hazard_rate",
+    "stats_autocorrelation",
+    "orders_lorenz_curve",
+    "stats_levene_bf",
+    "text_readability_ari",
+    "graph_adamic_adar",
+    "orders_interpurchase_gaps",
+    "stats_grubbs_test",
+    "text_pii_pattern_scan",
+    "text_html_tag_residue",
+]
+
+
+def test_r11_ops_no_cartesian_or_rowwise_python(spark, sf_dir):
+    """Every round-11 operator: no cartesian/nested-loop join anywhere
+    except broadcast of a 1-row/constant-size side, and no row-at-a-time
+    Python (BatchEvalPython) in the plan — the two instant 100 TB
+    disqualifiers."""
+    for name in R11_NEW_OPS:
+        plan = physical_plan(queries()[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        # BroadcastNestedLoopJoin is legitimate ONLY as a crossJoin of a
+        # broadcast scalar/constant-size aggregate (totals, probe sets).
+        for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+            assert "BuildRight" in frag[:80] or "BuildLeft" in frag[:80], (name, frag[:200])
+
+
+def test_pii_scan_prunes_to_source_and_text(spark, sf_dir):
+    plan = formatted_plan(queries()["text_pii_pattern_scan"](spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"source", "text"}, cols
+
+
+def test_acf_lag_join_is_broadcast(spark, sf_dir):
+    """The 7-lag self-join of the calendar grid must broadcast the lag
+    dimension — a shuffled join of a 7-row table would be silly at any
+    scale."""
+    plan = physical_plan(queries()["stats_autocorrelation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_adamic_adar_is_wedge_explode_not_self_join(spark, sf_dir):
+    """Candidate pairs must come from the per-center array explode
+    (Generate in the plan), with the non-edge filter as a left-anti
+    join — the same shape the Jaccard rung pins."""
+    plan = physical_plan(queries()["graph_adamic_adar"](spark, sf_dir))
+    assert "Generate explode" in plan or "Generate" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_lorenz_has_no_data_scale_window(spark, sf_dir):
+    """The customer sort rides the range-exchange rank machinery; the
+    only window in the plan must sit above a pid-grouped aggregate or
+    the 10-row decile table, never over the customer table itself."""
+    plan = physical_plan(queries()["orders_lorenz_curve"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # The decile table is frozen with localCheckpoint (the plan reads
+    # Scan ExistingRDD), so the ONLY window visible in the final plan is
+    # the cumulative sum over those 10 rows — any data-scale window
+    # would have to appear here, and must not.
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("Window") <= 1, plan
