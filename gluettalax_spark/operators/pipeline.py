@@ -3316,13 +3316,16 @@ def orders_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_customers"),
             F.sum("cents").cast("long").alias("decile_cents"),
         )
+        .withColumn("_g", F.lit(1))
         .localCheckpoint(eager=False)  # 10 rows; feeds total AND the curve
     )
     tot = dec.agg(F.sum("decile_cents").cast("long").alias("total"))
-    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    cum = grouped_running_sum(dec, ["_g"], ["decile"], "decile_cents", "cum_cents")
     return (
-        dec.crossJoin(F.broadcast(tot))
-        .withColumn("cum_cents", F.sum("decile_cents").over(w).cast("long"))
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("cum_cents", F.col("cum_cents").cast("long"))
         .selectExpr(
             "decile",
             "n_customers",

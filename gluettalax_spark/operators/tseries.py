@@ -1148,7 +1148,12 @@ def stats_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHICH day it is — the one-shot outlier check behind incident
     review ("was Black Friday real or an ingestion bug?"), complementing
     the per-window `events_outlier_mad` (distributional) with a single
-    corpus-level verdict on the worst day.
+    corpus-level verdict on the worst day. Deliberate sibling of
+    `stats_grubbs_daily` (r9): that one screens EVENT COUNTS on the
+    sparse observed-day table (latest-day tiebreak); this one screens
+    REVENUE on the zero-filled calendar grid (earliest-day tiebreak) —
+    idle days count as zeros here because a missing revenue day IS the
+    anomaly this screen exists to catch.
 
     Exactness: the argmax is INTEGER — |n·x_t − S| maximizes exactly
     where |x_t − S/n| does, so the outlier day, its value, and d_max

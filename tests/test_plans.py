@@ -853,11 +853,11 @@ def test_lorenz_has_no_data_scale_window(spark, sf_dir):
     """The customer sort rides the range-exchange rank machinery; the
     only window in the plan must sit above a pid-grouped aggregate or
     the 10-row decile table, never over the customer table itself."""
-    plan = physical_plan(queries()["orders_lorenz_curve"](spark, sf_dir))
+    df = queries()["orders_lorenz_curve"](spark, sf_dir)
+    plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     # The decile table is frozen with localCheckpoint (the plan reads
-    # Scan ExistingRDD), so the ONLY window visible in the final plan is
-    # the cumulative sum over those 10 rows — any data-scale window
-    # would have to appear here, and must not.
+    # Scan ExistingRDD); the cumulative sum rides grouped_running_sum,
+    # so every window is pid-keyed — the repo-wide audit must hold here.
     assert "Scan ExistingRDD" in plan, plan
-    assert plan.count("Window") <= 1, plan
+    assert _unbounded_global_windows(df) == [], plan
