@@ -207,6 +207,17 @@ SHOWCASE = {
     "text_doc_length_gini": "rank moment folded over the (source x length) dictionary; no row ranking",
     "events_dow_hour_profile": "epoch-arithmetic dow; map-side partial agg onto the <=168-cell grid",
     "text_source_lang_coverage": "one (source x lang) grid agg; marginals re-aggregate the grid and broadcast",
+    # round-11 additions
+    "events_hazard_rate": "KM day-dictionary running sums; integer ppm hazard + Nelson-Aalen cumulative",
+    "stats_autocorrelation": "dense calendar grid; 7 broadcast lag joins; integer-algebra mean clearing",
+    "orders_lorenz_curve": "exact_global_rank range exchange + ntile arithmetic; window only over 10 decile rows",
+    "stats_levene_bf": "(type x cent) dictionary medians; ANOVA moments reweight existing cells",
+    "text_readability_ari": "three regex folds per row inside the scan stage; source-dictionary agg",
+    "graph_adamic_adar": "wedge explode with pre-quantized 1/ln(d) center weights; anti-join keeps non-edges",
+    "orders_interpurchase_gaps": "bounded per-customer lag window; gap-dictionary percentile rank probes",
+    "stats_grubbs_test": "integer argmax |n*x - S| on the dense grid; 1-row moment frame broadcast",
+    "text_pii_pattern_scan": "four Java∩RE2-safe regex folds pipelined in the scan; source grid agg",
+    "text_html_tag_residue": "position() literal markers, zero regex surface; one scan, one grid agg",
 }
 
 
