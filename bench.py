@@ -742,11 +742,18 @@ def main() -> None:
         if sf == IO_CAL_REF_SF
         else None  # I/O pin is sf0.1-specific; other SFs fall back to CPU
     )
-    noise_factor = (
+    noise_factor_blend = (
         round((noise_factor_cpu + noise_factor_io) / 2, 3)
         if noise_factor_io is not None
         else noise_factor_cpu
     )
+    # Clamp at 1.0 (verdict-r11 finding #1): normalization exists to correct
+    # SLOWDOWNS vs the idle-machine pins, never to inflate an idle capture.
+    # The pins were measured on this machine's idle state; a sub-1.0 blend
+    # means the probe got lucky (cache-hot page/JIT state), not that the VM
+    # ran 1.8x faster — dividing by it would flip the 2x gate red on probe
+    # luck in the fast direction (the exact mirror of the r10 contamination).
+    noise_factor = max(1.0, noise_factor_blend)
 
     total = round(sum(timings.values()), 4)
     r4_names = [n for n in R4_SUBSET if n in timings]
@@ -767,8 +774,9 @@ def main() -> None:
         "io_calibration_ref_sec": IO_CAL_REF_SEC,
         "noise_factor_cpu": noise_factor_cpu,
         "noise_factor_io": noise_factor_io,
+        "noise_factor_blend": noise_factor_blend,
         "noise_factor": noise_factor,
-        "noise_factor_note": "blended mean(cpu,io) at sf0.1; cpu-only otherwise (r11)",
+        "noise_factor_note": "max(1.0, blended mean(cpu,io)) at sf0.1; cpu-only otherwise (r12: clamped - normalization only corrects slowdowns)",
         "value_normalized": round(total / noise_factor, 4),
         "r4_subset_value_normalized": round(sum(timings[n] for n in r4_names) / noise_factor, 4),
         "n_queries": len(timings),
@@ -815,6 +823,7 @@ def main() -> None:
         "io_calibration_sec": min(io_cal_before, io_cal_after),
         "noise_factor_cpu": noise_factor_cpu,
         "noise_factor_io": noise_factor_io,
+        "noise_factor_blend": noise_factor_blend,
         "noise_factor": noise_factor,
         "value_normalized": full["value_normalized"],
         "r4_subset_value_normalized": full["r4_subset_value_normalized"],

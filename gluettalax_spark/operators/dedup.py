@@ -1943,3 +1943,211 @@ def dedup_storage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring (duplicate-span) dedup — Lee et al. 2022 style
+# --------------------------------------------------------------------------
+
+# Duplicate-substring detection at token-gram granularity ("Deduplicating
+# Training Data Makes Language Models Better", Lee et al. 2022): a position
+# is duplicated when its K-token gram occurs >= 2 times corpus-wide;
+# adjacent duplicated positions merge into maximal runs (the spans a
+# training pipeline would cut). The published system builds a suffix
+# array; the Spark-native equivalent is rolling K-gram fingerprints +
+# gaps-and-islands run merge — same spans for runs >= K tokens, fully
+# relational, no suffix-array memory wall.
+SUBSTRING_K = 5
+# Document-frequency cap: a gram in > MAX_GRAM_DF distinct docs is
+# template boilerplate ("click here to unsubscribe ..."); at 100 TB such
+# grams mark practically every doc and the duplicated-position stream
+# degenerates to the corpus itself. Capped grams are excluded from run
+# building IDENTICALLY in both engines (the oracle replays the HAVING),
+# so the check stays exact even when the cap engages — at sf10 (100
+# copies of every doc) it does.
+MAX_GRAM_DF = 512
+
+_SUBSTRING_GRAMS_CTE = r"""
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(range(1, len(tokens) - 3)) - 1 AS pos,
+         unnest(list_transform(range(1, len(tokens) - 3),
+           i -> md5(tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                    || ' ' || tokens[i+3] || ' ' || tokens[i+4]))) AS g
+  FROM toks WHERE len(tokens) >= 5
+),
+dup AS (
+  SELECT g FROM grams GROUP BY g
+  HAVING count(*) >= 2 AND count(DISTINCT doc_id) <= 512
+),
+dpos AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM dpos
+),
+runs AS (
+  SELECT doc_id, min(pos) AS run_start, max(pos) + 4 AS run_end,
+         count(*) AS n_grams
+  FROM isl GROUP BY doc_id, island
+)
+"""
+
+_SUBSTRING_RUNS_ORACLE = (
+    "WITH "
+    + _SUBSTRING_GRAMS_CTE
+    + """
+SELECT doc_id, run_start, run_end,
+       run_end - run_start + 1 AS n_tokens, n_grams
+FROM runs ORDER BY doc_id, run_start
+"""
+)
+
+
+def _substring_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, g) — md5 of the K-token gram starting at 0-based
+    token position ``pos``. lead() windows over posexplode (the measured
+    fast shape, see :func:`shingles_exploded`); one doc_id shuffle, text
+    never moves past this projection."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens_col().alias("tokens")).filter(
+        F.size("tokens") >= SUBSTRING_K
+    )
+    pe = toks.select("doc_id", F.posexplode("tokens").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, SUBSTRING_K)]
+    return (
+        pe.select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.concat_ws(" ", "tok", *leads).alias("gram"),
+            leads[-1].alias("guard"),
+        )
+        .filter(F.col("guard").isNotNull())
+        .select("doc_id", "pos", F.md5("gram").alias("g"))
+    )
+
+
+@register(
+    "dedup_substring_runs",
+    _SUBSTRING_RUNS_ORACLE,
+    doc="maximal duplicated K-token substring runs per document (Lee et al. 2022 shape)",
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring spans: every K-gram position whose
+    fingerprint repeats corpus-wide (df-capped at MAX_GRAM_DF), merged
+    into runs by gaps-and-islands (pos - row_number per doc).
+
+    Scale: gram stream shuffles once on the 16-byte md5 (constant-width
+    rows — text stays behind); the duplicate set is a partial-aggregated
+    groupBy feeding a semi-join on the same key (co-partitioned, no
+    second full shuffle of the build side); run merge is one doc_id
+    window over only the DUPLICATED positions (a small fraction of the
+    corpus when the df cap holds). Nothing is quadratic: no pair stream
+    exists — output is spans-to-cut, not pairs — which is why this needs
+    no bucket cap beyond the df filter (replayed in the oracle)."""
+    grams = _substring_grams(spark, sf_dir)
+    # Feeds the duplicate-set aggregate AND the semi-join probe: cut the
+    # lineage so the posexplode+window pipeline runs once, not twice.
+    grams = grams.localCheckpoint(eager=False)
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("n_occ") >= 2) & (F.col("df") <= MAX_GRAM_DF))
+        .select("g")
+    )
+    dpos = grams.join(dup, "g", "left_semi")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dpos.select(
+        "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("island")
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("run_start"),
+            (F.max("pos") + F.lit(SUBSTRING_K - 1)).alias("run_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "run_start",
+            "run_end",
+            (F.col("run_end") - F.col("run_start") + 1).alias("n_tokens"),
+            "n_grams",
+        )
+        .orderBy("doc_id", "run_start")
+    )
+
+
+_SUBSTRING_PROFILE_ORACLE = (
+    "WITH "
+    + _SUBSTRING_GRAMS_CTE
+    + """,
+per_doc AS (
+  SELECT doc_id, sum(run_end - run_start + 1) AS dup_tokens, count(*) AS n_runs
+  FROM runs GROUP BY doc_id
+),
+doc_tok AS (SELECT doc_id, len(tokens) AS tokens_n FROM toks)
+SELECT
+  d.source,
+  count(*)                                   AS n_docs,
+  count(p.doc_id)                            AS docs_with_dups,
+  CAST(sum(d.tokens_n) AS BIGINT)            AS total_tokens,
+  CAST(sum(coalesce(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+  CAST(sum(coalesce(p.dup_tokens, 0)) * 1000000 // sum(d.tokens_n) AS BIGINT) AS dup_ppm
+FROM (
+  SELECT t.doc_id, dd.source, t.tokens_n
+  FROM doc_tok t JOIN documents dd USING (doc_id)
+) d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+)
+
+
+@register(
+    "dedup_substring_profile",
+    _SUBSTRING_PROFILE_ORACLE,
+    doc="per-source duplicated-substring burden (tokens in duplicated runs, ppm)",
+)
+def dedup_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation dashboard over :func:`dedup_substring_runs`: per
+    source, how many tokens sit inside duplicated substring runs. Runs
+    are maximal and disjoint by construction, so summing their lengths
+    IS the union size — integer-exact (ppm via integer DIV, no float
+    drift cross-engine).
+
+    Scale: the runs stream is already doc-granular and tiny relative to
+    the corpus; the token totals come from a second scan that projects
+    only (doc_id, source, size(tokens)) — column-pruned, no text
+    shuffle. The doc-level join keys on doc_id (runs side is aggregated
+    first, so the join input is bounded by the doc count)."""
+    runs = dedup_substring_runs(spark, sf_dir)
+    per_doc = runs.groupBy("doc_id").agg(F.sum("n_tokens").alias("dup_tokens"))
+    docs = load(spark, sf_dir, "documents")
+    doc_tok = docs.select(
+        "doc_id", "source", F.size(_tokens_col()).cast("long").alias("tokens_n")
+    )
+    return (
+        doc_tok.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("dup_tokens").cast("long").alias("docs_with_dups"),
+            F.sum("tokens_n").cast("long").alias("total_tokens"),
+            F.sum(F.coalesce("dup_tokens", F.lit(0))).cast("long").alias("dup_tokens"),
+            F.expr(
+                "CAST(sum(coalesce(dup_tokens, 0)) * 1000000 DIV sum(tokens_n) AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -92,33 +92,21 @@ def register(
 # current round's deposit NECESSARILY verdicts the current rotation, and
 # treating that as staleness shipped the suite red after every driver
 # drop in rounds 6 and 7 (VERDICT r7 "What's wrong" #1).
-_ROTATION_ROUND = 11
+_ROTATION_ROUND = 12
 
 # Keys whose CONTRACT (output schema, oracle, or cross-engine character
 # source) changed this round: they already carry a prior-round verdict,
 # but that verdict certified the OLD semantics, so re-surfacing them is
 # the point, not a wasted slot — the staleness guard exempts exactly
 # this tuple (tests/test_correctness.py).
-_RECONTRACTED_THIS_ROUND: tuple[str, ...] = (
-    "graph_pagerank",  # rows-only float → oracle-exact e12 integer rounds
-    "text_char_entropy",  # char source '.'→'(?s).' both engines
-    "text_lang_trigram_similarity",  # same (?s). alignment (ADVICE r10)
-)
+_RECONTRACTED_THIS_ROUND: tuple[str, ...] = ()
 
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # -- contracts changed in round 11 (need a fresh verdict) --
+    # -- contracts changed in round 12 (need a fresh verdict) --
     *_RECONTRACTED_THIS_ROUND,
-    # -- operators added in round 11 (appended as they land) --
-    "events_hazard_rate",
-    "stats_autocorrelation",
-    "orders_lorenz_curve",
-    "stats_levene_bf",
-    "text_readability_ari",
-    "graph_adamic_adar",
-    "orders_interpurchase_gaps",
-    "stats_grubbs_test",
-    "text_pii_pattern_scan",
-    "text_html_tag_residue",
+    # -- operators added in round 12 (appended as they land) --
+    "dedup_substring_runs",
+    "dedup_substring_profile",
 )
 
 

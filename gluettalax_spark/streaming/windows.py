@@ -316,7 +316,7 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("bucket"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
     return (
-        spine.crossJoin(types)
+        spine.crossJoin(F.broadcast(types))
         .join(actual, ["bucket", "event_type"], "left")
         .select(
             F.date_format("bucket", _TS_FMT).alias("bucket"),
