@@ -970,10 +970,11 @@ def run_duck_anchor() -> None:
             t0 = time.perf_counter()
             spec.builder(spark, SF_DIR).count()
             spark_samples.append(time.perf_counter() - t0)
-        if spec.oracle:
+        oracle = spec.resolve_oracle(SF_DIR)
+        if oracle:
             for _ in range(3):
                 t0 = time.perf_counter()
-                con.execute(spec.oracle).fetchall()
+                con.execute(oracle).fetchall()
                 duck_samples.append(time.perf_counter() - t0)
         spark_sec = round(min(spark_samples), 4)
         duck_sec = round(min(duck_samples), 4) if duck_samples else None

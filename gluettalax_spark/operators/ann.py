@@ -78,34 +78,142 @@ def _with_recall_vs_exact(spark: SparkSession, sf_dir: str, approx: DataFrame) -
     return approx.crossJoin(F.broadcast(recall))
 
 
+def _ivf_centers_np(sf_dir: str):
+    """The IVF coarse quantizer's centroid matrix (NLIST × dim float64) —
+    trained with the repo's own seeded numpy Lloyd's (:func:`_lloyd`) on
+    the vec_id-ordered corpus sample, NO Spark in the loop. Recontracted
+    from Spark-ML KMeans in round 12 so the trained model is replayable
+    by the DuckDB oracle (pandas reads the same parquet in the same
+    vec_id order; float32→float64 widening is exact in both paths), which
+    upgrades `similarity_cluster_purity` and `similarity_ann_recall_curve`
+    from rows-only to fully oracle-checked. At 100 TB the sample would
+    arrive via a distributed TakeOrdered instead of a local read — the
+    training itself is driver-side constant work either way (FAISS trains
+    coarse quantizers on a bounded sample too)."""
+    import numpy as np
+    import pandas as pd
+
+    key = ("ivf-centers", fixture_fingerprint(sf_dir, "embeddings"))
+    if key not in _MODEL_CACHE:
+        pdf = pd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).sort_values("vec_id")
+        X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)[:PQ_TRAIN_SAMPLE]
+        _MODEL_CACHE[key] = _lloyd(X, NLIST, PQ_ITERS, SEED)
+    return _MODEL_CACHE[key]
+
+
+def _f64_lit(x) -> str:
+    """Exact float64 SQL literal: exponent notation makes DuckDB parse it
+    as DOUBLE (a plain decimal literal becomes DECIMAL and overflows
+    scale 38 under multiplication); 17 significant digits round-trip."""
+    return f"{float(x):.17e}"
+
+
+def _duck_centers_cte(sf_dir: str) -> str:
+    """`centers(cell, c_emb)` VALUES CTE — the trained centroid matrix as
+    exact double literals."""
+    rows = ", ".join(
+        f"({cell}, [{', '.join(_f64_lit(x) for x in c)}])"
+        for cell, c in enumerate(_ivf_centers_np(sf_dir))
+    )
+    return f"centers AS (SELECT * FROM (VALUES {rows}) t(cell, c_emb))"
+
+
+# Rounded-distance argmin (matches the oracle's ORDER BY dist, cell —
+# sub-ulp float noise can never flip the winner).
+_DUCK_SQDIST64 = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "(CAST(v.embedding[i] AS DOUBLE) - c.c_emb[i])"
+    " * (CAST(v.embedding[i] AS DOUBLE) - c.c_emb[i])))"
+)
+
+_DUCK_ASSIGN_CTE = f"""
+scored AS (
+  SELECT v.vec_id, v.label, c.cell,
+         round({_DUCK_SQDIST64}, 4) AS dist
+  FROM embeddings v CROSS JOIN centers c
+),
+assign AS (
+  SELECT vec_id, label, cell FROM (
+    SELECT vec_id, label, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+"""
+
+
+def _sqdist(a, b):
+    """Sequential-fold squared L2 (same left-to-right order as the
+    oracle's list_sum — both engines produce the identical double)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centers_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    centers = _ivf_centers_np(sf_dir)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(np.asarray(centers))],
+        "cell int, c_emb array<double>",
+    )
+
+
 def _assignments(spark: SparkSession, sf_dir: str):
     """(vec_id, label, embedding, cell) + the fitted centroid list.
 
     Cached per corpus dir (the `_MODEL_CACHE` doctrine below: an ANN
     index is built once and searched many times) — four operators ride
     this quantizer (topk_ivf, the kNN-accuracy rung, the recall curve,
-    cell purity), and refitting the same seeded KMeans per call was
-    pure waste. The assigned table is checkpointed so every consumer
-    reads one materialized run."""
+    cell purity), and refitting per call was pure waste. The assigned
+    table is checkpointed so every consumer reads one materialized run.
+
+    Assignment is a broadcast-crossJoin of the NLIST-row centroid table
+    + one min(struct(round(dist,4), cell)) per vector — distances are
+    ROUNDED before the argmin with ties on cell id, so the winner is
+    reproducible across engines (the semantic.py discipline) and the
+    cell structure is DuckDB-replayable from the centroid literals."""
     # Keyed on the application id too: unlike the numpy-only PQ models,
     # a cached DataFrame dies with its SparkContext.
     key = ("ivf-assign", fixture_fingerprint(sf_dir, "embeddings"), spark.sparkContext.applicationId)
     if key not in _MODEL_CACHE:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
+        import numpy as np
 
         emb = load(spark, sf_dir, "embeddings")
-        feats = emb.withColumn(
-            "features", array_to_vector(F.col("embedding").cast("array<double>"))
+        scored = emb.select("vec_id", "label", "embedding").crossJoin(
+            F.broadcast(_centers_df(spark, sf_dir))
         )
-        km = KMeans(k=NLIST, seed=SEED, maxIter=10, featuresCol="features", predictionCol="cell")
-        model = km.fit(feats)
         assigned = (
-            model.transform(feats)
-            .select("vec_id", "label", "embedding", "cell")
+            scored.select(
+                "vec_id",
+                "label",
+                "embedding",
+                F.struct(
+                    F.round(_sqdist(F.col("embedding"), F.col("c_emb")), 4).alias("dist"),
+                    F.col("cell"),
+                ).alias("_cand"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.min("_cand").alias("_best"),
+                F.first("label").alias("label"),
+                F.first("embedding").alias("embedding"),
+            )
+            .select("vec_id", "label", "embedding", F.col("_best.cell").alias("cell"))
             .localCheckpoint(eager=True)
         )
-        _MODEL_CACHE[key] = (assigned, model.clusterCenters())
+        centers = [np.asarray(c) for c in np.asarray(_ivf_centers_np(sf_dir))]
+        _MODEL_CACHE[key] = (assigned, centers)
     return _MODEL_CACHE[key]
 
 
@@ -356,14 +464,40 @@ _MODEL_CACHE: dict[tuple, tuple] = {}
 
 
 def _pq_model(spark: SparkSession, sf_dir: str):
-    """(books, dim) for the raw-vector PQ index of ``sf_dir``."""
+    """(books, dim) for the raw-vector PQ index of ``sf_dir``.
+
+    The training sample is the first PQ_TRAIN_SAMPLE vectors BY vec_id
+    (a distributed TakeOrdered — deterministic, unlike a bare limit whose
+    row order follows partition scheduling). Round-12 recontract: the
+    canonical order makes the trained codebooks reproducible by the
+    numpy-only twin (:func:`_pq_model_np`) that generates the DuckDB
+    oracle's codebook literals for `embedding_pq_distortion`."""
     import numpy as np
 
     key = ("pq", fixture_fingerprint(sf_dir, "embeddings"))
     if key not in _MODEL_CACHE:
         emb = load(spark, sf_dir, "embeddings")
-        sample = emb.select("embedding").limit(PQ_TRAIN_SAMPLE).collect()
+        sample = emb.select("vec_id", "embedding").orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).collect()
         X = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
+        _MODEL_CACHE[key] = (_pq_train(X), X.shape[1])
+    return _MODEL_CACHE[key]
+
+
+def _pq_model_np(sf_dir: str):
+    """(books, dim) — the numpy-only replay of :func:`_pq_model`: same
+    vec_id-ordered sample (pandas read; float32→float64 widening is
+    exact), same `_pq_train` — bit-identical codebooks, no Spark. Feeds
+    the oracle template's codebook literals; a pytest asserts the two
+    paths agree array-for-array."""
+    import numpy as np
+    import pandas as pd
+
+    key = ("pq-np", fixture_fingerprint(sf_dir, "embeddings"))
+    if key not in _MODEL_CACHE:
+        pdf = pd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).sort_values("vec_id")
+        X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)[:PQ_TRAIN_SAMPLE]
         _MODEL_CACHE[key] = (_pq_train(X), X.shape[1])
     return _MODEL_CACHE[key]
 
@@ -736,12 +870,80 @@ def similarity_topk_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CURVE_NPROBES = (1, 2, 4, 8)
 
+_DUCK_COS64 = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+def _recall_curve_oracle(sf_dir: str) -> str:
+    nprobes = ", ".join(str(n) for n in _CURVE_NPROBES)
+    return f"""
+WITH {_duck_centers_cte(sf_dir)},
+{_DUCK_ASSIGN_CTE.strip()},
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
+qd AS (
+  SELECT q.query_id, c.cell,
+         round(list_sum(list_transform(range(1, 65), i ->
+           (CAST(q.q_emb[i] AS DOUBLE) - c.c_emb[i])
+           * (CAST(q.q_emb[i] AS DOUBLE) - c.c_emb[i]))), 4) AS dist
+  FROM q CROSS JOIN centers c
+),
+pr AS (
+  SELECT query_id, cell,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+  FROM qd
+),
+nps AS (SELECT unnest([{nprobes}]) AS nprobe),
+grid AS (SELECT n.nprobe, p.query_id, p.cell FROM pr p JOIN nps n ON p.rn <= n.nprobe),
+ea AS (SELECT a.vec_id, a.cell, v.embedding FROM assign a JOIN embeddings v USING (vec_id)),
+cand AS (
+  SELECT g.nprobe, g.query_id, e.vec_id AS neighbor_id,
+         round({_DUCK_COS64}, 4) AS cosine
+  FROM grid g
+  JOIN ea e USING (cell)
+  JOIN q ON q.query_id = g.query_id
+  WHERE e.vec_id <> g.query_id
+),
+topk AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY nprobe, query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rk FROM cand
+  ) WHERE rk <= {TOPK}
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round({_DUCK_COS64}, 4) AS cosine
+    FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+  ) s
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  ) <= {TOPK}
+),
+vol AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_candidates FROM cand GROUP BY nprobe),
+hits AS (
+  SELECT t.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+  FROM topk t JOIN ex USING (query_id, neighbor_id) GROUP BY t.nprobe
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
+SELECT CAST(v.nprobe AS BIGINT) AS nprobe,
+       v.n_candidates,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ne.n_exact,
+       CAST(coalesce(h.n_hits, 0) * 1000000 // ne.n_exact AS BIGINT) AS recall_ppm
+FROM vol v LEFT JOIN hits h ON h.nprobe = v.nprobe CROSS JOIN ne
+ORDER BY nprobe
+"""
+
 
 @register(
     "similarity_ann_recall_curve",
-    None,
+    _recall_curve_oracle,
     doc=f"IVF({NLIST}) recall@{TOPK} at nprobe in {_CURVE_NPROBES} — the ANN tuning table",
-    witness=("recall_ppm", "n_candidates"),
 )
 def similarity_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE table every ANN deployment tunes from: recall@k against the
@@ -751,36 +953,41 @@ def similarity_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     knees is where production sets nprobe (`similarity_topk_ivf` runs
     the chosen point; this op justifies it).
 
-    Rows-only (KMeans); witnesses: ``recall_ppm`` per rung is pinned by
-    tests against the nprobe=4 rung's in-plan ``recall_at_k``
-    (same seed → same quantizer) and for monotonicity; candidate counts
-    are exact.
+    Fully oracle-checked since round 12: the quantizer centroids embed in
+    the oracle as exact double literals, the probe ranking uses the same
+    rounded-distance rule as cell assignment (computed IN-PLAN — a
+    N_QUERIES×NLIST crossJoin, not driver numpy, so both engines rank
+    probes identically), and the exact baseline is the serial-fold
+    `similarity_topk` semantics the oracle already replays.
 
     Scale: ONE quantizer fit and ONE corpus scan serve all rungs — the
     probe grid carries (nprobe, query, cell) rows and the cell equi-join
     fans candidates out per rung (Σ nprobe/nlist ≈ 94% of a full
     scan at fixture geometry — instrumentation cost, not the production
     path, which runs one rung)."""
-    import numpy as np
-
     from pyspark.sql.window import Window
 
-    assigned, centers = _assignments(spark, sf_dir)
-    centers = np.asarray(centers)
+    assigned, _ = _assignments(spark, sf_dir)
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    q_rows = q.collect()  # bounded query set, by the topk contract
+    qd = q.crossJoin(F.broadcast(_centers_df(spark, sf_dir))).select(
+        "query_id",
+        "cell",
+        F.round(_sqdist(F.col("q_emb"), F.col("c_emb")), 4).alias("dist"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "cell")
     max_np = max(_CURVE_NPROBES)
-    grid = []
-    for r in q_rows:
-        v = np.asarray(r["q_emb"], dtype=np.float64)
-        d = ((centers - v) ** 2).sum(axis=1)
-        for rank, cell in enumerate(np.argsort(d)[:max_np]):
-            for nprobe in _CURVE_NPROBES:
-                if rank < nprobe:
-                    grid.append((nprobe, r["query_id"], int(cell)))
-    probe_grid = spark.createDataFrame(grid, "nprobe int, query_id long, cell int")
+    pr = (
+        qd.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= max_np)
+        .select("query_id", "cell", "rn")
+    )
+    np_df = spark.createDataFrame([(n,) for n in _CURVE_NPROBES], "nprobe int")
+    probe_grid = (
+        pr.join(F.broadcast(np_df), F.col("rn") <= F.col("nprobe"))
+        .select("nprobe", "query_id", "cell")
+    )
 
     cand = (
         assigned.join(F.broadcast(probe_grid), "cell")
@@ -806,9 +1013,9 @@ def similarity_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOPK)
         .select("nprobe", "query_id", "neighbor_id")
     )
-    from gluettalax_spark.operators.similarity import similarity_topk_vectorized
+    from gluettalax_spark.operators.similarity import similarity_topk
 
-    exact = similarity_topk_vectorized(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
     exact = exact.localCheckpoint(eager=False)  # feeds the hit join AND the denominator
     hits = (
         topk.join(exact, ["query_id", "neighbor_id"], "leftsemi")
@@ -839,11 +1046,58 @@ def similarity_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_DISTORT_SCHEMA = "subspace int, n_vecs long, sse_e9 long"
 
 
+def _pq_distortion_oracle(sf_dir: str) -> str:
+    """Oracle template: the trained codebooks embed as exact double
+    literals (one VALUES row per (subspace, codeword)); the per-vector
+    error replays the numpy kernel's exact expression tree —
+    ``(Σx²) + min_c((Σc²) − 2·(x·c))`` with the same left-to-right adds
+    (d_sub ≤ 8 keeps numpy's reduction sequential, so the doubles agree
+    bit-for-bit and the 1e9 floor-quantization cannot straddle)."""
+    import numpy as np
+
+    books, dim = _pq_model_np(sf_dir)
+    d_sub = dim // PQ_M
+    rows = []
+    for m, book in enumerate(books):
+        for c in np.asarray(book):
+            vals = ", ".join(_f64_lit(x) for x in c)
+            rows.append(f"({m}, {vals})")
+    ccols = ", ".join(f"c{d + 1}" for d in range(d_sub))
+    cb = f"cb AS (SELECT * FROM (VALUES {', '.join(rows)}) t(m, {ccols}))"
+    xcols = ",\n         ".join(
+        f"CAST(embedding[{d_sub}*mm.m + {d + 1}] AS DOUBLE) AS x{d + 1}"
+        for d in range(d_sub)
+    )
+    xsq = " + ".join(f"s.x{d + 1}*s.x{d + 1}" for d in range(d_sub))
+    csq = " + ".join(f"cb.c{d + 1}*cb.c{d + 1}" for d in range(d_sub))
+    xc = " + ".join(f"s.x{d + 1}*cb.c{d + 1}" for d in range(d_sub))
+    xgroup = ", ".join(f"s.x{d + 1}" for d in range(d_sub))
+    return f"""
+WITH {cb},
+sub AS (
+  SELECT vec_id, mm.m AS m,
+         {xcols}
+  FROM embeddings, (SELECT unnest(range(0, {PQ_M})) AS m) mm
+),
+err AS (
+  SELECT s.vec_id, s.m,
+         ({xsq}) + min(({csq}) - 2.0*({xc})) AS e
+  FROM sub s JOIN cb ON cb.m = s.m
+  GROUP BY s.vec_id, s.m, {xgroup}
+),
+qq AS (SELECT m, CAST(floor(greatest(e, 0.0) * 1000000000.0) AS BIGINT) AS e9 FROM err)
+SELECT CAST(m AS BIGINT) AS subspace,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(e9) AS BIGINT) AS sse_e9,
+       CAST(sum(e9) // count(*) AS BIGINT) AS mse_e9
+FROM qq GROUP BY m ORDER BY subspace
+"""
+
+
 @register(
     "embedding_pq_distortion",
-    None,
+    _pq_distortion_oracle,
     doc=f"PQ{PQ_M}x8 per-subspace quantization error over the full corpus (integer-quantized SSE)",
-    witness=("sse_e9", "mse_e9"),
 )
 def embedding_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The index-quality audit behind `similarity_topk_pq`: how much
@@ -853,8 +1107,10 @@ def embedding_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exactly this distortion. A subspace with outsized MSE marks
     dimensions that deserve their own codebook budget.
 
-    Rows-only (trained codebooks); witnesses ``sse_e9``/``mse_e9`` are
-    re-derived by an independent numpy pass in tests.
+    Fully oracle-checked since round 12: the codebooks (trained by the
+    numpy twin `_pq_model_np` on the vec_id-ordered sample) embed in the
+    oracle as exact double literals and the error fold replays the numpy
+    kernel's expression tree term-for-term.
 
     Exactness: each vector's per-subspace squared error floor-quantizes
     to integer nano-units BEFORE summing, so the fold is
@@ -918,11 +1174,39 @@ def embedding_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _purity_oracle(sf_dir: str) -> str:
+    return f"""
+WITH {_duck_centers_cte(sf_dir)},
+{_DUCK_ASSIGN_CTE.strip()},
+grid AS (
+  SELECT cell, label, count(*) AS n FROM assign GROUP BY cell, label
+),
+pc AS (
+  SELECT cell,
+         CAST(sum(n) AS BIGINT) AS n_vecs,
+         CAST(max(CASE WHEN rk = 1 THEN label END) AS BIGINT) AS majority_label,
+         CAST(max(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS n_majority
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rk
+    FROM grid
+  ) GROUP BY cell
+),
+ov AS (
+  SELECT CAST(sum(n_majority) * 1000000 // sum(n_vecs) AS BIGINT) AS overall_purity_ppm
+  FROM pc
+)
+SELECT CAST(cell AS BIGINT) AS cell, n_vecs, majority_label, n_majority,
+       CAST(n_majority * 1000000 // n_vecs AS BIGINT) AS purity_ppm,
+       overall_purity_ppm
+FROM pc CROSS JOIN ov
+ORDER BY cell
+"""
+
+
 @register(
     "similarity_cluster_purity",
-    None,
+    _purity_oracle,
     doc=f"label purity of the {NLIST} IVF cells (majority label share per cell + overall)",
-    witness=("purity_ppm", "overall_purity_ppm"),
 )
 def similarity_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering-quality eval for the IVF quantizer: per cell, the
@@ -934,8 +1218,9 @@ def similarity_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what `similarity_knn_label_accuracy`'s near-chance accuracy
     shows from the neighbor side.
 
-    Rows-only (KMeans); witnesses ``purity_ppm`` / ``overall_purity_ppm``
-    are re-derived by an independent pandas pass in tests.
+    Fully oracle-checked since round 12: the quantizer's centroids are
+    numpy-trained (no Spark) and replayed in the oracle as exact double
+    literals; assignment uses the rounded-argmin rule both engines share.
 
     Scale: one groupBy to the (cell × label) grid (nlist × |labels|
     bounded); majority pick and both purity ratios live on that grid."""

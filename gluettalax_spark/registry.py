@@ -28,6 +28,12 @@ class QuerySpec:
     builder: Builder
     oracle: str | None
     doc: str = ""
+    #: Data-dependent oracle: ``(sf_dir) -> str`` for operators whose
+    #: oracle embeds model literals derived from the fixture (e.g. a
+    #: trained quantizer's centroids, replayed numpy-side with no Spark).
+    #: Resolved per sf_dir via :meth:`resolve_oracle`; the driver surface
+    #: ``oracle_sql()`` resolves at the driver's fixed sf0.01.
+    oracle_template: Callable[[str], str] | None = None
     #: For oracle-less (rows-only) queries: the output columns that carry
     #: the embedded correctness witness — an exact twin, a recompute
     #: boolean, a recall measurement — each pinned by a pytest that
@@ -41,18 +47,29 @@ class QuerySpec:
     #: everything else must stay sub-linear (BENCH_SELF ``scaling``).
     fixture_scale_only: bool = False
 
+    def resolve_oracle(self, sf_dir: str) -> str | None:
+        """The oracle SQL for ``sf_dir`` — the template takes precedence
+        over a static string."""
+        if self.oracle_template is not None:
+            return self.oracle_template(sf_dir)
+        return self.oracle
+
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(
     name: str,
-    oracle: str | None,
+    oracle: str | None | Callable[[str], str],
     doc: str = "",
     witness: tuple[str, ...] = (),
     fixture_scale_only: bool = False,
 ) -> Callable[[Builder], Builder]:
     """Decorator: register a query builder under ``name``.
+
+    ``oracle`` may be a static SQL string, ``None`` (rows-only), or a
+    callable ``(sf_dir) -> str`` for data-dependent oracles that embed
+    fixture-derived model literals.
 
     A rows-only query (``oracle=None``) MUST declare its witness columns —
     refusing oracle-less, witness-less registrations at import time keeps
@@ -69,7 +86,8 @@ def register(
         _REGISTRY[name] = QuerySpec(
             name=name,
             builder=fn,
-            oracle=oracle,
+            oracle=None if callable(oracle) else oracle,
+            oracle_template=oracle if callable(oracle) else None,
             doc=doc or (fn.__doc__ or ""),
             witness=witness,
             fixture_scale_only=fixture_scale_only,
@@ -99,7 +117,16 @@ _ROTATION_ROUND = 12
 # but that verdict certified the OLD semantics, so re-surfacing them is
 # the point, not a wasted slot — the staleness guard exempts exactly
 # this tuple (tests/test_correctness.py).
-_RECONTRACTED_THIS_ROUND: tuple[str, ...] = ()
+_RECONTRACTED_THIS_ROUND: tuple[str, ...] = (
+    # IVF coarse quantizer: Spark-ML KMeans → seeded numpy Lloyd's with
+    # rounded-argmin assignment (oracle-replayable from centroid literals)
+    "similarity_cluster_purity",  # rows-only → oracle-checked
+    "similarity_ann_recall_curve",  # rows-only → oracle-checked (+ exact twin now serial-fold)
+    "embedding_pq_distortion",  # rows-only → oracle-checked (codebook literals; sample now vec_id-ordered)
+    "similarity_topk_ivf",  # same quantizer swap (stays rows-only, recall witness)
+    "similarity_knn_label_accuracy_ivf",  # same quantizer swap (stays rows-only)
+    "similarity_topk_pq",  # PQ sample now vec_id-ordered (stays rows-only, recall witness)
+)
 
 _NEW_THIS_ROUND: tuple[str, ...] = (
     # -- contracts changed in round 12 (need a fresh verdict) --
@@ -142,4 +169,14 @@ def queries() -> dict[str, Builder]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in all_queries().items() if spec.oracle is not None}
+    import os
+
+    # The driver's correctness compare runs at sf0.01 (contract); data-
+    # dependent oracle templates resolve against that fixture.
+    oracle_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    out: dict[str, str] = {}
+    for name, spec in all_queries().items():
+        sql = spec.resolve_oracle(oracle_sf)
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -18,11 +18,12 @@ SPECS = registry.all_queries()
 def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
     spec = SPECS[name]
     spark_df = spec.builder(spark, sf_dir)
-    if spec.oracle is None:
+    oracle = spec.resolve_oracle(sf_dir)
+    if oracle is None:
         n = spark_df.count()
         assert n >= 0
         return
-    oracle_pdf = oracle_con.execute(spec.oracle).df()
+    oracle_pdf = oracle_con.execute(oracle).df()
     compare(spark_df, oracle_pdf)
     # Also report (not assert) strict equality — what a hashing driver sees.
     assert exact_hash_compare(spec.builder(spark, sf_dir), oracle_pdf), (

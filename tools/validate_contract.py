@@ -33,6 +33,9 @@ TABLES = [
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    # Data-dependent oracle templates (centroid/codebook literals) must
+    # resolve against the SAME fixture the Spark builders run on.
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
 
     import duckdb
 
