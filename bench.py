@@ -504,6 +504,29 @@ SCALING_100X_SUBSET = [
 ]
 
 
+def _release_sweep_memory(spark) -> None:
+    """Between-operator hygiene for the long sf10 sweeps (VERDICT r11
+    task #4): localCheckpoint blocks from completed operators pile up in
+    the single local-mode heap (Spark's ContextCleaner only unpersists
+    once the py4j refs are GC'd, which lags a sequential sweep badly
+    enough that the r11 run needed SPARK_GRAFT_DRIVER_MEM=48g — the sf10
+    HITS edge-distinct was just the op that hit the ceiling, not the op
+    that filled the room). Drop the only cross-call DataFrame cache
+    (ann's assigned-table memo; it retrains on next use), then unpersist
+    every remaining storage block — nothing else holds a checkpointed
+    frame across operators, so this is safe by construction."""
+    import gc
+
+    from gluettalax_spark.operators import ann
+
+    for k in [k for k in ann._MODEL_CACHE if isinstance(k, tuple) and k and k[0] == "ivf-assign"]:
+        del ann._MODEL_CACHE[k]
+    gc.collect()  # release py4j refs so unpersist below frees the blocks
+    spark.catalog.clearCache()
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        jrdd.unpersist(True)
+
+
 def run_scaling_100x() -> None:
     """Time SCALING_100X_SUBSET at sf0.1 and a deterministic 100× scale-up
     (sf10, ~1.7 GB) side by side — the dress rehearsal for the 100 TB
@@ -523,7 +546,18 @@ def run_scaling_100x() -> None:
     big_dir = ensure_scaled(dst=os.path.join(REPO, ".scaledata", "sf10"), factor=100)
     spark = get_spark("gluettalax-bench-scaling-100x")
     specs = registry.all_queries()
-    names = [n for n in SCALING_100X_SUBSET if n in specs]
+    # Round-12 broadening (VERDICT r11 task #5): the 16 hand-picked heavy
+    # keys PLUS the whole like-for-like r4 subset — the full headline mix
+    # must survive the 100× rehearsal, not just the curves we worried
+    # about. fixture_scale_only instrumentation twins are skipped and
+    # logged (silent caps read as coverage).
+    extra = [n for n in R4_SUBSET if n in specs and n not in SCALING_100X_SUBSET]
+    skipped = [n for n in extra if specs[n].fixture_scale_only]
+    if skipped:
+        print(f"  skipping fixture-scale-only at sf10: {skipped}", file=sys.stderr, flush=True)
+    names = [n for n in SCALING_100X_SUBSET if n in specs] + [
+        n for n in extra if not specs[n].fixture_scale_only
+    ]
     # Resume knob (the validate_contract.py convention): a 100× sweep is
     # tens of minutes, and an OOM partway through shouldn't re-pay the
     # measured prefix — completed rows merge into the existing section.
@@ -548,6 +582,7 @@ def run_scaling_100x() -> None:
         row["ratio"] = round(row["sf10"] / row["sf0.1"], 2)
         row["super_linear"] = row["ratio"] > factor * 1.3
         results[name] = row
+        _release_sweep_memory(spark)
         print(
             f"  {name}: {row['sf0.1']}s -> {row['sf10']}s (x{row['ratio']})"
             + ("  ** SUPER-LINEAR" if row["super_linear"] else ""),
@@ -563,6 +598,48 @@ def run_scaling_100x() -> None:
     overcap = None
     if "dedup_band_spill_report" in specs:
         overcap = specs["dedup_band_spill_report"].builder(spark, big_dir).count()
+
+    # Streaming twins at sf10 (task #5): drain each stateful twin over
+    # BOTH fixtures through a noop sink — the memory sink would hoard
+    # every output row in the one local-mode heap, which is exactly the
+    # accumulation this sweep exists to catch, so throughput is measured
+    # without it. availableNow + explicit temp checkpoint per run.
+    stream_results: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_100X_SKIP_STREAMING", "").lower() != "true":
+        import tempfile
+
+        import gluettalax_spark.streaming.stateful as st
+        import gluettalax_spark.streaming.windows as sw
+
+        for name, mode in STREAMING_SUBSET:
+            builder = getattr(st, name, None) or getattr(sw, name)
+            srow: dict[str, float | bool] = {}
+            for label, d in (("sf0.1", SF_DIR), ("sf10", big_dir)):
+                df = builder(spark, d)
+                with tempfile.TemporaryDirectory(prefix="sweep100x_ckpt_") as ckpt:
+                    t0 = time.perf_counter()
+                    q = (
+                        df.writeStream.outputMode(mode)
+                        .format("noop")
+                        .option("checkpointLocation", ckpt)
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    try:
+                        q.processAllAvailable()
+                    finally:
+                        q.stop()
+                    srow[label] = round(time.perf_counter() - t0, 4)
+            srow["ratio"] = round(srow["sf10"] / srow["sf0.1"], 2)
+            srow["super_linear"] = srow["ratio"] > factor * 1.3
+            stream_results[name] = srow
+            _release_sweep_memory(spark)
+            print(
+                f"  [stream] {name}: {srow['sf0.1']}s -> {srow['sf10']}s (x{srow['ratio']})"
+                + ("  ** SUPER-LINEAR" if srow["super_linear"] else ""),
+                file=sys.stderr,
+                flush=True,
+            )
 
     self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
     try:
@@ -591,6 +668,13 @@ def run_scaling_100x() -> None:
             bool(ivf and brute and ivf["ratio"] < brute["ratio"]) if ivf and brute else None
         ),
     }
+    if stream_results:
+        section["streaming"] = {
+            "queries": stream_results,
+            "n_super_linear": sum(1 for r in stream_results.values() if r["super_linear"]),
+        }
+    elif "streaming" in existing.get("scaling_100x", {}):
+        section["streaming"] = existing["scaling_100x"]["streaming"]
     existing["scaling_100x"] = section
     with open(self_path, "w") as fh:
         json.dump(existing, fh, indent=1)
@@ -599,6 +683,8 @@ def run_scaling_100x() -> None:
         "metric": "scaling_100x",
         "n_queries": len(results),
         "n_super_linear": section["n_super_linear"],
+        "n_streaming": len(section.get("streaming", {}).get("queries", {})),
+        "n_streaming_super_linear": section.get("streaming", {}).get("n_super_linear"),
         "total_sf0.1": section["total_sf0.1"],
         "total_sf10": section["total_sf10"],
         "ivf_flatter_than_brute": section["ivf_flatter_than_brute"],
@@ -683,9 +769,13 @@ def _calibration_probe(spark) -> float:
 
 def main() -> None:
     from gluettalax_spark import registry
-    from gluettalax_spark.session import get_spark
+    from gluettalax_spark.session import get_spark, tune_for_fixture
 
     spark = get_spark("gluettalax-bench")
+    # Scheduler-floor attack (r12): initial shuffle partitions sized to
+    # the fixture, so a 17 MB bench run stops paying 32 reduce tasks of
+    # dispatch per shuffle. Recorded in the JSON for like-for-like reads.
+    shuffle_parts = tune_for_fixture(spark, SF_DIR)
     specs = registry.all_queries()
     names = [n for n in HEADLINE if n in specs] or sorted(specs)
 
@@ -789,6 +879,7 @@ def main() -> None:
         "timing": "warm",
         "runs_per_query": runs_per_query,
         "report": "best+median",
+        "shuffle_partitions": shuffle_parts,
     }
     print(json.dumps(full), flush=True)
     try:
@@ -944,9 +1035,10 @@ def run_duck_anchor() -> None:
     import duckdb
 
     from gluettalax_spark import registry
-    from gluettalax_spark.session import get_spark
+    from gluettalax_spark.session import get_spark, tune_for_fixture
 
     spark = get_spark("gluettalax-bench-anchor")
+    tune_for_fixture(spark, SF_DIR)
     specs = registry.all_queries()
 
     con = duckdb.connect()

@@ -2151,3 +2151,148 @@ def dedup_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance rescoring of the banded candidate pairs
+# --------------------------------------------------------------------------
+
+_LEVENSHTEIN_ORACLE = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b, jaccard FROM ({_NGRAM_ORACLE.replace("ORDER BY doc_a, doc_b", "")})
+),
+proj AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS ptext
+  FROM documents
+)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       CAST(length(a.ptext) AS BIGINT) AS len_a,
+       CAST(length(b.ptext) AS BIGINT) AS len_b,
+       CAST(levenshtein(a.ptext, b.ptext) AS BIGINT) AS lev,
+       CAST((greatest(length(a.ptext), length(b.ptext)) - levenshtein(a.ptext, b.ptext))
+            * 1000000 // greatest(length(a.ptext), length(b.ptext)) AS BIGINT) AS lev_sim_ppm
+FROM pairs p
+JOIN proj a ON a.doc_id = p.doc_a
+JOIN proj b ON b.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
+@register(
+    "dedup_levenshtein_rescore",
+    _LEVENSHTEIN_ORACLE,
+    doc="exact edit-distance rescoring of the banded near-dup candidate pairs",
+)
+def dedup_levenshtein_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level ground truth for the shingle-based candidates:
+    every `dedup_ngram_jaccard` pair rescored with exact Levenshtein
+    distance on the RAW text (both engines implement the classic DP over
+    unicode codepoints — identical integers). Jaccard is
+    token-set-based and blind to in-token edits ("colour"/"color" share
+    no 3-shingle but are 1 edit apart); the curation delete-list keeps
+    pairs where BOTH signals agree, and the disagreement quadrant is the
+    review queue.
+
+    lev_sim_ppm = (maxlen − lev)/maxlen in integer ppm (1e6 = identical).
+
+    Cross-engine contract: the distance runs on the ASCII PROJECTION of
+    the text (every non-ASCII codepoint → '?', identically in both
+    engines) — DuckDB's levenshtein counts BYTE edits while Spark's
+    counts CODEPOINT edits ('café'→'cafe' is 1 vs 2), and the projection
+    is where they provably coincide while preserving edit structure.
+
+    Scale: the O(len²·pairs) DP runs ONLY on the banded candidate list
+    (bounded, broadcastable — nothing new is quadratic in the corpus);
+    the two text lookups are equi-joins on doc_id. At 100 TB, cap
+    per-pair cost by length-bucketing (docs past ~100 kB compare by
+    chunk fingerprint instead — the substring-run machinery above)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", "?").alias("text"),
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            "CAST(length(text_a) AS BIGINT) AS len_a",
+            "CAST(length(text_b) AS BIGINT) AS len_b",
+            "CAST(levenshtein(text_a, text_b) AS BIGINT) AS lev",
+            "CAST((greatest(length(text_a), length(text_b)) - levenshtein(text_a, text_b))"
+            " * 1000000 DIV greatest(length(text_a), length(text_b)) AS BIGINT) AS lev_sim_ppm",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplication matrix (contamination provenance)
+# --------------------------------------------------------------------------
+
+_SUBSTRING_SOURCE_MATRIX_ORACLE = (
+    "WITH "
+    + _SUBSTRING_GRAMS_CTE
+    + """,
+gs AS (
+  SELECT DISTINCT gr.g, d.source
+  FROM grams gr
+  JOIN documents d USING (doc_id)
+  WHERE gr.g IN (SELECT g FROM dup)
+),
+sp AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM gs a JOIN gs b ON a.g = b.g AND a.source < b.source
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM sp GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+)
+
+
+@register(
+    "dedup_substring_source_matrix",
+    _SUBSTRING_SOURCE_MATRIX_ORACLE,
+    doc="cross-source shared-substring matrix (which sources copy from which)",
+)
+def dedup_substring_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination provenance over the `dedup_substring_runs`
+    machinery: for every duplicated K-gram (same dup set, same df cap),
+    which PAIRS of sources share it — the matrix a curation team reads
+    to find mirror sites, syndication feeds, and benchmark leakage
+    between corpus slices.
+
+    Scale: the (gram, source) table is gram-stream-sized pre-distinct;
+    the per-gram self-join fans out at most C(|sources|, 2) rows per
+    gram — the source dictionary is data-model bounded (and the df cap
+    already bounds each gram's doc list), so nothing is corpus-
+    quadratic. One shuffle on the md5 key, one on the source pair."""
+    grams = _substring_grams(spark, sf_dir)
+    grams = grams.localCheckpoint(eager=False)  # feeds dup agg + the semi-join
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("n_occ") >= 2) & (F.col("df") <= MAX_GRAM_DF))
+        .select("g")
+    )
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    gs = (
+        grams.join(dup, "g", "left_semi")
+        .join(src, "doc_id")
+        .select("g", "source")
+        .distinct()
+    )
+    gs = gs.localCheckpoint(eager=False)  # both sides of the per-gram self-join
+    a = gs.select("g", F.col("source").alias("source_a"))
+    b = gs.select(F.col("g").alias("g_b"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, (a["g"] == b["g_b"]) & (a["source_a"] < b["source_b"]))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+        .orderBy("source_a", "source_b")
+    )

@@ -3499,3 +3499,208 @@ def events_hazard_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "day", "n_risk", "d", "hazard_ppm", F.col("cum_hazard_ppm").cast("long").alias("cum_hazard_ppm")
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov (urgent vs regular order values)
+# --------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END AS g1
+  FROM orders
+),
+vals AS (
+  SELECT v,
+         CAST(sum(g1) AS BIGINT) AS c1,
+         CAST(count(*) - sum(g1) AS BIGINT) AS c2
+  FROM base GROUP BY v
+),
+cum AS (
+  SELECT v,
+         sum(c1) OVER (ORDER BY v) AS cum1,
+         sum(c2) OVER (ORDER BY v) AS cum2
+  FROM vals
+),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM vals),
+d AS (
+  SELECT CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num
+  FROM cum CROSS JOIN tot
+)
+SELECT n1, n2, d_num,
+       CAST(CAST(d_num AS HUGEINT) * 1000000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS d_ppm,
+       (CAST(d_num AS HUGEINT) * d_num * 1000000)
+         > (CAST(1844164 AS HUGEINT) * (n1 + n2) * n1 * n2) AS reject_95
+FROM d CROSS JOIN tot
+"""
+
+
+@register(
+    "stats_ks_test",
+    _KS_ORACLE,
+    doc="two-sample Kolmogorov-Smirnov on order value, urgent vs regular priority",
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS: D = max |F₁(x) − F₂(x)| between the order-value
+    distributions of urgent (priority 1-2) and regular orders — the
+    standard distribution-shift detector (data-drift monitors run exactly
+    this between a reference and a live window).
+
+    Exactness: values are integer cents; D is kept as the integer
+    numerator max|cum1·N₂ − cum2·N₁| so no float CDF ever exists; the
+    α=0.05 decision compares D²·n₁·n₂·10⁶ with c²₀.₀₅·10⁶ = 1844164
+    times (n₁+n₂)·n₁·n₂ in DECIMAL(38)/HUGEINT — the squared form of
+    D > c·√((n₁+n₂)/(n₁n₂)) with no square root.
+
+    Scale: one data-scale groupBy to the value dictionary; both running
+    counts ride the range-partitioned `grouped_running_sum` (no
+    single-task window over the dictionary); everything after is
+    metadata-scale."""
+    from gluettalax_spark.operators.rank import grouped_running_sum
+
+    orders = load(spark, sf_dir, "orders")
+    vals = (
+        orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+            F.when(F.col("o_orderpriority") < "3", 1).otherwise(0).alias("g1"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g1").cast("long").alias("c1"),
+            (F.count(F.lit(1)) - F.sum("g1")).cast("long").alias("c2"),
+        )
+        .withColumn("_g", F.lit(1))
+    )
+    vals = vals.localCheckpoint(eager=False)  # feeds totals + both running sums
+    cum1 = grouped_running_sum(vals, ["_g"], ["v"], "c1", "cum1").select("v", "cum1")
+    cum2 = grouped_running_sum(vals, ["_g"], ["v"], "c2", "cum2").select("v", "cum2")
+    tot = vals.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    d = (
+        cum1.join(cum2, "v")
+        .crossJoin(F.broadcast(tot))
+        .select(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias("diff"))
+        .agg(F.max("diff").cast("long").alias("d_num"))
+    )
+    return d.crossJoin(F.broadcast(tot)).selectExpr(
+        "n1",
+        "n2",
+        "d_num",
+        "CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000 DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT) AS d_ppm",
+        "(CAST(d_num AS DECIMAL(19,0)) * d_num * 1000000)"
+        " > (CAST(1844164 AS DECIMAL(19,0)) * (n1 + n2) * n1 * n2) AS reject_95",
+    )
+
+
+# --------------------------------------------------------------------------
+# 1-D Wasserstein (earth mover's) distance between the same two samples
+# --------------------------------------------------------------------------
+
+_WASSERSTEIN_ORACLE = """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END AS g1
+  FROM orders
+),
+vals AS (
+  SELECT v,
+         CAST(sum(g1) AS BIGINT) AS c1,
+         CAST(count(*) - sum(g1) AS BIGINT) AS c2
+  FROM base GROUP BY v
+),
+cum AS (
+  SELECT v,
+         sum(c1) OVER (ORDER BY v) AS cum1,
+         sum(c2) OVER (ORDER BY v) AS cum2,
+         lead(v) OVER (ORDER BY v) AS v_next
+  FROM vals
+),
+tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(v * c1) AS HUGEINT) AS s1, CAST(sum(v * c2) AS HUGEINT) AS s2
+  FROM vals
+),
+w AS (
+  SELECT CAST(sum(abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1)
+                  * (v_next - v)) AS HUGEINT) AS w1_num
+  FROM cum CROSS JOIN tot
+  WHERE v_next IS NOT NULL
+)
+SELECT n1, n2,
+       CAST(w1_num // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS w1_cents,
+       CAST(abs(s1 * n2 - s2 * n1) // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS mean_gap_cents
+FROM w CROSS JOIN tot
+"""
+
+
+@register(
+    "stats_wasserstein_1d",
+    _WASSERSTEIN_ORACLE,
+    doc="1-D Wasserstein-1 distance (cents) between urgent and regular order values",
+)
+def stats_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth mover's distance between the same two order-value samples
+    `stats_ks_test` compares: W₁ = ∫|F₁ − F₂|dx — KS reports the worst
+    POINT of CDF separation, W₁ reports the AREA (how much probability
+    mass must move how far, in cents). The pair is the standard drift
+    dashboard: KS trips on localized shifts, W₁ on bulk shifts.
+
+    Exactness: Σ |cum1·N₂ − cum2·N₁|·Δv accumulates in DECIMAL(38)/
+    HUGEINT (per-term ≤ n₁n₂·maxΔ overflows int64 past sf1), divided
+    once at the end — integer cents out; `mean_gap_cents` (≤ W₁ by the
+    triangle inequality, pinned in tests) rides the same totals.
+
+    Scale: the value dictionary comes from one data-scale groupBy; the
+    neighbor step Δv uses `exact_global_rank` + a rank-shifted self-join
+    (no single-task lead() window); the running counts ride
+    `grouped_running_sum`."""
+    from gluettalax_spark.operators.rank import exact_global_rank, grouped_running_sum
+
+    orders = load(spark, sf_dir, "orders")
+    vals = (
+        orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+            F.when(F.col("o_orderpriority") < "3", 1).otherwise(0).alias("g1"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g1").cast("long").alias("c1"),
+            (F.count(F.lit(1)) - F.sum("g1")).cast("long").alias("c2"),
+        )
+        .withColumn("_g", F.lit(1))
+    )
+    vals = vals.localCheckpoint(eager=False)  # totals + 2 running sums + rank
+    tot = vals.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("v") * F.col("c1")).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("v") * F.col("c2")).cast("decimal(38,0)").alias("s2"),
+    )
+    cum1 = grouped_running_sum(vals, ["_g"], ["v"], "c1", "cum1").select("v", "cum1")
+    cum2 = grouped_running_sum(vals, ["_g"], ["v"], "c2", "cum2").select("v", "cum2")
+    ranked = exact_global_rank(vals.select("v"), [F.col("v").asc()], "rn", keep_total=False)
+    nxt = ranked.select((F.col("rn") - 1).alias("rn"), F.col("v").alias("v_next"))
+    delta = ranked.join(nxt, "rn").select("v", (F.col("v_next") - F.col("v")).alias("dv"))
+    w = (
+        cum1.join(cum2, "v")
+        .join(delta, "v")  # inner: the last value has no successor (F1=F2 there)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.abs(
+                    F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+                    - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
+                )
+                * F.col("dv")
+            ).alias("term")
+        )
+        .agg(F.sum("term").cast("decimal(38,0)").alias("w1_num"))
+    )
+    return w.crossJoin(F.broadcast(tot)).selectExpr(
+        "n1",
+        "n2",
+        "CAST(w1_num DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT) AS w1_cents",
+        "CAST(abs(s1 * n2 - s2 * n1) DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT) AS mean_gap_cents",
+    )

@@ -4960,3 +4960,85 @@ def text_html_tag_residue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Flesch Reading Ease per source (syllables = vowel-group runs)
+# --------------------------------------------------------------------------
+
+_FLESCH_ORACLE = r"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS w,
+         greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl
+  FROM documents
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         greatest(1, CAST(sum(w) AS BIGINT)) AS n_words,
+         CAST(sum(s) AS BIGINT) AS n_sentences,
+         CAST(sum(syl) AS BIGINT) AS n_syllables
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, n_words, n_sentences, n_syllables,
+       CAST(206835 - (1015 * n_words) // n_sentences
+                   - (84600 * n_syllables) // n_words AS BIGINT) AS flesch_milli
+FROM agg
+ORDER BY source
+"""
+
+
+@register(
+    "text_readability_flesch",
+    _FLESCH_ORACLE,
+    doc="Flesch Reading Ease per source (integer milli-points; syllables = vowel-group runs)",
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease per source — 206.835 − 1.015·(words/sentences)
+    − 84.6·(syllables/words). The syllable-based companion of
+    `text_readability_ari` (which is char-count based; the two
+    deliberately disagree on acronym-/number-heavy text, and THAT gap is
+    the OCR-noise signal): a source whose Flesch says "easy" while ARI
+    says "grade 20" is full of long alphanumeric junk tokens.
+
+    Conventions (the spec, identical both engines): words and sentences
+    exactly as ARI ([A-Za-z0-9]+ runs; [.!?]+ runs clamped ≥1/doc);
+    syllables = maximal [aeiouy]+ runs in the LOWERCASED text (the
+    standard dictionary-free approximation); per-SOURCE totals with the
+    word total clamped ≥1.
+
+    Exactness: integer counts; Flesch at milli-scale is two integer
+    floor-divisions — 206835 − (1015·W)//S − (84600·Syl)//W. BIGINT
+    headroom: 84600·Syl overflows past ~1e14 total syllables per source
+    — at that scale promote to DECIMAL(38) (the KS/W₁ discipline).
+
+    Scale: one corpus scan, three regex folds per doc, partial-aggregated
+    map-side onto the source dictionary."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.selectExpr(
+        "source",
+        r"CAST(size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS w",
+        r"greatest(1L, CAST(size(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT)) AS s",
+        r"CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT) AS syl",
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.greatest(F.lit(1).cast("long"), F.sum("w").cast("long")).alias("n_words"),
+            F.sum("s").cast("long").alias("n_sentences"),
+            F.sum("syl").cast("long").alias("n_syllables"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            "CAST(206835 - (1015 * n_words) DIV n_sentences"
+            " - (84600 * n_syllables) DIV n_words AS BIGINT) AS flesch_milli",
+        )
+        .orderBy("source")
+    )

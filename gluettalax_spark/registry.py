@@ -134,6 +134,11 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     # -- operators added in round 12 (appended as they land) --
     "dedup_substring_runs",
     "dedup_substring_profile",
+    "stats_ks_test",
+    "stats_wasserstein_1d",
+    "text_readability_flesch",
+    "dedup_levenshtein_rescore",
+    "dedup_substring_source_matrix",
 )
 
 

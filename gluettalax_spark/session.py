@@ -71,3 +71,32 @@ def get_spark(app_name: str = "gluettalax_spark", cpus: str | None = None) -> Sp
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def tune_for_fixture(spark: SparkSession, sf_dir: str) -> int:
+    """Scale ``spark.sql.shuffle.partitions`` to the fixture actually
+    being read (VERDICT r11 task #6 — the scheduler floor).
+
+    AQE coalesces post-shuffle partitions, but with the default
+    ``parallelismFirst=true`` it still targets ~one partition per core,
+    so a 17 MB fixture pays 32 reduce tasks of pure dispatch per shuffle.
+    The INITIAL partition count is the knob that actually reduces task
+    setup. Heuristic: one shuffle partition per ~1 MB of fixture, floored
+    at 4 (explode-heavy text/dedup ops fan the data out ~50×, so the
+    floor keeps them parallel) and capped at the core count. On a real
+    cluster the inputs are TB-scale, the heuristic saturates at the
+    core-count cap, and behavior is unchanged — this only bites when the
+    data is small enough that dispatch dominates.
+
+    Returns the chosen partition count (the conf is runtime-settable)."""
+    total_mb = 0
+    try:
+        for f in os.listdir(sf_dir):
+            if f.endswith(".parquet"):
+                total_mb += os.path.getsize(os.path.join(sf_dir, f)) // (1 << 20)
+    except OSError:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cores = spark.sparkContext.defaultParallelism
+    n = max(4, min(cores, total_mb))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n
