@@ -1890,3 +1890,110 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_e8"), "node_a", "node_b")
         .limit(_LINKPRED_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Bounded harmonic centrality (radius 2) over the co-occurrence graph
+# --------------------------------------------------------------------------
+
+_HARMONIC_MAX_DEG = 256  # hub centers don't generate 2-hop wedges (linkpred cap)
+
+_HARMONIC_2HOP_ORACLE = f"""
+WITH op AS MATERIALIZED (
+  SELECT o, p FROM {_DUCK_CAPPED_OP}
+), e AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= {_TRI_MIN_SUPPORT}
+), adj AS MATERIALIZED (
+  SELECT pa AS n, pb AS nbr FROM e UNION ALL SELECT pb AS n, pa AS nbr FROM e
+), deg AS MATERIALIZED (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY n
+), w AS MATERIALIZED (
+  SELECT DISTINCT a.nbr AS x, b.nbr AS y
+  FROM adj a JOIN adj b ON a.n = b.n AND a.nbr < b.nbr
+  WHERE a.n IN (SELECT n FROM deg WHERE d <= {_HARMONIC_MAX_DEG})
+), p2 AS MATERIALIZED (
+  SELECT x, y FROM w
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = w.x AND e.pb = w.y)
+), n2 AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT x AS n FROM p2 UNION ALL SELECT y AS n FROM p2) GROUP BY n
+)
+SELECT d.n AS node, d.d AS n_1hop,
+       CAST(coalesce(n2.c, 0) AS BIGINT) AS n_2hop,
+       CAST(d.d * 1000 + coalesce(n2.c, 0) * 500 AS BIGINT) AS harmonic_milli
+FROM deg d LEFT JOIN n2 ON n2.n = d.n
+ORDER BY harmonic_milli DESC, node
+LIMIT 20
+"""
+
+
+@register(
+    "graph_harmonic_2hop",
+    _HARMONIC_2HOP_ORACLE,
+    doc="radius-2 harmonic centrality (milli-units) over the part co-occurrence graph, top 20",
+)
+def graph_harmonic_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality h(v) = sum over u of 1/dist(u,v) cut at
+    radius 2 — i.e. |N₁(v)| + |N₂(v)|/2, in exact integer milli-units.
+    The "how locally central is this product" readout: a multi-node
+    COMPLEMENT of `graph_bounded_sssp` (one source, 4 hops) — every node
+    gets a score, bounded radius keeps it one wedge pass, not an APSP.
+    Radius-2 truncation is the standard scale compromise (full harmonic
+    centrality needs all-pairs distances).
+
+    Exactness: both terms are exact neighbor-set counts; ×1000/×500
+    integer weights replace the 1/2 float. Top-20 by (score desc, node)
+    is a total order.
+
+    Scale: N₂ comes from the SAME capped wedge machinery as
+    `graph_jaccard_linkpred` — hub centers past _HARMONIC_MAX_DEG=256
+    neighbors don't emit wedges (quadratic fan-out, vanishing score
+    contribution), and the cap is REPLAYED in the oracle as part of the
+    operator spec. One basket explode, one wedge explode, two key-hash
+    aggregates; the direct-edge exclusion is an anti-join on the edge
+    list. Nothing is corpus-quadratic."""
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = edges.select(F.col("pa").alias("n"), F.col("pb").alias("nbr")).unionAll(
+        edges.select(F.col("pb").alias("n"), F.col("pa").alias("nbr"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    nbrs = (
+        adj.groupBy("n")
+        .agg(F.sort_array(F.collect_set("nbr")).alias("ns"))
+        .filter(F.size("ns") <= _HARMONIC_MAX_DEG)
+    )
+    wedges = (
+        nbrs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) -> "
+                    "transform(slice(ns, i + 2, size(ns)), y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()
+    )
+    p2 = wedges.join(
+        edges.select(F.col("pa").alias("a"), F.col("pb").alias("b")), ["a", "b"], "left_anti"
+    )
+    n2 = (
+        p2.select(F.col("a").alias("n"))
+        .unionAll(p2.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        deg.join(n2, "n", "left")
+        .selectExpr(
+            "n AS node",
+            "d AS n_1hop",
+            "CAST(coalesce(c, 0) AS BIGINT) AS n_2hop",
+            "CAST(d * 1000 + coalesce(c, 0) * 500 AS BIGINT) AS harmonic_milli",
+        )
+        .orderBy(F.desc("harmonic_milli"), "node")
+        .limit(20)
+    )

@@ -139,6 +139,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "text_readability_flesch",
     "dedup_levenshtein_rescore",
     "dedup_substring_source_matrix",
+    "graph_harmonic_2hop",
+    "events_funnel_latency",
 )
 
 

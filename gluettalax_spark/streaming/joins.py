@@ -321,3 +321,112 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.filter(F.col("doc_id") >= CORPUS_SPLIT_DOC_ID).join(
         idx, "fingerprint", "left_anti"
     ).select("doc_id", "source", "fingerprint")
+
+
+# --------------------------------------------------------------------------
+# Time-to-convert histogram over the conversion pairs
+# --------------------------------------------------------------------------
+
+_LATENCY_BUCKET_MS = 30 * 60 * 1000  # 30-minute bins across the 12 h horizon
+
+_FUNNEL_LATENCY_ORACLE = f"""
+WITH conv AS (
+  SELECT a.event_id AS view_id,
+         min(epoch_ms(b.ts) - epoch_ms(a.ts)) AS first_delta_ms
+  FROM events a
+  JOIN events b
+    ON a.user_id = b.user_id
+   AND a.event_type = 'view' AND b.event_type = 'purchase'
+   AND epoch_ms(b.ts) > epoch_ms(a.ts)
+   AND epoch_ms(b.ts) <= epoch_ms(a.ts) + {CONVERSION_HORIZON_MS}
+  GROUP BY a.event_id
+),
+hist AS (
+  SELECT CAST(first_delta_ms // {_LATENCY_BUCKET_MS} AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_views
+  FROM conv GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_views) AS BIGINT) AS total FROM hist)
+SELECT bucket,
+       CAST(bucket * 30 AS BIGINT) AS bucket_start_min,
+       n_views,
+       CAST(sum(n_views) OVER (ORDER BY bucket) AS BIGINT) AS cum_views,
+       CAST(sum(n_views) OVER (ORDER BY bucket) * 1000000 // total AS BIGINT) AS cum_ppm
+FROM hist CROSS JOIN tot
+ORDER BY bucket
+"""
+
+
+def _register_funnel_latency():
+    from gluettalax_spark.registry import register
+
+    @register(
+        "events_funnel_latency",
+        _FUNNEL_LATENCY_ORACLE,
+        doc="time-to-first-conversion histogram (30-min bins over the 12 h horizon)",
+    )
+    def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """How long does view→purchase take? Each view's FIRST
+        conversion latency (same user/horizon predicate as
+        `events_conversion_pairs`), histogrammed into 30-minute bins
+        with the cumulative conversion share — the curve a growth team
+        reads to set retargeting windows ("80% of conversions land
+        within N hours"), and the empirical CDF that justifies the 12 h
+        stream-stream join horizon above.
+
+        Exactness: ms epochs both engines (the conversion-pairs
+        contract); bins, counts, and cumulative ppm are all integer
+        floor-divisions.
+
+        Scale: the pair join is the same user-key equi-join; min() per
+        view is a partial-aggregated groupBy on the view id; everything
+        after lives on the ≤24-row bucket dictionary, where the running
+        sum rides `grouped_running_sum` (no single-task window)."""
+        from gluettalax_spark.operators.rank import grouped_running_sum
+
+        ev = load(spark, sf_dir, "events")
+        a = ev.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.unix_millis("ts").alias("a_ms"),
+        )
+        b = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("b_user"), F.unix_millis("ts").alias("b_ms")
+        )
+        conv = (
+            a.join(
+                b,
+                (F.col("user_id") == F.col("b_user"))
+                & (F.col("b_ms") > F.col("a_ms"))
+                & (F.col("b_ms") <= F.col("a_ms") + CONVERSION_HORIZON_MS),
+            )
+            .groupBy("view_id")
+            .agg(F.min(F.col("b_ms") - F.col("a_ms")).alias("first_delta_ms"))
+        )
+        hist = (
+            conv.select(
+                F.expr(f"CAST(first_delta_ms DIV {_LATENCY_BUCKET_MS} AS BIGINT)").alias(
+                    "bucket"
+                )
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_views"))
+            .withColumn("_g", F.lit(1))
+        )
+        hist = hist.localCheckpoint(eager=False)  # feeds total AND running sum
+        tot = hist.agg(F.sum("n_views").cast("long").alias("total"))
+        cum = grouped_running_sum(hist, ["_g"], ["bucket"], "n_views", "cum_views")
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .selectExpr(
+                "bucket",
+                "CAST(bucket * 30 AS BIGINT) AS bucket_start_min",
+                "n_views",
+                "CAST(cum_views AS BIGINT) AS cum_views",
+                "CAST(cum_views * 1000000 DIV total AS BIGINT) AS cum_ppm",
+            )
+            .orderBy("bucket")
+        )
+
+
+_register_funnel_latency()
