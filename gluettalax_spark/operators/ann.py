@@ -217,34 +217,93 @@ def _assignments(spark: SparkSession, sf_dir: str):
     return _MODEL_CACHE[key]
 
 
+def _topk_ivf_oracle(sf_dir: str) -> str:
+    return f"""
+WITH {_duck_centers_cte(sf_dir)},
+{_DUCK_ASSIGN_CTE.strip()},
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
+qd AS (
+  SELECT q.query_id, c.cell,
+         round(list_sum(list_transform(range(1, 65), i ->
+           (CAST(q.q_emb[i] AS DOUBLE) - c.c_emb[i])
+           * (CAST(q.q_emb[i] AS DOUBLE) - c.c_emb[i]))), 4) AS dist
+  FROM q CROSS JOIN centers c
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+    FROM qd
+  ) WHERE rn <= {NPROBE}
+),
+ea AS (SELECT a.vec_id, a.cell, v.embedding FROM assign a JOIN embeddings v USING (vec_id)),
+cand AS (
+  SELECT g.query_id, e.vec_id AS neighbor_id,
+         round({_DUCK_COS64}, 4) AS cosine
+  FROM probes g
+  JOIN ea e USING (cell)
+  JOIN q ON q.query_id = g.query_id
+  WHERE e.vec_id <> g.query_id
+),
+topk AS (
+  SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rk FROM cand
+  ) WHERE rk <= {TOPK}
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round({_DUCK_COS64}, 4) AS cosine
+    FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+  ) s
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  ) <= {TOPK}
+),
+hits AS (
+  SELECT CAST(count(*) AS BIGINT) AS nh
+  FROM topk t JOIN ex USING (query_id, neighbor_id)
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS nx FROM ex)
+SELECT t.query_id, t.neighbor_id, t.cosine, t.rank,
+       round(CAST(nh AS DOUBLE) / nx, 4) AS recall_at_k
+FROM topk t CROSS JOIN hits CROSS JOIN ne
+ORDER BY query_id, rank
+"""
+
+
 @register(
     "similarity_topk_ivf",
-    None,
+    _topk_ivf_oracle,
     doc=f"IVF({NLIST},nprobe={NPROBE}) cosine top-{TOPK} (trained quantizer)",
-    witness=("recall_at_k",),
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Queries probe their NPROBE nearest cells; scoring joins on the cell
-    id. The probe list is built driver-side from the centroid matrix
-    (nlist×dim floats — constant size, independent of corpus scale)."""
-    import numpy as np
+    id. Fully oracle-checked since round 12: the probe ranking runs
+    IN-PLAN with the rounded-distance rule (an N_QUERIES×NLIST
+    crossJoin against the centroid table — constant size, independent of
+    corpus scale), the quantizer replays from centroid literals, and the
+    in-plan `recall_at_k` column is measured against the serial-fold
+    `similarity_topk` exact twin the oracle replays verbatim."""
+    from pyspark.sql.window import Window
 
-    assigned, centers = _assignments(spark, sf_dir)
-    centers = np.asarray(centers)
-
+    assigned, _ = _assignments(spark, sf_dir)
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    # nprobe cells per query, computed from the centroid matrix: the rows
-    # here are (query_id, cell) pairs — N_QUERIES×NPROBE rows, broadcast.
-    q_rows = q.collect()  # N_QUERIES rows — the query SET is small by contract
-    probe_pairs = []
-    for r in q_rows:
-        v = np.asarray(r["q_emb"], dtype=np.float64)
-        d = ((centers - v) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:NPROBE]:
-            probe_pairs.append((r["query_id"], int(cell)))
-    probes = spark.createDataFrame(probe_pairs, "query_id long, cell int")
+    qd = q.crossJoin(F.broadcast(_centers_df(spark, sf_dir))).select(
+        "query_id",
+        "cell",
+        F.round(_sqdist(F.col("q_emb"), F.col("c_emb")), 4).alias("dist"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "cell")
+    probes = (
+        qd.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= NPROBE)
+        .select("query_id", "cell")
+    )
 
     cand = (
         assigned.join(F.broadcast(probes), "cell")
@@ -253,8 +312,6 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(q), "query_id")
     )
     cos = _dot(F.col("q_emb"), F.col("v_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("v_emb")))
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     res = (
         cand.select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
@@ -262,7 +319,19 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
-    return _with_recall_vs_exact(spark, sf_dir, res).orderBy("query_id", "rank")
+    from gluettalax_spark.operators.similarity import similarity_topk
+
+    exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = exact.localCheckpoint(eager=False)  # feeds the hit join AND the denominator
+    hits = exact.join(
+        res.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "leftsemi"
+    )
+    recall = (
+        hits.agg(F.count(F.lit(1)).alias("_nh"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("_ne")))
+        .select(F.round(F.col("_nh") / F.col("_ne"), 4).alias("recall_at_k"))
+    )
+    return res.crossJoin(F.broadcast(recall)).orderBy("query_id", "rank")
 
 
 # --------------------------------------------------------------------------

@@ -28,6 +28,7 @@ class TestOracleTemplates:
             "similarity_cluster_purity",
             "similarity_ann_recall_curve",
             "embedding_pq_distortion",
+            "similarity_topk_ivf",
         ):
             spec = specs[name]
             assert spec.oracle_template is not None, name
