@@ -339,12 +339,100 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _knn_ivf_oracle(sf_dir: str) -> str:
+    from gluettalax_spark.operators.similarity import _KNN_K, _KNN_NQ
+
+    knn_tail = """
+topk_{tag} AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rk FROM scored_{tag}
+  ) WHERE rk <= {k}
+),
+votes_{tag} AS (
+  SELECT query_id, true_label, nbr_label, CAST(count(*) AS BIGINT) AS v
+  FROM topk_{tag} GROUP BY 1, 2, 3
+),
+pred_{tag} AS (
+  SELECT query_id, true_label, nbr_label AS pred_label FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY v DESC, nbr_label
+    ) AS pr FROM votes_{tag}
+  ) WHERE pr = 1
+),
+acc_{tag} AS (
+  SELECT true_label AS label,
+         CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(count(CASE WHEN pred_label = true_label THEN 1 END) AS BIGINT) AS n_correct,
+         CAST(count(CASE WHEN pred_label = true_label THEN 1 END) * 1000000
+              // count(*) AS BIGINT) AS acc_ppm
+  FROM pred_{tag} GROUP BY 1
+)"""
+    return f"""
+WITH {_duck_centers_cte(sf_dir)},
+{_DUCK_ASSIGN_CTE.strip()},
+q AS (
+  SELECT vec_id AS query_id, label AS true_label, embedding AS q_emb
+  FROM embeddings WHERE vec_id < {_KNN_NQ}
+),
+qd AS (
+  SELECT q.query_id, c.cell,
+         round(list_sum(list_transform(range(1, 65), i ->
+           (CAST(q.q_emb[i] AS DOUBLE) - c.c_emb[i])
+           * (CAST(q.q_emb[i] AS DOUBLE) - c.c_emb[i]))), 4) AS dist
+  FROM q CROSS JOIN centers c
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+    FROM qd
+  ) WHERE rn <= {NPROBE}
+),
+ea AS (
+  SELECT a.vec_id, a.cell, a.label, v.embedding
+  FROM assign a JOIN embeddings v USING (vec_id)
+),
+scored_ivf AS (
+  SELECT g.query_id, q.true_label, e.vec_id AS neighbor_id, e.label AS nbr_label,
+         round({_DUCK_COS64}, 4) AS cosine
+  FROM probes g
+  JOIN ea e USING (cell)
+  JOIN q ON q.query_id = g.query_id
+  WHERE e.vec_id <> g.query_id
+),
+scored_ex AS (
+  SELECT q.query_id, q.true_label, e.vec_id AS neighbor_id, e.label AS nbr_label,
+         round({_DUCK_COS64}, 4) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),{knn_tail.format(tag="ivf", k=_KNN_K)},{knn_tail.format(tag="ex", k=_KNN_K)},
+agree AS (
+  SELECT CAST(count(CASE WHEN i.pred_label = x.pred_label THEN 1 END) * 1000000
+              // count(*) AS BIGINT) AS pred_agree_ppm
+  FROM pred_ivf i JOIN pred_ex x USING (query_id)
+),
+recall AS (
+  SELECT CAST((SELECT count(*) FROM topk_ivf t
+               WHERE EXISTS (SELECT 1 FROM topk_ex x
+                             WHERE x.query_id = t.query_id
+                               AND x.neighbor_id = t.neighbor_id)) * 1000000
+              // (SELECT count(*) FROM topk_ex) AS BIGINT) AS nbr_recall_ppm
+)
+SELECT i.label, i.n_queries, i.n_correct, i.acc_ppm,
+       x.acc_ppm AS acc_ppm_exact, agree.pred_agree_ppm, recall.nbr_recall_ppm
+FROM acc_ivf i
+JOIN acc_ex x USING (label)
+CROSS JOIN agree CROSS JOIN recall
+ORDER BY i.label
+"""
+
+
 @register(
     "similarity_knn_label_accuracy_ivf",
-    None,
+    _knn_ivf_oracle,
     doc=f"kNN label accuracy with IVF({NLIST},nprobe={NPROBE}) candidate generation "
     "(scale-path sibling of the brute-force rung)",
-    witness=("acc_ppm_exact", "pred_agree_ppm", "nbr_recall_ppm"),
 )
 def similarity_knn_label_accuracy_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documented candidate-generation swap for
@@ -354,20 +442,19 @@ def similarity_knn_label_accuracy_ivf(spark: SparkSession, sf_dir: str) -> DataF
     vote→argmax→per-class-accuracy tail (`_knn_predict`/`_knn_accuracy`)
     runs over the pruned candidates.
 
-    Rows-only (KMeans training is not SQL-expressible). Witnesses:
-    ``acc_ppm_exact`` — the brute-force rung's per-class accuracy joined
-    onto each row; ``pred_agree_ppm`` — the fraction (ppm) of probes
-    whose IVF prediction equals the exact prediction; and
-    ``nbr_recall_ppm`` — the fraction of exact top-k neighbor pairs the
-    IVF candidates recovered (candidate quality independent of the
-    fixture's weak label signal — vote flips on near-tied neighbor sets
-    make prediction agreement a noisier meter than recall). All three
-    computed in-plan; tests pin them against the exact rung. The exact twin is
-    benchmark-scale instrumentation — at 100 TB it runs over a probe
-    SAMPLE, the IVF path itself touches nprobe/nlist of the corpus via
-    a cell-id equi-join (bucket the corpus by cell to make it a pruned
-    scan)."""
-    import numpy as np
+    Fully oracle-checked since round 12 (the quantizer-literal upgrade):
+    probe ranking runs IN-PLAN with the rounded-distance rule, and the
+    oracle replays the centroid literals, both scoring rungs, the vote
+    tail, and all three agreement meters. ``acc_ppm_exact`` — the
+    brute-force rung's per-class accuracy joined onto each row;
+    ``pred_agree_ppm`` — the fraction (ppm) of probes whose IVF
+    prediction equals the exact prediction; ``nbr_recall_ppm`` — the
+    fraction of exact top-k neighbor pairs the IVF candidates recovered.
+    The exact twin is benchmark-scale instrumentation — at 100 TB it
+    runs over a probe SAMPLE, the IVF path itself touches nprobe/nlist
+    of the corpus via a cell-id equi-join (bucket the corpus by cell to
+    make it a pruned scan)."""
+    from pyspark.sql.window import Window
 
     from gluettalax_spark.operators.similarity import (
         _KNN_NQ,
@@ -377,22 +464,24 @@ def similarity_knn_label_accuracy_ivf(spark: SparkSession, sf_dir: str) -> DataF
         _knn_topk,
     )
 
-    assigned, centers = _assignments(spark, sf_dir)
-    centers = np.asarray(centers)
+    assigned, _ = _assignments(spark, sf_dir)
 
     probes = assigned.filter(F.col("vec_id") < _KNN_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("q_emb"),
     )
-    q_rows = probes.collect()  # bounded probe set, by the same contract as the exact rung
-    probe_pairs = []
-    for r in q_rows:
-        v = np.asarray(r["q_emb"], dtype=np.float64)
-        d = ((centers - v) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:NPROBE]:
-            probe_pairs.append((r["query_id"], int(cell)))
-    probe_cells = spark.createDataFrame(probe_pairs, "query_id long, cell int")
+    qd = probes.crossJoin(F.broadcast(_centers_df(spark, sf_dir))).select(
+        "query_id",
+        "cell",
+        F.round(_sqdist(F.col("q_emb"), F.col("c_emb")), 4).alias("dist"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "cell")
+    probe_cells = (
+        qd.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= NPROBE)
+        .select("query_id", "cell")
+    )
 
     scored = (
         assigned.join(F.broadcast(probe_cells), "cell")

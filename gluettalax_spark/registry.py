@@ -124,7 +124,7 @@ _RECONTRACTED_THIS_ROUND: tuple[str, ...] = (
     "similarity_ann_recall_curve",  # rows-only → oracle-checked (+ exact twin now serial-fold)
     "embedding_pq_distortion",  # rows-only → oracle-checked (codebook literals; sample now vec_id-ordered)
     "similarity_topk_ivf",  # quantizer swap + in-plan probes: rows-only → oracle-checked
-    "similarity_knn_label_accuracy_ivf",  # same quantizer swap (stays rows-only)
+    "similarity_knn_label_accuracy_ivf",  # quantizer swap + in-plan probes: rows-only → oracle-checked
     "similarity_topk_pq",  # PQ sample now vec_id-ordered (stays rows-only, recall witness)
 )
 

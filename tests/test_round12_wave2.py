@@ -29,6 +29,7 @@ class TestOracleTemplates:
             "similarity_ann_recall_curve",
             "embedding_pq_distortion",
             "similarity_topk_ivf",
+            "similarity_knn_label_accuracy_ivf",
         ):
             spec = specs[name]
             assert spec.oracle_template is not None, name
