@@ -527,6 +527,29 @@ def _release_sweep_memory(spark) -> None:
         jrdd.unpersist(True)
 
 
+def _merge_scaling_100x_section(partial: dict) -> None:
+    """Merge a partial scaling_100x capture into BENCH_SELF.json NOW —
+    crash-safe incremental persistence for a sweep that runs for an hour
+    (the r12 restart lost 80 minutes of measurements to an OOM that hit
+    before the single end-of-sweep write)."""
+    self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
+    try:
+        with open(self_path) as fh:
+            existing = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        existing = {}
+    section = existing.get("scaling_100x", {})
+    merged_q = dict(section.get("queries", {}))
+    merged_q.update(partial.get("queries", {}))
+    section.update({k: v for k, v in partial.items() if k != "queries"})
+    section["queries"] = merged_q
+    section["n_super_linear"] = sum(1 for r in merged_q.values() if r.get("super_linear"))
+    existing["scaling_100x"] = section
+    with open(self_path, "w") as fh:
+        json.dump(existing, fh, indent=1)
+        fh.write("\n")
+
+
 def run_scaling_100x() -> None:
     """Time SCALING_100X_SUBSET at sf0.1 and a deterministic 100× scale-up
     (sf10, ~1.7 GB) side by side — the dress rehearsal for the 100 TB
@@ -564,6 +587,23 @@ def run_scaling_100x() -> None:
     start_after = os.environ.get("SPARK_GRAFT_100X_START_AFTER")
     if start_after in names:
         names = names[names.index(start_after) + 1 :]
+    else:
+        # Fresh capture: drop the previous round's section so the
+        # incremental merge below can't mix stale per-key rows into
+        # this sweep's totals. (A resume keeps them by design.)
+        self_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
+        )
+        try:
+            with open(self_path) as fh:
+                existing0 = json.load(fh)
+            if "scaling_100x" in existing0:
+                del existing0["scaling_100x"]
+                with open(self_path, "w") as fh:
+                    json.dump(existing0, fh, indent=1)
+                    fh.write("\n")
+        except (OSError, json.JSONDecodeError):
+            pass
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     factor = 100.0
 
@@ -578,11 +618,21 @@ def run_scaling_100x() -> None:
                 t0 = time.perf_counter()
                 builder(spark, d).count()
                 samples.append(time.perf_counter() - t0)
+                # Release AFTER EVERY RUN: each builder call checkpoints
+                # fresh blocks, so the previous run's are pure garbage —
+                # at sf10 two runs of deserialized edge blocks plus the
+                # join's execution memory is exactly the 8 GiB OOM the
+                # r11 sweep hit (the release sits outside the timer).
+                _release_sweep_memory(spark)
             row[label] = round(min(samples), 4)
         row["ratio"] = round(row["sf10"] / row["sf0.1"], 2)
         row["super_linear"] = row["ratio"] > factor * 1.3
         results[name] = row
-        _release_sweep_memory(spark)
+        # Write incrementally: a crash partway must not lose the
+        # measured prefix (the resume knob then skips what's recorded).
+        _merge_scaling_100x_section(
+            {"data_factor": factor, "runs_per_query": runs, "queries": dict(results)}
+        )
         print(
             f"  {name}: {row['sf0.1']}s -> {row['sf10']}s (x{row['ratio']})"
             + ("  ** SUPER-LINEAR" if row["super_linear"] else ""),
@@ -630,6 +680,7 @@ def run_scaling_100x() -> None:
                     finally:
                         q.stop()
                     srow[label] = round(time.perf_counter() - t0, 4)
+                _release_sweep_memory(spark)
             srow["ratio"] = round(srow["sf10"] / srow["sf0.1"], 2)
             srow["super_linear"] = srow["ratio"] > factor * 1.3
             stream_results[name] = srow

@@ -1406,13 +1406,20 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — both hash-partitioned on the join key (bucket the edge
     table at cluster scale and the static side never reshuffles) — plus
     one aggregate. The final top-k is TakeOrderedAndProject."""
+    from pyspark import StorageLevel
+
     lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # persist(), not localCheckpoint(): four rounds reuse this table, and
+    # the SQL cache stores it as compressed columnar batches that spill —
+    # the checkpoint path pinned DESERIALIZED row objects, which at sf10
+    # (tens of millions of 2-long edges) was most of the 8 GiB heap the
+    # r11 sweep OOM'd on (VERDICT r11 task #4).
     edges = (
         lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     h1 = edges.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("h1"))
     a1 = (
