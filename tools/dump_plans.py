@@ -218,6 +218,18 @@ SHOWCASE = {
     "stats_grubbs_test": "integer argmax |n*x - S| on the dense grid; 1-row moment frame broadcast",
     "text_pii_pattern_scan": "four Java∩RE2-safe regex folds pipelined in the scan; source grid agg",
     "text_html_tag_residue": "position() literal markers, zero regex surface; one scan, one grid agg",
+    # Round-12 additions:
+    "dedup_substring_runs": "K-gram md5s shuffle (text stays behind); dup set semi-joins back co-partitioned; islands merge per doc",
+    "dedup_substring_profile": "runs stream is doc-granular; token totals from a column-pruned second scan; doc_id join bounded",
+    "dedup_substring_source_matrix": "per-gram source self-join fans out at most C(|sources|,2) per gram; two key-hash aggregates",
+    "dedup_levenshtein_rescore": "O(len^2) DP only on the bounded banded pair list; text fetched by two doc_id equi-joins",
+    "stats_ks_test": "value dictionary; both cumulative counts via grouped_running_sum; squared decision rule in DECIMAL(38)",
+    "stats_wasserstein_1d": "CDF-area terms on the value dictionary; neighbor steps via exact_global_rank self-join",
+    "text_readability_flesch": "three regex folds per row inside the scan stage; source-dictionary agg (ARI sibling)",
+    "graph_harmonic_2hop": "hub-capped wedge explode; anti-join excludes direct edges; two key-hash aggregates, top-20",
+    "events_funnel_latency": "user-key equi-join with the time bound as a join filter; min per view; 24-row bucket dictionary",
+    "similarity_topk_ivf": "probe ranking in-plan (queries x 16 centroids crossJoin); cell equi-join prunes the scan; recall twin broadcast",
+    "similarity_cluster_purity": "broadcast centroid argmin; (cell x label) grid agg; purity on the 16-row table",
 }
 
 
