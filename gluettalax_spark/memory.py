@@ -1,0 +1,35 @@
+"""Storage policy for lineage cuts.
+
+Every iterative or multi-consumer operator in this engine cuts lineage
+with ``DataFrame.localCheckpoint`` (cluster analog: checkpoint to
+storage). PySpark's default level for that materialization is
+MEMORY_AND_DISK_DESER — **deserialized Java row objects**, ~5-8× the
+serialized footprint plus per-object GC pressure. At bench scale that is
+invisible; at the 100× rehearsal (sf10) it is fatal twice over:
+
+* round 11: ``graph_hits_bipartite``'s deserialized edge cache OOM'd the
+  default 8 GiB heap (fixed then by one-off ``persist``);
+* round 12: ``connected_components`` over a 27M-pair near-dup graph died
+  inside ``DeserializedValuesHolder.storeValue`` — 32 tasks unrolling
+  object rows concurrently blew the raw Java heap before Spark's memory
+  manager could even account for it.
+
+The policy fix: **all lineage cuts store SERIALIZED** (pyspark's
+``StorageLevel.MEMORY_AND_DISK``, which — unlike the Scala constant of
+the same name — is the serialized variant). Compact Tungsten bytes, unified-
+memory-accounted, evictable to disk under execution pressure. Reads pay
+one deserialization, irrelevant next to the shuffle that produced the
+frame; in exchange no operator's memory footprint depends on row-object
+overhead, which is the property that survives a 1000-executor cluster
+where the same heap serves 100× the partitions.
+
+Use ``CKPT_LEVEL`` for every ``localCheckpoint(storageLevel=...)`` call;
+a bare ``localCheckpoint()`` (deserialized) is a plan-audit violation
+(tests/test_plans.py pins this).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+
+CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK

@@ -23,6 +23,8 @@ every later query a pruned scan + local re-rank.
 
 from __future__ import annotations
 
+from gluettalax_spark.memory import CKPT_LEVEL
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -210,7 +212,7 @@ def _assignments(spark: SparkSession, sf_dir: str):
                 F.first("embedding").alias("embedding"),
             )
             .select("vec_id", "label", "embedding", F.col("_best.cell").alias("cell"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
         )
         centers = [np.asarray(c) for c in np.asarray(_ivf_centers_np(sf_dir))]
         _MODEL_CACHE[key] = (assigned, centers)
@@ -322,7 +324,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gluettalax_spark.operators.similarity import similarity_topk
 
     exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    exact = exact.localCheckpoint(eager=False)  # feeds the hit join AND the denominator
+    exact = exact.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the hit join AND the denominator
     hits = exact.join(
         res.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "leftsemi"
     )
@@ -499,8 +501,8 @@ def similarity_knn_label_accuracy_ivf(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("cosine"),
         )
     )
-    ivf_topk = _knn_topk(scored).localCheckpoint()
-    exact_topk = _knn_topk(_knn_scored_exact(spark, sf_dir)).localCheckpoint()
+    ivf_topk = _knn_topk(scored).localCheckpoint(storageLevel=CKPT_LEVEL)
+    exact_topk = _knn_topk(_knn_scored_exact(spark, sf_dir)).localCheckpoint(storageLevel=CKPT_LEVEL)
 
     pred_ivf = _knn_predict_from_topk(ivf_topk)
     pe_full = _knn_predict_from_topk(exact_topk)
@@ -1162,7 +1164,7 @@ def similarity_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    cand = cand.localCheckpoint(eager=False)  # feeds the top-k AND the volume count
+    cand = cand.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the top-k AND the volume count
     w = Window.partitionBy("nprobe", "query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -1174,7 +1176,7 @@ def similarity_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gluettalax_spark.operators.similarity import similarity_topk
 
     exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    exact = exact.localCheckpoint(eager=False)  # feeds the hit join AND the denominator
+    exact = exact.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the hit join AND the denominator
     hits = (
         topk.join(exact, ["query_id", "neighbor_id"], "leftsemi")
         .groupBy("nprobe")

@@ -18,6 +18,8 @@ threshold 0.5 used here.
 
 from __future__ import annotations
 
+from gluettalax_spark.memory import CKPT_LEVEL
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -209,7 +211,7 @@ def _cap_band_buckets(bands: DataFrame, key_cols: list[str], id_col: str, cap: i
     # Bounded (< corpus/cap rows): materialize once, feed the emptiness
     # probe and (on the skew path) BOTH broadcasts without recomputing
     # the size aggregate per consumer.
-    over = sizes.filter(F.col("bucket_n") > cap).localCheckpoint(eager=True)
+    over = sizes.filter(F.col("bucket_n") > cap).localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
     spill = over.select(*key_cols, "bucket_n")
     if over.isEmpty():
         star = bands.limit(0).select(
@@ -324,7 +326,7 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = ex.groupBy("doc_id").agg(
         *_minhash_sig_aggs(), F.collect_set("hs").alias("shingles")
     )
-    return sigs.localCheckpoint(eager=True)
+    return sigs.localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
 
 
 @register("dedup_minhash_lsh", _minhash_oracle(), doc="MinHash(16) + LSH(4×4) near-dup pairs, Jaccard-verified")
@@ -663,7 +665,7 @@ def dedup_simhash_pairs(
     # materialize it once (64 bits + id per doc — tiny) instead of running
     # the explode + 64-sum aggregation twice. At cluster scale this is
     # "write the fingerprint table, then self-join it".
-    hashes = _simhash_df(spark, sf_dir).localCheckpoint(eager=True)
+    hashes = _simhash_df(spark, sf_dir).localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
     bands = hashes.select(
         "doc_id",
         "simhash",
@@ -794,7 +796,7 @@ def dedup_ngram_jaccard(
     blocks = hs.withColumn(
         "block_key",
         F.md5(F.concat_ws("|", F.slice(F.array_sort("hset"), 1, 3).cast("array<string>"))),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
     kept, star, _spill = _cap_band_buckets(blocks, ["block_key"], "doc_id", max_bucket)
     a = kept.select(
         F.col("doc_id").alias("doc_a"), F.col("hset").alias("sh_a"), "block_key"
@@ -1110,7 +1112,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("hs"))
         .distinct()
     )
-    ex = ex.localCheckpoint(eager=False)  # sizes + inverted index share the scan
+    ex = ex.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # sizes + inverted index share the scan
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     w = Window.partitionBy("hs")
@@ -1261,7 +1263,7 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = ex.groupBy("doc_id").agg(
         *_minhash_sig_aggs(), F.collect_set("hs").alias("hset")
     )
-    sigs = sigs.localCheckpoint(eager=True)  # band explode + both pair sides
+    sigs = sigs.localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)  # band explode + both pair sides
     bands = sigs.select("doc_id", F.explode(_minhash_band_array()).alias("band")).select(
         "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_val").alias("band_val")
     )
@@ -1643,9 +1645,9 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     to doc-keyed shingles via equi-joins — the pair list broadcasts,
     the shingle table shuffles once on doc_id."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
-    pairs = pairs.localCheckpoint(eager=False)  # bounded near-dup list, reused 2x
+    pairs = pairs.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # bounded near-dup list, reused 2x
     ds = shingles_exploded(spark, sf_dir).distinct()
-    ds = ds.localCheckpoint(eager=False)  # feeds df, docw, and both pair sides
+    ds = ds.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds df, docw, and both pair sides
     nd = ds.select("doc_id").distinct().agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     w = (
         ds.groupBy("s")
@@ -1657,7 +1659,7 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dsw = ds.join(w, "s")
-    dsw = dsw.localCheckpoint(eager=False)  # weighted shingles feed docw AND inter
+    dsw = dsw.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # weighted shingles feed docw AND inter
     docw = dsw.groupBy("doc_id").agg(F.sum("w_micro").cast("long").alias("w_total"))
     a = dsw.join(
         F.broadcast(pairs.select("doc_a", "doc_b")),
@@ -1839,7 +1841,7 @@ def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0).alias("is_dup"),
         )
     )
-    ver = ver.localCheckpoint(eager=False)  # feeds per-cfg counts AND the union truth
+    ver = ver.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds per-cfg counts AND the union truth
     truth = (
         ver.filter(F.col("is_dup") == 1)
         .select("doc_a", "doc_b")
@@ -1922,7 +1924,7 @@ def dedup_storage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
     f = docs.select("doc_id", "source", "n_chars", fp.alias("fp"))
-    f = f.localCheckpoint(eager=False)  # feeds the keeper agg AND the join back
+    f = f.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the keeper agg AND the join back
     k = f.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
     return (
         f.join(k, "fp")
@@ -2056,7 +2058,7 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = _substring_grams(spark, sf_dir)
     # Feeds the duplicate-set aggregate AND the semi-join probe: cut the
     # lineage so the posexplode+window pipeline runs once, not twice.
-    grams = grams.localCheckpoint(eager=False)
+    grams = grams.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     dup = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_occ"), F.countDistinct("doc_id").alias("df"))
@@ -2273,7 +2275,7 @@ def dedup_substring_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     already bounds each gram's doc list), so nothing is corpus-
     quadratic. One shuffle on the md5 key, one on the source pair."""
     grams = _substring_grams(spark, sf_dir)
-    grams = grams.localCheckpoint(eager=False)  # feeds dup agg + the semi-join
+    grams = grams.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds dup agg + the semi-join
     dup = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_occ"), F.countDistinct("doc_id").alias("df"))
@@ -2287,7 +2289,7 @@ def dedup_substring_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("g", "source")
         .distinct()
     )
-    gs = gs.localCheckpoint(eager=False)  # both sides of the per-gram self-join
+    gs = gs.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # both sides of the per-gram self-join
     a = gs.select("g", F.col("source").alias("source_a"))
     b = gs.select(F.col("g").alias("g_b"), F.col("source").alias("source_b"))
     return (

@@ -20,6 +20,8 @@ MapReduce and Beyond") — same join primitive, provably fewer rounds.
 
 from __future__ import annotations
 
+from gluettalax_spark.memory import CKPT_LEVEL
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,6 +40,42 @@ _MAX_ROUNDS = 25
 _FALLOVER_ROUNDS = 5
 
 
+class _GenerationRotator:
+    """Release the storage blocks of SUPERSEDED localCheckpoint generations.
+
+    An iterative loop that eagerly localCheckpoints every round keeps the
+    blocks of EVERY past round alive until the py4j refs are GC'd —
+    Spark's ContextCleaner lags a tight sequential loop badly enough that
+    at sf10 the dead generations starve hash-aggregate execution memory
+    (the r12 sweep's UNABLE_TO_ACQUIRE_MEMORY at the default 8g heap).
+    The rotator snapshots the persistent-RDD id set around each
+    checkpoint, and once the new generation is materialized AND the loop
+    no longer references the old one, unpersists exactly the old
+    generation's blocks. Unpersisting a locally-checkpointed RDD makes it
+    unrecomputable — callers must only ``retire()`` after the last read.
+    Cluster analog: deleting the previous round's checkpoint files."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._jsc = spark.sparkContext._jsc
+        self._live: set[int] = set()
+
+    def checkpoint(self, df: DataFrame) -> DataFrame:
+        before = set(self._jsc.getPersistentRDDs().keys())
+        out = df.localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
+        self._pending = set(self._jsc.getPersistentRDDs().keys()) - before
+        return out
+
+    def retire(self) -> None:
+        """Unpersist the PREVIOUS generation; promote the pending one."""
+        rdds = self._jsc.getPersistentRDDs()
+        for rid in self._live:
+            jrdd = rdds.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+        self._live = getattr(self, "_pending", set())
+        self._pending = set()
+
+
 def connected_components(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     """(node, component) for every node in ``edges``; component = min node
     id reachable. Pure DataFrame iteration — no RDDs, no collect of data
@@ -54,13 +92,12 @@ def connected_components(edges: DataFrame, src: str = "u", dst: str = "v") -> Da
     sym = edges.selectExpr(f"{src} AS u", f"{dst} AS v").unionByName(
         edges.selectExpr(f"{dst} AS u", f"{src} AS v")
     )
-    sym = sym.distinct().localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("lab", F.col("node"))
-        .localCheckpoint(eager=True)
+    sym = sym.distinct().localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
+    rot = _GenerationRotator(edges.sparkSession)
+    labels = rot.checkpoint(
+        sym.select(F.col("u").alias("node")).distinct().withColumn("lab", F.col("node"))
     )
+    rot.retire()
     converged = False
     for _ in range(_FALLOVER_ROUNDS):
         nbr_min = (
@@ -68,13 +105,12 @@ def connected_components(edges: DataFrame, src: str = "u", dst: str = "v") -> Da
             .groupBy("u")
             .agg(F.min("lab").alias("nbr_lab"))
         )
-        new_labels = (
+        new_labels = rot.checkpoint(
             labels.join(nbr_min, labels.node == nbr_min.u, "left")
             .select(
                 "node",
                 F.least(F.col("lab"), F.coalesce(F.col("nbr_lab"), F.col("lab"))).alias("lab"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -82,6 +118,9 @@ def connected_components(edges: DataFrame, src: str = "u", dst: str = "v") -> Da
             .filter(F.col("n.lab") != F.col("o.lab"))
             .count()
         )
+        # `changed` was the superseded generation's last read — release
+        # its blocks now (the rotator, not ContextCleaner lag, decides).
+        rot.retire()
         labels = new_labels
         if changed == 0:
             converged = True
@@ -258,24 +297,27 @@ def connected_components_star(edges: DataFrame, src: str = "u", dst: str = "v") 
     rounds for plain min-label propagation (`connected_components`). Same
     fixpoint; tests assert equivalence. Use this variant for deep/chained
     graphs; the min-label one for shallow near-dup clusters."""
-    e = (
+    rot = _GenerationRotator(edges.sparkSession)
+    e = rot.checkpoint(
         edges.selectExpr(f"{src} AS u", f"{dst} AS v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    rot.retire()
     singletons = edges.selectExpr(f"{src} AS n").unionByName(
         edges.selectExpr(f"{dst} AS n")
     ).distinct()
     if e.rdd.isEmpty():
         return singletons.select(F.col("n").alias("node"), F.col("n").alias("component"))
     for _ in range(_MAX_ROUNDS):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e2 = rot.checkpoint(_small_star(_large_star(e)))
         # Converged when the edge set is unchanged (both are distinct sets).
-        if e2.count() == e.count() and e2.exceptAll(e).rdd.isEmpty():
-            e = e2
-            break
+        same = e2.count() == e.count() and e2.exceptAll(e).rdd.isEmpty()
+        # The convergence compare was the old generation's last read.
+        rot.retire()
         e = e2
+        if same:
+            break
     # After convergence every edge points node → its component root.
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
@@ -462,7 +504,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cut lineage: the edge set feeds four consumers (deg, orientation,
     # wedge join, close join) — recomputing the basket explode per
     # consumer would dominate the runtime.
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
 
     deg = (
         edges.select(F.col("pa").alias("n"))
@@ -484,7 +526,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src", "dst", F.col("deg_dst_hi").alias("deg_dst"))
     )
-    ed = ed.localCheckpoint(eager=False)
+    ed = ed.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
 
     # Wedges at the orientation-minimum vertex: two out-neighbors of the
     # same src, ordered by (degree, id) so the closing edge is oriented.
@@ -604,7 +646,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     side; the rank side is (node, long) — the narrowest possible
     shuffle.
     """
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
 
     sym = edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
@@ -614,7 +656,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = (
         sym.join(deg.withColumnRenamed("n", "src"), "src")
         .select("src", "dst", F.col("d").alias("d_src"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
 
     n_nodes = deg.count()
@@ -633,7 +675,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = contribs.select(
             "n",
             (F.lit(base) + F.expr("(85 * in_sum) DIV 100")).cast("long").alias("r"),
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
 
     mass = ranks.agg(F.sum("r").cast("long").alias("mass_e12"))
     return (
@@ -706,7 +748,7 @@ def _lpa_edges_and_labels(spark: SparkSession, sf_dir: str):
     """(undirected edges, final LPA labels) — the per-round join + count
     + min(struct) argmax shape documented on :func:`graph_communities_lpa`;
     shared with :func:`graph_modularity` so both score the same labeling."""
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     sym = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
         edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
@@ -726,7 +768,7 @@ def _lpa_edges_and_labels(spark: SparkSession, sf_dir: str):
                 ).alias("m")
             )
             .select("node", F.col("m.l").alias("lab"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
         )
     return edges, labels
 
@@ -909,7 +951,7 @@ def sql_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     and bounded. The edge SET is materialized once behind a temp view
     (see the comment on ``_REACH_SQL``) — the recursion itself is what
     runs in Catalyst."""
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     edges.createOrReplaceTempView("gx_reach_edges")
     return spark.sql(_REACH_SQL.format(edges="gx_reach_edges"))
 
@@ -1075,7 +1117,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     -k-core default (Montresor et al.); degeneracy-ordering variants
     trade more machinery for fewer rounds and keep the same per-round
     join primitive."""
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     for _ in range(_KCORE_MAX_ROUNDS):
         # Checkpoint the (node-sized) degree table eagerly: the
         # convergence probe AND the keep-set filter both consume it, and
@@ -1085,7 +1127,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(edges.select(F.col("pb").alias("n")))
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
         )
         bad = deg.filter(F.col("d") < _KCORE_K)
         if bad.isEmpty():
@@ -1095,7 +1137,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(keep.withColumnRenamed("n", "pa"), "pa", "left_semi")
             .join(keep.withColumnRenamed("n", "pb"), "pb", "left_semi")
             .select("pa", "pb")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
         )
     core_deg = (
         edges.select(F.col("pa").alias("n"))
@@ -1189,7 +1231,7 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree table grows with the graph), the Jaccard division is
     IEEE-deterministic from exact integer counts, and top-k is
     TakeOrderedAndProject."""
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     res = jaccard_linkpred_scores(edges, max_deg=_LINKPRED_MAX_DEG)
     return res.orderBy(F.desc("jaccard"), "node_a", "node_b").limit(_LINKPRED_TOPK)
 
@@ -1313,13 +1355,13 @@ def assortativity_from_edges(raw_edges: DataFrame) -> DataFrame:
     """Assortativity core over any (pa, pb) undirected edge frame —
     factored out so tests can pin known-shape graphs (a star is exactly
     r = -1; a clique's variance degenerates)."""
-    edges = raw_edges.localCheckpoint()  # feeds deg + both joins
+    edges = raw_edges.localCheckpoint(storageLevel=CKPT_LEVEL)  # feeds deg + both joins
     deg = (
         edges.select(F.col("pa").alias("n"))
         .unionAll(edges.select(F.col("pb").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .localCheckpoint()  # feeds the node count and two degree joins
+        .localCheckpoint(storageLevel=CKPT_LEVEL)  # feeds the node count and two degree joins
     )
     da = deg.select(F.col("n").alias("pa"), F.col("d").alias("x"))
     db = deg.select(F.col("n").alias("pb"), F.col("d").alias("y"))
@@ -1517,13 +1559,13 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the degree-oriented wedge join bounds fan-out by sqrt(2m)
     (Suri & Vassilvitskii); per-node credit is one explode + groupBy on
     triangle rows (≤ wedge count); everything else is node-grain."""
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     deg = (
         edges.select(F.col("pa").alias("n"))
         .unionAll(edges.select(F.col("pb").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     is_fwd = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
@@ -1536,7 +1578,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(is_fwd, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
             F.greatest("da", "db").alias("deg_dst"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     w1, w2 = ed.alias("w1"), ed.alias("w2")
     wedges = w1.join(
@@ -1554,7 +1596,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     closed = wedges.join(
         ed.select(F.col("src").alias("ta"), F.col("dst").alias("tb")), ["ta", "tb"], "leftsemi"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
 
     tcount = (
         closed.select(F.explode(F.array("wsrc", "ta", "tb")).alias("n"))
@@ -1683,11 +1725,11 @@ def graph_bounded_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("support"))
         .where(F.col("support") >= _TRI_MIN_SUPPORT)
     )
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     dir_e = (
         edges.selectExpr("pa AS u", "pb AS v", f"{_SSSP_COST} AS w")
         .unionAll(edges.selectExpr("pb AS u", "pa AS v", f"{_SSSP_COST} AS w"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     src = edges.agg(F.min("pa").alias("s"))
     d = src.select(F.col("s").alias("node"), F.lit(0).cast("long").alias("dist"))
@@ -1699,7 +1741,7 @@ def graph_bounded_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.unionAll(relaxed)
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
-            .localCheckpoint(eager=False)  # lineage cut per round
+            .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # lineage cut per round
         )
     return d.orderBy("dist", "node").limit(_SSSP_TOP)
 
@@ -1765,7 +1807,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .withColumn("_g", F.lit(1))
     )
-    hist = hist.localCheckpoint(eager=False)  # feeds the total AND the running sum
+    hist = hist.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the total AND the running sum
     tot = hist.agg(F.sum("n_nodes").cast("long").alias("total"))
     cum = grouped_running_sum(hist, ["_g"], ["degree"], "n_nodes", "cum_nodes")
     return (
@@ -1848,7 +1890,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the oracle replays the cap: it is part of the spec), candidates
     anti-join the edge set, degrees join on the node key, top-k is
     TakeOrderedAndProject."""
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     adj = edges.select(F.col("pa").alias("n"), F.col("pb").alias("nbr")).unionAll(
         edges.select(F.col("pb").alias("n"), F.col("pa").alias("nbr"))
     )
@@ -1962,7 +2004,7 @@ def graph_harmonic_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator spec. One basket explode, one wedge explode, two key-hash
     aggregates; the direct-edge exclusion is an anti-join on the edge
     list. Nothing is corpus-quadratic."""
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     adj = edges.select(F.col("pa").alias("n"), F.col("pb").alias("nbr")).unionAll(
         edges.select(F.col("pb").alias("n"), F.col("pa").alias("nbr"))
     )

@@ -23,6 +23,8 @@ bytes never leave the executor, only fixed-width metadata shuffles.
 
 from __future__ import annotations
 
+from gluettalax_spark.memory import CKPT_LEVEL
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -715,7 +717,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     hashes = payloads.mapInPandas(make_phash_batch(), PHASH_SCHEMA).localCheckpoint(
-        eager=True
+        eager=True, storageLevel=CKPT_LEVEL
     )
     bands = hashes.select(
         "doc_id",
@@ -825,7 +827,7 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = docs.select(
         F.sha2(F.col("text"), 256).alias("h"),
         F.octet_length(F.col("text")).cast("long").alias("b"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     raw = payloads.groupBy(F.substring("h", 1, 1).alias("shard")).agg(
         F.count(F.lit(1)).cast("long").alias("n_payloads"),
         F.sum("b").cast("long").alias("bytes_total"),

@@ -41,6 +41,8 @@ Used by ``window_ntile_distribution``, ``customer_rfm_segments`` and
 
 from __future__ import annotations
 
+from gluettalax_spark.memory import CKPT_LEVEL
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -94,7 +96,7 @@ def exact_global_rank(
     # for plan-shape tests that need to inspect the subtree; production
     # callers must never pass it.
     if isolate:
-        with_pid = with_pid.localCheckpoint(eager=False)
+        with_pid = with_pid.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
 
     # Offsets: one row per range partition (≤ npart rows — config-bounded,
     # so the single-partition prefix-sum window here is metadata-scale,
@@ -157,7 +159,7 @@ def grouped_running_sum(
     # one materialized run rather than two re-planned executions of the
     # range exchange.
     if isolate:
-        with_pid = with_pid.localCheckpoint(eager=False)
+        with_pid = with_pid.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
 
     w_off = (
         Window.partitionBy(*group_cols)

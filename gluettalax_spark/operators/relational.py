@@ -9,6 +9,8 @@ the reference's fetch-all-then-filter loops.
 
 from __future__ import annotations
 
+from gluettalax_spark.memory import CKPT_LEVEL
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -257,11 +259,11 @@ def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "p_size",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     size_min = (
         pts.groupBy("p_size")
         .agg(F.min("price_cents").alias("min_price"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     # strict-prefix min over larger sizes, on the bounded size dictionary
     b = size_min.select(F.col("p_size").alias("bs"), F.col("min_price").alias("bp"))

@@ -10,6 +10,8 @@ lives inside Glue job scripts. Everything here is built-in
 
 from __future__ import annotations
 
+from gluettalax_spark.memory import CKPT_LEVEL
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -492,7 +494,7 @@ def json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tagged = events.crossJoin(F.broadcast(bounds)).select(
         F.when(F.unix_micros("ts") < F.col("mid"), 0).otherwise(1).alias("half"), "props"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     halves = tagged.groupBy("half").agg(F.count(F.lit(1)).cast("long").alias("n"))
     h = halves.agg(
         F.max(F.when(F.col("half") == 0, F.col("n"))).cast("long").alias("n_early"),

@@ -45,6 +45,8 @@ surface the brief adds on top (SURVEY.md §2 F-north).
 
 from __future__ import annotations
 
+from gluettalax_spark.memory import CKPT_LEVEL
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -341,7 +343,7 @@ def semantic_dedup(
     qe = F.expr(f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE}.0) AS BIGINT))")
     members = a1.select(
         "vec_id", "cluster_id", qe.alias("qe")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
 
     kept, star, _spill = _cap_band_buckets(members, ["cluster_id"], "vec_id", max_bucket)
 

@@ -12,6 +12,8 @@ plan and swap in pre-trained IVF centroids as the bucketer.
 
 from __future__ import annotations
 
+from gluettalax_spark.memory import CKPT_LEVEL
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -214,7 +216,7 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         emb.selectExpr("vec_id", "embedding", f"{bucket} AS bucket")
         .withColumn("nrm", _norm(F.col("embedding")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
     )
     q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -344,7 +346,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str, max_bucket: int = 512) -
     buckets = (
         emb.selectExpr("vec_id", "embedding", f"{bucket} AS bucket")
         .withColumn("nrm", _norm(F.col("embedding")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
     )
     kept, star, _spill = _cap_band_buckets(buckets, ["bucket"], "vec_id", max_bucket)
     a = kept.select(
@@ -873,7 +875,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = emb.select(
         "vec_id", *[F.round(score_expr(k), 6).alias(f"pc{k + 1}") for k in range(PCA_K)]
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     stats = scored.agg(F.round(F.var_pop("pc1"), 6).alias("var_pc1"))
     return (
         scored.orderBy(F.desc(F.abs(F.col("pc1"))), F.asc("vec_id"))
@@ -956,7 +958,7 @@ def centroid_outliers(emb: DataFrame, topk: int = OUTLIER_TOPK) -> DataFrame:
         "label",
         "vec_id",
         F.expr(f"transform(embedding, v -> CAST(floor(v * {COV_Q}) AS BIGINT))").alias("qv"),
-    ).localCheckpoint()  # feeds the label stats AND the distance join
+    ).localCheckpoint(storageLevel=CKPT_LEVEL)  # feeds the label stats AND the distance join
     per_coord = (
         qe.select("label", F.posexplode("qv").alias("i", "x"))
         .groupBy("label", "i")
@@ -1485,7 +1487,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cid"), rel.alias("rel"))
         .orderBy(F.col("rel").desc(), F.col("cid"))
         .limit(_MMR_CAND)
-        .localCheckpoint()  # 20 rows; reused by 5 greedy rounds
+        .localCheckpoint(storageLevel=CKPT_LEVEL)  # 20 rows; reused by 5 greedy rounds
     )
     cv = cand.join(emb, cand.cid == emb.vec_id).select("cid", "embedding")
     a, b = cv.alias("a"), cv.alias("b")
@@ -1497,7 +1499,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = (
         a.join(F.broadcast(b), F.col("a.cid") != F.col("b.cid"))
         .select(F.col("a.cid").alias("ai"), F.col("b.cid").alias("bi"), sim.alias("sim"))
-        .localCheckpoint()  # 380 rows; reused by 4 greedy rounds
+        .localCheckpoint(storageLevel=CKPT_LEVEL)  # 380 rows; reused by 4 greedy rounds
     )
     lam, om = _MMR_LAMBDA, round(1.0 - _MMR_LAMBDA, 4)
     selected = (
@@ -1509,7 +1511,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel",
             F.col("rel").alias("mmr_score"),
         )
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=CKPT_LEVEL)
     )
     for step in range(2, _MMR_SELECT + 1):
         sel_ids = selected.select(F.col("vec_id").alias("bi"))
@@ -1530,7 +1532,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("mmr_score").desc(), F.col("vec_id"))
             .limit(1)
         )
-        selected = selected.union(nxt).localCheckpoint()
+        selected = selected.union(nxt).localCheckpoint(storageLevel=CKPT_LEVEL)
     return selected.orderBy("step")
 
 

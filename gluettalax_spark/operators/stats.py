@@ -10,6 +10,8 @@ they're covered by a unit test against numpy instead.
 
 from __future__ import annotations
 
+from gluettalax_spark.memory import CKPT_LEVEL
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1482,7 +1484,7 @@ def cusum_daily_changepoints(events: DataFrame) -> DataFrame:
         events.select("event_type", F.date_trunc("day", "ts").alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count("*").cast("long").alias("x"))
-        .localCheckpoint()  # feeds bounds, the type list, AND the dense join
+        .localCheckpoint(storageLevel=CKPT_LEVEL)  # feeds bounds, the type list, AND the dense join
     )
     bounds = counts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     days = bounds.select(
@@ -1716,7 +1718,7 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         events.select(F.date_trunc("day", "ts").alias("day"), "user_id")
         .distinct()
-        .localCheckpoint()  # feeds the day list AND the contribution explode
+        .localCheckpoint(storageLevel=CKPT_LEVEL)  # feeds the day list AND the contribution explode
     )
     days = pairs.select("day").distinct()
     contrib = pairs.select(
@@ -2811,7 +2813,7 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "s"
             )
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     tot = seqs.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     per_pattern = [
@@ -3572,7 +3574,7 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("_g", F.lit(1))
     )
-    vals = vals.localCheckpoint(eager=False)  # feeds totals + both running sums
+    vals = vals.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds totals + both running sums
     cum1 = grouped_running_sum(vals, ["_g"], ["v"], "c1", "cum1").select("v", "cum1")
     cum2 = grouped_running_sum(vals, ["_g"], ["v"], "c2", "cum2").select("v", "cum2")
     tot = vals.agg(
@@ -3671,7 +3673,7 @@ def stats_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("_g", F.lit(1))
     )
-    vals = vals.localCheckpoint(eager=False)  # totals + 2 running sums + rank
+    vals = vals.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # totals + 2 running sums + rank
     tot = vals.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),

@@ -9,6 +9,8 @@ loop, so these run at full codegen speed over 100 TB of text.
 
 from __future__ import annotations
 
+from gluettalax_spark.memory import CKPT_LEVEL
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2294,7 +2296,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "  "),
             F.lit("  "),
         ).alias("sym"),
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=CKPT_LEVEL)
 
     out: DataFrame | None = None
     for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
@@ -2317,7 +2319,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").cast("long").alias("score"))
             .orderBy(F.desc("score"), "l", "r")
             .limit(1)
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=CKPT_LEVEL)
         )
         cur = (
             cur.crossJoin(F.broadcast(best.select("l", "r")))
@@ -2328,7 +2330,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "replace(sym, concat(' ', l, '  ', r, ' '), concat(' ', l, r, ' '))"
                 ).alias("sym"),
             )
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=CKPT_LEVEL)
         )
         stats = cur.agg(
             F.sum(F.col("c") * F.size(F.expr(_SYMS))).cast("long").alias("tokens_after")
@@ -2542,7 +2544,7 @@ def js_divergence_by_source(docs: DataFrame) -> DataFrame:
     sc = (
         tok.groupBy("source", "w")
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint()  # feeds vocab totals, source totals, and the grid join
+        .localCheckpoint(storageLevel=CKPT_LEVEL)  # feeds vocab totals, source totals, and the grid join
     )
     vocab = sc.groupBy("w").agg(F.sum("c").cast("long").alias("cw"))
     srcs = sc.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
@@ -2683,7 +2685,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "ch")
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint()  # feeds the total and the entropy fold
+        .localCheckpoint(storageLevel=CKPT_LEVEL)  # feeds the total and the entropy fold
     )
     tot = cc.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     term = F.expr(
@@ -3029,7 +3031,7 @@ def text_tfidf_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"),
-    ).localCheckpoint(eager=False)  # one materialized explode feeds df AND tf
+    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # one materialized explode feeds df AND tf
     dfreq = words.groupBy("w").agg(F.countDistinct("doc_id").cast("long").alias("dfreq"))
     nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     idf = dfreq.crossJoin(F.broadcast(nd)).select(
@@ -3355,7 +3357,7 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "source", "h")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     dup = (
         occ.groupBy("h")
@@ -3510,7 +3512,7 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic from (rank, per-lang total)."""
     from gluettalax_spark.operators.rank import grouped_running_sum, ntile_from_rank
 
-    scored = ppl_doc_keys(spark, sf_dir).localCheckpoint(eager=False)
+    scored = ppl_doc_keys(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     dict_df = scored.groupBy("lang", "key_nano").agg(
         F.count(F.lit(1)).cast("long").alias("n_k")
     )
@@ -3595,7 +3597,7 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = text_lang_id(spark, sf_dir)
     cells = pred.groupBy("lang_true", "lang_pred").agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     rowm = cells.groupBy(F.col("lang_true").alias("c")).agg(
         F.sum("n").cast("long").alias("n_true")
     )
@@ -3714,7 +3716,7 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.trim(F.regexp_replace(F.col("raw"), " +", " ")).alias("phrase"),
     )
-    phrases = frags.filter(F.col("phrase") != "").localCheckpoint(eager=False)
+    phrases = frags.filter(F.col("phrase") != "").localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     pw = phrases.select(
         "phrase",
         F.explode(F.split(F.col("phrase"), " ")).alias("w"),
@@ -3991,7 +3993,7 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "  "),
                 F.lit("  "),
             ).alias("sym"),
-        ).localCheckpoint()
+        ).localCheckpoint(storageLevel=CKPT_LEVEL)
         for _ in range(BPE_TRAIN_ROUNDS):
             pairs = (
                 cur.withColumn("syms", F.expr(_SYMS))
@@ -4022,11 +4024,11 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "replace(sym, concat(' ', l, '  ', r, ' '), concat(' ', l, r, ' '))"
                     ).alias("sym"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(storageLevel=CKPT_LEVEL)
             )
         dict_df = cur.select(
             "w", F.size(F.expr(_SYMS)).cast("long").alias("n_sym")
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
         # Bounded memo: latest (app, corpus dir) only — see
         # classifier_doc_logits for the rationale.
         _BPE_DICT_CACHE.clear()
@@ -4126,7 +4128,7 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w", "doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     totals = term_doc.groupBy("w").agg(F.sum("c").cast("long").alias("total"))
     top_terms = totals.orderBy(F.desc("total"), "w").limit(_BURST_TOP_TERMS)
@@ -4224,7 +4226,7 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "source", F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("tk")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     eligible = toks.filter(F.size("tk") >= _MATTR_W)
     per_doc = eligible.select(
         "source",
@@ -4321,7 +4323,7 @@ def text_token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    vocab = vocab.localCheckpoint(eager=False)  # feeds the rank AND the total
+    vocab = vocab.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the rank AND the total
     ranked = exact_global_rank(vocab, [F.col("c").desc(), F.col("w")], "r", keep_total=False)
     tot = vocab.agg(
         F.sum("c").cast("long").alias("n_total"),
@@ -4403,7 +4405,7 @@ def text_token_length_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.length("w").alias("l"))
         .groupBy("lang", "l")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)  # feeds the totals AND the entropy fold
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the totals AND the entropy fold
     )
     tot = ld.groupBy("lang").agg(
         F.sum("c").cast("long").alias("n"),
@@ -4504,7 +4506,7 @@ def text_lang_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_guard").isNotNull())
         .groupBy("lang", "t3")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)  # feeds norms AND both join sides
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds norms AND both join sides
     )
     norms = prof.groupBy("lang").agg(
         F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).cast("long").alias("c2"),
@@ -4675,7 +4677,7 @@ def text_source_lang_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("n_chars"),
     )
-    g = g.localCheckpoint(eager=False)  # feeds all three marginals AND the output
+    g = g.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds all three marginals AND the output
     ms = g.groupBy("source").agg(F.sum("n_docs").cast("long").alias("src_docs"))
     ml = g.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("lang_docs"))
     t = g.agg(F.sum("n_docs").cast("long").alias("total"))

@@ -56,6 +56,18 @@ def get_spark(app_name: str = "gluettalax_spark", cpus: str | None = None) -> Sp
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Iterative operators (connected components, PageRank, HITS, label
+        # propagation) cut lineage with localCheckpoint each round; the
+        # checkpoint blocks land in the UNIFIED pool's storage side. With
+        # the default storageFraction=0.5 those blocks are protected from
+        # execution-side eviction up to half the pool, and on a bounded
+        # heap a long iterative chain starves hash aggregates outright
+        # (UNABLE_TO_ACQUIRE_MEMORY in the r12 sf10 sweep at 8g). 0.1
+        # keeps storage evictable: execution pressure demotes MEMORY_AND
+        # _DISK checkpoint blocks to disk instead of OOMing the query.
+        # Cluster-scale rationale is identical — iterative caches should
+        # yield to shuffle/agg memory, never the reverse.
+        .config("spark.memory.storageFraction", "0.1")
     )
     # ANSI sweep mode (make correctness-ansi): surfaces div-by-zero /
     # overflow / strict-cast divergences that silently return null in
