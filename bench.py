@@ -517,10 +517,16 @@ def _release_sweep_memory(spark) -> None:
     frame across operators, so this is safe by construction."""
     import gc
 
+    from gluettalax_spark.memory import clear_session_df_caches
     from gluettalax_spark.operators import ann
 
     for k in [k for k in ann._MODEL_CACHE if isinstance(k, tuple) and k and k[0] == "ivf-assign"]:
         del ann._MODEL_CACHE[k]
+    # Every registered session-scoped DataFrame memo (classifier logits,
+    # BPE dictionaries) must drop WITH its blocks — the unpersist-all
+    # below otherwise leaves them pointing at dead checkpoint blocks
+    # (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the next consumer, r12 sweep).
+    clear_session_df_caches()
     gc.collect()  # release py4j refs so unpersist below frees the blocks
     spark.catalog.clearCache()
     for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):

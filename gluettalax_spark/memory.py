@@ -33,3 +33,25 @@ from __future__ import annotations
 from pyspark import StorageLevel
 
 CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
+
+# Session-scoped DataFrame memos (checkpointed frames reused across
+# operator calls: classifier logits, BPE merge dictionaries, IVF
+# assignments). Anything that unpersists storage blocks wholesale —
+# bench._release_sweep_memory between sf10 sweep runs — MUST also clear
+# these, or the next call returns a DataFrame whose checkpoint blocks
+# are gone (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, r12 sweep). Modules
+# register the dict at definition time; the release path clears them all
+# through one call instead of knowing each module's internals.
+SESSION_DF_CACHES: list[dict] = []
+
+
+def register_session_df_cache(cache: dict) -> dict:
+    """Register a module-level dict whose VALUES hold (or contain)
+    persisted DataFrames. Returns the dict for inline use."""
+    SESSION_DF_CACHES.append(cache)
+    return cache
+
+
+def clear_session_df_caches() -> None:
+    for cache in SESSION_DF_CACHES:
+        cache.clear()

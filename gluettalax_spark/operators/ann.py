@@ -219,9 +219,11 @@ def _assignments(spark: SparkSession, sf_dir: str):
     return _MODEL_CACHE[key]
 
 
-def _topk_ivf_oracle(sf_dir: str) -> str:
-    return f"""
-WITH {_duck_centers_cte(sf_dir)},
+def _ivf_topk_ctes(sf_dir: str) -> str:
+    """CTE chain ``centers → assign → q → qd → probes → ea → cand →
+    topk`` — the full IVF search replay, shared by _topk_ivf_oracle and
+    _ndcg_oracle so the two keys can never drift apart."""
+    return f"""{_duck_centers_cte(sf_dir)},
 {_DUCK_ASSIGN_CTE.strip()},
 q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
 qd AS (
@@ -253,7 +255,12 @@ topk AS (
       PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
     ) AS rk FROM cand
   ) WHERE rk <= {TOPK}
-),
+)"""
+
+
+def _topk_ivf_oracle(sf_dir: str) -> str:
+    return f"""
+WITH {_ivf_topk_ctes(sf_dir)},
 ex AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -1419,4 +1426,126 @@ def similarity_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overall_purity_ppm",
         )
         .orderBy("cell")
+    )
+
+
+# --------------------------------------------------------------------------
+# NDCG@k: ranking quality of the IVF index against exact-cosine truth
+# --------------------------------------------------------------------------
+#
+# recall@k says WHETHER the true neighbors were found; NDCG@k says
+# whether they were found IN THE RIGHT ORDER — the metric that catches a
+# quantizer whose recall is fine but whose ranking inverts the head (bad
+# for any consumer that truncates, i.e. every consumer). Relevance is
+# graded by the exact rank (top-1 ⇒ rel=TOPK … top-TOPK ⇒ rel=1, else
+# 0), discounts are the TOPK log2 CONSTANTS embedded as identical double
+# literals in both engines, and each rel/log2(i+1) term is floor-
+# quantized to 1e-9 before the integer sum — no cross-engine float fold
+# anywhere, so the key is fully hash-checked despite scoring a trained
+# index.
+
+
+def _ndcg_discounts() -> list[float]:
+    import math
+
+    return [math.log2(i + 1) for i in range(1, TOPK + 1)]
+
+
+def _ndcg_idcg_e9() -> int:
+    """Ideal DCG on the same 1e-9 grid: the exact top-TOPK in exact order
+    (rel TOPK..1 at ranks 1..TOPK). Python floats replay the engines'
+    exact doubles: rel·1e9 is an exact double, the division is correctly
+    rounded against the same literal, floor is floor."""
+    import math
+
+    return sum(
+        int(math.floor((TOPK + 1 - i) * 1000000000.0 / l))
+        for i, l in enumerate(_ndcg_discounts(), start=1)
+    )
+
+
+def _ndcg_oracle(sf_dir: str) -> str:
+    disc_case = " ".join(
+        f"WHEN {i} THEN {_f64_lit(l)}" for i, l in enumerate(_ndcg_discounts(), start=1)
+    )
+    return f"""
+WITH {_ivf_topk_ctes(sf_dir)},
+ex AS (
+  SELECT query_id, neighbor_id, rk AS x_rank FROM (
+    SELECT s.query_id, s.neighbor_id,
+           row_number() OVER (
+             PARTITION BY s.query_id ORDER BY s.cosine DESC, s.neighbor_id
+           ) AS rk
+    FROM (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({_DUCK_COS64}, 4) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ) s
+  ) WHERE rk <= {TOPK}
+),
+rel AS (
+  SELECT t.query_id, t.rank,
+         coalesce({TOPK + 1} - e.x_rank, 0) AS rel
+  FROM topk t LEFT JOIN ex e USING (query_id, neighbor_id)
+),
+terms AS (
+  SELECT query_id,
+         CAST(floor(rel * 1000000000.0
+                    / (CASE rank {disc_case} END)) AS BIGINT) AS t_e9
+  FROM rel
+)
+SELECT query_id,
+       CAST(sum(t_e9) AS BIGINT) AS dcg_e9,
+       CAST({_ndcg_idcg_e9()} AS BIGINT) AS idcg_e9,
+       round(CAST(sum(t_e9) AS DOUBLE) / {_ndcg_idcg_e9()}, 4) AS ndcg
+FROM terms GROUP BY query_id ORDER BY query_id
+"""
+
+
+@register(
+    "similarity_ndcg_eval",
+    _ndcg_oracle,
+    doc=f"NDCG@{TOPK} of the IVF ranking against exact-cosine graded relevance",
+)
+def similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query NDCG@TOPK of `similarity_topk_ivf`'s ranking, graded by
+    the exact twin `similarity_topk` (rel = TOPK+1 − exact rank, 0 for
+    non-neighbors). Completes the index-quality suite: recall_at_k
+    (coverage), knn label accuracy (downstream utility), NDCG (order).
+
+    Exactness: rel is an integer, every log2 discount is one shared
+    double literal, each term floor-quantizes to 1e-9 before an integer
+    sum, and IDCG is a Python-computed constant on the same grid — the
+    whole key hash-checks cross-engine (no ln/log evaluated by either
+    engine at all).
+
+    Scale: reuses the IVF search (bounded probes, cell equi-join) plus
+    one broadcast join against the exact top-k's TOPK×N_QUERIES rows; at
+    100 TB the exact side comes from a sampled probe set, as with every
+    eval op in this module."""
+    from gluettalax_spark.operators.similarity import similarity_topk
+
+    ivf = similarity_topk_ivf(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    exact = similarity_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("x_rank")
+    )
+    j = ivf.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+    rel = F.coalesce(F.lit(TOPK + 1) - F.col("x_rank"), F.lit(0)).cast("long")
+    discounts = _ndcg_discounts()
+    expr = F.when(F.col("rank") == 1, F.lit(discounts[0]))
+    for i in range(2, TOPK + 1):
+        expr = expr.when(F.col("rank") == i, F.lit(discounts[i - 1]))
+    t_e9 = F.floor(rel * 1000000000.0 / expr).cast("long")
+    idcg = _ndcg_idcg_e9()
+    return (
+        j.select("query_id", t_e9.alias("t_e9"))
+        .groupBy("query_id")
+        .agg(F.sum("t_e9").cast("long").alias("dcg_e9"))
+        .select(
+            "query_id",
+            "dcg_e9",
+            F.lit(idcg).cast("long").alias("idcg_e9"),
+            F.round(F.col("dcg_e9").cast("double") / float(idcg), 4).alias("ndcg"),
+        )
+        .orderBy("query_id")
     )

@@ -2274,3 +2274,93 @@ def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(((CAST(ssbq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (k - 1))"
         " / ((CAST(q AS DOUBLE) - ssbq) / (n - k)), 6) AS f_stat",
     )
+
+
+# --------------------------------------------------------------------------
+# McNemar's test: do two document filters disagree more than chance?
+# --------------------------------------------------------------------------
+#
+# The paired-classifier question a curation pipeline actually asks before
+# swapping filters: filter A = the Gopher rule battery (all six rules,
+# text.py's shared definition), filter B = the composite quality score at
+# a fixed cut. McNemar's χ² (with continuity correction) tests whether
+# the DISCORDANT decisions (A keeps, B drops vs B keeps, A drops) are
+# symmetric — the concordant documents carry no information about which
+# filter is stricter, so the test isolates exactly the swap's effect.
+
+_MCN_Q_CUT = 4300  # composite-quality keep threshold, 1e4-scaled int
+
+
+def _mcnemar_oracle() -> str:
+    from gluettalax_spark.operators.text import _QUALITY_DUCK, gopher_feat_rules_sql
+
+    return f"""
+WITH {gopher_feat_rules_sql(f"CAST(floor(({_QUALITY_DUCK}) * 10000 + 0.5) AS BIGINT) AS q10k", "q10k")},
+d AS (
+  SELECT r_wc * r_mwl * r_sym * r_bullet * r_alpha * r_stop AS a,
+         CASE WHEN q10k >= {_MCN_Q_CUT} THEN 1 ELSE 0 END AS b
+  FROM rules
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(a * b) AS BIGINT) AS both_keep,
+  CAST(sum(a * (1 - b)) AS BIGINT) AS rules_only,
+  CAST(sum((1 - a) * b) AS BIGINT) AS score_only,
+  CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS both_drop,
+  CAST((sum(a * b) + sum((1 - a) * (1 - b))) * 1000000 // count(*) AS BIGINT) AS agree_ppm,
+  CASE WHEN sum(a * (1 - b)) + sum((1 - a) * b) = 0 THEN 0.0
+       ELSE round(CAST((abs(sum(a * (1 - b)) - sum((1 - a) * b)) - 1)
+                  * (abs(sum(a * (1 - b)) - sum((1 - a) * b)) - 1) AS DOUBLE)
+             / (sum(a * (1 - b)) + sum((1 - a) * b)), 6) END AS mcnemar_chi2
+FROM d
+"""
+
+
+@register(
+    "stats_mcnemar_filters",
+    _mcnemar_oracle(),
+    doc="McNemar paired test: Gopher rule battery vs composite-quality cut on the same documents",
+)
+def stats_mcnemar_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test over the 2×2 paired-decision table of two document
+    filters — A = the six-rule Gopher battery (text.py's shared
+    ``gopher_rule_cols``), B = the composite quality score ≥ 0.43 (the
+    shared ``_quality_parts`` composite on its 1e4 integer grid). Output
+    is the full contingency (both_keep / rules_only / score_only /
+    both_drop), an exact agreement ppm, and the continuity-corrected
+    χ² = (|b−c|−1)²/(b+c) — the numerator is a pure integer, so the
+    statistic is ONE integer division in doubles, identical cross-engine.
+
+    Scale: both predicates are row-local projections inside the one
+    documents scan; the whole table reduces to a single 4-counter
+    aggregate — the same plan at 100 TB."""
+    from gluettalax_spark.operators.text import _quality_parts, gopher_rule_cols
+
+    docs = load(spark, sf_dir, "documents")
+    rules = gopher_rule_cols()
+    a = rules["r_wc"] * rules["r_mwl"] * rules["r_sym"] * rules["r_bullet"] * rules["r_alpha"] * rules["r_stop"]
+    len_score, stop_ratio, punct_ratio, _ = _quality_parts()
+    q10k = F.floor(
+        (0.5 * len_score + 0.4 * stop_ratio + 0.1 * (1.0 - punct_ratio)) * 10000 + 0.5
+    ).cast("long")
+    d = docs.select(
+        a.alias("a"), F.when(q10k >= _MCN_Q_CUT, 1).otherwise(0).alias("b")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("both_keep"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("rules_only"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("score_only"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("both_drop"),
+    ).selectExpr(
+        "n_docs",
+        "both_keep",
+        "rules_only",
+        "score_only",
+        "both_drop",
+        "CAST((both_keep + both_drop) * 1000000 div n_docs AS BIGINT) AS agree_ppm",
+        "CASE WHEN rules_only + score_only = 0 THEN 0.0D"
+        " ELSE round(CAST((abs(rules_only - score_only) - 1)"
+        " * (abs(rules_only - score_only) - 1) AS DOUBLE)"
+        " / (rules_only + score_only), 6) END AS mcnemar_chi2",
+    )

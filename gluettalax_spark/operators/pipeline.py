@@ -2200,7 +2200,9 @@ ORDER BY source
 """
 
 
-_LOGITS_CACHE: dict[tuple[str, str], DataFrame] = {}
+from gluettalax_spark.memory import register_session_df_cache
+
+_LOGITS_CACHE: dict[tuple[str, str], DataFrame] = register_session_df_cache({})
 
 
 def classifier_doc_logits(spark: SparkSession, sf_dir: str) -> DataFrame:

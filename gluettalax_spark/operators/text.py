@@ -2708,10 +2708,20 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the published heuristic filter battery, per source
 # --------------------------------------------------------------------------
 
-_GOPHER_ORACLE = """
-WITH feat AS (
+# Shared CTE text: per-doc Gopher features (carrying the listed extra
+# columns) and the six 0/1 rule predicates. Composed by _GOPHER_ORACLE
+# here and by hypothesis.py's stats_mcnemar_filters — one definition,
+# both oracles (the Spark twin is gopher_rule_cols below).
+def gopher_feat_rules_sql(carry: str, carry_cols: str | None = None) -> str:
+    """``carry`` is the SELECT-list fragment computed over ``documents``
+    (may be an expression with an alias); ``carry_cols`` is the bare
+    column list the downstream ``rules`` CTE re-selects from ``feat``
+    (defaults to ``carry``, which only works when carry is plain
+    columns)."""
+    carry_cols = carry_cols or carry
+    return f"""feat AS (
   SELECT
-    source,
+    {carry},
     CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nw,
     CAST(list_sum(list_transform(regexp_extract_all(text, '\\S+'), w -> length(w))) AS BIGINT) AS wchars,
     CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
@@ -2726,7 +2736,7 @@ WITH feat AS (
 ),
 rules AS (
   SELECT
-    source,
+    {carry_cols},
     CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END AS r_wc,
     CASE WHEN wchars >= 3 * nw AND wchars <= 10 * nw THEN 1 ELSE 0 END AS r_mwl,
     CASE WHEN 10 * n_sym <= nw THEN 1 ELSE 0 END AS r_sym,
@@ -2734,7 +2744,45 @@ rules AS (
     CASE WHEN 10 * n_alpha >= 8 * nw THEN 1 ELSE 0 END AS r_alpha,
     CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
   FROM feat
-)
+)"""
+
+
+def gopher_rule_cols() -> dict:
+    """The six Gopher rule predicates (Rae et al. 2021) as 0/1 integer
+    Columns over ``text`` — the Spark twin of :func:`gopher_feat_rules_sql`,
+    shared by text_gopher_quality and stats_mcnemar_filters so both keys'
+    engines replay ONE rule definition."""
+    ws = F.expr(r"regexp_extract_all(text, '\\S+', 0)")
+    nw = F.size(ws).cast("long")
+    wchars = F.expr(
+        r"aggregate(regexp_extract_all(text, '\\S+', 0), 0L, (a, w) -> a + length(w))"
+    )
+    n_alpha = F.size(
+        F.expr(r"filter(regexp_extract_all(text, '\\S+', 0), w -> lower(w) rlike '[a-z]')")
+    ).cast("long")
+    n_sym = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
+        + (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    n_lines = F.size(F.split(F.col("text"), "\n")).cast("long")
+    n_bullet = F.size(
+        F.expr(r"filter(split(text, '\n'), l -> ltrim(l) rlike '^[-*•]')")
+    ).cast("long")
+    n_stop = F.expr(
+        r"CAST(size(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a|in)\\b', 0)) AS LONG)"
+    )
+    return {
+        "r_wc": F.when((nw >= 50) & (nw <= 100000), 1).otherwise(0),
+        "r_mwl": F.when((wchars >= 3 * nw) & (wchars <= 10 * nw), 1).otherwise(0),
+        "r_sym": F.when(10 * n_sym <= nw, 1).otherwise(0),
+        "r_bullet": F.when(10 * n_bullet <= 9 * n_lines, 1).otherwise(0),
+        "r_alpha": F.when(10 * n_alpha >= 8 * nw, 1).otherwise(0),
+        "r_stop": F.when(n_stop >= 2, 1).otherwise(0),
+    }
+
+
+_GOPHER_ORACLE = f"""
+WITH {gopher_feat_rules_sql("source")}
 SELECT
   source,
   CAST(count(*) AS BIGINT)      AS n_docs,
@@ -2771,46 +2819,8 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same shape at 100 TB (the regexes are per-row projections that
     pipeline inside the scan stage)."""
     docs = load(spark, sf_dir, "documents")
-    ws = F.expr(r"regexp_extract_all(text, '\\S+', 0)")
-    nw = F.size(ws).cast("long")
-    wchars = F.expr(
-        r"aggregate(regexp_extract_all(text, '\\S+', 0), 0L, (a, w) -> a + length(w))"
-    )
-    n_alpha = F.size(
-        F.expr(r"filter(regexp_extract_all(text, '\\S+', 0), w -> lower(w) rlike '[a-z]')")
-    ).cast("long")
-    n_sym = (
-        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
-        + (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / 3
-    ).cast("long")
-    lines = F.split(F.col("text"), "\n")
-    n_lines = F.size(lines).cast("long")
-    n_bullet = F.size(F.expr(r"filter(split(text, '\n'), l -> ltrim(l) rlike '^[-*•]')")).cast(
-        "long"
-    )
-    n_stop = F.expr(
-        r"CAST(size(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a|in)\\b', 0)) AS LONG)"
-    )
-    feat = docs.select(
-        "source",
-        nw.alias("nw"),
-        wchars.alias("wchars"),
-        n_alpha.alias("n_alpha"),
-        n_sym.alias("n_sym"),
-        n_lines.alias("n_lines"),
-        n_bullet.alias("n_bullet"),
-        n_stop.alias("n_stop"),
-    )
-    r = feat.select(
-        "source",
-        F.when((F.col("nw") >= 50) & (F.col("nw") <= 100000), 1).otherwise(0).alias("r_wc"),
-        F.when(
-            (F.col("wchars") >= 3 * F.col("nw")) & (F.col("wchars") <= 10 * F.col("nw")), 1
-        ).otherwise(0).alias("r_mwl"),
-        F.when(10 * F.col("n_sym") <= F.col("nw"), 1).otherwise(0).alias("r_sym"),
-        F.when(10 * F.col("n_bullet") <= 9 * F.col("n_lines"), 1).otherwise(0).alias("r_bullet"),
-        F.when(10 * F.col("n_alpha") >= 8 * F.col("nw"), 1).otherwise(0).alias("r_alpha"),
-        F.when(F.col("n_stop") >= 2, 1).otherwise(0).alias("r_stop"),
+    r = docs.select(
+        "source", *[c.alias(k) for k, c in gopher_rule_cols().items()]
     )
     all_pass = (
         F.col("r_wc") * F.col("r_mwl") * F.col("r_sym")
@@ -3881,7 +3891,9 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-_BPE_DICT_CACHE: dict[tuple[str, str], DataFrame] = {}
+from gluettalax_spark.memory import register_session_df_cache
+
+_BPE_DICT_CACHE: dict[tuple[str, str], DataFrame] = register_session_df_cache({})
 
 
 def _bpe_apply_oracle(rounds: int) -> str:
@@ -5041,6 +5053,118 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_syllables",
             "CAST(206835 - (1015 * n_words) DIV n_sentences"
             " - (84600 * n_syllables) DIV n_words AS BIGINT) AS flesch_milli",
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Lexical diversity per source: Simpson, Shannon, type-token ratio
+# --------------------------------------------------------------------------
+#
+# The vocabulary-health dashboard for a training mix: a source whose
+# Simpson index spikes is dominated by a few tokens (template spam,
+# boilerplate); one whose TTR collapses under growth is saturating. Both
+# are one-pass dictionary statistics — the LLM-corpus companion to
+# text_zipf_fit (rank shape) and text_char_entropy (char level).
+
+_DIVERSITY_SCALE = 1_000_000_000  # Shannon terms floor-quantized to 1e-9 nats
+
+_TOKEN_DIVERSITY_ORACLE = f"""
+WITH words AS (
+  SELECT d.source, w.w AS w
+  FROM documents d, unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS w(w)
+),
+counts AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY source, w
+),
+tot AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS v
+  FROM counts GROUP BY source
+),
+terms AS (
+  SELECT c.source,
+         CAST(n AS HUGEINT) * (n - 1) AS sim,
+         CAST(floor((CAST(n AS DOUBLE)
+                     * (ln(CAST(t.nn AS DOUBLE)) - ln(CAST(n AS DOUBLE)))
+                     / t.nn) * {_DIVERSITY_SCALE}.0) AS BIGINT) AS t_e9
+  FROM counts c JOIN tot t USING (source)
+)
+SELECT t.source,
+       t.nn AS n_tokens,
+       t.v AS n_types,
+       CAST(t.v * 1000000 // t.nn AS BIGINT) AS ttr_ppm,
+       CAST(sum(sim) AS BIGINT) AS simpson_num,
+       CASE WHEN t.nn > 1
+            THEN round(CAST(sum(sim) AS DOUBLE) / (CAST(t.nn AS DOUBLE) * (t.nn - 1)), 6)
+            ELSE 0.0 END AS simpson,
+       CAST(sum(t_e9) AS BIGINT) AS shannon_e9
+FROM terms tr JOIN tot t USING (source)
+GROUP BY t.source, t.nn, t.v
+ORDER BY t.source
+"""
+
+
+@register(
+    "text_token_diversity",
+    _TOKEN_DIVERSITY_ORACLE,
+    doc="per-source lexical diversity: Simpson index, Shannon entropy (e9 nats), type-token ratio",
+)
+def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity over the [a-z]+ token dictionary (the
+    DSIR tokenization): exact type/token counts and TTR ppm, the Simpson
+    concentration Σn(n−1)/(N(N−1)) with its integer numerator exposed
+    (DECIMAL(38) partial sums — no overflow at corpus scale), and Shannon
+    entropy H = Σ n·(ln N − ln n)/N with each term floor-quantized to
+    1e-9 nats BEFORE the sum (the PSI/logppl discipline: ints commute,
+    float folds don't).
+
+    Scale: one token explode → per-(source, token) count (dictionary
+    sized, map-side partials) → per-source fold. No windows, no joins
+    beyond the bounded per-source totals — the 100 TB plan is the
+    fixture plan."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"),
+    )
+    counts = words.groupBy("source", "w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.groupBy("source").agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    terms = counts.join(F.broadcast(tot), "source").select(
+        "source",
+        "nn",
+        "v",
+        (F.col("n").cast("decimal(38,0)") * (F.col("n") - 1)).alias("sim"),
+        F.floor(
+            (
+                F.col("n").cast("double")
+                * (F.log(F.col("nn").cast("double")) - F.log(F.col("n").cast("double")))
+                / F.col("nn")
+            )
+            * float(_DIVERSITY_SCALE)
+        )
+        .cast("long")
+        .alias("t_e9"),
+    )
+    return (
+        terms.groupBy("source", "nn", "v")
+        .agg(
+            F.sum("sim").cast("long").alias("simpson_num"),
+            F.sum("t_e9").cast("long").alias("shannon_e9"),
+        )
+        .selectExpr(
+            "source",
+            "nn AS n_tokens",
+            "v AS n_types",
+            "CAST(v * 1000000 div nn AS BIGINT) AS ttr_ppm",
+            "simpson_num",
+            "CASE WHEN nn > 1"
+            " THEN round(CAST(simpson_num AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1)), 6)"
+            " ELSE 0.0D END AS simpson",
+            "shannon_e9",
         )
         .orderBy("source")
     )

@@ -141,6 +141,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "dedup_substring_source_matrix",
     "graph_harmonic_2hop",
     "events_funnel_latency",
+    "stats_mcnemar_filters",
+    "text_token_diversity",
+    "similarity_ndcg_eval",
 )
 
 

@@ -228,6 +228,9 @@ SHOWCASE = {
     "text_readability_flesch": "three regex folds per row inside the scan stage; source-dictionary agg (ARI sibling)",
     "graph_harmonic_2hop": "hub-capped wedge explode; anti-join excludes direct edges; two key-hash aggregates, top-20",
     "events_funnel_latency": "user-key equi-join with the time bound as a join filter; min per view; 24-row bucket dictionary",
+    "stats_mcnemar_filters": "two row-local filter predicates in ONE documents scan; whole table folds to a 4-counter aggregate",
+    "text_token_diversity": "token explode; dictionary-sized (source,token) partial agg; broadcast per-source totals; integer-quantized entropy terms",
+    "similarity_ndcg_eval": "IVF cell equi-join reused; exact top-k broadcast to the left join; constant log2 literals, integer DCG fold",
     "similarity_topk_ivf": "probe ranking in-plan (queries x 16 centroids crossJoin); cell equi-join prunes the scan; recall twin broadcast",
     "similarity_cluster_purity": "broadcast centroid argmin; (cell x label) grid agg; purity on the 16-row table",
 }
