@@ -2364,3 +2364,91 @@ def stats_mcnemar_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * (abs(rules_only - score_only) - 1) AS DOUBLE)"
         " / (rules_only + score_only), 6) END AS mcnemar_chi2",
     )
+
+
+# --------------------------------------------------------------------------
+# Cochran's Q: are the six Gopher rules equally strict?
+# --------------------------------------------------------------------------
+#
+# The k-treatment generalization of McNemar (k = the six rules, subjects
+# = documents, outcome = pass/fail): a battery whose rules fail at wildly
+# different rates is dominated by its strictest rule — Q localizes
+# whether the battery is balanced before anyone tunes thresholds.
+# Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²) where C_j = per-rule pass
+# count, R_i = per-document pass count, T = ΣC_j = ΣR_i — every moment
+# is an exact integer, so the statistic is ONE integer division in
+# doubles, identical cross-engine.
+
+
+def _cochran_oracle() -> str:
+    from gluettalax_spark.operators.text import gopher_feat_rules_sql
+
+    rules = ["r_wc", "r_mwl", "r_sym", "r_bullet", "r_alpha", "r_stop"]
+    k = len(rules)
+    cj = ", ".join(f"CAST(sum({r}) AS BIGINT) AS c_{r[2:]}" for r in rules)
+    sum_cj_sq = " + ".join(f"CAST(sum({r}) AS HUGEINT) * sum({r})" for r in rules)
+    ri = " + ".join(rules)
+    return f"""
+WITH {gopher_feat_rules_sql("doc_id")},
+m AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS n_docs,
+    {cj},
+    CAST(sum({ri}) AS BIGINT) AS t_total,
+    CAST({sum_cj_sq} AS BIGINT) AS sum_cj_sq,
+    CAST(sum(CAST({ri} AS HUGEINT) * ({ri})) AS BIGINT) AS sum_ri_sq
+  FROM rules
+)
+SELECT n_docs, c_wc, c_mwl, c_sym, c_bullet, c_alpha, c_stop,
+       t_total, sum_cj_sq, sum_ri_sq,
+       CASE WHEN {k} * t_total - sum_ri_sq = 0 THEN 0.0
+            ELSE round(CAST({k - 1} AS DOUBLE)
+                       * ({k} * sum_cj_sq - CAST(t_total AS HUGEINT) * t_total)
+                       / ({k} * t_total - sum_ri_sq), 6) END AS cochran_q
+FROM m
+"""
+
+
+@register(
+    "stats_cochran_q",
+    _cochran_oracle(),
+    doc="Cochran's Q over the six Gopher rules: is the battery balanced? (exact integer moments)",
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test across the six Gopher pass/fail rules (subjects =
+    documents): per-rule pass counts C_j, per-document pass counts R_i,
+    and Q = (k−1)(kΣC_j² − T²)/(kT − ΣR_i²). The denominator is zero only
+    when every document passes all-or-none — reported as 0.0 rather than
+    a division error (same guard both engines).
+
+    Scale: the rule predicates are row-local projections in ONE documents
+    scan; everything reduces to a single moment row (ΣR_i² rides
+    DECIMAL(38) partials). Same plan at 100 TB."""
+    from gluettalax_spark.operators.text import gopher_rule_cols
+
+    rules = gopher_rule_cols()
+    names = list(rules)
+    k = len(names)
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(*[c.cast("long").alias(n) for n, c in rules.items()])
+    ri = sum((F.col(n) for n in names[1:]), F.col(names[0]))
+    m = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[F.sum(n).cast("long").alias(f"c_{n[2:]}") for n in names],
+        F.sum(ri).cast("long").alias("t_total"),
+        F.sum(ri.cast("decimal(38,0)") * ri).cast("long").alias("sum_ri_sq"),
+    ).withColumn(
+        "sum_cj_sq",
+        sum(
+            (F.col(f"c_{n[2:]}").cast("decimal(38,0)") * F.col(f"c_{n[2:]}") for n in names[1:]),
+            F.col(f"c_{names[0][2:]}").cast("decimal(38,0)") * F.col(f"c_{names[0][2:]}"),
+        ).cast("long"),
+    )
+    return m.selectExpr(
+        "n_docs", "c_wc", "c_mwl", "c_sym", "c_bullet", "c_alpha", "c_stop",
+        "t_total", "sum_cj_sq", "sum_ri_sq",
+        f"CASE WHEN {k} * t_total - sum_ri_sq = 0 THEN 0.0D"
+        f" ELSE round(CAST({k - 1} AS DOUBLE)"
+        f" * ({k} * sum_cj_sq - CAST(t_total AS DECIMAL(38,0)) * t_total)"
+        f" / ({k} * t_total - sum_ri_sq), 6) END AS cochran_q",
+    )

@@ -144,6 +144,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "stats_mcnemar_filters",
     "text_token_diversity",
     "similarity_ndcg_eval",
+    "stats_cochran_q",
 )
 
 

@@ -207,3 +207,29 @@ class TestMemoryPolicy:
         assert a == b
         comp_of = dict(a)
         assert comp_of[17] == 10 and comp_of[2] == 1 and comp_of[5] == 5
+
+
+class TestCochranQ:
+    def test_oracle_match(self, spark, sf_dir, oracle_con):
+        _cross_check(spark, sf_dir, oracle_con, "stats_cochran_q")
+
+    def test_moments_replay_and_q_formula(self, spark, sf_dir):
+        row = all_queries()["stats_cochran_q"].builder(spark, sf_dir).collect()[0]
+        k = 6
+        cjs = [row.c_wc, row.c_mwl, row.c_sym, row.c_bullet, row.c_alpha, row.c_stop]
+        assert row.t_total == sum(cjs)
+        assert row.sum_cj_sq == sum(c * c for c in cjs)
+        denom = k * row.t_total - row.sum_ri_sq
+        if denom == 0:
+            assert row.cochran_q == 0.0
+        else:
+            q = (k - 1) * (k * row.sum_cj_sq - row.t_total**2) / denom
+            assert row.cochran_q == round(q, 6)
+        # every per-doc pass count is in [0, k], so sum_ri_sq <= k * t_total
+        assert 0 <= row.sum_ri_sq <= k * row.t_total
+
+    def test_column_sums_agree_with_gopher_battery(self, spark, sf_dir):
+        gq = all_queries()["text_gopher_quality"].builder(spark, sf_dir).toPandas()
+        cq = all_queries()["stats_cochran_q"].builder(spark, sf_dir).collect()[0]
+        assert cq.c_wc == int(gq["pass_word_count"].sum())
+        assert cq.c_stop == int(gq["pass_stopwords"].sum())

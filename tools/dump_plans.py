@@ -231,6 +231,7 @@ SHOWCASE = {
     "stats_mcnemar_filters": "two row-local filter predicates in ONE documents scan; whole table folds to a 4-counter aggregate",
     "text_token_diversity": "token explode; dictionary-sized (source,token) partial agg; broadcast per-source totals; integer-quantized entropy terms",
     "similarity_ndcg_eval": "IVF cell equi-join reused; exact top-k broadcast to the left join; constant log2 literals, integer DCG fold",
+    "stats_cochran_q": "six row-local rule predicates in ONE documents scan; single moment row with DECIMAL(38) squared sums",
     "similarity_topk_ivf": "probe ranking in-plan (queries x 16 centroids crossJoin); cell equi-join prunes the scan; recall twin broadcast",
     "similarity_cluster_purity": "broadcast centroid argmin; (cell x label) grid agg; purity on the 16-row table",
 }
