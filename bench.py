@@ -667,7 +667,24 @@ def run_scaling_100x() -> None:
         import gluettalax_spark.streaming.stateful as st
         import gluettalax_spark.streaming.windows as sw
 
+        # Crash-safe resume, same contract as the batch loop: twins
+        # already recorded in the file's streaming section are carried,
+        # not re-drained (a fresh capture deleted the whole section
+        # above, so this only engages on a resume).
+        self_path0 = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
+        )
+        try:
+            with open(self_path0) as fh:
+                stream_results.update(
+                    json.load(fh)["scaling_100x"]["streaming"]["queries"]
+                )
+        except (OSError, json.JSONDecodeError, KeyError):
+            pass
         for name, mode in STREAMING_SUBSET:
+            if name in stream_results:
+                print(f"  [stream] {name}: carried from resume", file=sys.stderr, flush=True)
+                continue
             builder = getattr(st, name, None) or getattr(sw, name)
             srow: dict[str, float | bool] = {}
             for label, d in (("sf0.1", SF_DIR), ("sf10", big_dir)):
@@ -690,6 +707,18 @@ def run_scaling_100x() -> None:
             srow["ratio"] = round(srow["sf10"] / srow["sf0.1"], 2)
             srow["super_linear"] = srow["ratio"] > factor * 1.3
             stream_results[name] = srow
+            # Incremental persistence (the batch loop's discipline): a
+            # hang mid-twin must not lose the drained prefix.
+            _merge_scaling_100x_section(
+                {
+                    "streaming": {
+                        "queries": dict(stream_results),
+                        "n_super_linear": sum(
+                            1 for r in stream_results.values() if r["super_linear"]
+                        ),
+                    }
+                }
+            )
             _release_sweep_memory(spark)
             print(
                 f"  [stream] {name}: {srow['sf0.1']}s -> {srow['sf10']}s (x{srow['ratio']})"

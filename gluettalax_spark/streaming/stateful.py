@@ -390,16 +390,32 @@ def streaming_sessionize_event_time(
     the same sessions at the same points, which matters for backfills over
     100 TB of history where "inactivity" must mean event-time gaps.
 
-    ``src_dir`` is a directory of parquet files with schema
-    ``user_id long, value double, ts timestamp``; rows with user_id < 0 are
+    ``src_dir`` is either a FIXTURE directory (contains ``events.parquet``
+    — streamed through the shared events projection) or a prepared
+    directory of parquet files with schema ``user_id long, value double,
+    ts timestamp`` (the test harness shape); rows with user_id < 0 are
     watermark-advancing sentinels — they flow through the watermark node
     and are ignored inside the stateful function (no session state).
+
+    The fixture branch matters for the bench/sweep paths: before round
+    12 they handed the raw fixture dir to the prepared-dir reader, which
+    forced the 3-column schema onto EVERY table in the directory — the
+    non-events files surfaced as null-key rows that all hashed to ONE
+    group, and at sf10 that single Python worker pegged a core for half
+    an hour (the r12 sweep hang).
     """
-    stream = (
-        spark.readStream.schema("user_id long, value double, ts timestamp")
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(src_dir)
-    )
+    import os
+
+    if os.path.exists(os.path.join(src_dir, "events.parquet")):
+        from gluettalax_spark.streaming.windows import read_events_stream
+
+        stream = read_events_stream(spark, src_dir).select("user_id", "value", "ts")
+    else:
+        stream = (
+            spark.readStream.schema("user_id long, value double, ts timestamp")
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(src_dir)
+        )
     return (
         stream.withWatermark("ts", delay)
         .groupBy("user_id")
