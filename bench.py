@@ -288,6 +288,21 @@ HEADLINE = [
     "stats_grubbs_test",
     "text_pii_pattern_scan",
     "text_html_tag_residue",
+    # -- round 12 (added during the optimization round: additions only,
+    #    per the bench contract — existing entries never renamed/removed) --
+    "dedup_substring_runs",
+    "dedup_substring_profile",
+    "dedup_substring_source_matrix",
+    "dedup_levenshtein_rescore",
+    "stats_ks_test",
+    "stats_wasserstein_1d",
+    "text_readability_flesch",
+    "graph_harmonic_2hop",
+    "events_funnel_latency",
+    "stats_mcnemar_filters",
+    "text_token_diversity",
+    "similarity_ndcg_eval",
+    "stats_cochran_q",
 ]
 
 # The round-4 bench set (BENCH_r04.json's 40 keys == the first 40
