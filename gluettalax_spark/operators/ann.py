@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from gluettalax_spark.operators.similarity import N_QUERIES, TOPK, _dot, _norm
 from gluettalax_spark.registry import register
-from gluettalax_spark.tables import fixture_fingerprint, load
+from gluettalax_spark.tables import fixture_fingerprint, load, load_spread
 
 NLIST = 16  # coarse cells (IVF-flat)
 NPROBE = 4  # cells scored per query (IVF-flat)
@@ -191,7 +191,13 @@ def _assignments(spark: SparkSession, sf_dir: str):
     if key not in _MODEL_CACHE:
         import numpy as np
 
-        emb = load(spark, sf_dir, "embeddings")
+        # Spread the scan (optimization r12): the NLIST×N sqdist folds of
+        # the assignment pass otherwise run on the single-row-group scan's
+        # one task. The checkpointed table also carries each vector's
+        # precomputed L2 norm (``v_nrm``, same serial fold order as the
+        # per-pair `_norm` it replaces) so every consumer's cosine pays
+        # ONE fold per candidate pair instead of three.
+        emb = load_spread(spark, sf_dir, "embeddings")
         scored = emb.select("vec_id", "label", "embedding").crossJoin(
             F.broadcast(_centers_df(spark, sf_dir))
         )
@@ -211,7 +217,23 @@ def _assignments(spark: SparkSession, sf_dir: str):
                 F.first("label").alias("label"),
                 F.first("embedding").alias("embedding"),
             )
-            .select("vec_id", "label", "embedding", F.col("_best.cell").alias("cell"))
+            .select(
+                "vec_id",
+                "label",
+                "embedding",
+                F.col("_best.cell").alias("cell"),
+                _norm(F.col("embedding")).alias("v_nrm"),
+            )
+            # The checkpoint's partition count is what every consumer's
+            # candidate-scoring stage inherits; floor it at the core count
+            # (bench runs tune shuffle.partitions below cores for the
+            # dispatch floor — never shrink a production-sized layout).
+            .repartition(
+                max(
+                    spark.sparkContext.defaultParallelism,
+                    int(spark.conf.get("spark.sql.shuffle.partitions")),
+                )
+            )
             .localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
         )
         centers = [np.asarray(c) for c in np.asarray(_ivf_centers_np(sf_dir))]
@@ -299,8 +321,12 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     assigned, _ = _assignments(spark, sf_dir)
+    # Norms ride the checkpointed assignment table (optimization r12):
+    # one fold per pair instead of three, bit-identical doubles.
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("v_nrm").alias("q_nrm"),
     )
     qd = q.crossJoin(F.broadcast(_centers_df(spark, sf_dir))).select(
         "query_id",
@@ -317,10 +343,15 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("v_emb"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("v_emb"),
+            "v_nrm",
+        )
         .join(F.broadcast(q), "query_id")
     )
-    cos = _dot(F.col("q_emb"), F.col("v_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("v_emb")))
+    cos = _dot(F.col("q_emb"), F.col("v_emb")) / (F.col("q_nrm") * F.col("v_nrm"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     res = (
         cand.select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
@@ -475,10 +506,13 @@ def similarity_knn_label_accuracy_ivf(spark: SparkSession, sf_dir: str) -> DataF
 
     assigned, _ = _assignments(spark, sf_dir)
 
+    # Norms ride the checkpointed assignment table (optimization r12):
+    # one fold per candidate pair instead of three, bit-identical doubles.
     probes = assigned.filter(F.col("vec_id") < _KNN_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("q_emb"),
+        F.col("v_nrm").alias("q_nrm"),
     )
     qd = probes.crossJoin(F.broadcast(_centers_df(spark, sf_dir))).select(
         "query_id",
@@ -503,7 +537,7 @@ def similarity_knn_label_accuracy_ivf(spark: SparkSession, sf_dir: str) -> DataF
             F.col("label").alias("nbr_label"),
             F.round(
                 _dot(F.col("embedding"), F.col("q_emb"))
-                / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+                / (F.col("v_nrm") * F.col("q_nrm")),
                 4,
             ).alias("cosine"),
         )
@@ -1136,7 +1170,9 @@ def similarity_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned, _ = _assignments(spark, sf_dir)
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("v_nrm").alias("q_nrm"),
     )
     qd = q.crossJoin(F.broadcast(_centers_df(spark, sf_dir))).select(
         "query_id",
@@ -1151,27 +1187,36 @@ def similarity_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cell", "rn")
     )
     np_df = spark.createDataFrame([(n,) for n in _CURVE_NPROBES], "nprobe int")
-    probe_grid = (
-        pr.join(F.broadcast(np_df), F.col("rn") <= F.col("nprobe"))
-        .select("nprobe", "query_id", "cell")
-    )
 
-    cand = (
-        assigned.join(F.broadcast(probe_grid), "cell")
+    # Optimization r12 (guide §3.3 "join first on the un-exploded key and
+    # explode after"): score each (query, candidate) pair ONCE at the
+    # max-nprobe rung — carrying the candidate cell's probe rank ``rn`` —
+    # and fan the scored pairs out to the nprobe grid AFTERWARDS with the
+    # 4-row rung table. Before, the grid was attached first, so a pair
+    # probed at rank 1 was re-scored for every rung that includes it
+    # (Σnprobe/max_np ≈ 1.9× redundant 64-dim folds). Same rows out: the
+    # rung fan-out (rn ≤ nprobe) commutes with scoring. Norms ride the
+    # assignment table (one fold per pair instead of three).
+    scored_once = (
+        assigned.join(F.broadcast(pr), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(q), "query_id")
         .select(
-            "nprobe",
+            "rn",
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
                 _dot(F.col("embedding"), F.col("q_emb"))
-                / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+                / (F.col("v_nrm") * F.col("q_nrm")),
                 4,
             ).alias("cosine"),
         )
     )
-    cand = cand.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the top-k AND the volume count
+    scored_once = scored_once.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # scored pairs feed every rung
+    cand = (
+        scored_once.join(F.broadcast(np_df), F.col("rn") <= F.col("nprobe"))
+        .select("nprobe", "query_id", "neighbor_id", "cosine")
+    )
     w = Window.partitionBy("nprobe", "query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gluettalax_spark.registry import register
-from gluettalax_spark.tables import load
+from gluettalax_spark.tables import load, load_spread
 
 N_HASHES = 16
 N_BANDS = 4
@@ -92,7 +92,13 @@ def shingles_exploded(
     """
     from pyspark.sql.window import Window
 
-    docs = load(spark, sf_dir, "documents")
+    # load_spread (optimization r12): tokenize + posexplode over the
+    # single-row-group scan ran on ONE task and serially wrote the whole
+    # exploded shingle stream to the first shuffle; spreading the 5k-row
+    # doc table first parallelizes the explode across cores. The `where`
+    # pre-filter still reaches the parquet scan — Catalyst pushes
+    # deterministic filters below the round-robin exchange.
+    docs = load_spread(spark, sf_dir, "documents")
     if where is not None:
         docs = docs.filter(where)
     extra = list(carry)  # doc-level columns to ride along (e.g. source)

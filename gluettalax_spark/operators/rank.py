@@ -189,6 +189,87 @@ def grouped_running_sum(
     )
 
 
+def grouped_running_sums(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column | str],
+    sums: "list[tuple[str, str]]",
+    num_partitions: int | None = None,
+    isolate: bool = True,
+    lead_of: str | None = None,
+    lead_name: str = "_lead",
+) -> DataFrame:
+    """N exact running sums in ONE range shuffle (optimization r12,
+    guide §2.2 "shuffle once, aggregate many"): identical construction to
+    :func:`grouped_running_sum`, but every ``(value_col, sum_name)`` pair
+    in ``sums`` rides the same materialized range run, the same offsets
+    broadcast and the same local window — callers that chained two or
+    three single-column passes (2-3 range exchanges + hash exchanges +
+    checkpoints) collapse to one of each. Integer/decimal running sums
+    are exact under any partitioning, so the values are bit-identical to
+    the chained form.
+
+    ``lead_of`` (must be the single ASCENDING order column) additionally
+    emits the group's next order value as ``lead_name`` — the partition-
+    local ``lead()`` patched at range-partition boundaries with the next
+    partition's first value from the (metadata-scale) offsets table —
+    replacing a separate exact_global_rank + rank-shifted self-join."""
+    spark = df.sparkSession
+    npart = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    part = df.repartitionByRange(npart, *group_cols, *order_cols).sortWithinPartitions(
+        *group_cols, *order_cols
+    )
+    with_pid = part.withColumn("_pid", F.spark_partition_id())
+    if isolate:
+        with_pid = with_pid.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_aggs = [F.sum(vc).alias(f"_gsum_{i}") for i, (vc, _) in enumerate(sums)]
+    off_cols = [
+        F.coalesce(F.sum(f"_gsum_{i}").over(w_off), F.lit(0)).alias(f"_off_{i}")
+        for i in range(len(sums))
+    ]
+    if lead_of is not None:
+        # first order value per (pid, group) — sorted ascending, so min()
+        off_aggs.append(F.min(lead_of).alias("_first_v"))
+        off_cols.append(
+            F.lead("_first_v").over(Window.partitionBy(*group_cols).orderBy("_pid"))
+            .alias("_next_first")
+        )
+    offsets = (
+        with_pid.groupBy("_pid", *group_cols)
+        .agg(*off_aggs)
+        .select("_pid", *group_cols, *off_cols)
+    )
+
+    w_local = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = with_pid
+    for i, (vc, _) in enumerate(sums):
+        out = out.withColumn(f"_run_{i}", F.sum(vc).over(w_local))
+    if lead_of is not None:
+        # same partition spec/order as w_local → shares the one WindowExec
+        w_lead = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+        out = out.withColumn("_llead", F.lead(lead_of).over(w_lead))
+    out = out.join(F.broadcast(offsets), ["_pid", *group_cols])
+    for i, (_, sn) in enumerate(sums):
+        out = out.withColumn(sn, F.col(f"_run_{i}") + F.col(f"_off_{i}"))
+    drop = ["_pid"] + [f"_run_{i}" for i in range(len(sums))] + [
+        f"_off_{i}" for i in range(len(sums))
+    ]
+    if lead_of is not None:
+        out = out.withColumn(lead_name, F.coalesce(F.col("_llead"), F.col("_next_first")))
+        drop += ["_llead", "_next_first"]
+    return out.drop(*drop)
+
+
 def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
     """ANSI ``ntile(k)`` from an exact global rank: the first ``n % k``
     tiles hold ``n//k + 1`` rows each, the remaining tiles ``n//k``.

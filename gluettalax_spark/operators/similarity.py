@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from gluettalax_spark.registry import register
-from gluettalax_spark.tables import fixture_fingerprint, load
+from gluettalax_spark.tables import fixture_fingerprint, load, load_spread
 
 DIM = 64
 N_PLANES = 8  # 8-bit sign-LSH bucket
@@ -99,7 +99,9 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         _norm(F.col("embedding")).alias("q_norm"),
     )
-    v = emb.select(
+    # Corpus side spread across cores (optimization r12): the N×Q fold
+    # work otherwise runs on the scan's single task (guide §2.5).
+    v = load_spread(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("v_emb"),
         _norm(F.col("embedding")).alias("v_norm"),
@@ -418,10 +420,21 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangular all-pairs self-join. O(N²) BY DESIGN — run only at test
     scale; the production entry point is embedding_neardup (LSH-bucketed
     equi-join)."""
-    emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("v_emb"))
-    cos = _dot(F.col("q_emb"), F.col("v_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("v_emb")))
+    # Optimization r12: spread the streamed side (the O(N²) fold work ran
+    # on the scan's single task) and compute each side's norm once per
+    # vector instead of once per pair — same fold order, same doubles.
+    emb = load_spread(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("a_nrm"),
+    )
+    b = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("v_emb"),
+        _norm(F.col("embedding")).alias("b_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("v_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
@@ -1464,22 +1477,32 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: relevance and pairwise similarities are rounded to 4 dp
     BEFORE selection on both engines, so every greedy argmax compares
-    identical doubles; ties break on vec_id. The greedy loop is a FIXED
-    number of rounds (5), unrolled into the plan — no driver-side data
-    decisions.
+    identical doubles; ties break on vec_id.
 
     Scale: candidate generation is the brute-force rung here (one
     broadcast query row); at 100 TB the candidates come from the
     IVF/LSH rungs (`similarity_topk_ivf`) and MMR's cost is unchanged —
     it only ever touches the BOUNDED candidate set (20 rows, 400
-    pairwise sims), which is why the per-step frames may broadcast and
-    localCheckpoint freely."""
+    pairwise sims). Optimization r12: the greedy selection runs on the
+    DRIVER over that contract-bounded set (the `ann.py` bounded-collect
+    discipline — ≤20 relevance rows + ≤380 sim rows cross the boundary
+    REGARDLESS of corpus size; both inputs are still computed
+    distributed). The previous in-plan unroll spent ~7 driver-blocking
+    checkpoint jobs scheduling 20-row frames; the arithmetic
+    (λ·rel − (1−λ)·max_sim on 4-dp-rounded doubles) is the same IEEE
+    ops in the same order, so the selection and scores are
+    bit-identical."""
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    v = emb.filter(F.col("vec_id") != 0).alias("v")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), _norm(F.col("embedding")).alias("q_nrm")
+    )
+    # Spread + hoisted query norm (optimization r12): the corpus-side
+    # relevance fold ran on the scan's single task, and the single query
+    # row's norm was re-folded once per corpus row. Same fold order.
+    v = load_spread(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0).alias("v")
     rel = F.round(
         _dot(F.col("embedding"), F.col("q_emb"))
-        / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+        / (_norm(F.col("embedding")) * F.col("q_nrm")),
         4,
     )
     cand = (
@@ -1487,53 +1510,44 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cid"), rel.alias("rel"))
         .orderBy(F.col("rel").desc(), F.col("cid"))
         .limit(_MMR_CAND)
-        .localCheckpoint(storageLevel=CKPT_LEVEL)  # 20 rows; reused by 5 greedy rounds
     )
-    cv = cand.join(emb, cand.cid == emb.vec_id).select("cid", "embedding")
+    cand_rows = cand.collect()  # ≤ _MMR_CAND rows by contract
+    cids = [r["cid"] for r in cand_rows]
+    ids = spark.createDataFrame([(c,) for c in cids], "cid long")
+    cv = emb.join(F.broadcast(ids), emb.vec_id == ids.cid).select("cid", "embedding")
     a, b = cv.alias("a"), cv.alias("b")
     sim = F.round(
         _dot(F.col("a.embedding"), F.col("b.embedding"))
         / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
         4,
     )
-    pc = (
+    pc_rows = (
         a.join(F.broadcast(b), F.col("a.cid") != F.col("b.cid"))
         .select(F.col("a.cid").alias("ai"), F.col("b.cid").alias("bi"), sim.alias("sim"))
-        .localCheckpoint(storageLevel=CKPT_LEVEL)  # 380 rows; reused by 4 greedy rounds
+        .collect()  # ≤ _MMR_CAND² rows by contract
     )
+    sims: dict[tuple[int, int], float] = {(r["ai"], r["bi"]): r["sim"] for r in pc_rows}
+    rel_of = {r["cid"]: r["rel"] for r in cand_rows}
     lam, om = _MMR_LAMBDA, round(1.0 - _MMR_LAMBDA, 4)
-    selected = (
-        cand.orderBy(F.col("rel").desc(), F.col("cid"))
-        .limit(1)
-        .select(
-            F.lit(1).cast("long").alias("step"),
-            F.col("cid").alias("vec_id"),
-            "rel",
-            F.col("rel").alias("mmr_score"),
-        )
-        .localCheckpoint(storageLevel=CKPT_LEVEL)
-    )
+    # Greedy argmax over rounded doubles — ties break on the SMALLER id,
+    # exactly the in-plan orderBy(score desc, vec_id asc).limit(1).
+    picked: list[tuple[int, int, float, float]] = []
+    if cand_rows:
+        first = max(cand_rows, key=lambda r: (r["rel"], -r["cid"]))
+        picked.append((1, first["cid"], first["rel"], first["rel"]))
     for step in range(2, _MMR_SELECT + 1):
-        sel_ids = selected.select(F.col("vec_id").alias("bi"))
-        maxsim = (
-            pc.join(F.broadcast(sel_ids), "bi")
-            .groupBy("ai")
-            .agg(F.max("sim").alias("max_sim"))
-        )
-        nxt = (
-            cand.join(selected.select(F.col("vec_id").alias("cid")), "cid", "left_anti")
-            .join(maxsim, F.col("cid") == F.col("ai"))
-            .select(
-                F.lit(step).cast("long").alias("step"),
-                F.col("cid").alias("vec_id"),
-                "rel",
-                (F.lit(lam) * F.col("rel") - F.lit(om) * F.col("max_sim")).alias("mmr_score"),
-            )
-            .orderBy(F.col("mmr_score").desc(), F.col("vec_id"))
-            .limit(1)
-        )
-        selected = selected.union(nxt).localCheckpoint(storageLevel=CKPT_LEVEL)
-    return selected.orderBy("step")
+        chosen = {p[1] for p in picked}
+        rest = [c for c in cids if c not in chosen]
+        if not rest:
+            break
+        scores = {
+            c: lam * rel_of[c] - om * max(sims[(c, s)] for s in chosen) for c in rest
+        }
+        pick = max(rest, key=lambda c: (scores[c], -c))
+        picked.append((step, pick, rel_of[pick], scores[pick]))
+    return spark.createDataFrame(
+        picked, "step long, vec_id long, rel double, mmr_score double"
+    ).orderBy("step")
 
 
 # --------------------------------------------------------------------------
@@ -1614,10 +1628,22 @@ def _knn_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_scored_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force candidate scoring: every (probe, corpus) pair."""
-    emb = load(spark, sf_dir, "embeddings")
+    """Brute-force candidate scoring: every (probe, corpus) pair.
+
+    Optimization r12 (guide §2.5/§1.2): the corpus side is ``load_spread``
+    (the single-row-group scan otherwise runs the whole Q×N fold on one
+    core), and both norms are precomputed ONCE PER VECTOR before the
+    join instead of once per pair — the same fold order on the same
+    doubles, so the cosine is bit-identical (the ``similarity_topk``
+    discipline), but the per-pair work drops from three 64-wide folds to
+    one."""
+    emb = load_spread(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("v_nrm")
+    )
+    probes = _knn_probes(spark, sf_dir).withColumn("q_nrm", _norm(F.col("q_emb")))
     return (
-        emb.crossJoin(F.broadcast(_knn_probes(spark, sf_dir)))
+        v.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -1626,7 +1652,7 @@ def _knn_scored_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("nbr_label"),
             F.round(
                 _dot(F.col("embedding"), F.col("q_emb"))
-                / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+                / (F.col("v_nrm") * F.col("q_nrm")),
                 4,
             ).alias("cosine"),
         )

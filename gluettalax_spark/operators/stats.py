@@ -1814,7 +1814,7 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     `grouped_running_sum` chain over that table (constant group —
     range shuffle + metadata offsets, never an unpartitioned
     data-scale window); the argmax is TakeOrderedAndProject(1)."""
-    from gluettalax_spark.operators.rank import grouped_running_sum
+    from gluettalax_spark.operators.rank import grouped_running_sums
 
     events = load(spark, sf_dir, "events")
     g = (
@@ -1828,8 +1828,11 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("_g", F.lit(1))
     )
-    run = grouped_running_sum(g, ["_g"], [F.col("value")], "ca", "ra")
-    run = grouped_running_sum(run, ["_g"], [F.col("value")], "cb", "rb")
+    # One fused pass (optimization r12): both ECDFs previously chained two
+    # single-column range passes; integer running sums are unchanged.
+    run = grouped_running_sums(
+        g, ["_g"], [F.col("value")], [("ca", "ra"), ("cb", "rb")]
+    )
     tot = g.agg(
         F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
     )
@@ -2546,7 +2549,7 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; everything after lives on the day dictionary (bounded by the
     corpus day span), where the running sums ride the range-partitioned
     rank machinery — no single-task window over subjects."""
-    from gluettalax_spark.operators.rank import grouped_running_sum
+    from gluettalax_spark.operators.rank import grouped_running_sum, grouped_running_sums
 
     events = load(spark, sf_dir, "events")
     horizon = events.agg(F.max(F.unix_micros("ts")).alias("h"))
@@ -2602,8 +2605,11 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
                 END"""
         ).alias("lnq"),
     ).withColumn("_g", F.lit(1))
-    km = grouped_running_sum(steps, ["_g"], ["day"], "lnq", "ln_s_micro")
-    km = grouped_running_sum(km, ["_g"], ["day"], "absorbed", "n_absorbed")
+    # One fused pass (optimization r12): ln-survival and absorption
+    # previously chained two single-column range passes; values unchanged.
+    km = grouped_running_sums(
+        steps, ["_g"], ["day"], [("lnq", "ln_s_micro"), ("absorbed", "n_absorbed")]
+    )
     return (
         km.select(
             "day",
@@ -3555,11 +3561,12 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     times (n₁+n₂)·n₁·n₂ in DECIMAL(38)/HUGEINT — the squared form of
     D > c·√((n₁+n₂)/(n₁n₂)) with no square root.
 
-    Scale: one data-scale groupBy to the value dictionary; both running
-    counts ride the range-partitioned `grouped_running_sum` (no
-    single-task window over the dictionary); everything after is
-    metadata-scale."""
-    from gluettalax_spark.operators.rank import grouped_running_sum
+    Scale: one data-scale groupBy to the value dictionary; BOTH running
+    counts ride ONE range-partitioned `grouped_running_sums` pass
+    (optimization r12 — previously two single-column passes joined back
+    on `v`: 2 range shuffles + 1 sort-merge join collapsed into 1 range
+    shuffle, values unchanged); everything after is metadata-scale."""
+    from gluettalax_spark.operators.rank import grouped_running_sums
 
     orders = load(spark, sf_dir, "orders")
     vals = (
@@ -3574,15 +3581,15 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("_g", F.lit(1))
     )
-    vals = vals.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds totals + both running sums
-    cum1 = grouped_running_sum(vals, ["_g"], ["v"], "c1", "cum1").select("v", "cum1")
-    cum2 = grouped_running_sum(vals, ["_g"], ["v"], "c2", "cum2").select("v", "cum2")
+    vals = vals.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds totals + running-sums pass
+    cum = grouped_running_sums(
+        vals, ["_g"], ["v"], [("c1", "cum1"), ("c2", "cum2")]
+    ).select("v", "cum1", "cum2")
     tot = vals.agg(
         F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
     )
     d = (
-        cum1.join(cum2, "v")
-        .crossJoin(F.broadcast(tot))
+        cum.crossJoin(F.broadcast(tot))
         .select(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias("diff"))
         .agg(F.max("diff").cast("long").alias("d_num"))
     )
@@ -3654,11 +3661,14 @@ def stats_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     once at the end — integer cents out; `mean_gap_cents` (≤ W₁ by the
     triangle inequality, pinned in tests) rides the same totals.
 
-    Scale: the value dictionary comes from one data-scale groupBy; the
-    neighbor step Δv uses `exact_global_rank` + a rank-shifted self-join
-    (no single-task lead() window); the running counts ride
-    `grouped_running_sum`."""
-    from gluettalax_spark.operators.rank import exact_global_rank, grouped_running_sum
+    Scale: the value dictionary comes from one data-scale groupBy;
+    BOTH running counts AND the neighbor step Δv ride ONE
+    `grouped_running_sums` pass (optimization r12 — previously two
+    single-column passes plus an `exact_global_rank` + rank-shifted
+    self-join: 3 range shuffles and 2 joins collapsed into 1 range
+    shuffle; integer running sums are partitioning-independent, so the
+    values are unchanged)."""
+    from gluettalax_spark.operators.rank import grouped_running_sums
 
     orders = load(spark, sf_dir, "orders")
     vals = (
@@ -3673,21 +3683,19 @@ def stats_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("_g", F.lit(1))
     )
-    vals = vals.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # totals + 2 running sums + rank
+    vals = vals.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # totals + running-sums pass
     tot = vals.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),
         F.sum(F.col("v") * F.col("c1")).cast("decimal(38,0)").alias("s1"),
         F.sum(F.col("v") * F.col("c2")).cast("decimal(38,0)").alias("s2"),
     )
-    cum1 = grouped_running_sum(vals, ["_g"], ["v"], "c1", "cum1").select("v", "cum1")
-    cum2 = grouped_running_sum(vals, ["_g"], ["v"], "c2", "cum2").select("v", "cum2")
-    ranked = exact_global_rank(vals.select("v"), [F.col("v").asc()], "rn", keep_total=False)
-    nxt = ranked.select((F.col("rn") - 1).alias("rn"), F.col("v").alias("v_next"))
-    delta = ranked.join(nxt, "rn").select("v", (F.col("v_next") - F.col("v")).alias("dv"))
+    cum = grouped_running_sums(
+        vals, ["_g"], ["v"], [("c1", "cum1"), ("c2", "cum2")],
+        lead_of="v", lead_name="v_next",
+    ).select("v", "cum1", "cum2", (F.col("v_next") - F.col("v")).alias("dv"))
     w = (
-        cum1.join(cum2, "v")
-        .join(delta, "v")  # inner: the last value has no successor (F1=F2 there)
+        cum.filter(F.col("dv").isNotNull())  # last value has no successor (F1=F2 there)
         .crossJoin(F.broadcast(tot))
         .select(
             (

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from gluettalax_spark.registry import register
-from gluettalax_spark.tables import load
+from gluettalax_spark.tables import load, load_spread
 
 # --------------------------------------------------------------------------
 # Per-document statistics
@@ -3460,7 +3460,9 @@ def ppl_doc_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite diagnostics (`quality_signal_agreement`). key_nano =
     q_sum·1000 div n_tokens (nano-nats per token; more negative =
     higher perplexity). Integer-exact."""
-    docs = load(spark, sf_dir, "documents")
+    # load_spread (optimization r12): the tokenize+explode map stage ran
+    # on the single-row-group scan's one task (guide §2.5).
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         "lang",

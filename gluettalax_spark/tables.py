@@ -38,6 +38,45 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# One scan split per spark.sql.files.openCostInBytes (4 MB) is the most a
+# small file can parallelize to — and a single-row-group parquet (every
+# fixture table) decodes in ONE task regardless. Below this per-core
+# threshold a scan therefore cannot feed all cores.
+_SPREAD_OPEN_COST = 4 * (1 << 20)
+
+
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load`` plus a map-side parallelism guard (optimization r12,
+    guide §2.5 "input skew: one huge unsplittable file … repartition
+    immediately after the read").
+
+    A fixture table is a single-row-group parquet file, so its scan is
+    ONE task no matter the split config — and every expensive per-row
+    stage fed straight by that scan (64-dim cosine folds, shingle
+    explodes, regex tokenization) runs on one core of the machine. When
+    the file is too small for the scan to reach core-count parallelism
+    (size < cores × openCostInBytes — below that Spark cannot plan more
+    splits than cores even for splittable files), insert one round-robin
+    repartition so the compute above it uses the whole machine. The
+    shuffle moves at most cores × 4 MB, bounded by the same condition.
+
+    At scale the condition is false (a 100 TB table has thousands of
+    splits) and this is byte-for-byte ``load`` — no extra exchange, no
+    plan change. Only operators whose map-side compute dominates call
+    this; scan-dominated queries keep the plain loader (the repartition
+    cannot parallelize the single-row-group DECODE itself, only the
+    compute above it)."""
+    df = load(spark, sf_dir, name)
+    try:
+        sz = os.stat(os.path.join(sf_dir, f"{name}.parquet")).st_size
+    except OSError:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if sz < cores * _SPREAD_OPEN_COST:
+        return df.repartition(cores)
+    return df
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects
     (PARQUET_TYPE_ILLEGAL). Read it as a raw int64 via the legacy conf and
