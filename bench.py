@@ -916,6 +916,14 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(min(samples), 4)
         medians[name] = round(statistics.median(samples), 4)
+        # Between-query hygiene (optimization r12, guide §5): completed
+        # queries' localCheckpoint blocks pile up in the one local-mode
+        # heap faster than ContextCleaner can GC the py4j refs — measured
+        # 2× inflation on keys run late in a long session
+        # (graph_adamic_adar 2.79 s fresh vs 5.60 s after six graph keys).
+        # Outside the timed region; each query's 5 runs still share their
+        # in-query warm state, so best-of-5 stays a warm number.
+        _release_sweep_memory(spark)
 
     cal_after = _calibration_probe(spark)
     io_cal_after = _io_calibration_probe(spark)

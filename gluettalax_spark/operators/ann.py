@@ -362,7 +362,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gluettalax_spark.operators.similarity import similarity_topk
 
     exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    exact = exact.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the hit join AND the denominator
+    exact = exact.persist(CKPT_LEVEL)  # feeds the hit join AND the denominator
     hits = exact.join(
         res.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "leftsemi"
     )
@@ -542,8 +542,8 @@ def similarity_knn_label_accuracy_ivf(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("cosine"),
         )
     )
-    ivf_topk = _knn_topk(scored).localCheckpoint(storageLevel=CKPT_LEVEL)
-    exact_topk = _knn_topk(_knn_scored_exact(spark, sf_dir)).localCheckpoint(storageLevel=CKPT_LEVEL)
+    ivf_topk = _knn_topk(scored).persist(CKPT_LEVEL)
+    exact_topk = _knn_topk(_knn_scored_exact(spark, sf_dir)).persist(CKPT_LEVEL)
 
     pred_ivf = _knn_predict_from_topk(ivf_topk)
     pe_full = _knn_predict_from_topk(exact_topk)
@@ -1212,7 +1212,7 @@ def similarity_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    scored_once = scored_once.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # scored pairs feed every rung
+    scored_once = scored_once.persist(CKPT_LEVEL)  # scored pairs feed every rung
     cand = (
         scored_once.join(F.broadcast(np_df), F.col("rn") <= F.col("nprobe"))
         .select("nprobe", "query_id", "neighbor_id", "cosine")
@@ -1228,7 +1228,7 @@ def similarity_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gluettalax_spark.operators.similarity import similarity_topk
 
     exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    exact = exact.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the hit join AND the denominator
+    exact = exact.persist(CKPT_LEVEL)  # feeds the hit join AND the denominator
     hits = (
         topk.join(exact, ["query_id", "neighbor_id"], "leftsemi")
         .groupBy("nprobe")

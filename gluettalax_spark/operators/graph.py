@@ -59,9 +59,16 @@ class _GenerationRotator:
         self._jsc = spark.sparkContext._jsc
         self._live: set[int] = set()
 
-    def checkpoint(self, df: DataFrame) -> DataFrame:
+    def checkpoint(self, df: DataFrame, eager: bool = True) -> DataFrame:
+        """``eager=False`` is safe ONLY when the caller runs an action on
+        the returned frame before ``retire()`` — the lazy checkpoint
+        registers its blocks immediately (persist-at-mark), but the OLD
+        generation must stay readable until the new one has materialized.
+        Loops whose convergence probe already consumes the new frame get
+        the materialization job fused with the probe for free
+        (optimization r12: one driver-blocking job per round, not two)."""
         before = set(self._jsc.getPersistentRDDs().keys())
-        out = df.localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
+        out = df.localCheckpoint(eager=eager, storageLevel=CKPT_LEVEL)
         self._pending = set(self._jsc.getPersistentRDDs().keys()) - before
         return out
 
@@ -504,7 +511,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cut lineage: the edge set feeds four consumers (deg, orientation,
     # wedge join, close join) — recomputing the basket explode per
     # consumer would dominate the runtime.
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    edges = cooccurrence_edges(spark, sf_dir).persist(CKPT_LEVEL)
 
     deg = (
         edges.select(F.col("pa").alias("n"))
@@ -526,7 +533,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src", "dst", F.col("deg_dst_hi").alias("deg_dst"))
     )
-    ed = ed.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    ed = ed.persist(CKPT_LEVEL)
 
     # Wedges at the orientation-minimum vertex: two out-neighbors of the
     # same src, ordered by (degree, id) so the closing edge is oriented.
@@ -646,7 +653,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     side; the rank side is (node, long) — the narrowest possible
     shuffle.
     """
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    edges = cooccurrence_edges(spark, sf_dir).persist(CKPT_LEVEL)
 
     sym = edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
@@ -656,7 +663,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = (
         sym.join(deg.withColumnRenamed("n", "src"), "src")
         .select("src", "dst", F.col("d").alias("d_src"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
 
     n_nodes = deg.count()
@@ -748,7 +755,7 @@ def _lpa_edges_and_labels(spark: SparkSession, sf_dir: str):
     """(undirected edges, final LPA labels) — the per-round join + count
     + min(struct) argmax shape documented on :func:`graph_communities_lpa`;
     shared with :func:`graph_modularity` so both score the same labeling."""
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    edges = cooccurrence_edges(spark, sf_dir).persist(CKPT_LEVEL)
     sym = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
         edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
@@ -951,7 +958,7 @@ def sql_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     and bounded. The edge SET is materialized once behind a temp view
     (see the comment on ``_REACH_SQL``) — the recursion itself is what
     runs in Catalyst."""
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    edges = cooccurrence_edges(spark, sf_dir).persist(CKPT_LEVEL)
     edges.createOrReplaceTempView("gx_reach_edges")
     return spark.sql(_REACH_SQL.format(edges="gx_reach_edges"))
 
@@ -1117,20 +1124,23 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     -k-core default (Montresor et al.); degeneracy-ordering variants
     trade more machinery for fewer rounds and keep the same per-round
     join primitive."""
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    edges = cooccurrence_edges(spark, sf_dir).persist(CKPT_LEVEL)
     for _ in range(_KCORE_MAX_ROUNDS):
-        # Checkpoint the (node-sized) degree table eagerly: the
-        # convergence probe AND the keep-set filter both consume it, and
-        # without the cut each round would run the degree aggregate twice.
+        # Checkpoint the (node-sized) degree table: the convergence probe
+        # AND the keep-set filter both consume it, and without the cut
+        # each round would run the degree aggregate twice. The cut is
+        # LAZY and the probe is a count() over it (optimization r12):
+        # the count job materializes the checkpoint AND answers the
+        # convergence question in ONE driver-blocking job per round -
+        # the previous eager-checkpoint + isEmpty() pair cost two.
         deg = (
             edges.select(F.col("pa").alias("n"))
             .unionAll(edges.select(F.col("pb").alias("n")))
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
-            .localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
+            .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
         )
-        bad = deg.filter(F.col("d") < _KCORE_K)
-        if bad.isEmpty():
+        if deg.filter(F.col("d") < _KCORE_K).count() == 0:
             break
         keep = deg.filter(F.col("d") >= _KCORE_K).select("n")
         edges = (
@@ -1231,7 +1241,7 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree table grows with the graph), the Jaccard division is
     IEEE-deterministic from exact integer counts, and top-k is
     TakeOrderedAndProject."""
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    edges = cooccurrence_edges(spark, sf_dir).persist(CKPT_LEVEL)
     res = jaccard_linkpred_scores(edges, max_deg=_LINKPRED_MAX_DEG)
     return res.orderBy(F.desc("jaccard"), "node_a", "node_b").limit(_LINKPRED_TOPK)
 
@@ -1355,13 +1365,13 @@ def assortativity_from_edges(raw_edges: DataFrame) -> DataFrame:
     """Assortativity core over any (pa, pb) undirected edge frame —
     factored out so tests can pin known-shape graphs (a star is exactly
     r = -1; a clique's variance degenerates)."""
-    edges = raw_edges.localCheckpoint(storageLevel=CKPT_LEVEL)  # feeds deg + both joins
+    edges = raw_edges.persist(CKPT_LEVEL)  # feeds deg + both joins
     deg = (
         edges.select(F.col("pa").alias("n"))
         .unionAll(edges.select(F.col("pb").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .localCheckpoint(storageLevel=CKPT_LEVEL)  # feeds the node count and two degree joins
+        .persist(CKPT_LEVEL)  # feeds the node count and two degree joins
     )
     da = deg.select(F.col("n").alias("pa"), F.col("d").alias("x"))
     db = deg.select(F.col("n").alias("pb"), F.col("d").alias("y"))
@@ -1559,13 +1569,13 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the degree-oriented wedge join bounds fan-out by sqrt(2m)
     (Suri & Vassilvitskii); per-node credit is one explode + groupBy on
     triangle rows (≤ wedge count); everything else is node-grain."""
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    edges = cooccurrence_edges(spark, sf_dir).persist(CKPT_LEVEL)
     deg = (
         edges.select(F.col("pa").alias("n"))
         .unionAll(edges.select(F.col("pb").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     is_fwd = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
@@ -1578,7 +1588,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(is_fwd, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
             F.greatest("da", "db").alias("deg_dst"),
         )
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     w1, w2 = ed.alias("w1"), ed.alias("w2")
     wedges = w1.join(
@@ -1596,7 +1606,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     closed = wedges.join(
         ed.select(F.col("src").alias("ta"), F.col("dst").alias("tb")), ["ta", "tb"], "leftsemi"
-    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    ).persist(CKPT_LEVEL)
 
     tcount = (
         closed.select(F.explode(F.array("wsrc", "ta", "tb")).alias("n"))
@@ -1725,11 +1735,11 @@ def graph_bounded_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("support"))
         .where(F.col("support") >= _TRI_MIN_SUPPORT)
     )
-    edges = edges.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    edges = edges.persist(CKPT_LEVEL)
     dir_e = (
         edges.selectExpr("pa AS u", "pb AS v", f"{_SSSP_COST} AS w")
         .unionAll(edges.selectExpr("pb AS u", "pa AS v", f"{_SSSP_COST} AS w"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     src = edges.agg(F.min("pa").alias("s"))
     d = src.select(F.col("s").alias("node"), F.lit(0).cast("long").alias("dist"))
@@ -1807,7 +1817,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .withColumn("_g", F.lit(1))
     )
-    hist = hist.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the total AND the running sum
+    hist = hist.persist(CKPT_LEVEL)  # feeds the total AND the running sum
     tot = hist.agg(F.sum("n_nodes").cast("long").alias("total"))
     cum = grouped_running_sum(hist, ["_g"], ["degree"], "n_nodes", "cum_nodes")
     return (
@@ -1890,7 +1900,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the oracle replays the cap: it is part of the spec), candidates
     anti-join the edge set, degrees join on the node key, top-k is
     TakeOrderedAndProject."""
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    edges = cooccurrence_edges(spark, sf_dir).persist(CKPT_LEVEL)
     adj = edges.select(F.col("pa").alias("n"), F.col("pb").alias("nbr")).unionAll(
         edges.select(F.col("pb").alias("n"), F.col("pa").alias("nbr"))
     )
@@ -2004,7 +2014,7 @@ def graph_harmonic_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator spec. One basket explode, one wedge explode, two key-hash
     aggregates; the direct-edge exclusion is an anti-join on the edge
     list. Nothing is corpus-quadratic."""
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    edges = cooccurrence_edges(spark, sf_dir).persist(CKPT_LEVEL)
     adj = edges.select(F.col("pa").alias("n"), F.col("pb").alias("nbr")).unionAll(
         edges.select(F.col("pb").alias("n"), F.col("pa").alias("nbr"))
     )

@@ -671,7 +671,7 @@ def stats_kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             r" * 1000000"
             r" div greatest(size(filter(split(lower(text), '\\s+'), t -> t != '')), 1)"
         ).alias("y"),
-    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    ).persist(CKPT_LEVEL)
     rx = exact_global_rank(feat, [F.col("x"), F.col("doc_id")], "rx")
     bx = rx.select(
         "doc_id", "y", ntile_from_rank(F.col("rx"), F.col("_n"), _KT_BINS).alias("bx")
@@ -810,7 +810,7 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("g", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("n_gv"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     ranked = grouped_running_sum(cells, ["g"], ["v"], "n_gv", "cum")
     n_g_df = cells.groupBy("g").agg(F.sum("n_gv").cast("long").alias("n_g"))
@@ -1121,7 +1121,7 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "grp")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     rt = cells.groupBy("event_type").agg(F.sum("o").cast("decimal(38,0)").alias("rt"))
     ct = cells.groupBy("grp").agg(F.sum("o").cast("decimal(38,0)").alias("ct"))
@@ -1300,7 +1300,7 @@ def stats_multiple_testing_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         f"round({_BH_Z}, 6) AS z",
         f"{_BH_P} AS p_value",
-    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    ).persist(CKPT_LEVEL)
     tot = scored.agg(F.count(F.lit(1)).cast("long").alias("n_tests"))
     b = scored.select(
         F.col("p_value").alias("bp"), F.col("event_type").alias("bt")
@@ -1313,7 +1313,7 @@ def stats_multiple_testing_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "n1", "n2", "z", "p_value")
         .agg(F.count(F.lit(1)).cast("long").alias("p_rank"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     cutoff = ranked.crossJoin(F.broadcast(tot)).agg(
         F.coalesce(
@@ -1775,7 +1775,7 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"round({_DUNN_Z}, 6) AS z",
             f"{_DUNN_P} AS p_value",
         )
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     tot = scored.agg(F.count(F.lit(1)).cast("long").alias("n_tests"))
     rhs = scored.select(
@@ -1896,7 +1896,7 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("day"),
         F.col("event_type").alias("g"),
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
-    daily = daily.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds days, types, and the grid join
+    daily = daily.persist(CKPT_LEVEL)  # feeds days, types, and the grid join
     days = daily.select("day").distinct()
     types = daily.select("g").distinct()
     grid = (
@@ -1913,7 +1913,7 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g",
         (2 * (F.col("cum") - F.col("n_v")) + F.col("n_v") + 1).cast("long").alias("r2"),
     )
-    r2 = r2.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds per_g AND the Σr2² fold
+    r2 = r2.persist(CKPT_LEVEL)  # feeds per_g AND the Σr2² fold
     per_g = r2.groupBy("g").agg(F.sum("r2").cast("long").alias("r2_g"))
     consts = days.agg(F.count(F.lit(1)).cast("long").alias("b")).crossJoin(
         types.agg(F.count(F.lit(1)).cast("long").alias("k"))
@@ -2133,7 +2133,7 @@ def stats_median_ci_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("nv"))
         .withColumn("_g", F.lit(1))
     )
-    d = d.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the total AND the running rank
+    d = d.persist(CKPT_LEVEL)  # feeds the total AND the running rank
     r = grouped_running_sum(d, ["_g"], ["v"], "nv", "cum").select("v", "nv", "cum")
     ranks = d.agg(F.sum("nv").cast("long").alias("n")).selectExpr(
         "n",
@@ -2235,7 +2235,7 @@ def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("g", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("n_gv"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds cum, gn, and the z fold
+        .persist(CKPT_LEVEL)  # feeds cum, gn, and the z fold
     )
     cum = grouped_running_sum(cells, ["g"], ["v"], "n_gv", "cum").select("g", "v", "cum")
     gn = cells.groupBy("g").agg(F.sum("n_gv").cast("long").alias("n_g"))

@@ -827,7 +827,7 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = docs.select(
         F.sha2(F.col("text"), 256).alias("h"),
         F.octet_length(F.col("text")).cast("long").alias("b"),
-    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    ).persist(CKPT_LEVEL)
     raw = payloads.groupBy(F.substring("h", 1, 1).alias("shard")).agg(
         F.count(F.lit(1)).cast("long").alias("n_payloads"),
         F.sum("b").cast("long").alias("bytes_total"),

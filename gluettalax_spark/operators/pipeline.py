@@ -104,10 +104,12 @@ ORDER BY lang, rnk
 
 @register("text_top_bigrams", _BIGRAM_ORACLE, doc="top-5 bigram frequency per language")
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary/n-gram stats: explode bigrams (posexplode + lead, same
-    codegen-friendly shape as shingling), count per (lang, bigram) — one
-    shuffle — then a per-language top-5 window. At 100 TB the count
-    aggregate map-side-combines, so the shuffle carries (lang, bigram,
+    """Vocabulary/n-gram stats: explode bigrams (posexplode carrying the
+    tokens array + positional element_at — the shingles_exploded shape,
+    optimization r12: no lead() window, so the raw token stream never
+    shuffles), count per (lang, bigram) — one shuffle — then a
+    per-language top-5 window. At 100 TB the count aggregate
+    map-side-combines, so the shuffle carries (lang, bigram,
     partial_count), not raw token streams."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
@@ -115,13 +117,13 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "").alias("tokens"),
     ).filter(F.size("tokens") >= 2)
-    pe = toks.select("doc_id", "lang", F.posexplode("tokens").alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    nxt = F.lead("tok", 1).over(w)
+    pe = toks.select("doc_id", "lang", "tokens", F.posexplode("tokens").alias("pos", "tok"))
     pairs = (
-        pe.select("lang", F.concat_ws(" ", "tok", nxt).alias("bigram"), nxt.alias("guard"))
-        .filter(F.col("guard").isNotNull())
-        .select("lang", "bigram")
+        pe.filter(F.col("pos") <= F.size("tokens") - 2)
+        .select(
+            "lang",
+            F.concat_ws(" ", "tok", F.element_at("tokens", F.col("pos") + 2)).alias("bigram"),
+        )
     )
     counts = pairs.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
     rw = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
@@ -1179,7 +1181,7 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.col("l_orderkey").alias("o"))
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .filter(F.size("ps") <= MAX_BASKET)
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     n_tot = baskets.agg(F.count(F.lit(1)).alias("N"))
     icnt = baskets.select(F.explode("ps").alias("part")).groupBy("part").agg(
@@ -1521,7 +1523,7 @@ def temperature_weights(docs: DataFrame) -> DataFrame:
             "q",
             F.expr("cast(floor(sqrt(cast(n_docs as double)) * 1048576) as bigint)"),
         )
-        .localCheckpoint(storageLevel=CKPT_LEVEL)  # feeds both the 1-row total and the final join
+        .persist(CKPT_LEVEL)  # feeds both the 1-row total and the final join
     )
     tot = per_source.agg(
         F.sum("n_docs").cast("long").alias("n_total"),
@@ -2249,7 +2251,7 @@ def classifier_doc_logits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(CAST(sum(wgt) AS BIGINT) * 1000 div count(*) AS BIGINT)").alias(
             "logit_milli"
         ),
-    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    ).persist(CKPT_LEVEL)
     # Bounded memo: keep only the latest (app, corpus dir) so a
     # long-lived session touching many corpus dirs doesn't pin a
     # checkpoint block per dir (dropping our reference lets Spark's
@@ -2406,7 +2408,7 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pathed = tagged.withColumn(
         "path_id", (F.sum("is_purchase").over(w_path) - F.col("is_purchase")).cast("long")
-    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    ).persist(CKPT_LEVEL)
     purchases = pathed.filter(F.col("is_purchase") == 1).select("user_id", "path_id")
     w_pos = Window.partitionBy("user_id", "path_id").orderBy("ts", "event_id")
     w_n = Window.partitionBy("user_id", "path_id")
@@ -2560,7 +2562,7 @@ def quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     logits = classifier_doc_logits(spark, sf_dir).select("doc_id", "logit_milli")
     keys = ppl_doc_keys(spark, sf_dir).select("doc_id", "key_nano")
-    joined = logits.join(keys, "doc_id").localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    joined = logits.join(keys, "doc_id").persist(CKPT_LEVEL)
     r1 = exact_global_rank(joined, [F.col("logit_milli"), F.col("doc_id")], "r_cls")
     t1 = r1.select(
         "doc_id", "key_nano", ntile_from_rank(F.col("r_cls"), F.col("_n"), 3).alias("b_cls")
@@ -2570,7 +2572,7 @@ def quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_cls", ntile_from_rank(F.col("r_ppl"), F.col("_n"), 3).alias("b_ppl")
     )
     grid = tiled.groupBy("b_cls", "b_ppl").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    grid = grid.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    grid = grid.persist(CKPT_LEVEL)
     rowm = grid.groupBy(F.col("b_cls").alias("t")).agg(F.sum("n").alias("rn"))
     colm = grid.groupBy(F.col("b_ppl").alias("t")).agg(F.sum("n").alias("cn"))
     pe = rowm.join(colm, "t").agg(
@@ -2703,7 +2705,7 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, _, _, quality = _quality_parts()
     q = docs.select("doc_id", F.round(quality * 10000).cast("long").alias("q_int"))
     logits = classifier_doc_logits(spark, sf_dir).select("doc_id", "logit_milli")
-    j = logits.join(q, "doc_id").localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    j = logits.join(q, "doc_id").persist(CKPT_LEVEL)
 
     # Lower median off the BOUNDED quality dictionary (quality quantizes
     # to 1e4 steps, so the dictionary is ≤ 10,001 rows at any corpus
@@ -3078,7 +3080,7 @@ def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qs",
             F.expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576) AS BIGINT)"),
         )
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the 1-row total AND the schedule
+        .persist(CKPT_LEVEL)  # feeds the 1-row total AND the schedule
     )
     tot = per_source.agg(
         F.sum("n_tokens").cast("long").alias("n_total"),
@@ -3231,7 +3233,7 @@ def orders_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         .withColumn("_g", F.lit(1))
     )
-    h = h.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the total AND the running sum
+    h = h.persist(CKPT_LEVEL)  # feeds the total AND the running sum
     t = h.agg(F.sum("n_orders").cast("long").alias("total"))
     cum = grouped_running_sum(h, ["_g"], ["basket_size"], "n_orders", "cum_orders")
     return (
@@ -3321,7 +3323,7 @@ def orders_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("decile_cents"),
         )
         .withColumn("_g", F.lit(1))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # 10 rows; feeds total AND the curve
+        .persist(CKPT_LEVEL)  # 10 rows; feeds total AND the curve
     )
     tot = dec.agg(F.sum("decile_cents").cast("long").alias("total"))
     from gluettalax_spark.operators.rank import grouped_running_sum

@@ -259,11 +259,11 @@ def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "p_size",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
-    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    ).persist(CKPT_LEVEL)
     size_min = (
         pts.groupBy("p_size")
         .agg(F.min("price_cents").alias("min_price"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     # strict-prefix min over larger sizes, on the bounded size dictionary
     b = size_min.select(F.col("p_size").alias("bs"), F.col("min_price").alias("bp"))

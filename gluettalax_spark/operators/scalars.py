@@ -494,7 +494,7 @@ def json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tagged = events.crossJoin(F.broadcast(bounds)).select(
         F.when(F.unix_micros("ts") < F.col("mid"), 0).otherwise(1).alias("half"), "props"
-    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    ).persist(CKPT_LEVEL)
     halves = tagged.groupBy("half").agg(F.count(F.lit(1)).cast("long").alias("n"))
     h = halves.agg(
         F.max(F.when(F.col("half") == 0, F.col("n"))).cast("long").alias("n_early"),

@@ -343,7 +343,7 @@ def semantic_dedup(
     qe = F.expr(f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE}.0) AS BIGINT))")
     members = a1.select(
         "vec_id", "cluster_id", qe.alias("qe")
-    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    ).persist(CKPT_LEVEL)
 
     kept, star, _spill = _cap_band_buckets(members, ["cluster_id"], "vec_id", max_bucket)
 

@@ -888,7 +888,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = emb.select(
         "vec_id", *[F.round(score_expr(k), 6).alias(f"pc{k + 1}") for k in range(PCA_K)]
-    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    ).persist(CKPT_LEVEL)
     stats = scored.agg(F.round(F.var_pop("pc1"), 6).alias("var_pc1"))
     return (
         scored.orderBy(F.desc(F.abs(F.col("pc1"))), F.asc("vec_id"))
@@ -971,7 +971,7 @@ def centroid_outliers(emb: DataFrame, topk: int = OUTLIER_TOPK) -> DataFrame:
         "label",
         "vec_id",
         F.expr(f"transform(embedding, v -> CAST(floor(v * {COV_Q}) AS BIGINT))").alias("qv"),
-    ).localCheckpoint(storageLevel=CKPT_LEVEL)  # feeds the label stats AND the distance join
+    ).persist(CKPT_LEVEL)  # feeds the label stats AND the distance join
     per_coord = (
         qe.select("label", F.posexplode("qv").alias("i", "x"))
         .groupBy("label", "i")

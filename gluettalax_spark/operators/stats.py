@@ -1484,7 +1484,7 @@ def cusum_daily_changepoints(events: DataFrame) -> DataFrame:
         events.select("event_type", F.date_trunc("day", "ts").alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count("*").cast("long").alias("x"))
-        .localCheckpoint(storageLevel=CKPT_LEVEL)  # feeds bounds, the type list, AND the dense join
+        .persist(CKPT_LEVEL)  # feeds bounds, the type list, AND the dense join
     )
     bounds = counts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     days = bounds.select(
@@ -1718,7 +1718,7 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         events.select(F.date_trunc("day", "ts").alias("day"), "user_id")
         .distinct()
-        .localCheckpoint(storageLevel=CKPT_LEVEL)  # feeds the day list AND the contribution explode
+        .persist(CKPT_LEVEL)  # feeds the day list AND the contribution explode
     )
     days = pairs.select("day").distinct()
     contrib = pairs.select(
@@ -2819,7 +2819,7 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "s"
             )
         )
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     tot = seqs.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     per_pattern = [
@@ -3581,7 +3581,7 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("_g", F.lit(1))
     )
-    vals = vals.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds totals + running-sums pass
+    vals = vals.persist(CKPT_LEVEL)  # feeds totals + running-sums pass
     cum = grouped_running_sums(
         vals, ["_g"], ["v"], [("c1", "cum1"), ("c2", "cum2")]
     ).select("v", "cum1", "cum2")
@@ -3683,7 +3683,7 @@ def stats_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("_g", F.lit(1))
     )
-    vals = vals.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # totals + running-sums pass
+    vals = vals.persist(CKPT_LEVEL)  # totals + running-sums pass
     tot = vals.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),

@@ -2296,7 +2296,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "  "),
             F.lit("  "),
         ).alias("sym"),
-    ).localCheckpoint(storageLevel=CKPT_LEVEL)
+    ).persist(CKPT_LEVEL)
 
     out: DataFrame | None = None
     for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
@@ -2319,7 +2319,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").cast("long").alias("score"))
             .orderBy(F.desc("score"), "l", "r")
             .limit(1)
-            .localCheckpoint(storageLevel=CKPT_LEVEL)
+            .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
         )
         cur = (
             cur.crossJoin(F.broadcast(best.select("l", "r")))
@@ -2330,7 +2330,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "replace(sym, concat(' ', l, '  ', r, ' '), concat(' ', l, r, ' '))"
                 ).alias("sym"),
             )
-            .localCheckpoint(storageLevel=CKPT_LEVEL)
+            .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
         )
         stats = cur.agg(
             F.sum(F.col("c") * F.size(F.expr(_SYMS))).cast("long").alias("tokens_after")
@@ -2544,7 +2544,7 @@ def js_divergence_by_source(docs: DataFrame) -> DataFrame:
     sc = (
         tok.groupBy("source", "w")
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(storageLevel=CKPT_LEVEL)  # feeds vocab totals, source totals, and the grid join
+        .persist(CKPT_LEVEL)  # feeds vocab totals, source totals, and the grid join
     )
     vocab = sc.groupBy("w").agg(F.sum("c").cast("long").alias("cw"))
     srcs = sc.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
@@ -2685,7 +2685,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "ch")
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(storageLevel=CKPT_LEVEL)  # feeds the total and the entropy fold
+        .persist(CKPT_LEVEL)  # feeds the total and the entropy fold
     )
     tot = cc.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     term = F.expr(
@@ -3041,7 +3041,7 @@ def text_tfidf_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"),
-    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # one materialized explode feeds df AND tf
+    ).persist(CKPT_LEVEL)  # one materialized explode feeds df AND tf
     dfreq = words.groupBy("w").agg(F.countDistinct("doc_id").cast("long").alias("dfreq"))
     nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     idf = dfreq.crossJoin(F.broadcast(nd)).select(
@@ -3367,7 +3367,7 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "source", "h")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     dup = (
         occ.groupBy("h")
@@ -3524,7 +3524,7 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic from (rank, per-lang total)."""
     from gluettalax_spark.operators.rank import grouped_running_sum, ntile_from_rank
 
-    scored = ppl_doc_keys(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    scored = ppl_doc_keys(spark, sf_dir).persist(CKPT_LEVEL)
     dict_df = scored.groupBy("lang", "key_nano").agg(
         F.count(F.lit(1)).cast("long").alias("n_k")
     )
@@ -3609,7 +3609,7 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = text_lang_id(spark, sf_dir)
     cells = pred.groupBy("lang_true", "lang_pred").agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    ).persist(CKPT_LEVEL)
     rowm = cells.groupBy(F.col("lang_true").alias("c")).agg(
         F.sum("n").cast("long").alias("n_true")
     )
@@ -3728,7 +3728,7 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.trim(F.regexp_replace(F.col("raw"), " +", " ")).alias("phrase"),
     )
-    phrases = frags.filter(F.col("phrase") != "").localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    phrases = frags.filter(F.col("phrase") != "").persist(CKPT_LEVEL)
     pw = phrases.select(
         "phrase",
         F.explode(F.split(F.col("phrase"), " ")).alias("w"),
@@ -4007,7 +4007,7 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "  "),
                 F.lit("  "),
             ).alias("sym"),
-        ).localCheckpoint(storageLevel=CKPT_LEVEL)
+        ).persist(CKPT_LEVEL)
         for _ in range(BPE_TRAIN_ROUNDS):
             pairs = (
                 cur.withColumn("syms", F.expr(_SYMS))
@@ -4038,11 +4038,11 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "replace(sym, concat(' ', l, '  ', r, ' '), concat(' ', l, r, ' '))"
                     ).alias("sym"),
                 )
-                .localCheckpoint(storageLevel=CKPT_LEVEL)
+                .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
             )
         dict_df = cur.select(
             "w", F.size(F.expr(_SYMS)).cast("long").alias("n_sym")
-        ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        ).persist(CKPT_LEVEL)
         # Bounded memo: latest (app, corpus dir) only — see
         # classifier_doc_logits for the rationale.
         _BPE_DICT_CACHE.clear()
@@ -4142,7 +4142,7 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w", "doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     totals = term_doc.groupBy("w").agg(F.sum("c").cast("long").alias("total"))
     top_terms = totals.orderBy(F.desc("total"), "w").limit(_BURST_TOP_TERMS)
@@ -4240,7 +4240,7 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "source", F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("tk")
-    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    ).persist(CKPT_LEVEL)
     eligible = toks.filter(F.size("tk") >= _MATTR_W)
     per_doc = eligible.select(
         "source",
@@ -4337,7 +4337,7 @@ def text_token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    vocab = vocab.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the rank AND the total
+    vocab = vocab.persist(CKPT_LEVEL)  # feeds the rank AND the total
     ranked = exact_global_rank(vocab, [F.col("c").desc(), F.col("w")], "r", keep_total=False)
     tot = vocab.agg(
         F.sum("c").cast("long").alias("n_total"),
@@ -4419,7 +4419,7 @@ def text_token_length_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.length("w").alias("l"))
         .groupBy("lang", "l")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the totals AND the entropy fold
+        .persist(CKPT_LEVEL)  # feeds the totals AND the entropy fold
     )
     tot = ld.groupBy("lang").agg(
         F.sum("c").cast("long").alias("n"),
@@ -4505,22 +4505,28 @@ def text_lang_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles_exploded shape) instead of a transform(sequence, ...)
     lambda: higher-order array lambdas run interpreted and measured
     3.2× slower at sf0.1 (4.4 s → 1.4 s, identical output)."""
-    from pyspark.sql.window import Window
-
+    # Optimization r12: posexplode carries the char array + positional
+    # element_at lookups (the shingles_exploded shape) — no lead()
+    # window, so the raw char stream never hash-shuffles on doc_id.
     docs = load(spark, sf_dir, "documents")
     ch = docs.filter(F.length("text") >= 3).select(
         "doc_id",
         "lang",
-        F.posexplode(F.expr("regexp_extract_all(lower(text), '(?s).', 0)")).alias("pos", "ch"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    c1, c2 = F.lead("ch", 1).over(w), F.lead("ch", 2).over(w)
+        F.expr("regexp_extract_all(lower(text), '(?s).', 0)").alias("chs"),
+    ).select("doc_id", "lang", "chs", F.posexplode("chs").alias("pos", "ch"))
     prof = (
-        ch.select("lang", F.concat("ch", c1, c2).alias("t3"), c2.alias("_guard"))
-        .filter(F.col("_guard").isNotNull())
+        ch.filter(F.col("pos") <= F.size("chs") - 3)
+        .select(
+            "lang",
+            F.concat(
+                "ch",
+                F.element_at("chs", F.col("pos") + 2),
+                F.element_at("chs", F.col("pos") + 3),
+            ).alias("t3"),
+        )
         .groupBy("lang", "t3")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds norms AND both join sides
+        .persist(CKPT_LEVEL)  # feeds norms AND both join sides
     )
     norms = prof.groupBy("lang").agg(
         F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).cast("long").alias("c2"),
@@ -4691,7 +4697,7 @@ def text_source_lang_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("n_chars"),
     )
-    g = g.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds all three marginals AND the output
+    g = g.persist(CKPT_LEVEL)  # feeds all three marginals AND the output
     ms = g.groupBy("source").agg(F.sum("n_docs").cast("long").alias("src_docs"))
     ml = g.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("lang_docs"))
     t = g.agg(F.sum("n_docs").cast("long").alias("total"))

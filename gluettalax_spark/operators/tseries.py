@@ -121,7 +121,7 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(F.col("o_orderdate").cast("date").alias("day"))
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     bounds = daily.agg(
         F.min("day").alias("d0"),
@@ -135,7 +135,7 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .select("t", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     tot = grid.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
@@ -143,7 +143,7 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = grid.crossJoin(F.broadcast(tot)).select(
         "t", (F.col("n") * F.col("x") - F.col("s")).cast("decimal(38,0)").alias("d")
-    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    ).persist(CKPT_LEVEL)
     den_df = dev.agg(F.sum(F.col("d") * F.col("d")).cast("decimal(38,0)").alias("den"))
     lags = spark.range(1, _LB_LAGS + 1).select(F.col("id").alias("k"))
     b = dev.select(F.col("t").alias("bt"), F.col("d").alias("bd"))
@@ -227,7 +227,7 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("m")
         .agg(F.sum("cents").cast("long").alias("r"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     b = monthly.select(F.col("m").alias("bm"), F.col("r").alias("br"))
     pairs = monthly.join(F.broadcast(b), F.expr("bm > m")).selectExpr(
@@ -366,7 +366,7 @@ def stats_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day")
         .agg(F.sum("cents").cast("long").alias("x"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     bounds = daily.agg(
         F.min("day").alias("d0"),
@@ -380,7 +380,7 @@ def stats_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .select("t", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     ws = spark.createDataFrame([(w,) for w in _HURST_WS], "w long")
     tagged = grid.crossJoin(F.broadcast(ws)).select(
@@ -526,7 +526,7 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day")
         .agg(F.sum("cents").cast("long").alias("x"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     bounds = daily.agg(
         F.min("day").alias("d0"),
@@ -540,7 +540,7 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .select("t", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     med = grid.agg(
         F.count(F.lit(1)).cast("long").alias("ng"),
@@ -549,7 +549,7 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     signs = (
         grid.crossJoin(F.broadcast(med))
         .select("t", F.when(F.col("x") > F.col("m"), 1).otherwise(0).alias("s"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     b = signs.select(F.col("t").alias("bt"), F.col("s").alias("bs"))
     changes = signs.join(F.broadcast(b), F.expr("bt = t - 1")).agg(
@@ -647,7 +647,7 @@ def orders_seasonality_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day")
         .agg(F.sum("cents").cast("long").alias("x"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     bounds = daily.agg(
         F.min("day").alias("d0"),
@@ -757,7 +757,7 @@ def events_churn_risk_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.datediff(F.col("d"), F.col("last_day")).cast("long").alias("idle_days"),
     )
-    aged = aged.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the total AND the fold
+    aged = aged.persist(CKPT_LEVEL)  # feeds the total AND the fold
     tot = aged.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     return (
         aged.selectExpr(f"{_CHURN_BUCKET} AS bucket", "n_events", "idle_days")
@@ -825,7 +825,7 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = e.selectExpr(
         "CAST((epoch_us div 86400000000) % 7 AS BIGINT) AS dow_thu0", "hr"
     ).groupBy("dow_thu0", "hr").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-    g = g.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the total AND the share projection
+    g = g.persist(CKPT_LEVEL)  # feeds the total AND the share projection
     t = g.agg(F.sum("n_events").cast("long").alias("total"))
     return (
         g.crossJoin(F.broadcast(t))
@@ -923,7 +923,7 @@ def stats_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day")
         .agg(F.sum("cents").cast("long").alias("x"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     bounds = daily.agg(
         F.min("day").alias("d0"),
@@ -937,7 +937,7 @@ def stats_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .select("t", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds totals AND both join sides
+        .persist(CKPT_LEVEL)  # feeds totals AND both join sides
     )
     tot = grid.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1054,13 +1054,13 @@ def orders_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("prev_d").isNotNull())
         .select("c", F.datediff("d", "prev_d").cast("long").alias("gap"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the dictionary AND n_repeat
+        .persist(CKPT_LEVEL)  # feeds the dictionary AND n_repeat
     )
     dict_df = (
         gaps.groupBy("gap")
         .agg(F.count(F.lit(1)).cast("long").alias("ng"))
         .withColumn("_g", F.lit(1))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     r = grouped_running_sum(dict_df, ["_g"], ["gap"], "ng", "cum").select("gap", "ng", "cum")
     tot = (
@@ -1173,7 +1173,7 @@ def stats_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day")
         .agg(F.sum("cents").cast("long").alias("x"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)
     )
     bounds = daily.agg(
         F.min("day").alias("d0"),
@@ -1187,7 +1187,7 @@ def stats_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .select("t", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds totals, deviations, and the pick
+        .persist(CKPT_LEVEL)  # feeds totals, deviations, and the pick
     )
     tot = grid.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1198,7 +1198,7 @@ def stats_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         "x",
         F.abs(F.col("n").cast("decimal(38,0)") * F.col("x") - F.col("s")).alias("d"),
-    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    ).persist(CKPT_LEVEL)
     dmax = dev.agg(F.max("d").alias("dm"))
     pick = (
         dev.crossJoin(F.broadcast(dmax))

@@ -837,7 +837,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = marked.withColumn("session_no", F.sum("new_session").over(w))
     spans = sessions.groupBy("user_id", "session_no").agg(
         F.unix_micros(F.min("ts")).alias("t0"), F.unix_micros(F.max("ts")).alias("t1")
-    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    ).persist(CKPT_LEVEL)
     deltas = spans.select(
         F.col("t0").alias("t"), F.lit(1).alias("delta"), F.lit(-1).alias("neg")
     ).unionAll(
@@ -950,7 +950,7 @@ def events_session_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = marked.withColumn("session_no", F.sum("new_session").over(w))
     per_session = sessions.groupBy("user_id", "session_no").agg(
         F.sort_array(F.collect_set("event_type")).alias("types")
-    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    ).persist(CKPT_LEVEL)
     nn = per_session.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
     singles = (
         per_session.select(F.explode("types").alias("a"))

@@ -343,7 +343,11 @@ def test_dau_bitmap_two_shuffles_no_expand(spark, sf_dir):
 
 
 def _plan_nodes(df):
-    """Yield every physical node, descending through AQE wrappers."""
+    """Yield every physical node, descending through AQE wrappers and
+    cache boundaries. persist() registers plans in the session-wide
+    CacheManager, so in a shared session another query's persisted
+    fragment substitutes as InMemoryTableScan — the cached plan still
+    executes when materialized, so the sweep must see inside it."""
     root = df._jdf.queryExecution().executedPlan()
     stack = [root]
     while stack:
@@ -352,6 +356,9 @@ def _plan_nodes(df):
         name = node.getClass().getSimpleName()
         if name == "AdaptiveSparkPlanExec":
             stack.append(node.initialPlan())
+            continue
+        if name == "InMemoryTableScanExec":
+            stack.append(node.relation().cachedPlan())
             continue
         ch = node.children()
         for i in range(ch.size()):
@@ -378,6 +385,14 @@ def _subtree_is_bounded(window_node) -> bool:
         name = node.getClass().getSimpleName()
         if name in _BOUNDED_NODES:
             return True
+        if name == "AdaptiveSparkPlanExec":
+            stack.append(node.initialPlan())
+            continue
+        if name == "InMemoryTableScanExec":
+            # Another query's persisted fragment substituted here; the
+            # cached plan is what actually bounds (or not) this input.
+            stack.append(node.relation().cachedPlan())
+            continue
         if "Aggregate" in name:
             line = node.toString().split("\n")[0]
             mk = re.search(r"keys=\[([^\]]*)\]", line)

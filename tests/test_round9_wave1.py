@@ -325,7 +325,14 @@ def test_mmr_matches_python_greedy(spark, sf_dir):
 def test_good_turing_single_corpus_scan(spark, sf_dir):
     """The richness pass must read the corpus ONCE: one generate/explode,
     and the count-of-counts must come from the vocabulary table, never a
-    second explode."""
+    second explode.
+
+    Cache cleared first: since the r12 persist() switch, another query's
+    persisted token-count fragment can substitute into this plan as an
+    InMemoryTableScan whose cached subtree prints inline — the string
+    count then reflects the substituting test's session state, not this
+    operator's shape."""
+    spark.catalog.clearCache()
     plan = physical_plan(queries()["text_good_turing_vocab"](spark, sf_dir))
     assert plan.count("Generate explode") == 1
     assert "CartesianProduct" not in plan

@@ -108,6 +108,10 @@ def main() -> None:
             file=sys.stderr,
             flush=True,
         )
+        # Same between-query hygiene as bench.main — without it, keys
+        # profiled late in the session read up to 2× slow (accumulated
+        # checkpoint blocks starving the heap).
+        bench._release_sweep_memory(spark)
     spark.sparkContext.setJobDescription(None)
 
     with open(f"/tmp/profile_{phase}.json", "w") as fh:
