@@ -2933,6 +2933,7 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("nv"))
         .withColumn("_g", F.lit(1))
+        .persist(CKPT_LEVEL)  # value dictionary; feeds the running rank AND nn
     )
     r = grouped_running_sum(d, ["_g"], ["v"], "nv", "cum").select("v", "nv", "cum")
     nn = d.agg(F.sum("nv").cast("long").alias("n"))
@@ -2947,6 +2948,9 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("doc_id") <= F.col("mid"), 1)).cast("long").alias("c_ref"),
             F.count(F.when(F.col("doc_id") > F.col("mid"), 1)).cast("long").alias("c_cur"),
         )
+        .persist(CKPT_LEVEL)  # 10 rows, but its subtree joins the corpus:
+        # consumed by t, the total, and the final projection (3 executions
+        # of the corpus join without the cut — optimization r12)
     )
     t = c.agg(
         F.sum("c_ref").cast("long").alias("n_ref"),

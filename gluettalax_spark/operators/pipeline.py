@@ -1001,6 +1001,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("hs"),
         )
         .distinct()
+        .persist(CKPT_LEVEL)  # feeds per-source counts AND the pair sets
     )
     per_src = hs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     sets = (
@@ -1184,8 +1185,11 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(CKPT_LEVEL)
     )
     n_tot = baskets.agg(F.count(F.lit(1)).alias("N"))
-    icnt = baskets.select(F.explode("ps").alias("part")).groupBy("part").agg(
-        F.count(F.lit(1)).alias("n_i")
+    icnt = (
+        baskets.select(F.explode("ps").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_i"))
+        .persist(CKPT_LEVEL)  # feeds BOTH metric joins (ia and ib)
     )
     pairs = (
         baskets.select(
@@ -1200,6 +1204,7 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= _RULES_MIN_PAIR)
+        .persist(CKPT_LEVEL)  # feeds both halves of the directed union
     )
     directed = pairs.select(
         F.col("pa").alias("part_a"), F.col("pb").alias("part_b"), "n_ab"
@@ -1937,31 +1942,41 @@ def orders_demand_variability_xyz(spark: SparkSession, sf_dir: str) -> DataFrame
     X ⇔ ``4(nΣq² − S²) ≤ S²`` — never a float variance.
 
     The monthly grid is DENSE (idle months count as q=0 — the sparse
-    form silently understates variability, the round-7 CUSUM lesson):
-    every part crosses the broadcast 1-row calendar bounds, then left-
-    joins its observed demand. Grid size = parts × months — the month
-    axis is a calendar constant, so the grid grows linearly with the
-    part dimension, not with lineitem."""
+    form silently understates variability, the round-7 CUSUM lesson) —
+    but the grid itself never materializes (optimization r12, guide
+    §2.1): a zero month adds 0 to both Σq and Σq², and the dense count
+    ``n = hi − lo + 1`` is one global calendar constant, so the exact
+    moments come straight off the SPARSE per-(part, month) demand with
+    the 1-row bounds broadcast on top — bit-identical to the grid form
+    the oracle still computes, with the parts×months left join and the
+    distinct-parts pass gone. One exchange total: the explicit
+    ``repartition(p)`` hash layout satisfies both the (p, month) and
+    the (p) aggregate's clustering, so neither groupBy re-shuffles."""
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("p"),
         (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("mi"),
-        F.round("l_quantity").cast("long").alias("q"),
+        F.round("l_quantity").cast("long").alias("q0"),
     )
-    bounds = li.agg(F.min("mi").alias("lo"), F.max("mi").alias("hi"))
-    grid = (
-        li.select("p")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select("p", F.explode(F.sequence("lo", "hi")).alias("mi"))
+    demand = (
+        li.repartition("p")
+        .groupBy("p", "mi")
+        .agg(F.sum("q0").cast("long").alias("q"))
     )
-    demand = li.groupBy("p", "mi").agg(F.sum("q").cast("long").alias("q"))
-    dense = grid.join(demand, ["p", "mi"], "left").select(
-        "p", F.coalesce(F.col("q"), F.lit(0)).alias("q")
+    per_part = (
+        demand.groupBy("p")
+        .agg(
+            F.sum("q").cast("long").alias("s"),
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("qq"),
+            F.min("mi").alias("plo"),
+            F.max("mi").alias("phi"),
+        )
+        .persist(CKPT_LEVEL)  # feeds the 1-row bounds AND the moments
     )
-    moments = dense.groupBy("p").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("q").cast("long").alias("s"),
-        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("qq"),
+    bounds = per_part.agg(F.min("plo").alias("lo"), F.max("phi").alias("hi"))
+    moments = per_part.crossJoin(F.broadcast(bounds)).select(
+        "s",
+        "qq",
+        (F.col("hi") - F.col("lo") + F.lit(1)).cast("long").alias("n"),
     )
     classed = moments.select(
         "s",

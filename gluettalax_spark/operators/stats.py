@@ -3243,6 +3243,11 @@ def orders_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound class as the tseries grid ops; top-k is
     TakeOrderedAndProject."""
     li = load(spark, sf_dir, "lineitem")
+    # One exchange for BOTH aggregations (optimization r12, guide §2.1):
+    # the explicit hash layout on p satisfies the (p, d) aggregate's
+    # clustering AND the downstream per-p collect — without it each
+    # groupBy inserts its own exchange of ~the same bytes ((p, d) pairs
+    # barely dedupe lineitem rows, so the partial agg saved nothing).
     demand = (
         li.select(
             F.col("l_partkey").alias("p"),
@@ -3251,6 +3256,7 @@ def orders_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d"),
             F.round(F.col("l_quantity")).cast("long").alias("q0"),
         )
+        .repartition("p")
         .groupBy("p", "d")
         .agg(F.sum("q0").cast("long").alias("q"))
     )

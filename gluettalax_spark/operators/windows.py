@@ -847,7 +847,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     running = grouped_running_sum(
         deltas.withColumn("_g", F.lit(1)), ["_g"], ["t", "neg"], "delta", "cur"
-    )
+    ).persist(CKPT_LEVEL)  # feeds the peak aggregate AND the peak-at lookup
     peak = running.agg(F.max("cur").cast("long").alias("peak"))
     peak_at = (
         running.crossJoin(F.broadcast(peak))
