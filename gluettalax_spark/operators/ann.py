@@ -305,19 +305,13 @@ ORDER BY query_id, rank
 """
 
 
-@register(
-    "similarity_topk_ivf",
-    _topk_ivf_oracle,
-    doc=f"IVF({NLIST},nprobe={NPROBE}) cosine top-{TOPK} (trained quantizer)",
-)
-def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Queries probe their NPROBE nearest cells; scoring joins on the cell
-    id. Fully oracle-checked since round 12: the probe ranking runs
-    IN-PLAN with the rounded-distance rule (an N_QUERIES×NLIST
-    crossJoin against the centroid table — constant size, independent of
-    corpus scale), the quantizer replays from centroid literals, and the
-    in-plan `recall_at_k` column is measured against the serial-fold
-    `similarity_topk` exact twin the oracle replays verbatim."""
+def _ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF search itself — (query_id, neighbor_id, cosine, rank),
+    recall-free and unsorted. Shared by `similarity_topk_ivf` (which adds
+    the exact-twin recall column) and `similarity_ndcg_eval` (which
+    grades the ranking against the exact twin directly — the in-plan
+    recall crossJoin would force a SECOND brute-force pass whose output
+    column NDCG immediately projects away; optimization r12, guide §2.1)."""
     from pyspark.sql.window import Window
 
     assigned, _ = _assignments(spark, sf_dir)
@@ -353,12 +347,28 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = _dot(F.col("q_emb"), F.col("v_emb")) / (F.col("q_nrm") * F.col("v_nrm"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    res = (
+    return (
         cand.select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+@register(
+    "similarity_topk_ivf",
+    _topk_ivf_oracle,
+    doc=f"IVF({NLIST},nprobe={NPROBE}) cosine top-{TOPK} (trained quantizer)",
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queries probe their NPROBE nearest cells; scoring joins on the cell
+    id. Fully oracle-checked since round 12: the probe ranking runs
+    IN-PLAN with the rounded-distance rule (an N_QUERIES×NLIST
+    crossJoin against the centroid table — constant size, independent of
+    corpus scale), the quantizer replays from centroid literals, and the
+    in-plan `recall_at_k` column is measured against the serial-fold
+    `similarity_topk` exact twin the oracle replays verbatim."""
+    res = _ivf_search_topk(spark, sf_dir)
     from gluettalax_spark.operators.similarity import similarity_topk
 
     exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
@@ -1567,10 +1577,16 @@ def similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: reuses the IVF search (bounded probes, cell equi-join) plus
     one broadcast join against the exact top-k's TOPK×N_QUERIES rows; at
     100 TB the exact side comes from a sampled probe set, as with every
-    eval op in this module."""
+    eval op in this module.
+
+    The IVF side is the recall-free `_ivf_search_topk` (optimization
+    r12): going through `similarity_topk_ivf` dragged in the recall
+    crossJoin — a SECOND full brute-force scoring pass — only for NDCG
+    to project the column away (the 1-row aggregate join never changes
+    the ranked rows, so the output is identical by construction)."""
     from gluettalax_spark.operators.similarity import similarity_topk
 
-    ivf = similarity_topk_ivf(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    ivf = _ivf_search_topk(spark, sf_dir).select("query_id", "neighbor_id", "rank")
     exact = similarity_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", F.col("rank").alias("x_rank")
     )

@@ -1806,9 +1806,11 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gluettalax_spark.operators.rank import grouped_running_sum
 
     edges = cooccurrence_edges(spark, sf_dir)
+    # Both endpoints explode from each edge row IN-ROW (optimization r12,
+    # guide §2.1): the unionAll form executed the whole basket-explode
+    # edge pipeline twice, once per branch. Same multiset of node ids.
     deg = (
-        edges.select(F.col("pa").alias("n"))
-        .unionAll(edges.select(F.col("pb").alias("n")))
+        edges.select(F.explode(F.array("pa", "pb")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
