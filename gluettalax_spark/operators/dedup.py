@@ -227,8 +227,9 @@ def _cap_band_buckets(bands: DataFrame, key_cols: list[str], id_col: str, cap: i
     )
     # Bounded (< corpus/cap rows): materialize once, feed the emptiness
     # probe and (on the skew path) BOTH broadcasts without recomputing
-    # the size aggregate per consumer.
-    over = sizes.filter(F.col("bucket_n") > cap).localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
+    # the size aggregate per consumer. Lazy persist fuses the old
+    # checkpoint job with the isEmpty probe right below (r12).
+    over = sizes.filter(F.col("bucket_n") > cap).persist(CKPT_LEVEL)
     spill = over.select(*key_cols, "bucket_n")
     if over.isEmpty():
         star = bands.limit(0).select(
@@ -329,7 +330,16 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain per consumer would triple the scan work). Materialized once:
     the table feeds the band explode and both sides of the verify join —
     at cluster scale, "write the signature table to storage, then join
-    against it"."""
+    against it".
+
+    Lazy ``persist``, not eager ``localCheckpoint`` (optimization r12,
+    guide §5): the eager RDD materialization ran a 2-3 s driver-blocking
+    job per builder call (4-5x the 0.65 s the computation itself costs
+    through the noop sink — row-object serialization overhead), while
+    the SQL columnar cache materializes inside the first action and
+    serves every consumer compressed. Nothing downstream depends on a
+    frozen plan: the min-hash aggs are deterministic and the shingle
+    sets are consumed order-insensitively (array_intersect/size)."""
     ex = (
         shingles_exploded(spark, sf_dir)
         .withColumn("m", F.md5("s"))
@@ -343,7 +353,7 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = ex.groupBy("doc_id").agg(
         *_minhash_sig_aggs(), F.collect_set("hs").alias("shingles")
     )
-    return sigs.localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
+    return sigs.persist(CKPT_LEVEL)
 
 
 @register("dedup_minhash_lsh", _minhash_oracle(), doc="MinHash(16) + LSH(4×4) near-dup pairs, Jaccard-verified")
@@ -681,8 +691,10 @@ def dedup_simhash_pairs(
     # The fingerprint table feeds both sides of the band self-join;
     # materialize it once (64 bits + id per doc — tiny) instead of running
     # the explode + 64-sum aggregation twice. At cluster scale this is
-    # "write the fingerprint table, then self-join it".
-    hashes = _simhash_df(spark, sf_dir).localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
+    # "write the fingerprint table, then self-join it". Lazy persist, not
+    # eager checkpoint (optimization r12): no build-time driver-blocking
+    # job, columnar cache serves both sides; nothing needs a frozen plan.
+    hashes = _simhash_df(spark, sf_dir).persist(CKPT_LEVEL)
     bands = hashes.select(
         "doc_id",
         "simhash",
@@ -809,11 +821,12 @@ def dedup_ngram_jaccard(
     )
     # Both self-join sides read blocks; materialize once (otherwise AQE
     # may broadcast one side, losing exchange reuse and recomputing the
-    # shingle→hash→agg chain twice).
+    # shingle→hash→agg chain twice). Lazy persist (optimization r12):
+    # same one-materialization guarantee, no build-time blocking job.
     blocks = hs.withColumn(
         "block_key",
         F.md5(F.concat_ws("|", F.slice(F.array_sort("hset"), 1, 3).cast("array<string>"))),
-    ).localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
+    ).persist(CKPT_LEVEL)
     kept, star, _spill = _cap_band_buckets(blocks, ["block_key"], "doc_id", max_bucket)
     a = kept.select(
         F.col("doc_id").alias("doc_a"), F.col("hset").alias("sh_a"), "block_key"
@@ -1280,7 +1293,7 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = ex.groupBy("doc_id").agg(
         *_minhash_sig_aggs(), F.collect_set("hs").alias("hset")
     )
-    sigs = sigs.localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)  # band explode + both pair sides
+    sigs = sigs.persist(CKPT_LEVEL)  # band explode + both pair sides (lazy: r12)
     bands = sigs.select("doc_id", F.explode(_minhash_band_array()).alias("band")).select(
         "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_val").alias("band_val")
     )

@@ -99,10 +99,17 @@ def connected_components(edges: DataFrame, src: str = "u", dst: str = "v") -> Da
     sym = edges.selectExpr(f"{src} AS u", f"{dst} AS v").unionByName(
         edges.selectExpr(f"{dst} AS u", f"{src} AS v")
     )
-    sym = sym.distinct().localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
+    # Static across rounds; lazy persist (r12) — the first round's
+    # convergence probe materializes it, no separate build-time job.
+    sym = sym.distinct().persist(CKPT_LEVEL)
     rot = _GenerationRotator(edges.sparkSession)
+    # eager=False throughout (optimization r12, the kcore §5 fusion): every
+    # round's `changed` count consumes the new generation BEFORE retire(),
+    # so the checkpoint materializes inside the probe — one driver-blocking
+    # job per round instead of two.
     labels = rot.checkpoint(
-        sym.select(F.col("u").alias("node")).distinct().withColumn("lab", F.col("node"))
+        sym.select(F.col("u").alias("node")).distinct().withColumn("lab", F.col("node")),
+        eager=False,
     )
     rot.retire()
     converged = False
@@ -117,7 +124,8 @@ def connected_components(edges: DataFrame, src: str = "u", dst: str = "v") -> Da
             .select(
                 "node",
                 F.least(F.col("lab"), F.coalesce(F.col("nbr_lab"), F.col("lab"))).alias("lab"),
-            )
+            ),
+            eager=False,
         )
         changed = (
             new_labels.alias("n")
@@ -305,10 +313,14 @@ def connected_components_star(edges: DataFrame, src: str = "u", dst: str = "v") 
     fixpoint; tests assert equivalence. Use this variant for deep/chained
     graphs; the min-label one for shallow near-dup clusters."""
     rot = _GenerationRotator(edges.sparkSession)
+    # eager=False (r12, the kcore §5 fusion): the isEmpty probe / per-round
+    # convergence compare consume each generation before retire(), so the
+    # checkpoint materializes inside the probe job it already pays for.
     e = rot.checkpoint(
         edges.selectExpr(f"{src} AS u", f"{dst} AS v")
         .filter(F.col("u") != F.col("v"))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     rot.retire()
     singletons = edges.selectExpr(f"{src} AS n").unionByName(
@@ -317,7 +329,7 @@ def connected_components_star(edges: DataFrame, src: str = "u", dst: str = "v") 
     if e.rdd.isEmpty():
         return singletons.select(F.col("n").alias("node"), F.col("n").alias("component"))
     for _ in range(_MAX_ROUNDS):
-        e2 = rot.checkpoint(_small_star(_large_star(e)))
+        e2 = rot.checkpoint(_small_star(_large_star(e)), eager=False)
         # Converged when the edge set is unchanged (both are distinct sets).
         same = e2.count() == e.count() and e2.exceptAll(e).rdd.isEmpty()
         # The convergence compare was the old generation's last read.

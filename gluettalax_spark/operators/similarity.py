@@ -218,7 +218,7 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         emb.selectExpr("vec_id", "embedding", f"{bucket} AS bucket")
         .withColumn("nrm", _norm(F.col("embedding")))
-        .localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)  # lazy multi-consumer cut (r12): no build-time job
     )
     q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -348,7 +348,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str, max_bucket: int = 512) -
     buckets = (
         emb.selectExpr("vec_id", "embedding", f"{bucket} AS bucket")
         .withColumn("nrm", _norm(F.col("embedding")))
-        .localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
+        .persist(CKPT_LEVEL)  # lazy multi-consumer cut (r12): no build-time job
     )
     kept, star, _spill = _cap_band_buckets(buckets, ["bucket"], "vec_id", max_bucket)
     a = kept.select(
@@ -773,8 +773,12 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 080 groups per task before the only shuffle; the first-moment table
     (64 rows) and the 1-row count broadcast onto the result. Driver-side
     eigen-decomposition of the 2 080-entry output is metadata-scale —
-    the standard split for distributed PCA."""
-    emb = load(spark, sf_dir, "embeddings")
+    the standard split for distributed PCA.
+
+    ``load_spread`` (optimization r12, guide §2.5): the 2 080-per-vector
+    pair explode otherwise runs entirely on the single-row-group scan's
+    one task — measured 2.8 s → 0.8 s on the s2 pass at sf0.1."""
+    emb = load_spread(spark, sf_dir, "embeddings")
     q = emb.select(
         F.expr(f"transform(embedding, v -> CAST(floor(v * {COV_Q}) AS BIGINT))").alias("qv")
     )
