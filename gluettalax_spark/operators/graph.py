@@ -53,7 +53,16 @@ class _GenerationRotator:
     no longer references the old one, unpersists exactly the old
     generation's blocks. Unpersisting a locally-checkpointed RDD makes it
     unrecomputable — callers must only ``retire()`` after the last read.
-    Cluster analog: deleting the previous round's checkpoint files."""
+    Cluster analog: deleting the previous round's checkpoint files.
+
+    Why localCheckpoint and not persist (r12 post-mortem): a persist cut
+    does NOT truncate the LOGICAL plan — CacheManager substitution only
+    happens at execution planning — and these loops reference the previous
+    generation 2-4x per round (join + keep-set / star pairs), so the
+    logical tree grows exponentially round-over-round and the DRIVER dies
+    analyzing it (observed: graph_kcore heap OOM at 3^rounds). Truncating
+    lineage per generation is load-bearing here; the AQE stage execution
+    a lazy checkpoint runs at call time is the price."""
 
     def __init__(self, spark: SparkSession) -> None:
         self._jsc = spark.sparkContext._jsc
@@ -65,8 +74,8 @@ class _GenerationRotator:
         registers its blocks immediately (persist-at-mark), but the OLD
         generation must stay readable until the new one has materialized.
         Loops whose convergence probe already consumes the new frame get
-        the materialization job fused with the probe for free
-        (optimization r12: one driver-blocking job per round, not two)."""
+        the final-stage materialization fused with the probe (under AQE
+        the upstream stages still execute at call time)."""
         before = set(self._jsc.getPersistentRDDs().keys())
         out = df.localCheckpoint(eager=eager, storageLevel=CKPT_LEVEL)
         self._pending = set(self._jsc.getPersistentRDDs().keys()) - before
@@ -691,6 +700,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("n"))
             .agg(F.sum(F.expr("r DIV d_src")).alias("in_sum"))
         )
+        # Lazy localCheckpoint, measured against the persist alternative
+        # (r12): an 8-deep nested InMemoryRelation chain executed ~3x
+        # slower per run (7.7 s vs 2.5 s builder+count) than the
+        # checkpoint chain — past a few rounds the cache-substitution
+        # chain loses to materialized RDD cuts, so only the SHALLOW loops
+        # (LPA's 3 rounds) moved to persist.
         ranks = contribs.select(
             "n",
             (F.lit(base) + F.expr("(85 * in_sum) DIV 100")).cast("long").alias("r"),
@@ -787,7 +802,11 @@ def _lpa_edges_and_labels(spark: SparkSession, sf_dir: str):
                 ).alias("m")
             )
             .select("node", F.col("m.l").alias("lab"))
-            .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+            # persist, not localCheckpoint (r12): AQE executes upstream
+            # stages at even a lazy checkpoint call — 3 blocking builder
+            # jobs; the CacheManager substitution keeps plans one round
+            # deep with zero build-time execution (see graph_pagerank).
+            .persist(CKPT_LEVEL)
         )
     return edges, labels
 
@@ -1143,8 +1162,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # each round would run the degree aggregate twice. The cut is
         # LAZY and the probe is a count() over it (optimization r12):
         # the count job materializes the checkpoint AND answers the
-        # convergence question in ONE driver-blocking job per round -
-        # the previous eager-checkpoint + isEmpty() pair cost two.
+        # convergence question in one probe. localCheckpoint, NOT persist:
+        # each round references the previous generation 3x (union + two
+        # semi-joins via keep), so without lineage truncation the logical
+        # plan grows 3^rounds and the driver OOMs analyzing it (observed).
         deg = (
             edges.select(F.col("pa").alias("n"))
             .unionAll(edges.select(F.col("pb").alias("n")))
@@ -1763,7 +1784,9 @@ def graph_bounded_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.unionAll(relaxed)
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
-            .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # lineage cut per round
+            # persist lineage cut per round (r12): no build-time stage
+            # execution, plans stay one round deep via cache substitution.
+            .persist(CKPT_LEVEL)
         )
     return d.orderBy("dist", "node").limit(_SSSP_TOP)
 

@@ -415,7 +415,7 @@ def _register_funnel_latency():
             .agg(F.count(F.lit(1)).cast("long").alias("n_views"))
             .withColumn("_g", F.lit(1))
         )
-        hist = hist.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds total AND running sum
+        hist = hist.persist(CKPT_LEVEL)  # feeds total AND running sum (lazy cut, r12)
         tot = hist.agg(F.sum("n_views").cast("long").alias("total"))
         cum = grouped_running_sum(hist, ["_g"], ["bucket"], "n_views", "cum_views")
         return (
