@@ -737,11 +737,114 @@ def _ivfpq_model(spark: SparkSession, sf_dir: str):
     return _MODEL_CACHE[key]
 
 
+def _pq_topk_oracle(sf_dir: str) -> str:
+    """Oracle template for `similarity_topk_pq` (recontracted r13, the
+    r12 IVF-sibling recipe): the trained codebooks embed as exact double
+    literals; encoding replays the builder's ROUNDED-argmin rule
+    (``round(d2, 4)`` ties → lowest code — the `_assignments`
+    discipline); the ADC dot is a list_sum over the per-subspace LUT
+    values in subspace order (the builder accumulates the same doubles
+    left-to-right); norms are the serial-fold sqrt both engines share.
+    Every double on the compare path is built from the IDENTICAL
+    expression tree, so the ranking and the rounded outputs match
+    bit-for-bit; recall replays the `similarity_topk` serial-fold twin
+    verbatim (the `_topk_ivf_oracle` ex CTE)."""
+    import numpy as np
+
+    books, dim = _pq_model_np(sf_dir)
+    d_sub = dim // PQ_M
+    rows = []
+    for m, book in enumerate(books):
+        for ci, c in enumerate(np.asarray(book)):
+            vals = ", ".join(_f64_lit(x) for x in c)
+            rows.append(f"({m}, {ci}, {vals})")
+    ccols = ", ".join(f"c{d + 1}" for d in range(d_sub))
+    cb = f"cb AS (SELECT * FROM (VALUES {', '.join(rows)}) t(m, code, {ccols}))"
+    xcols = ",\n         ".join(
+        f"CAST(embedding[{d_sub}*mm.m + {d + 1}] AS DOUBLE) AS x{d + 1}"
+        for d in range(d_sub)
+    )
+    xx = " + ".join(f"s.x{d + 1}*s.x{d + 1}" for d in range(d_sub))
+    cc = " + ".join(f"cb.c{d + 1}*cb.c{d + 1}" for d in range(d_sub))
+    xc = " + ".join(f"s.x{d + 1}*cb.c{d + 1}" for d in range(d_sub))
+    qc = " + ".join(
+        f"CAST(q.q_emb[{d_sub}*cb.m + {d + 1}] AS DOUBLE)*cb.c{d + 1}"
+        for d in range(d_sub)
+    )
+    sqn = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    return f"""
+WITH {cb},
+sub AS (
+  SELECT vec_id, mm.m AS m,
+         {xcols}
+  FROM embeddings, (SELECT unnest(range(0, {PQ_M})) AS m) mm
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, cb.code,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY round((({xx}) - 2.0*({xc})) + ({cc}), 4), cb.code
+           ) AS rn
+    FROM sub s JOIN cb ON cb.m = s.m
+  ) WHERE rn = 1
+),
+vn AS (SELECT vec_id, greatest({sqn}, 1e-30) AS vnorm FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, {sqn} AS qn
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+lut AS (
+  SELECT q.query_id, cb.m, cb.code, {qc} AS lv
+  FROM q CROSS JOIN cb
+),
+dots AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         list_sum(list(l.lv ORDER BY l.m)) AS dot
+  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+  GROUP BY l.query_id, c.vec_id
+),
+scored_pq AS (
+  SELECT d.query_id, d.neighbor_id, d.dot / (q.qn * vn.vnorm) AS cos
+  FROM dots d
+  JOIN q ON q.query_id = d.query_id
+  JOIN vn ON vn.vec_id = d.neighbor_id
+  WHERE d.neighbor_id <> d.query_id
+),
+topk AS (
+  SELECT query_id, neighbor_id, round(cos, 4) AS cosine_pq, CAST(rk AS BIGINT) AS rank
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+    ) AS rk FROM scored_pq
+  ) WHERE rk <= {TOPK}
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round({_DUCK_COS64}, 4) AS cosine
+    FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+  ) s
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  ) <= {TOPK}
+),
+hits AS (
+  SELECT CAST(count(*) AS BIGINT) AS nh
+  FROM topk t JOIN ex USING (query_id, neighbor_id)
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS nx FROM ex)
+SELECT t.query_id, t.neighbor_id, t.cosine_pq, t.rank,
+       round(CAST(nh AS DOUBLE) / nx, 4) AS recall_at_k
+FROM topk t CROSS JOIN hits CROSS JOIN ne
+ORDER BY query_id, rank
+"""
+
+
 @register(
     "similarity_topk_pq",
-    None,
-    doc=f"PQ{PQ_M}x8 asymmetric-distance cosine top-{TOPK} (trained codebooks, rows-only)",
-    witness=("recall_at_k",),
+    _pq_topk_oracle,
+    doc=f"PQ{PQ_M}x8 asymmetric-distance cosine top-{TOPK} (trained codebooks)",
 )
 def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al., "Product Quantization for
@@ -759,8 +862,17 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes); scoring is one mapInPandas pass over the CODES (the raw
     embeddings are never re-read) with a per-batch local top-k so only
     ~k rows per (query, batch) reach the final per-query window.
-    Registered rows-only (trained model, like similarity_topk_ivf);
-    recall vs the brute-force truth is pinned in tests/test_ann.py."""
+
+    Recontracted r13 (the r12 IVF-sibling recipe, VERDICT r12 #2):
+    rows-only → fully oracle-checked. Every double on a compare path is
+    built from an expression tree BOTH engines share — the encode argmin
+    runs on ``round(d2, 4)`` with ties → lowest code (the
+    `_assignments` rounded-argmin rule), d2/LUT/norm arithmetic is
+    explicit elementwise numpy (no BLAS/FMA on compare paths), and
+    accumulations are LEFT-TO-RIGHT so DuckDB's serial list_sum folds
+    produce bit-identical doubles. Recall measures against the
+    `similarity_topk` serial-fold twin (what `_topk_ivf_oracle`'s ``ex``
+    CTE replays) instead of the numpy-pairwise vectorized twin."""
     import numpy as np
     import pandas as pd
 
@@ -772,6 +884,15 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = spark.sparkContext
     b_books = sc.broadcast([b.tolist() for b in books])
 
+    def _seq_sq_norm(V):
+        # Serial-fold Σx² (left-to-right over dims) — matches the oracle's
+        # list_sum(list_transform(...x*x)) bit-for-bit, unlike numpy's
+        # pairwise-summed linalg.norm.
+        acc = V[:, 0] * V[:, 0]
+        for d in range(1, V.shape[1]):
+            acc = acc + V[:, d] * V[:, d]
+        return acc
+
     def encode(batches):
         bk = [np.asarray(b) for b in b_books.value]
         for pdf in batches:
@@ -779,15 +900,30 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes = np.empty((len(pdf), PQ_M), dtype=np.int32)
             for m in range(PQ_M):
                 sub = V[:, m * d_sub : (m + 1) * d_sub]
-                d2 = (sub**2).sum(1)[:, None] - 2.0 * sub @ bk[m].T + (bk[m] ** 2).sum(1)[None, :]
-                codes[:, m] = d2.argmin(axis=1)
+                cbm = bk[m]
+                # ((Σx²) − 2·(Σxc)) + (Σc²), explicit elementwise ops in
+                # the oracle's exact parenthesization (a BLAS matmul may
+                # fuse multiply-adds and drift a ulp from the SQL form).
+                xx = sub[:, 0] * sub[:, 0]
+                cc = cbm[:, 0] * cbm[:, 0]
+                xc = np.outer(sub[:, 0], cbm[:, 0])
+                for d in range(1, d_sub):
+                    xx = xx + sub[:, d] * sub[:, d]
+                    cc = cc + cbm[:, d] * cbm[:, d]
+                    xc = xc + np.outer(sub[:, d], cbm[:, d])
+                d2 = (xx[:, None] - 2.0 * xc) + cc[None, :]
+                # round(d2, 4) then argmin (ties → lowest code): the
+                # engine-portable assignment rule. floor(|x|·1e4 + 0.5)
+                # is monotone in round(x, 4) for the non-negative d2, so
+                # the argmin is identical without the divide.
+                codes[:, m] = np.floor(np.abs(d2) * 1e4 + 0.5).argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "codes": list(codes.tolist()),
                     # Stored true norm (norm-augmented index): cosine's
                     # denominator is exact, only the dot is approximate.
-                    "vnorm": np.linalg.norm(V, axis=1),
+                    "vnorm": np.sqrt(_seq_sq_norm(V)),
                 }
             )
 
@@ -796,39 +932,52 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Query LUT: dot(q_m, c) per (subspace, centroid) — N_QUERIES × M × K
-    # floats, constant-size, broadcast.
+    # floats, constant-size, broadcast. Explicit elementwise products +
+    # left-to-right adds — the oracle's lut CTE computes the identical
+    # doubles from the codebook literals.
     q_rows = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
     q_ids = [r["vec_id"] for r in q_rows]
     Q = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
-    dot_lut = np.stack(
-        [np.stack([Q[:, m * d_sub : (m + 1) * d_sub] @ books[m].T for m in range(PQ_M)], axis=1)]
-    )[0]  # (n_q, M, K)
-    q_norm = np.linalg.norm(Q, axis=1)
+    dot_lut = np.empty((len(q_ids), PQ_M, books[0].shape[0]))
+    for m in range(PQ_M):
+        qsub = Q[:, m * d_sub : (m + 1) * d_sub]
+        cbm = np.asarray(books[m])
+        acc = np.outer(qsub[:, 0], cbm[:, 0])
+        for d in range(1, d_sub):
+            acc = acc + np.outer(qsub[:, d], cbm[:, d])
+        dot_lut[:, m, :] = acc
+    q_norm = np.sqrt(_seq_sq_norm(Q))
     b_lut = sc.broadcast((q_ids, dot_lut.tolist(), q_norm.tolist()))
 
     def score(batches):
         ids, dlut, qn = b_lut.value
         dlut = np.asarray(dlut)  # (n_q, M, K)
         qn = np.asarray(qn)
-        sub_idx = np.arange(PQ_M)
         for pdf in batches:
             C = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (n, M)
             vids = pdf["vec_id"].to_numpy()
-            # dots[i, j] = approx dot(query_i, vec_j); the denominator is
-            # the stored TRUE norm. Pure LUT gathers — no raw vectors here.
-            dots = dlut[:, sub_idx[None, :], C].sum(axis=2)  # (n_q, n)
+            # dots[i, j] = approx dot(query_i, vec_j), accumulated in
+            # SUBSPACE ORDER (left-to-right — the oracle's ordered
+            # list_sum); the denominator is the stored TRUE norm.
+            # Pure LUT gathers — no raw vectors here.
+            dots = dlut[:, 0, C[:, 0]]
+            for m in range(1, PQ_M):
+                dots = dots + dlut[:, m, C[:, m]]
             vnorm = np.maximum(pdf["vnorm"].to_numpy(), 1e-30)  # (n,)
             cos = dots / (qn[:, None] * vnorm[None, :])
             out_q, out_v, out_c = [], [], []
             for qi, qid in enumerate(ids):
-                row = cos[qi].copy()
-                row[vids == qid] = -np.inf  # exclude self
-                k = min(TOPK, (row > -np.inf).sum())
-                top = np.argpartition(-row, k - 1)[:k] if k else []
-                for j in top:
+                keep = vids != qid  # exclude self
+                rv, rc = vids[keep], cos[qi][keep]
+                # Deterministic batch-local top-k (cos desc, vec_id asc):
+                # ties at the k boundary must keep the same rows the
+                # global window would rank — argpartition's arbitrary
+                # tie pick could drop a true top-k row.
+                order = np.lexsort((rv, -rc))[:TOPK]
+                for j in order:
                     out_q.append(qid)
-                    out_v.append(int(vids[j]))
-                    out_c.append(float(row[j]))
+                    out_v.append(int(rv[j]))
+                    out_c.append(float(rc[j]))
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_v, "cosine_pq": out_c})
 
     scored = codes_df.mapInPandas(score, "query_id long, neighbor_id long, cosine_pq double")
@@ -841,7 +990,21 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", F.round("cosine_pq", 4).alias("cosine_pq"), "rank")
     )
-    return _with_recall_vs_exact(spark, sf_dir, res).orderBy("query_id", "rank")
+    # Recall vs the SERIAL-FOLD exact twin (similarity_topk — what the
+    # oracle's ex CTE replays), the similarity_topk_ivf recipe.
+    from gluettalax_spark.operators.similarity import similarity_topk
+
+    exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = exact.persist(CKPT_LEVEL)  # feeds the hit join AND the denominator
+    hits = exact.join(
+        res.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "leftsemi"
+    )
+    recall = (
+        hits.agg(F.count(F.lit(1)).alias("_nh"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("_ne")))
+        .select(F.round(F.col("_nh") / F.col("_ne"), 4).alias("recall_at_k"))
+    )
+    return res.crossJoin(F.broadcast(recall)).orderBy("query_id", "rank")
 
 
 def _ivfpq_scored(spark: SparkSession, sf_dir: str):

@@ -2246,6 +2246,9 @@ def dedup_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = _fuzzy_name_dict(spark, sf_dir).withColumn(
         "node", F.concat_ws("|", "p_brand", "p_name")
     )
+    # r13 A/B (count, best-of-3): persist 2.23 s < eager/lazy ckpt 2.87
+    # < none 4.24 — the key's r12 regression lives in the CC loop, not
+    # this cut; persist kept.
     names = names.persist(CKPT_LEVEL)  # feeds pairs AND the rollup join
     pairs = _fuzzy_pairs(names).select(
         F.concat_ws("|", "brand", "a_name").alias("u"),
@@ -2927,14 +2930,16 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     _, _, _, quality = _quality_parts()
     q = docs.select("doc_id", F.round(quality * 10000).cast("long").alias("v"))
+    # r13 A/B: persist 1.47 ≈ eager 1.44 ≈ lazy 1.53 (count, best-of-3)
+    # — tied within noise; persist kept (no build-time job).
     q = q.persist(CKPT_LEVEL)  # feeds the split bound, dict, and counts
     b = q.agg(F.expr("(min(doc_id) + max(doc_id)) div 2").alias("mid"))
     d = (
         q.groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("nv"))
         .withColumn("_g", F.lit(1))
-        .persist(CKPT_LEVEL)  # value dictionary; feeds the running rank AND nn
     )
+    d = d.persist(CKPT_LEVEL)  # value dictionary; feeds the running rank AND nn
     r = grouped_running_sum(d, ["_g"], ["v"], "nv", "cum").select("v", "nv", "cum")
     nn = d.agg(F.sum("nv").cast("long").alias("n"))
     dec = r.crossJoin(F.broadcast(nn)).selectExpr(
@@ -2948,10 +2953,10 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("doc_id") <= F.col("mid"), 1)).cast("long").alias("c_ref"),
             F.count(F.when(F.col("doc_id") > F.col("mid"), 1)).cast("long").alias("c_cur"),
         )
-        .persist(CKPT_LEVEL)  # 10 rows, but its subtree joins the corpus:
-        # consumed by t, the total, and the final projection (3 executions
-        # of the corpus join without the cut — optimization r12)
     )
+    c = c.persist(CKPT_LEVEL)  # 10 rows, but its subtree joins the corpus:
+    # consumed by t, the total, and the final projection (3 executions
+    # of the corpus join without the cut — optimization r12)
     t = c.agg(
         F.sum("c_ref").cast("long").alias("n_ref"),
         F.sum("c_cur").cast("long").alias("n_cur"),

@@ -20,6 +20,8 @@ MapReduce and Beyond") — same join primitive, provably fewer rounds.
 
 from __future__ import annotations
 
+import os
+
 from gluettalax_spark.memory import CKPT_LEVEL
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,12 +50,19 @@ class _GenerationRotator:
     Spark's ContextCleaner lags a tight sequential loop badly enough that
     at sf10 the dead generations starve hash-aggregate execution memory
     (the r12 sweep's UNABLE_TO_ACQUIRE_MEMORY at the default 8g heap).
-    The rotator snapshots the persistent-RDD id set around each
-    checkpoint, and once the new generation is materialized AND the loop
-    no longer references the old one, unpersists exactly the old
-    generation's blocks. Unpersisting a locally-checkpointed RDD makes it
-    unrecomputable — callers must only ``retire()`` after the last read.
-    Cluster analog: deleting the previous round's checkpoint files.
+    The rotator reads the checkpoint RDD's id straight off the returned
+    frame's ``LogicalRDD`` and, once the new generation is materialized
+    AND the loop no longer references the old one, unpersists exactly the
+    old generation's blocks. (It previously DIFFED the whole
+    persistent-RDD id set around the call — but a lazy checkpoint
+    executes upstream stages at call time, so any not-yet-materialized
+    upstream ``persist`` — CC's ``sym``, a caller's ``_minhash_sigs`` —
+    first registered inside that window, was misattributed to the new
+    generation, and round-1 ``retire()`` silently dropped the
+    multi-consumer cache; ADVICE r12.) Unpersisting a locally-
+    checkpointed RDD makes it unrecomputable — callers must only
+    ``retire()`` after the last read. Cluster analog: deleting the
+    previous round's checkpoint files.
 
     Why localCheckpoint and not persist (r12 post-mortem): a persist cut
     does NOT truncate the LOGICAL plan — CacheManager substitution only
@@ -76,9 +85,12 @@ class _GenerationRotator:
         Loops whose convergence probe already consumes the new frame get
         the final-stage materialization fused with the probe (under AQE
         the upstream stages still execute at call time)."""
-        before = set(self._jsc.getPersistentRDDs().keys())
         out = df.localCheckpoint(eager=eager, storageLevel=CKPT_LEVEL)
-        self._pending = set(self._jsc.getPersistentRDDs().keys()) - before
+        # Track ONLY the checkpoint RDD this call created: the analyzed
+        # plan of a checkpointed frame is a LogicalRDD over exactly the
+        # persisted RDD. A snapshot diff would also catch unrelated RDDs
+        # registered while the lazy checkpoint ran upstream stages.
+        self._pending = {out._jdf.queryExecution().analyzed().rdd().id()}
         return out
 
     def retire(self) -> None:
@@ -122,6 +134,24 @@ def connected_components(edges: DataFrame, src: str = "u", dst: str = "v") -> Da
     )
     rot.retire()
     converged = False
+    # Convergence probe by LABEL-SUM (r13, guide §2.1): min-label rounds
+    # only ever DECREASE a node's label (lab' = least(lab, nbr_min)), so
+    # Σlab is strictly monotone while anything changes and
+    # "changed == 0" ⟺ "Σlab unchanged". The old probe joined the new
+    # generation against the old one per round; this is one aggregate
+    # over the new generation alone — the same single job that
+    # materializes the lazy checkpoint, one join fewer per round.
+    # decimal(38,0) keeps the sum exact at any node-id scale. Only valid
+    # for NUMERIC labels (ids); string node keys (the fuzzy-name graph)
+    # keep the join-probe — min() still decreases lexicographically but
+    # has no exact sum.
+    from pyspark.sql.types import ByteType, DecimalType, IntegerType, LongType, ShortType
+
+    sum_probe = isinstance(
+        labels.schema["lab"].dataType,
+        (ByteType, ShortType, IntegerType, LongType, DecimalType),
+    )
+    prev_sum = None
     for _ in range(_FALLOVER_ROUNDS):
         nbr_min = (
             sym.join(labels, sym.v == labels.node)
@@ -136,17 +166,25 @@ def connected_components(edges: DataFrame, src: str = "u", dst: str = "v") -> Da
             ),
             eager=False,
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        # `changed` was the superseded generation's last read — release
+        if sum_probe:
+            cur_sum = new_labels.agg(
+                F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            done = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            done = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.lab") != F.col("o.lab"))
+                .count()
+                == 0
+            )
+        # The probe was the superseded generation's last read — release
         # its blocks now (the rotator, not ContextCleaner lag, decides).
         rot.retire()
         labels = new_labels
-        if changed == 0:
+        if done:
             converged = True
             break
     if converged:
@@ -584,6 +622,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _PR_ITERS = 8
+# Rounds per lineage cut (round fusion, r13): each pagerank round
+# references its predecessor once, so the plan grows linearly between
+# cuts; env-overridable ONLY for the A/B harness.
+_PR_CKPT_EVERY = int(os.environ.get("SPARK_GRAFT_PR_CKPT_EVERY", "4"))
 _PR_TOPK = 20
 # Fixed-point arithmetic for the rank vector: ranks live in integer
 # units of 1e-12 ("e12"), damping 0.85 is the exact rational 85/100, and
@@ -666,10 +708,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune), symmetrized map-side, pre-joined with the degree table, and
     FROZEN with localCheckpoint — each of the 8 iterations is then
     exactly one equi-join (adjacency x ranks, both hash-partitioned on
-    the node key) plus one aggregation; ranks are checkpointed per
-    iteration so the plan stays ONE iteration deep instead of unrolling
-    all 8 (lineage blow-up is the classic iterative-DataFrame failure
-    mode). On a real cluster the adjacency would be a bucketed table so
+    the node key) plus one aggregation; ranks are checkpointed every
+    `_PR_CKPT_EVERY` iterations (round fusion, r13 — one rank-join per
+    round keeps the un-cut plan linear, so a handful of rounds share a
+    cut and the per-round driver-blocking checkpoint barriers drop with
+    it; unbounded unrolling is still avoided — lineage blow-up is the
+    classic iterative-DataFrame failure mode). On a real cluster the
+    adjacency would be a bucketed table so
     the per-iteration join co-locates without reshuffling the static
     side; the rank side is (node, long) — the narrowest possible
     shuffle.
@@ -694,22 +739,31 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "part long, rank_e12 long, degree long, mass_e12 long")
     base = _PR_TELEPORT_E12 // n_nodes
     ranks = deg.select("n", F.lit(_PR_SCALE // n_nodes).cast("long").alias("r"))
-    for _ in range(_PR_ITERS):
+    for it in range(1, _PR_ITERS + 1):
         contribs = (
             adj.join(ranks.withColumnRenamed("n", "src"), "src")
             .groupBy(F.col("dst").alias("n"))
             .agg(F.sum(F.expr("r DIV d_src")).alias("in_sum"))
         )
-        # Lazy localCheckpoint, measured against the persist alternative
-        # (r12): an 8-deep nested InMemoryRelation chain executed ~3x
-        # slower per run (7.7 s vs 2.5 s builder+count) than the
-        # checkpoint chain — past a few rounds the cache-substitution
-        # chain loses to materialized RDD cuts, so only the SHALLOW loops
-        # (LPA's 3 rounds) moved to persist.
         ranks = contribs.select(
             "n",
             (F.lit(base) + F.expr("(85 * in_sum) DIV 100")).cast("long").alias("r"),
-        ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+        )
+        # Round FUSION (r13, VERDICT r12 #7): each round references its
+        # predecessor exactly ONCE (join + aggregate), so the un-cut
+        # logical plan grows LINEARLY and several rounds can ride one
+        # lineage cut — under AQE every lazy localCheckpoint call
+        # executes all upstream stages as driver-blocking work, so
+        # fusing rounds removes (ITERS − ITERS/K) of those barriers and
+        # block materializations while executing the same shuffles.
+        # Cut cadence measured in the r13 A/B (see OPTIMIZATION_r13.md);
+        # the final round is ALWAYS cut: mass + the deg join both
+        # consume `ranks`, and without the cut the whole chain would
+        # execute twice. Lazy localCheckpoint, NOT persist — the r12
+        # A/B measured the 8-deep InMemoryRelation chain 3x slower
+        # (7.7 s vs 2.5 s builder+count).
+        if it % _PR_CKPT_EVERY == 0 or it == _PR_ITERS:
+            ranks = ranks.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
 
     mass = ranks.agg(F.sum("r").cast("long").alias("mass_e12"))
     return (
@@ -1747,8 +1801,9 @@ def graph_bounded_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each round is ONE hash join of the frontier against the
     node-keyed directed edge list followed by a min-aggregate — never a
-    broadcast of unbounded state — with a `localCheckpoint` lineage cut
-    per round (the `graph_kcore` peel discipline). Rounds are a fixed
+    broadcast of unbounded state — with a lazy `persist(CKPT_LEVEL)` cut
+    per round (safe here: each round references its predecessor ONCE, so
+    the un-truncated logical plan grows linearly, r12 §11). Rounds are a fixed
     constant, so the plan is 4 joins deep, not data-dependent."""
     edges = (
         load(spark, sf_dir, "lineitem")

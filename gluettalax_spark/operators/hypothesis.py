@@ -656,8 +656,11 @@ def stats_kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB); C, D, and the tie terms are exact integers off the grid;
     tau_b is one shared IEEE expression.
 
-    Scale: two range-partitioned rank passes (never a single-task
-    window), one groupBy to the 100-cell grid, and grid×grid is a
+    Scale: ONE range-partitioned rank pass (r13 fusion, guide §2.1 —
+    VERDICT r12 #8: both margins ride one exchange as tagged
+    (tag, sortval, doc_id) rows; in-tag rank = rn − tag·N since each tag
+    block holds exactly N rows — one isolation checkpoint instead of
+    two), one pivot + groupBy to the 100-cell grid, and grid×grid is a
     bounded broadcast crossJoin — nothing pairwise ever touches data
     rows."""
     from gluettalax_spark.operators.rank import exact_global_rank, ntile_from_rank
@@ -671,14 +674,29 @@ def stats_kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             r" * 1000000"
             r" div greatest(size(filter(split(lower(text), '\\s+'), t -> t != '')), 1)"
         ).alias("y"),
-    ).persist(CKPT_LEVEL)
-    rx = exact_global_rank(feat, [F.col("x"), F.col("doc_id")], "rx")
-    bx = rx.select(
-        "doc_id", "y", ntile_from_rank(F.col("rx"), F.col("_n"), _KT_BINS).alias("bx")
     )
-    ry = exact_global_rank(bx, [F.col("y"), F.col("doc_id")], "ry")
-    binned = ry.select(
-        "bx", ntile_from_rank(F.col("ry"), F.col("_n"), _KT_BINS).alias("by_")
+    tagged = feat.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).cast("long").alias("tag"), F.col("x").cast("long").alias("sortval")),
+                F.struct(F.lit(1).cast("long").alias("tag"), F.col("y").alias("sortval")),
+            )
+        ).alias("_t"),
+    ).select(F.col("_t.tag").alias("tag"), F.col("_t.sortval").alias("sortval"), "doc_id")
+    ranked = exact_global_rank(tagged, [F.col("tag"), F.col("sortval"), F.col("doc_id")], "_rn")
+    n_tag = F.expr("_n DIV 2")
+    binned = (
+        ranked.select(
+            "doc_id",
+            "tag",
+            ntile_from_rank(F.col("_rn") - F.col("tag") * n_tag, n_tag, _KT_BINS).alias("_b"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("tag") == 0, F.col("_b"))).alias("bx"),
+            F.max(F.when(F.col("tag") == 1, F.col("_b"))).alias("by_"),
+        )
     )
     grid = binned.groupBy("bx", "by_").agg(F.count(F.lit(1)).cast("long").alias("f"))
     a = grid.select(
@@ -810,8 +828,10 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("g", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("n_gv"))
-        .persist(CKPT_LEVEL)
     )
+    # r13 A/B: lazy 0.96 ≈ persist 0.98 < eager 1.19 (count, best-of-3)
+    # — persist kept (tied with lazy, no build-time stage execution).
+    cells = cells.persist(CKPT_LEVEL)
     ranked = grouped_running_sum(cells, ["g"], ["v"], "n_gv", "cum")
     n_g_df = cells.groupBy("g").agg(F.sum("n_gv").cast("long").alias("n_g"))
     med = (
@@ -2133,7 +2153,9 @@ def stats_median_ci_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("nv"))
         .withColumn("_g", F.lit(1))
     )
-    d = d.persist(CKPT_LEVEL)  # feeds the total AND the running rank
+    # r13 A/B: lazy ckpt 0.71 < persist 0.80 < eager 0.92 (count,
+    # best-of-3) — the r12 persist regression reverted to the r11 form.
+    d = d.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)  # feeds the total AND the running rank
     r = grouped_running_sum(d, ["_g"], ["v"], "nv", "cum").select("v", "nv", "cum")
     ranks = d.agg(F.sum("nv").cast("long").alias("n")).selectExpr(
         "n",

@@ -446,13 +446,28 @@ ORDER BY o_custkey
 
 @register("customer_rfm_segments", _RFM_ORACLE, doc="RFM quartile segmentation per customer")
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM: one aggregate builds all three metrics; each metric's quartile
-    comes from an exact global rank (range-repartition + offsets,
-    operators/rank.py) fed into the closed-form ntile — NOT from three
-    unpartitioned ntile windows, which would push every customer row
-    (~1.5B at 100×) through one task three times. Orderings carry the
-    custkey tiebreak so ranks (hence quartiles) are total-order exact;
-    the oracle keeps the one-window SQL form."""
+    """RFM: one aggregate builds all three metrics; quartiles come from
+    ONE exact global rank (range-repartition + offsets, operators/rank.py)
+    fed into the closed-form ntile — NOT from three unpartitioned ntile
+    windows, which would push every customer row (~1.5B at 100×) through
+    one task three times.
+
+    Single-pass fusion (r13, guide §2.1/§2.3 — VERDICT r12 #8): the r12
+    form CHAINED three exact_global_rank passes, each a range exchange
+    of progressively wider rows plus its own isolation checkpoint (the
+    r5 rank-determinism contract). All three metrics now ride ONE pass:
+    each customer row explodes map-side into three (tag, sortval,
+    custkey) rows — DESC metrics negate their integer sort value, so
+    (sortval ASC, custkey ASC) reproduces each oracle window's order
+    exactly (monetary is 2-dp decimal, so cents = monetary·100 is an
+    exact long) — and the global rank over (tag, sortval, custkey)
+    yields each metric's in-tag rank as rn − tag·N (every tag block
+    holds exactly N = _n/3 rows). One range exchange of three narrow
+    rows per customer, ONE isolation checkpoint, one pivot aggregate;
+    ranks (hence quartiles) stay total-order exact and the oracle keeps
+    the one-window SQL form."""
+    from gluettalax_spark.memory import multi_cut
+
     orders = load(spark, sf_dir, "orders")
     anchor = F.lit("2002-01-01 00:00:00").cast("timestamp")
     base = orders.groupBy("o_custkey").agg(
@@ -460,23 +475,54 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    ranked = exact_global_rank(base, [F.col("recency_days"), F.col("o_custkey")], "_rrn")
-    ranked = exact_global_rank(
-        ranked, [F.col("frequency").desc(), F.col("o_custkey")], "_frn", keep_total=False
-    )
-    ranked = exact_global_rank(
-        ranked, [F.col("monetary").desc(), F.col("o_custkey")], "_mrn", keep_total=False
-    )
-    n = F.col("_n")
-    return ranked.select(
+    base = multi_cut(base)  # feeds the tagged explode AND the value join
+    tagged = base.select(
         "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        ntile_from_rank(F.col("_rrn"), n, 4).alias("r_quartile"),
-        ntile_from_rank(F.col("_frn"), n, 4).alias("f_quartile"),
-        ntile_from_rank(F.col("_mrn"), n, 4).alias("m_quartile"),
-    ).orderBy("o_custkey")
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("long").alias("tag"),
+                    F.col("recency_days").alias("sortval"),
+                ),
+                F.struct(
+                    F.lit(1).cast("long").alias("tag"),
+                    (-F.col("frequency")).cast("long").alias("sortval"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("tag"),
+                    (-(F.col("monetary") * 100)).cast("long").alias("sortval"),
+                ),
+            )
+        ).alias("_t"),
+    ).select(F.col("_t.tag").alias("tag"), F.col("_t.sortval").alias("sortval"), "o_custkey")
+    ranked = exact_global_rank(tagged, [F.col("tag"), F.col("sortval"), F.col("o_custkey")], "_rn")
+    n_tag = F.expr("_n DIV 3")
+    quart = (
+        ranked.select(
+            "o_custkey",
+            "tag",
+            ntile_from_rank(F.col("_rn") - F.col("tag") * n_tag, n_tag, 4).alias("_q"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("tag") == 0, F.col("_q"))).alias("r_quartile"),
+            F.max(F.when(F.col("tag") == 1, F.col("_q"))).alias("f_quartile"),
+            F.max(F.when(F.col("tag") == 2, F.col("_q"))).alias("m_quartile"),
+        )
+    )
+    return (
+        base.join(quart, "o_custkey")
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            "r_quartile",
+            "f_quartile",
+            "m_quartile",
+        )
+        .orderBy("o_custkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2571,20 +2617,39 @@ def quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared IEEE expression.
 
     Scale: two per-doc score passes (each one doc-keyed aggregate), one
-    doc-keyed join, two range-partitioned rank passes, a 9-cell grid."""
+    doc-keyed join, ONE range-partitioned rank pass (r13 fusion, guide
+    §2.1 — VERDICT r12 #8: both signals ride one exchange as tagged
+    (tag, sortval, doc_id) rows; in-tag rank = rn − tag·N since each tag
+    block holds exactly N rows — one isolation checkpoint instead of
+    two, one offsets pass, one pivot), a 9-cell grid."""
     from gluettalax_spark.operators.rank import exact_global_rank, ntile_from_rank
     from gluettalax_spark.operators.text import ppl_doc_keys
 
     logits = classifier_doc_logits(spark, sf_dir).select("doc_id", "logit_milli")
     keys = ppl_doc_keys(spark, sf_dir).select("doc_id", "key_nano")
-    joined = logits.join(keys, "doc_id").persist(CKPT_LEVEL)
-    r1 = exact_global_rank(joined, [F.col("logit_milli"), F.col("doc_id")], "r_cls")
-    t1 = r1.select(
-        "doc_id", "key_nano", ntile_from_rank(F.col("r_cls"), F.col("_n"), 3).alias("b_cls")
-    )
-    r2 = exact_global_rank(t1, [F.col("key_nano"), F.col("doc_id")], "r_ppl")
-    tiled = r2.select(
-        "b_cls", ntile_from_rank(F.col("r_ppl"), F.col("_n"), 3).alias("b_ppl")
+    joined = logits.join(keys, "doc_id")  # single consumer now — no cut
+    tagged = joined.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).cast("long").alias("tag"), F.col("logit_milli").alias("sortval")),
+                F.struct(F.lit(1).cast("long").alias("tag"), F.col("key_nano").alias("sortval")),
+            )
+        ).alias("_t"),
+    ).select(F.col("_t.tag").alias("tag"), F.col("_t.sortval").alias("sortval"), "doc_id")
+    ranked = exact_global_rank(tagged, [F.col("tag"), F.col("sortval"), F.col("doc_id")], "_rn")
+    n_tag = F.expr("_n DIV 2")
+    tiled = (
+        ranked.select(
+            "doc_id",
+            "tag",
+            ntile_from_rank(F.col("_rn") - F.col("tag") * n_tag, n_tag, 3).alias("_b"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("tag") == 0, F.col("_b"))).alias("b_cls"),
+            F.max(F.when(F.col("tag") == 1, F.col("_b"))).alias("b_ppl"),
+        )
     )
     grid = tiled.groupBy("b_cls", "b_ppl").agg(F.count(F.lit(1)).cast("long").alias("n"))
     grid = grid.persist(CKPT_LEVEL)

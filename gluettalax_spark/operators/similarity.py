@@ -348,7 +348,13 @@ def embedding_neardup(spark: SparkSession, sf_dir: str, max_bucket: int = 512) -
     buckets = (
         emb.selectExpr("vec_id", "embedding", f"{bucket} AS bucket")
         .withColumn("nrm", _norm(F.col("embedding")))
-        .persist(CKPT_LEVEL)  # lazy multi-consumer cut (r12): no build-time job
+        # EAGER localCheckpoint (r13 A/B, VERDICT r12 #1): builder+count
+        # best-of-3 eager 1.42 s vs lazy 1.67 s vs persist 1.97 s vs
+        # none 2.54 s — the r12 persist regression reverted. The 4-5
+        # consumers (cap probe + both clique sides + both star sides)
+        # each re-canonicalize the 8x64-term bucket expression under
+        # persist; ExistingRDD plans don't.
+        .localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
     )
     kept, star, _spill = _cap_band_buckets(buckets, ["bucket"], "vec_id", max_bucket)
     a = kept.select(
@@ -975,7 +981,10 @@ def centroid_outliers(emb: DataFrame, topk: int = OUTLIER_TOPK) -> DataFrame:
         "label",
         "vec_id",
         F.expr(f"transform(embedding, v -> CAST(floor(v * {COV_Q}) AS BIGINT))").alias("qv"),
-    ).persist(CKPT_LEVEL)  # feeds the label stats AND the distance join
+        # r13 A/B: eager ckpt 0.67 s ≈ lazy 0.69 ≈ persist 0.71 (count,
+        # best-of-3) — the r12 persist regression was position noise at
+        # this size; eager kept as the (slightly) fastest + r11 form.
+    ).localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
     per_coord = (
         qe.select("label", F.posexplode("qv").alias("i", "x"))
         .groupBy("label", "i")

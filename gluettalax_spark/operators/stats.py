@@ -624,30 +624,52 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries fall where the data is dense (the histogram an optimizer
     or a data-quality monitor actually wants for a skewed money column).
 
-    Scale shape: ANSI `ntile` over the whole table would funnel every
-    row through one task; this goes through `rank.exact_global_rank`
-    (range-repartition on the total order + per-partition offsets) and
-    the closed-form `ntile_from_rank`, so the only wide operation is a
-    range exchange — the same scale-safe path as
-    `window_ntile_distribution`, here exercised on the FACT table. The
-    oracle replays ANSI ntile directly; the closed form matches it
-    exactly (property-tested in test_rank.py for arbitrary (n, k))."""
-    from gluettalax_spark.operators.rank import exact_global_rank, ntile_from_rank
+    Scale shape (rewritten r13, guide §2.1 — decide on the value
+    DICTIONARY, never rank the fact rows): the output only needs each
+    decile's row count (closed-form from n — ANSI sizes are n//k + 1
+    for the first n%k tiles) and min/max price. Rows sharing a price
+    are CONTIGUOUS in the (v, orderkey, linenumber) total order, so a
+    price's rank span is (cum − c_v, cum] off the per-price counts —
+    the tiebreak columns can never split it. One map-side-combining
+    groupBy collapses the fact table to the price dictionary, ONE
+    dictionary-scale `grouped_running_sum` ranks it, and each price
+    explodes to the deciles its span touches (≤ dict + k rows). The r12
+    form ranked every FACT row (`exact_global_rank` on the full table:
+    a 3-column range exchange + a per-run localCheckpoint
+    materialization of the whole table + a broadcast join onto every
+    row) — the driver's 3rd-slowest key at 3.46 s. The oracle replays
+    ANSI ntile directly; `ntile_from_rank` matches it exactly
+    (property-tested in test_rank.py for arbitrary (n, k))."""
+    from gluettalax_spark.operators.rank import grouped_running_sum, ntile_from_rank
 
-    li = load(spark, sf_dir, "lineitem").select(
-        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("v"))
+    d = (
+        li.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+        .withColumn("_g", F.lit(1))
     )
-    ranked = exact_global_rank(li, ["v", "l_orderkey", "l_linenumber"], "rn")
+    r = grouped_running_sum(d, ["_g"], ["v"], "nv", "cum")
+    n1 = d.agg(F.sum("nv").cast("long").alias("_n"))
+    spans = r.crossJoin(F.broadcast(n1)).select(
+        "v",
+        "_n",
+        ntile_from_rank(F.col("cum") - F.col("nv") + 1, F.col("_n"), _EQUIDEPTH_K).alias("d1"),
+        ntile_from_rank(F.col("cum"), F.col("_n"), _EQUIDEPTH_K).alias("d2"),
+    )
+    # ANSI tile sizes, closed form: the first n % k tiles hold n//k + 1.
+    n_rows = (
+        F.floor(F.col("_n") / _EQUIDEPTH_K)
+        + F.when(F.col("decile") <= F.col("_n") % _EQUIDEPTH_K, 1).otherwise(0)
+    ).cast("long")
     return (
-        ranked.select(
-            "v", ntile_from_rank(F.col("rn"), F.col("_n"), _EQUIDEPTH_K).alias("decile")
-        )
+        spans.select("v", "_n", F.explode(F.sequence("d1", "d2")).alias("decile"))
         .groupBy("decile")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
+            F.first("_n").alias("_n"),
             F.round(F.min("v"), 2).alias("lo"),
             F.round(F.max("v"), 2).alias("hi"),
         )
+        .select("decile", n_rows.alias("n_rows"), "lo", "hi")
         .orderBy("decile")
     )
 
@@ -1833,8 +1855,12 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = grouped_running_sums(
         g, ["_g"], [F.col("value")], [("ca", "ra"), ("cb", "rb")]
     )
-    tot = g.agg(
-        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    # Totals = the running sums' maxima (r13, guide §2.1): a separate
+    # g.agg() re-executed the whole events scan + groupBy per run; this
+    # 1-row fold reads the dictionary-scale ranked run instead (both
+    # consumers share grouped_running_sums' internal materialized cut).
+    tot = run.agg(
+        F.max("ra").cast("long").alias("na"), F.max("rb").cast("long").alias("nb")
     )
     scored = run.crossJoin(F.broadcast(tot)).select(
         "value",

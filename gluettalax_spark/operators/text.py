@@ -2296,7 +2296,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "  "),
             F.lit("  "),
         ).alias("sym"),
-    ).persist(CKPT_LEVEL)
+    ).localCheckpoint(storageLevel=CKPT_LEVEL)
 
     out: DataFrame | None = None
     for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
@@ -2319,7 +2319,15 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").cast("long").alias("score"))
             .orderBy(F.desc("score"), "l", "r")
             .limit(1)
-            .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+            # EAGER localCheckpoint (r13 A/B, VERDICT r12 #1): persist is
+            # catastrophic here (50 s in the r13 baseline capture — the
+            # un-truncated round-over-round replace() plan re-derives
+            # prior rounds), and the r12 lazy form measured 3.87 s
+            # builder+count vs 2.08+0.93 eager (profile_bpe_lazy/eager).
+            # Each round's frames are consumed by the NEXT round's
+            # stages at lazy-call time anyway; eager materializes once,
+            # cleanly, per round.
+            .localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
         )
         cur = (
             cur.crossJoin(F.broadcast(best.select("l", "r")))
@@ -2330,7 +2338,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "replace(sym, concat(' ', l, '  ', r, ' '), concat(' ', l, r, ' '))"
                 ).alias("sym"),
             )
-            .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+            .localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
         )
         stats = cur.agg(
             F.sum(F.col("c") * F.size(F.expr(_SYMS))).cast("long").alias("tokens_after")

@@ -110,7 +110,7 @@ def register(
 # current round's deposit NECESSARILY verdicts the current rotation, and
 # treating that as staleness shipped the suite red after every driver
 # drop in rounds 6 and 7 (VERDICT r7 "What's wrong" #1).
-_ROTATION_ROUND = 12
+_ROTATION_ROUND = 13
 
 # Keys whose CONTRACT (output schema, oracle, or cross-engine character
 # source) changed this round: they already carry a prior-round verdict,
@@ -118,33 +118,17 @@ _ROTATION_ROUND = 12
 # the point, not a wasted slot — the staleness guard exempts exactly
 # this tuple (tests/test_correctness.py).
 _RECONTRACTED_THIS_ROUND: tuple[str, ...] = (
-    # IVF coarse quantizer: Spark-ML KMeans → seeded numpy Lloyd's with
-    # rounded-argmin assignment (oracle-replayable from centroid literals)
-    "similarity_cluster_purity",  # rows-only → oracle-checked
-    "similarity_ann_recall_curve",  # rows-only → oracle-checked (+ exact twin now serial-fold)
-    "embedding_pq_distortion",  # rows-only → oracle-checked (codebook literals; sample now vec_id-ordered)
-    "similarity_topk_ivf",  # quantizer swap + in-plan probes: rows-only → oracle-checked
-    "similarity_knn_label_accuracy_ivf",  # quantizer swap + in-plan probes: rows-only → oracle-checked
-    "similarity_topk_pq",  # PQ sample now vec_id-ordered (stays rows-only, recall witness)
+    # r13 (VERDICT r12 #2, the last rows-only ANN key with a cheaply
+    # replayable model): rounded-argmin PQ encode + serial-fold
+    # norms/ADC sums — rows-only → fully oracle-checked from codebook
+    # literals (the r12 IVF-sibling recipe).
+    "similarity_topk_pq",
 )
 
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # -- contracts changed in round 12 (need a fresh verdict) --
+    # -- contracts changed in round 13 (need a fresh verdict) --
     *_RECONTRACTED_THIS_ROUND,
-    # -- operators added in round 12 (appended as they land) --
-    "dedup_substring_runs",
-    "dedup_substring_profile",
-    "stats_ks_test",
-    "stats_wasserstein_1d",
-    "text_readability_flesch",
-    "dedup_levenshtein_rescore",
-    "dedup_substring_source_matrix",
-    "graph_harmonic_2hop",
-    "events_funnel_latency",
-    "stats_mcnemar_filters",
-    "text_token_diversity",
-    "similarity_ndcg_eval",
-    "stats_cochran_q",
+    # -- operators added in round 13: none (optimization round) --
 )
 
 

@@ -15,9 +15,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    from gluettalax_spark.session import get_spark
+    from gluettalax_spark.session import get_spark, tune_for_fixture
 
     spark = get_spark("gluettalax-tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    # Same scheduler-floor sizing the bench applies (session.py): the
+    # sf0.001 test fixture is KB-scale, so 8 shuffle partitions per
+    # exchange is pure dispatch — the suite is a few thousand tiny jobs,
+    # and reduce-task setup is a measurable slice of its wall-clock
+    # (VERDICT r12 #3: the suite outgrew the driver's verify window).
+    tune_for_fixture(spark, SF_DIR)
     yield spark
 
 

@@ -4,12 +4,15 @@ and higher-moment aggregates vs numpy (the non-oracle-checkable pieces).
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 
 from gluettalax_spark.operators.ann import NPROBE, TOPK, similarity_topk_ivf
 from gluettalax_spark.operators.similarity import similarity_topk
 
 
+@pytest.mark.slow  # brute-force recall twin (~40 s): gate tier (make gate)
 def test_ivf_topk_shape_and_recall(spark, sf_dir):
     ivf = similarity_topk_ivf(spark, sf_dir).collect()
     assert ivf, "IVF returned nothing"
@@ -48,6 +51,7 @@ def test_ivf_topk_shape_and_recall(spark, sf_dir):
     assert len(embedded) == 1 and abs(embedded.pop() - round(recall, 4)) <= 1e-9
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_higher_moments_vs_numpy(spark, sf_dir):
     from gluettalax_spark.operators.stats import higher_moments
     from gluettalax_spark.tables import load
@@ -67,6 +71,7 @@ def test_higher_moments_vs_numpy(spark, sf_dir):
         assert abs(k_got - kurt) < 1e-6, (flag, k_got, kurt)
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_hll_sketch_union_accuracy(spark, sf_dir):
     """Unioned monthly sketches estimate the global distinct count within
     HLL error bounds (lgK=12 default → ~1.6% stddev; allow 5%)."""
@@ -89,6 +94,7 @@ def test_hll_sketch_union_accuracy(spark, sf_dir):
     assert all(r.rel_err < 0.05 for r in out)
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_wau_hll_rolling_accuracy(spark, sf_dir):
     """Windowed HLL union tracks the exact rolling 7-day distinct count
     within 5% on every day."""
@@ -118,6 +124,7 @@ def test_wau_hll_rolling_accuracy(spark, sf_dir):
         assert r.rel_err < 0.05
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_vectorized_topk_matches_exact(spark, sf_dir):
     """The numpy/mapInPandas scorer must reproduce the exact operator's
     ranking (rounded cosine + id tiebreak makes it deterministic)."""
@@ -133,6 +140,7 @@ def test_vectorized_topk_matches_exact(spark, sf_dir):
     assert all(r.fold_err <= 1e-4 for r in fast)
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_pq_topk_shape_and_recall(spark, sf_dir):
     from gluettalax_spark.operators.ann import similarity_topk_pq
 
@@ -167,6 +175,7 @@ def test_pq_topk_shape_and_recall(spark, sf_dir):
     assert len(embedded) == 1 and abs(embedded.pop() - round(recall, 4)) <= 1e-9
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_ivfpq_topk_shape_and_recall(spark, sf_dir):
     from gluettalax_spark.operators.ann import similarity_topk_ivfpq
 
@@ -199,6 +208,7 @@ def test_ivfpq_topk_shape_and_recall(spark, sf_dir):
     assert len(embedded) == 1 and abs(embedded.pop() - round(recall, 4)) <= 1e-9
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_ivfpq_refine_recall_beats_plain_and_is_exactly_ranked(spark, sf_dir):
     """The refine stage must (a) lift recall to at least the 0.75 bar —
     measured 0.86 (sf0.001) / 0.90 (sf0.01) / 0.81 (sf0.1) vs

@@ -14,6 +14,9 @@ from tests.harness import compare, exact_hash_compare
 SPECS = registry.all_queries()
 
 
+@pytest.mark.slow  # full-registry oracle sweep (~6 min): the gate tier —
+# `make gate` runs it plus tools/validate_contract.py at two SFs; the
+# default tier must fit the driver's verify window (VERDICT r12 #3).
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
     spec = SPECS[name]

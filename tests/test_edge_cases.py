@@ -5,9 +5,11 @@ graphs)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
+@pytest.mark.slow  # iterative CC stress (25-90 s each): gate tier (make gate)
 def test_connected_components_empty_and_singleton(spark):
     from gluettalax_spark.operators.graph import connected_components
 
@@ -23,6 +25,7 @@ def test_connected_components_empty_and_singleton(spark):
     assert got == {(5, 5)}
 
 
+@pytest.mark.slow  # iterative CC stress (25-90 s each): gate tier (make gate)
 def test_connected_components_chain_beyond_one_round(spark):
     """A path graph 0-1-2-...-9 needs multiple propagation rounds — the
     loop must actually iterate to the fixpoint, not stop after one."""
@@ -99,6 +102,7 @@ def test_glob_to_rlike_special_chars(spark):
     assert got == {"usage", "usage_2020"}
 
 
+@pytest.mark.slow  # iterative CC stress (25-90 s each): gate tier (make gate)
 def test_star_cc_matches_min_label(spark):
     """Large-star/small-star and min-label propagation reach the same
     fixpoint on chains (worst case for min-label), forests, and cliques."""
@@ -121,6 +125,7 @@ def test_star_cc_matches_min_label(spark):
         assert a == b, (edges, a ^ b)
 
 
+@pytest.mark.slow  # iterative CC stress (25-90 s each): gate tier (make gate)
 def test_cc_deep_chain_converges_in_bounded_rounds(spark):
     """Adversarial chained graph (a 200-doc path, the shape a
     templated-spam corpus produces): diameter 199 would need 199 min-label
@@ -227,6 +232,7 @@ def _write_lineitem(spark, tmp_path, rows):
     return out
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_graph_ops_no_qualifying_edges(spark, tmp_path):
     """Every basket pair occurs once (support < 2) → the pruned edge set
     is empty; pagerank / LPA / recursive reach / basket rules must all

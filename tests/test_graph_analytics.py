@@ -203,6 +203,7 @@ def _pagerank_brute(sf_dir: str, iters: int = 8):
     return {v: (r[v], deg[v]) for v in nodes}
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_pagerank_matches_integer_recompute(spark, sf_dir):
     want = _pagerank_brute(sf_dir)
     got = queries()["graph_pagerank"](spark, sf_dir).collect()
@@ -222,6 +223,7 @@ def test_pagerank_matches_integer_recompute(spark, sf_dir):
     assert 999_000_000_000 <= want_mass <= 1_000_000_000_000
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_pagerank_matches_duckdb_oracle(spark, sf_dir, oracle_con):
     """The whole point of the integer quantization: the 8-round fixpoint
     trajectory is now hash-exact cross-engine (VERDICT r10 task #3)."""

@@ -15,6 +15,8 @@ the 100 TB plan silently rots — this file is what catches it.
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from gluettalax_spark.registry import queries
@@ -503,6 +505,7 @@ def test_pareto_take_ordered_no_full_rank(spark, sf_dir):
     assert _unbounded_global_windows(df) == []
 
 
+@pytest.mark.slow  # whole-registry plan sweep (4+ min): gate tier (make gate)
 def test_no_unbounded_global_window_anywhere(spark, sf_dir):
     """Sweep EVERY registered query: an unpartitioned WindowExec whose
     input is not bounded by a limit or a pid-grouped aggregate is the
@@ -823,6 +826,7 @@ R11_NEW_OPS = [
 ]
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_r11_ops_no_cartesian_or_rowwise_python(spark, sf_dir):
     """Every round-11 operator: no cartesian/nested-loop join anywhere
     except broadcast of a 1-row/constant-size side, and no row-at-a-time

@@ -5,6 +5,8 @@ no Spark session needed."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import numpy as np
@@ -60,6 +62,7 @@ def _avg_ranks(v):
         max_size=8,
     ).filter(lambda rows: len({len(r) for r in rows}) == 1)
 )
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_friedman_integer_identity(rows):
     """With 2x average ranks, the operator's integer numerator
     sum((R2_j - b(k+1))^2) and denominator sum(r2^2) - b*k*(k+1)^2 are

@@ -9,6 +9,8 @@ are its correctness gate.
 
 from __future__ import annotations
 
+import pytest
+
 from gluettalax_spark.registry import queries
 
 
@@ -120,6 +122,7 @@ def _ivf_rows(spark, sf_dir):
     return queries()["similarity_knn_label_accuracy_ivf"](spark, sf_dir).collect()
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_knn_ivf_schema_and_invariants(spark, sf_dir):
     rows = _ivf_rows(spark, sf_dir)
     assert rows, "IVF kNN rung returned nothing"
@@ -141,6 +144,7 @@ def test_knn_ivf_schema_and_invariants(spark, sf_dir):
         assert r.acc_ppm == r.n_correct * 1_000_000 // r.n_queries
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_knn_ivf_witnesses_match_exact_rung(spark, sf_dir):
     rows = _ivf_rows(spark, sf_dir)
     # acc_ppm_exact must BE the brute-force rung's per-class accuracy.

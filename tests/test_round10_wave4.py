@@ -5,12 +5,15 @@ correctness gate)."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 import pandas as pd
 
 from gluettalax_spark.registry import queries
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_ann_recall_curve_monotone_and_consistent(spark, sf_dir):
     rows = sorted(
         queries()["similarity_ann_recall_curve"](spark, sf_dir).collect(),

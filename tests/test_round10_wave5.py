@@ -3,6 +3,8 @@ Jaccard rescoring and backlog aging."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import re
 from collections import Counter
@@ -23,6 +25,7 @@ def _shingle_sets(docs):
     return out
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_weighted_jaccard_matches_python(spark, sf_dir):
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
     sets = _shingle_sets(docs)
@@ -84,6 +87,7 @@ def test_backlog_aging_matches_pandas(spark, sf_dir):
         )
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_band_sweep_s_curve_invariants(spark, sf_dir):
     """Narrower bands can only ADD candidates and catches (monotone in
     the band count); every config's verified pairs are a subset of the

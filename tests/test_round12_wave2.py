@@ -6,6 +6,8 @@ oracle-checked, plus the data-dependent oracle-template plumbing."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 
 from gluettalax_spark.registry import all_queries
@@ -59,6 +61,7 @@ class TestOracleTemplates:
 
 
 class TestQuantizerDeterminism:
+    @pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
     def test_pq_codebooks_spark_vs_numpy(self, spark, sf_dir):
         """The Spark TakeOrdered sample and the pandas vec_id-sorted read
         must train bit-identical codebooks — the premise of embedding the
@@ -115,12 +118,14 @@ class TestRecontractedResults:
             __import__("pandas").read_parquet(f"{sf_dir}/embeddings.parquet")
         )
 
+    @pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
     def test_recall_curve_matches_oracle_and_monotone(self, spark, sf_dir, oracle_con):
         pdf = _cross_check(spark, sf_dir, oracle_con, "similarity_ann_recall_curve")
         pdf = pdf.sort_values("nprobe")
         assert (pdf["recall_ppm"].diff().dropna() >= 0).all(), "recall must not decrease"
         assert (pdf["n_candidates"].diff().dropna() > 0).all(), "candidates grow with nprobe"
 
+    @pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
     def test_pq_distortion_matches_oracle(self, spark, sf_dir, oracle_con):
         pdf = _cross_check(spark, sf_dir, oracle_con, "embedding_pq_distortion")
         assert len(pdf) == 32

@@ -3,6 +3,8 @@ time-to-convert histogram."""
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 
 from gluettalax_spark.registry import all_queries
@@ -19,6 +21,7 @@ def _cross_check(spark, sf_dir, oracle_con, name):
 
 
 class TestHarmonic2Hop:
+    @pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
     def test_matches_oracle(self, spark, sf_dir, oracle_con):
         pdf = _cross_check(spark, sf_dir, oracle_con, "graph_harmonic_2hop")
         assert len(pdf) == 20
@@ -28,6 +31,7 @@ class TestHarmonic2Hop:
         # top-20 ordering is (score desc, node) — a total order
         assert list(pdf["harmonic_milli"]) == sorted(pdf["harmonic_milli"], reverse=True)
 
+    @pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
     def test_two_hop_sets_replay_in_python(self, spark, sf_dir):
         """Independent replay: rebuild N1/N2 from the operator's own edge
         list with plain Python sets (cap replayed) and compare scores."""
@@ -67,6 +71,7 @@ class TestFunnelLatency:
         assert pdf["cum_ppm"].iloc[-1] == 1_000_000
         assert pdf["cum_views"].is_monotonic_increasing
 
+    @pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
     def test_total_matches_first_conversions(self, spark, sf_dir):
         """Σ n_views == #views with ≥1 purchase in the horizon, replayed
         from the already-oracle-checked conversion pairs."""

@@ -5,6 +5,8 @@ IVF index against exact-cosine graded relevance."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from gluettalax_spark.registry import all_queries
@@ -21,6 +23,7 @@ def _cross_check(spark, sf_dir, oracle_con, name):
 
 
 class TestMcnemarFilters:
+    @pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
     def test_oracle_match(self, spark, sf_dir, oracle_con):
         _cross_check(spark, sf_dir, oracle_con, "stats_mcnemar_filters")
 
@@ -101,6 +104,7 @@ class TestNdcgEval:
         assert ((pdf["dcg_e9"] >= 0) & (pdf["dcg_e9"] <= pdf["idcg_e9"])).all()
         assert ((pdf["ndcg"] >= 0.0) & (pdf["ndcg"] <= 1.0)).all()
 
+    @pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
     def test_perfect_ranking_scores_one(self, spark, sf_dir):
         """Queries where the IVF top-k IS the exact top-k in exact order
         must land exactly on ndcg == 1.0 (dcg_e9 == idcg_e9 on the same
@@ -190,6 +194,7 @@ class TestMemoryPolicy:
         assert not (g1_ids & after), "superseded generation still persisted"
         assert g2.count() == 50  # the live generation survives
 
+    @pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
     def test_cc_serialized_checkpoints_still_converge_on_deep_chain(self, spark):
         """Post-rotator + serialized-level CC: a diameter-8 chain (past
         the fallover budget) and the star variant agree — exercises the

@@ -8,6 +8,8 @@ operator scale."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import re
 from collections import Counter, defaultdict
@@ -58,6 +60,7 @@ def _kcore_brute(edges: set[tuple[int, int]], k: int, max_rounds: int):
     return deg, len(edges), converged
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_kcore_matches_python_recompute(spark, sf_dir):
     deg, n_edges, converged = _kcore_brute(
         _cooccurrence_edges_brute(sf_dir), _KCORE_K, _KCORE_MAX_ROUNDS
@@ -71,6 +74,7 @@ def test_kcore_matches_python_recompute(spark, sf_dir):
         assert r["converged"] == converged
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_kcore_converges_on_fixture(spark, sf_dir):
     rows = queries()["graph_kcore"](spark, sf_dir).collect()
     assert rows, "fixture 3-core should be non-empty at sf0.001"
@@ -79,6 +83,7 @@ def test_kcore_converges_on_fixture(spark, sf_dir):
     assert all(r["core_degree"] >= _KCORE_K for r in rows)
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_kcore_no_cartesian(spark, sf_dir):
     plan = physical_plan(queries()["graph_kcore"](spark, sf_dir))
     assert "CartesianProduct" not in plan
@@ -238,6 +243,7 @@ def test_bigram_logppl_matches_python_recompute(spark, sf_dir):
         assert abs(r["ppl"] - ppl) <= 2e-4, (r["doc_id"], r["ppl"], ppl)
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_bigram_logppl_take_ordered_no_global_window(spark, sf_dir):
     from tests.test_plans import _unbounded_global_windows
 
@@ -291,6 +297,7 @@ def test_cumulative_distinct_invariants_and_plan(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_embedding_covariance_matches_numpy_exact_ints(spark, sf_dir):
     import numpy as np
 
@@ -310,6 +317,7 @@ def test_embedding_covariance_matches_numpy_exact_ints(spark, sf_dir):
         assert r["s_j"] == S1[r["j"]]
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_embedding_covariance_tracks_float_covariance(spark, sf_dir):
     """The quantized-exact cov must agree with numpy's float covariance
     to within the quantization budget (~2^-20 per coordinate)."""
@@ -336,6 +344,7 @@ def test_embedding_covariance_no_self_join(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_drift_psi_matches_python_recompute(spark, sf_dir):
     ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
     us = ev["ts"].astype("int64") // 1000  # ns -> us
@@ -372,6 +381,7 @@ def test_drift_psi_one_scan_no_data_join(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_pca_project_variance_invariant_and_numpy(spark, sf_dir):
     """Rows-only witness: var(pc1) over the corpus must equal the top
     eigenvalue of the covariance the components came from (that identity
@@ -458,6 +468,7 @@ def test_table_checksum_matches_python_recompute(spark, sf_dir):
         assert got[t] == _cksum_brute(sf_dir, t), t
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_table_checksum_order_and_layout_independent(spark, tmp_path, sf_dir):
     """The audit's whole point: re-ordering and re-partitioning the same
     rows must not move the checksum; changing ONE row must."""

@@ -6,6 +6,8 @@ operator scale."""
 
 from __future__ import annotations
 
+import pytest
+
 import re
 from collections import Counter
 
@@ -147,6 +149,7 @@ def test_linkpred_hub_cap_engages(spark):
     assert all((r["node_a"], r["node_b"]) not in es for r in rows)
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_linkpred_random_graphs_match_brute(spark):
     """Seeded Erdos-Renyi graphs, full score-set equivalence (not just
     the fixture's top-k path): every (pair, inter, degrees, jaccard) the
@@ -268,6 +271,7 @@ def _bpe_train_brute(sf_dir: str):
     return rows
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_bpe_train_matches_list_based_bpe(spark, sf_dir):
     rows = queries()["text_bpe_train"](spark, sf_dir).collect()
     got = [

@@ -6,6 +6,8 @@ operator on its scale path."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import re
 from collections import defaultdict
@@ -78,6 +80,7 @@ def test_run_history_replay_is_bounded(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_every_rows_only_key_declares_and_emits_its_witness(spark, sf_dir):
     """Registration already refuses an oracle-less key without witness
     columns; this pins the other half — every declared witness column is
@@ -245,6 +248,7 @@ def _lpa_brute(sf_dir: str):
     return len(dsum), m, intra, q
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_modularity_matches_python_lpa_replay(spark, sf_dir):
     row = queries()["graph_modularity"](spark, sf_dir).collect()[0]
     n_comm, m, intra, q = _lpa_brute(sf_dir)
@@ -615,6 +619,7 @@ def test_kn_logppl_matches_python_recompute(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_semantic_dedup_overcap_emits_star_pairs_only(spark, sf_dir):
     """Force the band cap (max_bucket=2) so every cluster degrades: each
     over-cap cluster must emit only (rep=min vec_id, member) pairs —

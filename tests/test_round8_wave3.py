@@ -8,6 +8,8 @@ keep each operator on its scale path."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import math
 from collections import Counter, defaultdict
@@ -470,6 +472,7 @@ def test_km_matches_python_recompute(spark, sf_dir):
     assert all(a >= b for a, b in zip(s, s[1:]))
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_wave3b_plans_stay_jvm_side(spark, sf_dir):
     qs = queries()
     for name in (

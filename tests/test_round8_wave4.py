@@ -7,6 +7,8 @@ keep each operator on its scale path."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import numpy as np
@@ -407,6 +409,7 @@ def test_bounce_rate_windows_are_user_partitioned(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_bpe_apply_totals_equal_train_final(spark, sf_dir):
     """Apply and train must agree: the corpus-wide post-merge token count
     from apply's per-source budgets equals the train op's final
@@ -562,6 +565,7 @@ def _daily_revenue(sf_dir: str) -> np.ndarray:
     return daily.reindex(full, fill_value=0).to_numpy().astype("int64")
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_hurst_matches_python_recompute(spark, sf_dir):
     x = _daily_revenue(sf_dir)
     row = queries()["stats_hurst_exponent"](spark, sf_dir).collect()[0]

@@ -4,6 +4,8 @@ quantile, Qini uplift)."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import math
 import re
@@ -119,6 +121,7 @@ def test_knn_label_accuracy_matches_python(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_bounded_sssp_matches_python_bellman_ford(spark, sf_dir):
     li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
     op = li[["l_orderkey", "l_partkey"]].drop_duplicates()

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import math
 from collections import Counter, defaultdict
 
@@ -103,6 +105,7 @@ def test_threshold_curve_consistent_with_pair_op(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_dedup_quality_audit_consistent_with_components(spark, sf_dir):
     """Re-derive the audit from the registry's own cluster table (an
     independently recomputed fixpoint) plus a pandas quality pass."""

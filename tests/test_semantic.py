@@ -55,6 +55,7 @@ def test_lloyd_update_matches_numpy(spark, sf_dir):
         assert np.array_equal(got[cid], want), f"cluster {cid} centroid mismatch"
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_dedup_cap_degrades_to_star(spark, sf_dir):
     """With an artificially tiny cap every cluster degrades: each
     surviving pair is a star around its cluster's min vec_id, and the

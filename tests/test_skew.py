@@ -88,6 +88,7 @@ def boilerplate_corpus(spark, tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_minhash_band_cap_bounds_candidates(spark, boilerplate_corpus):
     """With the cap, the 600-identical-doc bucket must produce STAR pairs
     (599, all anchored at the min doc_id) instead of the 179,700-pair
@@ -114,6 +115,7 @@ def test_minhash_band_cap_disabled_restores_clique(spark, boilerplate_corpus):
     assert n_dup == 600 * 599 // 2
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_simhash_band_cap_bounds_candidates(spark, boilerplate_corpus):
     from gluettalax_spark.operators.dedup import dedup_simhash_pairs
 
@@ -136,6 +138,7 @@ def test_band_spill_report_surfaces_degraded_buckets(spark, boilerplate_corpus, 
     assert dedup_band_spill_report(spark, sf_dir).count() == 0
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_band_cap_unchanged_on_fixture(spark, sf_dir):
     """On the normal fixture no bucket reaches the cap, so capped and
     uncapped runs are row-identical — the oracle contract is untouched."""
@@ -167,6 +170,7 @@ def test_ngram_jaccard_cap_unchanged_on_fixture(spark, sf_dir):
     assert uncapped.exceptAll(capped).count() == 0
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_embedding_neardup_bucket_cap(spark, tmp_path):
     """Mass-duplicated embeddings (one vector repeated 700x) land in one
     sign-LSH bucket; the cap degrades it to 699 star pairs (cosine 1.0)
@@ -189,6 +193,7 @@ def test_embedding_neardup_bucket_cap(spark, tmp_path):
     assert all(r.vec_a == 0 and r.cosine == 1.0 for r in dup_pairs)
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_embedding_neardup_cap_unchanged_on_fixture(spark, sf_dir):
     from gluettalax_spark.operators.similarity import embedding_neardup
 

@@ -170,6 +170,7 @@ def test_upsert_partitioned_detect_moves(spark, sf_dir, tmp_path):
 # --------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_python_datasource_batch_partitioned(spark):
     from gluettalax_spark.sources.pydatasource import FORMAT_NAME, register_synthetic_source
 
@@ -343,6 +344,7 @@ def _manifest(path):
         return _json.load(fh)
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_manifest_sink_roundtrip_and_modes(spark, tmp_path):
     from gluettalax_spark.sources.pydatasink import FORMAT_NAME, register_manifest_sink
 
@@ -390,6 +392,7 @@ def test_manifest_sink_abort_leaves_nothing_visible(spark, tmp_path):
     assert not [f for f in os.listdir(out) if f.startswith("part-") and not f.endswith(".tmp")] if os.path.exists(out) else True
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_manifest_sink_streaming_batches_and_replay(spark, tmp_path):
     from gluettalax_spark.sources.pydatasink import (
         FORMAT_NAME,
@@ -469,6 +472,7 @@ def test_manifest_sink_parquet_tasks_roundtrip_binary(spark, tmp_path):
     assert a == b
 
 
+@pytest.mark.slow  # gate tier (make gate): heavyweight recompute/replay (r13 tiering)
 def test_manifest_sink_compaction_batch_and_streaming(spark, tmp_path):
     """compact_manifest_sink must preserve every row, collapse the file
     count to the bin target, leave no temp files, and keep streaming

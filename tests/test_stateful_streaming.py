@@ -3,7 +3,11 @@ the batch ground truth; foreachBatch lands parquet per micro-batch."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
+
+# Stateful streaming drains take 8-47 s each: gate tier (make gate).
+pytestmark = pytest.mark.slow
 from pyspark.sql.window import Window
 
 from gluettalax_spark.streaming.stateful import (

@@ -5,6 +5,11 @@ consistency with the batch equivalents (the oracle-checked truth).
 
 from __future__ import annotations
 
+import pytest
+
+# Streaming twins take 5-45 s per query drain: gate tier (make gate).
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from gluettalax_spark.streaming.windows import (

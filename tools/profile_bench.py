@@ -60,7 +60,7 @@ def main() -> None:
     if not names:
         names = [n for n in bench.HEADLINE if n in specs]
 
-    plans_dir = os.path.join(REPO, "plans", "r12")
+    plans_dir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"))
     os.makedirs(plans_dir, exist_ok=True)
 
     # Warm-up (bench methodology)
